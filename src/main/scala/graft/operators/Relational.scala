@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StructField}
+
+/** Projection / filter / sort / dedup / top-k operators (SURVEY.md §2.2,
+  * §2.4). All are thin declarative compositions — Catalyst handles
+  * pushdown, pruning and ordering; nothing here materializes on the
+  * driver except explicitly-documented adaptive steps.
+  */
+object Relational {
+
+  /** `project_by_name_predicate` (reference `app.py:96-97`): select the
+    * columns whose *name and type* satisfy a predicate. Schema-driven, so
+    * the work is driver-side metadata only; the resulting `select` prunes
+    * the scan. */
+  def selectByNamePredicate(df: DataFrame, pred: StructField => Boolean): DataFrame = {
+    val cols = df.schema.fields.filter(pred).map(f => col(f.name))
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Numeric columns whose name does NOT contain `" - "` — the reference's
+    * feature/target discriminator (`app.py:96-97`). */
+  def featureColumns(df: DataFrame): Seq[String] =
+    df.schema.fields
+      .filter(f => !f.name.contains(" - ") && f.dataType.isInstanceOf[NumericType])
+      .map(_.name).toIndexedSeq
+
+  def targetColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(_.name.contains(" - ")).map(_.name).toIndexedSeq
+
+  /** `dup_count` (`Marilyn_Cleaning.ipynb` cell 55): number of rows that
+    * are exact duplicates of an earlier row. Single shuffle-free aggregate
+    * pair: COUNT(*) − COUNT(DISTINCT all-columns). */
+  def dupCount(df: DataFrame): DataFrame = {
+    val allCols = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.agg((count(lit(1)) - countDistinct(allCols)).as("n_duplicates"))
+  }
+
+  /** `dedup_by_key` (`Marilyn_Cleaning.ipynb` cell 64,
+    * `drop_duplicates(subset=…)`): keep exactly one row per key. pandas
+    * keeps the *first in frame order*; distributed frames have no frame
+    * order, so the caller supplies an explicit tiebreaker ordering —
+    * `row_number() == 1` over (key, tiebreak). One shuffle on the key. */
+  def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** `topk_by_variance` (`Marilyn_Cleaning.ipynb` cell 61): rank columns by
+    * sample variance, keep the top k. One map-side-combinable aggregate
+    * over all columns at once (single pass over the data regardless of
+    * column count), then a driver-negligible unpivot + limit. */
+  def topKByVariance(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
+    unpivotAgg(df, cols, c => var_samp(col(c)), "column_name", "variance")
+      .orderBy(desc("variance"), asc("column_name"))
+      .limit(k)
+
+  /** One row per column: `agg(col)` computed for every column in a single
+    * aggregate pass, then unpivoted to long form (column_name, value). */
+  def unpivotAgg(df: DataFrame, cols: Seq[String], agg: String => Column,
+                 nameCol: String, valueCol: String): DataFrame = {
+    val wide = df.agg(agg(cols.head).as(cols.head),
+                      cols.tail.map(c => agg(c).as(c)): _*)
+    wide.unpivot(Array.empty[Column], cols.map(col).toArray, nameCol, valueCol)
+  }
+
+  /** `tail_n` (`app.py:483-491`): last n rows by an ordering, returned in
+    * ascending order. TakeOrdered on the reversed order (no global sort of
+    * the full data), then an n-row re-sort. */
+  def tailN(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame =
+    df.orderBy(orderCols.map(_.desc): _*).limit(n)
+      .orderBy(orderCols.map(_.asc): _*)
+
+  /** `check_monotonic` (`Marilyn_Cleaning.ipynb` cell 58):
+    * is `valueCol` non-decreasing when ordered by `orderCol`? Lag window +
+    * global conjunction; returns one row `(is_monotonic: boolean)`. */
+  def isMonotonic(df: DataFrame, partition: Seq[Column], orderCol: Column,
+                  valueCol: Column): DataFrame = {
+    val w = (if (partition.isEmpty) Window.orderBy(orderCol)
+             else Window.partitionBy(partition: _*).orderBy(orderCol))
+    df.withColumn("__prev", lag(valueCol, 1).over(w))
+      .agg(coalesce(min(col("__prev").isNull || (valueCol >= col("__prev"))), lit(true))
+        .as("is_monotonic"))
+  }
+}

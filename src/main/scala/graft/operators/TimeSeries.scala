@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-series / window operators (SURVEY.md §2.7).
+  *
+  * The reference runs every order-sensitive op over ONE global 1961-row
+  * series (`Window.orderBy(date_id)` with no partition). That is correct
+  * at notebook scale and catastrophic at 100 TB (single task). Every
+  * operator here therefore takes an explicit `partition` (series key);
+  * pass `Nil` only for provably tiny frames.
+  */
+object TimeSeries {
+
+  private def w(partition: Seq[Column], order: Seq[Column]): WindowSpec =
+    if (partition.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(partition: _*).orderBy(order: _*)
+
+  /** `log_returns` (reconstructed stage, SURVEY.md §3.4; attested by
+    * `Presentation.pptx` slide13 "differencing, log returns"):
+    * ln(x_t / x_{t-1}) along the series. First row per series is null. */
+  def logReturns(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                 valueCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, log(col(valueCol) / lag(col(valueCol), 1).over(w(partition, order))))
+
+  /** `lag_features` (`README.md:31`): leakage-safe lagged predictor
+    * columns x_{t-1}..x_{t-k}. */
+  def lagFeatures(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                  valueCol: String, lags: Seq[Int]): DataFrame =
+    lags.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w(partition, order)))
+    }
+
+  /** `rolling_stats` (`slide13.xml` "rolling averages, volatility
+    * measures"): trailing-window mean and sample stddev over the last
+    * `window` rows INCLUDING the current one (pandas
+    * `rolling(window)` semantics). Trailing-only frames are leakage-safe. */
+  def rollingStats(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                   valueCol: String, window: Int): DataFrame = {
+    val frame = w(partition, order).rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn(s"${valueCol}_rollmean", avg(col(valueCol)).over(frame))
+      .withColumn(s"${valueCol}_rollstd", stddev_samp(col(valueCol)).over(frame))
+  }
+
+  /** `lead_per_target` (`Marilyn_Cleaning.ipynb` cell 67): shift a column
+    * forward by a per-key horizon taken from a small mapping table
+    * (`target_pairs.lag` ∈ {1..4}). pandas does `shift(-lag)` per column;
+    * here the horizons are distinct `lead(value, k)` expressions selected
+    * by a CASE on the key — one window pass, no join, no driver loop over
+    * rows. The mapping (hundreds of entries) is driver-held metadata, as
+    * in the reference (SURVEY.md §4.3.2). */
+  def leadPerKey(df: DataFrame, keyCol: Column, partition: Seq[Column],
+                 order: Seq[Column], valueCol: String, horizons: Map[String, Int],
+                 outCol: String): DataFrame = {
+    val spec = w(partition, order)
+    val cases = horizons.toSeq.sortBy(_._1).map { case (k, h) =>
+      (keyCol === lit(k), lead(col(valueCol), h).over(spec))
+    }
+    val expr = cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+      case (acc, (cond, value)) => acc.when(cond, value)
+    }
+    df.withColumn(outCol, expr)
+  }
+
+  /** `spread_compute` (realized in `Data/df_transformed.csv` header;
+    * `README.md:30`): pairwise difference columns `a − b`, generated from
+    * a (name, legA, legB) spec. */
+  def spreads(df: DataFrame, pairs: Seq[(String, String, String)]): DataFrame =
+    pairs.foldLeft(df) { case (acc, (name, a, b)) =>
+      acc.withColumn(name, col(a) - col(b))
+    }
+
+  /** `stationarity_test` (`Marilyn_Cleaning.ipynb` cell 1 imports
+    * `adfuller`; `slide14.xml` "Stationary check"): Dickey-Fuller test
+    * statistic per series, fully distributed.
+    *
+    * Regresses Δx_t on x_{t-1} (lag-order-0 DF, the `adfuller(maxlag=0)`
+    * regression "c" case): t = β̂ / se(β̂) with
+    * se² = (S_yy − S_xy²/S_xx) / (n−2) / S_xx. Everything reduces to the
+    * standard `regr_*` aggregates, so the whole test is one
+    * map-side-combinable aggregation per series — no driver collect, no
+    * per-series fit loop. Output: (series key cols, n, slope, df_tstat).
+    * A df_tstat far below ≈ −2.86 rejects a unit root (series stationary).
+    */
+  def dfTestStat(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                 valueCol: String): DataFrame = {
+    val spec = w(partition, order)
+    val prev = lag(col(valueCol), 1).over(spec)
+    val withLag = df
+      .withColumn("__x", prev)
+      .withColumn("__y", col(valueCol) - prev)
+      .filter(col("__x").isNotNull)
+    val grouped = if (partition.isEmpty) withLag.groupBy() else withLag.groupBy(partition: _*)
+    grouped.agg(
+        expr("regr_count(__y, __x)").as("n"),
+        expr("regr_slope(__y, __x)").as("slope"),
+        expr("regr_sxx(__y, __x)").as("sxx"),
+        expr("regr_syy(__y, __x)").as("syy"),
+        expr("regr_sxy(__y, __x)").as("sxy"))
+      .withColumn("df_tstat",
+        col("slope") / sqrt(
+          (col("syy") - col("sxy") * col("sxy") / col("sxx"))
+            / (col("n") - lit(2)) / col("sxx")))
+      .drop("sxx", "syy", "sxy")
+  }
+}

@@ -1,0 +1,571 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{MissingData, Relational}
+
+/** Relational-core query registry (SURVEY.md §2.1-§2.6, §2.8) bound to the
+  * harness tables, each with a DuckDB-oracle SQL twin.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - every query ends in a total ORDER BY mirrored in the SQL;
+  *  - float aggregates are rounded identically on both sides, with digits
+  *    chosen so cross-engine accumulation error ≪ the rounding step;
+  *  - money sums go through DECIMAL(18,2) (exact) and back to double.
+  */
+object Rel {
+
+  /** Exact money sum: cross-engine-stable (decimal accumulation). */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Derived events frame with three deterministic null patterns. The
+    * harness tables are null-free, so the missing-data operators
+    * (§2.3) are exercised on nulls injected by fixed event_id rules:
+    * v_sparse ≈ 87% null (the reference's US_Stock_GOLD_* analog),
+    * v_moderate ≈ 30%, v_dense = 5%. */
+  private[queries] def evd(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v_sparse",
+        when(col("event_id") % 100 < 87, lit(null).cast("double")).otherwise(col("value")))
+      .withColumn("v_moderate",
+        when(col("event_id") % 10 < 3, lit(null).cast("double")).otherwise(col("value")))
+      .withColumn("v_dense",
+        when(col("event_id") % 20 === 7, lit(null).cast("double")).otherwise(col("value")))
+
+  private[queries] val evdSql: String =
+    """WITH evd AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    CASE WHEN event_id % 100 < 87 THEN NULL ELSE value END AS v_sparse,
+      |    CASE WHEN event_id % 10 < 3 THEN NULL ELSE value END AS v_moderate,
+      |    CASE WHEN event_id % 20 = 7 THEN NULL ELSE value END AS v_dense
+      |  FROM events)
+      |""".stripMargin
+
+  private val nullCols = Seq("v_sparse", "v_moderate", "v_dense")
+
+  val qs: Map[String, Q] = Map(
+    // ---- §2.1 sources -------------------------------------------------
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- §2.2 projection / filter ------------------------------------
+    "project_by_name_predicate" -> ((s, d) =>
+      Relational.selectByNamePredicate(Tables.lineitem(s, d),
+          f => f.name.startsWith("l_") && f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "project_subset" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    "drop_columns" -> ((s, d) =>
+      Tables.part(s, d).drop("p_name", "p_brand").orderBy("p_partkey")),
+
+    "filter_gt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_isin" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "filter_threshold_signal" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("pred", (col("value") - 100) / 100)
+        .withColumn("conf", (col("user_id") % 100) / lit(100.0))
+        .select(col("event_id"), round(col("pred"), 6).as("pred"), col("conf"),
+          when(abs(col("pred")) < 0.6 || col("conf") < 0.6, "WAIT")
+            .when(col("pred") > 0, "BUY").otherwise("SELL").as("signal"))
+        .orderBy("event_id")),
+
+    // ---- §2.3 missing data --------------------------------------------
+    "agg_null_count_per_col" -> ((s, d) =>
+      MissingData.nullCountPerColumn(evd(s, d), nullCols)),
+
+    "agg_null_pct_per_col" -> ((s, d) =>
+      MissingData.nullPctPerColumn(evd(s, d), nullCols)
+        .select(col("column_name"), round(col("null_pct"), 6).as("null_pct"))),
+
+    "agg_null_pct_total" -> ((s, d) =>
+      MissingData.totalNullPct(evd(s, d), nullCols)
+        .select(round(col("total_null_pct"), 6).as("total_null_pct"))),
+
+    "dropna_rows" -> ((s, d) =>
+      MissingData.dropnaRows(evd(s, d), nullCols)
+        .select("event_id", "v_sparse", "v_moderate", "v_dense")
+        .orderBy("event_id")),
+
+    "drop_sparse_columns" -> ((s, d) =>
+      MissingData.dropSparseColumns(evd(s, d), nullCols, maxNullPct = 50.0)
+        .select("event_id", "v_moderate", "v_dense")
+        .orderBy("event_id")),
+
+    "impute_ffill_bfill" -> ((s, d) =>
+      MissingData.ffillBfill(evd(s, d),
+          partition = Seq(col("user_id")), order = Seq(col("event_id")),
+          cols = Seq("v_moderate"))
+        .select(col("event_id"), col("user_id"), col("v_moderate").as("v_imputed"))
+        .orderBy("event_id")),
+
+    "check_no_nulls" -> ((s, d) =>
+      MissingData.totalNullCount(
+        MissingData.ffillBfill(evd(s, d),
+          Seq(col("user_id")), Seq(col("event_id")), Seq("v_moderate")),
+        Seq("v_moderate"))),
+
+    // ---- §2.4 sort / dedup / top-k -------------------------------------
+    "sort_by_time" -> ((s, d) =>
+      // ts at µs resolution on both sides: DuckDB's parquet reader converts
+      // TIMESTAMP(NANOS) to µs TIMESTAMP, so ns would never hash-match.
+      Tables.events(s, d)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+        .orderBy("ts_us", "event_id")),
+
+    "dup_count" -> ((s, d) => Relational.dupCount(Tables.lineitem(s, d))),
+
+    "dedup_by_key" -> ((s, d) =>
+      Relational.dedupByKey(Tables.orders(s, d),
+          keys = Seq("o_custkey"), tiebreak = Seq(col("o_orderkey")))
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")),
+
+    "check_monotonic" -> ((s, d) =>
+      Relational.isMonotonic(Tables.events(s, d), Nil, col("event_id"), col("ts_ns"))),
+
+    "topk_by_variance" -> ((s, d) =>
+      Relational.topKByVariance(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), k = 3)
+        .select(col("column_name"), round(col("variance"), 2).as("variance"))),
+
+    "tail_n" -> ((s, d) =>
+      Relational.tailN(Tables.events(s, d), Seq(col("ts_ns"), col("event_id")), 50)
+        .select("event_id", "user_id", "value")),
+
+    "last_row_lookup" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(expr("max_by(value, event_id)").as("last_value"))
+        .orderBy("event_type")),
+
+    // ---- §2.5 joins ----------------------------------------------------
+    "join_mapping_left" -> ((s, d) => {
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    }),
+
+    "join_xy_inner" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_totalprice"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "anti_membership_cols" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.6 aggregations ----------------------------------------------
+    "agg_describe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def one(c: String): DataFrame = li.agg(
+        count(col(c)).as("n"), round(avg(col(c)), 4).as("mean"),
+        round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
+        round(expr(s"percentile($c, 0.25)"), 4).as("p25"),
+        round(expr(s"percentile($c, 0.5)"), 4).as("p50"),
+        round(expr(s"percentile($c, 0.75)"), 4).as("p75"),
+        max(col(c)).as("max")).select(lit(c).as("column_name"), col("*"))
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one).reduce(_.union(_))
+        .orderBy("column_name")
+    }),
+
+    "agg_variance_per_col" -> ((s, d) =>
+      Relational.unpivotAgg(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          c => var_samp(col(c)), "column_name", "variance")
+        .select(col("column_name"), round(col("variance"), 2).as("variance"))
+        .orderBy("column_name")),
+
+    "agg_sum_scalar" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_extendedprice"),
+        moneySum(col("l_quantity")).as("sum_quantity"))),
+
+    "agg_corr_matrix" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("gross", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "gross")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a|$b") }
+      li.agg(aggs.head, aggs.tail: _*)
+        .unpivot(Array.empty[Column], pairs.map(p => col(s"`${p._1}|${p._2}`")).toArray,
+          "pair", "corr")
+        .select(col("pair"), round(col("corr"), 6).as("corr"))
+        .orderBy("pair")
+    }),
+
+    "agg_high_corr_pairs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("gross", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "gross")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a|$b") }
+      li.agg(aggs.head, aggs.tail: _*)
+        .unpivot(Array.empty[Column], pairs.map(p => col(s"`${p._1}|${p._2}`")).toArray,
+          "pair", "corr")
+        .filter(abs(col("corr")) > 0.9)
+        .select(col("pair"), round(col("corr"), 6).as("corr"))
+        .orderBy("pair")
+    }),
+
+    "agg_histogram" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val mm = li.agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(floor((col("l_extendedprice") - col("mn")) * 30.0 / (col("mx") - col("mn"))),
+            lit(29L)).cast("int"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    "agg_boxplot_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q1"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("q2"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("q3"),
+          round(avg(col("l_quantity")), 4).as("mean"),
+          min(col("l_quantity")).as("min"), max(col("l_quantity")).as("max"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 4))
+        .withColumn("lo_fence", round(col("q1") - col("iqr") * 1.5, 4))
+        .withColumn("hi_fence", round(col("q3") + col("iqr") * 1.5, 4))
+        .orderBy("l_returnflag")),
+
+    "agg_dtype_counts" -> ((s, d) => {
+      // Metadata histogram (`dtypes.value_counts()`, cell 55): driver-side
+      // over the schema, zero data jobs.
+      val counts = Tables.lineitem(s, d).schema.fields
+        .groupBy(_.dataType.simpleString).view.mapValues(_.length).toSeq
+        .sortBy(_._1)
+      import s.implicits._
+      counts.toDF("dtype", "n").orderBy("dtype")
+    }),
+
+    // ---- §2.8 scalar functions -------------------------------------------
+    "str_split_pair" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          trim(expr("split_part(p_name, ' ', 1)")).as("leg_a"),
+          trim(expr("split_part(p_name, ' ', 2)")).as("leg_b"))
+        .orderBy("p_partkey")),
+
+    "str_replace_display" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), expr("replace(c_name, '#', ' ')").as("display_name"))
+        .orderBy("c_custkey")),
+
+    "str_contains" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    "to_datetime" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .orderBy("event_id")),
+
+    "math_abs_min" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(abs(col("value") - 100), 6).as("abs_dev"),
+          round(least(abs(col("value") - 100) / 60.0, lit(1.0)), 6).as("strength"))
+        .orderBy("event_id")),
+
+    "case_confidence" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("r2v", col("value") / 500.0)
+        .select(col("event_id"),
+          when(col("r2v") >= 0.7, "High").when(col("r2v") >= 0.4, "Medium")
+            .otherwise("Low").as("confidence"))
+        .orderBy("event_id")),
+
+    "case_trade_signal" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("pred", (col("value") - 100) / 100)
+        .withColumn("conf", (col("user_id") % 100) / lit(100.0))
+        .select(col("event_id"),
+          when(abs(col("pred")) < 0.6 || col("conf") < 0.6, "WAIT")
+            .when(col("pred") > 0, "BUY_A_SELL_B").otherwise("SELL_A_BUY_B").as("signal"),
+          concat(lit("pred "), round(col("pred"), 4).cast("decimal(12,4)").cast("string"),
+            lit(" conf "), col("conf").cast("decimal(12,2)").cast("string")).as("reason"))
+        .orderBy("event_id")),
+
+    "rename_to_pair" -> ((s, d) =>
+      Tables.region(s, d)
+        .select(col("r_regionkey").as("key"), col("r_name").as("pair_name"))
+        .orderBy("key")),
+  )
+
+  val sql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "project_by_name_predicate" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_discount, l_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "project_subset" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice FROM orders ORDER BY o_orderkey",
+
+    "drop_columns" ->
+      "SELECT p_partkey, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
+
+    "filter_gt" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+
+    "filter_isin" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
+
+    "filter_threshold_signal" ->
+      """SELECT event_id, round(pred, 6) AS pred, conf,
+        |  CASE WHEN abs(pred) < 0.6 OR conf < 0.6 THEN 'WAIT'
+        |       WHEN pred > 0 THEN 'BUY' ELSE 'SELL' END AS signal
+        |FROM (SELECT event_id, (value - 100) / 100 AS pred,
+        |             (user_id % 100) / 100.0 AS conf FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "agg_null_count_per_col" -> (evdSql +
+      """SELECT column_name, n_nulls FROM (
+        |  SELECT 'v_sparse' AS column_name, count(CASE WHEN v_sparse IS NULL THEN 1 END) AS n_nulls FROM evd
+        |  UNION ALL SELECT 'v_moderate', count(CASE WHEN v_moderate IS NULL THEN 1 END) FROM evd
+        |  UNION ALL SELECT 'v_dense', count(CASE WHEN v_dense IS NULL THEN 1 END) FROM evd)
+        |ORDER BY n_nulls DESC, column_name""".stripMargin),
+
+    "agg_null_pct_per_col" -> (evdSql +
+      """SELECT column_name, round(null_pct, 6) AS null_pct FROM (
+        |  SELECT 'v_sparse' AS column_name, avg(CASE WHEN v_sparse IS NULL THEN 1.0 ELSE 0.0 END) * 100 AS null_pct FROM evd
+        |  UNION ALL SELECT 'v_moderate', avg(CASE WHEN v_moderate IS NULL THEN 1.0 ELSE 0.0 END) * 100 FROM evd
+        |  UNION ALL SELECT 'v_dense', avg(CASE WHEN v_dense IS NULL THEN 1.0 ELSE 0.0 END) * 100 FROM evd)
+        |ORDER BY null_pct DESC, column_name""".stripMargin),
+
+    "agg_null_pct_total" -> (evdSql +
+      """SELECT round(avg(null_pct), 6) AS total_null_pct FROM (
+        |  SELECT avg(CASE WHEN v_sparse IS NULL THEN 1.0 ELSE 0.0 END) * 100 AS null_pct FROM evd
+        |  UNION ALL SELECT avg(CASE WHEN v_moderate IS NULL THEN 1.0 ELSE 0.0 END) * 100 FROM evd
+        |  UNION ALL SELECT avg(CASE WHEN v_dense IS NULL THEN 1.0 ELSE 0.0 END) * 100 FROM evd)""".stripMargin),
+
+    "dropna_rows" -> (evdSql +
+      """SELECT event_id, v_sparse, v_moderate, v_dense FROM evd
+        |WHERE v_sparse IS NOT NULL AND v_moderate IS NOT NULL AND v_dense IS NOT NULL
+        |ORDER BY event_id""".stripMargin),
+
+    "drop_sparse_columns" -> (evdSql +
+      "SELECT event_id, v_moderate, v_dense FROM evd ORDER BY event_id"),
+
+    "impute_ffill_bfill" -> (evdSql +
+      """SELECT event_id, user_id, coalesce(
+        |    last_value(v_moderate IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first_value(v_moderate IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_imputed
+        |FROM evd ORDER BY event_id""".stripMargin),
+
+    "check_no_nulls" -> (evdSql +
+      """SELECT count(CASE WHEN v_imputed IS NULL THEN 1 END) AS n_nulls FROM (
+        |  SELECT coalesce(
+        |    last_value(v_moderate IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first_value(v_moderate IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_imputed
+        |  FROM evd)""".stripMargin),
+
+    "sort_by_time" ->
+      "SELECT event_id, epoch_us(ts) AS ts_us, value FROM events ORDER BY ts_us, event_id",
+
+    "dup_count" ->
+      """SELECT count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS n_duplicates
+        |FROM lineitem""".stripMargin,
+
+    "dedup_by_key" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "check_monotonic" ->
+      """SELECT coalesce(bool_and(prev IS NULL OR ts >= prev), true) AS is_monotonic
+        |FROM (SELECT ts, lag(ts) OVER (ORDER BY event_id) AS prev FROM events)""".stripMargin,
+
+    "topk_by_variance" ->
+      """SELECT column_name, round(variance, 2) AS variance FROM (
+        |  SELECT 'l_quantity' AS column_name, var_samp(l_quantity) AS variance FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', var_samp(l_extendedprice) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', var_samp(l_discount) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', var_samp(l_tax) FROM lineitem)
+        |ORDER BY variance DESC, column_name LIMIT 3""".stripMargin,
+
+    "tail_n" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 50)
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "last_row_lookup" ->
+      "SELECT event_type, arg_max(value, event_id) AS last_value FROM events GROUP BY event_type ORDER BY event_type",
+
+    "join_mapping_left" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |LEFT JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+
+    "join_xy_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "anti_membership_cols" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "agg_describe" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, count($c) AS n, round(avg($c), 4) AS mean,
+           |  round(stddev_samp($c), 4) AS std, min($c) AS min,
+           |  round(quantile_cont($c, 0.25), 4) AS p25,
+           |  round(quantile_cont($c, 0.5), 4) AS p50,
+           |  round(quantile_cont($c, 0.75), 4) AS p75, max($c) AS max
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "agg_variance_per_col" ->
+      """SELECT column_name, round(variance, 2) AS variance FROM (
+        |  SELECT 'l_quantity' AS column_name, var_samp(l_quantity) AS variance FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', var_samp(l_extendedprice) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', var_samp(l_discount) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', var_samp(l_tax) FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
+
+    "agg_sum_scalar" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_extendedprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_quantity
+        |FROM lineitem""".stripMargin,
+
+    "agg_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "gross")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val rows = pairs.map { case (a, b) =>
+        s"SELECT '$a|$b' AS pair, corr($a, $b) AS corr FROM g" }
+      "WITH g AS (SELECT *, l_extendedprice * (1 - l_discount) AS gross FROM lineitem)\n" +
+        "SELECT pair, round(corr, 6) AS corr FROM (\n" +
+        rows.mkString("", "\nUNION ALL ", ")\nORDER BY pair")
+    },
+
+    "agg_high_corr_pairs" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "gross")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val rows = pairs.map { case (a, b) =>
+        s"SELECT '$a|$b' AS pair, corr($a, $b) AS corr FROM g" }
+      "WITH g AS (SELECT *, l_extendedprice * (1 - l_discount) AS gross FROM lineitem)\n" +
+        "SELECT pair, round(corr, 6) AS corr FROM (\n" +
+        rows.mkString("", "\nUNION ALL ", ")\nWHERE abs(corr) > 0.9 ORDER BY pair")
+    },
+
+    "agg_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT bucket, count(*) AS n FROM (
+        |  SELECT CAST(least(floor((l_extendedprice - mn) * 30.0 / (mx - mn)), 29) AS INT) AS bucket
+        |  FROM lineitem, mm)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_boxplot_stats" ->
+      """SELECT l_returnflag, q1, q2, q3, mean, min, max,
+        |  round(q3 - q1, 4) AS iqr,
+        |  round(q1 - 1.5 * round(q3 - q1, 4), 4) AS lo_fence,
+        |  round(q3 + 1.5 * round(q3 - q1, 4), 4) AS hi_fence
+        |FROM (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS q2,
+        |    round(quantile_cont(l_quantity, 0.75), 4) AS q3,
+        |    round(avg(l_quantity), 4) AS mean,
+        |    min(l_quantity) AS min, max(l_quantity) AS max
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_dtype_counts" ->
+      """SELECT dtype, n FROM (VALUES
+        |  ('bigint', 3), ('double', 4), ('int', 1), ('string', 2), ('timestamp_ntz', 1))
+        |AS t(dtype, n) ORDER BY dtype""".stripMargin,
+
+    "str_split_pair" ->
+      """SELECT p_partkey, trim(split_part(p_name, ' ', 1)) AS leg_a,
+        |  trim(split_part(p_name, ' ', 2)) AS leg_b
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "str_replace_display" ->
+      "SELECT c_custkey, replace(c_name, '#', ' ') AS display_name FROM customer ORDER BY c_custkey",
+
+    "str_contains" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey",
+
+    "to_datetime" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date, year(ts) AS y, month(ts) AS m,
+        |  epoch_ns(ts) // 1000 AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "math_abs_min" ->
+      """SELECT event_id, round(abs(value - 100), 6) AS abs_dev,
+        |  round(least(abs(value - 100) / 60.0, 1.0), 6) AS strength
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "case_confidence" ->
+      """SELECT event_id,
+        |  CASE WHEN value / 500.0 >= 0.7 THEN 'High'
+        |       WHEN value / 500.0 >= 0.4 THEN 'Medium' ELSE 'Low' END AS confidence
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "case_trade_signal" ->
+      """SELECT event_id,
+        |  CASE WHEN abs(pred) < 0.6 OR conf < 0.6 THEN 'WAIT'
+        |       WHEN pred > 0 THEN 'BUY_A_SELL_B' ELSE 'SELL_A_BUY_B' END AS signal,
+        |  concat('pred ', CAST(CAST(round(pred, 4) AS DECIMAL(12,4)) AS VARCHAR),
+        |         ' conf ', CAST(CAST(conf AS DECIMAL(12,2)) AS VARCHAR)) AS reason
+        |FROM (SELECT event_id, (value - 100) / 100 AS pred,
+        |             (user_id % 100) / 100.0 AS conf FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "rename_to_pair" ->
+      "SELECT r_regionkey AS key, r_name AS pair_name FROM region ORDER BY key",
+  )
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TimeSeries
+
+/** Time-series / window queries (SURVEY.md §2.7) + regression-metric
+  * queries (§2.9, the SQL-expressible slice) on the `events` table.
+  *
+  * `events` plays the role of the reference's global 1961-row price
+  * series, but partitioned by `user_id` as the series key — the 100 TB
+  * layout SURVEY.md §4.3.3 calls for (each window is a bounded parallel
+  * task, not one global sort).
+  */
+object Ts {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def userW = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+
+  /** Per-event-type lead horizons — the `target_pairs.lag` analog
+    * (`Marilyn_Cleaning.ipynb` cell 67; lag ∈ {1..4}). */
+  private val horizons = Map(
+    "click" -> 1, "error" -> 1, "purchase" -> 3, "signup" -> 4, "view" -> 2)
+
+  /** Synthetic (y, ŷ) frame for the metric oracle: y is the centered
+    * value, ŷ a deterministic linear pseudo-prediction from the lagged
+    * series (`ml_metric_*` need a prediction column; the fixture follows
+    * FIXTURES.md §5). */
+  private def pred(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("lagv", lag(col("value"), 1).over(userW))
+      .filter(col("lagv").isNotNull)
+      .select(col("event_id"), (col("value") - 100).as("y"),
+        ((col("value") - 100) * 0.8 + (col("lagv") - 100) * 0.1).as("yhat"))
+
+  private val predSql: String =
+    """WITH p AS (
+      |  SELECT event_id, value - 100 AS y, (value - 100) * 0.8 + (lagv - 100) * 0.1 AS yhat
+      |  FROM (SELECT event_id, value,
+      |          lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
+      |        FROM events)
+      |  WHERE lagv IS NOT NULL)
+      |""".stripMargin
+
+  val qs: Map[String, Q] = Map(
+    // ---- §2.7 window / time-series -------------------------------------
+    "lead_per_target" -> ((s, d) =>
+      TimeSeries.leadPerKey(Tables.events(s, d), col("event_type"),
+          Seq(col("user_id")), Seq(col("event_id")), "value", horizons, "led")
+        .filter(col("led").isNotNull)
+        .select("event_id", "event_type", "led")
+        .orderBy("event_id")),
+
+    "spread_compute" -> ((s, d) =>
+      TimeSeries.spreads(
+          Tables.lineitem(s, d)
+            .withColumn("gross", col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          Seq(("spread", "l_extendedprice", "gross")))
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("spread"), 6).as("spread"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "log_returns" -> ((s, d) =>
+      TimeSeries.logReturns(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("event_id")), "value", "log_ret")
+        .filter(col("log_ret").isNotNull)
+        .select(col("event_id"), round(col("log_ret"), 6).as("log_ret"))
+        .orderBy("event_id")),
+
+    "lag_features" -> ((s, d) =>
+      TimeSeries.lagFeatures(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("event_id")), "value", Seq(1, 2, 3))
+        .select("event_id", "value_lag1", "value_lag2", "value_lag3")
+        .orderBy("event_id")),
+
+    "rolling_stats" -> ((s, d) =>
+      TimeSeries.rollingStats(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("event_id")), "value", window = 7)
+        .select(col("event_id"), round(col("value_rollmean"), 6).as("rollmean"),
+          round(col("value_rollstd"), 6).as("rollstd"))
+        .orderBy("event_id")),
+
+    "stationarity_test" -> ((s, d) =>
+      TimeSeries.dfTestStat(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("event_id")), "value")
+        .select(col("user_id"), col("n"), round(col("slope"), 6).as("slope"),
+          round(col("df_tstat"), 4).as("df_tstat"))
+        .orderBy("user_id")),
+
+    // ---- §2.9 metric aggregates (SQL-expressible ML slice) -------------
+    "ml_metric_r2" -> ((s, d) => {
+      val p = pred(s, d)
+      val m = p.agg(avg(col("y")).as("ay"))
+      p.crossJoin(broadcast(m))
+        .agg(round(lit(1) - sum((col("y") - col("yhat")) * (col("y") - col("yhat")))
+          / sum((col("y") - col("ay")) * (col("y") - col("ay"))), 6).as("r2"))
+    }),
+
+    "ml_metric_mae" -> ((s, d) =>
+      pred(s, d).agg(round(avg(abs(col("y") - col("yhat"))), 6).as("mae"))),
+
+    "ml_metric_rmse" -> ((s, d) =>
+      pred(s, d).agg(round(sqrt(avg((col("y") - col("yhat")) * (col("y") - col("yhat")))), 6)
+        .as("rmse"))),
+
+    "ml_metric_mape" -> ((s, d) =>
+      pred(s, d).filter(col("y") =!= 0)
+        .agg(round(avg(abs((col("y") - col("yhat")) / col("y"))), 6).as("mape"))),
+
+    "ml_metric_smape" -> ((s, d) =>
+      pred(s, d).filter(col("y") =!= 0)
+        .agg(round(avg(abs(col("y") - col("yhat"))
+          / ((abs(col("y")) + abs(col("yhat"))) / 2)), 6).as("smape"))),
+
+    "ml_metric_diracc" -> ((s, d) =>
+      pred(s, d).agg(round(avg(when(signum(col("y")) === signum(col("yhat")), 1.0)
+        .otherwise(0.0)), 6).as("diracc"))),
+
+    "ml_linear_regression" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("lagv", lag(col("value"), 1).over(userW))
+        .filter(col("lagv").isNotNull)
+        .groupBy("event_type")
+        .agg(expr("regr_count(value, lagv)").as("n"),
+          round(expr("regr_slope(value, lagv)"), 6).as("slope"),
+          round(expr("regr_intercept(value, lagv)"), 6).as("intercept"),
+          round(expr("regr_r2(value, lagv)"), 6).as("r2"))
+        .orderBy("event_type")),
+
+    // ---- §2.10 streaming (batch-equivalent plan; the streaming job in
+    //      graft.streaming runs the same aggregation incrementally) -------
+    "stream_window_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("day", "event_type")),
+  )
+
+  val sql: Map[String, String] = Map(
+    "lead_per_target" ->
+      """SELECT event_id, event_type, led FROM (
+        |  SELECT event_id, event_type,
+        |    CASE event_type
+        |      WHEN 'click' THEN lead(value, 1) OVER w
+        |      WHEN 'error' THEN lead(value, 1) OVER w
+        |      WHEN 'purchase' THEN lead(value, 3) OVER w
+        |      WHEN 'signup' THEN lead(value, 4) OVER w
+        |      WHEN 'view' THEN lead(value, 2) OVER w
+        |    END AS led
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |WHERE led IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "spread_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice - l_extendedprice * (1 - l_discount), 6) AS spread
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "log_returns" ->
+      """SELECT event_id, round(ln(value / lagv), 6) AS log_ret FROM (
+        |  SELECT event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
+        |  FROM events)
+        |WHERE lagv IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "lag_features" ->
+      """SELECT event_id,
+        |  lag(value, 1) OVER w AS value_lag1,
+        |  lag(value, 2) OVER w AS value_lag2,
+        |  lag(value, 3) OVER w AS value_lag3
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "rolling_stats" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER w, 6) AS rollmean,
+        |  round(stddev_samp(value) OVER w, 6) AS rollstd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "stationarity_test" ->
+      """WITH s AS (
+        |  SELECT user_id, value - lagv AS dy, lagv FROM (
+        |    SELECT user_id, value,
+        |      lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
+        |    FROM events)
+        |  WHERE lagv IS NOT NULL)
+        |SELECT user_id, regr_count(dy, lagv) AS n,
+        |  round(regr_slope(dy, lagv), 6) AS slope,
+        |  round(regr_slope(dy, lagv) / sqrt(
+        |    (regr_syy(dy, lagv) - regr_sxy(dy, lagv) * regr_sxy(dy, lagv) / regr_sxx(dy, lagv))
+        |    / (regr_count(dy, lagv) - 2) / regr_sxx(dy, lagv)), 4) AS df_tstat
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ml_metric_r2" -> (predSql +
+      """, a AS (SELECT avg(y) AS ay FROM p)
+        |SELECT round(1 - sum((y - yhat) * (y - yhat)) / sum((y - ay) * (y - ay)), 6) AS r2
+        |FROM p, a""".stripMargin),
+
+    "ml_metric_mae" -> (predSql +
+      "SELECT round(avg(abs(y - yhat)), 6) AS mae FROM p"),
+
+    "ml_metric_rmse" -> (predSql +
+      "SELECT round(sqrt(avg((y - yhat) * (y - yhat))), 6) AS rmse FROM p"),
+
+    "ml_metric_mape" -> (predSql +
+      "SELECT round(avg(abs((y - yhat) / y)), 6) AS mape FROM p WHERE y <> 0"),
+
+    "ml_metric_smape" -> (predSql +
+      "SELECT round(avg(abs(y - yhat) / ((abs(y) + abs(yhat)) / 2)), 6) AS smape FROM p WHERE y <> 0"),
+
+    "ml_metric_diracc" -> (predSql +
+      """SELECT round(avg(CASE WHEN sign(y) = sign(yhat) THEN 1.0 ELSE 0.0 END), 6) AS diracc
+        |FROM p""".stripMargin),
+
+    "ml_linear_regression" ->
+      """SELECT event_type, regr_count(value, lagv) AS n,
+        |  round(regr_slope(value, lagv), 6) AS slope,
+        |  round(regr_intercept(value, lagv), 6) AS intercept,
+        |  round(regr_r2(value, lagv), 6) AS r2
+        |FROM (SELECT event_type, value,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
+        |      FROM events)
+        |WHERE lagv IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_window_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+  )
+}
