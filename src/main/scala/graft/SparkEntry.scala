@@ -16,8 +16,8 @@ object SparkEntry {
     queries("join_xy_inner")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Rel.qs ++ graft.queries.Ts.qs
+    graft.queries.Rel.qs ++ graft.queries.Ts.qs ++ graft.queries.Docs.qs
 
   def oracleSql: Map[String, String] =
-    graft.queries.Rel.sql ++ graft.queries.Ts.sql
+    graft.queries.Rel.sql ++ graft.queries.Ts.sql ++ graft.queries.Docs.sql
 }

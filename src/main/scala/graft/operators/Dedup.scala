@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document deduplication operators for the training-data pipeline.
+  * No reference analog (the reference's only dedup is row-level
+  * `duplicated()`/`drop_duplicates`, SURVEY.md §2.4); these are the
+  * corpus-scale versions a 100 TB text pipeline needs.
+  *
+  * Scale design notes:
+  *  - exact dedup is one hash-shuffle on the content key (map-side
+  *    partial aggregation applies);
+  *  - MinHash-LSH replaces the O(n²) all-pairs comparison with
+  *    an explode-by-band + equi-join on (band, signature-slice) — the
+  *    classic shingle→minhash→band→bucket-join pipeline. Bucket joins are
+  *    plain shuffles on the band key, so skewed buckets hit AQE's
+  *    skew-join split;
+  *  - n-gram Jaccard keeps all-pairs but inside equality *blocks*
+  *    (cheap keys like (lang, source)), turning n² into Σ block².
+  */
+object Dedup {
+
+  /** `dedup_exact`: exact content dedup — keep the smallest id per
+    * distinct key column. One shuffle; at 100 TB hash the content first
+    * (`xxhash64(text)`) so the shuffle key is 8 bytes, not the document. */
+  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.withColumn("__ck", xxhash64(col(contentCol)))
+      .groupBy("__ck")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__ck")
+
+  /** `dedup_ngram_jaccard`: all-pairs token-set Jaccard within equality
+    * blocks. `jaccard = |A∩B| / |A∪B|` over DISTINCT tokens. Emits pairs
+    * with jaccard ≥ threshold, a < b. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, toksCol: String,
+                        blockCols: Seq[String], threshold: Double): DataFrame = {
+    val a = df.select(Seq(col(idCol).as("id_a"), array_distinct(col(toksCol)).as("toks_a"))
+      ++ blockCols.map(col): _*)
+    val b = df.select(Seq(col(idCol).as("id_b"), array_distinct(col(toksCol)).as("toks_b"))
+      ++ blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: (id, sig array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", Text.shingleHashes("__toks"))
+      .select(col(idCol), Text.minhashSignature("__sh", numHashes).as("sig"))
+
+  /** `dedup_minhash_lsh`: band the signature (numBands bands of rowsPerBand),
+    * explode one row per band, equi-join on (band index, band slice) →
+    * candidate pairs, then verify candidates with exact shingle-hash
+    * Jaccard ≥ threshold. The join is the LSH bucket join; the verify step
+    * only touches candidate pairs (≪ n²). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    val withSig = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", array_distinct(Text.shingleHashes("__toks")))
+      .withColumn("__sig", Text.minhashSignature("__sh", numHashes))
+    val banded = withSig.select(
+      col(idCol), col("__sh"),
+      explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
+        s"b -> struct(b AS band, slice(__sig, b * $rows + 1, $rows) AS chunk))")).as("bk"))
+      .select(col(idCol), col("__sh"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val l = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+      col("band"), col("chunk"))
+    val r = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash signatures: (id, simhash long). Near-dup candidates are rows
+    * whose signatures agree on a byte-band (same blocking idea as MinHash
+    * bands, over Hamming space). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__th", Text.tokenHashes("__toks"))
+      .select(col(idCol), Text.simhash("__th").as("simhash"))
+
+  /** `dedup_simhash`: pairs whose 32-bit SimHashes are within `maxHamming`
+    * bits, candidate-blocked on 8-bit bands (any of the 4 bytes equal —
+    * guaranteed to catch pairs with < 4 differing bytes, i.e. all pairs
+    * with maxHamming ≤ 3 spread across bytes is heuristic like real
+    * SimHash dedup). */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS band, shiftright(simhash, b * 8) & 255 AS byte))")).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.byte").as("byte"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("band"), col("byte"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("band"), col("byte"))
+    l.join(r, Seq("band", "byte"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

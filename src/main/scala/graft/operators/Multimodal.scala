@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): `fakeDecode` derives deterministic pseudo-metadata from the
+  * bytes. Everything around it is the real Spark shape a 100 TB media
+  * pipeline needs:
+  *  - binary payload + metadata struct schema ([[mediaSchema]]);
+  *  - batch-at-a-time `mapPartitions` (amortizes per-batch decoder init —
+  *    the expensive part of real decoders — across a whole partition);
+  *  - output schema declared up front (no inference over binary);
+  *  - narrow transformation: no shuffle, scales linearly with partitions.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("declared_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Decoded-feature schema produced by [[decodeFeatures]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** STUB decoder — deterministic fake: a real implementation would hand
+    * `bytes` to an image/audio codec here. Returns (checksum, w, h). */
+  def fakeDecode(bytes: Array[Byte]): (Long, Int, Int) = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    (sum, (64 + sum % 1857).toInt, (48 + sum % 1393).toInt)
+  }
+
+  /** Decode/feature-extract over a media frame: one decoder "session" per
+    * partition (the `mapPartitions` closure), row-at-a-time decode inside.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { it =>
+      // Real pipelines initialize the codec once per partition here.
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val (sum, w, h) = fakeDecode(bytes)
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+          bytes.length.toLong, sum, w, h)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Deterministic frame-sampling stub: take every `stride`-th byte as a
+    * "frame" digest — the Spark-side shape of video frame extraction
+    * (explode to one row per sampled frame, narrow, shuffle-free). */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, greatest(octet_length(payload) div $stride - 1, 0))")))
+      .withColumn("frame_byte",
+        expr(s"cast(get(payload, frame_idx * $stride) AS INT) & 255"))
+      .select(col("media_id"), col("kind"), col("frame_idx"), col("frame_byte"))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / vector-similarity operators over an
+  * embedding column (`array<float>`). Training-data-pipeline scope (no
+  * reference analog).
+  *
+  * The dot product is a single codegen'd higher-order fold
+  * (`aggregate(zip_with(a, b, *), 0d, +)`) — sequential double
+  * accumulation, which is exactly what the DuckDB oracle's
+  * `list_dot_product(::DOUBLE[])` computes, so results hash-match without
+  * tolerance tricks.
+  *
+  * Scale design:
+  *  - brute force is the *verification baseline*: queries × corpus via a
+  *    broadcast of the (small) query set — never a shuffle of the corpus;
+  *  - the production path is hyperplane-LSH: 8 deterministic hyperplanes →
+  *    8-bit bucket key → equi-join within buckets (candidates ≈ n²/256 per
+  *    band), same explode/bucket-join shape as MinHash-LSH, AQE handles
+  *    skewed buckets.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** `similarity_topk_bruteforce`: exact top-k neighbors for each query
+    * vector. The query set is broadcast (small by construction); the
+    * corpus streams through map-side; one shuffle for the per-query top-k
+    * (row_number window partitioned by query id). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane j, component i is
+    * ((j*dim+i)*2654435761 mod 1e9+7) − (1e9+7)/2 — integer-exact, so the
+    * SQL oracle regenerates the identical planes. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        ((j.toLong * dim + i) * 2654435761L) % 1000000007L - 500000003L
+      }
+    }
+
+  /** LSH bucket key: bit j = [dot(v, plane_j) > 0], packed to a long. */
+  def bucketKey(vecCol: Column, planes: Seq[Seq[Long]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(w => lit(w.toDouble)): _*)
+      when(dot(asDouble(vecCol), planeArr) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** `similarity_ann_lsh`: near-dup pairs by cosine ≥ threshold among
+    * bucket-cohabiting vectors. One narrow map to key each vector, one
+    * equi-join on the bucket key. Misses cross-bucket pairs by design —
+    * that is the ANN recall trade; the bruteforce operator is the recall
+    * oracle. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      numPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val keyed = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      bucketKey(col(vecCol), planes).as("bucket"))
+    val l = keyed.select(col(idCol).as("id_a"), col("v").as("v_a"), col("bucket"))
+    val r = keyed.select(col(idCol).as("id_b"), col("v").as("v_b"), col("bucket"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

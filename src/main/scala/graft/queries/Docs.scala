@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline queries over the `documents` and `embeddings`
+  * tables (BASELINE north-star scope: dedup, similarity search, text
+  * analysis, multimodal plumbing). Each SQL-expressible operator carries a
+  * DuckDB twin that recomputes the SAME deterministic integer hashes and
+  * sequential-fold float arithmetic, so results hash-match exactly.
+  */
+object Docs {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenized documents: text split once into `toks`. */
+  private def toked(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+
+  /** DuckDB twin of `toks` (string_split, same single-space contract). */
+  private val tokedSql =
+    "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
+
+  private val ANN_PLANES = 8
+  private val ANN_DIM = 64
+
+  val qs: Map[String, Q] = Map(
+    // ---- text analysis --------------------------------------------------
+    "text_token_count" -> ((s, d) =>
+      toked(s, d)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          length(col("text")).as("n_chars_computed"))
+        .orderBy("doc_id")),
+
+    "text_quality_score" -> ((s, d) =>
+      toked(s, d)
+        .withColumn("mean_token_len", Text.meanTokenLen("toks"))
+        .withColumn("stopword_ratio", Text.stopwordRatio("toks"))
+        .select(col("doc_id"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(least(size(col("toks")) / lit(100.0), lit(1.0))
+            * (lit(1.0) - col("stopword_ratio")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) => {
+      val df = Text.langMarkers.foldLeft(toked(s, d)) { case (acc, (code, ms)) =>
+        acc.withColumn(s"s_$code", Text.langScore("toks", ms))
+      }
+      df.select(col("doc_id"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+            .when(col("s_es") >= col("s_zh"), "es")
+            .otherwise("zh").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "doc_fingerprint" -> ((s, d) =>
+      toked(s, d)
+        .withColumn("th", Text.tokenHashes("toks"))
+        .select(col("doc_id"), Text.fingerprint("th").as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "text_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- dedup ----------------------------------------------------------
+    "dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dup = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.exactByContent(docs.union(dup), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(toked(s, d), "doc_id", "toks",
+          Seq("lang", "source"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 16, numBands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(
+          Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", maxHamming = 2)
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search ----------------------------------------------
+    "similarity_topk_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "similarity_ann_lsh" -> ((s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          numPlanes = ANN_PLANES, dim = ANN_DIM, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- multimodal (binary-column plumbing; decode itself is the
+    //      deterministic fake — graft.operators.Multimodal has the real
+    //      mapPartitions path) ------------------------------------------
+    "multimodal_extract" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .withColumn("checksum",
+          expr("aggregate(transform(sequence(1, length(text)), " +
+            "i -> cast(ascii(substring(text, i, 1)) AS BIGINT)), 0L, (acc, x) -> acc + x)"))
+        .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+          col("checksum"),
+          (lit(64) + col("checksum") % 1857).as("fake_width"),
+          (lit(48) + col("checksum") % 1393).as("fake_height"))
+        .orderBy("doc_id")),
+  )
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  /** DuckDB rendition of [[Text.strHashSql]] (`div` → `//`). */
+  private def duckHash(t: String): String =
+    s"(length($t) * 2654435761 + ascii(substring($t, 1, 1)) * 97 + " +
+      s"ascii(substring($t, 1 + length($t) // 2, 1)) * 31 + " +
+      s"ascii(substring($t, length($t), 1))) % 1000000007"
+
+  /** Per-document token hashes, relational long form (doc_id, h). */
+  private val thSql =
+    tokedSql +
+      ", th AS (SELECT doc_id, unnest(list_transform(toks, t -> " +
+      duckHash("t") + ")) AS h FROM t)\n"
+
+  /** Per-document shingle hashes, long form (doc_id, h) — DISTINCT per doc
+    * to mirror `array_distinct` in the engine. */
+  private val shSql =
+    tokedSql +
+      """, sh0 AS (SELECT doc_id, list_transform(
+        |    list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[least(i + 1, len(toks))],
+        |                     toks[least(i + 2, len(toks))])),
+        |    s -> """.stripMargin + duckHash("s") + """) AS shl FROM t)
+        |, sh AS (SELECT doc_id, list_distinct(shl) AS shl FROM sh0)
+        |""".stripMargin
+
+  /** MinHash signatures as (doc_id, i, m) long form. */
+  private val sigSql = shSql +
+    """, shu AS (SELECT doc_id, unnest(shl) AS h FROM sh)
+      |, sig AS (
+      |  SELECT doc_id, i, min(((2 * i + 1) * h + 7919 * i) % 1000000007) AS m
+      |  FROM shu, (SELECT unnest(generate_series(0, 15)) AS i) g
+      |  GROUP BY doc_id, i)
+      |""".stripMargin
+
+  /** SimHash per doc, relational (doc_id, simhash). */
+  private val simhashSql = thSql +
+    """, votes AS (
+      |  SELECT doc_id, b,
+      |         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0 THEN 1 << b ELSE 0 END AS v
+      |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) g
+      |  GROUP BY doc_id, b)
+      |, sims AS (SELECT doc_id, sum(v) AS simhash FROM votes GROUP BY doc_id)
+      |""".stripMargin
+
+  /** The ANN hyperplane literals — SAME generator as the engine. */
+  private def planesSqlLiterals: Seq[String] =
+    Similarity.hyperplanes(ANN_PLANES, ANN_DIM).map(p =>
+      p.map(w => s"$w.0").mkString("[", ", ", "]::DOUBLE[]"))
+
+  private def duckBucket(vecExpr: String): String =
+    planesSqlLiterals.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vecExpr, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val sql: Map[String, String] = Map(
+    "text_token_count" -> (tokedSql +
+      "SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_computed " +
+      "FROM t ORDER BY doc_id"),
+
+    "text_quality_score" -> (tokedSql +
+      """SELECT doc_id,
+        |  round(mean_token_len, 6) AS mean_token_len,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(least(len(toks) / 100.0, 1.0) * (1.0 - stopword_ratio), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+        |                (a, b) -> a + b)::DOUBLE / len(toks) AS mean_token_len,
+        |    len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE
+        |      / len(toks) AS stopword_ratio
+        |  FROM t)
+        |ORDER BY doc_id""".stripMargin),
+
+    "text_langid" -> (tokedSql +
+      """SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'fast', 'slow'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('datos', 'tabla', 'fila', 'consulta', 'rapido'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('shuju', 'biao', 'hang', 'chaxun', 'kuai'))) AS s_zh
+        |  FROM t)
+        |ORDER BY doc_id""".stripMargin),
+
+    "doc_fingerprint" -> (tokedSql +
+      ", fp AS (SELECT doc_id, list_reduce(list_prepend(0, list_transform(toks, t -> " +
+      duckHash("t") + ")), (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint FROM t)\n" +
+      "SELECT doc_id, fingerprint FROM fp ORDER BY doc_id"),
+
+    "text_simhash" -> (simhashSql +
+      "SELECT doc_id, simhash FROM sims ORDER BY doc_id"),
+
+    "dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM u GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (tokedSql +
+      """, dt AS (SELECT doc_id, lang, source, list_distinct(toks) AS toks FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "dedup_minhash_lsh" -> (sigSql +
+      """, bands AS (
+        |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
+        |  FROM sig GROUP BY doc_id, i // 4)
+        |, cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(len(list_intersect(x.shl, y.shl))::DOUBLE /
+        |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))), 6) AS jaccard
+        |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        |WHERE len(list_intersect(x.shl, y.shl))::DOUBLE /
+        |      (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "dedup_simhash" -> (simhashSql +
+      """, banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS byte
+        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) g)
+        |, cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "similarity_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(qv, cv) /
+        |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "similarity_ann_lsh" -> {
+      s"""WITH k AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         ${duckBucket("embedding::DOUBLE[]")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "multimodal_extract" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, checksum,
+        |  64 + checksum % 1857 AS fake_width,
+        |  48 + checksum % 1393 AS fake_height
+        |FROM (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(0, list_transform(
+        |      generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))),
+        |      (a, b) -> a + b) AS checksum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
