@@ -11,13 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The serving pipeline (SURVEY.md §3.1) — the reference's deployed
+    * "Run Analysis" query: ensemble fit → point prediction → signal row. */
   def entry(spark: SparkSession): DataFrame =
-    queries("join_xy_inner")(spark, "/root/testdata/sf0.001")
+    queries("serving_signal")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Rel.qs ++ graft.queries.Ts.qs ++ graft.queries.Docs.qs
+    graft.queries.Rel.qs ++ graft.queries.Ts.qs ++ graft.queries.Docs.qs ++
+      graft.queries.Ml.qs ++ graft.queries.Pipe.qs
 
   def oracleSql: Map[String, String] =
-    graft.queries.Rel.sql ++ graft.queries.Ts.sql ++ graft.queries.Docs.sql
+    graft.queries.Rel.sql ++ graft.queries.Ts.sql ++ graft.queries.Docs.sql ++
+      graft.queries.Ml.sql ++ graft.queries.Pipe.sql
 }
