@@ -71,6 +71,7 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(expr(s"sequence(0, greatest(octet_length(payload) div $stride - 1, 0))")))
       .withColumn("frame_byte",
-        expr(s"cast(get(payload, frame_idx * $stride) AS INT) & 255"))
+        // binary has no element accessor: slice one byte, hex-decode it
+        expr(s"cast(conv(hex(substring(payload, frame_idx * $stride + 1, 1)), 16, 10) AS INT)"))
       .select(col("media_id"), col("kind"), col("frame_idx"), col("frame_byte"))
 }

@@ -19,16 +19,16 @@ object Csv {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
-  /** Infer the schema from a bounded prefix (driver-side metadata query),
-    * then re-read the full data with the schema pinned. The sample read is
-    * limited so the inference cost is O(sampleRows), not O(dataset). */
-  def readInferOnce(spark: SparkSession, path: String, sampleRows: Int = 10000): DataFrame = {
+  /** Infer the schema once, then re-read with the schema pinned. Inference
+    * is a full extra pass over the CSV — acceptable exactly once on small
+    * reference-style inputs; at 100 TB callers must pass an explicit
+    * schema to [[read]] instead (this method exists to mirror the
+    * reference's pandas inference semantics, not for scale paths). */
+  def readInferOnce(spark: SparkSession, path: String): DataFrame = {
     val inferred = spark.read
       .option("header", "true")
       .option("inferSchema", "true")
-      .option("samplingRatio", "0.1")
       .csv(path)
-      .limit(sampleRows)
       .schema
     read(spark, path, inferred)
   }

@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.sources.Csv
+
+class CsvSpec extends SparkSpec {
+
+  test("write/read round-trip with pinned schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "x", 1.5), (2L, "y", -2.0)).toDF("id", "name", "v")
+    Csv.write(d, s"$dir/out", single = true)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val back = Csv.read(spark, s"$dir/out", schema).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "x")
+    assert(approx(back(1).getDouble(2), -2.0))
+  }
+
+  test("readInferOnce infers then pins") {
+    val dir = Files.createTempDirectory("graft-csv2").toString
+    val s = spark; import s.implicits._
+    Seq((1L, 2.5), (2L, 3.5)).toDF("k", "v").coalesce(1)
+      .write.option("header", "true").csv(s"$dir/t")
+    val back = Csv.readInferOnce(spark, s"$dir/t") // header present
+    assert(back.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, DoubleType))
+    assert(back.count() == 2)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+case class Doc(doc_id: Long, text: String, lang: String, source: String)
+
+class DedupSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup = base.replace("today", "tonight") // 1 token differs
+  private val other = "completely different content with none of those words present here at all now"
+
+  private def fixture = df(Seq(
+    Doc(1, base, "en", "s1"), Doc(2, base, "en", "s1"),
+    Doc(3, nearDup, "en", "s1"), Doc(4, other, "en", "s1")))
+
+  test("exactByContent keeps min id and counts copies") {
+    val out = Dedup.exactByContent(fixture, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds token-overlapping pairs inside blocks") {
+    val toked = fixture.withColumn("toks", split(col("text"), " "))
+    val out = Dedup.ngramJaccardPairs(toked, "doc_id", "toks",
+        Seq("lang", "source"), threshold = 0.8)
+      .orderBy("id_a", "id_b").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(approx(out.head.getAs[Double]("jaccard"), 1.0)) // exact dup pair
+  }
+
+  test("minhashLshPairs: exact dup always collides; disjoint text never does") {
+    val out = Dedup.minhashLshPairs(fixture, "doc_id", "text",
+        numHashes = 16, numBands = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L))) // identical -> identical signature
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // identical docs: jaccard exactly 1
+    assert(approx(out.head.getAs[Double]("jaccard"), 1.0))
+  }
+
+  test("simhash: identical text -> identical signature; near-dup -> small hamming") {
+    val sigs = Dedup.simhashSignatures(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sigs(0) == sigs(1))
+    val hammingNear = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
+    val hammingFar = java.lang.Long.bitCount(sigs(0) ^ sigs(3))
+    assert(hammingNear < hammingFar)
+    assert(hammingNear <= 6)
+  }
+
+  test("simhashPairs finds the exact-dup pair at hamming 0") {
+    val sigs = Dedup.simhashSignatures(fixture, "doc_id", "text")
+    val out = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 0).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Ensemble, Evaluation, Models}
+
+case class XY(id: Long, x1: Double, x2: Double, y: Double)
+
+class MlSpec extends SparkSpec {
+
+  /** Exact linear data: y = 2 + 3·x1 − 1.5·x2 (no noise). */
+  private def linear = df((1 to 40).map { i =>
+    val x1 = i.toDouble; val x2 = (i % 7).toDouble
+    XY(i.toLong, x1, x2, 2.0 + 3.0 * x1 - 1.5 * x2)
+  })
+
+  private def assembled = Models.assemble(linear, Seq("x1", "x2"))
+
+  test("OLS recovers exact coefficients on noiseless linear data") {
+    val m = Models.ols("y").fit(assembled)
+    val (coefs, intercept) = Models.coefficients(m, Seq("x1", "x2"))
+    assert(approx(coefs(0)._2, 3.0, 1e-6))
+    assert(approx(coefs(1)._2, -1.5, 1e-6))
+    assert(approx(intercept, 2.0, 1e-6))
+  }
+
+  test("ridge shrinks but stays near OLS at tiny alpha; matches closed form") {
+    val n = linear.count()
+    val m = Models.ridge("y", alpha = 1e-8, n).fit(assembled)
+    val (coefs, _) = Models.coefficients(m, Seq("x1", "x2"))
+    assert(approx(coefs(0)._2, 3.0, 1e-4))
+    assert(approx(coefs(1)._2, -1.5, 1e-4))
+  }
+
+  test("metricsFull identities: perfect prediction") {
+    val pred = linear.select(col("y"), col("y").as("yhat"))
+    val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+    assert(approx(r.getAs[Double]("mae"), 0.0))
+    assert(approx(r.getAs[Double]("rmse"), 0.0))
+    assert(approx(r.getAs[Double]("r2"), 1.0))
+    assert(approx(r.getAs[Double]("dir_acc"), 1.0))
+  }
+
+  test("metricsFull matches hand computation on a small fixture") {
+    val pred = df(Seq((1.0, 2.0), (2.0, 2.0), (4.0, 3.0))).toDF("y", "yhat")
+    val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+    assert(approx(r.getAs[Double]("mae"), (1.0 + 0.0 + 1.0) / 3))
+    assert(approx(r.getAs[Double]("rmse"), math.sqrt(2.0 / 3)))
+    // sst = sum((y - 7/3)^2) = (16+1+25)/9 = 42/9; r2 = 1 - 2/(42/9)
+    assert(approx(r.getAs[Double]("r2"), 1.0 - 2.0 / (42.0 / 9.0)))
+  }
+
+  test("metricsFull r2 is null (not error) when SST = 0") {
+    val pred = df(Seq((5.0, 4.0), (5.0, 6.0))).toDF("y", "yhat")
+    val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+    assert(r.isNullAt(r.fieldIndex("r2")))
+  }
+
+  test("walkForwardSplits: strict time separation (no leakage)") {
+    val d = linear
+    val cuts = Evaluation.timeCuts(d, "id", 3)
+    val folds = Evaluation.walkForwardSplits(d, "id", cuts)
+    assert(folds.nonEmpty)
+    folds.foreach { case (train, test) =>
+      if (!train.isEmpty && !test.isEmpty) {
+        val maxTrain = train.agg(max("id")).head().getLong(0)
+        val minTest = test.agg(min("id")).head().getLong(0)
+        assert(maxTrain < minTest)
+      }
+    }
+    // folds partition the post-first-cut rows
+    val total = folds.map(_._2.count()).sum
+    assert(total == d.filter(col("id") >= cuts.head).count())
+  }
+
+  test("ensemble weights are normalized and ensemble beats worst member") {
+    val f = Ensemble.fitWeighted(assembled, "y", "id")
+    assert(approx(f.members.map(_.weight).sum, 1.0, 1e-9))
+    val report = Ensemble.report(f)
+    val ensembleR2 = report.last._3
+    assert(ensembleR2 > report.map(_._3).init.min - 1e-9)
+    // on noiseless linear data the linear members are perfect
+    assert(report.find(_._1 == "lr").get._3 > 0.999999)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    val rows = Seq(
+      Row(1L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), Row("s", 8L)),
+      Row(2L, "audio", Array[Byte](-1, -2), Row(null, null)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+  }
+
+  test("decodeFeatures: schema, byte counts, deterministic checksum") {
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_bytes") == 8L)
+    assert(out(0).getAs[Long]("checksum") == (1 to 8).sum.toLong)
+    // unsigned byte handling: -1 -> 255, -2 -> 254
+    assert(out(1).getAs[Long]("checksum") == 255L + 254L)
+    assert(out(0).getAs[Int]("width") == 64 + 36 % 1857)
+  }
+
+  test("fakeDecode matches the SQL-side formula shape") {
+    val (sum, w, h) = Multimodal.fakeDecode(Array[Byte](10, 20))
+    assert(sum == 30L && w == (64 + 30 % 1857) && h == (48 + 30 % 1393))
+  }
+
+  test("sampleFrames: one row per stride step") {
+    val out = Multimodal.sampleFrames(media, stride = 4).orderBy("media_id", "frame_idx")
+      .collect()
+    val img = out.filter(_.getAs[Long]("media_id") == 1L)
+    assert(img.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 1L))
+    assert(img.map(_.getAs[Int]("frame_byte")).toSeq == Seq(1, 5))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+import graft.operators.Relational
+
+case class KV(k: String, v: Long, w: Double)
+
+class RelationalSpec extends SparkSpec {
+
+  private def fixture = df(Seq(
+    KV("a", 3, 1.0), KV("a", 1, 2.0), KV("b", 2, 2.0),
+    KV("b", 2, 2.0), KV("c", 5, 9.0)))
+
+  test("dedupByKey keeps exactly one row per key, smallest tiebreak") {
+    val out = Relational.dedupByKey(fixture, Seq("k"), Seq(col("v"), col("w")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 5L)))
+  }
+
+  test("dupCount counts exact duplicate rows") {
+    assert(Relational.dupCount(fixture).head().getLong(0) == 1L)
+    assert(Relational.dupCount(fixture.distinct()).head().getLong(0) == 0L)
+  }
+
+  test("topKByVariance ranks columns by sample variance") {
+    val d = df(Seq((1.0, 10.0, 100.0), (2.0, 10.0, 300.0), (3.0, 10.0, 200.0)))
+      .toDF("x", "y", "z")
+    val out = Relational.topKByVariance(d, Seq("x", "y", "z"), 2).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("z", "x"))
+    assert(approx(out(0).getDouble(1), 10000.0))
+    assert(approx(out(1).getDouble(1), 1.0))
+  }
+
+  test("tailN returns last n in ascending order") {
+    val d = df((1 to 10).map(i => Tuple1(i.toLong))).toDF("t")
+    val out = Relational.tailN(d, Seq(col("t")), 3).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(8L, 9L, 10L))
+  }
+
+  test("isMonotonic detects order violations") {
+    val mono = df(Seq((1L, 10L), (2L, 20L), (3L, 20L))).toDF("o", "v")
+    val broke = df(Seq((1L, 10L), (2L, 5L), (3L, 20L))).toDF("o", "v")
+    assert(Relational.isMonotonic(mono, Nil, col("o"), col("v")).head().getBoolean(0))
+    assert(!Relational.isMonotonic(broke, Nil, col("o"), col("v")).head().getBoolean(0))
+  }
+
+  test("selectByNamePredicate projects schema-matched columns") {
+    val out = Relational.selectByNamePredicate(fixture,
+      f => f.dataType.isInstanceOf[NumericType])
+    assert(out.columns.toSeq == Seq("v", "w"))
+  }
+
+  test("featureColumns / targetColumns split on the ' - ' name contract") {
+    val d = df(Seq((1.0, 2.0, "x"))).toDF("feat", "a - b", "name")
+    assert(Relational.featureColumns(d) == Seq("feat"))
+    assert(Relational.targetColumns(d) == Seq("a - b"))
+  }
+}

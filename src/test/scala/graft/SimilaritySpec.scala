@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+case class Vec(vec_id: Long, embedding: Seq[Float])
+
+class SimilaritySpec extends SparkSpec {
+
+  private def fixture = df(Seq(
+    Vec(0, Seq(1f, 0f, 0f, 0f)),
+    Vec(1, Seq(1f, 0.01f, 0f, 0f)), // near-dup of 0
+    Vec(2, Seq(0f, 1f, 0f, 0f)),    // orthogonal to 0
+    Vec(3, Seq(-1f, 0f, 0f, 0f)),   // opposite of 0
+    Vec(4, Seq(0.5f, 0.5f, 0.5f, 0.5f))))
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val d = fixture.alias("a").crossJoin(fixture.alias("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(approx(d((0L, 0L)), 1.0))
+    assert(approx(d((0L, 2L)), 0.0))
+    assert(approx(d((0L, 3L)), -1.0))
+    assert(d((0L, 1L)) > 0.99)
+  }
+
+  test("bruteForceTopK: exact ranks, self excluded") {
+    val out = Similarity.bruteForceTopK(fixture, fixture.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L, 2L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
+  }
+
+  test("hyperplanes are deterministic and reproducible") {
+    val p1 = Similarity.hyperplanes(8, 64)
+    val p2 = Similarity.hyperplanes(8, 64)
+    assert(p1 == p2)
+    assert(p1.size == 8 && p1.head.size == 64)
+  }
+
+  test("lshNearDupPairs: parallel vectors share every bucket; found at threshold") {
+    val out = Similarity.lshNearDupPairs(fixture, "vec_id", "embedding",
+      numPlanes = 8, dim = 4, threshold = 0.9)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((0L, 1L))) // same direction -> same signs -> same bucket
+    assert(!pairs.contains((0L, 3L))) // opposite direction fails threshold anyway
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+case class TS(series: String, t: Long, x: Double)
+
+class TimeSeriesSpec extends SparkSpec {
+
+  private def fixture = df(Seq(
+    TS("s1", 1, 100.0), TS("s1", 2, 110.0), TS("s1", 3, 99.0), TS("s1", 4, 99.0),
+    TS("s2", 1, 50.0), TS("s2", 2, 25.0)))
+
+  private val part = Seq(col("series"))
+  private val ord = Seq(col("t"))
+
+  test("logReturns: ln(x_t/x_{t-1}), null first row per series") {
+    val out = TimeSeries.logReturns(fixture, part, ord, "x", "lr")
+      .orderBy("series", "t").collect()
+    assert(out(0).isNullAt(3))
+    assert(approx(out(1).getDouble(3), math.log(110.0 / 100.0)))
+    assert(approx(out(3).getDouble(3), 0.0))
+    assert(out(4).isNullAt(3))
+    assert(approx(out(5).getDouble(3), math.log(0.5)))
+  }
+
+  test("lagFeatures: k lags, leakage-safe (nulls at series head)") {
+    val out = TimeSeries.lagFeatures(fixture, part, ord, "x", Seq(1, 2))
+      .orderBy("series", "t").collect()
+    assert(out(0).isNullAt(3) && out(0).isNullAt(4))
+    assert(approx(out(2).getAs[Double]("x_lag1"), 110.0))
+    assert(approx(out(2).getAs[Double]("x_lag2"), 100.0))
+  }
+
+  test("rollingStats: trailing window including current row") {
+    val out = TimeSeries.rollingStats(fixture, part, ord, "x", window = 2)
+      .orderBy("series", "t").collect()
+    assert(approx(out(0).getAs[Double]("x_rollmean"), 100.0)) // head: window of 1
+    assert(approx(out(1).getAs[Double]("x_rollmean"), 105.0))
+    assert(approx(out(2).getAs[Double]("x_rollmean"), 104.5))
+    // stddev_samp of (110, 99)
+    assert(approx(out(2).getAs[Double]("x_rollstd"), math.sqrt(60.5)))
+  }
+
+  test("leadPerKey: per-key heterogeneous horizons") {
+    val d = df(Seq(
+      TS("click", 1, 1.0), TS("click", 2, 2.0), TS("click", 3, 3.0),
+      TS("view", 1, 10.0), TS("view", 2, 20.0), TS("view", 3, 30.0)))
+    val out = TimeSeries.leadPerKey(d, col("series"), part, ord, "x",
+        Map("click" -> 1, "view" -> 2), "led")
+      .orderBy("series", "t").collect()
+    assert(approx(out(0).getAs[Double]("led"), 2.0)) // click t=1 -> x at t=2
+    assert(out(2).isNullAt(3))                       // click tail
+    assert(approx(out(3).getAs[Double]("led"), 30.0)) // view t=1 -> x at t=3
+    assert(out(4).isNullAt(3) && out(5).isNullAt(3))
+  }
+
+  test("spreads: a - b generated columns") {
+    val d = df(Seq((1L, 5.0, 3.0))).toDF("id", "pa", "pb")
+    val out = TimeSeries.spreads(d, Seq(("sp", "pa", "pb"))).head()
+    assert(approx(out.getAs[Double]("sp"), 2.0))
+  }
+
+  test("dfTestStat matches the closed-form DF regression on a fixed series") {
+    // AR(1) x_t = 0.5 x_{t-1} + e with fixed values: compute expected by hand
+    val xs = Seq(1.0, 0.9, 0.3, 0.6, 0.1, 0.4, 0.2, 0.05)
+    val d = df(xs.zipWithIndex.map { case (v, i) => TS("s", i.toLong, v) })
+    val out = TimeSeries.dfTestStat(d, part, ord, "x").head()
+    // closed form over (y=dx, x=lag): slope = Sxy/Sxx, se, t
+    val x = xs.dropRight(1); val y = xs.drop(1).zip(x).map { case (a, b) => a - b }
+    val n = x.size.toDouble
+    val mx = x.sum / n; val my = y.sum / n
+    val sxx = x.map(v => (v - mx) * (v - mx)).sum
+    val syy = y.map(v => (v - my) * (v - my)).sum
+    val sxy = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val slope = sxy / sxx
+    val se = math.sqrt((syy - sxy * sxy / sxx) / (n - 2) / sxx)
+    assert(out.getAs[Long]("n") == x.size)
+    assert(approx(out.getAs[Double]("slope"), slope, 1e-9))
+    assert(approx(out.getAs[Double]("df_tstat"), slope / se, 1e-9))
+  }
+}
