@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY.md §2.10: the
+  * reference has no streams; this implements its future-work "monitoring
+  * system … alerts when performance drops" README.md:89-90 as a
+  * first-class streaming job).
+  *
+  * Design: file-source stream (at 100 TB: the same code binds to a Kafka
+  * source — the transforms are source-agnostic), event-time tumbling
+  * windows with a watermark bounding state, and a `mapGroupsWithState`
+  * drift detector keyed by event_type (one state row per key — O(keys)
+  * state, not O(events)).
+  */
+object EventStream {
+
+  /** `events.parquet` physical schema under `nanosAsLong` (the TIMESTAMP
+    * (NANOS) column arrives as a long — see graft.Tables). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of an events directory; emits the same columns as the
+    * batch loader (`ts_ns` long + µs `ts`). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      // glob, not a bare file path: the file stream source requires its
+      // basePath to be a directory (here: the SF dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling-window aggregation with watermark — the streaming twin of
+    * the batch `stream_window_agg` query (same groups, same aggregates;
+    * the ScalaTest proves result equality under availableNow). */
+  def windowedAgg(events: DataFrame, window: String = "1 day",
+                  watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ---- stateful drift monitor -----------------------------------------
+
+  case class EventRow(event_type: String, value: Double)
+  case class DriftState(n: Long, mean: Double, m2: Double)
+  case class DriftAlert(event_type: String, n_total: Long, batch_n: Long,
+                        batch_mean: Double, running_mean: Double, z: Double,
+                        drift: Boolean)
+
+  /** Per-key running Welford (n, mean, M2) state; each invocation folds
+    * the new micro-batch in and emits the batch-vs-history z-score of the
+    * batch mean. Alert when |z| > zThreshold. */
+  def driftMonitor(events: DataFrame, zThreshold: Double = 3.0): Dataset[DriftAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[DriftState, DriftAlert](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EventRow], state: GroupState[DriftState]) =>
+          val prev = state.getOption.getOrElse(DriftState(0L, 0.0, 0.0))
+          var bn = 0L; var bsum = 0.0
+          var st = prev
+          rows.foreach { r =>
+            bn += 1; bsum += r.value
+            // Welford update of the running distribution
+            val n1 = st.n + 1
+            val d = r.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = DriftState(n1, mean1, st.m2 + d * (r.value - mean1))
+          }
+          state.update(st)
+          val batchMean = if (bn > 0) bsum / bn else 0.0
+          val priorStd =
+            if (prev.n > 1) math.sqrt(prev.m2 / (prev.n - 1)) else Double.NaN
+          val z =
+            if (prev.n > 1 && priorStd > 0 && bn > 0)
+              (batchMean - prev.mean) / (priorStd / math.sqrt(bn.toDouble))
+            else 0.0
+          DriftAlert(key, st.n, bn, batchMean, st.mean, z, math.abs(z) > zThreshold)
+      }
+  }
+
+  /** Run the windowed aggregation to completion over existing files
+    * (availableNow) into an in-memory table; returns the result frame.
+    * This is the harness/test entry — production binds `.writeStream` to a
+    * real sink instead. */
+  def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = windowedAgg(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
