@@ -23,6 +23,16 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Signature computation is CPU-heavy per row (interpreted higher-order
+    * lambdas) while the corpus often arrives in few partitions (small/
+    * compacted files). Fan out to the session's full parallelism before
+    * computing — a narrow-input shuffle that buys linear speedup; at
+    * cluster scale the same holds (signatures want cores, not locality). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** `dedup_exact`: exact content dedup — keep the smallest id per
     * distinct key column. One shuffle; at 100 TB hash the content first
     * (`xxhash64(text)`) so the shuffle key is 8 bytes, not the document. */
@@ -54,9 +64,8 @@ object Dedup {
   /** MinHash signatures: (id, sig array<long>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame =
-    df.withColumn("__toks", split(col(textCol), " "))
-      .withColumn("__sh", Text.shingleHashes("__toks"))
-      .select(col(idCol), Text.minhashSignature("__sh", numHashes).as("sig"))
+    fanOut(df).withColumn("__sh", Text.shingleHashes(col(textCol)))
+      .select(col(idCol), Text.minhashSignature(col("__sh"), numHashes).as("sig"))
 
   /** `dedup_minhash_lsh`: band the signature (numBands bands of rowsPerBand),
     * explode one row per band, equi-join on (band index, band slice) →
@@ -67,10 +76,9 @@ object Dedup {
                       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rows = numHashes / numBands
-    val withSig = df
-      .withColumn("__toks", split(col(textCol), " "))
-      .withColumn("__sh", array_distinct(Text.shingleHashes("__toks")))
-      .withColumn("__sig", Text.minhashSignature("__sh", numHashes))
+    val withSig = fanOut(df)
+      .withColumn("__sh", array_distinct(Text.shingleHashes(col(textCol))))
+      .withColumn("__sig", Text.minhashSignature(col("__sh"), numHashes))
     val banded = withSig.select(
       col(idCol), col("__sh"),
       explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
@@ -95,29 +103,42 @@ object Dedup {
     * whose signatures agree on a byte-band (same blocking idea as MinHash
     * bands, over Hamming space). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__toks", split(col(textCol), " "))
-      .withColumn("__th", Text.tokenHashes("__toks"))
-      .select(col(idCol), Text.simhash("__th").as("simhash"))
+    fanOut(df).withColumn("__th", Text.tokenHashes(col(textCol)))
+      .select(col(idCol), Text.simhash(col("__th")).as("simhash"))
 
-  /** `dedup_simhash`: pairs whose 32-bit SimHashes are within `maxHamming`
-    * bits, candidate-blocked on 8-bit bands (any of the 4 bytes equal —
-    * guaranteed to catch pairs with < 4 differing bytes, i.e. all pairs
-    * with maxHamming ≤ 3 spread across bytes is heuristic like real
-    * SimHash dedup). */
+  /** `dedup_simhash`: near-dup structure at CLUSTER granularity. Documents
+    * are first grouped by exact signature (hamming 0 — on real corpora
+    * near-dups collapse here), then DISTINCT signatures are pair-joined
+    * through 8-bit byte bands (a pair within hamming ≤ 3 must agree on at
+    * least one of the 4 bytes — pigeonhole-complete). Emitting signature
+    * pairs with member counts instead of doc pairs keeps the output
+    * O(distinct-sigs²), not O(docs²): enumerating doc pairs inside a
+    * near-dup cluster is quadratic by definition and never what a dedup
+    * pipeline materializes (it keeps one representative per cluster).
+    * Output: (sig_a, sig_b, hamming, n_a, n_b, min_id_a, min_id_b). */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val clusters = sigs.groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"))
+    val banded = clusters.select(col("simhash"), col("n_docs"), col("min_id"),
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b AS band, shiftright(simhash, b * 8) & 255 AS byte))")).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.byte").as("byte"))
-    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
-      col("band"), col("byte"))
-    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
-      col("band"), col("byte"))
+      .select(col("simhash"), col("n_docs"), col("min_id"),
+        col("bk.band").as("band"), col("bk.byte").as("byte"))
+    val l = banded.select(col("simhash").as("sig_a"), col("n_docs").as("n_a"),
+      col("min_id").as("min_id_a"), col("band"), col("byte"))
+    val r = banded.select(col("simhash").as("sig_b"), col("n_docs").as("n_b"),
+      col("min_id").as("min_id_b"), col("band"), col("byte"))
     l.join(r, Seq("band", "byte"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .filter(col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b", "n_a", "n_b", "min_id_a", "min_id_b").distinct()
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("sig_a", "sig_b", "hamming", "n_a", "n_b", "min_id_a", "min_id_b")
   }
+
+  /** Exact-signature clusters: one row per distinct simhash with its
+    * member count and representative (min id). */
+  def simhashClusters(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_id"))
 }

@@ -17,9 +17,13 @@ object Docs {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Tokenized documents: text split once into `toks`. */
+  /** Tokenized documents: text split once into `toks`. Fanned out to full
+    * parallelism — the corpus parquet is few-partition while the per-row
+    * token/hash lambdas are the expensive part. */
   private def toked(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
 
   /** DuckDB twin of `toks` (string_split, same single-space contract). */
   private val tokedSql =
@@ -60,8 +64,8 @@ object Docs {
 
     "doc_fingerprint" -> ((s, d) =>
       toked(s, d)
-        .withColumn("th", Text.tokenHashes("toks"))
-        .select(col("doc_id"), Text.fingerprint("th").as("fingerprint"))
+        .withColumn("th", Text.tokenHashes(col("text")))
+        .select(col("doc_id"), Text.fingerprint(col("th")).as("fingerprint"))
         .orderBy("doc_id")),
 
     "text_simhash" -> ((s, d) =>
@@ -92,7 +96,13 @@ object Docs {
       Dedup.simhashPairs(
           Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text"),
           "doc_id", maxHamming = 2)
-        .orderBy("id_a", "id_b")),
+        .orderBy("sig_a", "sig_b")),
+
+    "dedup_simhash_clusters" -> ((s, d) =>
+      Dedup.simhashClusters(
+          Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id")
+        .orderBy("simhash")),
 
     // ---- similarity search ----------------------------------------------
     "similarity_topk_bruteforce" -> ((s, d) => {
@@ -115,10 +125,9 @@ object Docs {
     //      mapPartitions path) ------------------------------------------
     "multimodal_extract" -> ((s, d) =>
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("blob", encode(col("text"), "UTF-8"))
-        .withColumn("checksum",
-          expr("aggregate(transform(sequence(1, length(text)), " +
-            "i -> cast(ascii(substring(text, i, 1)) AS BIGINT)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("checksum", Text.asciiChecksum(col("text")))
         .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
           col("checksum"),
           (lit(64) + col("checksum") % 1857).as("fake_width"),
@@ -254,17 +263,26 @@ object Docs {
         |ORDER BY id_a, id_b""".stripMargin),
 
     "dedup_simhash" -> (simhashSql +
-      """, banded AS (
-        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS byte
-        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) g)
+      """, clusters AS (
+        |  SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_id
+        |  FROM sims GROUP BY simhash)
+        |, banded AS (
+        |  SELECT simhash, n_docs, min_id, b AS band, (simhash >> (b * 8)) & 255 AS byte
+        |  FROM clusters, (SELECT unnest(generate_series(0, 3)) AS b) g)
         |, cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         a.simhash AS sig_a, b.simhash AS sig_b
+        |  SELECT DISTINCT a.simhash AS sig_a, b.simhash AS sig_b,
+        |         a.n_docs AS n_a, b.n_docs AS n_b,
+        |         a.min_id AS min_id_a, b.min_id AS min_id_b
         |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        |    ON a.band = b.band AND a.byte = b.byte AND a.simhash < b.simhash)
+        |SELECT sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming,
+        |       n_a, n_b, min_id_a, min_id_b
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
-        |ORDER BY id_a, id_b""".stripMargin),
+        |ORDER BY sig_a, sig_b""".stripMargin),
+
+    "dedup_simhash_clusters" -> (simhashSql +
+      """SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_id
+        |FROM sims GROUP BY simhash ORDER BY simhash""".stripMargin),
 
     "similarity_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

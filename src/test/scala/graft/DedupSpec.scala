@@ -55,9 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear <= 6)
   }
 
-  test("simhashPairs finds the exact-dup pair at hamming 0") {
+  test("simhashClusters: exact dups share a cluster with min-id representative") {
     val sigs = Dedup.simhashSignatures(fixture, "doc_id", "text")
-    val out = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 0).collect()
-    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    val out = Dedup.simhashClusters(sigs, "doc_id").collect()
+    assert(out.exists(r => r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("rep_id") == 1L))
+  }
+
+  test("simhashPairs links near-dup clusters by signature hamming") {
+    val sigs = Dedup.simhashSignatures(fixture, "doc_id", "text")
+    val out = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 6).collect()
+    // the base cluster {1,2} and the near-dup {3} should pair up
+    assert(out.exists(r =>
+      Set(r.getAs[Long]("min_id_a"), r.getAs[Long]("min_id_b")) == Set(1L, 3L) &&
+        r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 3L))
   }
 }

@@ -2,15 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{HashImpl, Text}
 
 case class Txt(id: Long, text: String)
 
 class TextSpec extends SparkSpec {
 
-  private def one(text: String) = {
+  private def one(text: String) =
     df(Seq(Txt(1, text))).withColumn("toks", split(col("text"), " "))
-  }
 
   test("meanTokenLen and stopwordRatio") {
     val out = one("the cat sat")
@@ -20,41 +19,53 @@ class TextSpec extends SparkSpec {
     assert(approx(out.getDouble(1), 1.0 / 3.0))
   }
 
+  test("strHash matches the SQL-side formula") {
+    // (len*2654435761 + 97*first + 31*mid + last) mod P for 'word':
+    val s = "word"
+    val want = (s.length * 2654435761L + 97L * s.charAt(0) +
+      31L * s.charAt(s.length / 2) + s.charAt(s.length - 1)) % HashImpl.P
+    assert(HashImpl.strHash(s) == want)
+  }
+
+  test("tokenHashes: one hash per token, codegen path agrees with strHash") {
+    val out = one("alpha beta gamma")
+      .select(Text.tokenHashes(col("text"))).head().getSeq[Long](0)
+    assert(out == Seq("alpha", "beta", "gamma").map(HashImpl.strHash))
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     def fp(t: String): Long =
-      one(t).withColumn("th", Text.tokenHashes("toks"))
-        .select(Text.fingerprint("th")).head().getLong(0)
+      one(t).select(Text.fingerprint(Text.tokenHashes(col("text")))).head().getLong(0)
     assert(fp("alpha beta gamma") == fp("alpha beta gamma"))
     assert(fp("alpha beta gamma") != fp("gamma beta alpha"))
   }
 
-  test("simhash of identical token multisets is identical") {
+  test("simhash of identical token multisets is identical; 32-bit range") {
     def sh(t: String): Long =
-      one(t).withColumn("th", Text.tokenHashes("toks"))
-        .select(Text.simhash("th")).head().getLong(0)
+      one(t).select(Text.simhash(Text.tokenHashes(col("text")))).head().getLong(0)
     assert(sh("a b c d") == sh("a b c d"))
-    // 32-bit range
     assert(sh("a b c d e f g") >= 0 && sh("a b c d e f g") < (1L << 32))
   }
 
   test("minhash signature length and identical-text collision") {
     def sig(t: String): Seq[Long] =
-      one(t).withColumn("sh", Text.shingleHashes("toks"))
-        .select(Text.minhashSignature("sh", 16)).head().getSeq[Long](0)
-    val s1 = sig(Seq.fill(3)("w1 w2 w3 w4 w5").mkString(" "))
-    assert(s1.size == 16)
-    assert(s1 == sig(Seq.fill(3)("w1 w2 w3 w4 w5").mkString(" ")))
-  }
-
-  test("minhash estimates Jaccard: equal sets agree on every component") {
+      one(t).select(Text.minhashSignature(Text.shingleHashes(col("text")), 16))
+        .head().getSeq[Long](0)
     val a = "one two three four five six seven eight nine ten"
-    def sig(t: String): Seq[Long] =
-      one(t).withColumn("sh", Text.shingleHashes("toks"))
-        .select(Text.minhashSignature("sh", 16)).head().getSeq[Long](0)
+    assert(sig(a).size == 16)
     assert(sig(a) == sig(a))
-    // disjoint shingle sets should NOT agree everywhere
     val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     assert(sig(a) != sig(b))
+  }
+
+  test("shingleHashes clamps short texts to one shingle") {
+    val out = one("ab cd").select(Text.shingleHashes(col("text"))).head().getSeq[Long](0)
+    assert(out == Seq(HashImpl.strHash("ab cd cd")))
+  }
+
+  test("asciiChecksum sums code points") {
+    val out = one("abc").select(Text.asciiChecksum(col("text"))).head().getLong(0)
+    assert(out == 'a'.toLong + 'b' + 'c')
   }
 
   test("langScore counts marker tokens") {
