@@ -16,6 +16,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warm the global machinery once (codegen, parquet reader, shuffle,
     // window, higher-order-function interpreter, MLlib WLS) rather than a

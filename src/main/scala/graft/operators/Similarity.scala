@@ -86,6 +86,46 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** `similarity_ivf`: IVF-style ANN — a KMeans coarse quantizer (nlist
+    * centroids, seeded) assigns every corpus vector to an inverted list;
+    * each query probes its `nprobe` nearest centroids and searches only
+    * those lists. The centroid table is driver-held metadata (nlist ≪ n,
+    * broadcast into expressions); the search is an equi-join on the list
+    * id — the same bucket-join shape as LSH with a learned partitioner. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = fanOut(corpus).select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(fv)
+    val listed = km.transform(fv).select(col(idCol).as("neighbor_id"),
+      col("v").as("cv"), col("prediction").as("list_id"))
+      .withColumn("cn", norm(col("cv")))
+
+    // per-query distances to every centroid, keep the nprobe closest:
+    // ||q−c||² = q·q − 2 q·c + c·c, centroids as literal arrays
+    val centers = km.clusterCenters.map(_.toArray)
+    val distStructs = centers.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.map(lit(_)).toIndexedSeq: _*)
+      struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), cArr)
+        + lit(c.map(x => x * x).sum)).as("dist"), lit(j).as("list_id"))
+    }
+    val probed = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("probe",
+        explode(slice(array_sort(array(distStructs.toIndexedSeq: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.list_id").as("list_id"))
+
+    val scored = broadcast(probed).join(listed, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** `similarity_ann_lsh`: near-dup pairs by cosine ≥ threshold among
     * bucket-cohabiting vectors. One narrow map to key each vector, one
     * equi-join on the bucket key. Misses cross-bucket pairs by design —

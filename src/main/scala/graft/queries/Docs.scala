@@ -120,6 +120,45 @@ object Docs {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    "text_token_count_bpe" -> ((s, d) =>
+      // BPE-ish sub-word counting: letter runs, digit runs, and single
+      // punctuation marks each count as one token (regex shared verbatim
+      // with the DuckDB twin)
+      toked(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("n_subtokens"))
+        .orderBy("doc_id")),
+
+    "dedup_embedding_cosine" -> ((s, d) => {
+      // exact embedding-cosine near-dup within label blocks (the blocked
+      // all-pairs baseline; similarity_ann_lsh is the unblocked scale path)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val l = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"),
+        col("nrm").as("n_a"))
+      val r = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b"),
+        col("nrm").as("n_b"))
+      l.join(r, "label")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "similarity_ivf" -> ((s, d) => {
+      // rows-only: the KMeans quantizer is not SQL-reproducible
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal (binary-column plumbing; decode itself is the
     //      deterministic fake — graft.operators.Multimodal has the real
     //      mapPartitions path) ------------------------------------------
@@ -312,6 +351,21 @@ object Docs {
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "text_token_count_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "multimodal_extract" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, checksum,

@@ -91,6 +91,54 @@ object Ml {
         .toDF("feature", "scaled_mean", "scaled_std").orderBy("feature")
     }),
 
+    "ml_lasso" -> ((s, d) => {
+      import s.implicits._
+      withFrame(s, d) { train =>
+        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 1.0,
+          n = train.count()).fit(train)
+        val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
+        round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
+          Seq("coefficient")).orderBy("feature")
+      }
+    }),
+
+    "ml_elasticnet" -> ((s, d) => {
+      import s.implicits._
+      withFrame(s, d) { train =>
+        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 0.5,
+          n = train.count()).fit(train)
+        val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
+        round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
+          Seq("coefficient")).orderBy("feature")
+      }
+    }),
+
+    /** SARIMA stand-in (SURVEY.md §2.9 `ml_sarima`: no MLlib ARIMA; the
+      * hybrid's value was the regression part): AR(3) via OLS on lagged
+      * daily click means + 1-step-ahead forecast from the latest lags. */
+    "ml_ar_forecast" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("date_id")
+      val series = graft.operators.TimeSeries.lagFeatures(
+          ModelingFrame.daily(s, d).select("date_id", "click"),
+          Nil, Seq(col("date_id")), "click", Seq(1, 2, 3))
+        .na.drop("any").cache()
+      try {
+        val lags = Seq("click_lag1", "click_lag2", "click_lag3")
+        val train = Models.assemble(series, lags)
+        val m = Models.ols("click").fit(train)
+        val latest = series.orderBy(desc("date_id")).limit(1)
+          .select(col("click").as("click_lag1"), col("click_lag1").as("click_lag2"),
+            col("click_lag2").as("click_lag3"))
+        val forecast = m.transform(Models.assemble(latest, lags))
+          .select(Models.PredictionCol).head().getDouble(0)
+        val r2 = m.summary.r2
+        Seq((math.rint(forecast * 1e6) / 1e6, math.rint(r2 * 1e6) / 1e6))
+          .toDF("forecast_next", "train_r2")
+      } finally { series.unpersist(); () }
+    }),
+
     "ml_walk_forward" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { df =>

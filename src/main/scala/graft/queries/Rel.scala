@@ -91,6 +91,40 @@ object Rel {
             .when(col("pred") > 0, "BUY").otherwise("SELL").as("signal"))
         .orderBy("event_id")),
 
+    // ---- §2.1 CSV source/sink (scan_csv_* / sink_csv_results): the
+    //      reference's at-rest format round-tripped losslessly — write a
+    //      typed extract to CSV, read it back with the schema pinned; the
+    //      oracle recomputes the same extract from parquet, so any
+    //      serialization loss would hash-mismatch ---------------------
+    "scan_csv_train" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/orders"
+      val extract = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Csv.write(extract, path, single = true)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_date", StringType), StructField("o_totalprice", DoubleType),
+        StructField("o_orderpriority", StringType)))
+      graft.sources.Csv.read(s, path, schema).orderBy("o_orderkey")
+    }),
+
+    "sink_csv_results" -> ((s, d) => {
+      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/results"
+      val summary = Tables.orders(s, d).agg(
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_totalprice"))
+      graft.sources.Csv.write(summary, path, single = true)
+      graft.sources.Csv.read(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_orders",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_totalprice",
+            org.apache.spark.sql.types.DoubleType))))
+    }),
+
     // ---- §2.3 missing data --------------------------------------------
     "agg_null_count_per_col" -> ((s, d) =>
       MissingData.nullCountPerColumn(evd(s, d), nullCols)),
@@ -280,6 +314,12 @@ object Rel {
           trim(expr("split_part(p_name, ' ', 2)")).as("leg_b"))
         .orderBy("p_partkey")),
 
+    "str_strip" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("stripped"))
+        .orderBy("p_partkey")),
+
     "str_replace_display" -> ((s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"), expr("replace(c_name, '#', ' ')").as("display_name"))
@@ -358,6 +398,16 @@ object Rel {
         |FROM (SELECT event_id, (value - 100) / 100 AS pred,
         |             (user_id % 100) / 100.0 AS conf FROM events)
         |ORDER BY event_id""".stripMargin,
+
+    "scan_csv_train" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "sink_csv_results" ->
+      """SELECT count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        |FROM orders""".stripMargin,
 
     "agg_null_count_per_col" -> (evdSql +
       """SELECT column_name, n_nulls FROM (
@@ -532,6 +582,9 @@ object Rel {
       """SELECT p_partkey, trim(split_part(p_name, ' ', 1)) AS leg_a,
         |  trim(split_part(p_name, ' ', 2)) AS leg_b
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "str_strip" ->
+      "SELECT p_partkey, trim(concat('  ', p_name, '  ')) AS stripped FROM part ORDER BY p_partkey",
 
     "str_replace_display" ->
       "SELECT c_custkey, replace(c_name, '#', ' ') AS display_name FROM customer ORDER BY c_custkey",

@@ -43,6 +43,19 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.size == 8 && p1.head.size == 64)
   }
 
+  test("ivfTopK: probing all lists equals brute force exactly") {
+    val corpus = df((0 until 40).map(i =>
+      Vec(i.toLong, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 19 - 9).toFloat))))
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe == nlist -> exhaustive -> must match brute force
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == bf)
+  }
+
   test("lshNearDupPairs: parallel vectors share every bucket; found at threshold") {
     val out = Similarity.lshNearDupPairs(fixture, "vec_id", "embedding",
       numPlanes = 8, dim = 4, threshold = 0.9)
