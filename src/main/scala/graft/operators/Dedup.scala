@@ -47,12 +47,14 @@ object Dedup {
     * with jaccard ≥ threshold, a < b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, toksCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    val a = df.select(Seq(col(idCol).as("id_a"), array_distinct(col(toksCol)).as("toks_a"))
+    val dt = df.select(Seq(col(idCol), array_distinct(col(toksCol)).as("__dtoks"))
       ++ blockCols.map(col): _*)
-    val b = df.select(Seq(col(idCol).as("id_b"), array_distinct(col(toksCol)).as("toks_b"))
-      ++ blockCols.map(col): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+    // alias self-join over ONE plan → ReuseExchange (distinct-tokens once)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    dt.as("a").join(dt.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__dtoks").as("toks_a"), col("b.__dtoks").as("toks_b"))
       .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
@@ -84,13 +86,13 @@ object Dedup {
       explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
         s"b -> struct(b AS band, slice(__sig, b * $rows + 1, $rows) AS chunk))")).as("bk"))
       .select(col(idCol), col("__sh"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val l = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-      col("band"), col("chunk"))
-    val r = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-      col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    // alias self-join over ONE plan: both shuffle exchanges canonicalize
+    // equal, so ReuseExchange computes the signatures once, not per side
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__sh").as("sh_a"), col("b.__sh").as("sh_b")).distinct()
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
@@ -124,13 +126,13 @@ object Dedup {
         "struct(b AS band, shiftright(simhash, b * 8) & 255 AS byte))")).as("bk"))
       .select(col("simhash"), col("n_docs"), col("min_id"),
         col("bk.band").as("band"), col("bk.byte").as("byte"))
-    val l = banded.select(col("simhash").as("sig_a"), col("n_docs").as("n_a"),
-      col("min_id").as("min_id_a"), col("band"), col("byte"))
-    val r = banded.select(col("simhash").as("sig_b"), col("n_docs").as("n_b"),
-      col("min_id").as("min_id_b"), col("band"), col("byte"))
-    l.join(r, Seq("band", "byte"))
-      .filter(col("sig_a") < col("sig_b"))
-      .select("sig_a", "sig_b", "n_a", "n_b", "min_id_a", "min_id_b").distinct()
+    // alias self-join over ONE plan → ReuseExchange (signatures once)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
+        col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"),
+        col("a.min_id").as("min_id_a"), col("b.min_id").as("min_id_b")).distinct()
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("sig_a", "sig_b", "hamming", "n_a", "n_b", "min_id_a", "min_id_b")

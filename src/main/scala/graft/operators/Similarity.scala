@@ -137,13 +137,11 @@ object Similarity {
     val keyed = fanOut(df).select(col(idCol), asDouble(col(vecCol)).as("v"),
       bucketKey(col(vecCol), planes).as("bucket"))
       .withColumn("nrm", norm(col("v")))
-    val l = keyed.select(col(idCol).as("id_a"), col("v").as("v_a"),
-      col("nrm").as("n_a"), col("bucket"))
-    val r = keyed.select(col(idCol).as("id_b"), col("v").as("v_b"),
-      col("nrm").as("n_b"), col("bucket"))
-    l.join(r, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+    // alias self-join over ONE plan → ReuseExchange (bucket keys once)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -137,13 +137,10 @@ object Docs {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.norm(col("v")))
-      val l = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"),
-        col("nrm").as("n_a"))
-      val r = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b"),
-        col("nrm").as("n_b"))
-      l.join(r, "label")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
