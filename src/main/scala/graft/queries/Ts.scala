@@ -130,14 +130,31 @@ object Ts {
           round(expr("regr_r2(value, lagv)"), 6).as("r2"))
         .orderBy("event_type")),
 
-    // ---- §2.10 streaming (batch-equivalent plan; the streaming job in
-    //      graft.streaming runs the same aggregation incrementally) -------
+    // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
+    //      graft.streaming run the same logic incrementally) --------------
     "stream_window_agg" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("day", "event_type")),
+
+    /** Batch twin of the drift monitor (`streaming.EventStream
+      * .driftMonitor`): per (event_type, day) z-score of the day's mean
+      * value against the event_type's overall distribution. */
+    "stream_drift_scores" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_day"), avg(col("value")).as("day_mean"))
+      val overall = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(avg(col("value")).as("all_mean"), stddev_samp(col("value")).as("all_std"))
+      days.join(broadcast(overall), "event_type")
+        .select(col("event_type"), col("day"), col("n_day"),
+          round((col("day_mean") - col("all_mean"))
+            / (col("all_std") / sqrt(col("n_day"))), 4).as("z"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -233,5 +250,18 @@ object Ts {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "stream_drift_scores" ->
+      """WITH days AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_day, avg(value) AS day_mean
+        |  FROM events GROUP BY 1, 2),
+        |overall AS (
+        |  SELECT event_type, avg(value) AS all_mean, stddev_samp(value) AS all_std
+        |  FROM events GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n_day,
+        |  round((d.day_mean - o.all_mean) / (o.all_std / sqrt(d.n_day)), 4) AS z
+        |FROM days d JOIN overall o ON d.event_type = o.event_type
+        |ORDER BY d.event_type, d.day""".stripMargin,
   )
 }
