@@ -98,7 +98,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val fv = fanOut(corpus).select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv").fit(fv)
+    // coarse quantizer: a few iterations suffice (lists only need to be
+    // roughly balanced; every extra iteration is a full distributed pass)
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("fv").fit(fv.cache())
     val listed = km.transform(fv).select(col(idCol).as("neighbor_id"),
       col("v").as("cv"), col("prediction").as("list_id"))
       .withColumn("cn", norm(col("cv")))
