@@ -122,14 +122,33 @@ object HashImpl {
     acc
   }
 
-  /** Sequential-fold dot product (same accumulation order as
-    * `aggregate(zip_with(a,b,*),0d,+)` and DuckDB `list_dot_product`). */
+  /** Sequential-fold dot product over non-null equal-length arrays (same
+    * accumulation order as DuckDB `list_dot_product`). Raw primitive — the
+    * expression path goes through [[dotChecked]]. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
+  }
+
+  /** Null-propagating dot product matching the HOF form
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v)` EXACTLY:
+    * `zip_with` pads a length mismatch with nulls, and one null product
+    * poisons the whole fold — so a length mismatch or any null element
+    * returns null (boxed), never a silently-truncated sum. */
+  def dotChecked(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -236,10 +255,23 @@ case class DotProductExpr(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // Null even for non-null inputs: length mismatch / null element (the
+  // same cases where the equivalent HOF fold yields null).
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    HashImpl.dotChecked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.functions.HashImpl.dotChecked($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

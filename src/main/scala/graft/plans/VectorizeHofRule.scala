@@ -16,12 +16,13 @@ import graft.functions.DotProductExpr
   * automatically (the HOF form evaluates on the interpreted expression
   * path; see HashImpl's scaladoc for the measured cost).
   *
-  * Precondition encoded in the match: both arrays are `array<double>` and
-  * the fold is exactly (0.0, +) with an identity finish. Note one
-  * semantic edge: `zip_with` pads length-mismatched arrays with nulls
-  * (making the fold null), while the kernel folds to the shorter length —
-  * equal-length embedding columns, the only place the idiom appears, are
-  * unaffected.
+  * Precondition encoded in the match: both arrays are `array<double>`,
+  * the zip and merge lambdas use exactly their own two bound parameters,
+  * and the fold is exactly (0.0, +) with an identity finish. The kernel
+  * ([[graft.functions.HashImpl.dotChecked]]) reproduces the HOF form's
+  * null semantics exactly — null on length mismatch (zip_with pads with
+  * nulls) and on any null element — so the rewrite is semantics-preserving
+  * on every input.
   */
 object VectorizeHofRule extends Rule[LogicalPlan] {
 
@@ -36,14 +37,28 @@ object VectorizeHofRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** True iff `p` and `q` are exactly the lambda's two bound parameters,
+    * one each, in either order. Rejects `(x, y) -> x * x` (one param used
+    * twice), merge lambdas like `(acc, v) -> v + v`, and operands that
+    * capture an OUTER lambda's variable (their exprIds belong to a
+    * different binder) — any of which would make the rewrite change
+    * results. */
+  private def bindsBothParams(p: NamedLambdaVariable, q: NamedLambdaVariable,
+                              args: Seq[NamedExpression]): Boolean = args match {
+    case Seq(u: NamedLambdaVariable, v: NamedLambdaVariable) =>
+      Set(p.exprId, q.exprId) == Set(u.exprId, v.exprId)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b,
-          LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+          LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _), zipArgs, _)),
         Literal(0.0, DoubleType),
-        LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+        LambdaFunction(Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _), mergeArgs, _),
         finish)
-        if isDoubleArray(a) && isDoubleArray(b) && isIdentityFinish(finish) =>
+        if isDoubleArray(a) && isDoubleArray(b) && isIdentityFinish(finish)
+          && bindsBothParams(mx, my, zipArgs) && bindsBothParams(ax, ay, mergeArgs) =>
       DotProductExpr(a, b)
   }
 }

@@ -213,7 +213,7 @@ object Docs {
       |         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0 THEN 1 << b ELSE 0 END AS v
       |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) g
       |  GROUP BY doc_id, b)
-      |, sims AS (SELECT doc_id, sum(v) AS simhash FROM votes GROUP BY doc_id)
+      |, sims AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)
       |""".stripMargin
 
   /** The ANN hyperplane literals — SAME generator as the engine. */
