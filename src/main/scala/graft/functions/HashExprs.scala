@@ -68,18 +68,37 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
-  /** 32-bit SimHash over token hashes (per-bit ±1 votes, sign → bit). */
-  def simhash32(h: ArrayData): Long = {
+  /** 64-bit SimHash over token hashes (per-bit ±1 votes, sign → bit).
+    * Token hashes are < P < 2³⁰, so a single hash only carries 30 usable
+    * bits; the 64 vote bits come from three permutations of the minhash
+    * family gₖ(h) = ((2k+1)·h + 7919k) mod P — bit b votes with bit
+    * (b mod 30) of g_{b/30}(h). 64 informative bits (vs 30 at the old
+    * 32-bit width) keeps the random-collision rate negligible at
+    * 100 TB-corpus cardinalities. Mirrored exactly by the DuckDB twin in
+    * `graft.queries.Docs.simhashSql`. */
+  def simhash64(h: ArrayData): Long = {
     val n = h.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val x = h.getLong(i)
+      var k = 0
+      while (k < 3) {
+        val g = ((2L * k + 1L) * x + 7919L * k) % P
+        val base = k * 30
+        val width = if (k == 2) 4 else 30
+        var j = 0
+        while (j < width) {
+          if (((g >> j) & 1L) == 1L) votes(base + j) += 1 else votes(base + j) -= 1
+          j += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
     var sig = 0L
     var b = 0
-    while (b < 32) {
-      var v = 0L
-      var i = 0
-      while (i < n) { v += ((h.getLong(i) >> b) & 1L) * 2L - 1L; i += 1 }
-      if (v > 0) sig |= 1L << b
-      b += 1
-    }
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
 
@@ -191,9 +210,9 @@ case class SimHashExpr(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpl.simhash32(input.asInstanceOf[ArrayData])
+    HashImpl.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash32($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

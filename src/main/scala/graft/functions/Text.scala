@@ -32,7 +32,7 @@ object Text {
   /** Clamped 3-word shingle hashes straight from the text column. */
   def shingleHashes(text: Column): Column = ec(ShingleHashesExpr(ex(text)))
 
-  /** `text_simhash`: 32-bit SimHash over a token-hash array column. */
+  /** `text_simhash`: 64-bit SimHash over a token-hash array column. */
   def simhash(hashes: Column): Column = ec(SimHashExpr(ex(hashes)))
 
   /** MinHash signature (numHashes permutations) over shingle hashes. */

@@ -58,11 +58,18 @@ object Models {
       .setStandardization(false)
       .setSolver("normal")
 
-  /** `ml_lasso` / `ml_elasticnet` (README:34). */
-  def elasticNet(label: String, alpha: Double, l1Ratio: Double, n: Long): LinearRegression =
+  /** `ml_lasso` / `ml_elasticnet` (README:34). Penalty scaling differs
+    * from [[ridge]]: sklearn's Lasso/ElasticNet objective ALREADY divides
+    * the squared loss by n (sklearn Ridge does not) —
+    *   sklearn: 1/(2n)·||y−Xw||² + α(ρ||w||₁ + (1−ρ)/2·||w||²)
+    *   Spark:   1/(2n)·||y−Xw||² + λ(ρ||w||₁ + (1−ρ)/2·||w||²)
+    * so parity is λ = α exactly; an α/n rescale here would make the
+    * penalty n× too weak (degenerating toward OLS on any non-tiny frame).
+    * Closed-form parity is proven in MlSpec's soft-threshold test. */
+  def elasticNet(label: String, alpha: Double, l1Ratio: Double): LinearRegression =
     new LinearRegression()
       .setFeaturesCol(FeaturesCol).setLabelCol(label)
-      .setRegParam(alpha / n).setElasticNetParam(l1Ratio)
+      .setRegParam(alpha).setElasticNetParam(l1Ratio)
       .setStandardization(false)
 
   /** `ml_random_forest` (`app.py:123`). */

@@ -111,18 +111,22 @@ object Dedup {
   /** `dedup_simhash`: near-dup structure at CLUSTER granularity. Documents
     * are first grouped by exact signature (hamming 0 — on real corpora
     * near-dups collapse here), then DISTINCT signatures are pair-joined
-    * through 8-bit byte bands (a pair within hamming ≤ 3 must agree on at
-    * least one of the 4 bytes — pigeonhole-complete). Emitting signature
+    * through 8-bit byte bands (a pair within hamming ≤ 7 must agree on at
+    * least one of the 8 bytes of the 64-bit signature —
+    * pigeonhole-complete, enforced by the `require`). Emitting signature
     * pairs with member counts instead of doc pairs keeps the output
     * O(distinct-sigs²), not O(docs²): enumerating doc pairs inside a
     * near-dup cluster is quadratic by definition and never what a dedup
     * pipeline materializes (it keeps one representative per cluster).
     * Output: (sig_a, sig_b, hamming, n_a, n_b, min_id_a, min_id_b). */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"8-byte banding is pigeonhole-complete only for hamming <= 7; " +
+        s"maxHamming=$maxHamming would silently lose recall")
     val clusters = sigs.groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"))
     val banded = clusters.select(col("simhash"), col("n_docs"), col("min_id"),
-      explode(expr("transform(sequence(0, 3), b -> " +
+      explode(expr("transform(sequence(0, 7), b -> " +
         "struct(b AS band, shiftright(simhash, b * 8) & 255 AS byte))")).as("bk"))
       .select(col("simhash"), col("n_docs"), col("min_id"),
         col("bk.band").as("band"), col("bk.byte").as("byte"))

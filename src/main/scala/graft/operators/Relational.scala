@@ -32,11 +32,15 @@ object Relational {
     df.schema.fields.filter(_.name.contains(" - ")).map(_.name).toIndexedSeq
 
   /** `dup_count` (`Marilyn_Cleaning.ipynb` cell 55): number of rows that
-    * are exact duplicates of an earlier row. Single shuffle-free aggregate
-    * pair: COUNT(*) − COUNT(DISTINCT all-columns). */
+    * are exact duplicates of an earlier row: COUNT(*) − COUNT(DISTINCT).
+    * The distinct key is `xxhash64` of the whole row, so the exact-distinct
+    * shuffle carries 8-byte keys instead of full-width rows — the same
+    * content-hash trick as `Dedup.exactByContent` (at 100 TB the shuffle
+    * volume is what dominates; a 64-bit hash collision across the dataset
+    * is vanishingly unlikely and only perturbs a diagnostic count). */
   def dupCount(df: DataFrame): DataFrame = {
-    val allCols = struct(df.columns.map(col).toIndexedSeq: _*)
-    df.agg((count(lit(1)) - countDistinct(allCols)).as("n_duplicates"))
+    val rowHash = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    df.agg((count(lit(1)) - countDistinct(rowHash)).as("n_duplicates"))
   }
 
   /** `dedup_by_key` (`Marilyn_Cleaning.ipynb` cell 64,

@@ -46,7 +46,7 @@ object GraftExtensions {
       info("graft_shingle_hashes", "clamped 3-word shingle hashes of a string"),
       (args: Seq[Expression]) => one(args, "graft_shingle_hashes")(ShingleHashesExpr)),
     ("graft_simhash",
-      info("graft_simhash", "32-bit SimHash of an array<long> of token hashes"),
+      info("graft_simhash", "64-bit SimHash of an array<long> of token hashes"),
       (args: Seq[Expression]) => one(args, "graft_simhash")(SimHashExpr)),
     ("graft_fingerprint",
       info("graft_fingerprint", "rolling fingerprint of an array<long> of token hashes"),

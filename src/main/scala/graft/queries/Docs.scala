@@ -206,12 +206,20 @@ object Docs {
       |  GROUP BY doc_id, i)
       |""".stripMargin
 
-  /** SimHash per doc, relational (doc_id, simhash). */
+  /** SimHash per doc, relational (doc_id, simhash) — the 64-bit twin of
+    * `HashImpl.simhash64`: vote bit b comes from bit (b mod 30) of the
+    * permutation g_{b/30}(h) = ((2k+1)h + 7919k) mod P. DuckDB refuses
+    * `1 << 63` (overflow check), so bit 63 is added as the signed
+    * constant −2⁶³; the HUGEINT-safe sum is then cast back to BIGINT. */
   private val simhashSql = thSql +
     """, votes AS (
       |  SELECT doc_id, b,
-      |         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0 THEN 1 << b ELSE 0 END AS v
-      |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) g
+      |         CASE WHEN sum((((((2 * (b // 30) + 1) * h + 7919 * (b // 30)) % 1000000007)
+      |                        >> (b % 30)) & 1) * 2 - 1) > 0
+      |              THEN (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+      |                         ELSE (1::BIGINT << b) END)
+      |              ELSE 0 END AS v
+      |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) g
       |  GROUP BY doc_id, b)
       |, sims AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)
       |""".stripMargin
@@ -304,7 +312,7 @@ object Docs {
         |  FROM sims GROUP BY simhash)
         |, banded AS (
         |  SELECT simhash, n_docs, min_id, b AS band, (simhash >> (b * 8)) & 255 AS byte
-        |  FROM clusters, (SELECT unnest(generate_series(0, 3)) AS b) g)
+        |  FROM clusters, (SELECT unnest(generate_series(0, 7)) AS b) g)
         |, cand AS (
         |  SELECT DISTINCT a.simhash AS sig_a, b.simhash AS sig_b,
         |         a.n_docs AS n_a, b.n_docs AS n_b,

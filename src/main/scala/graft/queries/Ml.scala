@@ -94,8 +94,8 @@ object Ml {
     "ml_lasso" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
-        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 1.0,
-          n = train.count()).fit(train)
+        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 1.0)
+          .fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
         round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
           Seq("coefficient")).orderBy("feature")
@@ -105,8 +105,8 @@ object Ml {
     "ml_elasticnet" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
-        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 0.5,
-          n = train.count()).fit(train)
+        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 0.5)
+          .fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
         round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
           Seq("coefficient")).orderBy("feature")

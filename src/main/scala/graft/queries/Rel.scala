@@ -176,8 +176,12 @@ object Rel {
         .select("o_custkey", "o_orderkey")
         .orderBy("o_custkey")),
 
+    // µs-truncated clock on BOTH sides (the oracle's DuckDB reader only
+    // sees µs timestamps): a series monotonic at µs but tied at ns must
+    // agree with the oracle, so compare ts_ns div 1000, not raw ns.
     "check_monotonic" -> ((s, d) =>
-      Relational.isMonotonic(Tables.events(s, d), Nil, col("event_id"), col("ts_ns"))),
+      Relational.isMonotonic(Tables.events(s, d), Nil, col("event_id"),
+        expr("ts_ns div 1000"))),
 
     "topk_by_variance" -> ((s, d) =>
       Relational.topKByVariance(Tables.lineitem(s, d),

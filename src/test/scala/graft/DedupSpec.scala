@@ -8,7 +8,8 @@ case class Doc(doc_id: Long, text: String, lang: String, source: String)
 
 class DedupSpec extends SparkSpec {
 
-  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today " +
+    "while the sun sets slowly behind the old green hills near the quiet river bend"
   private val nearDup = base.replace("today", "tonight") // 1 token differs
   private val other = "completely different content with none of those words present here at all now"
 

@@ -32,6 +32,34 @@ class MlSpec extends SparkSpec {
     assert(approx(coefs(1)._2, -1.5, 1e-4))
   }
 
+  test("lasso matches the sklearn soft-threshold closed form (penalty NOT /n)") {
+    // Single centered feature: both sklearn and Spark minimize
+    //   1/(2n)·Σ(y − wx − b)² + α|w|
+    // whose solution is w = S(Σxc·yc/n, α) / (Σxc²/n), b = ȳ − w·x̄
+    // (S = soft-threshold). An α/n-scaled penalty would land visibly off.
+    val rows = (1 to 40).map { i =>
+      val x = i.toDouble
+      (i.toLong, x, 2.0 + 0.5 * x)
+    }
+    val d = df(rows).toDF("id", "x1", "y")
+    val a = Models.assemble(d, Seq("x1"))
+
+    val xs = rows.map(_._2); val ys = rows.map(_._3)
+    val n = xs.size.toDouble
+    val xm = xs.sum / n; val ym = ys.sum / n
+    val sxy = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum / n
+    val sxx = xs.map(x => (x - xm) * (x - xm)).sum / n
+    val alpha = 5.0 // large enough that alpha vs alpha/n differ by ~100x
+    val expected = (math.signum(sxy) * math.max(math.abs(sxy) - alpha, 0.0)) / sxx
+
+    val m = Models.elasticNet("y", alpha = alpha, l1Ratio = 1.0).fit(a)
+    val w = m.coefficients(0)
+    assert(approx(w, expected, 1e-4), s"lasso coef $w != closed form $expected")
+    assert(approx(m.intercept, ym - w * xm, 1e-4))
+    // and the degenerate α/n-scaled fit would NOT satisfy this:
+    assert(math.abs(w - sxy / sxx) > 1e-3, "penalty had no effect — scaling bug")
+  }
+
   test("metricsFull identities: perfect prediction") {
     val pred = linear.select(col("y"), col("y").as("yhat"))
     val r = Evaluation.metricsFull(pred, "y", "yhat").head()

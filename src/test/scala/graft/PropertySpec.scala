@@ -52,7 +52,7 @@ class PropertySpec extends AnyFunSuite {
     val gen = Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0L, HashImpl.P - 1)), Gen.long)
     samples(gen, 200).foreach { case (hs, seed) =>
       val perm = new scala.util.Random(seed).shuffle(hs)
-      assert(HashImpl.simhash32(arr(hs)) == HashImpl.simhash32(arr(perm)))
+      assert(HashImpl.simhash64(arr(hs)) == HashImpl.simhash64(arr(perm)))
     }
   }
 
