@@ -23,5 +23,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.Rel.sql ++ graft.queries.Ts.sql ++ graft.queries.Docs.sql ++
-      graft.queries.Ml.sql ++ graft.queries.Pipe.sql
+      graft.queries.Ml.sql ++ graft.queries.Pipe.sqlAll
 }

@@ -111,6 +111,40 @@ object Rel {
       graft.sources.Csv.read(s, path, schema).orderBy("o_orderkey")
     }),
 
+    // `scan_csv_labels`: the reference's train_labels.csv analog — a
+    // targets extract WITH nulls (~10.5% NaN in the reference), so the
+    // CSV null round-trip (null → empty field → null under the pinned
+    // schema) is what this entry actually tests.
+    "scan_csv_labels" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/labels"
+      val extract = evd(s, d).select(col("event_id"), col("v_sparse"), col("v_moderate"))
+      graft.sources.Csv.write(extract, path, single = true)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("v_sparse", DoubleType),
+        StructField("v_moderate", DoubleType)))
+      graft.sources.Csv.read(s, path, schema).orderBy("event_id")
+    }),
+
+    // `scan_csv_pairs`: the reference's target_pairs.csv analog — a small
+    // (target, lag, pair) mapping table (424×3, lag ∈ {1..4} there)
+    // round-tripped through CSV with a pinned schema.
+    "scan_csv_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/pairs"
+      val extract = Tables.part(s, d).select(
+        col("p_partkey"),
+        concat(trim(expr("split_part(p_name, ' ', 1)")), lit(" - "),
+          trim(expr("split_part(p_name, ' ', 2)"))).as("target"),
+        (col("p_size") % 4 + 1).as("lag"),
+        col("p_name").as("pair"))
+      graft.sources.Csv.write(extract, path, single = true)
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType), StructField("target", StringType),
+        StructField("lag", IntegerType), StructField("pair", StringType)))
+      graft.sources.Csv.read(s, path, schema).orderBy("p_partkey")
+    }),
+
     "sink_csv_results" -> ((s, d) => {
       val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/results"
       val summary = Tables.orders(s, d).agg(
@@ -412,6 +446,16 @@ object Rel {
       """SELECT count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
         |FROM orders""".stripMargin,
+
+    "scan_csv_labels" -> (evdSql +
+      "SELECT event_id, v_sparse, v_moderate FROM evd ORDER BY event_id"),
+
+    "scan_csv_pairs" ->
+      """SELECT p_partkey,
+        |  concat(trim(split_part(p_name, ' ', 1)), ' - ',
+        |         trim(split_part(p_name, ' ', 2))) AS target,
+        |  p_size % 4 + 1 AS lag, p_name AS pair
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "agg_null_count_per_col" -> (evdSql +
       """SELECT column_name, n_nulls FROM (
