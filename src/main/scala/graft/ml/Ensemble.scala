@@ -1,66 +1,126 @@
 package graft.ml
 
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.ml.Model
-import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's deployed model — `ml_ensemble_weighted`
   * (`app.py:115-144`): fit {LinearRegression, Ridge(α=1), RF(100, seed 42)},
   * weight each by max(train R², 0.001), normalize weights, predict the
   * weighted sum; report per-model and ensemble metrics.
+  *
+  * Efficiency shape (the fits dominate; everything else is one pass):
+  *  - the three members fit on PARALLEL driver threads — a SparkSession
+  *    schedules jobs from multiple threads safely, and the linear fits
+  *    leave the cluster idle while a tree ensemble builds;
+  *  - all member training metrics come from ONE aggregate job over a
+  *    single frame carrying one prediction column per member (chained
+  *    narrow transforms — no join, no per-member metric jobs);
+  *  - the ensemble prediction ŷ = Σ wᵢ·ŷᵢ is a projection over those same
+  *    columns — the old per-member join chain is gone entirely;
+  *  - fitted ensembles are memoized per (session, data dir, label) so
+  *    `serving_signal` and `ml_ensemble_weighted` share one set of fits.
   */
 object Ensemble {
 
   final case class Member(name: String, weight: Double, r2: Double, mae: Double,
-                          predictions: DataFrame, model: Model[_])
+                          model: Model[_])
 
-  final case class Fitted(members: Seq[Member], ensemble: DataFrame)
+  final case class Fitted(members: Seq[Member]) {
 
-  /** Fit the 3-model ensemble on an assembled training frame.
-    *
-    * @param train    assembled frame (Models.FeaturesCol + label + idCol)
-    * @param label    target column
-    * @param idCol    row key used to align member predictions (the
-    *                 reference aligns positionally; distributed frames
-    *                 need an explicit key — SURVEY.md §1.4.4)
-    */
-  def fitWeighted(train: DataFrame, label: String, idCol: String): Fitted = {
-    val n = train.count()
-    val members = Seq(
-      "lr" -> Models.ols(label),
-      "ridge" -> Models.ridge(label, alpha = 1.0, n = n))
-      .map { case (name, est) => (name, est.fit(train): Model[_]) } :+
-      ("rf" -> (Models.randomForest(label).fit(train): Model[_]))
+    /** Member prediction columns `yhat_<name>` via chained narrow
+      * transforms (each model only reads the features vector). */
+    def withMemberPredictions(df: DataFrame): DataFrame =
+      Ensemble.chainPredictions(df, members.map(m => m.name -> m.model))
 
-    val scored = members.map { case (name, m) =>
-      val pred = m.transform(train)
-        .select(col(idCol), col(label).as("y"), col(Models.PredictionCol).as("yhat"))
-      val s = Evaluation.metricsFull(pred, "y", "yhat").head()
-      Member(name, weight = math.max(s.getAs[Double]("r2"), 0.001),
-        r2 = s.getAs[Double]("r2"), mae = s.getAs[Double]("mae"),
-        predictions = pred, model = m)
+    /** Weighted-ensemble prediction: (passthrough cols, y, yhat). */
+    def predict(df: DataFrame, label: String, keep: Seq[String]): DataFrame = {
+      val yhat = members.map(m => col(s"yhat_${m.name}") * m.weight).reduce(_ + _)
+      withMemberPredictions(df)
+        .select(keep.map(col) ++ Seq(col(label).as("y"), yhat.as("yhat")): _*)
     }
-    val wsum = members0Sum(scored)
-    val normalized = scored.map(m => m.copy(weight = m.weight / wsum))
-
-    // ensemble prediction: Σ wᵢ·ŷᵢ aligned on idCol (inner joins on the
-    // shared key; each member frame has identical row set by construction)
-    val ens = normalized.map { m =>
-      m.predictions.select(col(idCol), col("y"),
-        (col("yhat") * m.weight).as(s"w_${m.name}"))
-    }.reduce { (a, b) => a.join(b.drop("y"), idCol) }
-    val yhat = normalized.map(m => col(s"w_${m.name}")).reduce(_ + _)
-    Fitted(normalized, ens.select(col(idCol), col("y"), yhat.as("yhat")))
   }
 
-  private def members0Sum(ms: Seq[Member]): Double = ms.map(_.weight).sum
+  /** Fit the 3-model ensemble on an assembled training frame
+    * (Models.FeaturesCol + label). Two Spark actions total: count (ridge's
+    * penalty rescale) and the single member-metrics aggregate.
+    * `numTrees` defaults to the reference's 100 (`app.py:123`); tests may
+    * shrink it to bound runtime — weights/metrics shift only statistically. */
+  def fitWeighted(train: DataFrame, label: String, numTrees: Int = 100): Fitted = {
+    val (n, sy) = Models.labelStats(train, label)
+    val estimators: Seq[(String, DataFrame => Model[_])] = Seq(
+      "lr" -> (df => Models.ols(label).fit(df)),
+      "ridge" -> (df => Models.ridge(label, alpha = 1.0, n = n, yStdPop = sy).fit(df)),
+      "rf" -> (df => Models.randomForest(label, numTrees = numTrees).fit(df)))
+
+    implicit val ec: ExecutionContext = fitPool
+    val fitted = Await.result(
+      Future.sequence(estimators.map { case (name, fit) =>
+        Future(name -> fit(train))
+      }), Duration.Inf)
+
+    val withPreds = chainPredictions(train, fitted)
+
+    // ONE aggregate: shared SST stats + per-member (sse, mae) — R² needs
+    // no second scan (sufficient statistics, as in Evaluation.metricsFull)
+    val y = col(label)
+    val perMember: Seq[Column] = fitted.flatMap { case (name, _) =>
+      val e = y - col(s"yhat_$name")
+      Seq(sum(e * e).as(s"sse_$name"), avg(abs(e)).as(s"mae_$name"))
+    }
+    val aggs = Seq(count(lit(1)).cast("double").as("n"),
+      sum(y).as("sy"), sum(y * y).as("syy")) ++ perMember
+    val r = withPreds.agg(aggs.head, aggs.tail: _*).head()
+    val sst = r.getAs[Double]("syy") - r.getAs[Double]("sy") * r.getAs[Double]("sy") / r.getAs[Double]("n")
+
+    val scored = fitted.map { case (name, m) =>
+      val r2 = 1.0 - r.getAs[Double](s"sse_$name") / sst
+      Member(name, weight = math.max(r2, 0.001), r2 = r2,
+        mae = r.getAs[Double](s"mae_$name"), model = m)
+    }
+    val wsum = scored.map(_.weight).sum
+    Fitted(scored.map(m => m.copy(weight = m.weight / wsum)))
+  }
 
   /** Per-model + ensemble report frame: (model, weight, r2, mae) rows
     * followed by the ensemble row — the `app.py:517-519` perf table. */
-  def report(f: Fitted): Seq[(String, Double, Double, Double)] = {
-    val e = Evaluation.metricsFull(f.ensemble, "y", "yhat").head()
+  def report(f: Fitted, train: DataFrame, label: String): Seq[(String, Double, Double, Double)] = {
+    val e = Evaluation.metricsFull(f.predict(train, label, Nil), "y", "yhat").head()
     f.members.map(m => (m.name, m.weight, m.r2, m.mae)) :+
       (("ensemble_weighted", 1.0, e.getAs[Double]("r2"), e.getAs[Double]("mae")))
   }
+
+  private def chainPredictions(df: DataFrame, models: Seq[(String, Model[_])]): DataFrame =
+    models.foldLeft(df) { case (acc, (name, m)) =>
+      m.transform(acc).withColumnRenamed(Models.PredictionCol, s"yhat_$name")
+    }
+
+  // -- fit sharing -----------------------------------------------------
+
+  /** Driver-thread pool for concurrent member fits (the session schedules
+    * the resulting jobs; 3 threads bound the ensemble's member count).
+    * Daemon threads — a non-daemon pool would keep the forked JVM alive
+    * after main exits. */
+  private lazy val fitPool: ExecutionContext =
+    ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(3,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ensemble-fit")
+        t.setDaemon(true)
+        t
+      }))
+
+  private val cache = new ConcurrentHashMap[(Int, String, String), Fitted]()
+
+  /** Memoized fit: `serving_signal` and `ml_ensemble_weighted` on the same
+    * (session, dir, label) share one set of fitted members instead of
+    * re-running three MLlib fits each. `train` is only evaluated on miss. */
+  def fittedCached(sessionKey: AnyRef, dir: String, label: String,
+                   train: => DataFrame): Fitted =
+    cache.computeIfAbsent((System.identityHashCode(sessionKey), dir, label),
+      _ => fitWeighted(train, label))
 }

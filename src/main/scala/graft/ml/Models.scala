@@ -49,34 +49,77 @@ object Models {
       .setRegParam(0.0).setElasticNetParam(0.0)
       .setSolver("normal")
 
-  /** `ml_ridge` (`app.py:122`, alpha=1.0): see standardization note above.
-    * `n` is the training row count (sklearn→Spark penalty rescale). */
-  def ridge(label: String, alpha: Double, n: Long): LinearRegression =
+  /** Label statistics the sklearn-parity penalty rescales need: training
+    * row count and POPULATION std of the label (one tiny aggregate). */
+  def labelStats(df: DataFrame, label: String): (Long, Double) = {
+    val r = df.agg(count(lit(1)).as("n"), stddev_pop(col(label)).as("sy")).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  /** MLlib's REAL regularization semantics with `standardization=false`,
+    * mapped empirically against closed forms (both the WLS "normal" and
+    * quasi-newton paths agree, exact to ~1e-8 on synthetic fixtures, and
+    * invariant under label rescaling): writing Spark's objective as
+    *   1/(2n)·||y−Xw−b||² + L1·||w||₁ + (L2/2)·||w||²
+    * a `(regParam=λ, elasticNetParam=ρ)` setting yields
+    *   L1 = λ·ρ            (exactly the documented value)
+    *   L2 = λ·(1−ρ)/σy     (σy = POPULATION std of the label — MLlib
+    *                        internally standardizes the label and the L2
+    *                        penalty inherits the 1/σy factor; the L1 part
+    *                        is compensated, the L2 part is not)
+    * The factories below invert this law so the fitted coefficients match
+    * sklearn's documented objectives; GoldenParitySpec pins the result
+    * against closed-form constants on the real reference data. */
+
+  /** `ml_ridge` (`app.py:122`, alpha=1.0): sklearn Ridge minimizes
+    * ||y−Xw−b||² + α·||w||² (squared loss NOT divided by n), i.e.
+    * L2_target = α/n ⇒ regParam = α·σy/n. */
+  def ridge(label: String, alpha: Double, n: Long, yStdPop: Double): LinearRegression = {
+    require(yStdPop > 0, "constant label: ridge penalty rescale undefined")
     new LinearRegression()
       .setFeaturesCol(FeaturesCol).setLabelCol(label)
-      .setRegParam(alpha / n).setElasticNetParam(0.0)
+      .setRegParam(alpha * yStdPop / n).setElasticNetParam(0.0)
       .setStandardization(false)
       .setSolver("normal")
+  }
 
-  /** `ml_lasso` / `ml_elasticnet` (README:34). Penalty scaling differs
-    * from [[ridge]]: sklearn's Lasso/ElasticNet objective ALREADY divides
-    * the squared loss by n (sklearn Ridge does not) —
-    *   sklearn: 1/(2n)·||y−Xw||² + α(ρ||w||₁ + (1−ρ)/2·||w||²)
-    *   Spark:   1/(2n)·||y−Xw||² + λ(ρ||w||₁ + (1−ρ)/2·||w||²)
-    * so parity is λ = α exactly; an α/n rescale here would make the
-    * penalty n× too weak (degenerating toward OLS on any non-tiny frame).
-    * Closed-form parity is proven in MlSpec's soft-threshold test. */
-  def elasticNet(label: String, alpha: Double, l1Ratio: Double): LinearRegression =
+  /** `ml_lasso` / `ml_elasticnet` (README:34). sklearn minimizes
+    * 1/(2n)·||y−Xw−b||² + α·ρ·||w||₁ + α·(1−ρ)/2·||w||², i.e.
+    * L1_target = αρ and L2_target = α(1−ρ) ⇒
+    *   λ = αρ + α(1−ρ)·σy,  ρ' = αρ/λ
+    * (for ρ=1 this is plain regParam=α — lasso needs NO rescale; the old
+    * α/n rescale was n× too weak and is exactly the class of bug the
+    * closed-form tests in MlSpec now catch). */
+  def elasticNet(label: String, alpha: Double, l1Ratio: Double,
+                 yStdPop: Double): LinearRegression = {
+    require(l1Ratio == 1.0 || yStdPop > 0,
+      "constant label: elastic-net L2 rescale undefined")
+    val lambda = alpha * l1Ratio + alpha * (1.0 - l1Ratio) * yStdPop
+    val rho = if (lambda == 0) 0.0 else alpha * l1Ratio / lambda
     new LinearRegression()
       .setFeaturesCol(FeaturesCol).setLabelCol(label)
-      .setRegParam(alpha).setElasticNetParam(l1Ratio)
+      .setRegParam(lambda).setElasticNetParam(rho)
       .setStandardization(false)
+      .setMaxIter(500).setTol(1e-9)
+  }
 
-  /** `ml_random_forest` (`app.py:123`). */
-  def randomForest(label: String, numTrees: Int = 100, seed: Long = 42): RandomForestRegressor =
+  /** `ml_random_forest` (`app.py:123`,
+    * `RandomForestRegressor(n_estimators=100, random_state=42)`).
+    * sklearn-parity config (trees still differ by construction, so parity
+    * is statistical — SURVEY.md §5.2): sklearn grows unbounded trees on
+    * ALL features (`max_features=1.0`); Spark defaults to depth 5 and
+    * one-third feature subsetting for regression, which underfits
+    * dramatically relative to sklearn. maxDepth=30 is MLlib's ceiling
+    * (≈ unbounded at reference-scale n), featureSubsetStrategy="all"
+    * matches sklearn's default, maxBins=128 narrows the split-candidate
+    * discretization gap (sklearn uses exact splits). */
+  def randomForest(label: String, numTrees: Int = 100, seed: Long = 42,
+                   maxDepth: Int = 30, maxBins: Int = 128): RandomForestRegressor =
     new RandomForestRegressor()
       .setFeaturesCol(FeaturesCol).setLabelCol(label)
       .setNumTrees(numTrees).setSeed(seed)
+      .setMaxDepth(maxDepth).setMaxBins(maxBins)
+      .setFeatureSubsetStrategy("all")
 
   /** `ml_gbt` (stands in for GradientBoosting/XGB/LGBM, `slide20.xml`). */
   def gbt(label: String, maxIter: Int = 50, seed: Long = 42): GBTRegressor =

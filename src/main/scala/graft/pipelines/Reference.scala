@@ -26,14 +26,17 @@ object Reference {
     import spark.implicits._
     val assembled = ModelingFrame.assembled(spark, dir).cache()
     try {
-      val fitted = Ensemble.fitWeighted(assembled, ModelingFrame.Target, "date_id")
+      // memoized fit: shares the three member fits with
+      // ml_ensemble_weighted on the same (session, dir, target)
+      val fitted = Ensemble.fittedCached(spark, dir, ModelingFrame.Target, assembled)
 
-      // default input = latest feature row (`app.py:242` last_row_lookup)
-      val xInput = assembled.orderBy(desc("date_id")).limit(1).cache()
-      val pointPred = fitted.members.map { m =>
-        m.weight * m.model.asInstanceOf[org.apache.spark.ml.Model[_]]
-          .transform(xInput).select(Models.PredictionCol).head().getDouble(0)
-      }.sum
+      // default input = latest feature row (`app.py:242` last_row_lookup);
+      // one chained-transform action scores all members at once
+      val xInput = assembled.orderBy(desc("date_id")).limit(1)
+      val predRow = fitted.withMemberPredictions(xInput)
+        .select(fitted.members.map(m => col(s"yhat_${m.name}")): _*).head()
+      val pointPred = fitted.members.zipWithIndex
+        .map { case (m, i) => m.weight * predRow.getDouble(i) }.sum
       val avgR2 = fitted.members.map(_.r2).sum / fitted.members.size
       val avgMae = fitted.members.map(_.mae).sum / fitted.members.size
 

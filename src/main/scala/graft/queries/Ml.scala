@@ -30,8 +30,9 @@ object Ml {
     "ml_ensemble_weighted" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
-        val f = Ensemble.fitWeighted(train, ModelingFrame.Target, "date_id")
-        round6(Ensemble.report(f).toDF("model", "weight", "r2", "mae"),
+        val f = Ensemble.fittedCached(s, d, ModelingFrame.Target, train)
+        round6(Ensemble.report(f, train, ModelingFrame.Target)
+            .toDF("model", "weight", "r2", "mae"),
           Seq("weight", "r2", "mae")).orderBy("model")
       }
     }),
@@ -39,7 +40,8 @@ object Ml {
     "ml_ridge" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
-        val m = Models.ridge(ModelingFrame.Target, alpha = 1.0, n = train.count())
+        val (n, sy) = Models.labelStats(train, ModelingFrame.Target)
+        val m = Models.ridge(ModelingFrame.Target, alpha = 1.0, n = n, yStdPop = sy)
           .fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
         round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
@@ -94,8 +96,8 @@ object Ml {
     "ml_lasso" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
-        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 1.0)
-          .fit(train)
+        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 1.0,
+          yStdPop = Models.labelStats(train, ModelingFrame.Target)._2).fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
         round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
           Seq("coefficient")).orderBy("feature")
@@ -105,8 +107,8 @@ object Ml {
     "ml_elasticnet" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
-        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 0.5)
-          .fit(train)
+        val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 0.5,
+          yStdPop = Models.labelStats(train, ModelingFrame.Target)._2).fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
         round6((coefs :+ (("__intercept", intercept))).toDF("feature", "coefficient"),
           Seq("coefficient")).orderBy("feature")
@@ -163,16 +165,18 @@ object Ml {
     "ml_gridsearch" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { df =>
-        val n = df.count()
         val cuts = Evaluation.timeCuts(df, "date_id", 2)
         val folds = Evaluation.walkForwardSplits(df, "date_id", cuts)
           .filter { case (tr, te) => !tr.isEmpty && !te.isEmpty }
           .map { case (tr, te) => (tr.cache(), te.cache()) }
         try {
+          // penalty rescale stats are per TRAINING fold (one tiny agg each)
+          val foldStats = folds.map { case (tr, _) =>
+            Models.labelStats(tr, ModelingFrame.Target) }
           val grid = Seq(0.01, 0.1, 1.0, 10.0)
           val scores = grid.map { alpha =>
-            val rmses = folds.map { case (train, test) =>
-              val m = Models.ridge(ModelingFrame.Target, alpha, n).fit(train)
+            val rmses = folds.zip(foldStats).map { case ((train, test), (n, sy)) =>
+              val m = Models.ridge(ModelingFrame.Target, alpha, n, sy).fit(train)
               val pred = m.transform(test).select(
                 col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
               Evaluation.metricsFull(pred, "y", "yhat").head().getAs[Double]("rmse")

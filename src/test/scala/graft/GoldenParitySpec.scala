@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ml.{Ensemble, Evaluation, Models}
+import graft.pipelines.FeatureEngineering
+
+/** Golden model-quality parity on the REAL reference data.
+  *
+  * Fixture: the reference's shipped modeling table
+  * `Data/df_transformed.csv` (1127 × 39, vendored under
+  * `src/test/resources/golden/`) — the exact frame `app.py:96-144` trains
+  * on. The golden constants below were computed INDEPENDENTLY of Spark
+  * with numpy closed forms on the same CSV:
+  *   - OLS: lstsq on centered data, intercept recovered from means —
+  *     identical to sklearn `LinearRegression` (`app.py:121`);
+  *   - Ridge(α=1): solve (Xcᵀ Xc + αI) w = Xcᵀ yc, intercept unpenalized —
+  *     identical to sklearn `Ridge(alpha=1.0)`'s documented objective
+  *     ||y−Xw−b||² + α||w||² (`app.py:122`).
+  * MLlib reproduces every digit shown (≤1e-7 on coefficients) once its
+  * real penalty semantics are inverted — see the calibration note on
+  * [[Models.ridge]]: with `standardization=false` MLlib silently divides
+  * the L2 penalty by the label's population std, so sklearn parity needs
+  * `regParam = α·σy/n`, NOT the documented-looking `α/n`. This spec is
+  * the regression net for that class of bug: with the naive `α/n` the
+  * first ridge coefficient comes out −0.0185, not the sklearn −0.0823.
+  *
+  * Protocol note for the published ensemble table (BASELINE.md: MAE
+  * 0.0162 / RMSE 0.0228 / R² 0.7227 / dir-acc 80.28 %): `app.py:601-607`
+  * hard-codes those numbers and no tracked notebook computes them — the
+  * held-out protocol is unpublished. What IS reproducible from the
+  * tracked code (`app.py:115-144` fits on the full frame and reports
+  * training metrics) gives, at full parity config (100 trees, maxDepth≈∞,
+  * all features): ensemble MAE 0.0217 / RMSE 0.0371 / R² 0.7955 /
+  * dir-acc 0.9406, RF weight 0.935 — same regime as the published table
+  * (RF-dominated, R² ≈ 0.7-0.8, dir-acc ≫ linear members' 0.54). The
+  * ensemble test therefore pins that reproducible protocol with
+  * statistical bands wide enough for tree-implementation variance
+  * (BASELINE.md's own tolerance for RF), using a reduced forest to keep
+  * the suite fast.
+  */
+class GoldenParitySpec extends SparkSpec {
+
+  private val Tol = 1e-7
+
+  // numpy lstsq / closed-form ridge on golden/df_transformed.csv,
+  // target = first `" - "` column ("LME_AH_Close - US_Stock_CVE_adj_close"),
+  // features = the 19 non-pair columns, CSV order.
+  private val OlsCoefs = Seq(
+    -0.1529238368, -0.0296985906, 0.2235800080, -0.1189440982, -0.3100069083,
+    0.2237587793, 0.0056991902, 0.0669713904, -0.0229905539, -0.0820999564,
+    0.2320825350, -0.0016184035, 0.2071191072, 0.0007074665, -0.2360505745,
+    -0.3823242906, 0.2082558095, 0.1253175514, 0.0811699893)
+  private val OlsIntercept = 0.0005076600
+  private val RidgeCoefs = Seq(
+    -0.0822571701, -0.0221123201, 0.0541534235, -0.0542827163, -0.0912436619,
+    0.0004153927, 0.0195167906, 0.0343153323, -0.0213890653, -0.0628594615,
+    0.0603960291, 0.0142217822, 0.0364430724, 0.0004991755, -0.0842624898,
+    -0.0756317022, 0.0722408706, 0.0623686811, 0.0136981554)
+  private val RidgeIntercept = 0.0010448619
+
+  // numpy in-sample metrics of those closed-form fits (same CSV)
+  private val OlsMetrics   = Map("mae" -> 0.0496758894, "rmse" -> 0.0805759434,
+    "r2" -> 0.0359814839, "dir_acc" -> 0.5368234250)
+  private val RidgeMetrics = Map("mae" -> 0.0494317518, "rmse" -> 0.0811675425,
+    "r2" -> 0.0217736167, "dir_acc" -> 0.5323868678)
+
+  private lazy val golden: DataFrame = {
+    val path = getClass.getResource("/golden/df_transformed.csv").getPath
+    val header = scala.io.Source.fromFile(path).getLines().next()
+    val schema = StructType(header.split(",").map(c =>
+      if (c == "date_id") StructField(c, StringType) else StructField(c, DoubleType)))
+    graft.sources.Csv.read(spark, path, schema)
+  }
+  private lazy val (feats, targets) = FeatureEngineering.featureTargetSplit(golden)
+  private lazy val target = targets.head
+  private lazy val assembled = Models.assemble(golden, feats).cache()
+
+  test("golden frame has the reference's published shape (1127 rows, 19 features)") {
+    assert(golden.count() === 1127L)
+    assert(feats.size === 19)
+    assert(target === "LME_AH_Close - US_Stock_CVE_adj_close")
+  }
+
+  test("OLS coefficients match numpy lstsq on the real reference data to 1e-7") {
+    val m = Models.ols(target).fit(assembled)
+    m.coefficients.toArray.zip(OlsCoefs).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(approx(got, want, Tol), s"OLS coef $i: $got != $want")
+    }
+    assert(approx(m.intercept, OlsIntercept, Tol))
+  }
+
+  test("Ridge(alpha=1) matches the sklearn closed form on the real reference data to 1e-7") {
+    val (n, sy) = Models.labelStats(assembled, target)
+    val m = Models.ridge(target, alpha = 1.0, n = n, yStdPop = sy).fit(assembled)
+    m.coefficients.toArray.zip(RidgeCoefs).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(approx(got, want, Tol), s"ridge coef $i: $got != $want")
+    }
+    assert(approx(m.intercept, RidgeIntercept, Tol))
+  }
+
+  test("linear-member training metrics reproduce the numpy values to 1e-6 (BASELINE ~1e-4 bound)") {
+    val ols = Models.ols(target).fit(assembled)
+    val (n, sy) = Models.labelStats(assembled, target)
+    val ridge = Models.ridge(target, alpha = 1.0, n = n, yStdPop = sy).fit(assembled)
+    for ((model, want) <- Seq(ols -> OlsMetrics, ridge -> RidgeMetrics)) {
+      val scored = model.transform(assembled)
+      val r = Evaluation.metricsFull(
+        scored.select(col(target).as("y"), col(Models.PredictionCol).as("yhat")),
+        "y", "yhat").head()
+      want.foreach { case (k, v) =>
+        assert(approx(r.getAs[Double](k), v, 1e-6), s"$k: ${r.getAs[Double](k)} != $v")
+      }
+    }
+  }
+
+  test("weighted ensemble on the real data is RF-dominated with linear-member weights from true R²") {
+    // reduced forest (25 trees, same depth/feature config) bounds runtime;
+    // assertions are the statistical bands BASELINE.md allows for trees
+    val f = Ensemble.fitWeighted(assembled, target, numTrees = 25)
+    assert(approx(f.members.map(_.weight).sum, 1.0, 1e-9))
+    val byName = f.members.map(m => m.name -> m).toMap
+    // linear members' R² are deterministic — exact vs the numpy constants
+    assert(approx(byName("lr").r2, OlsMetrics("r2"), 1e-6))
+    assert(approx(byName("ridge").r2, RidgeMetrics("r2"), 1e-6))
+    assert(approx(byName("lr").mae, OlsMetrics("mae"), 1e-6))
+    assert(approx(byName("ridge").mae, RidgeMetrics("mae"), 1e-6))
+    // the forest regime: dominant weight, training R² far above linear
+    assert(byName("rf").weight > 0.85, s"rf weight ${byName("rf").weight}")
+    assert(byName("rf").r2 > 0.6, s"rf r2 ${byName("rf").r2}")
+    val e = Evaluation.metricsFull(f.predict(assembled, target, Nil), "y", "yhat").head()
+    assert(e.getAs[Double]("r2") > 0.6 && e.getAs[Double]("r2") < 0.95)
+    assert(e.getAs[Double]("dir_acc") > 0.8)
+  }
+}

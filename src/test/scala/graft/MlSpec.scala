@@ -24,12 +24,58 @@ class MlSpec extends SparkSpec {
     assert(approx(intercept, 2.0, 1e-6))
   }
 
-  test("ridge shrinks but stays near OLS at tiny alpha; matches closed form") {
-    val n = linear.count()
-    val m = Models.ridge("y", alpha = 1e-8, n).fit(assembled)
-    val (coefs, _) = Models.coefficients(m, Seq("x1", "x2"))
-    assert(approx(coefs(0)._2, 3.0, 1e-4))
-    assert(approx(coefs(1)._2, -1.5, 1e-4))
+  /** Noisy fixture shared by the penalty-parity closed-form tests (on
+    * noiseless data every penalized fit collapses to OLS and a scaling
+    * bug is invisible — the round-1 mistake). */
+  private def noisyRows = (1 to 40).map { i =>
+    val x1 = i.toDouble; val x2 = (i % 7).toDouble
+    (i.toLong, x1, x2, 2.0 + 0.5 * x1 - 1.5 * x2 + math.sin(i.toDouble) * 2.0)
+  }
+
+  test("ridge matches the sklearn closed form at a MEANINGFUL alpha") {
+    // sklearn Ridge(α): w = (Xc'Xc + αI)⁻¹ Xc'yc on centered data,
+    // intercept unpenalized — computed here directly (2×2 solve).
+    val rows = noisyRows
+    val d = df(rows).toDF("id", "x1", "x2", "y")
+    val a = Models.assemble(d, Seq("x1", "x2"))
+    val n = rows.size.toDouble
+    val (x1s, x2s, ys) = (rows.map(_._2), rows.map(_._3), rows.map(_._4))
+    val (m1, m2, my) = (x1s.sum / n, x2s.sum / n, ys.sum / n)
+    val c1 = x1s.map(_ - m1); val c2 = x2s.map(_ - m2); val cy = ys.map(_ - my)
+    def dotp(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val alpha = 3.0
+    val (a11, a12, a22) = (dotp(c1, c1) + alpha, dotp(c1, c2), dotp(c2, c2) + alpha)
+    val (b1, b2) = (dotp(c1, cy), dotp(c2, cy))
+    val det = a11 * a22 - a12 * a12
+    val w1 = (b1 * a22 - b2 * a12) / det
+    val w2 = (a11 * b2 - a12 * b1) / det
+
+    val (nL, sy) = Models.labelStats(a, "y")
+    val m = Models.ridge("y", alpha, nL, sy).fit(a)
+    assert(approx(m.coefficients(0), w1, 1e-6), s"${m.coefficients(0)} != $w1")
+    assert(approx(m.coefficients(1), w2, 1e-6), s"${m.coefficients(1)} != $w2")
+    assert(approx(m.intercept, my - w1 * m1 - w2 * m2, 1e-6))
+  }
+
+  test("elastic net (0 < l1Ratio < 1) matches the sklearn single-feature closed form") {
+    // sklearn EN, one feature: w = S(Σxc·yc/n, αρ) / (Σxc²/n + α(1−ρ))
+    val rows = noisyRows
+    val d = df(rows).toDF("id", "x1", "x2", "y")
+    val a = Models.assemble(d, Seq("x1"))
+    val n = rows.size.toDouble
+    val xs = rows.map(_._2); val ys = rows.map(_._4)
+    val xm = xs.sum / n; val ym = ys.sum / n
+    val sxy = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum / n
+    val sxx = xs.map(x => (x - xm) * (x - xm)).sum / n
+    val (alpha, rho) = (2.0, 0.5)
+    val expected = (math.signum(sxy) * math.max(math.abs(sxy) - alpha * rho, 0.0)) /
+      (sxx + alpha * (1.0 - rho))
+
+    val sy = Models.labelStats(a, "y")._2
+    val m = Models.elasticNet("y", alpha, rho, sy).fit(a)
+    assert(approx(m.coefficients(0), expected, 1e-5),
+      s"EN coef ${m.coefficients(0)} != closed form $expected")
+    assert(approx(m.intercept, ym - m.coefficients(0) * xm, 1e-4))
   }
 
   test("lasso matches the sklearn soft-threshold closed form (penalty NOT /n)") {
@@ -52,7 +98,8 @@ class MlSpec extends SparkSpec {
     val alpha = 5.0 // large enough that alpha vs alpha/n differ by ~100x
     val expected = (math.signum(sxy) * math.max(math.abs(sxy) - alpha, 0.0)) / sxx
 
-    val m = Models.elasticNet("y", alpha = alpha, l1Ratio = 1.0).fit(a)
+    val m = Models.elasticNet("y", alpha = alpha, l1Ratio = 1.0,
+      yStdPop = Models.labelStats(a, "y")._2).fit(a)
     val w = m.coefficients(0)
     assert(approx(w, expected, 1e-4), s"lasso coef $w != closed form $expected")
     assert(approx(m.intercept, ym - w * xm, 1e-4))
@@ -102,9 +149,9 @@ class MlSpec extends SparkSpec {
   }
 
   test("ensemble weights are normalized and ensemble beats worst member") {
-    val f = Ensemble.fitWeighted(assembled, "y", "id")
+    val f = Ensemble.fitWeighted(assembled, "y")
     assert(approx(f.members.map(_.weight).sum, 1.0, 1e-9))
-    val report = Ensemble.report(f)
+    val report = Ensemble.report(f, assembled, "y")
     val ensembleR2 = report.last._3
     assert(ensembleR2 > report.map(_._3).init.min - 1e-9)
     // on noiseless linear data the linear members are perfect
