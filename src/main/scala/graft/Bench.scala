@@ -4,11 +4,28 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR.
   * One warmup pass (absorbs JIT/codegen/class-loading — at cluster scale
   * this is the long-lived-executor steady state), then one timed pass in
-  * deterministic name order. Output: one JSON line. */
+  * deterministic name order.
+  *
+  * Output contract: ONE JSON line on stdout. sbt interleaves its own
+  * chatter on stdout, so the same JSON is also written to a FILE — the
+  * machine-readable channel (`SPARK_GRAFT_BENCH_FILE`, default
+  * `/tmp/graft_bench.json`), where it is the sole content.
+  *
+  * Error transparency: a query that throws is recorded in `"errors"` with
+  * its wall time EXCLUDED from `"value"` and its `"queries"` entry set to
+  * -1 — a broken query must never read as a fast one.
+  *
+  * Optional args: comma-separated query-name filter (isolated re-timing
+  * of specific queries without the rest of the suite), e.g.
+  * `runMain graft.Bench ml_gbt,similarity_ivf`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/tmp/graft_bench.json")
+    val only: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,6 +35,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm the global machinery once (codegen, parquet reader, shuffle,
     // window, higher-order-function interpreter, MLlib WLS) rather than a
     // full double pass — JIT warmup is engine-wide, not per-query.
@@ -30,13 +48,24 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       System.err.println(s"[bench] run $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    try {
+      val w = new java.io.PrintWriter(outFile); try w.println(json) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

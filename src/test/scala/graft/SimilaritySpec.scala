@@ -56,6 +56,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("ivfTopK: partial probe (nprobe=4/nlist=16) keeps recall@5 >= 0.9 vs brute force") {
+    // the ANN operating point, not the exhaustive limit: 16 well-separated
+    // direction clusters in 8-d (deterministic seed), 12 points each; every
+    // true neighbor lives in the query's cluster, so probing the 4 nearest
+    // lists must recover nearly all of the exact top-5
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Array.fill(8)(rnd.nextGaussian()))
+      .map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(x => 10.0 * x / n) }
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      p <- 0 until 12
+    } yield Vec((ci * 12 + p).toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+    val corpus = df(rows)
+    val queries = corpus.filter(col("vec_id") % 12 === 0) // one per cluster
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5))
+    val ivf = pairs(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4))
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall@5 = $recall (${(ivf intersect bf).size}/${bf.size})")
+  }
+
   test("lshNearDupPairs: parallel vectors share every bucket; found at threshold") {
     val out = Similarity.lshNearDupPairs(fixture, "vec_id", "embedding",
       numPlanes = 8, dim = 4, threshold = 0.9)
