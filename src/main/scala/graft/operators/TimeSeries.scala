@@ -72,6 +72,44 @@ object TimeSeries {
       acc.withColumn(name, col(a) - col(b))
     }
 
+  /** Seasonal-ARIMA regression order: AR lags `p`, differencing `d`,
+    * seasonal AR lags `P` at period `s`, seasonal differencing `D` —
+    * SARIMA(p,d,0)(P,D,0)_s. MA terms are deliberately absent: they need
+    * iterative Kalman/CSS fitting (statsmodels' path) that is serial by
+    * nature; the reference's hybrid drew its value from the regression
+    * side (`slide22.xml`), which reduces exactly to OLS on this design. */
+  final case class SeasonalOrder(p: Int, d: Int, P: Int, D: Int, s: Int) {
+    require(p >= 0 && P >= 0 && d >= 0 && d <= 1 && D >= 0 && D <= 1,
+      "supported orders: p,P >= 0; d,D in {0,1}")
+    require(P == 0 && D == 0 || s >= 2, "seasonal terms need a period s >= 2")
+    /** Design column names, AR lags then seasonal lags. */
+    def lagCols: Seq[(String, Int)] =
+      (1 to p).map(k => (s"sar_lag$k", k)) ++
+        (1 to P).map(j => (s"sar_slag${j * s}", j * s))
+  }
+
+  /** `ml_sarima` design builder: the differenced series
+    * `sar_y = Δ^d Δ_s^D value` plus its AR and seasonal-AR lag columns —
+    * everything from ONE window spec (chained `lag`s; Catalyst collapses
+    * same-spec window functions into a single Window node per level).
+    * Rows whose lags reach before the series start carry nulls — the
+    * caller drops them before fitting. OLS on (sar_y ~ lagCols) is then
+    * the exact conditional-least-squares AR fit, distributed. */
+  def seasonalDesign(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                     valueCol: String, so: SeasonalOrder): DataFrame = {
+    val spec = w(partition, order)
+    val diffed = {
+      val d1 = if (so.d == 1) col(valueCol) - lag(col(valueCol), 1).over(spec)
+               else col(valueCol)
+      val base = df.withColumn("__d", d1)
+      if (so.D == 1) base.withColumn("sar_y", col("__d") - lag(col("__d"), so.s).over(spec))
+      else base.withColumn("sar_y", col("__d"))
+    }
+    so.lagCols.foldLeft(diffed.drop("__d")) { case (acc, (name, k)) =>
+      acc.withColumn(name, lag(col("sar_y"), k).over(spec))
+    }
+  }
+
   /** `stationarity_test` (`Marilyn_Cleaning.ipynb` cell 1 imports
     * `adfuller`; `slide14.xml` "Stationary check"): Dickey-Fuller test
     * statistic per series, fully distributed.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Ensemble, Evaluation, Models, ModelingFrame}
+import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
   * (DuckDB has no multi-feature OLS/RF/GBT), so they are registered
@@ -139,6 +140,80 @@ object Ml {
         Seq((math.rint(forecast * 1e6) / 1e6, math.rint(r2 * 1e6) / 1e6))
           .toDF("forecast_next", "train_r2")
       } finally { series.unpersist(); () }
+    }),
+
+    /** `ml_sarima` (SURVEY.md §2.9, `slide21-22.xml`): SARIMA(3,1,0)(1,0,0)_7
+      * as conditional least squares on the seasonal design — differencing +
+      * AR/seasonal lags built in one window pass (TimeSeries.seasonalDesign),
+      * OLS fit distributed, 1-step forecast reconstructed by undoing the
+      * differencing (ŷ_{T+1} = y_T + v̂_{T+1}). Metrics are on the
+      * differenced scale — the honest forecasting scale. */
+    "ml_sarima" -> ((s, d) => {
+      import s.implicits._
+      val so = TimeSeries.SeasonalOrder(p = 3, d = 1, P = 1, D = 0, s = 7)
+      val series = ModelingFrame.daily(s, d).select("date_id", "click")
+      val design = TimeSeries.seasonalDesign(series, Nil, Seq(col("date_id")), "click", so)
+        .na.drop("any").cache()
+      try {
+        val feats = so.lagCols.map(_._1)
+        val m = Models.ols("sar_y").fit(Models.assemble(design, feats))
+        // tail of the differenced series, newest first — enough rows to
+        // read v_{T+1-k} for every lag in the design (driver-sized: ≤ P·s)
+        val maxLag = so.lagCols.map(_._2).max
+        val tail = design.orderBy(desc("date_id")).limit(maxLag)
+          .select("date_id", "sar_y", "click")
+          .collect().sortBy(-_.getAs[Int]("date_id"))
+        val vNext = m.intercept + so.lagCols.zipWithIndex.map { case ((_, k), i) =>
+          m.coefficients(i) * tail(k - 1).getAs[Double]("sar_y")
+        }.sum
+        val yLast = tail.head.getAs[Double]("click")
+        Seq((math.rint((yLast + vNext) * 1e6) / 1e6,
+          math.rint(m.summary.r2 * 1e6) / 1e6, so.p, so.d, so.P, so.D, so.s))
+          .toDF("forecast_next", "train_r2", "p", "d", "big_p", "big_d", "s")
+      } finally { design.unpersist(); () }
+    }),
+
+    /** SARIMA+Ridge hybrid (`slide22.xml`: the reference's best classical
+      * model, R² ≈ 0.42 / dir-acc ≈ 0.72 on its data): seasonal-AR on the
+      * target series, then sklearn-parity Ridge on the LAG-1 exogenous
+      * features fitted to the AR residuals (contemporaneous exog would
+      * leak); hybrid prediction = AR + residual-ridge. Output mirrors the
+      * slide's comparison table: (model, r2, dir_acc) rows. */
+    "ml_sarima_hybrid" -> ((s, d) => {
+      import s.implicits._
+      val so = TimeSeries.SeasonalOrder(p = 3, d = 1, P = 1, D = 0, s = 7)
+      val exogBase = ModelingFrame.EventTypes.filterNot(_ == "click")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("date_id")
+      val daily = ModelingFrame.daily(s, d)
+      val withExog = exogBase.foldLeft(daily) { (acc, c) =>
+        acc.withColumn(s"${c}_lag1", lag(col(c), 1).over(w))
+      }
+      val exog = exogBase.map(c => s"${c}_lag1")
+      val design = TimeSeries.seasonalDesign(withExog, Nil, Seq(col("date_id")), "click", so)
+        .na.drop("any", Seq("sar_y") ++ so.lagCols.map(_._1) ++ exog).cache()
+      try {
+        val sarFit = Models.ols("sar_y").fit(Models.assemble(design, so.lagCols.map(_._1)))
+        val withSar = sarFit.transform(Models.assemble(design, so.lagCols.map(_._1)))
+          .withColumnRenamed(Models.PredictionCol, "yhat_sar")
+          .withColumn("resid", col("sar_y") - col("yhat_sar"))
+          .drop(Models.FeaturesCol).cache()
+        try {
+          val (n, sy) = Models.labelStats(withSar, "resid")
+          val ridgeFit = Models.ridge("resid", alpha = 1.0, n = n, yStdPop = sy)
+            .fit(Models.assemble(withSar, exog))
+          val scored = ridgeFit.transform(Models.assemble(withSar, exog))
+            .withColumn("yhat_hybrid", col("yhat_sar") + col(Models.PredictionCol))
+          def m(yhat: String) = {
+            val r = Evaluation.metricsFull(
+              scored.select(col("sar_y").as("y"), col(yhat).as("yhat")), "y", "yhat").head()
+            (r.getAs[Double]("r2"), r.getAs[Double]("dir_acc"))
+          }
+          val (sarR2, sarDa) = m("yhat_sar")
+          val (hybR2, hybDa) = m("yhat_hybrid")
+          round6(Seq(("sar", sarR2, sarDa), ("sar_ridge_hybrid", hybR2, hybDa))
+            .toDF("model", "r2", "dir_acc"), Seq("r2", "dir_acc")).orderBy("model")
+        } finally { withSar.unpersist(); () }
+      } finally { design.unpersist(); () }
     }),
 
     "ml_walk_forward" -> ((s, d) => {

@@ -80,4 +80,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(approx(out.getAs[Double]("slope"), slope, 1e-9))
     assert(approx(out.getAs[Double]("df_tstat"), slope / se, 1e-9))
   }
+
+  test("seasonalDesign: d=1 turns a linear trend into a constant; D=1 removes period-s pattern") {
+    // y = 5 + 2t (+ seasonal bump): after Δ the series is the constant 2;
+    // after Δ then Δ_3 the seasonal bump cancels exactly
+    val season = Seq(0.0, 1.0, -1.0)
+    val d = df((0 until 12).map(t => TS("s", t.toLong, 5.0 + 2.0 * t + season(t % 3))))
+    val out = TimeSeries.seasonalDesign(d, part, ord, "x",
+        TimeSeries.SeasonalOrder(p = 1, d = 1, P = 1, D = 1, s = 3))
+      .orderBy("t").collect()
+    // rows with full history: sar_y = Δy_t − Δy_{t-3} = 0 (trend AND season gone)
+    out.drop(4).foreach(r => assert(approx(r.getAs[Double]("sar_y"), 0.0, 1e-12)))
+    // the lag columns are the same series shifted
+    val full = out.drop(5)
+    full.foreach(r => assert(approx(r.getAs[Double]("sar_lag1"), 0.0, 1e-12)))
+  }
+
+  test("seasonalDesign + OLS recovers planted AR and seasonal-AR coefficients exactly") {
+    // y_t = 0.6 y_{t-1} + 0.3 y_{t-7}, exact recursion from varied seeds:
+    // every design row satisfies the relation exactly -> OLS must return
+    // (0.6, 0.3) with zero residual (conditional least squares = truth)
+    val init = Seq(1.0, -0.7, 0.4, 2.1, -1.3, 0.9, 1.7)
+    val ys = Array.fill(120)(0.0)
+    init.zipWithIndex.foreach { case (v, i) => ys(i) = v }
+    for (t <- 7 until 120) ys(t) = 0.6 * ys(t - 1) + 0.3 * ys(t - 7)
+    val d = df(ys.toSeq.zipWithIndex.map { case (v, t) => TS("s", t.toLong, v) })
+    val so = TimeSeries.SeasonalOrder(p = 1, d = 0, P = 1, D = 0, s = 7)
+    val design = TimeSeries.seasonalDesign(d, part, ord, "x", so).na.drop("any")
+    val m = graft.ml.Models.ols("sar_y")
+      .fit(graft.ml.Models.assemble(design, so.lagCols.map(_._1)))
+    assert(approx(m.coefficients(0), 0.6, 1e-6), s"phi1 = ${m.coefficients(0)}")
+    assert(approx(m.coefficients(1), 0.3, 1e-6), s"Phi1 = ${m.coefficients(1)}")
+    assert(approx(m.intercept, 0.0, 1e-8))
+  }
 }
