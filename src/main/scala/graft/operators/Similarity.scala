@@ -67,6 +67,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Selectivity knobs must GROW with the corpus — fixed constants tuned
+    * at test scale silently degrade to all-pairs (LSH) or full-scan (IVF)
+    * at 100 TB. Candidate pairs per LSH bucket scale as (n/2^planes)², so
+    * holding the expected bucket size at `targetBucket` keeps candidate
+    * generation linear in n: planes = ceil(log2(n / targetBucket)), floored
+    * at 8 (= today's test-scale constant — sf0.01/sf0.1 both resolve to 8,
+    * which is what the static SQL oracle unrolls). */
+  def planesForCorpus(n: Long, targetBucket: Int = 64): Int =
+    math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** IVF coarse-list count: the classic nlist ≈ √n balance point between
+    * quantizer cost (∝ nlist) and list length (∝ n/nlist), floored at 16.
+    * nprobe stays a small constant multiple — the recall knob, gated by
+    * SimilaritySpec's recall@5 test, not a function of n. */
+  def nlistForCorpus(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  def nprobeForNlist(nlist: Int): Int = math.max(4, nlist / 8)
+
   /** Deterministic pseudo-random hyperplanes: plane j, component i is
     * ((j*dim+i)*2654435761 mod 1e9+7) − (1e9+7)/2 — integer-exact, so the
     * SQL oracle regenerates the identical planes. */

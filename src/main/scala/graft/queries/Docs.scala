@@ -114,11 +114,16 @@ object Docs {
         .orderBy("query_id", "rank")
     }),
 
-    "similarity_ann_lsh" -> ((s, d) =>
-      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          numPlanes = ANN_PLANES, dim = ANN_DIM, threshold = 0.3)
+    "similarity_ann_lsh" -> ((s, d) => {
+      // plane count derived from the corpus (Similarity.planesForCorpus):
+      // resolves to ANN_PLANES=8 at sf0.01/sf0.1 — which the static SQL
+      // oracle unrolls — and grows as log2(n) beyond test scale
+      val e = Tables.embeddings(s, d)
+      Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+          numPlanes = Similarity.planesForCorpus(e.count()), dim = ANN_DIM, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     "text_token_count_bpe" -> ((s, d) =>
       // BPE-ish sub-word counting: letter runs, digit runs, and single
@@ -147,10 +152,14 @@ object Docs {
     }),
 
     "similarity_ivf" -> ((s, d) => {
-      // rows-only: the KMeans quantizer is not SQL-reproducible
+      // rows-only: the KMeans quantizer is not SQL-reproducible.
+      // nlist ≈ √n (Similarity.nlistForCorpus) so list length and
+      // quantizer cost stay balanced as the corpus grows
       val e = Tables.embeddings(s, d)
+      val nlist = Similarity.nlistForCorpus(e.count())
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          "vec_id", "embedding", k = 5, nlist = nlist,
+          nprobe = Similarity.nprobeForNlist(nlist))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rank")

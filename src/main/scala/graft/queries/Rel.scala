@@ -269,6 +269,25 @@ object Rel {
         .orderBy("column_name")
     }),
 
+    /** Scale path for `agg_describe`/`agg_boxplot_stats`: exact
+      * `percentile` is a full per-column sort — fine for the oracle at
+      * test SF, a bottleneck at 100 TB. `approx_percentile` is a
+      * mergeable one-pass sketch (map-side combine, no sort); rows-only
+      * because the sketch is implementation-defined — RelationalSpec
+      * bounds its error against the exact quartiles instead. */
+    "agg_describe_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def one(c: String): DataFrame = li.agg(
+        count(col(c)).as("n"), round(avg(col(c)), 4).as("mean"),
+        round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
+        round(expr(s"approx_percentile($c, 0.25, 10000)"), 4).as("p25"),
+        round(expr(s"approx_percentile($c, 0.5, 10000)"), 4).as("p50"),
+        round(expr(s"approx_percentile($c, 0.75, 10000)"), 4).as("p75"),
+        max(col(c)).as("max")).select(lit(c).as("column_name"), col("*"))
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one).reduce(_.union(_))
+        .orderBy("column_name")
+    }),
+
     "agg_variance_per_col" -> ((s, d) =>
       Relational.unpivotAgg(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),

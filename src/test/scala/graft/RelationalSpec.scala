@@ -58,4 +58,17 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.featureColumns(d) == Seq("feat"))
     assert(Relational.targetColumns(d) == Seq("a - b"))
   }
+
+  test("approx_percentile scale path stays within 1% of the exact quartiles") {
+    // skewed deterministic values — the sketch must track all three
+    // quartiles closely at the query's accuracy=10000 setting
+    val d = df((1 to 20000).map(i => Tuple1((i.toDouble * i) / 1000.0))).toDF("v")
+    val r = d.agg(
+      expr("percentile(v, array(0.25, 0.5, 0.75))").as("exact"),
+      expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)").as("approx")).head()
+    val exact = r.getSeq[Double](0); val approx = r.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
 }

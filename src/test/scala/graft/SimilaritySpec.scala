@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("selectivity knobs grow with the corpus, pinned to test-scale constants") {
+    // sf0.01 (500 vecs) and sf0.1 (5000) must resolve to the 8 planes the
+    // static SQL oracle unrolls; beyond test scale, planes grow as log2(n)
+    // so LSH bucket size stays ~targetBucket and candidates stay linear
+    assert(Similarity.planesForCorpus(500) == 8)
+    assert(Similarity.planesForCorpus(5000) == 8)
+    assert(Similarity.planesForCorpus(2000000000L) >= 24)
+    assert(Similarity.nlistForCorpus(500) >= 16)
+    assert(Similarity.nlistForCorpus(4000000L) >= 2000)
+    assert(Similarity.nprobeForNlist(Similarity.nlistForCorpus(500)) >= 4)
+  }
+
   test("hyperplanes are deterministic and reproducible") {
     val p1 = Similarity.hyperplanes(8, 64)
     val p2 = Similarity.hyperplanes(8, 64)
