@@ -43,6 +43,22 @@ object Relational {
     df.agg((count(lit(1)) - countDistinct(rowHash)).as("n_duplicates"))
   }
 
+  /** `sample_stratified`: per-stratum sampling rates for training-data
+    * rebalancing (downsample dominant languages/sources). Rates are
+    * per-mille integers against a deterministic `assign ∈ [0, 1000)`
+    * column — production uses `pmod(xxhash64(id), 1000)` (uniform,
+    * seedable, shuffle-free, stable under re-runs and repartitioning);
+    * the oracle twin uses `pmod(id, 1000)` so plain SQL reproduces it.
+    * Strata not in the map are dropped (rate 0). Pure narrow filter —
+    * no shuffle, no sampleBy's per-partition RNG nondeterminism. */
+  def stratifiedSample(df: DataFrame, strata: Column,
+                       ratePerMille: Map[String, Int], assign: Column): DataFrame = {
+    val rate = ratePerMille.foldLeft(lit(0)) { case (acc, (k, r)) =>
+      when(strata === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(assign < rate)
+  }
+
   /** `dedup_by_key` (`Marilyn_Cleaning.ipynb` cell 64,
     * `drop_duplicates(subset=…)`): keep exactly one row per key. pandas
     * keeps the *first in frame order*; distributed frames have no frame

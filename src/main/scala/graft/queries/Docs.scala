@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Training-data-pipeline queries over the `documents` and `embeddings`
   * tables (BASELINE north-star scope: dedup, similarity search, text
@@ -135,6 +135,43 @@ object Docs {
             .as("n_subtokens"))
         .orderBy("doc_id")),
 
+    /** Corpus vocabulary: classic wordcount — map-side-combinable count
+      * after a narrow explode, ONE shuffle on the (string) token, top-k
+      * via TakeOrdered (no full sort). The 100 TB shape: combiners crush
+      * the zipfian head before the shuffle, so shuffle volume ≈ distinct
+      * tokens per partition, not corpus tokens. */
+    "text_vocab_topk" -> ((s, d) =>
+      toked(s, d)
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(50)),
+
+    /** Bigram frequencies: per-doc position window (docs are bounded, so
+      * the doc_id partition is skew-safe), then the same wordcount shape.
+      * concat (not concat_ws) so the last token's null lead nulls the
+      * bigram out — identical to the SQL twin's `||` semantics. */
+    "text_ngram_bigrams" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      toked(s, d)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+        .withColumn("bigram", concat(col("token"), lit(" "), lead("token", 1).over(w)))
+        .filter(col("bigram").isNotNull)
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram")).limit(50)
+    }),
+
+    /** Stratified rebalancing: downsample the dominant language to 20 %,
+      * keep 80 % of the rest (rates per-mille). Deterministic id-mod
+      * assignment here so the DuckDB twin reproduces it bit-for-bit; the
+      * operator's production assignment is pmod(xxhash64(id), 1000). */
+    "sample_stratified" -> ((s, d) =>
+      Relational.stratifiedSample(Tables.documents(s, d), col("lang"),
+          Map("en" -> 200, "zh" -> 800, "es" -> 800, "de" -> 800, "fr" -> 800),
+          pmod(col("doc_id"), lit(1000)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     "dedup_embedding_cosine" -> ((s, d) => {
       // exact embedding-cosine near-dup within label blocks (the blocked
       // all-pairs baseline; similarity_ann_lsh is the unblocked scale path)
@@ -247,6 +284,26 @@ object Docs {
     "text_token_count" -> (tokedSql +
       "SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_computed " +
       "FROM t ORDER BY doc_id"),
+
+    "text_vocab_topk" -> (tokedSql +
+      """, tok AS (SELECT unnest(toks) AS token FROM t)
+        |SELECT token, count(*) AS n FROM tok
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin),
+
+    "text_ngram_bigrams" -> (tokedSql +
+      """, bg AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 1000 <
+        |  (CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 800 WHEN 'es' THEN 800
+        |             WHEN 'de' THEN 800 WHEN 'fr' THEN 800 ELSE 0 END)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_quality_score" -> (tokedSql +
       """SELECT doc_id,

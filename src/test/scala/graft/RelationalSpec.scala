@@ -59,6 +59,20 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.targetColumns(d) == Seq("a - b"))
   }
 
+  test("stratifiedSample keeps per-stratum rates and drops unlisted strata") {
+    val d = df((0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de")))
+      .toDF("id", "lang")
+    val out = Relational.stratifiedSample(d, col("lang"),
+        Map("en" -> 200, "de" -> 800), pmod(col("id"), lit(1000)))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids 0,2,..998 are en (assign = id): en kept iff id < 200 -> 100 rows
+    // ids 1,3,..999 are de: kept iff id < 800 -> 400 rows
+    assert(out == Map("en" -> 100L, "de" -> 400L))
+    val none = Relational.stratifiedSample(d, col("lang"),
+      Map("en" -> 200), pmod(col("id"), lit(1000)))
+    assert(none.filter(col("lang") === "de").count() === 0L)
+  }
+
   test("approx_percentile scale path stays within 1% of the exact quartiles") {
     // skewed deterministic values — the sketch must track all three
     // quartiles closely at the query's accuracy=10000 setting
