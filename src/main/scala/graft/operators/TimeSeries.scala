@@ -20,10 +20,14 @@ object TimeSeries {
 
   /** `log_returns` (reconstructed stage, SURVEY.md §3.4; attested by
     * `Presentation.pptx` slide13 "differencing, log returns"):
-    * ln(x_t / x_{t-1}) along the series. First row per series is null. */
+    * ln(x_t / x_{t-1}) along the series. First row per series is null, and
+    * so is any row after a zero tick — `nullif` keeps ANSI mode from
+    * throwing DIVIDE_BY_ZERO on bad data (a zero price is a data defect,
+    * not a reason to kill a 100 TB job; `log` already nulls x ≤ 0). */
   def logReturns(df: DataFrame, partition: Seq[Column], order: Seq[Column],
                  valueCol: String, outCol: String): DataFrame =
-    df.withColumn(outCol, log(col(valueCol) / lag(col(valueCol), 1).over(w(partition, order))))
+    df.withColumn(outCol,
+      log(col(valueCol) / nullif(lag(col(valueCol), 1).over(w(partition, order)), lit(0))))
 
   /** `lag_features` (`README.md:31`): leakage-safe lagged predictor
     * columns x_{t-1}..x_{t-k}. */

@@ -39,7 +39,10 @@ object FeatureEngineering {
     val w = if (partition.isEmpty) Window.orderBy(timeCol)
             else Window.partitionBy(partition: _*).orderBy(timeCol)
     val withLr = priceCols.foldLeft(wide) { (acc, c) =>
-      acc.withColumn(s"lr_$c", log(col(c) / lag(col(c), 1).over(w)))
+      // nullif: a zero price must yield a null return, not an ANSI
+      // DIVIDE_BY_ZERO that kills the job (same contract as
+      // TimeSeries.logReturns; the NaN-tail na.drop below removes the row)
+      acc.withColumn(s"lr_$c", log(col(c) / nullif(lag(col(c), 1).over(w), lit(0))))
     }
     val withTargets = pairs.foldLeft(withLr) { (acc, p) =>
       acc.withColumn(p.targetName,

@@ -125,11 +125,11 @@ object Pipe {
     "feature_pipeline" -> (dailySql +
       """, lr AS (
         |  SELECT date_id,
-        |    ln(click / lag(click) OVER w) AS lr_click,
-        |    ln(error / lag(error) OVER w) AS lr_error,
-        |    ln(purchase / lag(purchase) OVER w) AS lr_purchase,
-        |    ln(signup / lag(signup) OVER w) AS lr_signup,
-        |    ln(view / lag(view) OVER w) AS lr_view
+        |    ln(click / nullif(lag(click) OVER w, 0)) AS lr_click,
+        |    ln(error / nullif(lag(error) OVER w, 0)) AS lr_error,
+        |    ln(purchase / nullif(lag(purchase) OVER w, 0)) AS lr_purchase,
+        |    ln(signup / nullif(lag(signup) OVER w, 0)) AS lr_signup,
+        |    ln(view / nullif(lag(view) OVER w, 0)) AS lr_view
         |  FROM daily WINDOW w AS (ORDER BY date_id))
         |, t AS (
         |  SELECT *,

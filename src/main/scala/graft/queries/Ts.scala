@@ -177,11 +177,12 @@ object Ts {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "log_returns" ->
-      """SELECT event_id, round(ln(value / lagv), 6) AS log_ret FROM (
-        |  SELECT event_id, value,
-        |    lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
-        |  FROM events)
-        |WHERE lagv IS NOT NULL ORDER BY event_id""".stripMargin,
+      """SELECT event_id, round(log_ret, 6) AS log_ret FROM (
+        |  SELECT event_id, ln(value / nullif(lagv, 0)) AS log_ret FROM (
+        |    SELECT event_id, value,
+        |      lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
+        |    FROM events))
+        |WHERE log_ret IS NOT NULL ORDER BY event_id""".stripMargin,
 
     "lag_features" ->
       """SELECT event_id,
