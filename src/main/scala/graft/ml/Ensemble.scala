@@ -2,9 +2,6 @@ package graft.ml
 
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
-
 import org.apache.spark.ml.Model
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -58,11 +55,9 @@ object Ensemble {
       "ridge" -> (df => Models.ridge(label, alpha = 1.0, n = n, yStdPop = sy).fit(df)),
       "rf" -> (df => Models.randomForest(label, numTrees = numTrees).fit(df)))
 
-    implicit val ec: ExecutionContext = fitPool
-    val fitted = Await.result(
-      Future.sequence(estimators.map { case (name, fit) =>
-        Future(name -> fit(train))
-      }), Duration.Inf)
+    val fitted = Models.inParallel(estimators.map { case (name, fit) =>
+      () => name -> fit(train)
+    })
 
     val withPreds = chainPredictions(train, fitted)
 
@@ -101,18 +96,6 @@ object Ensemble {
     }
 
   // -- fit sharing -----------------------------------------------------
-
-  /** Driver-thread pool for concurrent member fits (the session schedules
-    * the resulting jobs; 3 threads bound the ensemble's member count).
-    * Daemon threads — a non-daemon pool would keep the forked JVM alive
-    * after main exits. */
-  private lazy val fitPool: ExecutionContext =
-    ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(3,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-ensemble-fit")
-        t.setDaemon(true)
-        t
-      }))
 
   private val cache = new ConcurrentHashMap[(Int, String, String), Fitted]()
 

@@ -49,6 +49,27 @@ object Models {
       .setRegParam(0.0).setElasticNetParam(0.0)
       .setSolver("normal")
 
+  /** Run independent fit/score tasks on parallel driver threads — a
+    * SparkSession schedules jobs from multiple threads safely, and serial
+    * MLlib fits leave the cluster mostly idle between jobs. Daemon
+    * threads: a non-daemon pool keeps a forked JVM alive after main. */
+  def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
+    implicit val ec: scala.concurrent.ExecutionContext = fitPool
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        tasks.map(t => scala.concurrent.Future(t()))),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
+  private lazy val fitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-fit")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Label statistics the sklearn-parity penalty rescales need: training
     * row count and POPULATION std of the label (one tiny aggregate). */
   def labelStats(df: DataFrame, label: String): (Long, Double) = {

@@ -114,6 +114,31 @@ object TimeSeries {
     }
   }
 
+  /** 1-step-ahead forecast from a fitted seasonal-AR: evaluate the lag
+    * polynomial on the differenced tail, then undo the differencing.
+    *
+    * @param intercept,coefs OLS fit of (sar_y ~ so.lagCols), coefs in
+    *                        lagCols order
+    * @param recentSarY      differenced series, NEWEST first — at least
+    *                        max(lag) values
+    * @param recentY         raw series, NEWEST first — at least s+1 values
+    *                        when d=D=1 (the undifferencing taps y_T,
+    *                        y_{T+1-s} and y_{T-s})
+    */
+  def forecastNext(so: SeasonalOrder, intercept: Double, coefs: Seq[Double],
+                   recentSarY: Seq[Double], recentY: Seq[Double]): Double = {
+    val lags = so.lagCols.map(_._2)
+    require(coefs.size == lags.size, "one coefficient per design lag")
+    require(lags.isEmpty || recentSarY.size >= lags.max, "need max(lag) recent sar_y values")
+    val vNext = intercept +
+      lags.zipWithIndex.map { case (k, i) => coefs(i) * recentSarY(k - 1) }.sum
+    // v = Δ^d Δ_s^D y  ⇒  y_{T+1} = v̂ + d·y_T + D·(y_{T+1−s} − d·y_{T−s})
+    vNext +
+      (if (so.d == 1) recentY.head else 0.0) +
+      (if (so.D == 1) recentY(so.s - 1) - (if (so.d == 1) recentY(so.s) else 0.0)
+       else 0.0)
+  }
+
   /** `stationarity_test` (`Marilyn_Cleaning.ipynb` cell 1 imports
     * `adfuller`; `slide14.xml` "Stationary check"): Dickey-Fuller test
     * statistic per series, fully distributed.

@@ -157,17 +157,17 @@ object Ml {
       try {
         val feats = so.lagCols.map(_._1)
         val m = Models.ols("sar_y").fit(Models.assemble(design, feats))
-        // tail of the differenced series, newest first — enough rows to
-        // read v_{T+1-k} for every lag in the design (driver-sized: ≤ P·s)
+        // tail of the series, newest first — enough rows to read
+        // v_{T+1-k} for every design lag (driver-sized: ≤ P·s rows)
         val maxLag = so.lagCols.map(_._2).max
         val tail = design.orderBy(desc("date_id")).limit(maxLag)
           .select("date_id", "sar_y", "click")
           .collect().sortBy(-_.getAs[Int]("date_id"))
-        val vNext = m.intercept + so.lagCols.zipWithIndex.map { case ((_, k), i) =>
-          m.coefficients(i) * tail(k - 1).getAs[Double]("sar_y")
-        }.sum
-        val yLast = tail.head.getAs[Double]("click")
-        Seq((math.rint((yLast + vNext) * 1e6) / 1e6,
+        val forecast = TimeSeries.forecastNext(so, m.intercept,
+          m.coefficients.toArray.toSeq,
+          tail.map(_.getAs[Double]("sar_y")).toSeq,
+          tail.map(_.getAs[Double]("click")).toSeq)
+        Seq((math.rint(forecast * 1e6) / 1e6,
           math.rint(m.summary.r2 * 1e6) / 1e6, so.p, so.d, so.P, so.D, so.s))
           .toDF("forecast_next", "train_r2", "p", "d", "big_p", "big_d", "s")
       } finally { design.unpersist(); () }
@@ -249,13 +249,18 @@ object Ml {
           val foldStats = folds.map { case (tr, _) =>
             Models.labelStats(tr, ModelingFrame.Target) }
           val grid = Seq(0.01, 0.1, 1.0, 10.0)
+          // every (alpha, fold) cell is an independent fit+score — run
+          // them on parallel driver threads (same pattern as the ensemble)
+          val cells = Models.inParallel(
+            for { alpha <- grid; ((train, test), (n, sy)) <- folds.zip(foldStats) }
+              yield { () =>
+                val m = Models.ridge(ModelingFrame.Target, alpha, n, sy).fit(train)
+                val pred = m.transform(test).select(
+                  col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
+                alpha -> Evaluation.metricsFull(pred, "y", "yhat").head().getAs[Double]("rmse")
+              })
           val scores = grid.map { alpha =>
-            val rmses = folds.zip(foldStats).map { case ((train, test), (n, sy)) =>
-              val m = Models.ridge(ModelingFrame.Target, alpha, n, sy).fit(train)
-              val pred = m.transform(test).select(
-                col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
-              Evaluation.metricsFull(pred, "y", "yhat").head().getAs[Double]("rmse")
-            }
+            val rmses = cells.collect { case (a, r) if a == alpha => r }
             (alpha, math.rint(rmses.sum / rmses.size * 1e6) / 1e6)
           }
           val best = scores.minBy(_._2)._1

@@ -112,5 +112,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(approx(m.coefficients(0), 0.6, 1e-6), s"phi1 = ${m.coefficients(0)}")
     assert(approx(m.coefficients(1), 0.3, 1e-6), s"Phi1 = ${m.coefficients(1)}")
     assert(approx(m.intercept, 0.0, 1e-8))
+
+    // 1-step forecast from the fitted model must equal the recursion's
+    // own next value (newest-first tails; d=D=0 so sar_y == y)
+    val recent = ys.reverse.toSeq
+    val fc = TimeSeries.forecastNext(so, m.intercept,
+      m.coefficients.toArray.toSeq, recent, recent)
+    assert(approx(fc, 0.6 * ys(119) + 0.3 * ys(113), 1e-6), s"forecast $fc")
+  }
+
+  test("forecastNext undoes d=1, D=1, and d=D=1 differencing correctly") {
+    // hand-built tails, no fitting: v̂ = 2 (intercept only, no lags)
+    val so0 = TimeSeries.SeasonalOrder(p = 0, d = 1, P = 0, D = 0, s = 2)
+    // y newest-first: y_T = 10  ->  ŷ = y_T + v̂ = 12
+    assert(approx(TimeSeries.forecastNext(so0, 2.0, Nil, Nil, Seq(10.0, 7.0)), 12.0))
+    val soS = TimeSeries.SeasonalOrder(p = 0, d = 0, P = 0, D = 1, s = 3)
+    // ŷ = y_{T+1-3} + v̂: recentY = (y_T, y_{T-1}, y_{T-2}=y_{T+1-3}, …)
+    assert(approx(TimeSeries.forecastNext(soS, 2.0, Nil, Nil, Seq(9.0, 8.0, 7.0, 6.0)), 9.0))
+    val soB = TimeSeries.SeasonalOrder(p = 0, d = 1, P = 0, D = 1, s = 3)
+    // ŷ = v̂ + y_T + y_{T+1-3} − y_{T-3} = 2 + 9 + 7 − 6 = 12
+    assert(approx(TimeSeries.forecastNext(soB, 2.0, Nil, Nil, Seq(9.0, 8.0, 7.0, 6.0)), 12.0))
   }
 }
