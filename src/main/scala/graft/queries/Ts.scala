@@ -139,6 +139,12 @@ object Ts {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("day", "event_type")),
 
+    /** Batch twin of the streaming ingest dedup (`streaming.EventStream
+      * .dedupByContent`, first-arrival-wins on the 8-byte content hash):
+      * the admitted set is exactly the distinct contents. */
+    "stream_dedup_docs" -> ((s, d) =>
+      graft.Tables.documents(s, d).select("text").distinct().orderBy("text")),
+
     /** Batch twin of the drift monitor (`streaming.EventStream
       * .driftMonitor`): per (event_type, day) z-score of the day's mean
       * value against the event_type's overall distribution. */
@@ -251,6 +257,9 @@ object Ts {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "stream_dedup_docs" ->
+      "SELECT DISTINCT text FROM documents ORDER BY text",
 
     "stream_drift_scores" ->
       """WITH days AS (

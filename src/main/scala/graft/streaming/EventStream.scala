@@ -92,6 +92,20 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup for an ingest pipeline: key = `xxhash64`
+    * of the content column, so each state row is 8 bytes regardless of
+    * document size, and the watermark bounds state to the dedup horizon —
+    * O(distinct keys within horizon), never O(stream). Keeps each key's
+    * FIRST arrival (`dropDuplicatesWithinWatermark`), the same winner rule
+    * as an ingest dedup that admits a document once. Batch twin:
+    * `SELECT DISTINCT` on the content column (`stream_dedup_docs`). */
+  def dedupByContent(docs: DataFrame, tsCol: String, contentCol: String,
+                     watermark: String): DataFrame =
+    docs.withColumn("__h", xxhash64(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Run the windowed aggregation to completion over existing files
     * (availableNow) into an in-memory table; returns the result frame.
     * This is the harness/test entry — production binds `.writeStream` to a

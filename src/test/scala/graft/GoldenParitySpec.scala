@@ -116,6 +116,24 @@ class GoldenParitySpec extends SparkSpec {
     }
   }
 
+  test("target_pairs mapping covers every spread target in the frame (the ' - ' API contract)") {
+    val tpPath = getClass.getResource("/golden/target_pairs.csv").getPath
+    val tp = graft.sources.Csv.read(spark, tpPath, StructType(Seq(
+      StructField("target", StringType), StructField("lag", IntegerType),
+      StructField("pair", StringType))))
+    val pairs = tp.select("pair", "lag").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(tp.count() === 424L) // BASELINE.md: 424 × 3, lag ∈ {1,2,3,4}
+    val lags = tp.select("lag").distinct().collect().map(_.getInt(0)).sorted
+    assert(lags.toSeq === Seq(1, 2, 3, 4))
+    targets.foreach(t => assert(pairs.contains(t), s"unmapped target $t"))
+    // PairSpec round-trip: '<legA> - <legB>' IS the reference's API surface
+    pairs.keys.filter(_.contains(" - ")).take(5).foreach { p =>
+      val Array(a, b) = p.split(" - ")
+      assert(FeatureEngineering.PairSpec(a, b, 1).targetName === p)
+    }
+  }
+
   test("weighted ensemble on the real data is RF-dominated with linear-member weights from true R²") {
     // reduced forest (25 trees, same depth/feature config) bounds runtime;
     // assertions are the statistical bands BASELINE.md allows for trees

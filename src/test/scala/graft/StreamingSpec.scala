@@ -21,6 +21,26 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("streaming content dedup emits each distinct text once (equals batch DISTINCT)") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](
+      42, spark, None)
+    val t0 = 1700000000000L
+    mem.addData(Seq(
+      (new java.sql.Timestamp(t0), "alpha"), (new java.sql.Timestamp(t0 + 1000), "beta"),
+      (new java.sql.Timestamp(t0 + 2000), "alpha"), (new java.sql.Timestamp(t0 + 3000), "gamma"),
+      (new java.sql.Timestamp(t0 + 4000), "beta")))
+    val deduped = EventStream.dedupByContent(
+      mem.toDF().toDF("ts", "text"), "ts", "text", watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val texts = spark.table("dedup_test").select("text").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("drift monitor: first batch has z=0, state accumulates all rows") {
     val events = EventStream.readEvents(spark, dir)
     val q = EventStream.driftMonitor(events)
