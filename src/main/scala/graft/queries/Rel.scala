@@ -159,6 +159,22 @@ object Rel {
             org.apache.spark.sql.types.DoubleType))))
     }),
 
+    /** Partitioned-lake sink: write events hive-partitioned by
+      * `event_type`, read back with a partition predicate — the scan must
+      * show `PartitionFilters` (CsvSpec asserts it), i.e. the read touches
+      * ONE directory, not the dataset. This is the layout that makes
+      * 100 TB re-reads cheap: partition pruning happens at file listing,
+      * before any IO. */
+    "sink_parquet_partitioned" -> ((s, d) => {
+      val path = s"/tmp/graft_pq/${new java.io.File(d).getName}/events_by_type"
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path).filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_click"),
+          moneySum(col("value")).as("sum_value_click"))
+    }),
+
     // ---- §2.3 missing data --------------------------------------------
     "agg_null_count_per_col" -> ((s, d) =>
       MissingData.nullCountPerColumn(evd(s, d), nullCols)),
@@ -465,6 +481,11 @@ object Rel {
       """SELECT count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
         |FROM orders""".stripMargin,
+
+    "sink_parquet_partitioned" ->
+      """SELECT count(*) AS n_click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_click
+        |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "scan_csv_labels" -> (evdSql +
       "SELECT event_id, v_sparse, v_moderate FROM evd ORDER BY event_id"),

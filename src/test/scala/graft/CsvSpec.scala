@@ -22,6 +22,23 @@ class CsvSpec extends SparkSpec {
     assert(approx(back(1).getDouble(2), -2.0))
   }
 
+  test("partitioned parquet read-back prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val s = spark; import s.implicits._
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "k", "v")
+      .write.mode("overwrite").partitionBy("k").parquet(s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+      .filter(org.apache.spark.sql.functions.col("k") === "a")
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    // the predicate must be a PARTITION filter (pruned at file listing,
+    // before any IO), not a data filter
+    assert(scan.get.partitionFilters.exists(_.toString.contains("k")),
+      s"partitionFilters = ${scan.get.partitionFilters}")
+    assert(back.count() == 2)
+  }
+
   test("readInferOnce infers then pins") {
     val dir = Files.createTempDirectory("graft-csv2").toString
     val s = spark; import s.implicits._
