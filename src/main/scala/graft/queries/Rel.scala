@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{MissingData, Relational}
+import graft.operators.{Joins, MissingData, Relational}
 
 /** Relational-core query registry (SURVEY.md §2.1-§2.6, §2.8) bound to the
   * harness tables, each with a DuckDB-oracle SQL twin.
@@ -261,6 +261,49 @@ object Rel {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_totalprice"))
         .orderBy("c_mktsegment")
+    }),
+
+    /** As-of join (`Joins.asof`): each click aligned to the user's most
+      * recent purchase at-or-before it — one shuffle on user_id, no
+      * non-equi explosion. Right side deduped per (user, ts) with an
+      * explicit tiebreak so tied timestamps have a well-defined winner. */
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = Relational.dedupByKey(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id", "ts_us"), Seq(col("value").desc))
+      Joins.asof(clicks, purchases, Seq("user_id"), "ts_us", "ts_us", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 6).as("last_purchase"))
+        .orderBy("event_id")
+    }),
+
+    /** Binned range join (`Joins.rangeJoinBinned`): orders priced inside
+      * deterministic [lo, hi) bands — equi-join on (key, bin) + exact
+      * refine, never a nested-loop plan. */
+    "join_range" -> ((s, d) => {
+      import s.implicits._
+      val bandDefs = Seq(
+        (0, 0L, 50000L), (1, 50000L, 150000L), (2, 150000L, 300000L),
+        (3, 300000L, 600000L))
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      // per-priority interval table → a genuinely keyed (distributed)
+      // equi-join on (priority, bin); the bands are identical per key so
+      // the SQL twin can express the same result as a plain range join
+      val bands = (for { p <- prios; (b, lo, hi) <- bandDefs } yield (p, b, lo, hi))
+        .toDF("o_orderpriority", "band_id", "lo", "hi")
+      val pts = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("price"))
+      Joins.rangeJoinBinned(pts, bands, Seq("o_orderpriority"),
+          "price", "lo", "hi", binWidth = 50000L)
+        .select(col("o_orderkey"), col("band_id"))
+        .orderBy("o_orderkey", "band_id")
     }),
 
     "anti_membership_cols" -> ((s, d) => {
@@ -590,6 +633,32 @@ object Rel {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts_us, value FROM (
+        |    SELECT user_id, ts_us, value,
+        |      row_number() OVER (PARTITION BY user_id, ts_us ORDER BY value DESC) AS rn
+        |    FROM ev WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, round(p.value, 6) AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY event_id""".stripMargin,
+
+    "join_range" ->
+      """WITH bands(band_id, lo, hi) AS (
+        |  VALUES (0, 0, 50000), (1, 50000, 150000),
+        |         (2, 150000, 300000), (3, 300000, 600000))
+        |SELECT o_orderkey, band_id
+        |FROM orders, bands
+        |WHERE CAST(floor(o_totalprice) AS BIGINT) >= lo
+        |  AND CAST(floor(o_totalprice) AS BIGINT) < hi
+        |ORDER BY o_orderkey, band_id""".stripMargin,
 
     "agg_describe" -> {
       def one(c: String) =

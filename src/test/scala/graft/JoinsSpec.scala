@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+case class L(k: String, lts: Long, lid: Long)
+case class R(k: String, rts: Long, v: Double)
+case class Pt(g: String, p: Long, pid: Long)
+case class Iv(g: String, lo: Long, hi: Long, band: Int)
+
+class JoinsSpec extends SparkSpec {
+
+  test("asof: latest right at-or-before each left, inclusive ties, null when none") {
+    val left = df(Seq(
+      L("a", 10, 100), L("a", 20, 101), L("a", 5, 102), // 5 precedes all rights
+      L("b", 50, 103)))                                 // key with one old right
+    val right = df(Seq(
+      R("a", 7, 1.0), R("a", 10, 2.0), R("a", 18, 3.0), // tie at 10 is inclusive
+      R("b", 8, 9.0), R("c", 1, 7.0)))                  // c: right-only key
+    val out = Joins.asof(left, right, Seq("k"), "lts", "rts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(out == Map(
+      100L -> Some(2.0), // ts 10: the tied right at 10 wins over 7
+      101L -> Some(3.0), // ts 20: latest right is 18
+      102L -> None,      // ts 5: no right at or before
+      103L -> Some(9.0)))
+  }
+
+  test("asof result equals the naive non-equi argmax formulation") {
+    val left = df((1 to 60).map(i => L(s"k${i % 5}", i.toLong * 3, i.toLong)))
+    val right = df((1 to 40).map(j => R(s"k${j % 5}", j.toLong * 4, j.toDouble)))
+    val fast = Joins.asof(left, right, Seq("k"), "lts", "rts", Seq("v"))
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("asof_v"))).toMap
+    val l = left; val r = right
+    val naive = l.join(r, l("k") === r("k") && r("rts") <= l("lts"), "left")
+      .groupBy(l("lid")).agg(max_by(r("v"), r("rts")).as("v"))
+      .collect().map(x => x.getLong(0) -> Option(x.getAs[java.lang.Double]("v"))).toMap
+    assert(fast == naive)
+  }
+
+  test("rangeJoinBinned equals the naive inequality join, hi exclusive") {
+    val pts = df((0 until 50).map(i => Pt(s"g${i % 2}", i.toLong * 7 % 100, i.toLong)))
+    val ivs = df(Seq(
+      Iv("g0", 0, 30, 0), Iv("g0", 30, 100, 1), Iv("g1", 10, 50, 2),
+      Iv("g1", 50, 50, 3))) // empty interval matches nothing
+    val fast = Joins.rangeJoinBinned(pts, ivs, Seq("g"), "p", "lo", "hi", binWidth = 25)
+      .select("pid", "band").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val p = pts; val i = ivs
+    val naive = p.join(i, p("g") === i("g") && p("p") >= i("lo") && p("p") < i("hi"))
+      .select(p("pid"), i("band")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(fast == naive && fast.nonEmpty)
+    assert(!fast.exists(_._2 == 3)) // the empty interval
+  }
+}
