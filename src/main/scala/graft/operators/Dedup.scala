@@ -147,4 +147,46 @@ object Dedup {
   def simhashClusters(sigs: DataFrame, idCol: String): DataFrame =
     sigs.groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_id"))
+
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns pairwise matches (MinHash/SimHash/cosine) into dedup
+    * GROUPS, so a pipeline can keep one representative per component.
+    *
+    * Distributed min-label propagation: every node starts labeled with
+    * its own id; each round a node takes the min of its label and its
+    * neighbors' labels. Labels are monotonically non-increasing, so
+    * `sum(label)` is a cheap exact convergence test. Rounds needed =
+    * graph diameter — near-dup components are shallow (stars/short
+    * chains), so this converges in a handful of fully-distributed rounds
+    * at any corpus size; `localCheckpoint` truncates the iterative
+    * lineage each round. Output: (id, component = min id in component).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val adj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
+        .groupBy("src").agg(min("ncomp").as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val s = next.agg(sum("component")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    adj.unpersist()
+    labels
+  }
 }

@@ -92,6 +92,17 @@ object Docs {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    /** Pairwise near-dups → dedup groups (`Dedup.connectedComponents`,
+      * distributed min-label propagation): the output a pipeline actually
+      * consumes — keep `doc_id == component`, drop the rest. */
+    "dedup_clusters_cc" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+            numHashes = 16, numBands = 4, threshold = 0.5),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(
           Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text"),
@@ -270,6 +281,26 @@ object Docs {
       |, sims AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)
       |""".stripMargin
 
+  /** MinHash-LSH near-dup pairs as a reusable CTE `prs(id_a, id_b,
+    * jaccard)` — shared by the pair query and the connected-components
+    * clustering oracle. */
+  private val lshPairsSql = sigSql +
+    """, bands AS (
+      |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
+      |  FROM sig GROUP BY doc_id, i // 4)
+      |, cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |, prs AS (
+      |  SELECT id_a, id_b,
+      |    len(list_intersect(x.shl, y.shl))::DOUBLE /
+      |    (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) AS jaccard
+      |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+      |  WHERE len(list_intersect(x.shl, y.shl))::DOUBLE /
+      |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) >= 0.5)
+      |""".stripMargin
+
   /** The ANN hyperplane literals — SAME generator as the engine. */
   private def planesSqlLiterals: Seq[String] =
     Similarity.hyperplanes(ANN_PLANES, ANN_DIM).map(p =>
@@ -356,21 +387,22 @@ object Docs {
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
 
-    "dedup_minhash_lsh" -> (sigSql +
-      """, bands AS (
-        |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
-        |  FROM sig GROUP BY doc_id, i // 4)
-        |, cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b,
-        |  round(len(list_intersect(x.shl, y.shl))::DOUBLE /
-        |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))), 6) AS jaccard
-        |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        |WHERE len(list_intersect(x.shl, y.shl))::DOUBLE /
-        |      (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin),
+    "dedup_minhash_lsh" -> (lshPairsSql +
+      "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM prs ORDER BY id_a, id_b"),
+
+    /** Pair list → dedup groups: transitive closure via recursive CTE
+      * (fine at oracle scale; the engine side is the distributed
+      * min-label propagation in `Dedup.connectedComponents`). */
+    "dedup_clusters_cc" -> ("WITH RECURSIVE " + lshPairsSql.stripPrefix("WITH ") +
+      """, edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM prs
+        |  UNION SELECT id_b, id_a FROM prs)
+        |, reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
 
     "dedup_simhash" -> (simhashSql +
       """, clusters AS (

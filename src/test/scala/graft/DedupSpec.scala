@@ -70,4 +70,20 @@ class DedupSpec extends SparkSpec {
       Set(r.getAs[Long]("min_id_a"), r.getAs[Long]("min_id_b")) == Set(1L, 3L) &&
         r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 3L))
   }
+
+  test("connectedComponents resolves chains and stars to min-id groups") {
+    // a 6-node path (diameter 5 — forces several propagation rounds),
+    // a star, and an isolated pair
+    val pairs = df(Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // path
+      (20L, 21L), (20L, 22L), (20L, 23L),                          // star
+      (30L, 31L)))                                                 // pair
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert((10L to 15L).forall(out(_) == 10L), s"path: $out")
+    assert((20L to 23L).forall(out(_) == 20L))
+    assert(out(30L) == 30L && out(31L) == 30L)
+    assert(out.size == 12)
+  }
 }
