@@ -172,6 +172,27 @@ object Docs {
         .orderBy(desc("n"), asc("bigram")).limit(50)
     }),
 
+    /** TF-IDF top-3 terms per document (keyword extraction). Two keyed
+      * aggregations — (doc, token) then (token) — where the df aggregate
+      * REUSES the tf shuffle (same child subtree → ReuseExchange), a
+      * broadcast of the 1-row corpus count, and a per-doc top-k window.
+      * The idf join is left to the optimizer: the vocab side is zipf-small
+      * after aggregation but not guaranteed broadcast-size at 100 TB. */
+    "text_tfidf_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+      val tfc = toked(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfc = tfc.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tfc.join(dfc, "token").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
     /** Stratified rebalancing: downsample the dominant language to 20 %,
       * keep 80 % of the rest (rates per-mille). Deterministic id-mod
       * assignment here so the DuckDB twin reproduces it bit-for-bit; the
@@ -328,6 +349,21 @@ object Docs {
         |  FROM t)
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    "text_tfidf_topk" -> (tokedSql +
+      """, tfc AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf * ln(n_docs::DOUBLE / df) AS tfidf
+        |  FROM tfc JOIN dfc USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, round(tfidf, 6) AS tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, token) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, token""".stripMargin),
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
