@@ -59,6 +59,31 @@ object Relational {
     df.filter(assign < rate)
   }
 
+  /** Two-phase salted aggregation for skewed group keys: phase 1 groups
+    * on (keys, salt) so a hot key spreads over `buckets` reducers; phase
+    * 2 merges the partials on the keys alone — the second shuffle carries
+    * one row per (key, salt), which is tiny. Map-side combining already
+    * absorbs moderate skew; salting caps the WORST reducer at
+    * 1/buckets of the hot key when one key dominates a 100 TB shuffle.
+    *
+    * `salt` must be deterministic (derive from a row id, e.g.
+    * `pmod(xxhash64(id), buckets)`) so retries re-aggregate identically.
+    * Aggregates must be algebraic: each entry is (output name, phase-1
+    * aggregate, phase-2 merge of the partial column) — e.g. count→sum,
+    * sum→sum, min→min. Use order-insensitive accumulation (integers /
+    * decimals) when exactness matters: salting reorders float sums. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Column, buckets: Int,
+                aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val phase1 = df.withColumn("__salt", pmod(salt, lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, a, _) => a.as(s"__p_$n") }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, _, m) => m(col(s"__p_$n")).as(n) }: _*)
+  }
+
   /** `dedup_by_key` (`Marilyn_Cleaning.ipynb` cell 64,
     * `drop_duplicates(subset=…)`): keep exactly one row per key. pandas
     * keeps the *first in frame order*; distributed frames have no frame

@@ -347,6 +347,19 @@ object Rel {
         .orderBy("column_name")
     }),
 
+    /** Skew-safe aggregation (`Relational.saltedAgg`): per-type event
+      * stats where a hot event_type would otherwise own one reducer.
+      * Decimal accumulation keeps the salted re-ordering exact, so the
+      * result hash-matches the plain GROUP BY oracle. */
+    "agg_salted_stats" -> ((s, d) =>
+      Relational.saltedAgg(Tables.events(s, d), Seq("event_type"),
+          salt = xxhash64(col("event_id")), buckets = 16,
+          aggs = Seq(
+            ("n", count(lit(1)), sum(_).cast("long")),
+            ("sum_value", sum(col("value").cast("decimal(18,2)")), c => sum(c).cast("double")),
+            ("max_value", max(col("value")), max(_))))
+        .orderBy("event_type")),
+
     "agg_variance_per_col" -> ((s, d) =>
       Relational.unpivotAgg(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
@@ -649,6 +662,12 @@ object Rel {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         |ORDER BY event_id""".stripMargin,
+
+    "agg_salted_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_range" ->
       """WITH bands(band_id, lo, hi) AS (

@@ -73,6 +73,22 @@ class RelationalSpec extends SparkSpec {
     assert(none.filter(col("lang") === "de").count() === 0L)
   }
 
+  test("saltedAgg equals the plain groupBy on a skewed key distribution") {
+    // 90% of rows share one key — the salting target
+    val d = df((1 to 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) s"k${i % 3}" else "hot", i.toLong % 97)))
+      .toDF("id", "k", "v")
+    val salted = Relational.saltedAgg(d, Seq("k"), pmod(xxhash64(col("id")), lit(8)), 8,
+        Seq(("n", count(lit(1)), sum(_).cast("long")),
+          ("sum_v", sum(col("v")), sum(_).cast("long")),
+          ("min_v", min(col("v")), min(_))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val plain = d.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), min("v").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(salted == plain && salted.contains("hot"))
+  }
+
   test("approx_percentile scale path stays within 1% of the exact quartiles") {
     // skewed deterministic values — the sketch must track all three
     // quartiles closely at the query's accuracy=10000 setting
