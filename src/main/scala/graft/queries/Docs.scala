@@ -172,6 +172,31 @@ object Docs {
         .orderBy(desc("n"), asc("bigram")).limit(50)
     }),
 
+    /** End-to-end corpus cleaning — the composition a training-data
+      * pipeline actually runs, as ONE declarative plan Catalyst can
+      * optimize across stages (all the per-doc scoring fuses into a
+      * single narrow stage before the dedup shuffle): tokenize → quality
+      * score → language ID → filter (en, quality ≥ 0.3) → exact dedup by
+      * content (keep min doc_id) → per-source stats. */
+    "corpus_clean_pipeline" -> ((s, d) => {
+      val scored = Text.langMarkers.foldLeft(toked(s, d)) { case (acc, (code, ms)) =>
+          acc.withColumn(s"s_$code", Text.langScore("toks", ms))
+        }
+        .withColumn("stopword_ratio", Text.stopwordRatio("toks"))
+        .withColumn("quality",
+          least(size(col("toks")) / lit(100.0), lit(1.0))
+            * (lit(1.0) - col("stopword_ratio")))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+            .when(col("s_es") >= col("s_zh"), "es")
+            .otherwise("zh"))
+      val cleaned = scored.filter(col("pred_lang") === "en" && col("quality") >= 0.3)
+      Relational.dedupByKey(cleaned, Seq("text"), Seq(col("doc_id").asc))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     /** TF-IDF top-3 terms per document (keyword extraction). Two keyed
       * aggregations — (doc, token) then (token) — where the df aggregate
       * REUSES the tf shuffle (same child subtree → ReuseExchange), a
@@ -349,6 +374,30 @@ object Docs {
         |  FROM t)
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    "corpus_clean_pipeline" -> (tokedSql +
+      """, scored AS (
+        |  SELECT doc_id, text, source,
+        |    least(len(toks) / 100.0, 1.0) *
+        |      (1.0 - len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::DOUBLE
+        |             / len(toks)) AS quality,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','fast','slow'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('datos','tabla','fila','consulta','rapido'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('shuju','biao','hang','chaxun','kuai'))) AS s_zh
+        |  FROM t),
+        |cleaned AS (
+        |  SELECT * FROM (
+        |    SELECT *, CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |                   WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang
+        |    FROM scored)
+        |  WHERE pred_lang = 'en' AND quality >= 0.3),
+        |ded AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM cleaned)
+        |  WHERE rn = 1)
+        |SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+        |FROM ded GROUP BY source ORDER BY source""".stripMargin),
 
     "text_tfidf_topk" -> (tokedSql +
       """, tfc AS (
