@@ -76,6 +76,32 @@ object MissingData {
     }
   }
 
+  /** Linear time interpolation (pandas `interpolate()` semantics, the
+    * imputation step between ffill and model-based filling): interior
+    * nulls get the position-linear value between the nearest known
+    * neighbors, trailing nulls carry the last known value, leading nulls
+    * stay null. Four IGNORE-NULLS window functions over two frames of the
+    * SAME (partition, order) spec — one sort per series, no joins; same
+    * scale posture as [[ffillBfill]]. */
+  def interpolateLinear(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                        valueCol: String, outCol: String): DataFrame = {
+    val base = if (partition.isEmpty) Window.orderBy(order: _*)
+               else Window.partitionBy(partition: _*).orderBy(order: _*)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val rn = row_number().over(base)
+    val pv = last(v, ignoreNulls = true).over(wPrev)
+    val prn = last(when(v.isNotNull, rn), ignoreNulls = true).over(wPrev)
+    val nv = first(v, ignoreNulls = true).over(wNext)
+    val nrn = first(when(v.isNotNull, rn), ignoreNulls = true).over(wNext)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) * (rn - prn) / (nrn - prn))
+        .when(pv.isNotNull, pv))
+  }
+
   /** `check_no_nulls` (cell 52): total null count across `cols`; one row,
     * expected 0 after cleaning. */
   def totalNullCount(df: DataFrame, cols: Seq[String]): DataFrame = {

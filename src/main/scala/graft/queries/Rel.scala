@@ -204,6 +204,13 @@ object Rel {
         .select(col("event_id"), col("user_id"), col("v_moderate").as("v_imputed"))
         .orderBy("event_id")),
 
+    "impute_interpolate" -> ((s, d) =>
+      MissingData.interpolateLinear(evd(s, d),
+          partition = Seq(col("user_id")), order = Seq(col("event_id")),
+          valueCol = "v_moderate", outCol = "v_interp")
+        .select(col("event_id"), col("user_id"), round(col("v_interp"), 6).as("v_interp"))
+        .orderBy("event_id")),
+
     "check_no_nulls" -> ((s, d) =>
       MissingData.totalNullCount(
         MissingData.ffillBfill(evd(s, d),
@@ -588,6 +595,29 @@ object Rel {
         |    first_value(v_moderate IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v_imputed
         |FROM evd ORDER BY event_id""".stripMargin),
+
+    "impute_interpolate" -> (evdSql +
+      """, r AS (
+        |  SELECT event_id, user_id, v_moderate,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM evd),
+        |k AS (
+        |  SELECT *,
+        |    last_value(v_moderate IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v_moderate IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prn,
+        |    first_value(v_moderate IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v_moderate IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS nrn
+        |  FROM r
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY rn
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN v_moderate IS NOT NULL THEN v_moderate
+        |             WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |               THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+        |             WHEN pv IS NOT NULL THEN pv END, 6) AS v_interp
+        |FROM k ORDER BY event_id""".stripMargin),
 
     "check_no_nulls" -> (evdSql +
       """SELECT count(CASE WHEN v_imputed IS NULL THEN 1 END) AS n_nulls FROM (

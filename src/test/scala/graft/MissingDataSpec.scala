@@ -65,4 +65,20 @@ class MissingDataSpec extends SparkSpec {
   test("totalNullCount") {
     assert(MissingData.totalNullCount(fixture, Seq("a", "b")).head().getLong(0) == 6)
   }
+
+  test("interpolateLinear: interior linear, trailing padded, leading stays null") {
+    // g1: (null, 1, null, null, 4, null) by position ->
+    //     (null, 1, 2, 3, 4, 4): gap of 2 interpolates 1→4; tail pads; head stays
+    val d = df(Seq(
+      NRow(1, "g1", None, None), NRow(2, "g1", Some(1.0), None),
+      NRow(3, "g1", None, None), NRow(4, "g1", None, None),
+      NRow(5, "g1", Some(4.0), None), NRow(6, "g1", None, None),
+      NRow(7, "g2", Some(9.0), None)))
+    val out = MissingData.interpolateLinear(d, Seq(col("grp")), Seq(col("id")), "a", "ai")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ai")).map(_.toDouble)).toMap
+    assert(out == Map(
+      1L -> None, 2L -> Some(1.0), 3L -> Some(2.0), 4L -> Some(3.0),
+      5L -> Some(4.0), 6L -> Some(4.0), 7L -> Some(9.0)))
+  }
 }
