@@ -67,6 +67,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Per-label embedding centroids (class prototypes — the building
+    * block for nearest-centroid classification and IVF-style coarse
+    * quantization over labeled corpora): element-wise mean per label.
+    * posexplode → (label, pos) average → reassemble via
+    * `array_sort(collect_list(struct(pos, m)))` — two keyed shuffles,
+    * vectors never concentrate on the driver or any single task, so the
+    * shape holds at any corpus size (collect_list here gathers DIM
+    * values per label, bounded by the embedding dimension, not by n). */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(labelCol, "pos").agg(avg("x").as("m"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"))
+
   /** Selectivity knobs must GROW with the corpus — fixed constants tuned
     * at test scale silently degrade to all-pairs (LSH) or full-scan (IVF)
     * at 100 TB. Candidate pairs per LSH bucket scale as (n/2^planes)², so

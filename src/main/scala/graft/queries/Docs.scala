@@ -245,6 +245,14 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    /** Class prototypes (`Similarity.centroids`), emitted flat
+      * (label, pos, m) so the cross-engine compare stays scalar. */
+    "embedding_centroids" -> ((s, d) =>
+      Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos"), round(col("m"), 6).as("m"))
+        .orderBy("label", "pos")),
+
     "similarity_ivf" -> ((s, d) => {
       // rows-only: the KMeans quantizer is not SQL-reproducible.
       // nlist ≈ √n (Similarity.nlistForCorpus) so list length and
@@ -510,6 +518,16 @@ object Docs {
     "dedup_simhash_clusters" -> (simhashSql +
       """SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_id
         |FROM sims GROUP BY simhash ORDER BY simhash""".stripMargin),
+
+    "embedding_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |xs AS (
+        |  SELECT label,
+        |         unnest(list_transform(range(len(v)),
+        |                               i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |  FROM e)
+        |SELECT label, u.pos AS pos, round(avg(u.x), 6) AS m
+        |FROM xs GROUP BY label, u.pos ORDER BY label, pos""".stripMargin,
 
     "similarity_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -33,6 +33,23 @@ object Csv {
     read(spark, path, inferred)
   }
 
+  /** Dirty-data scan: PERMISSIVE mode with the corrupt-record side
+    * channel. At 100 TB some CSV rows WILL be malformed; failing the job
+    * (FAILFAST) or silently dropping them (DROPMALFORMED) are both wrong
+    * for a pipeline — this keeps every row, parses what it can, and
+    * lands the raw text of broken rows in `_corrupt_record` so a
+    * downstream filter can count/quarantine them. The extra column must
+    * be part of the pinned schema (Spark requirement), so callers pass
+    * the DATA schema and this adds the channel. */
+  def readPermissive(spark: SparkSession, path: String,
+                     dataSchema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(dataSchema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** `sink_csv_results` (`app.py:629-645`): header'd CSV out. Single file
     * only when `single=true` (driver-sized results like the app's 1-row
     * signal frame); large results keep their partitioning. */

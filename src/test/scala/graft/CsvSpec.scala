@@ -22,6 +22,22 @@ class CsvSpec extends SparkSpec {
     assert(approx(back(1).getDouble(2), -2.0))
   }
 
+  test("readPermissive keeps malformed rows in the corrupt-record channel") {
+    val dir = Files.createTempDirectory("graft-csv3").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "id,v\n1,10.5\nnot_a_number,oops,extra\n3,30.0\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val back = Csv.readPermissive(spark, s"$dir/bad.csv", schema).cache()
+    assert(back.count() == 3) // nothing dropped, nothing thrown
+    val bad = back.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String]("_corrupt_record").startsWith("not_a_number"))
+    val good = back.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    back.unpersist()
+  }
+
   test("partitioned parquet read-back prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft-pq").toString
     val s = spark; import s.implicits._
