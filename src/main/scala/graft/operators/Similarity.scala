@@ -82,6 +82,28 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
 
+  /** Nearest-centroid assignment: label every vector with the closest
+    * prototype (squared euclidean). `centroids` is driver-held metadata
+    * (|labels| × dim — same posture as the IVF coarse quantizer): each
+    * centroid becomes a literal array in ONE codegen'd argmin expression,
+    * so assignment is a narrow map over the corpus — no join, no
+    * shuffle. */
+  def assignNearestCentroid(df: DataFrame, vecCol: String,
+                            centroids: Seq[(Int, Seq[Double])],
+                            outCol: String): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v = asDouble(col(vecCol))
+    val scored = centroids.map { case (label, c) =>
+      val cArr = array(c.map(lit(_)): _*)
+      // ||v−c||² = v·v − 2 v·c + c·c; v·v is common to all → rank by
+      // c·c − 2 v·c only
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, cArr)).as("d"),
+        lit(label).as("label"))
+    }
+    df.withColumn(outCol,
+      array_min(array(scored: _*)).getField("label"))
+  }
+
   /** Selectivity knobs must GROW with the corpus — fixed constants tuned
     * at test scale silently degrade to all-pairs (LSH) or full-scan (IVF)
     * at 100 TB. Candidate pairs per LSH bucket scale as (n/2^planes)², so

@@ -253,6 +253,20 @@ object Docs {
         .select(col("label"), col("pos"), round(col("m"), 6).as("m"))
         .orderBy("label", "pos")),
 
+    /** Nearest-centroid classification closing the prototype loop:
+      * centroids are driver-held metadata (|labels| × dim), assignment is
+      * a narrow codegen'd argmin — no shuffle; output is the confusion
+      * matrix. Distances rank by c·c − 2 v·c with the same sequential
+      * fold on both engines, so the twin hash-matches. */
+    "embedding_classify" -> ((s, d) => {
+      val cents = Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+      Similarity.assignNearestCentroid(Tables.embeddings(s, d), "embedding",
+          cents, "pred_label")
+        .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    }),
+
     "similarity_ivf" -> ((s, d) => {
       // rows-only: the KMeans quantizer is not SQL-reproducible.
       // nlist ≈ √n (Similarity.nlistForCorpus) so list length and
@@ -518,6 +532,31 @@ object Docs {
     "dedup_simhash_clusters" -> (simhashSql +
       """SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep_id
         |FROM sims GROUP BY simhash ORDER BY simhash""".stripMargin),
+
+    "embedding_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |xs AS (
+        |  SELECT label,
+        |         unnest(list_transform(range(len(v)),
+        |                               i -> {'pos': i, 'x': v[i + 1]})) AS u
+        |  FROM e),
+        |cents AS (
+        |  SELECT label AS clabel, u.pos AS pos, avg(u.x) AS m
+        |  FROM xs GROUP BY 1, 2),
+        |cl AS (SELECT clabel, list(m ORDER BY pos) AS c FROM cents GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, cl.clabel,
+        |         list_dot_product(cl.c, cl.c) - 2 * list_dot_product(e.v, cl.c) AS d
+        |  FROM e CROSS JOIN cl),
+        |assigned AS (
+        |  SELECT vec_id, label, clabel AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY d, clabel) AS rk
+        |    FROM scored)
+        |  WHERE rk = 1)
+        |SELECT label, pred_label, count(*) AS n
+        |FROM assigned GROUP BY label, pred_label
+        |ORDER BY label, pred_label""".stripMargin,
 
     "embedding_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

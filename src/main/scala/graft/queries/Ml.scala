@@ -221,18 +221,17 @@ object Ml {
       withFrame(s, d) { df =>
         val cuts = Evaluation.timeCuts(df, "date_id", 3)
         val folds = Evaluation.walkForwardSplits(df, "date_id", cuts)
-        val rows = folds.zipWithIndex.flatMap { case ((train, test), i) =>
-          if (train.isEmpty || test.isEmpty) None
-          else {
-            val m = Models.ols(ModelingFrame.Target).fit(train)
-            val pred = m.transform(test).select(
-              col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
-            val r = Evaluation.metricsFull(pred, "y", "yhat").head()
-            Some((i, r.getAs[Long]("n"),
-              math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
-              math.rint(r.getAs[Double]("mae") * 1e6) / 1e6))
-          }
-        }
+          .zipWithIndex.filter { case ((tr, te), _) => !tr.isEmpty && !te.isEmpty }
+        // folds are independent fit+score tasks — parallel driver threads
+        val rows = Models.inParallel(folds.map { case ((train, test), i) => () =>
+          val m = Models.ols(ModelingFrame.Target).fit(train)
+          val pred = m.transform(test).select(
+            col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
+          val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+          (i, r.getAs[Long]("n"),
+            math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("mae") * 1e6) / 1e6)
+        })
         rows.toDF("fold", "n_test", "rmse", "mae").orderBy("fold")
       }
     }),
