@@ -114,6 +114,21 @@ object TimeSeries {
     }
   }
 
+  /** Sessionization: split each key's event stream into sessions at
+    * time gaps > `maxGap` (same units as `tsCol`). A row starts a new
+    * session when it has no predecessor or the gap exceeds the
+    * threshold; the session id is the running count of session starts —
+    * two window expressions over ONE (partition, order) sort, no joins,
+    * no state. The batch twin of streaming session windows. */
+  def sessionize(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+                 tsCol: String, maxGap: Long, outCol: String): DataFrame = {
+    val spec = w(partition, order)
+    val gap = col(tsCol) - lag(col(tsCol), 1).over(spec)
+    val isNew = when(gap.isNull || gap > maxGap, lit(1)).otherwise(lit(0))
+    df.withColumn(outCol,
+      sum(isNew).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** 1-step-ahead forecast from a fitted seasonal-AR: evaluate the lag
     * polynomial on the differenced tail, then undo the differencing.
     *

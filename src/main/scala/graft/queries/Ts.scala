@@ -130,6 +130,20 @@ object Ts {
           round(expr("regr_r2(value, lagv)"), 6).as("r2"))
         .orderBy("event_type")),
 
+    /** Sessionization (`TimeSeries.sessionize`) + per-session stats:
+      * 10-minute gap threshold on the µs clock, then one aggregation on
+      * the (user, session) key. */
+    "sessionize_events" -> ((s, d) =>
+      TimeSeries.sessionize(
+          Tables.events(s, d).select(col("event_id"), col("user_id"),
+            expr("ts_ns div 1000").as("ts_us")),
+          Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
+          "ts_us", maxGap = 600000000L, "session_id")
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .orderBy("user_id", "session_id")),
+
     // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
     //      graft.streaming run the same logic incrementally) --------------
     "stream_window_agg" -> ((s, d) =>
@@ -257,6 +271,24 @@ object Ts {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(ts_us) - min(ts_us) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "stream_dedup_docs" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",

@@ -121,6 +121,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(approx(fc, 0.6 * ys(119) + 0.3 * ys(113), 1e-6), s"forecast $fc")
   }
 
+  test("sessionize: new session on first event and on gaps beyond the threshold") {
+    // per-series times: s1 = 0, 5, 30, 32, 90 with maxGap 10 -> sessions 1,1,2,2,3
+    val d = df(Seq(TS("s1", 0, 0), TS("s1", 1, 5), TS("s1", 2, 30),
+      TS("s1", 3, 32), TS("s1", 4, 90), TS("s2", 0, 1000)).map(t =>
+      TS(t.series, t.t, t.x)))
+    val out = TimeSeries.sessionize(
+        d.withColumn("ts", col("x").cast("long")), part, ord, "ts", maxGap = 10, "sid")
+      .orderBy("series", "t").collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("t")) -> r.getAs[Long]("sid")).toMap
+    assert(out(("s1", 0L)) == 1 && out(("s1", 1L)) == 1)
+    assert(out(("s1", 2L)) == 2 && out(("s1", 3L)) == 2)
+    assert(out(("s1", 4L)) == 3)
+    assert(out(("s2", 0L)) == 1) // each key restarts at session 1
+  }
+
   test("forecastNext undoes d=1, D=1, and d=D=1 differencing correctly") {
     // hand-built tails, no fitting: v̂ = 2 (intercept only, no lags)
     val so0 = TimeSeries.SeasonalOrder(p = 0, d = 1, P = 0, D = 0, s = 2)
