@@ -116,4 +116,46 @@ class PropertySpec extends AnyFunSuite {
         }
       }
   }
+
+  test("asof preserves the left row set exactly (one output row per left row)") {
+    val s = spark; import s.implicits._
+    samples(Gen.zip(Gen.chooseNum(5, 40), Gen.chooseNum(0, 30)), 3).foreach {
+      case (nl, nr) =>
+        val left = (1 to nl).map(i => (s"k${i % 3}", i.toLong * 2, i.toLong))
+          .toDF("k", "lts", "lid")
+        val right = (1 to math.max(nr, 1)).map(j => (s"k${j % 4}", j.toLong * 3, j.toDouble))
+          .toDF("k", "rts", "v")
+        val out = graft.operators.Joins.asof(left, right, Seq("k"), "lts", "rts", Seq("v"))
+        assert(out.count() == nl.toLong)
+        assert(out.select("lid").distinct().count() == nl.toLong)
+    }
+  }
+
+  test("connectedComponents is invariant under edge order and direction") {
+    val s = spark; import s.implicits._
+    val edges = samples(Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)), 20)
+      .filter { case (a, b) => a != b }
+    def comps(es: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = comps(edges)
+    assert(base == comps(edges.reverse.map { case (a, b) => (b, a) }))
+  }
+
+  test("interpolateLinear is the identity on a complete series") {
+    val s = spark; import s.implicits._
+    val d = (1 to 30).map(i => (i.toLong, math.sin(i.toDouble))).toDF("id", "v")
+    val out = MissingData.interpolateLinear(d, Nil, Seq(col("id")), "v", "vi")
+      .filter(col("v") =!= col("vi")).count()
+    assert(out == 0L)
+  }
+
+  test("hash-based stratifiedSample hits its rate within 5% absolute") {
+    val s = spark; import s.implicits._
+    val d = (1L to 4000L).map(i => (i, "en")).toDF("id", "lang")
+    val kept = Relational.stratifiedSample(d, col("lang"), Map("en" -> 300),
+      pmod(xxhash64(col("id")), lit(1000))).count()
+    val rate = kept.toDouble / 4000.0
+    assert(math.abs(rate - 0.3) < 0.05, s"rate $rate")
+  }
 }
