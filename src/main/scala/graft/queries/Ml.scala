@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Ensemble, Evaluation, Models, ModelingFrame}
+import graft.Tables
+import graft.ml.{Ensemble, Evaluation, GroupedOls, Models, ModelingFrame}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -214,6 +215,30 @@ object Ml {
             .toDF("model", "r2", "dir_acc"), Seq("r2", "dir_acc")).orderBy("model")
         } finally { withSar.unpersist(); () }
       } finally { design.unpersist(); () }
+    }),
+
+    /** Per-series quadratic trend via the [[GroupedOls]] custom
+      * Aggregator: value ~ (1, day, day²) fitted for every event_type in
+      * ONE aggregation — the shuffle carries O(k²) sufficient statistics
+      * per group, not rows, where `regr_*` (single regressor) and
+      * per-key MLlib fits both fall short. Rows-only: multi-feature OLS
+      * is not SQL-expressible; MlSpec pins the closed form. */
+    "ml_trend_per_series" -> ((s, d) => {
+      val groupedOls = udaf(new GroupedOls(3))
+      // day rescaled so the quadratic Gram matrix stays well-conditioned
+      val day = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("double") / 1000.0
+      Tables.events(s, d)
+        .select(col("event_type"),
+          array(lit(1.0), day, day * day).as("x"),
+          col("value").cast("double").as("y"))
+        .groupBy("event_type")
+        .agg(groupedOls(col("x"), col("y")).as("w"))
+        .select(col("event_type"),
+          round(element_at(col("w"), 1), 6).as("b0"),
+          round(element_at(col("w"), 2), 6).as("b1"),
+          round(element_at(col("w"), 3), 6).as("b2"))
+        .orderBy("event_type")
     }),
 
     "ml_walk_forward" -> ((s, d) => {

@@ -148,6 +148,26 @@ class MlSpec extends SparkSpec {
     assert(total == d.filter(col("id") >= cuts.head).count())
   }
 
+  test("GroupedOls recovers exact per-group coefficients; bad rows excluded; singular -> NaN") {
+    val s = spark; import s.implicits._
+    // g1: y = 2 + 3x - 0.5x²; g2: y = -1 + 0.25x + x²  (exact, per group)
+    val rows = (1 to 25).flatMap { i =>
+      val x = i.toDouble
+      Seq(("g1", Seq(1.0, x, x * x), 2.0 + 3.0 * x - 0.5 * x * x),
+        ("g2", Seq(1.0, x, x * x), -1.0 + 0.25 * x + x * x))
+    } :+ (("g1", Seq(1.0, 2.0), 99.0)) :+ // wrong arity -> excluded
+      (("g3", Seq(1.0, 1.0, 1.0), 5.0))   // one distinct row -> singular
+    val d = rows.toDF("g", "x", "y")
+    val groupedOls = org.apache.spark.sql.functions.udaf(new graft.ml.GroupedOls(3))
+    val out = d.groupBy("g").agg(groupedOls(col("x"), col("y")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    Seq(2.0, 3.0, -0.5).zip(out("g1")).foreach { case (e, got) =>
+      assert(approx(got, e, 1e-6), s"g1: $got != $e") }
+    Seq(-1.0, 0.25, 1.0).zip(out("g2")).foreach { case (e, got) =>
+      assert(approx(got, e, 1e-6), s"g2: $got != $e") }
+    assert(out("g3").forall(_.isNaN))
+  }
+
   test("ensemble weights are normalized and ensemble beats worst member") {
     val f = Ensemble.fitWeighted(assembled, "y")
     assert(approx(f.members.map(_.weight).sum, 1.0, 1e-9))
