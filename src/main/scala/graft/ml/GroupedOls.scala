@@ -27,7 +27,7 @@ class GroupedOls(k: Int) extends Aggregator[(Seq[Double], Double), GramBuf, Seq[
   private val triN = k * (k + 1) / 2
 
   override def zero: GramBuf =
-    GramBuf(0L, 0L, Array.fill(triN)(0.0), Array.fill(k)(0.0))
+    GramBuf(0L, 0L, 0.0, Array.fill(triN)(0.0), Array.fill(k)(0.0))
 
   override def reduce(b: GramBuf, in: (Seq[Double], Double)): GramBuf = {
     val (x, y) = in
@@ -42,7 +42,7 @@ class GroupedOls(k: Int) extends Aggregator[(Seq[Double], Double), GramBuf, Seq[
         b.xty(i) += x(i) * y
         i += 1
       }
-      b.copy(n = b.n + 1)
+      b.copy(n = b.n + 1, yty = b.yty + y * y)
     }
   }
 
@@ -51,7 +51,7 @@ class GroupedOls(k: Int) extends Aggregator[(Seq[Double], Double), GramBuf, Seq[
     while (i < triN) { a.xtx(i) += b.xtx(i); i += 1 }
     i = 0
     while (i < k) { a.xty(i) += b.xty(i); i += 1 }
-    a.copy(n = a.n + b.n, nBad = a.nBad + b.nBad)
+    a.copy(n = a.n + b.n, nBad = a.nBad + b.nBad, yty = a.yty + b.yty)
   }
 
   override def finish(b: GramBuf): Seq[Double] = {
@@ -80,6 +80,42 @@ class GroupedOls(k: Int) extends Aggregator[(Seq[Double], Double), GramBuf, Seq[
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
-/** Normal-equation sufficient statistics: row/bad-row counts, packed
+/** [[GroupedOls]] returning inference statistics as well: output is
+  * `coefs(k) ++ tstats(k)` where t_j = w_j / se_j,
+  * se_j = √(s²·(X'X)⁻¹_jj), s² = (y'y − w·X'y)/(n−k). The full inverse
+  * comes from Gauss-Jordan on the same small Gram matrix. This is what
+  * makes an in-engine augmented Dickey-Fuller test possible
+  * (`stationarity_test_adf`): ADF needs the t-stat of one coefficient in
+  * a MULTIPLE regression, which `regr_*` cannot provide. */
+class GroupedOlsStats(k: Int) extends GroupedOls(k) {
+  override def finish(b: GramBuf): Seq[Double] = {
+    val coefs = super.finish(b)
+    if (coefs.exists(_.isNaN) || b.n <= k) return coefs ++ Seq.fill(k)(Double.NaN)
+    // Gauss-Jordan inverse of X'X (k x 2k augmentation)
+    val m = Array.ofDim[Double](k, 2 * k)
+    var t = 0
+    for (i <- 0 until k; j <- i until k) {
+      m(i)(j) = b.xtx(t); m(j)(i) = b.xtx(t); t += 1
+    }
+    for (i <- 0 until k) m(i)(k + i) = 1.0
+    for (col <- 0 until k) {
+      val p = (col until k).maxBy(r => math.abs(m(r)(col)))
+      if (math.abs(m(p)(col)) < 1e-12) return coefs ++ Seq.fill(k)(Double.NaN)
+      val tmp = m(col); m(col) = m(p); m(p) = tmp
+      val d = m(col)(col)
+      for (c <- 0 until 2 * k) m(col)(c) /= d
+      for (r <- 0 until k if r != col) {
+        val f = m(r)(col)
+        for (c <- 0 until 2 * k) m(r)(c) -= f * m(col)(c)
+      }
+    }
+    val sse = b.yty - coefs.zipWithIndex.map { case (w, i) => w * b.xty(i) }.sum
+    val s2 = math.max(sse, 0.0) / (b.n - k)
+    coefs ++ (0 until k).map(j => coefs(j) / math.sqrt(s2 * m(j)(k + j)))
+  }
+}
+
+/** Normal-equation sufficient statistics: row/bad-row counts, y'y, packed
   * upper triangle of X'X, and X'y. */
-case class GramBuf(n: Long, nBad: Long, xtx: Array[Double], xty: Array[Double])
+case class GramBuf(n: Long, nBad: Long, yty: Double,
+                   xtx: Array[Double], xty: Array[Double])

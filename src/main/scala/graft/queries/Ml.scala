@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Ensemble, Evaluation, GroupedOls, Models, ModelingFrame}
+import graft.ml.{Ensemble, Evaluation, GroupedOls, GroupedOlsStats, Models, ModelingFrame}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -238,6 +238,37 @@ object Ml {
           round(element_at(col("w"), 1), 6).as("b0"),
           round(element_at(col("w"), 2), 6).as("b1"),
           round(element_at(col("w"), 3), 6).as("b2"))
+        .orderBy("event_type")
+    }),
+
+    /** Augmented Dickey-Fuller (maxlag=2, constant case) fully in-engine
+      * via [[GroupedOlsStats]]: Δx_t ~ (1, x_{t-1}, Δx_{t-1}, Δx_{t-2})
+      * per series, reporting the level coefficient's t-stat — the actual
+      * ADF statistic. One window pass builds the design, ONE aggregation
+      * fits every series (O(k²) stats per group); the existing
+      * `stationarity_test` stays as the maxlag=0 `regr_*` twin, and
+      * MlSpec proves both implementations agree in that limit. */
+    "stationarity_test_adf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .withColumn("day", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .groupBy("event_type", "day").agg(avg("value").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily
+        .withColumn("x1", lag("x", 1).over(w))
+        .withColumn("dx", col("x") - col("x1"))
+        .withColumn("dx1", lag(col("dx"), 1).over(w))
+        .withColumn("dx2", lag(col("dx"), 2).over(w))
+        .na.drop("any", Seq("x1", "dx", "dx1", "dx2"))
+      val stats = udaf(new GroupedOlsStats(4))
+      lagged.select(col("event_type"),
+          array(lit(1.0), col("x1"), col("dx1"), col("dx2")).as("xv"),
+          col("dx").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), stats(col("xv"), col("y")).as("w"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("w"), 2), 6).as("beta_level"),
+          round(element_at(col("w"), 6), 4).as("adf_tstat"))
         .orderBy("event_type")
     }),
 

@@ -168,6 +168,26 @@ class MlSpec extends SparkSpec {
     assert(out("g3").forall(_.isNaN))
   }
 
+  test("GroupedOlsStats t-stat equals the regr_*-based DF test in the maxlag=0 limit") {
+    // two INDEPENDENT implementations of the same regression must agree:
+    // dfTestStat (regr_* aggregates) vs GroupedOlsStats (Gram + inverse)
+    val s = spark; import s.implicits._
+    val xs = Seq(1.0, 0.9, 0.3, 0.6, 0.1, 0.4, 0.2, 0.05, 0.3, 0.15)
+    val series = xs.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("series", "t", "x")
+    val df0 = graft.operators.TimeSeries.dfTestStat(series,
+      Seq(col("series")), Seq(col("t")), "x").head()
+    val stats = org.apache.spark.sql.functions.udaf(new graft.ml.GroupedOlsStats(2))
+    val design = xs.zip(xs.drop(1)).map { case (prev, cur) =>
+      ("s", Seq(1.0, prev), cur - prev) }.toDF("g", "xv", "y")
+    val w = design.groupBy("g").agg(stats(col("xv"), col("y")).as("w"))
+      .head().getSeq[Double](1)
+    assert(approx(w(1), df0.getAs[Double]("slope"), 1e-9),
+      s"slope ${w(1)} != ${df0.getAs[Double]("slope")}")
+    assert(approx(w(3), df0.getAs[Double]("df_tstat"), 1e-9),
+      s"tstat ${w(3)} != ${df0.getAs[Double]("df_tstat")}")
+  }
+
   test("ensemble weights are normalized and ensemble beats worst member") {
     val f = Ensemble.fitWeighted(assembled, "y")
     assert(approx(f.members.map(_.weight).sum, 1.0, 1e-9))
