@@ -103,6 +103,25 @@ object Docs {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")),
 
+    /** The dedup pipeline's FINAL output — the corpus a training run
+      * consumes: drop every doc that sits in a near-dup component but is
+      * not its representative (min id). Left-anti join against the
+      * non-representative set; docs in no pair survive untouched. */
+    "dedup_corpus_kept" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dropIds = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            numHashes = 16, numBands = 4, threshold = 0.5),
+          "id_a", "id_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      // no broadcast hint: the drop set scales with dup density — AQE
+      // picks broadcast when it is actually small
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(
           Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text"),
@@ -510,6 +529,21 @@ object Docs {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+
+    "dedup_corpus_kept" -> ("WITH RECURSIVE " + lshPairsSql.stripPrefix("WITH ") +
+      """, edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM prs
+        |  UNION SELECT id_b, id_a FROM prs)
+        |, reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |, cc AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE component <> doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "dedup_simhash" -> (simhashSql +
       """, clusters AS (
