@@ -53,11 +53,20 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // JSON escape incl. ALL control chars (exception messages are
+    // routinely multi-line); Locale.ROOT so a comma-decimal JVM locale
+    // cannot corrupt the numbers
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f") }
+      jstr(k) + ":" + (if (err.isDefined) "-1"
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val json =

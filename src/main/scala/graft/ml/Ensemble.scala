@@ -97,13 +97,22 @@ object Ensemble {
 
   // -- fit sharing -----------------------------------------------------
 
-  private val cache = new ConcurrentHashMap[(Int, String, String), Fitted]()
+  /** Weak-keyed by the session object: entries die with their session
+    * (no leak across long-lived JVMs, no identityHashCode aliasing after
+    * a session is GC'd). The inner map is keyed by (dir, label). */
+  private val cache =
+    new java.util.WeakHashMap[AnyRef, ConcurrentHashMap[(String, String), Fitted]]()
 
   /** Memoized fit: `serving_signal` and `ml_ensemble_weighted` on the same
     * (session, dir, label) share one set of fitted members instead of
     * re-running three MLlib fits each. `train` is only evaluated on miss. */
   def fittedCached(sessionKey: AnyRef, dir: String, label: String,
-                   train: => DataFrame): Fitted =
-    cache.computeIfAbsent((System.identityHashCode(sessionKey), dir, label),
-      _ => fitWeighted(train, label))
+                   train: => DataFrame): Fitted = {
+    val perSession = cache.synchronized {
+      var m = cache.get(sessionKey)
+      if (m == null) { m = new ConcurrentHashMap(); cache.put(sessionKey, m) }
+      m
+    }
+    perSession.computeIfAbsent((dir, label), _ => fitWeighted(train, label))
+  }
 }

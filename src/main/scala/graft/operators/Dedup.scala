@@ -162,15 +162,19 @@ object Dedup {
     * lineage each round. Output: (id, component = min id in component).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val adj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
+    // sum over an EMPTY frame is null — coalesce so a clean corpus (zero
+    // near-dup pairs) yields an empty result instead of an NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty // empty input: already at fixpoint
     while (!converged && it < maxIter) {
       val nbrMin = adj
         .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
@@ -180,13 +184,17 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .localCheckpoint()
-      val s = next.agg(sum("component")).head().getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       it += 1
     }
     adj.unpersist()
+    // silent partial convergence would split true components into several
+    // groups with no signal — refuse instead (diameter > maxIter rounds)
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 }

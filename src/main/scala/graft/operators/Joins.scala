@@ -39,16 +39,21 @@ object Joins {
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+    // the carried payload is ONE struct per right row — non-null even
+    // when its members are null, so a matched right row with a null
+    // value yields null (as-of semantics) instead of silently falling
+    // back to an older row's value
     val rTagged = right.select(
-        (keys.map(col) :+ col(rightTs).as("__ts")) ++
-          valueCols.map(c => col(c).as(s"asof_$c")): _*)
+        (keys.map(col) :+ col(rightTs).as("__ts")) :+
+          struct(valueCols.map(col): _*).as("__rv"): _*)
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(unioned) { (acc, c) =>
-      acc.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { (acc, c) =>
+      acc.withColumn(s"asof_$c", col("__rv").getField(c))
     }
       .filter(col("__side") === 1)
       .select((lCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)

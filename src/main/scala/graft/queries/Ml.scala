@@ -204,15 +204,18 @@ object Ml {
             .fit(Models.assemble(withSar, exog))
           val scored = ridgeFit.transform(Models.assemble(withSar, exog))
             .withColumn("yhat_hybrid", col("yhat_sar") + col(Models.PredictionCol))
-          def m(yhat: String) = {
-            val r = Evaluation.metricsFull(
-              scored.select(col("sar_y").as("y"), col(yhat).as("yhat")), "y", "yhat").head()
-            (r.getAs[Double]("r2"), r.getAs[Double]("dir_acc"))
-          }
-          val (sarR2, sarDa) = m("yhat_sar")
-          val (hybR2, hybDa) = m("yhat_hybrid")
-          round6(Seq(("sar", sarR2, sarDa), ("sar_ridge_hybrid", hybR2, hybDa))
-            .toDF("model", "r2", "dir_acc"), Seq("r2", "dir_acc")).orderBy("model")
+            .cache() // two metric aggregates read it; don't re-run the transform
+          try {
+            def m(yhat: String) = {
+              val r = Evaluation.metricsFull(
+                scored.select(col("sar_y").as("y"), col(yhat).as("yhat")), "y", "yhat").head()
+              (r.getAs[Double]("r2"), r.getAs[Double]("dir_acc"))
+            }
+            val (sarR2, sarDa) = m("yhat_sar")
+            val (hybR2, hybDa) = m("yhat_hybrid")
+            round6(Seq(("sar", sarR2, sarDa), ("sar_ridge_hybrid", hybR2, hybDa))
+              .toDF("model", "r2", "dir_acc"), Seq("r2", "dir_acc")).orderBy("model")
+          } finally { scored.unpersist(); () }
         } finally { withSar.unpersist(); () }
       } finally { design.unpersist(); () }
     }),

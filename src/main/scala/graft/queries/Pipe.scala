@@ -125,11 +125,16 @@ object Pipe {
     "feature_pipeline" -> (dailySql +
       """, lr AS (
         |  SELECT date_id,
-        |    ln(click / nullif(lag(click) OVER w, 0)) AS lr_click,
-        |    ln(error / nullif(lag(error) OVER w, 0)) AS lr_error,
-        |    ln(purchase / nullif(lag(purchase) OVER w, 0)) AS lr_purchase,
-        |    ln(signup / nullif(lag(signup) OVER w, 0)) AS lr_signup,
-        |    ln(view / nullif(lag(view) OVER w, 0)) AS lr_view
+        |    CASE WHEN click / nullif(lag(click) OVER w, 0) > 0
+        |         THEN ln(click / nullif(lag(click) OVER w, 0)) END AS lr_click,
+        |    CASE WHEN error / nullif(lag(error) OVER w, 0) > 0
+        |         THEN ln(error / nullif(lag(error) OVER w, 0)) END AS lr_error,
+        |    CASE WHEN purchase / nullif(lag(purchase) OVER w, 0) > 0
+        |         THEN ln(purchase / nullif(lag(purchase) OVER w, 0)) END AS lr_purchase,
+        |    CASE WHEN signup / nullif(lag(signup) OVER w, 0) > 0
+        |         THEN ln(signup / nullif(lag(signup) OVER w, 0)) END AS lr_signup,
+        |    CASE WHEN view / nullif(lag(view) OVER w, 0) > 0
+        |         THEN ln(view / nullif(lag(view) OVER w, 0)) END AS lr_view
         |  FROM daily WINDOW w AS (ORDER BY date_id))
         |, t AS (
         |  SELECT *,

@@ -198,7 +198,9 @@ object Ts {
 
     "log_returns" ->
       """SELECT event_id, round(log_ret, 6) AS log_ret FROM (
-        |  SELECT event_id, ln(value / nullif(lagv, 0)) AS log_ret FROM (
+        |  SELECT event_id,
+        |    CASE WHEN value / nullif(lagv, 0) > 0
+        |         THEN ln(value / nullif(lagv, 0)) END AS log_ret FROM (
         |    SELECT event_id, value,
         |      lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS lagv
         |    FROM events))

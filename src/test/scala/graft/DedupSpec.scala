@@ -71,6 +71,11 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 3L))
   }
 
+  test("connectedComponents on an empty pair list returns empty (no NPE)") {
+    val empty = df(Seq.empty[(Long, Long)]).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
+  }
+
   test("connectedComponents resolves chains and stars to min-id groups") {
     // a 6-node path (diameter 5 — forces several propagation rounds),
     // a star, and an isolated pair

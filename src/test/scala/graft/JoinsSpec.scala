@@ -28,6 +28,16 @@ class JoinsSpec extends SparkSpec {
       103L -> Some(9.0)))
   }
 
+  test("asof: a matched right row with a null value yields null, not an older value") {
+    val s = spark; import s.implicits._
+    val left = df(Seq(L("a", 10, 100)))
+    val right = Seq(("a", 5L, Some(1.0)), ("a", 8L, Option.empty[Double]))
+      .toDF("k", "rts", "v")
+    val out = Joins.asof(left, right, Seq("k"), "lts", "rts", Seq("v")).head()
+    // the ts=8 row IS the as-of match; its null value must come through
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
   test("asof result equals the naive non-equi argmax formulation") {
     val left = df((1 to 60).map(i => L(s"k${i % 5}", i.toLong * 3, i.toLong)))
     val right = df((1 to 40).map(j => R(s"k${j % 5}", j.toLong * 4, j.toDouble)))
