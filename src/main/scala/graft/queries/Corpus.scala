@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Corpus => C}
+
+/** Corpus-hygiene + distribution-shaping queries (round-3 additions to
+  * the training-data-pipeline surface): chunking, eval-set
+  * decontamination, PII redaction, mixture sampling, rollup profiling,
+  * decile binning, IQR winsorizing, truncated EWMA. Each carries a DuckDB
+  * twin recomputing identical deterministic arithmetic.
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toked(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
+
+  private val tokedSql =
+    "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
+
+  private val CHUNK_W = 32
+  private val CHUNK_S = 24
+  /** Eval-set membership for decontamination: a fixed id slice standing
+    * in for the benchmark suite (deterministic on both engines). */
+  private val EVAL_MOD = 25
+  private val SHINGLE_N = 5
+
+  /** Mixture targets for `corpus_mixture_sample` (rows per source). */
+  private val QUOTAS = Map("src0" -> 30, "src1" -> 20)
+  private val DEFAULT_QUOTA = 10
+
+  // Identical weight ladder on both engines: α = 0.5 ⇒ weights 2^−i,
+  // exactly representable in binary AND in their decimal renderings.
+  private val EWMA_DEPTH = 8
+  private def ewmaSqlTerms: (String, String) = {
+    val ts = (0 until EWMA_DEPTH).map { i =>
+      val wi = math.pow(0.5, i)
+      val l = if (i == 0) "value" else s"lag(value, $i) OVER ww"
+      (s"CASE WHEN $l IS NULL THEN 0.0 ELSE ($wi)::DOUBLE * $l END",
+        s"CASE WHEN $l IS NULL THEN 0.0 ELSE ($wi)::DOUBLE END")
+    }
+    (ts.map(_._1).mkString(" + "), ts.map(_._2).mkString(" + "))
+  }
+
+  val qs: Map[String, Q] = Map(
+    /** Overlapping token windows (32/stride 24) — the pre-training feed
+      * shape. Narrow explode, zero shuffles. */
+    "text_chunk_windows" -> ((s, d) =>
+      C.chunkTokens(toked(s, d), "doc_id", "toks", CHUNK_W, CHUNK_S)
+        .orderBy("doc_id", "chunk_id")),
+
+    /** Drop training docs sharing any distinct 5-gram with the eval
+      * slice (doc_id ≡ 0 mod 25) — benchmark decontamination. */
+    "dedup_decontaminate" -> ((s, d) => {
+      val t = toked(s, d)
+      C.decontaminate(
+          t.filter(col("doc_id") % EVAL_MOD =!= 0),
+          t.filter(col("doc_id") % EVAL_MOD === 0),
+          "doc_id", "toks", SHINGLE_N)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    /** Scrub synthetic PII (deterministically injected so the redaction
+      * is observable) and count the hits — the audit a compliance
+      * pipeline logs. */
+    "text_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("text2", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.com or call 555-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"), C.piiHits(col("text2")).as("n_hits"),
+          C.redactPii(col("text2")).as("redacted"))
+        .orderBy("doc_id")),
+
+    /** Quota sampling toward a target source mixture, md5-of-id order —
+      * deterministic "random" both engines replay. */
+    "corpus_mixture_sample" -> ((s, d) =>
+      C.quotaSample(Tables.documents(s, d), "source", "doc_id",
+          QUOTAS, DEFAULT_QUOTA)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    /** Multi-granularity corpus profile in ONE pass: (lang, source),
+      * per-lang subtotals, grand total via rollup — no union of three
+      * aggregations. */
+    "agg_rollup_profile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("avg_chars"))
+        .orderBy("lang", "source")),
+
+    /** Decile binning without a global sort: exact cut points are one
+      * aggregation collected to the driver (9 doubles), assignment is a
+      * narrow codegen'd comparison ladder — the scale-safe alternative
+      * to an `ntile` window (which would single-partition the table). */
+    "bin_deciles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cuts = C.quantileCuts(li, "l_extendedprice", 10)
+      li.withColumn("bin", C.binByCuts(col("l_extendedprice"), cuts))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 6).as("lo"),
+          round(max(col("l_extendedprice")), 6).as("hi"))
+        .orderBy("bin")
+    }),
+
+    /** IQR winsorizing per event type: one quartile aggregation
+      * broadcast back, narrow clamp. */
+    "outlier_iqr_clip" -> ((s, d) =>
+      C.winsorizeByIqr(Tables.events(s, d).select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round(col("clipped"), 6).as("clipped"))
+        .orderBy("event_id")),
+
+    /** Truncated EWMA (α=0.5, 8 lags) per event type — pandas
+      * `ewm(alpha=.5).mean()` semantics with renormalizing short
+      * history, as explicit codegen'd lag terms. */
+    "ewma_halflife" -> ((s, d) =>
+      C.ewmaTruncated(Tables.events(s, d).select("event_id", "event_type", "value"),
+          "event_type", "event_id", "value", alpha = 0.5, depth = EWMA_DEPTH)
+        .select(col("event_id"), col("event_type"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_id")),
+  )
+
+  // ---- DuckDB oracle twins ----------------------------------------------
+
+  /** Shared 5-gram shingle CTE `s5(doc_id, lang, source, shl)` (distinct
+    * shingle strings, tail clamped like the engine). */
+  private val shingle5Sql = tokedSql +
+    """, s5 AS (SELECT doc_id, lang, source, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 4, 1)),
+      |    i -> concat_ws(' ', toks[i], toks[least(i + 1, len(toks))],
+      |                   toks[least(i + 2, len(toks))], toks[least(i + 3, len(toks))],
+      |                   toks[least(i + 4, len(toks))]))) AS shl FROM t)
+      |""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "text_chunk_windows" -> (tokedSql +
+      s""", c AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0,
+         |           (greatest(len(toks) - $CHUNK_W, 0) + ${CHUNK_S - 1}) // $CHUNK_S)) AS chunk_id
+         |  FROM t)
+         |SELECT doc_id, chunk_id,
+         |  len(list_slice(toks, chunk_id * $CHUNK_S + 1, chunk_id * $CHUNK_S + $CHUNK_W)) AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, chunk_id * $CHUNK_S + 1, chunk_id * $CHUNK_S + $CHUNK_W), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    "dedup_decontaminate" -> (shingle5Sql +
+      s""", ev AS (SELECT DISTINCT unnest(shl) AS sh FROM s5 WHERE doc_id % $EVAL_MOD = 0)
+         |, contam AS (
+         |  SELECT DISTINCT doc_id FROM
+         |    (SELECT doc_id, unnest(shl) AS sh FROM s5 WHERE doc_id % $EVAL_MOD <> 0) x
+         |  JOIN ev USING (sh))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % $EVAL_MOD <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin),
+
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.com or call 555-' ||
+        |      lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '[a-z0-9]+@[a-z]+\.com|[0-9]{3}-[0-9]{4}')) AS n_hits,
+        |  regexp_replace(regexp_replace(text2,
+        |    '[a-z0-9]+@[a-z]+\.com', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "corpus_mixture_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= (CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 20
+         |             ELSE 10 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "agg_rollup_profile" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |       count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "bin_deciles" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_extendedprice AS v,
+        |    1 + (CASE WHEN l_extendedprice > qs[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[4] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[5] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[6] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[7] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[8] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN l_extendedprice > qs[9] THEN 1 ELSE 0 END) AS bin
+        |  FROM lineitem, cuts)
+        |SELECT bin, count(*) AS n, round(min(v), 6) AS lo, round(max(v), 6) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "outlier_iqr_clip" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, round(value, 6) AS value,
+        |  round(greatest(q1 - 1.5 * (q3 - q1),
+        |                 least(q3 + 1.5 * (q3 - q1), value)), 6) AS clipped
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "ewma_halflife" -> {
+      val (num, den) = ewmaSqlTerms
+      s"""SELECT event_id, event_type,
+         |  round(($num) / ($den), 6) AS ewma
+         |FROM events WINDOW ww AS (PARTITION BY event_type ORDER BY event_id)
+         |ORDER BY event_id""".stripMargin
+    },
+  )
+}

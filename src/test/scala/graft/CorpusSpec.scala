@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  private def toksDf(rows: (Long, String)*) =
+    df(rows.toSeq).toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+
+  test("chunkTokens: overlapping windows, short-doc single chunk, exact boundaries") {
+    // 10 tokens, window 4, stride 3: ((10−4)+2) div 3 + 1 = 3 chunks at 1, 4, 7
+    val d = toksDf(1L -> "a b c d e f g h i j", 2L -> "x y")
+    val out = Corpus.chunkTokens(d, "doc_id", "toks", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 1, 4, 7 cover tokens 1..10 exactly: (10-4+2) div 3 + 1 = 3 chunks
+    assert(doc1.toSeq == Seq(
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "d e f g"), (1L, 2, 4, "g h i j")))
+    // short doc: one (short) chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "x y")))
+    // every token of doc 1 appears in some chunk (coverage property)
+    val covered = doc1.flatMap(_._4.split(" ")).toSet
+    assert(covered == "a b c d e f g h i j".split(" ").toSet)
+  }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    val train = toksDf(
+      1L -> "the quick brown fox jumps over",   // shares "quick brown fox" with eval
+      2L -> "entirely different words here now",
+      3L -> "quick brown fox somewhere else too") // shares too
+    val eval_ = toksDf(100L -> "a quick brown fox appears")
+    val kept = Corpus.decontaminate(train, eval_, "doc_id", "toks", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L))
+  }
+
+  test("decontaminate keeps everything when the eval set shares nothing") {
+    val train = toksDf(1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta theta")
+    val eval_ = toksDf(100L -> "one two three four five")
+    val kept = Corpus.decontaminate(train, eval_, "doc_id", "toks", n = 3)
+      .count()
+    assert(kept == 2)
+  }
+
+  test("redactPii scrubs emails and phones, piiHits counts them") {
+    val d = df(Seq(("reach me at bob123@mail.com or 555-1234 thanks", 1)))
+      .toDF("text", "id")
+    val r = d.select(Corpus.redactPii(col("text")).as("red"),
+        Corpus.piiHits(col("text")).as("n"))
+      .head()
+    assert(r.getString(0) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(r.getInt(1) == 2)
+  }
+
+  test("quotaSample returns exactly the quota per key, deterministically") {
+    val rows = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
+    val d = df(rows).toDF("id", "k")
+    val out = Corpus.quotaSample(d, "k", "id", Map("a" -> 5), defaultQuota = 3)
+    val byKey = out.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a" -> 5L, "b" -> 3L))
+    // deterministic: same selection on re-run
+    val ids1 = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Corpus.quotaSample(d, "k", "id", Map("a" -> 5), defaultQuota = 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("binByCuts assigns 1-based bins against broadcast cut points") {
+    val d = df((1 to 100).map(i => Tuple1(i.toDouble))).toDF("v")
+    val cuts = Corpus.quantileCuts(d, "v", 4) // quartiles of 1..100
+    assert(cuts.length == 3)
+    val bins = d.withColumn("bin", Corpus.binByCuts(col("v"), cuts))
+      .groupBy("bin").count().orderBy("bin").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(bins.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(bins.map(_._2).sum == 100)
+    // exact percentile of 1..100 at 0.25 = 25.75 → bin1 = {1..25}
+    assert(bins.head._2 == 25)
+  }
+
+  test("winsorizeByIqr clamps outliers to the fence and leaves the bulk alone") {
+    // values 1..9 plus an outlier 100: q1=3, q3=7 (exact percentile of 10 values:
+    // q1 = 3.25, q3 = 7.75 with interpolation) — compute fences from the op itself
+    val d = df(((1 to 9).map(_.toDouble) :+ 100.0).map(v => ("g", v))).toDF("k", "v")
+    val out = Corpus.winsorizeByIqr(d, "k", "v", k = 1.5)
+      .select("v", "clipped").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // q1 = 3.25, q3 = 7.75, iqr = 4.5 → hi fence = 7.75 + 6.75 = 14.5
+    assert(approx(out(100.0), 14.5))
+    assert(approx(out(5.0), 5.0)) // interior untouched
+  }
+
+  test("ewmaTruncated renormalizes short history and matches the closed form") {
+    val d = df(Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0)))
+      .toDF("k", "t", "v")
+    val out = Corpus.ewmaTruncated(d, "k", "t", "v", alpha = 0.5, depth = 8)
+      .select("t", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx(out(1L), 10.0)) // single obs: renormalized to itself
+    // t=2: (20 + 0.5*10) / 1.5 = 16.666...
+    assert(approx(out(2L), 25.0 / 1.5))
+    // t=3: (30 + 0.5*20 + 0.25*10) / 1.75 = 42.5/1.75
+    assert(approx(out(3L), 42.5 / 1.75))
+  }
+}
