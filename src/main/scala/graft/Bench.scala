@@ -71,10 +71,24 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
     try {
       val w = new java.io.PrintWriter(outFile); try w.println(json) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
+    // The harness keeps only the LAST ~2000 chars of stdout; the full JSON
+    // line above is ~3.5 KB and never survives that window intact (rounds
+    // 1-3 all recorded "parsed": null). Print a guaranteed-parseable
+    // compact line LAST: headline numbers + the slowest queries, with a
+    // pointer to the full per-query file.
+    val slowest = results.sortBy { case (_, v, err) => if (err.isDefined) Double.MaxValue else -v }
+      .take(40)
+      .map { case (k, v, err) => jstr(k) + ":" + (if (err.isDefined) "-1"
+        else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))) }
+      .mkString("{", ",", "}")
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"total","value":%.2f,"unit":"sec","n_queries":%d,"n_errors":%d,"queries":%s,"sf":"%s","full":"%s"}""",
+      Double.box(total), Int.box(results.size),
+      Int.box(results.count(_._3.isDefined)), slowest, sfDir, outFile))
     spark.stop()
   }
 }

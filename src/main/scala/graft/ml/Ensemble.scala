@@ -99,20 +99,22 @@ object Ensemble {
 
   /** Weak-keyed by the session object: entries die with their session
     * (no leak across long-lived JVMs, no identityHashCode aliasing after
-    * a session is GC'd). The inner map is keyed by (dir, label). */
+    * a session is GC'd). The inner map is keyed by (dir, label, numTrees)
+    * — every fitWeighted parameter that changes the fit is in the key. */
   private val cache =
-    new java.util.WeakHashMap[AnyRef, ConcurrentHashMap[(String, String), Fitted]]()
+    new java.util.WeakHashMap[AnyRef, ConcurrentHashMap[(String, String, Int), Fitted]]()
 
   /** Memoized fit: `serving_signal` and `ml_ensemble_weighted` on the same
     * (session, dir, label) share one set of fitted members instead of
     * re-running three MLlib fits each. `train` is only evaluated on miss. */
   def fittedCached(sessionKey: AnyRef, dir: String, label: String,
-                   train: => DataFrame): Fitted = {
+                   train: => DataFrame, numTrees: Int = 100): Fitted = {
     val perSession = cache.synchronized {
       var m = cache.get(sessionKey)
       if (m == null) { m = new ConcurrentHashMap(); cache.put(sessionKey, m) }
       m
     }
-    perSession.computeIfAbsent((dir, label), _ => fitWeighted(train, label))
+    perSession.computeIfAbsent((dir, label, numTrees),
+      _ => fitWeighted(train, label, numTrees))
   }
 }

@@ -48,14 +48,18 @@ object Corpus {
 
   /** Distinct word n-gram ("shingle") strings of a token array, clamping
     * the tail indices like [[Dedup]]'s 3-shingles so a doc shorter than
-    * `n` still yields one (degenerate) shingle. */
+    * `n` still yields one (degenerate) shingle. An EMPTY token array yields
+    * an empty shingle array — under ANSI mode an unclamped `element_at`
+    * would throw INVALID_ARRAY_INDEX, and tokenizers other than
+    * `split(text, ' ')` can legitimately produce zero tokens. */
   def shingleStrings(toksCol: String, n: Int): Column = {
     val parts = (0 until n).map {
       case 0 => s"element_at($toksCol, i)"
       case k => s"element_at($toksCol, least(i + $k, size($toksCol)))"
     }.mkString(", ")
-    expr(s"array_distinct(transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 1)), " +
-      s"i -> concat_ws(' ', $parts)))")
+    expr(s"CASE WHEN size($toksCol) >= 1 THEN " +
+      s"array_distinct(transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', $parts))) ELSE CAST(array() AS array<string>) END")
   }
 
   /** Test-set decontamination: drop every training document that shares

@@ -147,10 +147,15 @@ object Docs {
     "similarity_ann_lsh" -> ((s, d) => {
       // plane count derived from the corpus (Similarity.planesForCorpus):
       // resolves to ANN_PLANES=8 at sf0.01/sf0.1 — which the static SQL
-      // oracle unrolls — and grows as log2(n) beyond test scale
+      // oracle unrolls — and grows as log2(n) beyond test scale. The
+      // require makes any drift LOUD: a corpus big enough to need more
+      // planes must ship a regenerated oracle, not a silent mismatch.
       val e = Tables.embeddings(s, d)
+      val planes = Similarity.planesForCorpus(e.count())
+      require(planes == ANN_PLANES,
+        s"corpus outgrew the static oracle: planesForCorpus=$planes != ANN_PLANES=$ANN_PLANES — regenerate the oracle plane unroll")
       Similarity.lshNearDupPairs(e, "vec_id", "embedding",
-          numPlanes = Similarity.planesForCorpus(e.count()), dim = ANN_DIM, threshold = 0.3)
+          numPlanes = planes, dim = ANN_DIM, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),

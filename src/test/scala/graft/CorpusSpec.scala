@@ -16,13 +16,15 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.chunkTokens(d, "doc_id", "toks", window = 4, stride = 3)
       .orderBy("doc_id", "chunk_id")
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
     val doc1 = out.filter(_._1 == 1L)
     // starts 1, 4, 7 cover tokens 1..10 exactly: (10-4+2) div 3 + 1 = 3 chunks
+    // (chunk_id is LONG — SQL `div` is an integral-divide returning BIGINT,
+    // and the oracle hash-matches that type)
     assert(doc1.toSeq == Seq(
-      (1L, 0, 4, "a b c d"), (1L, 1, 4, "d e f g"), (1L, 2, 4, "g h i j")))
+      (1L, 0L, 4, "a b c d"), (1L, 1L, 4, "d e f g"), (1L, 2L, 4, "g h i j")))
     // short doc: one (short) chunk
-    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "x y")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2, "x y")))
     // every token of doc 1 appears in some chunk (coverage property)
     val covered = doc1.flatMap(_._4.split(" ")).toSet
     assert(covered == "a b c d e f g h i j".split(" ").toSet)
