@@ -121,4 +121,93 @@ object EventStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  // ---- stateful sessionization -----------------------------------------
+
+  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+  /** The one OPEN session per user: ordinal id, bounds, event count. */
+  case class SessState(sid: Long, start_us: Long, last_us: Long, n: Long)
+  case class SessOut(user_id: Long, session_id: Long, n_events: Long, dur_us: Long)
+
+  /** Streaming gap sessionizer — the stateful twin of
+    * `TimeSeries.sessionize` (`sessionize_events`): per user, a new
+    * session starts when the gap to the previous event exceeds `gapUs`.
+    *
+    * State/scale design: exactly ONE open-session row per active user —
+    * O(active users), never O(events) — and `EventTimeTimeout` evicts a
+    * user's state once the watermark passes their session's gap horizon,
+    * so unbounded key churn cannot grow state without bound.
+    *
+    * Emission is UPDATE-mode: each trigger emits every session the batch
+    * touched — closed sessions finally, the still-open session with its
+    * stats-so-far (a later batch that extends it re-emits it with larger
+    * n/duration; n_events and dur_us are monotone, so downstream keeps
+    * MAX per (user_id, session_id) — or last-write-wins in a keyed sink).
+    * Timeout eviction emits nothing: the final stats were already emitted
+    * by the batch that last touched the session. */
+  def sessionizeStream(events: DataFrame, gapUs: Long,
+                       watermark: String = "1 hour"): Dataset[SessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapUs / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // a micro-batch is unordered — establish event-time order
+            // within it (cross-batch order is the watermark's contract)
+            val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            var st = state.getOption
+            evs.foreach { e =>
+              st match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  st = Some(s.copy(last_us = math.max(s.last_us, e.ts_us), n = s.n + 1))
+                case Some(s) =>   // gap exceeded: close it, open the next
+                  out += SessOut(uid, s.sid, s.n, s.last_us - s.start_us)
+                  st = Some(SessState(s.sid + 1, e.ts_us, e.ts_us, 1))
+                case None =>
+                  st = Some(SessState(1, e.ts_us, e.ts_us, 1))
+              }
+            }
+            st.foreach { s =>
+              out += SessOut(uid, s.sid, s.n, s.last_us - s.start_us)
+              state.update(s)
+              // evict once no event can extend this session any more
+              // (must be strictly beyond the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.last_us / 1000L + gapMs))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Harness/test entry: run the sessionizer over existing files to
+    * completion; one final row per session (MAX-merged per the update-mode
+    * emission contract — n_events/dur_us are monotone). */
+  def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String,
+                        gapUs: Long = 600000000L): DataFrame = {
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("ts"))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val q = sessionizeStream(events, gapUs)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id", "session_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("dur_us").as("dur_us"))
+  }
 }
