@@ -124,9 +124,20 @@ object EventStream {
 
   // ---- stateful sessionization -----------------------------------------
 
-  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
-  /** The one OPEN session per user: ordinal id, bounds, event count. */
-  case class SessState(sid: Long, start_us: Long, last_us: Long, n: Long)
+  /** `ts` (the watermarked timestamp column) MUST survive the projection
+    * into the typed Dataset: Spark's UnsupportedOperationChecker requires
+    * the watermark column to be present on the input of a
+    * flatMapGroupsWithState with EventTimeTimeout. */
+  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
+                       ts: java.sql.Timestamp)
+  /** The one OPEN session per user: bounds and event count. The session's
+    * IDENTITY is `start_us` — see SessOut. */
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  /** `session_id` = the session's start time in µs. Start-time identity is
+    * collision-free across state eviction: after EventTimeTimeout removes
+    * a user's state, a later event opens a session with a NEW start time,
+    * never reusing an earlier id (a per-state ordinal would restart at 1
+    * and fuse distinct sessions under the MAX-merge contract). */
   case class SessOut(user_id: Long, session_id: Long, n_events: Long, dur_us: Long)
 
   /** Streaming gap sessionizer — the stateful twin of
@@ -152,7 +163,7 @@ object EventStream {
     val gapMs = gapUs / 1000L
     events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ts"))
       .as[SessEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessOut](
@@ -170,14 +181,14 @@ object EventStream {
                 case Some(s) if e.ts_us - s.last_us <= gapUs =>
                   st = Some(s.copy(last_us = math.max(s.last_us, e.ts_us), n = s.n + 1))
                 case Some(s) =>   // gap exceeded: close it, open the next
-                  out += SessOut(uid, s.sid, s.n, s.last_us - s.start_us)
-                  st = Some(SessState(s.sid + 1, e.ts_us, e.ts_us, 1))
+                  out += SessOut(uid, s.start_us, s.n, s.last_us - s.start_us)
+                  st = Some(SessState(e.ts_us, e.ts_us, 1))
                 case None =>
-                  st = Some(SessState(1, e.ts_us, e.ts_us, 1))
+                  st = Some(SessState(e.ts_us, e.ts_us, 1))
               }
             }
             st.foreach { s =>
-              out += SessOut(uid, s.sid, s.n, s.last_us - s.start_us)
+              out += SessOut(uid, s.start_us, s.n, s.last_us - s.start_us)
               state.update(s)
               // evict once no event can extend this session any more
               // (must be strictly beyond the current watermark)

@@ -41,6 +41,69 @@ class StreamingSpec extends SparkSpec {
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming sessionize equals batch sessionize (availableNow, sf0.001)") {
+    val got = EventStream.runSessionizeOnce(spark, dir, "sess_test")
+      .select("user_id", "session_id", "n_events", "dur_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch twin: ordinal session ids -> session-start identity (min ts_us)
+    val want = graft.operators.TimeSeries.sessionize(
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us")),
+        Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
+        "ts_us", maxGap = 600000000L, "session_id")
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .select("user_id", "start_us", "n_events", "dur_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("sessionize across micro-batches: continuation, gap split, and no id reuse after eviction") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)](
+      43, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val t0 = 1700000000000000L // µs
+    val gapUs = 600000000L     // 10 min
+    val q = EventStream.sessionizeStream(toEvents(mem.toDF()), gapUs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: user 7, two events 1s apart -> one open session
+      mem.addData(Seq((7L, 1L, t0), (7L, 2L, t0 + 1000000L)))
+      q.processAllAvailable()
+      // batch 2: continuation within gap + a far-future event that will
+      // advance the watermark past user 7's timeout
+      mem.addData(Seq((7L, 3L, t0 + 2000000L), (9L, 4L, t0 + 7200L * 1000000L)))
+      q.processAllAvailable()
+      // batch 3: drains timers -> evicts user 7's state
+      mem.addData(Seq((9L, 5L, t0 + 7201L * 1000000L)))
+      q.processAllAvailable()
+      // batch 4: user 7 reappears AFTER eviction -> must get a NEW id
+      val tNew = t0 + 7300L * 1000000L
+      mem.addData(Seq((7L, 6L, tNew)))
+      q.processAllAvailable()
+      val fin = spark.table("sess_mb")
+        .groupBy("user_id", "session_id")
+        .agg(max("n_events").as("n_events"), max("dur_us").as("dur_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // user 7: first session grew to 3 events across batches 1-2, then a
+      // distinct post-eviction session; ids are start times, never reused
+      assert(fin.contains((7L, t0, 3L, 2000000L)))
+      assert(fin.contains((7L, tNew, 1L, 0L)))
+      assert(fin.contains((9L, t0 + 7200L * 1000000L, 2L, 1000000L)))
+      assert(fin.size == 3)
+    } finally q.stop()
+  }
+
   test("drift monitor: first batch has z=0, state accumulates all rows") {
     val events = EventStream.readEvents(spark, dir)
     val q = EventStream.driftMonitor(events)
