@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout instead of
+// through sbt's logger: the bench/verify drivers json-parse the LAST
+// stdout line, and the logger's "[info] " prefix broke that every round.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench/verify drivers parse a JSON line from the LAST ~2000 chars of
 // sbt's stdout; the "[success] Total time…" trailer eats into that budget
 // for no information (exit code already carries success).

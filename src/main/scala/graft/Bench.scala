@@ -70,7 +70,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     try {
       val w = new java.io.PrintWriter(outFile); try w.println(json) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
@@ -80,15 +80,17 @@ object Bench {
     // 1-3 all recorded "parsed": null). Print a guaranteed-parseable
     // compact line LAST: headline numbers + the slowest queries, with a
     // pointer to the full per-query file.
-    val slowest = results.sortBy { case (_, v, err) => if (err.isDefined) Double.MaxValue else -v }
+    // errors sort FIRST (a broken query must never fall off the visible
+    // tail when more than 40 queries ran), then slowest successes
+    val slowest = results.sortBy { case (_, v, err) => if (err.isDefined) Double.MinValue else -v }
       .take(40)
       .map { case (k, v, err) => jstr(k) + ":" + (if (err.isDefined) "-1"
         else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))) }
       .mkString("{", ",", "}")
     println(String.format(java.util.Locale.ROOT,
-      """{"metric":"total","value":%.2f,"unit":"sec","n_queries":%d,"n_errors":%d,"queries":%s,"sf":"%s","full":"%s"}""",
+      """{"metric":"total","value":%.2f,"unit":"sec","n_queries":%d,"n_errors":%d,"queries":%s,"sf":%s,"full":%s}""",
       Double.box(total), Int.box(results.size),
-      Int.box(results.count(_._3.isDefined)), slowest, sfDir, outFile))
+      Int.box(results.count(_._3.isDefined)), slowest, jstr(sfDir), jstr(outFile)))
     spark.stop()
   }
 }
