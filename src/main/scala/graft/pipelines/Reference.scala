@@ -24,7 +24,9 @@ object Reference {
   def servingSignal(spark: SparkSession, dir: String,
                     threshold: Double = 0.6, minConfidence: Double = 0.6): DataFrame = {
     import spark.implicits._
-    val assembled = ModelingFrame.assembled(spark, dir).cache()
+    // coalesce(1): tiny day-level frame; iterative fits pay per-task
+    // scheduling overhead per pass otherwise (see queries.Ml.withFrame)
+    val assembled = ModelingFrame.assembled(spark, dir).coalesce(1).cache()
     try {
       // memoized fit: shares the three member fits with
       // ml_ensemble_weighted on the same (session, dir, target)

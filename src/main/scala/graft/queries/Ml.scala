@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Ensemble, Evaluation, GroupedOls, GroupedOlsStats, Models, ModelingFrame}
+import graft.ml.{Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -22,9 +22,17 @@ object Ml {
 
   /** Every fit re-scans its training frame several times (WLS/tree passes
     * + metric aggregates); the events→daily pivot would re-run per pass.
-    * Cache the tiny assembled frame for the query's duration. */
+    * Cache the tiny assembled frame for the query's duration.
+    *
+    * `coalesce(1)`: the day-level frame is a few hundred rows at any SF,
+    * but it inherits 32 shuffle partitions from the pivot — and iterative
+    * fits (GBT ≈ maxIter·depth sequential jobs, OWL-QN up to maxIter
+    * treeAggregates) then pay 32-task scheduling overhead PER PASS for
+    * zero parallelism gain. One partition makes each pass one task. The
+    * heavy distributed work (the events scan + pivot) happens upstream of
+    * the coalesce and keeps full parallelism. */
   private def withFrame[A](s: SparkSession, d: String)(f: DataFrame => A): A = {
-    val frame = ModelingFrame.assembled(s, d).cache()
+    val frame = ModelingFrame.assembled(s, d).coalesce(1).cache()
     try f(frame) finally { frame.unpersist(); () }
   }
 
@@ -127,7 +135,7 @@ object Ml {
       val series = graft.operators.TimeSeries.lagFeatures(
           ModelingFrame.daily(s, d).select("date_id", "click"),
           Nil, Seq(col("date_id")), "click", Seq(1, 2, 3))
-        .na.drop("any").cache()
+        .na.drop("any").coalesce(1).cache()
       try {
         val lags = Seq("click_lag1", "click_lag2", "click_lag3")
         val train = Models.assemble(series, lags)
@@ -154,7 +162,7 @@ object Ml {
       val so = TimeSeries.SeasonalOrder(p = 3, d = 1, P = 1, D = 0, s = 7)
       val series = ModelingFrame.daily(s, d).select("date_id", "click")
       val design = TimeSeries.seasonalDesign(series, Nil, Seq(col("date_id")), "click", so)
-        .na.drop("any").cache()
+        .na.drop("any").coalesce(1).cache()
       try {
         val feats = so.lagCols.map(_._1)
         val m = Models.ols("sar_y").fit(Models.assemble(design, feats))
@@ -191,7 +199,7 @@ object Ml {
       }
       val exog = exogBase.map(c => s"${c}_lag1")
       val design = TimeSeries.seasonalDesign(withExog, Nil, Seq(col("date_id")), "click", so)
-        .na.drop("any", Seq("sar_y") ++ so.lagCols.map(_._1) ++ exog).cache()
+        .na.drop("any", Seq("sar_y") ++ so.lagCols.map(_._1) ++ exog).coalesce(1).cache()
       try {
         val sarFit = Models.ols("sar_y").fit(Models.assemble(design, so.lagCols.map(_._1)))
         val withSar = sarFit.transform(Models.assemble(design, so.lagCols.map(_._1)))
@@ -292,6 +300,59 @@ object Ml {
             math.rint(r.getAs[Double]("mae") * 1e6) / 1e6)
         })
         rows.toDF("fold", "n_test", "rmse", "mae").orderBy("fold")
+      }
+    }),
+
+    /** `ml_svr` (de-excluded): linear ε-insensitive SVR — sklearn
+      * `LinearSVR`-shaped (C=1, ε=0); kernel SVR stays excluded (O(n²)
+      * kernel matrix has no 100 TB analog — see `ml/Svr.scala`). */
+    "ml_svr" -> ((s, d) => {
+      import s.implicits._
+      withFrame(s, d) { train =>
+        // smoothing scaled to the label (δ = 1% of σy): a fixed tiny δ
+        // makes the hinge curvature 1/δ enormous relative to the data
+        // scale and L-BFGS runs to maxIter; the optimum moves O(δ)
+        val (_, sy) = Models.labelStats(train, ModelingFrame.Target)
+        val m = Svr.fit(train, ModelingFrame.EventTypes, ModelingFrame.Target,
+          smoothing = math.max(1e-3, 0.01 * sy), maxIter = 100)
+        round6((ModelingFrame.EventTypes.zip(m.coefficients) :+
+            (("__intercept", m.intercept))).toDF("feature", "coefficient"),
+          Seq("coefficient")).orderBy("feature")
+      }
+    }),
+
+    /** `ml_mlp` (de-excluded): 1-hidden-layer ReLU MLP regressor,
+      * full-batch L-BFGS (sklearn `MLPRegressor(solver="lbfgs")` shape),
+      * internally z-scaled — the reference's MLP "collapsed"
+      * (`slide24.xml`), which unscaled inputs reproduce. Output mirrors
+      * `ml_gbt`'s train-metrics row. */
+    "ml_mlp" -> ((s, d) => {
+      import s.implicits._
+      withFrame(s, d) { train =>
+        val m = Mlp.fit(train, ModelingFrame.EventTypes, ModelingFrame.Target,
+          h = 16, maxIter = 150)
+        val pred = train.select(
+          col(ModelingFrame.Target).as("y"),
+          m.predictExpr(ModelingFrame.EventTypes).as("yhat"))
+        val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+        Seq((r.getAs[Long]("n"),
+            math.rint(r.getAs[Double]("mae") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("r2") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("dir_acc") * 1e6) / 1e6))
+          .toDF("n", "mae", "rmse", "r2", "dir_acc")
+      }
+    }),
+
+    /** `ml_shap` (de-excluded): exact closed-form linear SHAP over the
+      * OLS fit — φⱼ = wⱼ(xⱼ−μⱼ); additivity pinned in MlSpec. */
+    "ml_shap" -> ((s, d) => {
+      withFrame(s, d) { train =>
+        val m = Models.ols(ModelingFrame.Target).fit(train)
+        val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
+        round6(Explain.linearShapSummary(train, coefs, intercept),
+          Seq("mean_abs_shap", "mean_shap", "coefficient", "base_value"))
+          .orderBy("feature")
       }
     }),
 

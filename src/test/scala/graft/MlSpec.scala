@@ -197,4 +197,129 @@ class MlSpec extends SparkSpec {
     // on noiseless linear data the linear members are perfect
     assert(report.find(_._1 == "lr").get._3 > 0.999999)
   }
+
+  // ---- linear SVR ------------------------------------------------------
+
+  test("linear SVR recovers planted coefficients on noiseless data (small tube)") {
+    // realizable data: all residuals can reach the ε-tube, so the optimum
+    // is the min-norm interpolator — within O(ε) of the planted weights
+    val m = graft.ml.Svr.fit(linear, Seq("x1", "x2"), "y",
+      c = 10.0, epsilon = 0.01, smoothing = 1e-4, maxIter = 300)
+    assert(approx(m.coefficients(0), 3.0, 0.05), s"w1=${m.coefficients(0)}")
+    assert(approx(m.coefficients(1), -1.5, 0.05), s"w2=${m.coefficients(1)}")
+    assert(approx(m.intercept, 2.0, 0.5), s"b=${m.intercept}")
+    // predictions inside (or at) the tube: MAE bounded by ε + smoothing slack
+    val pred = linear.select(avg(abs(col("y") - m.predictExpr(Seq("x1", "x2")))))
+      .head().getDouble(0)
+    assert(pred < 0.05, s"train MAE $pred")
+  }
+
+  test("linear SVR with a tube wider than the data range returns ~zero weights") {
+    // every residual of the w=0 model already sits inside the tube ->
+    // loss term is 0 at w=0 and the regularizer pins the optimum there
+    val m = graft.ml.Svr.fit(linear, Seq("x1", "x2"), "y",
+      c = 1.0, epsilon = 1000.0, maxIter = 100)
+    assert(m.coefficients.forall(w => math.abs(w) < 1e-6), m.coefficients.toString)
+  }
+
+  // ---- MLP regressor ---------------------------------------------------
+
+  test("MLP analytic gradient matches finite differences (backprop check)") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      // no x=(0,0) row: with zero-init biases that puts a hidden unit
+      // EXACTLY on the ReLU kink, where finite differences and the
+      // subgradient choice legitimately disagree
+      (Seq(0.3, -1.2), 0.7), (Seq(-0.5, 0.4), -0.2), (Seq(1.1, 0.9), 1.5),
+      (Seq(0.2, 0.6), 0.1), (Seq(-1.3, -0.7), -1.0), (Seq(0.8, -0.4), 0.6))
+    val d = rows.toDF("x", "y").coalesce(1).cache()
+    val (k, h, alpha) = (2, 3, 0.01)
+    val w0 = graft.ml.Mlp.init(k, h, seed = 7)
+    val (_, grad) = graft.ml.Mlp.evaluate(d, "x", "y", k, h, w0, alpha)
+    val eps = 1e-6
+    w0.indices.foreach { i =>
+      val wp = w0.clone(); wp(i) += eps
+      val wm = w0.clone(); wm(i) -= eps
+      val (lp, _) = graft.ml.Mlp.evaluate(d, "x", "y", k, h, wp, alpha)
+      val (lm, _) = graft.ml.Mlp.evaluate(d, "x", "y", k, h, wm, alpha)
+      val numeric = (lp - lm) / (2 * eps)
+      assert(approx(grad(i), numeric, 1e-4),
+        s"grad($i): analytic ${grad(i)} vs numeric $numeric")
+    }
+    d.unpersist()
+  }
+
+  test("MLP fits a nonlinear function far better than the linear baseline") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 60).map { i =>
+      val x = -1.0 + 2.0 * i / 59.0
+      (i.toLong, x, x * x)
+    }
+    val d = rows.toDF("id", "x", "y").coalesce(1).cache()
+    val mlp = graft.ml.Mlp.fit(d, Seq("x"), "y", h = 16, maxIter = 400, seed = 42)
+    val mlpMse = d.select(avg(pow(col("y") - mlp.predictExpr(Seq("x")), 2)))
+      .head().getDouble(0)
+    val lin = Models.ols("y").fit(Models.assemble(d, Seq("x")))
+    val linMse = {
+      val p = lin.transform(Models.assemble(d, Seq("x")))
+      p.select(avg(pow(col("y") - col(Models.PredictionCol), 2))).head().getDouble(0)
+    }
+    assert(mlpMse < 0.005, s"MLP train MSE $mlpMse")
+    assert(mlpMse < linMse / 10.0, s"MLP $mlpMse not ≪ linear $linMse")
+    d.unpersist()
+  }
+
+  test("MLP predictExpr equals a driver-side forward pass") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, 0.4, -0.9), (2L, -1.7, 0.3), (3L, 2.2, 1.1))
+      .toDF("id", "x1", "x2")
+    val (k, h) = (2, 4)
+    val w = graft.ml.Mlp.init(k, h, seed = 3)
+    // bias + output weights nonzero so the forward pass exercises all terms
+    (h * k until w.length).foreach(i => w(i) = 0.1 * (i - h * k + 1))
+    val m = graft.ml.Mlp.MlpModel(k, h, w, Seq(0.5, -0.2), Seq(2.0, 1.5), 0.3, 0.0)
+    def forward(x1: Double, x2: Double): Double = {
+      val xs = Array((x1 - 0.5) / 2.0, (x2 + 0.2) / 1.5)
+      val off1 = h * k; val off2 = h * k + h
+      (0 until h).map { i =>
+        val z = w(i * k) * xs(0) + w(i * k + 1) * xs(1) + w(off1 + i)
+        math.max(z, 0.0) * w(off2 + i)
+      }.sum + w.last + 0.3
+    }
+    val got = d.select(col("x1"), col("x2"),
+      m.predictExpr(Seq("x1", "x2")).as("p")).collect()
+    got.foreach { r =>
+      assert(approx(r.getDouble(2), forward(r.getDouble(0), r.getDouble(1)), 1e-9))
+    }
+  }
+
+  // ---- linear SHAP -----------------------------------------------------
+
+  test("linear SHAP: additivity Σφ + base = prediction holds exactly per row") {
+    val m = Models.ols("y").fit(assembled)
+    val (coefs, intercept) = Models.coefficients(m, Seq("x1", "x2"))
+    val means = graft.ml.Explain.featureMeans(linear, Seq("x1", "x2"))
+    val phis = graft.ml.Explain.linearShapColumns(coefs, means)
+    val base = coefs.map { case (f, w) => w * means(f) }.sum + intercept
+    val rows = linear.select(
+        (phis.map(_._2).reduce(_ + _) + lit(base)).as("reconstructed"),
+        (col("x1") * coefs(0)._2 + col("x2") * coefs(1)._2 + lit(intercept)).as("pred"))
+      .collect()
+    rows.foreach(r => assert(approx(r.getDouble(0), r.getDouble(1), 1e-9)))
+  }
+
+  test("linear SHAP summary: zero-coefficient feature has zero SHAP; means ≈ 0") {
+    // y depends only on x1 -> x2's coefficient (and SHAP) must vanish
+    val d = df((1 to 30).map { i =>
+      XY(i.toLong, i.toDouble, (i % 5).toDouble, 1.0 + 2.0 * i) })
+    val a = Models.assemble(d, Seq("x1", "x2"))
+    val m = Models.ols("y").fit(a)
+    val (coefs, intercept) = Models.coefficients(m, Seq("x1", "x2"))
+    val sum = graft.ml.Explain.linearShapSummary(d, coefs, intercept)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sum("x2")._1 < 1e-6, s"x2 mean|phi| = ${sum("x2")._1}")
+    assert(math.abs(sum("x1")._2) < 1e-6, "mean phi over background must be ~0")
+    assert(sum("x1")._1 > 1.0, "x1 carries the signal")
+  }
 }
