@@ -19,6 +19,10 @@ object Ts {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Memory-sink table names must be unique per invocation (verify and
+    * bench both run each query more than once in one session). */
+  private val sessionizeRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def userW = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
 
   /** Per-event-type lead horizons — the `target_pairs.lag` analog
@@ -142,6 +146,21 @@ object Ts {
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .orderBy("user_id", "session_id")),
+
+    /** The ACTUAL streaming sessionizer (`EventStream.sessionizeStream`,
+      * flatMapGroupsWithState) run to completion under AvailableNow and
+      * hash-compared against the DuckDB gaps-and-islands oracle — not a
+      * batch twin. Session identity = session start time (µs), which the
+      * oracle reproduces as `min(ts_us)` per island. The watermark is set
+      * beyond the data's horizon so no state is evicted mid-stream:
+      * eviction timing depends on micro-batch/file boundaries, which an
+      * oracle row must not — the eviction semantics are pinned separately
+      * by StreamingSpec's multi-batch MemoryStream test. */
+    "stream_sessionize" -> ((s, d) =>
+      graft.streaming.EventStream.runSessionizeOnce(s, d,
+          s"stream_sessionize_v${sessionizeRuns.incrementAndGet()}",
+          watermark = "3650 days")
         .orderBy("user_id", "session_id")),
 
     // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
@@ -295,6 +314,24 @@ object Ts {
 
     "stream_dedup_docs" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_id,
+        |  count(*) AS n_events, max(ts_us) - min(ts_us) AS dur_us
+        |FROM sess GROUP BY user_id, grp
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "stream_drift_scores" ->
       """WITH days AS (

@@ -204,11 +204,12 @@ object EventStream {
     * completion; one final row per session (MAX-merged per the update-mode
     * emission contract — n_events/dur_us are monotone). */
   def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String,
-                        gapUs: Long = 600000000L): DataFrame = {
+                        gapUs: Long = 600000000L,
+                        watermark: String = "1 hour"): DataFrame = {
     val events = readEvents(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("ts"))
       .withColumn("ts_us", expr("ts_ns div 1000"))
-    val q = sessionizeStream(events, gapUs)
+    val q = sessionizeStream(events, gapUs, watermark)
       .writeStream
       .format("memory")
       .queryName(queryName)
