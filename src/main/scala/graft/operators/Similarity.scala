@@ -154,10 +154,24 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val fv = fanOut(corpus).select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    // coarse quantizer: a few iterations suffice (lists only need to be
+      .cache()
+    // Coarse quantizer: a few iterations suffice (lists only need to be
     // roughly balanced; every extra iteration is a full distributed pass)
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("fv").fit(fv.cache())
+    // — and it trains on a BOUNDED SAMPLE (≤ 256·nlist vectors, the
+    // faiss guideline): at corpus scale the quantizer must never be a
+    // function of a full pass, and the sample collapses to few
+    // partitions so the iterative fit isn't paying a cluster-wide task
+    // wave per iteration. At test SFs 256·nlist ≥ n, so the sample is
+    // the whole corpus and results are unchanged.
+    val n = fv.count()
+    val cap = nlist.toLong * 256L
+    val trainFv = (if (cap < n) fv.sample(withReplacement = false,
+        cap.toDouble / n, seed) else fv)
+      .coalesce(8).cache()
+    val km = try {
+      new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+        .setFeaturesCol("fv").fit(trainFv)
+    } finally { trainFv.unpersist(); () }
     val listed = km.transform(fv).select(col(idCol).as("neighbor_id"),
       col("v").as("cv"), col("prediction").as("list_id"))
       .withColumn("cn", norm(col("cv")))
