@@ -162,7 +162,7 @@ object Mlp {
     * `alpha=1e-4`, `solver="lbfgs"`, seeded init). */
   def fit(df: DataFrame, featureCols: Seq[String], label: String,
           h: Int = 32, alpha: Double = 1e-4, maxIter: Int = 200,
-          seed: Long = 42): MlpModel = {
+          seed: Long = 42, tolerance: Double = 1e-5): MlpModel = {
     val k = featureCols.size
     // internal standardization (population std; constant columns -> std 1)
     val statAggs = featureCols.flatMap(c =>
@@ -186,7 +186,9 @@ object Mlp {
           (loss, DenseVector(grad))
         }
       }
-      val lbfgs = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = 1e-7)
+      // tolerance 1e-5 default (sklearn MLPRegressor stops at tol=1e-4):
+      // every extra evaluation is a full distributed pass
+      val lbfgs = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tolerance)
       val theta = lbfgs.minimize(objective, DenseVector(init(k, h, seed)))
       val (finalLoss, _) = objective.calculate(theta)
       MlpModel(k, h, theta.toArray, mu, sd, muY, finalLoss)
