@@ -196,6 +196,25 @@ object Docs {
         .orderBy(desc("n"), asc("bigram")).limit(50)
     }),
 
+    /** Gopher-style repetition quality rule: per-document duplicate-bigram
+      * fraction (1 − distinct/total). Deliberately NARROW — the bigram
+      * list is built and deduped inside one row via collection
+      * expressions, so the whole operator is a single map stage with NO
+      * explode/shuffle: the scale posture a per-doc quality score must
+      * have at corpus scale (contrast `text_ngram_bigrams`, which
+      * explodes because it aggregates ACROSS documents). */
+    "text_repetition_score" -> ((s, d) =>
+      toked(s, d)
+        .withColumn("bgs", when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+          when(size(col("bgs")) > 0,
+              round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+                / size(col("bgs")), 6))
+            .otherwise(lit(0.0)).as("rep_ratio"))
+        .orderBy("doc_id")),
+
     /** End-to-end corpus cleaning — the composition a training-data
       * pipeline actually runs, as ONE declarative plan Catalyst can
       * optimize across stages (all the per-doc scoring fuses into a
@@ -420,6 +439,20 @@ object Docs {
         |  FROM t)
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+
+    "text_repetition_score" -> (tokedSql +
+      """, bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(1, len(toks)),
+        |                             i -> toks[i] || ' ' || toks[i + 1])
+        |         ELSE [] END AS bgs
+        |  FROM t)
+        |SELECT doc_id, len(bgs) AS n_bigrams,
+        |  CASE WHEN len(bgs) > 0
+        |       THEN round(1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs), 6)
+        |       ELSE 0.0::DOUBLE END AS rep_ratio
+        |FROM bg ORDER BY doc_id""".stripMargin),
 
     "corpus_clean_pipeline" -> (tokedSql +
       """, scored AS (
