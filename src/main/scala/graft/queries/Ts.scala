@@ -163,6 +163,15 @@ object Ts {
           watermark = "3650 days")
         .orderBy("user_id", "session_id")),
 
+    /** The REAL streaming windowed aggregation (`EventStream.windowedAgg`
+      * — watermarked tumbling windows over the file-source stream) run to
+      * completion under AvailableNow and hash-compared against the same
+      * DuckDB oracle as its batch twin `stream_window_agg`. */
+    "stream_window_agg_live" -> ((s, d) =>
+      graft.streaming.EventStream.runWindowedAggOnce(s, d,
+          s"stream_window_live_v${sessionizeRuns.incrementAndGet()}")
+        .orderBy("day", "event_type")),
+
     // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
     //      graft.streaming run the same logic incrementally) --------------
     "stream_window_agg" -> ((s, d) =>
@@ -289,6 +298,11 @@ object Ts {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "stream_window_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "stream_window_agg_live" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,

@@ -51,6 +51,24 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Harness/test entry: the REAL streaming windowed aggregation run to
+    * completion. Complete output mode: under AvailableNow an append-mode
+    * window only emits once the watermark passes it, so the stream's
+    * final windows would be withheld; complete mode materializes the
+    * whole result table — which is exactly what an oracle row needs. */
+  def runWindowedAggOnce(spark: SparkSession, dir: String,
+                         queryName: String): DataFrame = {
+    val q = windowedAgg(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   // ---- stateful drift monitor -----------------------------------------
 
   case class EventRow(event_type: String, value: Double)
