@@ -59,6 +59,58 @@ object Joins {
       .select((lCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)
   }
 
+  /** Bucketed co-located layout — the 100 TB fact-fact join answer.
+    * Write a table ONCE bucketed (and sorted) on its join key; every
+    * subsequent equi-join between tables bucketed into the SAME bucket
+    * count on their join keys is exchange-free: the parquet scan reports
+    * the bucket spec as `HashPartitioning`, SortMergeJoin's distribution
+    * requirement is already satisfied, and no shuffle of either side
+    * appears in the plan (JoinsSpec asserts this on the executed plan).
+    * This is the layout for joins too big to broadcast and too hot to
+    * re-shuffle per query — the shuffle is paid once, at write time.
+    *
+    * The `repartition(buckets, key)` before the write matters: bucket
+    * files use the same Murmur3 hash as `HashPartitioning`, so each
+    * task then holds exactly one bucket and writes exactly ONE file per
+    * bucket — which is also what lets the scan expose the `sortBy`
+    * order and drop the SMJ's per-side Sort. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+                    table: String, path: String): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed keys. A plain shuffle join sends every
+    * row of a hot key to ONE reducer — the straggler that dominates the
+    * stage at scale (AQE's skew split can divide the sorted runs, but
+    * the hot key still concentrates through one exchange write path).
+    * Salting changes the SHUFFLE KEY itself: the left (big, skewed)
+    * side gets a deterministic salt in [0, saltFactor) hashed from a
+    * stable row id, the right side is replicated once per salt value,
+    * and the join runs on (key, salt) — the hot key's rows spread over
+    * `saltFactor` partitions.
+    *
+    * The salt is `pmod(xxhash64(saltIdCol), saltFactor)` — deterministic,
+    * so task retries and the DuckDB oracle replay identically (same
+    * reason `Relational.saltedAgg` rejects `rand()`).
+    *
+    * Right side is replicated saltFactor× — intended for dimension-ish
+    * right tables far too big to broadcast only at saltFactor ≈ 1;
+    * in the common case (modest dim, brutal left skew) the replication
+    * is noise next to the straggler it removes. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltIdCol: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val l = left.withColumn("__salt", pmod(xxhash64(col(saltIdCol)), lit(saltFactor.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1L))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   /** Range (interval) join: left points against right intervals
     * `[lo, hi)` on the same key. The naive `ON p >= lo AND p < hi` is a
     * nested-loop plan; this binned form equi-joins on (key, bin) where

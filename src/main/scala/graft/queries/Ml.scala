@@ -96,10 +96,12 @@ object Ml {
           stddev_samp(element_at(col("v"), i + 1)).as(s"std_$i"))
       }
       val r = asArr.agg(stats.head, stats.tail: _*).head()
+      // + 0.0 canonicalizes -0.0 (a tiny negative mean rounds to -0.0,
+      // which is bit-distinct from the oracle's 0.0 under hash compare)
       ModelingFrame.EventTypes.indices.map(i =>
           (ModelingFrame.EventTypes(i),
-            math.rint(r.getAs[Double](s"mean_$i") * 1e6) / 1e6,
-            math.rint(r.getAs[Double](s"std_$i") * 1e6) / 1e6))
+            math.rint(r.getAs[Double](s"mean_$i") * 1e6) / 1e6 + 0.0,
+            math.rint(r.getAs[Double](s"std_$i") * 1e6) / 1e6 + 0.0))
         .toDF("feature", "scaled_mean", "scaled_std").orderBy("feature")
     }),
 
@@ -390,6 +392,44 @@ object Ml {
     }),
   )
 
-  /** No oracle SQL — rows-only checks by design (see object Scaladoc). */
-  val sql: Map[String, String] = Map.empty
+  /** Almost all entries are rows-only by design (see object Scaladoc) —
+    * DuckDB has no multi-feature OLS/RF/GBT. `ml_scaler` is the
+    * exception: z-scaling's postcondition (per-feature mean 0 / sample
+    * std 1 over the SAME modeling frame) IS SQL-expressible, so its
+    * twin rebuilds the frame (daily pivot → lead target → drop-null,
+    * exactly `ModelingFrame.build`) and recomputes the scaled moments.
+    * `round(x, 6) + 0.0` on both sides canonicalizes −0.0. */
+  val sql: Map[String, String] = Map(
+    "ml_scaler" -> (Pipe.dailySql +
+      """, frame AS (
+        |  SELECT d.*, lead(click) OVER (ORDER BY date_id) AS tgt FROM daily d),
+        |clean AS (
+        |  SELECT click, error, purchase, signup, view FROM frame
+        |  WHERE click IS NOT NULL AND error IS NOT NULL AND purchase IS NOT NULL
+        |    AND signup IS NOT NULL AND view IS NOT NULL AND tgt IS NOT NULL),
+        |stats AS (
+        |  SELECT avg(click) AS mc, stddev_samp(click) AS sc,
+        |    avg(error) AS me, stddev_samp(error) AS se,
+        |    avg(purchase) AS mp, stddev_samp(purchase) AS sp,
+        |    avg(signup) AS ms, stddev_samp(signup) AS ss,
+        |    avg(view) AS mv, stddev_samp(view) AS sv
+        |  FROM clean)
+        |SELECT feature, round(scaled_mean, 6) + 0.0 AS scaled_mean,
+        |  round(scaled_std, 6) + 0.0 AS scaled_std
+        |FROM (
+        |  SELECT 'click' AS feature, avg((click - mc) / sc) AS scaled_mean,
+        |    stddev_samp((click - mc) / sc) AS scaled_std FROM clean, stats
+        |  UNION ALL
+        |  SELECT 'error', avg((error - me) / se),
+        |    stddev_samp((error - me) / se) FROM clean, stats
+        |  UNION ALL
+        |  SELECT 'purchase', avg((purchase - mp) / sp),
+        |    stddev_samp((purchase - mp) / sp) FROM clean, stats
+        |  UNION ALL
+        |  SELECT 'signup', avg((signup - ms) / ss),
+        |    stddev_samp((signup - ms) / ss) FROM clean, stats
+        |  UNION ALL
+        |  SELECT 'view', avg((view - mv) / sv),
+        |    stddev_samp((view - mv) / sv) FROM clean, stats)
+        |ORDER BY feature""".stripMargin))
 }

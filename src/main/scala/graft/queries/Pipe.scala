@@ -75,7 +75,7 @@ object Pipe {
     }),
   )
 
-  private val dailySql =
+  private[queries] val dailySql =
     """WITH daily AS (
       |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS date_id,
       |    avg(CASE WHEN event_type = 'click' THEN value END) AS click,

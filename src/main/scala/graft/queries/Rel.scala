@@ -321,6 +321,52 @@ object Rel {
         .orderBy("c_custkey")
     }),
 
+    /** Bucketed co-located join (`Joins.writeBucketed`): orders ⋈
+      * lineitem on the order key with BOTH sides at rest as bucketed
+      * tables — the shuffle is paid once at write time, and the join
+      * plan has no Exchange on either side (JoinsSpec asserts it). The
+      * `merge` hint pins SortMergeJoin so the demo doesn't degrade to a
+      * broadcast at test SF — at 100 TB neither fact side broadcasts
+      * and SMJ is what Catalyst picks unhinted. */
+    "join_bucketed" -> ((s, d) => {
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_bucketed/$sf"
+      Joins.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", buckets = 8, s"g_orders_b_$sf", s"$base/orders")
+      Joins.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        "l_orderkey", buckets = 8, s"g_lineitem_b_$sf", s"$base/lineitem")
+      s.table(s"g_orders_b_$sf").hint("merge")
+        .join(s.table(s"g_lineitem_b_$sf"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** Salted skewed join (`Joins.saltedJoin`): events (big side, skewed
+      * join key) against a per-type category dim, joined on
+      * (event_type, salt) so a hot type spreads over 16 shuffle
+      * partitions instead of one straggler. The `merge` hint keeps the
+      * exchange in the plan at test SF (the replicated dim would
+      * broadcast and hide the salted topology this query exists to
+      * exercise); the oracle is the PLAIN join — salting must be
+      * invisible in the result. */
+    "join_skew_salted" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "ops")).toDF("event_type", "category")
+      Joins.saltedJoin(
+          Tables.events(s, d).select("event_id", "event_type", "value").hint("merge"),
+          dim, Seq("event_type"), saltIdCol = "event_id", saltFactor = 16)
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .orderBy("category")
+    }),
+
     // ---- §2.6 aggregations ----------------------------------------------
     "agg_describe" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -708,6 +754,22 @@ object Rel {
         |WHERE CAST(floor(o_totalprice) AS BIGINT) >= lo
         |  AND CAST(floor(o_totalprice) AS BIGINT) < hi
         |ORDER BY o_orderkey, band_id""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_skew_salted" ->
+      """WITH dim(event_type, category) AS (
+        |  VALUES ('click', 'engagement'), ('view', 'engagement'),
+        |         ('purchase', 'conversion'), ('signup', 'conversion'),
+        |         ('error', 'ops'))
+        |SELECT category, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category ORDER BY category""".stripMargin,
 
     "agg_describe" -> {
       def one(c: String) =

@@ -172,6 +172,18 @@ object Ts {
           s"stream_window_live_v${sessionizeRuns.incrementAndGet()}")
         .orderBy("day", "event_type")),
 
+    /** The REAL watermarked stream-stream interval join
+      * (`EventStream.attributionJoin`): clicks ⋈ same-user views within
+      * the preceding 6 hours, run to completion under AvailableNow and
+      * hash-compared against the DuckDB join twin. Inner-join matches
+      * emit eagerly, so the pass yields the complete pair set; the
+      * per-user count is a batch aggregate over the materialized
+      * pairs. */
+    "stream_join_attrib" -> ((s, d) =>
+      graft.streaming.EventStream.runAttributionOnce(s, d,
+          s"stream_attrib_v${sessionizeRuns.incrementAndGet()}")
+        .orderBy("user_id")),
+
     // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
     //      graft.streaming run the same logic incrementally) --------------
     "stream_window_agg" -> ((s, d) =>
@@ -328,6 +340,18 @@ object Ts {
 
     "stream_dedup_docs" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+
+    "stream_join_attrib" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, count(*) AS n_pairs
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vts BETWEEN c.cts - 21600000000 AND c.cts
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (

@@ -124,20 +124,57 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
-  /** Run the windowed aggregation to completion over existing files
-    * (availableNow) into an in-memory table; returns the result frame.
-    * This is the harness/test entry — production binds `.writeStream` to a
-    * real sink instead. */
-  def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val q = windowedAgg(readEvents(spark, dir))
+  // ---- stream-stream attribution join ----------------------------------
+
+  /** Watermarked stream-stream interval join — the attribution
+    * primitive: each click paired with the SAME user's view events in
+    * the `horizon` before it (view_ts ∈ [click_ts − horizon, click_ts],
+    * both ends inclusive).
+    *
+    * State/scale design: a stream-stream join buffers both sides in
+    * state; the watermark on each side PLUS the event-time range
+    * condition is what lets Spark evict — a view older than
+    * (watermark − horizon) can never match a future click and is
+    * dropped, so state is O(events within horizon+watermark), never
+    * O(stream). Inner-join matches emit eagerly (no watermark wait), so
+    * an AvailableNow pass yields the complete pair set. Both sides here
+    * derive from ONE source stream (a self-join); at 100 TB each side
+    * binds to its own Kafka topic and nothing else changes. */
+  def attributionJoin(events: DataFrame, horizon: String = "6 hours",
+                      watermark: String = "1 day"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("click_user") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Harness/test entry: run the attribution join to completion and
+    * aggregate the matched pairs per user (the aggregate is batch, over
+    * the materialized pair table — chaining a streaming agg after a
+    * stream-stream join is possible but adds nothing an oracle row can
+    * check that this doesn't). */
+  def runAttributionOnce(spark: SparkSession, dir: String, queryName: String,
+                         horizon: String = "6 hours"): DataFrame = {
+    val q = attributionJoin(readEvents(spark, dir), horizon)
       .writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   // ---- stateful sessionization -----------------------------------------

@@ -51,6 +51,39 @@ class JoinsSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    val s = spark; import s.implicits._
+    // 90% of rows on one hot key — the distribution salting exists for
+    val left = df((1 to 200).map(i =>
+      L(if (i % 10 == 0) s"k${i % 3}" else "hot", i.toLong, i.toLong)))
+    val dim = Seq(("hot", 1.0), ("k0", 2.0), ("k1", 3.0), ("k2", 4.0))
+      .toDF("k", "w")
+    val salted = Joins.saltedJoin(left, dim, Seq("k"), "lid", saltFactor = 8)
+      .select("lid", "w").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val plain = left.join(dim, "k")
+      .select("lid", "w").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(salted.sameElements(plain) && salted.length == 200)
+  }
+
+  test("bucketed co-located join: SortMergeJoin with no Exchange on either side") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
+    val fact = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("key", "a")
+    val dim = (0L until 50L).map(k => (k, s"v$k")).toDF("key", "b")
+    Joins.writeBucketed(fact, "key", buckets = 4, "g_spec_fact", s"$dir/fact")
+    Joins.writeBucketed(dim, "key", buckets = 4, "g_spec_dim", s"$dir/dim")
+    val joined = spark.table("g_spec_fact").hint("merge")
+      .join(spark.table("g_spec_dim"), "key")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == 500)
+    // one file per bucket: the repartition-by-key write contract
+    val files = new java.io.File(s"$dir/fact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 bucket files, got $files")
+  }
+
   test("rangeJoinBinned equals the naive inequality join, hi exclusive") {
     val pts = df((0 until 50).map(i => Pt(s"g${i % 2}", i.toLong * 7 % 100, i.toLong)))
     val ivs = df(Seq(

@@ -10,7 +10,7 @@ class StreamingSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("streaming windowed agg equals the batch aggregation (availableNow)") {
-    val got = EventStream.runWindowedOnce(spark, dir, "win_test")
+    val got = EventStream.runWindowedAggOnce(spark, dir, "win_test")
       .orderBy("day", "event_type").collect()
     val want = Tables.events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
@@ -102,6 +102,22 @@ class StreamingSpec extends SparkSpec {
       assert(fin.contains((9L, t0 + 7200L * 1000000L, 2L, 1000000L)))
       assert(fin.size == 3)
     } finally q.stop()
+  }
+
+  test("stream-stream attribution join equals the batch interval join (availableNow)") {
+    val got = EventStream.runAttributionOnce(spark, dir, "attrib_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"), col("ts").as("vts"))
+    val want = c.join(v, col("user_id") === col("vuser") &&
+        col("vts") >= col("cts") - expr("INTERVAL 6 hours") && col("vts") <= col("cts"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
   }
 
   test("drift monitor: first batch has z=0, state accumulates all rows") {
