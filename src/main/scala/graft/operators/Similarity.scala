@@ -199,6 +199,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** `embedding_quantize_int8`: per-vector symmetric scalar quantization
+    * — the memory side of vector search at 100 TB. Each vector gets one
+    * scale = max|vᵢ|/127 and int8 codes qᵢ = ⌊vᵢ/scale + ½⌋ ∈ [−127,127]:
+    * 4× smaller at rest and in shuffle than float32 (8× vs the double
+    * compute form), with dot products reconstructable as
+    * scaleₐ·scale_b·(qₐ·q_b) — the standard pre-filter step before exact
+    * re-scoring of the shortlist. A narrow, codegen'd map — no shuffle.
+    *
+    * Rounding goes through `floor(x + 0.5)` rather than `round` so the
+    * DuckDB twin computes bit-identical codes (round() half-away vs
+    * half-even differs between engines; floor does not). Zero vectors
+    * quantize to zeros under scale 1. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mx = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol),
+        when(mx > 0, mx / 127.0).otherwise(lit(1.0)).as("scale"),
+        v.as("__v"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x => floor(x / col("scale") + 0.5).cast("int")).as("q"))
+  }
+
   /** `similarity_ann_lsh`: near-dup pairs by cosine ≥ threshold among
     * bucket-cohabiting vectors. One narrow map to key each vector, one
     * equi-join on the bucket key. Misses cross-bucket pairs by design —

@@ -296,6 +296,17 @@ object Docs {
         .select(col("label"), col("pos"), round(col("m"), 6).as("m"))
         .orderBy("label", "pos")),
 
+    /** Int8 scalar quantization (`Similarity.quantizeInt8`): per-vector
+      * scale + int8 codes, emitted flat (vec_id, scale, pos, q8) so the
+      * cross-engine compare stays scalar. The codes are engine-exact
+      * (floor-based rounding — see the operator doc), so this is a full
+      * hash row, not a tolerance check. */
+    "embedding_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          posexplode(col("q")).as(Seq("pos", "q8")))
+        .orderBy("vec_id", "pos")),
+
     /** Nearest-centroid classification closing the prototype loop:
       * centroids are driver-held metadata (|labels| × dim), assignment is
       * a narrow codegen'd argmin — no shuffle; output is the confusion
@@ -629,6 +640,23 @@ object Docs {
         |SELECT label, pred_label, count(*) AS n
         |FROM assigned GROUP BY label, pred_label
         |ORDER BY label, pred_label""".stripMargin,
+
+    "embedding_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+        |  FROM (SELECT vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+        |        FROM e)),
+        |flat AS (
+        |  SELECT vec_id, scale,
+        |         unnest(list_transform(range(len(v)),
+        |           i -> {'pos': i,
+        |                 'q8': CAST(floor(v[i + 1] / scale + 0.5) AS INT)})) AS u
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 9) AS scale, u.pos AS pos, u.q8 AS q8
+        |FROM flat ORDER BY vec_id, pos""".stripMargin,
 
     "embedding_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -55,6 +55,31 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.size == 8 && p1.head.size == 64)
   }
 
+  test("quantizeInt8: codes in [-127,127], extremes hit ±127, dequantized cosine ≈ exact") {
+    val corpus = df((0 until 30).map(i =>
+      Vec(i.toLong, Seq.tabulate(16)(j => math.sin(i * 3.7 + j * 1.3).toFloat * (j + 1)))))
+    val q = Similarity.quantizeInt8(corpus, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSeq
+    assert(q.size == 30)
+    q.foreach { case (_, scale, codes) =>
+      assert(scale > 0)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // the max-|v| component quantizes to exactly ±127 by construction
+      assert(codes.exists(c => math.abs(c) == 127))
+    }
+    // reconstruction: cos(dequantized, original) stays near 1 — the
+    // shortlist-prefilter quality the 4x memory cut buys
+    val orig = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    q.foreach { case (id, scale, codes) =>
+      val deq = codes.map(_ * scale)
+      val v = orig(id)
+      val cos = v.zip(deq).map { case (a, b) => a * b }.sum /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(deq.map(x => x * x).sum))
+      assert(cos > 0.9999, s"vec $id dequantized cosine $cos")
+    }
+  }
+
   test("ivfTopK: probing all lists equals brute force exactly") {
     val corpus = df((0 until 40).map(i =>
       Vec(i.toLong, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 19 - 9).toFloat))))
