@@ -56,4 +56,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("join_mapping_left").contains("BroadcastHashJoin"),
       "join_mapping_left should broadcast the pairs side")
   }
+
+  test("LSH/simhash self-joins compute signatures ONCE at the shuffle-join shape (ReusedExchange)") {
+    // At 100 TB both sides of the banded self-join shuffle (no broadcast);
+    // the two alias subtrees must canonicalize equal so AQE reuses the
+    // signature exchange instead of hashing every document twice. The
+    // reuse only materializes in the EXECUTED final plan, so this test
+    // runs the queries (sf0.001) rather than inspecting the static plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "similarity_ann_lsh")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("isFinalPlan=true"), s"$q did not run under AQE")
+        assert(p.contains("ReusedExchange"),
+          s"$q recomputes signatures per join side:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
