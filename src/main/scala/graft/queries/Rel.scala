@@ -413,6 +413,18 @@ object Rel {
             ("max_value", max(col("value")), max(_))))
         .orderBy("event_type")),
 
+    /** Sketch-distinct profiling (`approx_count_distinct` = HLL++): the
+      * scale path for distinct-cardinality profiling — one pass, fixed
+      * ~KB of mergeable sketch state per group, map-side combine —
+      * where exact `countDistinct` shuffles every distinct value.
+      * Rows-only (the sketch estimate is implementation-defined);
+      * RelationalSpec bounds its error against the exact count. */
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_approx"))
+        .orderBy("event_type")),
+
     "agg_variance_per_col" -> ((s, d) =>
       Relational.unpivotAgg(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),

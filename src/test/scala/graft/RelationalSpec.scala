@@ -89,6 +89,20 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain && salted.contains("hot"))
   }
 
+  test("approx_count_distinct scale path stays within 5% of the exact cardinality") {
+    val d = df((1 to 30000).map(i => (i.toLong, s"k${i % 3}", (i * 7919L) % 4813L)))
+      .toDF("id", "k", "u")
+    val r = d.groupBy("k").agg(
+        countDistinct(col("u")).as("exact"),
+        approx_count_distinct(col("u"), rsd = 0.02).as("approx"))
+      .collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      val e = row.getLong(1).toDouble; val a = row.getLong(2).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e for ${row.getString(0)}")
+    }
+  }
+
   test("approx_percentile scale path stays within 1% of the exact quartiles") {
     // skewed deterministic values — the sketch must track all three
     // quartiles closely at the query's accuracy=10000 setting
