@@ -65,6 +65,18 @@ class JoinsSpec extends SparkSpec {
     assert(salted.sameElements(plain) && salted.length == 200)
   }
 
+  test("saltedJoin shuffles on (key, salt): the hot key spreads across partitions") {
+    val s = spark; import s.implicits._
+    val left = df((1 to 100).map(i => L("hot", i.toLong, i.toLong)))
+    val dim = Seq(("hot", 1.0)).toDF("k", "w")
+    // force the shuffle join (a broadcast would hide the salted topology)
+    val plan = Joins.saltedJoin(left.hint("merge"), dim, Seq("k"), "lid", saltFactor = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt missing from the plan:\n$plan")
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"salt not part of the shuffle key:\n$plan")
+  }
+
   test("bucketed co-located join: SortMergeJoin with no Exchange on either side") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString

@@ -120,6 +120,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("attribution join matches across micro-batches: a click in batch 2 finds views buffered in batch 1") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)](
+      44, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStream.attributionJoin(toEvents(mem.toDF()), horizon = "6 hours")
+      .writeStream.format("memory").queryName("attrib_mb")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      val t0 = 1700000000000000L // µs
+      val h = 6L * 3600L * 1000000L
+      // batch 1: two views for user 1 (one inside the future click's
+      // horizon, one far outside it), plus a view for user 2
+      mem.addData(Seq(
+        (10L, 1L, "view", t0),
+        (11L, 1L, "view", t0 - h - 1000000L),
+        (12L, 2L, "view", t0)))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks 1h after t0 -> must match view 10 (buffered
+      // from batch 1) but not view 11 (outside horizon) or user 2's view
+      mem.addData(Seq((20L, 1L, "click", t0 + 3600L * 1000000L)))
+      q.processAllAvailable()
+      val pairs = spark.table("attrib_mb")
+        .select("user_id", "click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pairs == Set((1L, 20L, 10L)))
+    } finally q.stop()
+  }
+
   test("drift monitor: first batch has z=0, state accumulates all rows") {
     val events = EventStream.readEvents(spark, dir)
     val q = EventStream.driftMonitor(events)
