@@ -329,7 +329,11 @@ object Rel {
       * broadcast at test SF — at 100 TB neither fact side broadcasts
       * and SMJ is what Catalyst picks unhinted. */
     "join_bucketed" -> ((s, d) => {
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      // path/table names carry the PID: the layout is per-process scratch,
+      // so a concurrent Verify/Bench pair on the same SF never overwrites
+      // a directory the other is mid-read on
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_") +
+        "_p" + ProcessHandle.current().pid()
       val base = s"/tmp/graft_bucketed/$sf"
       Joins.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),

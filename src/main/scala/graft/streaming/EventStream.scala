@@ -51,23 +51,31 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Shared run-to-completion harness: AvailableNow into a named memory
+    * sink, block, return the materialized table. Production binds
+    * `.writeStream` to a real sink instead; every `run*Once` entry below
+    * differs only in source plan and output mode. */
+  private def runToMemory(df: DataFrame, queryName: String,
+                          mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+
   /** Harness/test entry: the REAL streaming windowed aggregation run to
     * completion. Complete output mode: under AvailableNow an append-mode
     * window only emits once the watermark passes it, so the stream's
     * final windows would be withheld; complete mode materializes the
     * whole result table — which is exactly what an oracle row needs. */
   def runWindowedAggOnce(spark: SparkSession, dir: String,
-                         queryName: String): DataFrame = {
-    val q = windowedAgg(readEvents(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                         queryName: String): DataFrame =
+    runToMemory(windowedAgg(readEvents(spark, dir)), queryName,
+      OutputMode.Complete())
 
   // ---- stateful drift monitor -----------------------------------------
 
@@ -161,21 +169,23 @@ object EventStream {
     * aggregate the matched pairs per user (the aggregate is batch, over
     * the materialized pair table — chaining a streaming agg after a
     * stream-stream join is possible but adds nothing an oracle row can
-    * check that this doesn't). */
+    * check that this doesn't).
+    *
+    * The default watermark sits beyond the data's horizon for the same
+    * reason `stream_sessionize` pins 3650 days: if the file source ever
+    * splits the directory into several micro-batches, a short watermark
+    * would silently DROP older buffered rows between batches and the
+    * oracle row would depend on file layout. Inner-join matches emit
+    * eagerly regardless of watermark, so the wide setting costs nothing;
+    * the eviction semantics under a tight watermark are pinned separately
+    * by StreamingSpec's multi-batch MemoryStream test. */
   def runAttributionOnce(spark: SparkSession, dir: String, queryName: String,
-                         horizon: String = "6 hours"): DataFrame = {
-    val q = attributionJoin(readEvents(spark, dir), horizon)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+                         horizon: String = "6 hours",
+                         watermark: String = "3650 days"): DataFrame =
+    runToMemory(attributionJoin(readEvents(spark, dir), horizon, watermark),
+        queryName, OutputMode.Append())
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   // ---- stateful sessionization -----------------------------------------
 
@@ -264,15 +274,8 @@ object EventStream {
     val events = readEvents(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("ts"))
       .withColumn("ts_us", expr("ts_ns div 1000"))
-    val q = sessionizeStream(events, gapUs, watermark)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runToMemory(sessionizeStream(events, gapUs, watermark).toDF(),
+        queryName, OutputMode.Update())
       .groupBy("user_id", "session_id")
       .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
         org.apache.spark.sql.functions.max("dur_us").as("dur_us"))
