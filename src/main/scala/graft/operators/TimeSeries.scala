@@ -48,6 +48,35 @@ object TimeSeries {
       .withColumn(s"${valueCol}_rollstd", stddev_samp(col(valueCol)).over(frame))
   }
 
+  /** `ts_resample_ohlc`: calendar resampling of a tick/row stream into
+    * per-key OHLC bars — the pandas `resample('W').ohlc()` hallmark of
+    * the reference's domain, reshaped for scale: ONE keyed aggregation
+    * (map-side partial combine), no window, no sort. open/close are
+    * `min_by`/`max_by` on a (ts, id) struct — an explicit total order,
+    * so ties at equal timestamps have a well-defined winner on both
+    * engines. The bucket is integer `epoch-day div days` (engine-neutral
+    * anchor; calendar-origin functions like DuckDB's `time_bucket`
+    * anchor differently than Spark's `window()` and would silently
+    * disagree).
+    *
+    * @param dayCol  epoch-day ordinal column
+    * @param days    bar width in days (7 = weekly bars)
+    */
+  def resampleOhlc(df: DataFrame, keys: Seq[Column], dayCol: Column,
+                   orderCols: Seq[Column], valueCol: String,
+                   days: Int): DataFrame = {
+    require(days >= 1, "bar width must be >= 1 day")
+    val tie = struct(orderCols: _*)
+    df.withColumn("bar", floor(dayCol / days).cast("long"))
+      .groupBy(keys :+ col("bar"): _*)
+      .agg(
+        min_by(col(valueCol), tie).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), tie).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** `lead_per_target` (`Marilyn_Cleaning.ipynb` cell 67): shift a column
     * forward by a per-key horizon taken from a small mapping table
     * (`target_pairs.lag` ∈ {1..4}). pandas does `shift(-lag)` per column;

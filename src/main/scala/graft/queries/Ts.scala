@@ -51,6 +51,18 @@ object Ts {
       |""".stripMargin
 
   val qs: Map[String, Q] = Map(
+    /** Calendar resampling (`TimeSeries.resampleOhlc`): weekly OHLC bars
+      * per event_type — one keyed aggregation, open/close via min_by/
+      * max_by on the (ts_us, event_id) total order. Values pass through
+      * untouched (no fp arithmetic), so the oracle compares them raw. */
+    "ts_resample_ohlc" -> ((s, d) =>
+      TimeSeries.resampleOhlc(
+          Tables.events(s, d).withColumn("day",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))),
+          Seq(col("event_type")), col("day"),
+          Seq(expr("ts_ns div 1000"), col("event_id")), "value", days = 7)
+        .orderBy("event_type", "bar")),
+
     // ---- §2.7 window / time-series -------------------------------------
     "lead_per_target" -> ((s, d) =>
       TimeSeries.leadPerKey(Tables.events(s, d), col("event_type"),
@@ -308,6 +320,26 @@ object Ts {
         |      FROM events)
         |WHERE lagv IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS ts_us, event_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |b AS (SELECT *, CAST(floor(day / 7.0) AS BIGINT) AS bar FROM e),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |                       ORDER BY ts_us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |                       ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT event_type, bar,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY event_type, bar
+        |ORDER BY event_type, bar""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,

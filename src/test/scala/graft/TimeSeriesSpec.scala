@@ -121,6 +121,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(approx(fc, 0.6 * ys(119) + 0.3 * ys(113), 1e-6), s"forecast $fc")
   }
 
+  test("resampleOhlc: open/close follow the (ts, id) order, bars split on the day boundary") {
+    val s = spark; import s.implicits._
+    // key k: days 0..6 land in bar 0, days 7+ in bar 1; two rows share
+    // ts=3 so the id tiebreak decides close of bar 0
+    val d = Seq(
+      ("k", 0, 10L, 5.0), ("k", 3, 11L, 9.0), ("k", 3, 12L, 2.0),
+      ("k", 6, 9L, 7.0),  // ts order: day0 -> day3(id11) -> day3(id12) -> day6
+      ("k", 7, 20L, 4.0), ("k", 13, 21L, 6.0),
+      ("q", 1, 30L, 1.0))
+      .toDF("k", "day", "id", "v")
+    val out = TimeSeries.resampleOhlc(d, Seq(col("k")), col("day"),
+        Seq(col("day"), col("id")), "v", days = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    assert(out(("k", 0L)) == ((5.0, 9.0, 2.0, 7.0, 4L)))
+    assert(out(("k", 1L)) == ((4.0, 6.0, 4.0, 6.0, 2L)))
+    assert(out(("q", 0L)) == ((1.0, 1.0, 1.0, 1.0, 1L)))
+    assert(out.size == 3)
+  }
+
   test("sessionize: new session on first event and on gaps beyond the threshold") {
     // per-series times: s1 = 0, 5, 30, 32, 90 with maxGap 10 -> sessions 1,1,2,2,3
     val d = df(Seq(TS("s1", 0, 0), TS("s1", 1, 5), TS("s1", 2, 30),
