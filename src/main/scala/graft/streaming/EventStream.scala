@@ -195,89 +195,154 @@ object EventStream {
     * flatMapGroupsWithState with EventTimeTimeout. */
   case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
                        ts: java.sql.Timestamp)
-  /** The one OPEN session per user: bounds and event count. The session's
-    * IDENTITY is `start_us` — see SessOut. */
-  case class SessState(start_us: Long, last_us: Long, n: Long)
+  /** Per-user state: the event times (µs) of every NOT-yet-finalized
+    * session, plus a monotone emission version. A session is finalized —
+    * provably immutable — once `last_us + gap < watermark`: Spark drops
+    * rows older than the watermark before this operator, so no future
+    * event can land within `gap` of it (or anywhere before it). Buffer
+    * size is therefore O(events within gap+watermark horizon) per user —
+    * the same state-bounding contract as the stream-stream join above —
+    * never O(stream).
+    *
+    * `life_id` identifies one state LIFETIME (creation → drain): the min
+    * event time of the creation batch. It is strictly monotone across a
+    * user's lifetimes — every event of a drained lifetime sits below the
+    * watermark that admitted the next lifetime's events — which makes
+    * (life_id, version) a total order over a user's emissions even though
+    * `version` restarts at 1 per lifetime. */
+  case class SessBuf(buf: Seq[Long], version: Long, life_id: Long)
   /** `session_id` = the session's start time in µs. Start-time identity is
-    * collision-free across state eviction: after EventTimeTimeout removes
-    * a user's state, a later event opens a session with a NEW start time,
-    * never reusing an earlier id (a per-state ordinal would restart at 1
-    * and fuse distinct sessions under the MAX-merge contract). */
-  case class SessOut(user_id: Long, session_id: Long, n_events: Long, dur_us: Long)
+    * collision-free across state eviction AND across finalization: every
+    * post-finalization event arrives at/after the watermark, strictly
+    * after any finalized session's span, so a new session can never reuse
+    * a finalized id (a per-state ordinal would restart at 1 and fuse
+    * distinct sessions under the downstream merge).
+    *
+    * Emission contract (update mode): `finalized=true` rows are emitted
+    * EXACTLY ONCE, when the watermark proves the session immutable —
+    * they are never superseded. `finalized=false` rows re-describe the
+    * user's complete non-finalized picture on every state change, stamped
+    * with `(life_id, version)`; only the lexicographically highest stamp
+    * is current (a late-but-within-watermark event may merge sessions or
+    * extend one backwards, changing `session_id` itself, so per-row
+    * MAX-merge is NOT sound — supersede whole snapshots instead). An
+    * invocation that drains the buffer emits one `session_id = -1`
+    * sentinel so the stamp bump is visible downstream.
+    * `mergeSessionEmissions` implements the read side. */
+  case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+                     dur_us: Long, finalized: Boolean, life_id: Long,
+                     version: Long)
+
+  private case class Island(start_us: Long, last_us: Long, n: Long)
+
+  /** Gaps-and-islands over SORTED event times. */
+  private def islands(sorted: Array[Long], gapUs: Long): Seq[Island] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Island]
+    var i = 0
+    while (i < sorted.length) {
+      val start = sorted(i); var last = start; var n = 1L
+      while (i + 1 < sorted.length && sorted(i + 1) - last <= gapUs) {
+        i += 1; last = sorted(i); n += 1
+      }
+      out += Island(start, last, n)
+      i += 1
+    }
+    out.toSeq
+  }
 
   /** Streaming gap sessionizer — the stateful twin of
     * `TimeSeries.sessionize` (`sessionize_events`): per user, a new
     * session starts when the gap to the previous event exceeds `gapUs`.
     *
-    * State/scale design: exactly ONE open-session row per active user —
-    * O(active users), never O(events) — and `EventTimeTimeout` evicts a
-    * user's state once the watermark passes their session's gap horizon,
-    * so unbounded key churn cannot grow state without bound.
+    * Event-time correct under ANY arrival order the watermark admits: a
+    * late event from a later micro-batch is merged into the buffered
+    * event set and sessions are recomputed, so an event that lands before
+    * an open session extends it backwards (new `session_id`), bridges two
+    * buffered sessions, or opens its own earlier session — exactly what
+    * the batch gaps-and-islands twin computes on the global order. (A
+    * single retained open-session row cannot do this: it would fuse any
+    * out-of-order event into whatever happened to arrive first.)
     *
-    * Emission is UPDATE-mode: each trigger emits every session the batch
-    * touched — closed sessions finally, the still-open session with its
-    * stats-so-far (a later batch that extends it re-emits it with larger
-    * n/duration; n_events and dur_us are monotone, so downstream keeps
-    * MAX per (user_id, session_id) — or last-write-wins in a keyed sink).
-    * Timeout eviction emits nothing: the final stats were already emitted
-    * by the batch that last touched the session. */
+    * `EventTimeTimeout` fires when the watermark passes the earliest
+    * buffered session's gap horizon, finalizing it and eventually
+    * removing the user's state entirely — unbounded key churn cannot
+    * grow state without bound. */
   def sessionizeStream(events: DataFrame, gapUs: Long,
                        watermark: String = "1 hour"): Dataset[SessOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapUs / 1000L
     events
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id"), col("ts_us"), col("ts"))
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessOut](
+      .flatMapGroupsWithState[SessBuf, SessOut](
           OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // a micro-batch is unordered — establish event-time order
-            // within it (cross-batch order is the watermark's contract)
-            val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
-            var st = state.getOption
-            evs.foreach { e =>
-              st match {
-                case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  st = Some(s.copy(last_us = math.max(s.last_us, e.ts_us), n = s.n + 1))
-                case Some(s) =>   // gap exceeded: close it, open the next
-                  out += SessOut(uid, s.start_us, s.n, s.last_us - s.start_us)
-                  st = Some(SessState(e.ts_us, e.ts_us, 1))
-                case None =>
-                  st = Some(SessState(e.ts_us, e.ts_us, 1))
-              }
-            }
-            st.foreach { s =>
-              out += SessOut(uid, s.start_us, s.n, s.last_us - s.start_us)
-              state.update(s)
-              // evict once no event can extend this session any more
-              // (must be strictly beyond the current watermark)
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1, s.last_us / 1000L + gapMs))
-            }
-            out.iterator
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val arrived = rows.map(_.ts_us).toArray
+          val prev = state.getOption.getOrElse(
+            SessBuf(Nil, 0L, if (arrived.isEmpty) 0L else arrived.min))
+          val merged = prev.buf.toArray ++ arrived
+          java.util.Arrays.sort(merged)
+          val sessions = islands(merged, gapUs)
+          val (done, open) = sessions.partition(_.last_us + gapUs < wmUs)
+          val v = prev.version + 1
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          done.foreach(s =>
+            out += SessOut(uid, s.start_us, s.n, s.last_us - s.start_us,
+              true, prev.life_id, v))
+          if (open.isEmpty) {
+            // buffer drained: emit the snapshot-bump sentinel so stale
+            // lower-stamped open rows are superseded downstream
+            out += SessOut(uid, -1L, 0L, 0L, false, prev.life_id, v)
+            state.remove()
+          } else {
+            open.foreach(s =>
+              out += SessOut(uid, s.start_us, s.n, s.last_us - s.start_us,
+                false, prev.life_id, v))
+            val firstOpen = merged.indexOf(open.head.start_us)
+            state.update(SessBuf(merged.drop(firstOpen).toSeq, v, prev.life_id))
+            // wake when the watermark can finalize the earliest open
+            // session (must be strictly beyond the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              (open.head.last_us + gapUs) / 1000L + 1))
           }
+          out.iterator
       }
   }
 
+  /** Read side of the sessionizer's emission contract: final sessions are
+    * append-only facts; non-final rows are whole-picture snapshots where
+    * only each user's highest (life_id, version) stamp is current (ids
+    * are not stable across snapshots, so per-row MAX-merge would leave
+    * ghost sessions). */
+  def mergeSessionEmissions(emitted: DataFrame): DataFrame = {
+    val finals = emitted.filter(col("finalized"))
+    val opens = emitted.filter(!col("finalized"))
+    val latest = opens.groupBy(col("user_id").as("u"))
+      .agg(max(struct(col("life_id"), col("version"))).as("cur"))
+    finals.union(
+        opens.join(latest,
+          col("user_id") === col("u") &&
+            col("life_id") === col("cur.life_id") &&
+            col("version") === col("cur.version"))
+          .select(finals.columns.map(col): _*))
+      .filter(col("session_id") >= 0L)
+      .select("user_id", "session_id", "n_events", "dur_us")
+  }
+
   /** Harness/test entry: run the sessionizer over existing files to
-    * completion; one final row per session (MAX-merged per the update-mode
-    * emission contract — n_events/dur_us are monotone). */
+    * completion; one row per session via `mergeSessionEmissions`. */
   def runSessionizeOnce(spark: SparkSession, dir: String, queryName: String,
                         gapUs: Long = 600000000L,
                         watermark: String = "1 hour"): DataFrame = {
     val events = readEvents(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("ts"))
       .withColumn("ts_us", expr("ts_ns div 1000"))
-    runToMemory(sessionizeStream(events, gapUs, watermark).toDF(),
-        queryName, OutputMode.Update())
-      .groupBy("user_id", "session_id")
-      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
-        org.apache.spark.sql.functions.max("dur_us").as("dur_us"))
+    mergeSessionEmissions(
+      runToMemory(sessionizeStream(events, gapUs, watermark).toDF(),
+        queryName, OutputMode.Update()))
   }
 }

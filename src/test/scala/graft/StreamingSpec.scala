@@ -90,9 +90,7 @@ class StreamingSpec extends SparkSpec {
       val tNew = t0 + 7300L * 1000000L
       mem.addData(Seq((7L, 6L, tNew)))
       q.processAllAvailable()
-      val fin = spark.table("sess_mb")
-        .groupBy("user_id", "session_id")
-        .agg(max("n_events").as("n_events"), max("dur_us").as("dur_us"))
+      val fin = EventStream.mergeSessionEmissions(spark.table("sess_mb"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       // user 7: first session grew to 3 events across batches 1-2, then a
@@ -101,6 +99,41 @@ class StreamingSpec extends SparkSpec {
       assert(fin.contains((7L, tNew, 1L, 0L)))
       assert(fin.contains((9L, t0 + 7200L * 1000000L, 2L, 1000000L)))
       assert(fin.size == 3)
+    } finally q.stop()
+  }
+
+  test("sessionize handles late-but-within-watermark events like the batch twin") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)](
+      45, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val t0 = 1700000000000000L // µs
+    val sec = 1000000L
+    val gapUs = 600L * sec     // 10 min
+    val q = EventStream.sessionizeStream(toEvents(mem.toDF()), gapUs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: user 7 at T+1000s, user 8 at T+1000s
+      mem.addData(Seq((7L, 1L, t0 + 1000L * sec), (8L, 2L, t0 + 1000L * sec)))
+      q.processAllAvailable()
+      // batch 2, before the watermark passes: user 7's event at T+100s —
+      // 900s earlier than the open session, beyond the gap -> its OWN
+      // earlier session (the old single-open-state design fused it);
+      // user 8's event at T+500s — within gap BEFORE the open session ->
+      // extends it backwards, so the session id itself changes
+      mem.addData(Seq((7L, 3L, t0 + 100L * sec), (8L, 4L, t0 + 500L * sec)))
+      q.processAllAvailable()
+      val got = EventStream.mergeSessionEmissions(spark.table("sess_late"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        (7L, t0 + 100L * sec, 1L, 0L),
+        (7L, t0 + 1000L * sec, 1L, 0L),
+        (8L, t0 + 500L * sec, 2L, 500L * sec)))
     } finally q.stop()
   }
 
