@@ -164,15 +164,9 @@ object Mlp {
           h: Int = 32, alpha: Double = 1e-4, maxIter: Int = 200,
           seed: Long = 42, tolerance: Double = 1e-5): MlpModel = {
     val k = featureCols.size
-    // internal standardization (population std; constant columns -> std 1)
-    val statAggs = featureCols.flatMap(c =>
-      Seq(avg(col(c)).as(s"m_$c"), stddev_pop(col(c)).as(s"s_$c"))) :+
-      avg(col(label)).as("m_y")
-    val st = df.agg(statAggs.head, statAggs.tail: _*).head()
-    val mu = featureCols.indices.map(i => st.getDouble(2 * i))
-    val sd = featureCols.indices.map { i =>
-      val s = st.getDouble(2 * i + 1); if (s > 0) s else 1.0 }
-    val muY = st.getDouble(2 * k)
+    // internal standardization (shared moments job — see Standardize)
+    val Standardize.Moments(mu, sd, muY) =
+      Standardize.moments(df, featureCols, label)
     val scaled = df.select(
       array(featureCols.zipWithIndex.map { case (c, j) =>
         (col(c) - lit(mu(j))) / lit(sd(j)) }: _*).as("x"),
@@ -187,11 +181,11 @@ object Mlp {
         }
       }
       // tolerance 1e-5 default (sklearn MLPRegressor stops at tol=1e-4):
-      // every extra evaluation is a full distributed pass
+      // every extra evaluation is a full distributed pass — so take the
+      // final loss from the optimizer state instead of re-evaluating
       val lbfgs = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tolerance)
-      val theta = lbfgs.minimize(objective, DenseVector(init(k, h, seed)))
-      val (finalLoss, _) = objective.calculate(theta)
-      MlpModel(k, h, theta.toArray, mu, sd, muY, finalLoss)
+      val state = lbfgs.minimizeAndReturnState(objective, DenseVector(init(k, h, seed)))
+      MlpModel(k, h, state.x.toArray, mu, sd, muY, state.value)
     } finally { scaled.unpersist(); () }
   }
 }

@@ -94,11 +94,12 @@ object Svr {
     }
 
     // tolerance default 1e-6 (sklearn LinearSVR stops at tol=1e-4): every
-    // extra L-BFGS evaluation is a full distributed pass over the data
+    // extra L-BFGS evaluation is a full distributed pass over the data —
+    // so take the final objective from the optimizer state instead of
+    // re-evaluating at the solution
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tolerance)
-    val theta = lbfgs.minimize(objective, DenseVector.zeros[Double](k + 1))
-    val (finalObj, _) = objective.calculate(theta)
-    LinearSvrModel(theta(0 until k).toArray.toSeq, theta(k), finalObj, evals)
+    val state = lbfgs.minimizeAndReturnState(objective, DenseVector.zeros[Double](k + 1))
+    LinearSvrModel(state.x(0 until k).toArray.toSeq, state.x(k), state.value, evals)
   }
 
   /** Scale → fit raw-path on the z-scaled projection → map back:
@@ -109,15 +110,8 @@ object Svr {
                               label: String, c: Double, epsilon: Double,
                               smoothing: Double, maxIter: Int,
                               tolerance: Double): LinearSvrModel = {
-    val k = featureCols.size
-    val statAggs = featureCols.flatMap(cn =>
-      Seq(avg(col(cn)).as(s"m_$cn"), stddev_pop(col(cn)).as(s"s_$cn"))) :+
-      avg(col(label)).as("m_y")
-    val st = df.agg(statAggs.head, statAggs.tail: _*).head()
-    val mu = featureCols.indices.map(i => st.getDouble(2 * i))
-    val sd = featureCols.indices.map { i =>
-      val s = st.getDouble(2 * i + 1); if (s > 0) s else 1.0 }
-    val muY = st.getDouble(2 * k)
+    val Standardize.Moments(mu, sd, muY) =
+      Standardize.moments(df, featureCols, label)
     val scaled = df.select(
       (featureCols.zipWithIndex.map { case (cn, j) =>
         ((col(cn) - lit(mu(j))) / lit(sd(j))).as(cn) } :+

@@ -194,9 +194,14 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val result = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+    // The cache served its purpose (count + sample + quantizer fit);
+    // unpin it so it doesn't occupy executor storage for the rest of the
+    // session — the returned plan re-derives the projection in one scan.
+    fv.unpersist()
+    result
   }
 
   /** `embedding_quantize_int8`: per-vector symmetric scalar quantization

@@ -335,6 +335,7 @@ object Rel {
       val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_") +
         "_p" + ProcessHandle.current().pid()
       val base = s"/tmp/graft_bucketed/$sf"
+      Joins.scratchDeleteOnExit(base)
       Joins.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
         "o_orderkey", buckets = 8, s"g_orders_b_$sf", s"$base/orders")

@@ -64,7 +64,12 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(queryName)
+    val out = df.sparkSession.table(queryName) // analyzed eagerly: the plan
+    // binds to the sink's rows, so the catalog entry can go — otherwise
+    // every invocation pins a full materialized result on the driver for
+    // the session's lifetime (verify/bench run each query repeatedly)
+    df.sparkSession.catalog.dropTempView(queryName)
+    out
   }
 
   /** Harness/test entry: the REAL streaming windowed aggregation run to
