@@ -44,6 +44,25 @@ object Corpus {
         array_join(col("chunk_toks"), " ").as("chunk_text"))
   }
 
+  /** Token-budget sequence packing: lay documents out in deterministic
+    * `orderCol` order within each `blockCols` group and assign each to
+    * the `budget`-token shard its FIRST token lands in (overflow is the
+    * loader's split — standard pack-then-split bookkeeping). One
+    * running-total window per block; blocks keep the windows parallel
+    * (at 100 TB the block key gains a date/hash bucket — same plan).
+    * Adds `n_tokens`, `cum` (inclusive running total) and `shard_id`. */
+  def packSequences(df: DataFrame, blockCols: Seq[String], orderCol: String,
+                    toksCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(blockCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(col(toksCol)).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard_id",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
+
   // ---- decontamination --------------------------------------------------
 
   /** Distinct word n-gram ("shingle") strings of a token array, clamping

@@ -67,6 +67,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Johnson–Lindenstrauss-style random projection to `outDim`
+    * dimensions using the SAME deterministic integer hyperplanes as the
+    * LSH bucketer, each normalized to unit length: rⱼ = v·pⱼ/‖pⱼ‖. The
+    * dimensionality-reduction pre-filter ahead of exact re-scoring —
+    * at corpus scale it shrinks the vectors that have to move through
+    * every downstream shuffle. A narrow codegen'd map: no shuffle, and
+    * the oracle regenerates identical planes from the same formula. */
+  def randomProjection(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+                       prefix: String = "r"): DataFrame = {
+    val planes = hyperplanes(outDim, dim)
+    val projected = planes.zipWithIndex.map { case (p, j) =>
+      // left-to-right sum, same order as the oracle's list_dot_product
+      val pNorm = math.sqrt(p.map(w => w.toDouble * w.toDouble).sum)
+      (dot(asDouble(col(vecCol)), array(p.map(w => lit(w.toDouble)): _*)) /
+        lit(pNorm)).as(s"$prefix$j")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ projected: _*)
+  }
+
   /** Per-label embedding centroids (class prototypes — the building
     * block for nearest-centroid classification and IVF-style coarse
     * quantization over labeled corpora): element-wise mean per label.

@@ -26,6 +26,8 @@ object Corpus {
 
   private val CHUNK_W = 32
   private val CHUNK_S = 24
+  /** Context budget (tokens) for `corpus_pack_sequences`. */
+  private val PACK_BUDGET = 512L
   /** Eval-set membership for decontamination: a fixed id slice standing
     * in for the benchmark suite (deterministic on both engines). */
   private val EVAL_MOD = 25
@@ -135,6 +137,22 @@ object Corpus {
         .select(col("event_id"), col("event_type"),
           round(col("ewma"), 6).as("ewma"))
         .orderBy("event_id")),
+
+    /** Token-budget sequence packing — the step that turns a cleaned
+      * corpus into fixed-context training shards: documents are laid out
+      * in deterministic (doc_id) order within each (lang, source) block
+      * and cut into `PACK_BUDGET`-token shards; a document's shard is the
+      * block its first token lands in (the loader splits overflow — the
+      * standard pack-then-split bookkeeping). One running-total window
+      * per block + one aggregation; blocks keep the windows parallel
+      * (at 100 TB the block key gains a date/hash bucket — same plan). */
+    "corpus_pack_sequences" -> ((s, d) =>
+      C.packSequences(toked(s, d), Seq("lang", "source"), "doc_id", "toks",
+          PACK_BUDGET)
+        .groupBy("lang", "source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "source", "shard_id")),
   )
 
   // ---- DuckDB oracle twins ----------------------------------------------
@@ -239,5 +257,17 @@ object Corpus {
          |FROM events WINDOW ww AS (PARTITION BY event_type ORDER BY event_id)
          |ORDER BY event_id""".stripMargin
     },
+
+    "corpus_pack_sequences" -> (tokedSql +
+      s""", p AS (
+         |  SELECT doc_id, lang, source, len(toks)::BIGINT AS n_tokens,
+         |    sum(len(toks)) OVER (PARTITION BY lang, source
+         |                         ORDER BY doc_id)::BIGINT AS cum
+         |  FROM t)
+         |SELECT lang, source, ((cum - n_tokens) // $PACK_BUDGET)::BIGINT AS shard_id,
+         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY lang, source, shard_id
+         |ORDER BY lang, source, shard_id""".stripMargin),
   )
 }

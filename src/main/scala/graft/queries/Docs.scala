@@ -307,6 +307,19 @@ object Docs {
           posexplode(col("q")).as(Seq("pos", "q8")))
         .orderBy("vec_id", "pos")),
 
+    /** Johnson–Lindenstrauss random projection to ANN_PLANES dims
+      * (`Similarity.randomProjection`): the same deterministic planes as
+      * the LSH bucketer, unit-normalized — so the oracle regenerates
+      * them exactly and the flattened coordinates hash-match. */
+    "embedding_random_projection" -> ((s, d) => {
+      val proj = Similarity.randomProjection(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "embedding", dim = ANN_DIM, outDim = ANN_PLANES)
+      proj.select(col("vec_id") +:
+          (0 until ANN_PLANES).map(j => round(col(s"r$j"), 6).as(s"r$j")): _*)
+        .orderBy("vec_id")
+    }),
+
     /** Nearest-centroid classification closing the prototype loop:
       * centroids are driver-held metadata (|labels| × dim), assignment is
       * a narrow codegen'd argmin — no shuffle; output is the confusion
@@ -657,6 +670,16 @@ object Docs {
         |  FROM sc)
         |SELECT vec_id, round(scale, 9) AS scale, u.pos AS pos, u.q8 AS q8
         |FROM flat ORDER BY vec_id, pos""".stripMargin,
+
+    "embedding_random_projection" -> {
+      val rs = planesSqlLiterals.zipWithIndex.map { case (p, j) =>
+        s"round(list_dot_product(v, $p) / sqrt(list_dot_product($p, $p)), 6) AS r$j"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |  $rs
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
 
     "embedding_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

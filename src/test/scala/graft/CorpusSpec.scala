@@ -98,6 +98,26 @@ class CorpusSpec extends SparkSpec {
     assert(approx(out(5.0), 5.0)) // interior untouched
   }
 
+  test("packSequences: shard = block the doc's first token lands in, per group") {
+    // budget 5; group g: docs of 3, 4, 2, 6 tokens ->
+    //   cum-before: 0, 3, 7, 9 -> shards 0, 0, 1, 1
+    val d = df(Seq(
+      ("g", 1L, "a b c"), ("g", 2L, "a b c d"), ("g", 3L, "a b"),
+      ("g", 4L, "a b c d e f"), ("h", 5L, "a")))
+      .toDF("grp", "doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val out = graft.operators.Corpus
+      .packSequences(d, Seq("grp"), "doc_id", "toks", budget = 5L)
+      .select("doc_id", "n_tokens", "cum", "shard_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 0L)))
+    assert(out(2L) == ((4L, 7L, 0L)))
+    assert(out(3L) == ((2L, 9L, 1L)))
+    assert(out(4L) == ((6L, 15L, 1L)))
+    assert(out(5L) == ((1L, 1L, 0L))) // independent group restarts at shard 0
+  }
+
   test("ewmaTruncated renormalizes short history and matches the closed form") {
     val d = df(Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0)))
       .toDF("k", "t", "v")

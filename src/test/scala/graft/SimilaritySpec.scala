@@ -116,6 +116,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall (${(ivf intersect bf).size}/${bf.size})")
   }
 
+  test("randomProjection: one-hot rows read the unit-normalized plane weights; linear") {
+    val planes = Similarity.hyperplanes(2, 4)
+    val norms = planes.map(p => math.sqrt(p.map(w => w.toDouble * w.toDouble).sum))
+    val d = df(Seq(
+      Vec(0, Seq(1f, 0f, 0f, 0f)),
+      Vec(1, Seq(2f, 0f, 0f, 0f)),
+      Vec(2, Seq(0f, 0f, 1f, 0f))))
+    val out = Similarity.randomProjection(d, "embedding", dim = 4, outDim = 2)
+      .select("vec_id", "r0", "r1")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx(out(0L)._1, planes(0)(0) / norms(0)))
+    assert(approx(out(0L)._2, planes(1)(0) / norms(1)))
+    assert(approx(out(2L)._1, planes(0)(2) / norms(0)))
+    // linearity: proj(2v) = 2 proj(v)
+    assert(approx(out(1L)._1, 2 * out(0L)._1))
+    assert(approx(out(1L)._2, 2 * out(0L)._2))
+  }
+
   test("lshNearDupPairs: parallel vectors share every bucket; found at threshold") {
     val out = Similarity.lshNearDupPairs(fixture, "vec_id", "embedding",
       numPlanes = 8, dim = 4, threshold = 0.9)
