@@ -32,9 +32,14 @@ object Joins {
     *
     * @param valueCols right-side columns to carry; emitted as
     *                  `asof_<name>` (null when no right row precedes)
+    * @param tolerance max allowed `leftTs − rightTs` gap (same units as
+    *                  the ts columns) — pandas `merge_asof(tolerance=…)`:
+    *                  a match older than this yields nulls, exactly as if
+    *                  no right row preceded. None = unbounded lookback.
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+           leftTs: String, rightTs: String, valueCols: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__ts", col(leftTs))
@@ -42,18 +47,24 @@ object Joins {
     // the carried payload is ONE struct per right row — non-null even
     // when its members are null, so a matched right row with a null
     // value yields null (as-of semantics) instead of silently falling
-    // back to an older row's value
+    // back to an older row's value. The match's own timestamp rides in
+    // the struct so the tolerance gate reads it back without a second
+    // carry column.
     val rTagged = right.select(
         (keys.map(col) :+ col(rightTs).as("__ts")) :+
-          struct(valueCols.map(col): _*).as("__rv"): _*)
+          struct((valueCols.map(col) :+ col(rightTs).as("__mts")): _*).as("__rv"): _*)
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val inRange = tolerance match {
+      case Some(t) => col("__ts") - col("__rv").getField("__mts") <= t
+      case None => lit(true)
+    }
     valueCols.foldLeft(carried) { (acc, c) =>
-      acc.withColumn(s"asof_$c", col("__rv").getField(c))
+      acc.withColumn(s"asof_$c", when(inRange, col("__rv").getField(c)))
     }
       .filter(col("__side") === 1)
       .select((lCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)

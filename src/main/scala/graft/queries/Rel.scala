@@ -21,6 +21,9 @@ object Rel {
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** `join_asof_tolerance` staleness bound: 6 h in µs. */
+  private val ASOF_TOL_US = 6L * 3600L * 1000000L
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Derived events frame with three deterministic null patterns. The
@@ -287,6 +290,27 @@ object Rel {
       Joins.asof(clicks, purchases, Seq("user_id"), "ts_us", "ts_us", Seq("value"))
         .select(col("event_id"), col("user_id"),
           round(col("asof_value"), 6).as("last_purchase"))
+        .orderBy("event_id")
+    }),
+
+    /** As-of join with a lookback tolerance (pandas
+      * `merge_asof(tolerance=…)`): same union-window plan, but a match
+      * older than 6 h reads as no-match — the staleness bound every
+      * point-in-time feature store applies. */
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = Relational.dedupByKey(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id", "ts_us"), Seq(col("value").desc))
+      Joins.asof(clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
+          Seq("value"), tolerance = Some(ASOF_TOL_US))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 6).as("recent_purchase"))
         .orderBy("event_id")
     }),
 
@@ -752,6 +776,24 @@ object Rel {
         |    FROM ev WHERE event_type = 'purchase')
         |  WHERE rn = 1)
         |SELECT c.event_id, c.user_id, round(p.value, 6) AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY event_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts_us, value FROM (
+        |    SELECT user_id, ts_us, value,
+        |      row_number() OVER (PARTITION BY user_id, ts_us ORDER BY value DESC) AS rn
+        |    FROM ev WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT c.event_id, c.user_id,
+        |  CASE WHEN c.ts_us - p.ts_us <= ${6L * 3600L * 1000000L}
+        |       THEN round(p.value, 6) END AS recent_purchase
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         |ORDER BY event_id""".stripMargin,

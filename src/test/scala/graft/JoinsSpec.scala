@@ -38,6 +38,19 @@ class JoinsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_v")))
   }
 
+  test("asof tolerance: stale matches null out, fresh and boundary matches survive") {
+    val left = df(Seq(
+      L("a", 10, 100),  // match at 7, gap 3 <= 5 -> fresh
+      L("a", 20, 101),  // match at 7, gap 13 > 5 -> stale -> null
+      L("a", 12, 102))) // match at 7, gap 5 == tolerance -> inclusive
+    val right = df(Seq(R("a", 7, 1.0)))
+    val out = Joins.asof(left, right, Seq("k"), "lts", "rts", Seq("v"),
+        tolerance = Some(5L))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    assert(out == Map(100L -> Some(1.0), 101L -> None, 102L -> Some(1.0)))
+  }
+
   test("asof result equals the naive non-equi argmax formulation") {
     val left = df((1 to 60).map(i => L(s"k${i % 5}", i.toLong * 3, i.toLong)))
     val right = df((1 to 40).map(j => R(s"k${j % 5}", j.toLong * 4, j.toDouble)))
