@@ -215,6 +215,25 @@ object Docs {
             .otherwise(lit(0.0)).as("rep_ratio"))
         .orderBy("doc_id")),
 
+    /** Per-document character-distribution Shannon entropy — the classic
+      * gibberish/boilerplate signal (low entropy = few repeated symbols)
+      * next to `text_quality_score`'s ratio heuristics. Wordcount shape:
+      * the (doc_id, ch) partial aggregation combines map-side, so the
+      * shuffle carries at most alphabet-size rows per document, never
+      * per-character rows. H = log2(n) − Σ c·log2(c)/n — one formula on
+      * both engines, no library entropy() semantics to trust. */
+    "text_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_chars"),
+          round(log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 6)
+            .as("char_entropy"))
+        .orderBy("doc_id")),
+
     /** End-to-end corpus cleaning — the composition a training-data
       * pipeline actually runs, as ONE declarative plan Catalyst can
       * optimize across stages (all the per-doc scoring fuses into a
@@ -670,6 +689,16 @@ object Docs {
         |  FROM sc)
         |SELECT vec_id, round(scale, 9) AS scale, u.pos AS pos, u.q8 AS q8
         |FROM flat ORDER BY vec_id, pos""".stripMargin,
+
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(text)), i -> text[i])) AS ch
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id, sum(c)::BIGINT AS n_chars,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS char_entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "embedding_random_projection" -> {
       val rs = planesSqlLiterals.zipWithIndex.map { case (p, j) =>

@@ -234,13 +234,20 @@ object Ml {
       * Aggregator: value ~ (1, day, day²) fitted for every event_type in
       * ONE aggregation — the shuffle carries O(k²) sufficient statistics
       * per group, not rows, where `regr_*` (single regressor) and
-      * per-key MLlib fits both fall short. Rows-only: multi-feature OLS
-      * is not SQL-expressible; MlSpec pins the closed form. */
+      * per-key MLlib fits both fall short. Oracle-checked even though
+      * DuckDB has no multi-feature OLS: the twin accumulates the same
+      * eight Gram/moment sums and solves the 3×3 normal equations by
+      * Cramer's rule. That hinges on conditioning — the day ordinal is
+      * anchored at the corpus min (one tiny agg, the usual two-phase
+      * pattern) and rescaled so t ∈ [0, ~few]; with raw epoch days the
+      * near-collinear t/t² Gram loses enough precision that elimination
+      * (engine) and Cramer (oracle) would disagree past 1e-6. MlSpec
+      * additionally pins the closed form. */
     "ml_trend_per_series" -> ((s, d) => {
       val groupedOls = udaf(new GroupedOls(3))
-      // day rescaled so the quadratic Gram matrix stays well-conditioned
-      val day = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-        .cast("double") / 1000.0
+      val dayRaw = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+      val minDay = Tables.events(s, d).agg(min(dayRaw)).head().getInt(0)
+      val day = (dayRaw - lit(minDay)).cast("double") / 100.0
       Tables.events(s, d)
         .select(col("event_type"),
           array(lit(1.0), day, day * day).as("x"),
@@ -393,13 +400,41 @@ object Ml {
   )
 
   /** Almost all entries are rows-only by design (see object Scaladoc) —
-    * DuckDB has no multi-feature OLS/RF/GBT. `ml_scaler` is the
-    * exception: z-scaling's postcondition (per-feature mean 0 / sample
-    * std 1 over the SAME modeling frame) IS SQL-expressible, so its
-    * twin rebuilds the frame (daily pivot → lead target → drop-null,
-    * exactly `ModelingFrame.build`) and recomputes the scaled moments.
-    * `round(x, 6) + 0.0` on both sides canonicalizes −0.0. */
+    * DuckDB has no multi-feature OLS/RF/GBT. Two exceptions:
+    * `ml_scaler` (z-scaling's postcondition — per-feature mean 0 /
+    * sample std 1 over the SAME modeling frame — IS SQL-expressible, so
+    * its twin rebuilds the frame and recomputes the scaled moments;
+    * `round(x, 6) + 0.0` on both sides canonicalizes −0.0) and
+    * `ml_trend_per_series` (the 3-feature OLS closed form via Cramer on
+    * the Gram sums — see the query's Scaladoc). */
   val sql: Map[String, String] = Map(
+    /** Multi-feature OLS is not a DuckDB builtin, but the quadratic-trend
+      * fit IS SQL-expressible as a closed form: accumulate the Gram /
+      * moment sums per group and solve the 3×3 normal equations with
+      * Cramer's rule — verifying the custom Aggregator end-to-end. */
+    "ml_trend_per_series" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (datediff('day', DATE '1970-01-01', ts::DATE)
+        |      - (SELECT min(datediff('day', DATE '1970-01-01', ts::DATE)) FROM events)) / 100.0 AS t,
+        |    value::DOUBLE AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*)::DOUBLE AS s0, sum(t) AS s1, sum(t*t) AS s2,
+        |    sum(t*t*t) AS s3, sum(t*t*t*t) AS s4,
+        |    sum(y) AS sy, sum(t*y) AS sty, sum(t*t*y) AS st2y
+        |  FROM e GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type,
+        |    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+        |    sy*(s2*s4 - s3*s3) - s1*(sty*s4 - st2y*s3) + s2*(sty*s3 - st2y*s2) AS det0,
+        |    s0*(sty*s4 - st2y*s3) - sy*(s1*s4 - s3*s2) + s2*(s1*st2y - sty*s2) AS det1,
+        |    s0*(s2*st2y - s3*sty) - s1*(s1*st2y - s2*sty) + sy*(s1*s3 - s2*s2) AS det2
+        |  FROM g)
+        |SELECT event_type, round(det0/det, 6) AS b0, round(det1/det, 6) AS b1,
+        |  round(det2/det, 6) AS b2
+        |FROM c ORDER BY event_type""".stripMargin,
+
     "ml_scaler" -> (Pipe.dailySql +
       """, frame AS (
         |  SELECT d.*, lead(click) OVER (ORDER BY date_id) AS tgt FROM daily d),
