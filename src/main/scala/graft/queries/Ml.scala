@@ -408,6 +408,99 @@ object Ml {
     * `ml_trend_per_series` (the 3-feature OLS closed form via Cramer on
     * the Gram sums — see the query's Scaladoc). */
   val sql: Map[String, String] = Map(
+    /** In-engine augmented Dickey-Fuller, oracle-checked: the constant
+      * term is eliminated by CENTERING the three regressors (slope
+      * estimates and their variances are unchanged — standard regression
+      * identity), which turns the 4×4 normal equations into a 3×3
+      * centered-Gram system DuckDB solves by Cramer; the t-stat needs
+      * one cofactor ([S⁻¹]₁₁ = (c22·c33 − c23²)/det) and
+      * s² = SSR/(n−4). Verifies the GroupedOlsStats Aggregator — betas,
+      * Gram inverse AND residual variance — end-to-end. */
+    "stationarity_test_adf" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         avg(value) AS x
+        |  FROM events GROUP BY event_type, day),
+        |d1 AS (SELECT event_type, day, x,
+        |         lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1
+        |       FROM daily),
+        |d2 AS (SELECT *, x - x1 AS dx FROM d1),
+        |d3 AS (SELECT *,
+        |         lag(dx, 1) OVER (PARTITION BY event_type ORDER BY day) AS dx1,
+        |         lag(dx, 2) OVER (PARTITION BY event_type ORDER BY day) AS dx2
+        |       FROM d2),
+        |r AS (SELECT event_type, x1, dx1, dx2, dx AS y FROM d3
+        |      WHERE x1 IS NOT NULL AND dx IS NOT NULL
+        |        AND dx1 IS NOT NULL AND dx2 IS NOT NULL),
+        |g AS (SELECT event_type, count(*)::DOUBLE AS n,
+        |        avg(x1) AS a1, avg(dx1) AS a2, avg(dx2) AS a3, avg(y) AS ay,
+        |        sum(x1*x1) AS s11, sum(x1*dx1) AS s12, sum(x1*dx2) AS s13,
+        |        sum(dx1*dx1) AS s22, sum(dx1*dx2) AS s23, sum(dx2*dx2) AS s33,
+        |        sum(x1*y) AS sy1, sum(dx1*y) AS sy2, sum(dx2*y) AS sy3,
+        |        sum(y*y) AS syy
+        |      FROM r GROUP BY event_type),
+        |cg AS (SELECT event_type, n,
+        |        s11 - n*a1*a1 AS c11, s12 - n*a1*a2 AS c12, s13 - n*a1*a3 AS c13,
+        |        s22 - n*a2*a2 AS c22, s23 - n*a2*a3 AS c23, s33 - n*a3*a3 AS c33,
+        |        sy1 - n*a1*ay AS cy1, sy2 - n*a2*ay AS cy2, sy3 - n*a3*ay AS cy3,
+        |        syy - n*ay*ay AS cyy
+        |      FROM g),
+        |sol AS (SELECT event_type, n, cyy, cy1, cy2, cy3, c22, c33, c23,
+        |        c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13) + c13*(c12*c23 - c22*c13) AS det,
+        |        cy1*(c22*c33 - c23*c23) - c12*(cy2*c33 - c23*cy3) + c13*(cy2*c23 - c22*cy3) AS det1,
+        |        c11*(cy2*c33 - cy3*c23) - cy1*(c12*c33 - c23*c13) + c13*(c12*cy3 - cy2*c13) AS det2,
+        |        c11*(c22*cy3 - c23*cy2) - c12*(c12*cy3 - cy2*c13) + cy1*(c12*c23 - c22*c13) AS det3
+        |      FROM cg),
+        |fin AS (SELECT event_type, n,
+        |        det1/det AS b1,
+        |        (cyy - (det1/det)*cy1 - (det2/det)*cy2 - (det3/det)*cy3) / (n - 4) AS s2,
+        |        (c22*c33 - c23*c23) / det AS inv11
+        |      FROM sol)
+        |SELECT event_type, n::BIGINT AS n, round(b1, 6) AS beta_level,
+        |  round(b1 / sqrt(s2 * inv11), 4) AS adf_tstat
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    /** AR(3) baseline, oracle-checked by the same centered 3×3 Cramer
+      * closed form; the 1-step forecast re-reads the latest row's
+      * (click, lag1, lag2) as the new lags, exactly like the engine. */
+    "ml_ar_forecast" -> (Pipe.dailySql +
+      """, lagged AS (
+        |  SELECT date_id, click,
+        |    lag(click, 1) OVER (ORDER BY date_id) AS l1,
+        |    lag(click, 2) OVER (ORDER BY date_id) AS l2,
+        |    lag(click, 3) OVER (ORDER BY date_id) AS l3
+        |  FROM daily),
+        |r AS (SELECT * FROM lagged
+        |      WHERE click IS NOT NULL AND l1 IS NOT NULL
+        |        AND l2 IS NOT NULL AND l3 IS NOT NULL),
+        |g AS (SELECT count(*)::DOUBLE AS n,
+        |        avg(l1) AS a1, avg(l2) AS a2, avg(l3) AS a3, avg(click) AS ay,
+        |        sum(l1*l1) AS s11, sum(l1*l2) AS s12, sum(l1*l3) AS s13,
+        |        sum(l2*l2) AS s22, sum(l2*l3) AS s23, sum(l3*l3) AS s33,
+        |        sum(l1*click) AS sy1, sum(l2*click) AS sy2, sum(l3*click) AS sy3,
+        |        sum(click*click) AS syy
+        |      FROM r),
+        |cg AS (SELECT n, a1, a2, a3, ay,
+        |        s11 - n*a1*a1 AS c11, s12 - n*a1*a2 AS c12, s13 - n*a1*a3 AS c13,
+        |        s22 - n*a2*a2 AS c22, s23 - n*a2*a3 AS c23, s33 - n*a3*a3 AS c33,
+        |        sy1 - n*a1*ay AS cy1, sy2 - n*a2*ay AS cy2, sy3 - n*a3*ay AS cy3,
+        |        syy - n*ay*ay AS cyy
+        |      FROM g),
+        |sol AS (SELECT *,
+        |        c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13) + c13*(c12*c23 - c22*c13) AS det,
+        |        cy1*(c22*c33 - c23*c23) - c12*(cy2*c33 - c23*cy3) + c13*(cy2*c23 - c22*cy3) AS det1,
+        |        c11*(cy2*c33 - cy3*c23) - cy1*(c12*c33 - c23*c13) + c13*(c12*cy3 - cy2*c13) AS det2,
+        |        c11*(c22*cy3 - c23*cy2) - c12*(c12*cy3 - cy2*c13) + cy1*(c12*c23 - c22*c13) AS det3
+        |      FROM cg),
+        |fit AS (SELECT n, cyy, cy1, cy2, cy3,
+        |        det1/det AS b1, det2/det AS b2, det3/det AS b3,
+        |        ay - (det1/det)*a1 - (det2/det)*a2 - (det3/det)*a3 AS b0
+        |      FROM sol),
+        |latest AS (SELECT click, l1, l2 FROM r ORDER BY date_id DESC LIMIT 1)
+        |SELECT round(b0 + b1*latest.click + b2*latest.l1 + b3*latest.l2, 6) AS forecast_next,
+        |  round(1.0 - (cyy - b1*cy1 - b2*cy2 - b3*cy3) / cyy, 6) AS train_r2
+        |FROM fit, latest""".stripMargin),
+
     /** Multi-feature OLS is not a DuckDB builtin, but the quadratic-trend
       * fit IS SQL-expressible as a closed form: accumulate the Gram /
       * moment sums per group and solve the 3×3 normal equations with
