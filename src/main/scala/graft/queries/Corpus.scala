@@ -153,6 +153,30 @@ object Corpus {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("lang", "source", "shard_id")),
+
+    /** Mixture reweighting — the data-mixing step of a pretraining run:
+      * per-source sampling weight = target token share / actual token
+      * share, so a sampler drawing documents proportional to
+      * weight·n_tokens lands on the target mixture. One aggregation plus
+      * a broadcast 1-row grand total (same shape as `agg_histogram`'s
+      * min/max broadcast — no second shuffle, no driver loop). */
+    "corpus_upsample_weights" -> ((s, d) => {
+      val per = toked(s, d)
+        .select(col("source"), size(col("toks")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").cast("double").as("tot"))
+      val target = when(col("source") === "src0", lit(0.15))
+        .when(col("source") === "src1", lit(0.10))
+        .otherwise(lit(0.75 / 18))
+      per.crossJoin(broadcast(tot))
+        .withColumn("token_share", col("n_tokens") / col("tot"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("token_share"), 6).as("token_share"),
+          round(target, 6).as("target_share"),
+          round(target / col("token_share"), 6).as("weight"))
+        .orderBy("source")
+    }),
   )
 
   // ---- DuckDB oracle twins ----------------------------------------------
@@ -257,6 +281,19 @@ object Corpus {
          |FROM events WINDOW ww AS (PARTITION BY event_type ORDER BY event_id)
          |ORDER BY event_id""".stripMargin
     },
+
+    "corpus_upsample_weights" -> (tokedSql +
+      """, per AS (
+        |  SELECT source, count(*) AS n_docs, sum(len(toks))::BIGINT AS n_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / tot, 6) AS token_share,
+        |  round((CASE source WHEN 'src0' THEN 0.15::DOUBLE WHEN 'src1' THEN 0.10::DOUBLE
+        |         ELSE 0.75::DOUBLE / 18 END)::DOUBLE, 6) AS target_share,
+        |  round((CASE source WHEN 'src0' THEN 0.15::DOUBLE WHEN 'src1' THEN 0.10::DOUBLE
+        |         ELSE 0.75::DOUBLE / 18 END)::DOUBLE / (n_tokens / tot), 6) AS weight
+        |FROM per, tot ORDER BY source""".stripMargin),
 
     "corpus_pack_sequences" -> (tokedSql +
       s""", p AS (
