@@ -354,13 +354,18 @@ object Ml {
     }),
 
     /** `ml_shap` (de-excluded): exact closed-form linear SHAP over the
-      * OLS fit — φⱼ = wⱼ(xⱼ−μⱼ); additivity pinned in MlSpec. */
+      * OLS fit — φⱼ = wⱼ(xⱼ−μⱼ); additivity pinned in MlSpec, and the
+      * whole summary oracle-checked against the elimination closed form
+      * (see shapSql). `+ 0.0` canonicalizes mean_shap's −0.0 (the value
+      * is identically zero over the background frame; only 1e-17 noise
+      * decides the rounded zero's sign). */
     "ml_shap" -> ((s, d) => {
       withFrame(s, d) { train =>
         val m = Models.ols(ModelingFrame.Target).fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
         round6(Explain.linearShapSummary(train, coefs, intercept),
           Seq("mean_abs_shap", "mean_shap", "coefficient", "base_value"))
+          .withColumn("mean_shap", col("mean_shap") + lit(0.0))
           .orderBy("feature")
       }
     }),
@@ -407,7 +412,196 @@ object Ml {
     * `round(x, 6) + 0.0` on both sides canonicalizes −0.0) and
     * `ml_trend_per_series` (the 3-feature OLS closed form via Cramer on
     * the Gram sums — see the query's Scaladoc). */
+  private val Feats = Vector("click", "error", "purchase", "signup", "view")
+
+  /** CTE prelude solving (Xcᵀ Xc + αI) β = Xcᵀ yc on the 5-feature
+    * modeling frame — the sklearn Ridge closed form `Models.ridge` is
+    * calibrated to (α = 0 gives plain OLS), pinned on the real reference
+    * data by GoldenParitySpec; the intercept is unpenalized and
+    * recovered from means. The 5×5 system is solved by two SYMMETRIC
+    * Gaussian-elimination steps (generated as flat per-CTE expressions —
+    * symmetry keeps only the upper triangle alive), a 3×3 Cramer finish,
+    * and back-substitution. MLlib's WLS path is a direct Cholesky solve,
+    * so engine and oracle agree to ~1e-10 — far inside the 1e-6
+    * rounding. Ends with CTE `fin` carrying b0..b4, b_int, a0..a4, ay. */
+  private def olsCtes(alpha: Double, src: String = "clean",
+                      sfx: String = ""): String = {
+    val n = Feats.size
+    // upper-triangle index helper: the stored name for A[i][j], i ≤ j
+    def ut(pre: String, i: Int, j: Int): String =
+      if (i <= j) s"$pre$i$j" else s"$pre$j$i"
+    val rawSums =
+      (for { i <- 0 until n; j <- i until n }
+        yield s"sum(${Feats(i)}*${Feats(j)}) AS s$i$j") ++
+      (0 until n).map(i => s"sum(${Feats(i)}*tgt) AS sy$i") ++
+      (0 until n).map(i => s"avg(${Feats(i)}) AS a$i") ++
+      Seq("count(*)::DOUBLE AS nn", "avg(tgt) AS ay")
+    val centered =
+      (for { i <- 0 until n; j <- i until n } yield {
+        val diag = if (i == j) s" + $alpha" else ""
+        s"s$i$j - nn*a$i*a$j$diag AS c$i$j"
+      }) ++
+      (0 until n).map(i => s"sy$i - nn*a$i*ay AS cy$i")
+    // one symmetric elimination step: drop the highest index k = size-1
+    def elim(pre: String, nxt: String, size: Int): Seq[String] = {
+      val k = size - 1
+      (for { i <- 0 until k; j <- i until k }
+        yield s"${ut(pre, i, j)} - ${ut(pre, i, k)}*${ut(pre, j, k)}/${ut(pre, k, k)} AS $nxt$i$j") ++
+      (0 until k).map(i =>
+        s"${pre}y$i - ${ut(pre, i, k)}*${pre}y$k/${ut(pre, k, k)} AS ${nxt}y$i")
+    }
+    s""", g$sfx AS (SELECT ${rawSums.mkString(",\n    ")} FROM $src),
+       |c$sfx AS (SELECT *, ${centered.mkString(",\n    ")} FROM g$sfx),
+       |d$sfx AS (SELECT *, ${elim("c", "d", 5).mkString(",\n    ")} FROM c$sfx),
+       |e$sfx AS (SELECT *, ${elim("d", "e", 4).mkString(",\n    ")} FROM d$sfx),
+       |sol$sfx AS (SELECT *,
+       |    e00*(e11*e22 - e12*e12) - e01*(e01*e22 - e12*e02) + e02*(e01*e12 - e11*e02) AS det,
+       |    ey0*(e11*e22 - e12*e12) - e01*(ey1*e22 - e12*ey2) + e02*(ey1*e12 - e11*ey2) AS det0,
+       |    e00*(ey1*e22 - ey2*e12) - ey0*(e01*e22 - e12*e02) + e02*(e01*ey2 - ey1*e02) AS det1,
+       |    e00*(e11*ey2 - e12*ey1) - e01*(e01*ey2 - ey1*e02) + ey0*(e01*e12 - e11*e02) AS det2
+       |  FROM e$sfx),
+       |beta$sfx AS (SELECT *,
+       |    det0/det AS b0, det1/det AS b1, det2/det AS b2 FROM sol$sfx),
+       |back$sfx AS (SELECT *,
+       |    (dy3 - d03*b0 - d13*b1 - d23*b2) / d33 AS b3 FROM beta$sfx),
+       |back2$sfx AS (SELECT *,
+       |    (cy4 - c04*b0 - c14*b1 - c24*b2 - c34*b3) / c44 AS b4 FROM back$sfx),
+       |fin$sfx AS (SELECT *,
+       |    ay - a0*b0 - a1*b1 - a2*b2 - a3*b3 - a4*b4 AS b_int FROM back2$sfx)""".stripMargin
+  }
+
+  /** Shared frame-reconstruction prelude (`ModelingFrame.build` in SQL —
+    * the same CTEs `ml_scaler`'s twin validates). */
+  private val frameCtes: String =
+    Pipe.dailySql +
+      """, frame AS (
+        |  SELECT d.*, lead(click) OVER (ORDER BY date_id) AS tgt FROM daily d),
+        |clean AS (
+        |  SELECT date_id, click, error, purchase, signup, view, tgt FROM frame
+        |  WHERE click IS NOT NULL AND error IS NOT NULL AND purchase IS NOT NULL
+        |    AND signup IS NOT NULL AND view IS NOT NULL AND tgt IS NOT NULL)""".stripMargin
+
+  /** Coefficient-table tail shared by `ml_ridge`'s twin. */
+  private def coefSql(alpha: Double): String =
+    frameCtes + olsCtes(alpha) +
+      s"""
+         |SELECT feature, round(coefficient, 6) AS coefficient FROM (
+         |  ${Feats.zipWithIndex.map { case (name, i) =>
+               s"SELECT '$name' AS feature, b$i AS coefficient FROM fin"
+             }.mkString("\n  UNION ALL ")}
+         |  UNION ALL SELECT '__intercept', b_int FROM fin)
+         |ORDER BY feature""".stripMargin
+
+  /** `ml_shap` twin: exact linear SHAP of the OLS fit — per feature
+    * mean |φ| = |wⱼ|·avg|xⱼ−μⱼ| (one extra pass over the frame with the
+    * fitted weights), mean φ (≡ 0 over the background frame; `+ 0.0`
+    * canonicalizes the −0.0 the 1e-17 noise can round to), coefficient,
+    * and base = w·μ + b. */
+  private def shapSql: String =
+    frameCtes + olsCtes(0.0) +
+      s""",
+         |phi AS (SELECT ${Feats.zipWithIndex.map { case (name, i) =>
+               s"avg(abs(b$i*($name - a$i))) AS pa$i, avg(b$i*($name - a$i)) AS pm$i"
+             }.mkString(",\n    ")},
+         |    ${(0 until Feats.size).map(i => s"any_value(b$i) AS w$i").mkString(", ")},
+         |    any_value(b_int) AS w_int,
+         |    ${(0 until Feats.size).map(i => s"any_value(a$i) AS m$i").mkString(", ")}
+         |  FROM clean, fin)
+         |SELECT feature, round(mean_abs_shap, 6) AS mean_abs_shap,
+         |  round(mean_shap, 6) + 0.0 AS mean_shap,
+         |  round(coefficient, 6) AS coefficient, round(base_value, 6) AS base_value
+         |FROM (
+         |  ${Feats.zipWithIndex.map { case (name, i) =>
+               s"SELECT '$name' AS feature, pa$i AS mean_abs_shap, pm$i AS mean_shap, " +
+               s"w$i AS coefficient, ${(0 until Feats.size).map(j => s"w$j*m$j").mkString(" + ")} + w_int AS base_value FROM phi"
+             }.mkString("\n  UNION ALL ")})
+         |ORDER BY feature""".stripMargin
+
+  /** `ml_walk_forward` twin: the expanding-window protocol is fully
+    * deterministic — cuts from the date_id min/max (floor() mirrors
+    * Scala's toLong truncation; DuckDB's float→int CAST would round),
+    * per-fold OLS via the elimination closed form, test-set RMSE/MAE
+    * from the fitted weights. Verifies the leakage-free splitter AND
+    * each fold's fit in one hash row per fold. */
+  private def walkForwardSql: String = {
+    val k = 3
+    val cutExprs = (1 to k).map(i =>
+      s"lo + floor((hi - lo) * ${k + i}.0 / ${2 * k}.0)::BIGINT AS cut$i")
+    val folds = (1 to k).map { i =>
+      val testPred =
+        if (i < k) s"date_id >= cut$i AND date_id < cut${i + 1}"
+        else s"date_id >= cut$i"
+      (s"""train$i AS (SELECT c.* FROM clean c, cvals WHERE date_id < cut$i),
+          |test$i AS (SELECT c.* FROM clean c, cvals WHERE $testPred)""".stripMargin,
+        olsCtes(0.0, src = s"train$i", sfx = s"_f$i"),
+        s"""m$i AS (SELECT ${i - 1} AS fold, count(*)::BIGINT AS n_test,
+           |    sqrt(avg(pow(tgt - (b_int + ${Feats.zipWithIndex.map {
+                  case (nm, j) => s"b$j*$nm" }.mkString(" + ")}), 2))) AS rmse,
+           |    avg(abs(tgt - (b_int + ${Feats.zipWithIndex.map {
+                  case (nm, j) => s"b$j*$nm" }.mkString(" + ")}))) AS mae
+           |  FROM test$i, fin_f$i)""".stripMargin)
+    }
+    frameCtes +
+      s""",
+         |bounds AS (SELECT min(date_id)::BIGINT AS lo, max(date_id)::BIGINT AS hi FROM clean),
+         |cvals AS (SELECT ${cutExprs.mkString(", ")} FROM bounds),
+         |${folds.map(_._1).mkString(",\n")}${folds.map(_._2).mkString("")},
+         |${folds.map(_._3).mkString(",\n")}
+         |SELECT fold, n_test, round(rmse, 6) AS rmse, round(mae, 6) AS mae FROM (
+         |  ${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+         |ORDER BY fold""".stripMargin
+  }
+
+  /** `ml_gridsearch` twin: every (α, fold) cell is one elimination
+    * chain (generated — 8 chains for the 4-point grid over 2
+    * walk-forward folds); mean test RMSE per α, best = min of the
+    * ROUNDED means exactly like the engine. */
+  private def gridSearchSql: String = {
+    val k = 2
+    val grid = Seq(0.01, 0.1, 1.0, 10.0)
+    val cutExprs = (1 to k).map(i =>
+      s"lo + floor((hi - lo) * ${k + i}.0 / ${2 * k}.0)::BIGINT AS cut$i")
+    val foldDefs = (1 to k).map { i =>
+      val testPred =
+        if (i < k) s"date_id >= cut$i AND date_id < cut${i + 1}"
+        else s"date_id >= cut$i"
+      s"""train$i AS (SELECT c.* FROM clean c, cvals WHERE date_id < cut$i),
+         |test$i AS (SELECT c.* FROM clean c, cvals WHERE $testPred)""".stripMargin
+    }
+    val pred = s"b_int + ${Feats.zipWithIndex.map {
+      case (nm, j) => s"b$j*$nm" }.mkString(" + ")}"
+    val chains = for { (a, ai) <- grid.zipWithIndex; i <- 1 to k }
+      yield olsCtes(a, src = s"train$i", sfx = s"_a${ai}_f$i")
+    val cells = for { (a, ai) <- grid.zipWithIndex; i <- 1 to k } yield
+      s"""cell_a${ai}_f$i AS (SELECT $a::DOUBLE AS alpha,
+         |    sqrt(avg(pow(tgt - ($pred), 2))) AS rmse
+         |  FROM test$i, fin_a${ai}_f$i)""".stripMargin
+    frameCtes +
+      s""",
+         |bounds AS (SELECT min(date_id)::BIGINT AS lo, max(date_id)::BIGINT AS hi FROM clean),
+         |cvals AS (SELECT ${cutExprs.mkString(", ")} FROM bounds),
+         |${foldDefs.mkString(",\n")}${chains.mkString("")},
+         |${cells.mkString(",\n")},
+         |scores AS (
+         |  SELECT alpha, round(avg(rmse), 6) AS mean_rmse FROM (
+         |    ${cells.indices.map { idx =>
+                val (ai, i) = (idx / k, idx % k + 1)
+                s"SELECT * FROM cell_a${ai}_f$i" }.mkString(" UNION ALL ")})
+         |  GROUP BY alpha)
+         |SELECT alpha, mean_rmse,
+         |  mean_rmse = min(mean_rmse) OVER () AS is_best
+         |FROM scores ORDER BY alpha""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "ml_ridge" -> coefSql(1.0),
+
+    "ml_shap" -> shapSql,
+
+    "ml_walk_forward" -> walkForwardSql,
+
+    "ml_gridsearch" -> gridSearchSql,
+
     /** In-engine augmented Dickey-Fuller, oracle-checked: the constant
       * term is eliminated by CENTERING the three regressors (slope
       * estimates and their variances are unchanged — standard regression
