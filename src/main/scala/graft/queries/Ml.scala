@@ -425,49 +425,63 @@ object Ml {
     * so engine and oracle agree to ~1e-10 — far inside the 1e-6
     * rounding. Ends with CTE `fin` carrying b0..b4, b_int, a0..a4, ay. */
   private def olsCtes(alpha: Double, src: String = "clean",
-                      sfx: String = ""): String = {
-    val n = Feats.size
+                      sfx: String = "", feats: Seq[String] = Feats,
+                      yCol: String = "tgt"): String = {
+    val n = feats.size
+    require(n >= 3, "elimination generator needs >= 3 regressors")
+    // stage prefixes: q0 = centered n×n, q1 after one elimination, …
+    // down to the 3×3 at stage n−3
+    def pre(t: Int): String = s"q$t"
     // upper-triangle index helper: the stored name for A[i][j], i ≤ j
-    def ut(pre: String, i: Int, j: Int): String =
-      if (i <= j) s"$pre$i$j" else s"$pre$j$i"
+    def ut(p: String, i: Int, j: Int): String =
+      if (i <= j) s"$p$i$j" else s"$p$j$i"
     val rawSums =
       (for { i <- 0 until n; j <- i until n }
-        yield s"sum(${Feats(i)}*${Feats(j)}) AS s$i$j") ++
-      (0 until n).map(i => s"sum(${Feats(i)}*tgt) AS sy$i") ++
-      (0 until n).map(i => s"avg(${Feats(i)}) AS a$i") ++
-      Seq("count(*)::DOUBLE AS nn", "avg(tgt) AS ay")
+        yield s"sum(${feats(i)}*${feats(j)}) AS s$i$j") ++
+      (0 until n).map(i => s"sum(${feats(i)}*$yCol) AS sy$i") ++
+      (0 until n).map(i => s"avg(${feats(i)}) AS a$i") ++
+      Seq("count(*)::DOUBLE AS nn", s"avg($yCol) AS ay")
     val centered =
       (for { i <- 0 until n; j <- i until n } yield {
         val diag = if (i == j) s" + $alpha" else ""
-        s"s$i$j - nn*a$i*a$j$diag AS c$i$j"
+        s"s$i$j - nn*a$i*a$j$diag AS ${pre(0)}$i$j"
       }) ++
-      (0 until n).map(i => s"sy$i - nn*a$i*ay AS cy$i")
+      (0 until n).map(i => s"sy$i - nn*a$i*ay AS ${pre(0)}y$i")
     // one symmetric elimination step: drop the highest index k = size-1
-    def elim(pre: String, nxt: String, size: Int): Seq[String] = {
-      val k = size - 1
+    def elim(t: Int): Seq[String] = {
+      val (p, nx) = (pre(t), pre(t + 1))
+      val k = n - t - 1
       (for { i <- 0 until k; j <- i until k }
-        yield s"${ut(pre, i, j)} - ${ut(pre, i, k)}*${ut(pre, j, k)}/${ut(pre, k, k)} AS $nxt$i$j") ++
+        yield s"${ut(p, i, j)} - ${ut(p, i, k)}*${ut(p, j, k)}/${ut(p, k, k)} AS $nx$i$j") ++
       (0 until k).map(i =>
-        s"${pre}y$i - ${ut(pre, i, k)}*${pre}y$k/${ut(pre, k, k)} AS ${nxt}y$i")
+        s"${p}y$i - ${ut(p, i, k)}*${p}y$k/${ut(p, k, k)} AS ${nx}y$i")
     }
+    val elimCtes = (0 until n - 3).map(t =>
+      s"""el$t$sfx AS (SELECT *, ${elim(t).mkString(",\n    ")} FROM ${
+         if (t == 0) s"c$sfx" else s"el${t - 1}$sfx"}),""").mkString("\n")
+    val z = pre(n - 3) // the 3×3 stage
+    // back-substitution: var v (3 ≤ v < n) from stage n−1−v, in order
+    val backCtes = (3 until n).map { v =>
+      val p = pre(n - 1 - v)
+      val prior = if (v == 3) s"beta$sfx" else s"back${v - 1}$sfx"
+      s"""back$v$sfx AS (SELECT *,
+         |    (${p}y$v - ${(0 until v).map(i => s"${ut(p, i, v)}*b$i").mkString(" - ")}) / ${ut(p, v, v)} AS b$v FROM $prior),""".stripMargin
+    }.mkString("\n")
+    val lastBack = if (n == 3) s"beta$sfx" else s"back${n - 1}$sfx"
     s""", g$sfx AS (SELECT ${rawSums.mkString(",\n    ")} FROM $src),
        |c$sfx AS (SELECT *, ${centered.mkString(",\n    ")} FROM g$sfx),
-       |d$sfx AS (SELECT *, ${elim("c", "d", 5).mkString(",\n    ")} FROM c$sfx),
-       |e$sfx AS (SELECT *, ${elim("d", "e", 4).mkString(",\n    ")} FROM d$sfx),
+       |$elimCtes
        |sol$sfx AS (SELECT *,
-       |    e00*(e11*e22 - e12*e12) - e01*(e01*e22 - e12*e02) + e02*(e01*e12 - e11*e02) AS det,
-       |    ey0*(e11*e22 - e12*e12) - e01*(ey1*e22 - e12*ey2) + e02*(ey1*e12 - e11*ey2) AS det0,
-       |    e00*(ey1*e22 - ey2*e12) - ey0*(e01*e22 - e12*e02) + e02*(e01*ey2 - ey1*e02) AS det1,
-       |    e00*(e11*ey2 - e12*ey1) - e01*(e01*ey2 - ey1*e02) + ey0*(e01*e12 - e11*e02) AS det2
-       |  FROM e$sfx),
+       |    ${z}00*(${z}11*${z}22 - ${z}12*${z}12) - ${z}01*(${z}01*${z}22 - ${z}12*${z}02) + ${z}02*(${z}01*${z}12 - ${z}11*${z}02) AS det,
+       |    ${z}y0*(${z}11*${z}22 - ${z}12*${z}12) - ${z}01*(${z}y1*${z}22 - ${z}12*${z}y2) + ${z}02*(${z}y1*${z}12 - ${z}11*${z}y2) AS det0,
+       |    ${z}00*(${z}y1*${z}22 - ${z}y2*${z}12) - ${z}y0*(${z}01*${z}22 - ${z}12*${z}02) + ${z}02*(${z}01*${z}y2 - ${z}y1*${z}02) AS det1,
+       |    ${z}00*(${z}11*${z}y2 - ${z}12*${z}y1) - ${z}01*(${z}01*${z}y2 - ${z}y1*${z}02) + ${z}y0*(${z}01*${z}12 - ${z}11*${z}02) AS det2
+       |  FROM ${if (n == 3) s"c$sfx" else s"el${n - 4}$sfx"}),
        |beta$sfx AS (SELECT *,
        |    det0/det AS b0, det1/det AS b1, det2/det AS b2 FROM sol$sfx),
-       |back$sfx AS (SELECT *,
-       |    (dy3 - d03*b0 - d13*b1 - d23*b2) / d33 AS b3 FROM beta$sfx),
-       |back2$sfx AS (SELECT *,
-       |    (cy4 - c04*b0 - c14*b1 - c24*b2 - c34*b3) / c44 AS b4 FROM back$sfx),
+       |$backCtes
        |fin$sfx AS (SELECT *,
-       |    ay - a0*b0 - a1*b1 - a2*b2 - a3*b3 - a4*b4 AS b_int FROM back2$sfx)""".stripMargin
+       |    ay - ${(0 until n).map(i => s"a$i*b$i").mkString(" - ")} AS b_int FROM $lastBack)""".stripMargin
   }
 
   /** Shared frame-reconstruction prelude (`ModelingFrame.build` in SQL —
@@ -593,8 +607,104 @@ object Ml {
          |FROM scores ORDER BY alpha""".stripMargin
   }
 
+  /** `ml_sarima` twin: SARIMA(3,1,0)(1,0,0)_7 conditional least squares
+    * is OLS on a window-built design — d=1 differencing, AR lags 1..3
+    * and the seasonal lag 7 (all SQL windows), solved by the generic
+    * elimination generator (4 regressors → one elimination step).
+    * The 1-step forecast re-reads the design tail POSITIONALLY
+    * (row_number desc, rows 1,2,3,7) exactly like the engine's
+    * orderBy-desc-limit tail, and undoes the d=1 difference with the
+    * latest observed level. */
+  private def sarimaSql: String = {
+    val lags = Seq(1, 2, 3, 7)
+    val fs = lags.indices.map(i => s"f$i")
+    Pipe.dailySql +
+      s""", diffd AS (
+         |  SELECT date_id, click,
+         |    click - lag(click, 1) OVER (ORDER BY date_id) AS sar_y
+         |  FROM daily),
+         |des AS (SELECT *,
+         |    ${lags.zipWithIndex.map { case (k, i) =>
+                s"lag(sar_y, $k) OVER (ORDER BY date_id) AS f$i" }.mkString(",\n    ")}
+         |  FROM diffd),
+         |r AS (SELECT * FROM des
+         |  WHERE click IS NOT NULL AND sar_y IS NOT NULL
+         |    AND ${fs.map(f => s"$f IS NOT NULL").mkString(" AND ")})""".stripMargin +
+      olsCtes(0.0, src = "r", sfx = "", feats = fs, yCol = "sar_y") +
+      s""",
+         |met AS (SELECT 1.0 - sum(pow(sar_y - (b_int + ${fs.zipWithIndex.map {
+                 case (f, i) => s"b$i*$f" }.mkString(" + ")}), 2))
+         |            / sum(pow(sar_y - ay, 2)) AS r2
+         |  FROM r, fin),
+         |tl AS (SELECT sar_y, click, row_number() OVER (ORDER BY date_id DESC) AS rn FROM r),
+         |tv AS (SELECT
+         |    ${lags.zipWithIndex.map { case (k, i) =>
+                s"max(CASE WHEN rn = $k THEN sar_y END) AS v$i" }.mkString(",\n    ")},
+         |    max(CASE WHEN rn = 1 THEN click END) AS y_t
+         |  FROM tl WHERE rn <= ${lags.max})
+         |SELECT
+         |  round(b_int + ${fs.indices.map(i => s"b$i*v$i").mkString(" + ")} + y_t, 6) AS forecast_next,
+         |  round(r2, 6) AS train_r2,
+         |  3 AS p, 1 AS d, 1 AS big_p, 0 AS big_d, 7 AS s
+         |FROM fin, met, tv""".stripMargin
+  }
+
+  /** `ml_sarima_hybrid` twin: two chained elimination solves — the SAR
+    * conditional-least-squares fit (α=0) on the design, then sklearn
+    * Ridge(α=1) of the 4 lag-1 exogenous features against the SAR
+    * residuals — and the (r2, dir_acc) comparison table of both
+    * predictors over the same frame. Note the hybrid's design drops a
+    * DIFFERENT null subset than `ml_sarima` (it additionally requires
+    * the exog lags), so the SAR betas here are fitted on ITS rows. */
+  private def hybridSql: String = {
+    val lags = Seq(1, 2, 3, 7)
+    val fs = lags.indices.map(i => s"f$i")
+    val exog = Seq("error", "purchase", "signup", "view")
+    val es = exog.indices.map(i => s"e$i")
+    val sarPred = s"b_int + ${fs.zipWithIndex.map { case (f, i) => s"b$i*$f" }.mkString(" + ")}"
+    val ridgePred = s"b_int + ${es.zipWithIndex.map { case (e, i) => s"b$i*$e" }.mkString(" + ")}"
+    def metrics(src: String, yhat: String): String =
+      s"""SELECT 1.0 - sum(pow(sar_y - $yhat, 2)) / sum(pow(sar_y - my, 2)) AS r2,
+         |    avg(CASE WHEN sign(sar_y) = sign($yhat) THEN 1.0 ELSE 0.0 END) AS dir_acc
+         |  FROM $src, ym""".stripMargin
+    Pipe.dailySql +
+      s""", diffd AS (
+         |  SELECT date_id, click,
+         |    ${exog.zipWithIndex.map { case (c, i) =>
+                s"lag($c, 1) OVER (ORDER BY date_id) AS e$i" }.mkString(",\n    ")},
+         |    click - lag(click, 1) OVER (ORDER BY date_id) AS sar_y
+         |  FROM daily),
+         |des AS (SELECT *,
+         |    ${lags.zipWithIndex.map { case (k, i) =>
+                s"lag(sar_y, $k) OVER (ORDER BY date_id) AS f$i" }.mkString(",\n    ")}
+         |  FROM diffd),
+         |r AS (SELECT * FROM des
+         |  WHERE sar_y IS NOT NULL
+         |    AND ${(fs ++ es).map(c => s"$c IS NOT NULL").mkString(" AND ")})""".stripMargin +
+      olsCtes(0.0, src = "r", sfx = "_s", feats = fs, yCol = "sar_y") +
+      s""",
+         |rr AS (SELECT r.*, sar_y - ($sarPred) AS resid, ($sarPred) AS yhat_sar
+         |  FROM r, fin_s)""".stripMargin +
+      olsCtes(1.0, src = "rr", sfx = "_r", feats = es, yCol = "resid") +
+      s""",
+         |sc AS (SELECT rr.sar_y, rr.yhat_sar,
+         |    rr.yhat_sar + ($ridgePred) AS yhat_hyb
+         |  FROM rr, fin_r),
+         |ym AS (SELECT avg(sar_y) AS my FROM rr),
+         |msar AS (${metrics("rr", "yhat_sar")}),
+         |mhyb AS (${metrics("sc", "yhat_hyb")})
+         |SELECT model, round(r2, 6) AS r2, round(dir_acc, 6) AS dir_acc FROM (
+         |  SELECT 'sar' AS model, r2, dir_acc FROM msar
+         |  UNION ALL SELECT 'sar_ridge_hybrid', r2, dir_acc FROM mhyb)
+         |ORDER BY model""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "ml_ridge" -> coefSql(1.0),
+
+    "ml_sarima" -> sarimaSql,
+
+    "ml_sarima_hybrid" -> hybridSql,
 
     "ml_shap" -> shapSql,
 
