@@ -103,6 +103,21 @@ object Corpus {
           col("n_docs"), col("avg_chars"))
         .orderBy("lang", "source")),
 
+    /** Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+      * the (lang, source) detail and the per-SOURCE subtotal in ONE pass
+      * — a combination no rollup can express (rollup would subtotal by
+      * the leading key). Same single-shuffle expand-aggregate plan. */
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("source"), col("n_docs"), col("avg_chars"))
+        .orderBy("lang", "source")),
+
     /** Decile binning without a global sort: exact cut points are one
       * aggregation collected to the driver (9 doubles), assignment is a
       * narrow codegen'd comparison ladder — the scale-safe alternative
@@ -241,6 +256,13 @@ object Corpus {
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
         |       count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, source,
+        |       count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (source))
         |ORDER BY lang, source""".stripMargin,
 
     "bin_deciles" ->

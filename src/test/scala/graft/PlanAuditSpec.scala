@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_embedding_cosine", "last_row_lookup", "ewma_halflife",
     "outlier_iqr_clip",
     "ml_metric_r2",    // crossJoin(broadcast(1-row avg(y)))
-    "text_tfidf_topk") // crossJoin(broadcast(1-row corpus count))
+    "text_tfidf_topk", // crossJoin(broadcast(1-row corpus count))
+    "corpus_upsample_weights") // crossJoin(broadcast(1-row token total))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
