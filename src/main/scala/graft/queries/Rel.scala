@@ -257,6 +257,24 @@ object Rel {
         .agg(expr("max_by(value, event_id)").as("last_value"))
         .orderBy("event_type")),
 
+    /** Ranking/analytic windows (SURVEY §2.7 notes the reference never
+      * uses them — free in Spark): per-type top-5 by value with rank +
+      * percent_rank. The window carries the event_type partition key, so
+      * it scales — the per-type top-k is the pattern an ntile/global
+      * sort would get wrong at 100 TB. Deterministic (event_id)
+      * tiebreak so both engines rank identically. */
+    "window_rank_percentile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          rank().over(w).as("rnk"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .filter(col("rnk") <= 5)
+        .orderBy("event_type", "rnk", "event_id")
+    }),
+
     // ---- §2.5 joins ----------------------------------------------------
     "join_mapping_left" -> ((s, d) => {
       val n = Tables.nation(s, d); val r = Tables.region(s, d)
@@ -763,6 +781,16 @@ object Rel {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "window_rank_percentile" ->
+      """SELECT event_type, event_id, value, rnk, pct_rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    rank() OVER w AS rnk,
+        |    round(percent_rank() OVER w, 6) AS pct_rank
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
+        |WHERE rnk <= 5
+        |ORDER BY event_type, rnk, event_id""".stripMargin,
 
     "join_asof" ->
       """WITH ev AS (
