@@ -94,6 +94,27 @@ object Reshape {
         .orderBy(desc("n"), col("event_type"))
     }),
 
+    /** Semi-structured extraction: the `events.props` JSON metadata
+      * column parsed with a PINNED schema (`from_json` — one codegen'd
+      * parse per row, no schema-inference scan; the 100 TB posture for
+      * typed access into JSON payload columns). */
+    "json_extract_field" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+        .orderBy("event_id")),
+
+    /** The extracted JSON field feeding relational ops — group by the
+      * payload value, aggregate the metric column (proves the parse
+      * composes with the engine, not just projects). */
+    "json_groupby_extracted" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .orderBy("k")),
+
     /** pandas `cumsum()`/`cummax()`/`expanding().count()` per series —
       * running windows partitioned by the series key. The running sum
       * accumulates DECIMAL(18,2) so both engines add exactly (a double
@@ -147,6 +168,15 @@ object Reshape {
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT event_type, n, round(n / total, 6) AS pct FROM c, t
         |ORDER BY n DESC, event_type""".stripMargin,
+
+    "json_extract_field" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "json_groupby_extracted" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
     "ts_cumulative" ->
       """SELECT event_id,

@@ -53,6 +53,16 @@ class ReshapeSpec extends SparkSpec {
     assert(approx(vc.map(_.getAs[Double]("pct")).sum, 1.0, 1e-4))
   }
 
+  test("json extraction: typed from_json agrees with get_json_object, groups cover all rows") {
+    val ev = Tables.events(spark, dir)
+    val both = ev.select(
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("a"),
+      get_json_object(col("props"), "$.k").cast("long").as("b"))
+    assert(both.filter(!(col("a") <=> col("b"))).count() == 0)
+    val grouped = graft.queries.Reshape.qs("json_groupby_extracted")(spark, dir)
+    assert(grouped.agg(sum("n")).head().getLong(0) == ev.count())
+  }
+
   test("ts_cumulative: final running values equal the per-series aggregates") {
     val cum = graft.queries.Reshape.qs("ts_cumulative")(spark, dir)
     val ev = Tables.events(spark, dir)
