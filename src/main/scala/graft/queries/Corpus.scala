@@ -118,6 +118,19 @@ object Corpus {
           col("source"), col("n_docs"), col("avg_chars"))
         .orderBy("lang", "source")),
 
+    /** CUBE — all four granularities ((lang, source), per-lang,
+      * per-source, grand total) in ONE expand-aggregate pass; completes
+      * the grouping-flavor family next to rollup and grouping sets. */
+    "agg_cube_profile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("avg_chars"))
+        .orderBy("lang", "source")),
+
     /** Decile binning without a global sort: exact cut points are one
       * aggregation collected to the driver (9 doubles), assignment is a
       * narrow codegen'd comparison ladder — the scale-safe alternative
@@ -263,6 +276,12 @@ object Corpus {
         |       count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
         |FROM documents
         |GROUP BY GROUPING SETS ((lang, source), (source))
+        |ORDER BY lang, source""".stripMargin,
+
+    "agg_cube_profile" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |       count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY lang, source""".stripMargin,
 
     "bin_deciles" ->

@@ -63,6 +63,24 @@ object Ts {
           Seq(expr("ts_ns div 1000"), col("event_id")), "value", days = 7)
         .orderBy("event_type", "bar")),
 
+    /** Calendar-RANGE rolling window — pandas `rolling('7D')`: the frame
+      * is "all of this user's events in the trailing 7 calendar days",
+      * however many rows that is (a ROWS frame like `rolling_stats`
+      * cannot express it). The mean divides an EXACT decimal running sum
+      * by the frame count so both engines divide identical operands — a
+      * double sum's value would depend on the frame-walk order. */
+    "rolling_time_range" -> ((s, d) => {
+      val day = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      Tables.events(s, d).withColumn("day", day.cast("long"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w), 6).as("avg_7d"))
+        .orderBy("event_id")
+    }),
+
     // ---- §2.7 window / time-series -------------------------------------
     "lead_per_target" -> ((s, d) =>
       TimeSeries.leadPerKey(Tables.events(s, d), col("event_type"),
@@ -340,6 +358,17 @@ object Ts {
         |  count(*) AS n
         |FROM r GROUP BY event_type, bar
         |ORDER BY event_type, bar""".stripMargin,
+
+    "rolling_time_range" ->
+      """SELECT event_id, count(*) OVER w AS n_7d,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 6) AS avg_7d
+        |FROM (SELECT event_id, user_id, value,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "outlier_iqr_clip",
     "ml_metric_r2",    // crossJoin(broadcast(1-row avg(y)))
     "text_tfidf_topk", // crossJoin(broadcast(1-row corpus count))
-    "corpus_upsample_weights") // crossJoin(broadcast(1-row token total))
+    "corpus_upsample_weights", // crossJoin(broadcast(1-row token total))
+    "value_counts")            // crossJoin(broadcast(1-row grand total))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
