@@ -22,12 +22,14 @@ object Pipe {
 
     /** §3.2 cleaning spine on the daily wide frame with deterministic
       * null injection (sparse col ~70% null → dropped; moderate ~20% →
-      * imputed). Oracle-checked: under the FIXED injection rates the
-      * adaptive steps resolve deterministically — drop_sparse keeps
-      * exactly the five event-type columns (70% > 50% threshold > 20%),
-      * and top-2-by-variance resolves to (click, signup) with wide
-      * margins at the verify SF (53.4 vs 41.3 vs 35.5 next — measured
-      * sf0.01), which the SQL twin pins explicitly. */
+      * imputed). Oracle-checked AT ANY SF: drop_sparse resolves
+      * deterministically under the fixed injection rates (70% > 50%
+      * threshold > 20%), and the data-adaptive top-2-by-variance target
+      * choice is emitted in LONG form (date_id, features…, target,
+      * value_next) so the SQL twin REPLAYS the selection itself —
+      * variance ranking with the same (desc, name) tiebreak — instead of
+      * pinning one SF's resolution into static column names (which broke
+      * the hash compare the moment the choice shifted at another SF). */
     "cleaning_pipeline" -> ((s, d) => {
       val wide = ModelingFrame.daily(s, d)
         .withColumn("sparse_feat",
@@ -38,9 +40,14 @@ object Pipe {
           featureCols = ModelingFrame.EventTypes :+ "sparse_feat",
           targetCols = ModelingFrame.EventTypes,
           maxNullPct = 50.0, topK = 2, leadDays = 1)
-      out.columns.filter(_ != "date_id").foldLeft(out) {
+      val nextCols = out.columns.filter(_.endsWith("_next"))
+      val idCols = out.columns.filterNot(_.endsWith("_next"))
+      val long = out.unpivot(idCols.map(col), nextCols.map(col),
+          "target", "value_next")
+        .withColumn("target", expr("substring(target, 1, length(target) - 5)"))
+      long.columns.filterNot(Seq("date_id", "target").contains).foldLeft(long) {
         (acc, c) => acc.withColumn(c, round(col(c), 6))
-      }.orderBy("date_id")
+      }.orderBy("date_id", "target")
     }),
 
     /** §2.1 `scan_csv_transformed`: the reference's df_transformed.csv
@@ -91,6 +98,13 @@ object Pipe {
     * kept features = the five event types, top-2 targets = (click,
     * signup). The imputation twin is the same IGNORE NULLS ffill/bfill
     * as `impute_ffill_bfill`'s oracle. */
+  /** The twin replays the ADAPTIVE target selection (top-2 sample
+    * variance over the imputed frame, tiebreak variance DESC then name
+    * ASC — `Relational.topKByVariance`'s exact ordering) in SQL, which
+    * the long output shape makes expressible at any SF. A row survives
+    * only where the engine's `na.drop` kept it: every chosen target's
+    * lead is non-null, i.e. value_next IS NOT NULL per long row plus the
+    * cross-target all-non-null date filter. */
   private val cleaningSql = dailySql +
     """, wide AS (
       |  SELECT date_id,
@@ -106,18 +120,31 @@ object Pipe {
       |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS click,
       |    error, purchase, signup, view
       |  FROM wide)
+      |, long AS (
+      |  SELECT date_id, 'click' AS target, click AS v FROM imputed
+      |  UNION ALL SELECT date_id, 'error', error FROM imputed
+      |  UNION ALL SELECT date_id, 'purchase', purchase FROM imputed
+      |  UNION ALL SELECT date_id, 'signup', signup FROM imputed
+      |  UNION ALL SELECT date_id, 'view', view FROM imputed)
+      |, top2 AS (
+      |  SELECT target FROM (
+      |    SELECT target, var_samp(v) AS vv FROM long GROUP BY target)
+      |  ORDER BY vv DESC, target ASC LIMIT 2)
       |, led AS (
-      |  SELECT date_id,
-      |    lead(click, 1) OVER (ORDER BY date_id) AS click_next,
-      |    lead(signup, 1) OVER (ORDER BY date_id) AS signup_next
-      |  FROM imputed)
+      |  SELECT date_id, target,
+      |    lead(v, 1) OVER (PARTITION BY target ORDER BY date_id) AS value_next
+      |  FROM long WHERE target IN (SELECT target FROM top2))
+      |, kept AS (
+      |  SELECT date_id FROM led GROUP BY date_id
+      |  HAVING count(value_next) = 2)
       |SELECT i.date_id, round(i.click, 6) AS click, round(i.error, 6) AS error,
       |  round(i.purchase, 6) AS purchase, round(i.signup, 6) AS signup,
       |  round(i.view, 6) AS view,
-      |  round(l.click_next, 6) AS click_next, round(l.signup_next, 6) AS signup_next
-      |FROM imputed i JOIN led l ON i.date_id = l.date_id
-      |WHERE l.click_next IS NOT NULL AND l.signup_next IS NOT NULL
-      |ORDER BY i.date_id""".stripMargin
+      |  l.target, round(l.value_next, 6) AS value_next
+      |FROM imputed i
+      |JOIN kept k ON i.date_id = k.date_id
+      |JOIN led l ON i.date_id = l.date_id
+      |ORDER BY i.date_id, l.target""".stripMargin
 
   val sql: Map[String, String] = Map(
     "cleaning_pipeline" -> cleaningSql,
