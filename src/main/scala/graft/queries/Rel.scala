@@ -363,6 +363,18 @@ object Rel {
         .orderBy("c_custkey")
     }),
 
+    /** Semi join — left_anti's complement (pandas `isin` on a computed
+      * key set): customers WITH at least one urgent order. left_semi
+      * deduplicates matches inside the join (no distinct afterwards) and
+      * ships only the probe side's columns. */
+    "join_semi_members" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     /** Bucketed co-located join (`Joins.writeBucketed`): orders ⋈
       * lineitem on the order key with BOTH sides at rest as bucketed
       * tables — the shuffle is paid once at write time, and the join
@@ -779,6 +791,12 @@ object Rel {
     "anti_membership_cols" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_semi_members" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
