@@ -51,12 +51,68 @@ object Rel {
 
   private val nullCols = Seq("v_sparse", "v_moderate", "v_dense")
 
+  /** Temp-view names must be unique per invocation (verify and bench run
+    * queries concurrently in one session). */
+  private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   val qs: Map[String, Q] = Map(
     // ---- §2.1 sources -------------------------------------------------
     "scan_parquet" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
+
+    /** The `spark.sql` front door — TPC-H Q1's pricing summary verbatim
+      * ANSI SQL over a temp view, proving a reference user can drive the
+      * engine through SQL, not just the DataFrame API. All money sums
+      * accumulate DECIMAL (exact under any aggregation order); averages
+      * divide the exact sums so both engines divide identical operands. */
+    "sql_pricing_summary" -> ((s, d) => {
+      val view = s"lineitem_v${sqlRuns.incrementAndGet()}"
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_disc_price,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |          * CAST(1 - l_discount AS DECIMAL(18,2))
+           |          * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_charge,
+           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM $view
+           |WHERE l_shipdate <= DATE '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    /** Grouped EXACT quantiles — per-series quartiles in one aggregation
+      * (`percentile` with an array argument: one sort per group inside
+      * the agg, not a per-quantile pass; both engines interpolate
+      * linearly). The global-frame flavor is `agg_describe`. */
+    "agg_group_quantiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("event_type"),
+          round(element_at(col("q"), 1), 6).as("q25"),
+          round(element_at(col("q"), 2), 6).as("q50"),
+          round(element_at(col("q"), 3), 6).as("q75"))
+        .orderBy("event_type")),
+
+    /** Set intersection with DISTINCT semantics (pandas `Index
+      * .intersection` / SQL INTERSECT): users who both clicked AND
+      * purchased. Distinct-per-side then an equi semi structure —
+      * Catalyst plans INTERSECT as aggregate + join, never row-pairs. */
+    "set_intersect_ids" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
 
     // ---- §2.2 projection / filter ------------------------------------
     "project_by_name_predicate" -> ((s, d) =>
@@ -631,6 +687,37 @@ object Rel {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |       l_extendedprice, l_discount, l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(1 - l_discount AS DECIMAL(18,2))
+        |          * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_group_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q25,
+        |  round(quantile_cont(value, 0.5), 6) AS q50,
+        |  round(quantile_cont(value, 0.75), 6) AS q75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "set_intersect_ids" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
 
     "project_subset" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice FROM orders ORDER BY o_orderkey",
