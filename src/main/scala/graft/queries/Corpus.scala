@@ -118,6 +118,18 @@ object Corpus {
           col("source"), col("n_docs"), col("avg_chars"))
         .orderBy("lang", "source")),
 
+    /** Sorted string aggregation (pandas `groupby().apply(','.join)` /
+      * SQL `string_agg`): per-lang roster of distinct sources. The set
+      * is sorted BEFORE concatenation — collect_set order is
+      * partition-nondeterministic, so an unsorted concat would not even
+      * equal itself across runs. */
+    "agg_string_concat_sorted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(concat_ws(",", array_sort(collect_set(col("source")))).as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
     /** CUBE — all four granularities ((lang, source), per-lang,
       * per-source, grand total) in ONE expand-aggregate pass; completes
       * the grouping-flavor family next to rollup and grouping sets. */
@@ -277,6 +289,11 @@ object Corpus {
         |FROM documents
         |GROUP BY GROUPING SETS ((lang, source), (source))
         |ORDER BY lang, source""".stripMargin,
+
+    "agg_string_concat_sorted" ->
+      """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "agg_cube_profile" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

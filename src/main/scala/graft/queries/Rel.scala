@@ -170,6 +170,26 @@ object Rel {
       graft.sources.Csv.read(s, path, schema).orderBy("o_orderkey")
     }),
 
+    /** JSONL round-trip — THE training-data interchange format: the
+      * documents table written as line-delimited JSON and read back with
+      * a PINNED schema (no inference scan). Free-text content exercises
+      * the escaping path (quotes/newlines must survive); the oracle
+      * recomputes the extract from parquet, so any serialization loss
+      * hash-mismatches. */
+    "scan_jsonl_docs" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = s"/tmp/graft_jsonl/${new java.io.File(d).getName}/documents"
+      Tables.documents(s, d).coalesce(1)
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // `scan_csv_labels`: the reference's train_labels.csv analog — a
     // targets extract WITH nulls (~10.5% NaN in the reference), so the
     // CSV null round-trip (null → empty field → null under the pinned
@@ -743,6 +763,10 @@ object Rel {
       """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
         |  o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scan_jsonl_docs" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sink_csv_results" ->
       """SELECT count(*) AS n_orders,
