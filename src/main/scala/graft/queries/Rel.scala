@@ -660,6 +660,30 @@ object Rel {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
 
+    /** Regex capture-group extraction (pandas `str.extract`): the
+      * numeric rank and the word out of 'N-WORD' priority strings — a
+      * codegen'd scalar, no UDF. */
+    "str_regexp_extract" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-(.+)$", 1)
+            .cast("int").as("prio_rank"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-(.+)$", 2)
+            .as("prio_word"))
+        .orderBy("o_orderkey")),
+
+    /** Calendar-part reporting rollup (pandas `dt.year/quarter`): orders
+      * bucketed by (year, quarter) with decimal-exact money sums — the
+      * date-dimension breakdown every reporting workload needs. */
+    "agg_orders_by_quarter" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_totalprice"))
+        .orderBy("y", "q")),
+
     "to_datetime" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
@@ -1075,6 +1099,18 @@ object Rel {
 
     "str_contains" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey",
+
+    "str_regexp_extract" ->
+      """SELECT o_orderkey,
+        |  CAST(regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 1) AS INTEGER) AS prio_rank,
+        |  regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 2) AS prio_word
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_orders_by_quarter" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        |FROM orders GROUP BY y, q ORDER BY y, q""".stripMargin,
 
     "to_datetime" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date, year(ts) AS y, month(ts) AS m,
