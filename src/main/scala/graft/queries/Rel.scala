@@ -439,6 +439,25 @@ object Rel {
         .orderBy("c_custkey")
     }),
 
+    /** CDC-style keyed upsert (MERGE without a table format): base rows
+      * whose key has an update are replaced, everything else passes
+      * through — left_anti(base, updates) ∪ updates. One shuffle on the
+      * 8-byte key; at rest this pairs with the hive-partitioned layout
+      * (`sink_parquet_partitioned`) as dynamic partition overwrite —
+      * rewrite only partitions containing touched keys, never the lake.
+      * The update set here is a deterministic slice with a visible
+      * column change, so the oracle can rebuild both sides. */
+    "merge_upsert_keyed" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val updates = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderstatus", lit("U"))
+      base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(updates)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     /** Semi join — left_anti's complement (pandas `isin` on a computed
       * key set): customers WITH at least one urgent order. left_semi
       * deduplicates matches inside the join (no distinct afterwards) and
@@ -928,6 +947,14 @@ object Rel {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "merge_upsert_keyed" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 97 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_totalprice + 1.0 FROM orders
+        |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "join_semi_members" ->
       """SELECT c_custkey, c_mktsegment FROM customer

@@ -57,7 +57,6 @@ object Reshape {
       * table. Pivot on the pinned 1..7 day-of-week vocabulary, exact
       * integer counts (`na.fill(0)`: an empty cell is 0, not null). */
     "crosstab_freq" -> ((s, d) => {
-      val dowCols = (1 to 7).map(i => s"dow_$i")
       val pivoted = Tables.events(s, d)
         .withColumn("dow", dayofweek(col("ts")))
         .groupBy("event_type")
