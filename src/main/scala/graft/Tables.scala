@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the harness star schema (TESTDATA.md): parquet tables under
   * `/root/testdata/sf*`. Parquet-at-rest is this engine's chosen format
@@ -16,6 +16,15 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Days since 1970-01-01 of a timestamp column — the engine-wide
+    * `date_id` derivation. Every oracle pins the same epoch
+    * (`date_diff('day', DATE '1970-01-01', …)` on the DuckDB side), so
+    * this must stay the single Scala-side source of it. */
+  def epochDay(ts: Column): Column = {
+    import org.apache.spark.sql.functions.{datediff, lit}
+    datediff(ts.cast("date"), lit("1970-01-01").cast("date"))
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent
     * (TimestampType is microseconds). Read it as a raw long (`nanosAsLong`)

@@ -28,7 +28,7 @@ object ModelingFrame {
   /** One row per day, one feature column per event type (pre-target). */
   def daily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("date_id", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn("date_id", Tables.epochDay(col("ts")))
       .groupBy("date_id")
       .pivot("event_type", EventTypes)
       .agg(avg(col("value")))

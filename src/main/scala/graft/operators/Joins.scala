@@ -95,25 +95,10 @@ object Joins {
       .format("parquet")
       .saveAsTable(table)
 
-  private val scratchRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Delete `dir` recursively at JVM exit. Per-process scratch (e.g. the
-    * PID-named bucketed-layout dirs) must not outlive its process:
-    * `mode("overwrite")` never reclaims ANOTHER process's directory, so
-    * without this every verify/bench run leaves dead table copies under
-    * /tmp until the disk fills. */
+  /** Delete `dir` recursively at JVM exit — see [[graft.sources.Scratch]],
+    * which owns the per-process scratch mechanism. */
   def scratchDeleteOnExit(dir: String): Unit =
-    if (scratchRegistered.add(dir)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }))
-      ()
-    }
+    graft.sources.Scratch.deleteOnExit(dir)
 
   /** Salted equi-join for skewed keys. A plain shuffle join sends every
     * row of a hot key to ONE reducer — the straggler that dominates the

@@ -245,7 +245,7 @@ object Ml {
       * additionally pins the closed form. */
     "ml_trend_per_series" -> ((s, d) => {
       val groupedOls = udaf(new GroupedOls(3))
-      val dayRaw = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+      val dayRaw = Tables.epochDay(col("ts"))
       val minDay = Tables.events(s, d).agg(min(dayRaw)).head().getInt(0)
       val day = (dayRaw - lit(minDay)).cast("double") / 100.0
       Tables.events(s, d)
@@ -271,7 +271,7 @@ object Ml {
     "stationarity_test_adf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)
-        .withColumn("day", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("day", Tables.epochDay(col("ts")))
         .groupBy("event_type", "day").agg(avg("value").as("x"))
       val w = Window.partitionBy("event_type").orderBy("day")
       val lagged = daily

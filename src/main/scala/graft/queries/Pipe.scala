@@ -57,7 +57,7 @@ object Pipe {
       * SQL as `feature_pipeline`: any serialization loss hash-mismatches. */
     "scan_csv_transformed" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/transformed"
+      val path = graft.sources.Scratch.dir("csv", d, "transformed")
       val out = qs("feature_pipeline")(s, d)
       graft.sources.Csv.write(out, path, single = true)
       val schema = StructType(
@@ -105,21 +105,28 @@ object Pipe {
     * only where the engine's `na.drop` kept it: every chosen target's
     * lead is non-null, i.e. value_next IS NOT NULL per long row plus the
     * cross-target all-non-null date filter. */
+  /** ffill+bfill twin for one column — the engine imputes EVERY kept
+    * feature column, so the SQL must too (a day with zero events of one
+    * type yields a natural null in any column at some SF/seed). */
+  private def ffillBfillSql(c: String): String =
+    s"""coalesce(
+       |      last_value($c IGNORE NULLS) OVER (ORDER BY date_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      first_value($c IGNORE NULLS) OVER (ORDER BY date_id
+       |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS $c""".stripMargin
+
   private val cleaningSql = dailySql +
-    """, wide AS (
+    s""", wide AS (
       |  SELECT date_id,
       |    CASE WHEN date_id % 5 = 2 THEN NULL ELSE click END AS click,
       |    error, purchase, signup, view
       |  FROM daily)
       |, imputed AS (
       |  SELECT date_id,
-      |    coalesce(
-      |      last_value(click IGNORE NULLS) OVER (ORDER BY date_id
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |      first_value(click IGNORE NULLS) OVER (ORDER BY date_id
-      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS click,
-      |    error, purchase, signup, view
-      |  FROM wide)
+      |    ${Seq("click", "error", "purchase", "signup", "view")
+                .map(ffillBfillSql).mkString(",\n    ")}
+      |  FROM wide)""".stripMargin +
+    """
       |, long AS (
       |  SELECT date_id, 'click' AS target, click AS v FROM imputed
       |  UNION ALL SELECT date_id, 'error', error FROM imputed

@@ -55,6 +55,29 @@ object Rel {
     * queries concurrently in one session). */
   private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** TPC-H Q1 pricing summary — ONE template for both the engine
+    * (`spark.sql` over a temp view) and the DuckDB oracle; only the FROM
+    * table differs, so the two sides cannot drift. All money sums
+    * accumulate DECIMAL (exact under any aggregation order); averages
+    * divide the exact sums so both engines divide identical operands. */
+  private def pricingSummarySql(from: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_disc_price,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |          * CAST(1 - l_discount AS DECIMAL(18,2))
+       |          * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_charge,
+       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM $from
+       |WHERE l_shipdate <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val qs: Map[String, Q] = Map(
     // ---- §2.1 sources -------------------------------------------------
     "scan_parquet" -> ((s, d) =>
@@ -64,29 +87,16 @@ object Rel {
 
     /** The `spark.sql` front door — TPC-H Q1's pricing summary verbatim
       * ANSI SQL over a temp view, proving a reference user can drive the
-      * engine through SQL, not just the DataFrame API. All money sums
-      * accumulate DECIMAL (exact under any aggregation order); averages
-      * divide the exact sums so both engines divide identical operands. */
+      * engine through SQL, not just the DataFrame API. The query text is
+      * `pricingSummarySql`, shared with the oracle. Analysis happens
+      * eagerly in `s.sql`, so the view is dropped right after — a
+      * long-lived session invoking this repeatedly must not leak one
+      * catalog entry per call. */
     "sql_pricing_summary" -> ((s, d) => {
       val view = s"lineitem_v${sqlRuns.incrementAndGet()}"
       Tables.lineitem(s, d).createOrReplaceTempView(view)
-      s.sql(
-        s"""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           |          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_disc_price,
-           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           |          * CAST(1 - l_discount AS DECIMAL(18,2))
-           |          * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_charge,
-           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-           |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
-           |  count(*) AS count_order
-           |FROM $view
-           |WHERE l_shipdate <= DATE '1998-09-02'
-           |GROUP BY l_returnflag, l_linestatus
-           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      try s.sql(pricingSummarySql(view))
+      finally { s.catalog.dropTempView(view); () }
     }),
 
     /** Grouped EXACT quantiles — per-series quartiles in one aggregation
@@ -157,7 +167,7 @@ object Rel {
     //      serialization loss would hash-mismatch ---------------------
     "scan_csv_train" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/orders"
+      val path = graft.sources.Scratch.dir("csv", d, "orders")
       val extract = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
@@ -178,7 +188,7 @@ object Rel {
       * hash-mismatches. */
     "scan_jsonl_docs" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_jsonl/${new java.io.File(d).getName}/documents"
+      val path = graft.sources.Scratch.dir("jsonl", d, "documents")
       Tables.documents(s, d).coalesce(1)
         .write.mode("overwrite").json(path)
       val schema = StructType(Seq(
@@ -196,7 +206,7 @@ object Rel {
     // schema) is what this entry actually tests.
     "scan_csv_labels" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/labels"
+      val path = graft.sources.Scratch.dir("csv", d, "labels")
       val extract = evd(s, d).select(col("event_id"), col("v_sparse"), col("v_moderate"))
       graft.sources.Csv.write(extract, path, single = true)
       val schema = StructType(Seq(
@@ -210,7 +220,7 @@ object Rel {
     // round-tripped through CSV with a pinned schema.
     "scan_csv_pairs" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/pairs"
+      val path = graft.sources.Scratch.dir("csv", d, "pairs")
       val extract = Tables.part(s, d).select(
         col("p_partkey"),
         concat(trim(expr("split_part(p_name, ' ', 1)")), lit(" - "),
@@ -225,7 +235,7 @@ object Rel {
     }),
 
     "sink_csv_results" -> ((s, d) => {
-      val path = s"/tmp/graft_csv/${new java.io.File(d).getName}/results"
+      val path = graft.sources.Scratch.dir("csv", d, "results")
       val summary = Tables.orders(s, d).agg(
         count(lit(1)).as("n_orders"),
         moneySum(col("o_totalprice")).as("sum_totalprice"))
@@ -751,23 +761,7 @@ object Rel {
         |       l_extendedprice, l_discount, l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
-    "sql_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |          * CAST(1 - l_discount AS DECIMAL(18,2))
-        |          * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= DATE '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_pricing_summary" -> pricingSummarySql("lineitem"),
 
     "agg_group_quantiles" ->
       """SELECT event_type,

@@ -26,20 +26,14 @@ object Reshape {
   private def round6(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), 6)))
 
-  private def dateId = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-
   val qs: Map[String, Q] = Map(
     /** pandas `pivot_table(index=day, columns=event_type, values=value,
-      * aggfunc=mean)` — long events → wide daily frame. The pivot
-      * vocabulary is pinned (`EventTypes`), so the plan is ONE
-      * aggregation with no values-discovery job. */
+      * aggfunc=mean)` — long events → wide daily frame. This IS
+      * `ModelingFrame.daily` (pinned vocabulary, one aggregation, no
+      * values-discovery job); reusing it keeps this query and its oracle
+      * (`Pipe.dailySql`, the same frame's SQL mirror) in lockstep. */
     "pivot_wide" -> ((s, d) =>
-      round6(
-        Tables.events(s, d)
-          .groupBy(dateId.as("date_id"))
-          .pivot("event_type", ModelingFrame.EventTypes)
-          .agg(avg("value")),
-        ModelingFrame.EventTypes)
+      round6(ModelingFrame.daily(s, d), ModelingFrame.EventTypes)
         .orderBy("date_id")),
 
     /** pandas `melt(id_vars=date_id)` — the inverse reshape, wide daily

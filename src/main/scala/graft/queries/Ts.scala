@@ -58,7 +58,7 @@ object Ts {
     "ts_resample_ohlc" -> ((s, d) =>
       TimeSeries.resampleOhlc(
           Tables.events(s, d).withColumn("day",
-            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))),
+            Tables.epochDay(col("ts"))),
           Seq(col("event_type")), col("day"),
           Seq(expr("ts_ns div 1000"), col("event_id")), "value", days = 7)
         .orderBy("event_type", "bar")),
@@ -70,7 +70,7 @@ object Ts {
       * by the frame count so both engines divide identical operands — a
       * double sum's value would depend on the frame-walk order. */
     "rolling_time_range" -> ((s, d) => {
-      val day = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+      val day = Tables.epochDay(col("ts"))
       val w = Window.partitionBy("user_id").orderBy(col("day"))
         .rangeBetween(-6, 0)
       Tables.events(s, d).withColumn("day", day.cast("long"))
