@@ -55,6 +55,28 @@ object Rel {
     * queries concurrently in one session). */
   private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Run a shared SQL template through the `spark.sql` front door: the
+    * named tables are registered as per-invocation temp views, the
+    * template receives the table→view mapping, and the views are dropped
+    * right after eager analysis (a long-lived session invoking these
+    * repeatedly must not leak one catalog entry per call). The DuckDB
+    * oracle runs the SAME template with identity naming, so the two
+    * sides cannot drift. */
+  private def sqlFrontDoor(s: SparkSession, d: String, tables: Seq[String])(
+      template: (String => String) => String): DataFrame = {
+    val run = sqlRuns.incrementAndGet()
+    val view = tables.map(t => t -> s"${t}_v$run").toMap
+    view.foreach { case (t, v) => Tables.load(s, d, t).createOrReplaceTempView(v) }
+    try s.sql(template(view))
+    finally { view.values.foreach(v => s.catalog.dropTempView(v)); () }
+  }
+
+  /** The shared `revenue` money expression: DECIMAL accumulation (exact
+    * under any aggregation order), surfaced as a rounded double. */
+  private val revenueSql =
+    """round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)""".stripMargin
+
   /** TPC-H Q1 pricing summary — ONE template for both the engine
     * (`spark.sql` over a temp view) and the DuckDB oracle; only the FROM
     * table differs, so the two sides cannot drift. All money sums
@@ -78,6 +100,54 @@ object Rel {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q3 (shipping priority), adapted to this star schema
+    * (`o_orderpriority` stands in for the missing `o_shippriority`;
+    * dates fit the generated 1995–2001 range). Two fact tables shuffle
+    * on `o_orderkey`; the filtered customer dim broadcasts. The date
+    * column is emitted as an ISO string via `CAST(CAST(x AS DATE) AS
+    * STRING)` — `STRING` parses on both sides (Spark's native name, a
+    * VARCHAR alias in DuckDB; bare `VARCHAR` fails Spark's parser) and
+    * both render ISO dates identically. Top-10 is deterministic: revenue is an exact decimal
+    * sum and `o_orderkey` breaks ties. */
+  private def q3Sql(t: String => String): String =
+    s"""SELECT o_orderkey, $revenueSql AS revenue,
+       |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date, o_orderpriority
+       |FROM ${t("customer")}, ${t("orders")}, ${t("lineitem")}
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): the 6-table join. region→nation
+    * filter the supplier/customer dims (all broadcast-size next to the
+    * facts); orders⋈lineitem is the only big shuffle, on `o_orderkey`;
+    * the `c_nationkey = s_nationkey` cross-dimension predicate makes the
+    * customer side a join condition rather than a standalone filter. */
+  private def q5Sql(t: String => String): String =
+    s"""SELECT n_name, $revenueSql AS revenue
+       |FROM ${t("customer")}, ${t("orders")}, ${t("lineitem")},
+       |  ${t("supplier")}, ${t("nation")}, ${t("region")}
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate —
+    * every predicate reaches the parquet reader as a pushed filter and
+    * the projection prunes to three columns; the plan is one partial +
+    * one final agg, no shuffle of raw rows. */
+  private def q6Sql(t: String => String): String =
+    s"""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+       |FROM ${t("lineitem")}
+       |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   val qs: Map[String, Q] = Map(
     // ---- §2.1 sources -------------------------------------------------
     "scan_parquet" -> ((s, d) =>
@@ -88,16 +158,24 @@ object Rel {
     /** The `spark.sql` front door — TPC-H Q1's pricing summary verbatim
       * ANSI SQL over a temp view, proving a reference user can drive the
       * engine through SQL, not just the DataFrame API. The query text is
-      * `pricingSummarySql`, shared with the oracle. Analysis happens
-      * eagerly in `s.sql`, so the view is dropped right after — a
-      * long-lived session invoking this repeatedly must not leak one
-      * catalog entry per call. */
-    "sql_pricing_summary" -> ((s, d) => {
-      val view = s"lineitem_v${sqlRuns.incrementAndGet()}"
-      Tables.lineitem(s, d).createOrReplaceTempView(view)
-      try s.sql(pricingSummarySql(view))
-      finally { s.catalog.dropTempView(view); () }
-    }),
+      * `pricingSummarySql`, shared with the oracle. */
+    "sql_pricing_summary" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem"))(t => pricingSummarySql(t("lineitem")))),
+
+    /** TPC-H Q3 through the front door — see `q3Sql` for the plan
+      * posture (broadcast filtered dim + fact-fact shuffle join). */
+    "sql_q3_shipping_priority" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("customer", "orders", "lineitem"))(q3Sql)),
+
+    /** TPC-H Q5 through the front door — the 6-table join (`q5Sql`). */
+    "sql_q5_local_supplier" -> ((s, d) =>
+      sqlFrontDoor(s, d,
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))(q5Sql)),
+
+    /** TPC-H Q6 through the front door — scan-filter-aggregate with full
+      * predicate pushdown (`q6Sql`). */
+    "sql_q6_forecast_revenue" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem"))(q6Sql)),
 
     /** Grouped EXACT quantiles — per-series quartiles in one aggregation
       * (`percentile` with an array argument: one sort per group inside
@@ -762,6 +840,9 @@ object Rel {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
+    "sql_q3_shipping_priority" -> q3Sql(identity),
+    "sql_q5_local_supplier" -> q5Sql(identity),
+    "sql_q6_forecast_revenue" -> q6Sql(identity),
 
     "agg_group_quantiles" ->
       """SELECT event_type,
