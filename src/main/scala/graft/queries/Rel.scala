@@ -202,6 +202,57 @@ object Rel {
         .orderBy("user_id")
     }),
 
+    /** EXCEPT with DISTINCT semantics — the intersect's complement
+      * (users who clicked but never made a HIGH-VALUE purchase; the
+      * value gate keeps the result non-vacuous at every SF — every user
+      * has some purchase). Same plan family: aggregate + anti join,
+      * never row-pairs. */
+    "set_except_ids" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "click").select("user_id")
+        .except(e.filter(col("event_type") === "purchase" && col("value") > 150)
+          .select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    /** Referential-integrity audit — orphan-FK counts per relation, the
+      * lake-wide data-quality check (`check_no_nulls`' cross-table
+      * sibling). Each relation is ONE anti join collapsed to a count
+      * (never a full materialization of matches); the parent `orders`
+      * side is deterministically thinned so the audit demonstrably
+      * counts real orphans rather than vacuous zeros. */
+    "check_referential_integrity" -> ((s, d) => {
+      val ordersSub = Tables.orders(s, d).filter(col("o_orderkey") % 100 =!= 0)
+      val lineToOrders = Tables.lineitem(s, d).select(col("l_orderkey").as("fk"))
+        .join(ordersSub.select(col("o_orderkey").as("pk")), col("fk") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit("lineitem->orders").as("relation"), col("n_orphans"))
+      val ordersToCust = Tables.orders(s, d).select(col("o_custkey").as("fk"))
+        .join(Tables.customer(s, d).select(col("c_custkey").as("pk")), col("fk") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit("orders->customer").as("relation"), col("n_orphans"))
+      lineToOrders.unionByName(ordersToCust).orderBy("relation")
+    }),
+
+    /** Deterministic leakage-safe train/test split — THE scalable
+      * sampling idiom for training data: assignment is a pure function
+      * of the GROUPING key (md5 hex prefix of user_id, < 0x29 → ~16%
+      * test), so all of a user's events land on one side (no
+      * cross-split leakage), no global sort or sample() pass exists,
+      * re-runs are reproducible at any scale, and the split column is
+      * computed map-side. md5 hex renders identically in both engines. */
+    "split_train_test" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("split",
+          when(substring(md5(col("user_id").cast("string")), 1, 2) < "29", "test")
+            .otherwise("train"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("avg_value"))
+        .orderBy("split")),
+
     // ---- §2.2 projection / filter ------------------------------------
     "project_by_name_predicate" -> ((s, d) =>
       Relational.selectByNamePredicate(Tables.lineitem(s, d),
@@ -856,6 +907,31 @@ object Rel {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+
+    "set_except_ids" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |ORDER BY user_id""".stripMargin,
+
+    "check_referential_integrity" ->
+      """WITH orders_sub AS (SELECT * FROM orders WHERE o_orderkey % 100 <> 0)
+        |SELECT 'lineitem->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders_sub o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer' AS relation,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+        |ORDER BY relation""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 2) < '29'
+        |            THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
 
     "project_subset" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice FROM orders ORDER BY o_orderkey",
