@@ -660,6 +660,37 @@ object Rel {
         .orderBy("category")
     }),
 
+    /** Range (interval) join, decomposed for scale: each promo window
+      * [start, start+3) is EXPLODED into its covered epoch days (bounded
+      * fan-out: 3 rows per window) and the fact side equi-joins on the
+      * day — a broadcast hash join with no inequality condition, so the
+      * fact table never shuffles before the partial agg. The naive
+      * formulation (`l.day >= w_start AND l.day < w_end`) is a
+      * BroadcastNestedLoopJoin — every fact row tested against every
+      * window — which is exactly what dies at 100 TB; the oracle runs
+      * that naive inequality join in DuckDB, proving the decomposition
+      * is result-identical. Window grid derives from min/max(o_orderdate)
+      * inside the plan (a broadcast 1-row frame — adaptive at any SF, no
+      * driver-side collect). */
+    "join_range_interval" -> ((s, d) => {
+      val mm = Tables.orders(s, d).agg(
+        min(Tables.epochDay(col("o_orderdate"))).cast("long").as("d0"),
+        max(Tables.epochDay(col("o_orderdate"))).cast("long").as("d1"))
+      val days = mm.select(col("d0"),
+          explode(sequence(lit(0L), expr("(d1 - d0) div 10"))).as("w_id"))
+        .select(col("w_id"), explode(sequence(
+          col("d0") + col("w_id") * 10,
+          col("d0") + col("w_id") * 10 + 2)).as("day"))
+      Tables.lineitem(s, d)
+        .withColumn("day", Tables.epochDay(col("l_shipdate")).cast("long"))
+        .join(broadcast(days), "day")
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("revenue"))
+        .orderBy("w_id")
+    }),
+
     // ---- §2.6 aggregations ----------------------------------------------
     "agg_describe" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -913,6 +944,25 @@ object Rel {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
         |ORDER BY user_id""".stripMargin,
+
+    // The NAIVE inequality range join — correct semantics, wrong plan at
+    // scale; the engine's day-bucket decomposition must match it exactly.
+    "join_range_interval" ->
+      """WITH mm AS (
+        |  SELECT min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS d0,
+        |         max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS d1
+        |  FROM orders),
+        |g AS (
+        |  SELECT unnest(generate_series(0, CAST((d1 - d0) // 10 AS BIGINT))) AS w_id, d0
+        |  FROM mm),
+        |w AS (
+        |  SELECT w_id, d0 + 10 * w_id AS w_start, d0 + 10 * w_id + 3 AS w_end FROM g)
+        |SELECT w_id, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        |JOIN w ON date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) >= w.w_start
+        |      AND date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) < w.w_end
+        |GROUP BY w_id ORDER BY w_id""".stripMargin,
 
     "check_referential_integrity" ->
       """WITH orders_sub AS (SELECT * FROM orders WHERE o_orderkey % 100 <> 0)

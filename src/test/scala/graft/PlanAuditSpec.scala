@@ -59,6 +59,14 @@ class PlanAuditSpec extends SparkSpec {
       "join_mapping_left should broadcast the pairs side")
   }
 
+  test("the range join decomposes to a broadcast HASH join, not a nested loop") {
+    val p = plans("join_range_interval")
+    assert(p.contains("BroadcastHashJoin"),
+      s"join_range_interval should equi-join on the exploded day bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the interval predicate must not reach the join as an inequality")
+  }
+
   test("LSH/simhash self-joins compute signatures ONCE at the shuffle-join shape (ReusedExchange)") {
     // At 100 TB both sides of the banded self-join shuffle (no broadcast);
     // the two alias subtrees must canonicalize equal so AQE reuses the
