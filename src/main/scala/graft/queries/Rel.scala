@@ -660,10 +660,11 @@ object Rel {
         .orderBy("category")
     }),
 
-    /** Range (interval) join, decomposed for scale: each promo window
-      * [start, start+3) is EXPLODED into its covered epoch days (bounded
-      * fan-out: 3 rows per window) and the fact side equi-joins on the
-      * day — a broadcast hash join with no inequality condition, so the
+    /** Temporal interval join, decomposed for scale — `join_range`'s
+      * sibling: that one bins POINTS and exact-refines against wide
+      * value bands; this one EXPLODES short intervals into their covered
+      * epoch days (bounded fan-out: 3 rows per window) so the fact side
+      * equi-joins on the day — a broadcast hash join with no inequality condition, so the
       * fact table never shuffles before the partial agg. The naive
       * formulation (`l.day >= w_start AND l.day < w_end`) is a
       * BroadcastNestedLoopJoin — every fact row tested against every
