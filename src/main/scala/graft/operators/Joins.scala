@@ -155,4 +155,46 @@ object Joins {
     keys.foldLeft(joined)((acc, k) => acc.drop(i(k)))
       .drop(p("__bin")).drop(i("__bin"))
   }
+
+  /** Bloom-pre-filtered equi join — Spark's runtime-filter pattern made
+    * explicit: build a bloom filter over the SMALL side's join keys,
+    * guard the BIG side with a codegen'd `might_contain` probe
+    * ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+    * the same expression Catalyst's `InjectRuntimeFilter` uses), then
+    * run the exact equi join. Non-matching fact rows die MAP-SIDE —
+    * before the shuffle writes them — which is the whole point at
+    * 100 TB: when the dim side is too big to broadcast but its key set
+    * is selective, the shuffle shrinks by the fact's miss rate. Bloom
+    * false positives are harmless (the exact join refines), so the
+    * result is identical to the plain join at any fpp.
+    *
+    * Building the bloom is an eager driver-side action over the small
+    * side at call time (like [[writeBucketed]]'s eager write): the
+    * filter must exist before the big side's plan can reference it —
+    * Spark's own runtime filter does the same work in a subquery stage.
+    *
+    * Both key columns must be integral (the probe hashes a LONG, as
+    * Spark's runtime filter does).
+    */
+  def bloomPreFilteredJoin(big: DataFrame, bigKey: String,
+                           small: DataFrame, smallKey: String,
+                           expectedItems: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    // stat.bloomFilter inserts integral keys with putLong (the sketch
+    // hashes internally); BloomFilterMightContain probes with
+    // mightContainLong on its RAW long input, so put and probe agree as
+    // long as the key reaches the probe uncast-mangled.
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      ColumnBridge.expression(big(bigKey).cast("long"))))
+    big.filter(probe).join(small, big(bigKey) === small(smallKey))
+  }
 }

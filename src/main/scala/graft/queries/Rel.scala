@@ -692,6 +692,26 @@ object Rel {
         .orderBy("w_id")
     }),
 
+    /** Bloom-pre-filtered join (`Joins.bloomPreFilteredJoin`) — the
+      * runtime-filter pattern made explicit: urgent+fulfilled orders are
+      * a selective key set, so a bloom over their keys kills most
+      * lineitem rows MAP-SIDE before the shuffle writes them. The
+      * `merge` hint keeps the exchange topology the bloom exists to
+      * guard (the thin dim would broadcast at test SF and hide it);
+      * the oracle is the PLAIN join — bloom false positives must be
+      * invisible after the exact refine. */
+    "join_bloom_prefilter" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderpriority")
+      val joined = Joins.bloomPreFilteredJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity").hint("merge"),
+        "l_orderkey", dim, "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- §2.6 aggregations ----------------------------------------------
     "agg_describe" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -1228,6 +1248,14 @@ object Rel {
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The PLAIN join — the bloom pre-filter must be invisible.
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "join_skew_salted" ->

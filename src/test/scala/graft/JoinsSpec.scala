@@ -122,4 +122,21 @@ class JoinsSpec extends SparkSpec {
     assert(fast == naive && fast.nonEmpty)
     assert(!fast.exists(_._2 == 3)) // the empty interval
   }
+
+  test("bloomPreFilteredJoin equals the plain join and actually prunes map-side") {
+    import spark.implicits._
+    // 1000 fact rows over 100 keys; the dim keeps 10 of them
+    val big = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "row_id")
+    val small = (0L until 100L by 10L).map(i => (i, s"d$i")).toDF("dk", "tag")
+    val out = Joins.bloomPreFilteredJoin(big, "k", small, "dk",
+      expectedItems = 100L, fpp = 0.01)
+    val plain = big.join(small, big("k") === small("dk"))
+    assert(out.select("row_id").collect().map(_.getLong(0)).toSet ==
+      plain.select("row_id").collect().map(_.getLong(0)).toSet)
+    // the probe alone (before the exact join) must reject most fact
+    // rows: ~100 survivors of 1000 at fpp=0.01 — allow bloom slack
+    val bf = small.stat.bloomFilter("dk", 100L, 0.01)
+    val survivors = big.collect().count(r => bf.mightContainLong(r.getLong(0)))
+    assert(survivors < 200, s"bloom kept $survivors of 1000 fact rows")
+  }
 }
