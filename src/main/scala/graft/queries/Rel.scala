@@ -148,6 +148,53 @@ object Rel {
        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q12 (shipmode priority), adapted: conditional aggregation
+    * inside the fact-fact join — both CASE counts come out of ONE join
+    * pass, not two filtered joins. Counts cast BIGINT on both sides
+    * (DuckDB sums to HUGEINT otherwise). */
+  private def q12Sql(t: String => String): String =
+    s"""SELECT l_returnflag,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM ${t("orders")}, ${t("lineitem")}
+       |WHERE o_orderkey = l_orderkey
+       |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q14 (promo revenue share): a scalar ratio whose numerator is
+    * a conditional slice of the denominator — one join pass, both sums
+    * DECIMAL-exact, the division performed on the two exact totals. The
+    * part dim broadcasts against the filtered fact. */
+  private def q14Sql(t: String => String): String =
+    s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS promo_revenue_pct
+       |FROM ${t("lineitem")}, ${t("part")}
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin
+
+  /** TPC-H Q18 (large-volume orders): the grouped-HAVING IN-subquery —
+    * Catalyst plans the subquery as an aggregate feeding a (semi) join,
+    * the fact side shuffles once on the shared `o_orderkey`, and the
+    * top-100 is deterministic (totalprice DESC with orderkey tiebreak;
+    * sum_qty is an exact decimal sum). */
+  private def q18Sql(t: String => String): String =
+    s"""SELECT c_name, o_orderkey,
+       |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date, o_totalprice,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM ${t("customer")}, ${t("orders")}, ${t("lineitem")}
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM ${t("lineitem")}
+       |    GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
   val qs: Map[String, Q] = Map(
     // ---- §2.1 sources -------------------------------------------------
     "scan_parquet" -> ((s, d) =>
@@ -176,6 +223,21 @@ object Rel {
       * predicate pushdown (`q6Sql`). */
     "sql_q6_forecast_revenue" -> ((s, d) =>
       sqlFrontDoor(s, d, Seq("lineitem"))(q6Sql)),
+
+    /** TPC-H Q12 through the front door — conditional aggregation in one
+      * join pass (`q12Sql`). */
+    "sql_q12_priority_lines" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("orders", "lineitem"))(q12Sql)),
+
+    /** TPC-H Q14 through the front door — conditional-slice ratio over
+      * one broadcast join pass (`q14Sql`). */
+    "sql_q14_promo_share" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "part"))(q14Sql)),
+
+    /** TPC-H Q18 through the front door — grouped-HAVING IN-subquery
+      * (`q18Sql`). */
+    "sql_q18_large_orders" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("customer", "orders", "lineitem"))(q18Sql)),
 
     /** Grouped EXACT quantiles — per-series quartiles in one aggregation
       * (`percentile` with an array argument: one sort per group inside
@@ -946,6 +1008,9 @@ object Rel {
     "sql_q3_shipping_priority" -> q3Sql(identity),
     "sql_q5_local_supplier" -> q5Sql(identity),
     "sql_q6_forecast_revenue" -> q6Sql(identity),
+    "sql_q12_priority_lines" -> q12Sql(identity),
+    "sql_q14_promo_share" -> q14Sql(identity),
+    "sql_q18_large_orders" -> q18Sql(identity),
 
     "agg_group_quantiles" ->
       """SELECT event_type,
