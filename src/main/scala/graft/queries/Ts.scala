@@ -214,6 +214,23 @@ object Ts {
           s"stream_attrib_v${sessionizeRuns.incrementAndGet()}")
         .orderBy("user_id")),
 
+    /** Streaming CDC into a lake path
+      * (`EventStream.runIncrementalUpsertOnce`): foreachBatch folds each
+      * micro-batch into versioned parquet state as a keyed upsert (MERGE
+      * without a table format, applied incrementally). The oracle is the
+      * BATCH latest-per-key dedup — the stream's final state must equal
+      * it regardless of micro-batch boundaries; StreamingSpec pins the
+      * multi-batch + late-arrival path with maxFilesPerTrigger=1. */
+    "stream_upsert_cdc" -> ((s, d) => {
+      val scratch = graft.sources.Scratch.dir("stream_upsert", d,
+        s"run${sessionizeRuns.incrementAndGet()}")
+      graft.streaming.EventStream.runIncrementalUpsertOnce(s, d, scratch)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          col("event_type"), round(col("value"), 6).as("value"))
+        .orderBy("user_id")
+    }),
+
     // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
     //      graft.streaming run the same logic incrementally) --------------
     "stream_window_agg" -> ((s, d) =>
@@ -413,6 +430,16 @@ object Ts {
         |FROM c JOIN v ON c.user_id = v.user_id
         |  AND v.vts BETWEEN c.cts - 21600000000 AND c.cts
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // The stream's final state must equal the batch latest-per-key dedup.
+    "stream_upsert_cdc" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |  round(value, 6) AS value
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (

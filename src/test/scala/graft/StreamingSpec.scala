@@ -200,4 +200,37 @@ class StreamingSpec extends SparkSpec {
     // single micro-batch -> no prior state -> no drift flags
     assert(out.forall(!_.getAs[Boolean]("drift")))
   }
+
+  test("incremental CDC upsert across micro-batches equals the batch dedup, late data included") {
+    // Split events into 3 files with the ts order SCRAMBLED across files
+    // (file 3 carries EARLIER events than file 2 for the same users), so
+    // the cross-batch merge must beat blind replace to pass.
+    val src = java.nio.file.Files.createTempDirectory("cdc_src").toString
+    val scratch = java.nio.file.Files.createTempDirectory("cdc_state").toString
+    val ev = spark.read.schema(EventStream.eventsSchema)
+      .parquet(s"$dir/events.parquet")
+    ev.filter(col("event_id") % 3 === 0).coalesce(1).write.parquet(s"$src/f0")
+    ev.filter(col("event_id") % 3 === 2).coalesce(1).write.parquet(s"$src/f1")
+    ev.filter(col("event_id") % 3 === 1).coalesce(1).write.parquet(s"$src/f2")
+    // runIncrementalUpsertOnce globs events*.parquet under its dir arg;
+    // rename the part files into that shape
+    val files = new java.io.File(src).listFiles().flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")))
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Path.of(src, s"events_$i.parquet")) }
+    val got = EventStream.runIncrementalUpsertOnce(spark, src, scratch,
+        maxFilesPerTrigger = Some(1))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Relational.dedupByKey(
+        Tables.events(spark, dir)
+          .select("user_id", "event_id", "ts_ns", "event_type", "value"),
+        Seq("user_id"), Seq(col("ts_ns").desc, col("event_id").desc))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    // more than one state version must exist (the multi-batch path ran)
+    assert(new java.io.File(scratch).listFiles().count(_.getName.startsWith("v")) > 1)
+  }
 }
