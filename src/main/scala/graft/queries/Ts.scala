@@ -214,6 +214,38 @@ object Ts {
           s"stream_attrib_v${sessionizeRuns.incrementAndGet()}")
         .orderBy("user_id")),
 
+    /** Spark's NATIVE session-window operator (`session_window` — the
+      * builtin the hand-rolled `sessionize_events` gaps-and-islands
+      * rewrite matches): one keyed aggregation, sessions merge while the
+      * inter-event gap is ≤ 10 min (Spark merges touching windows, so a
+      * gap of exactly the threshold continues the session — the oracle's
+      * `> gap` island rule is the same boundary). Session identity is
+      * surfaced as its start µs (engine-neutral), not an ordinal. */
+    "sessionize_builtin" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_us") - min("ts_us")).as("dur_us"),
+          min("ts_us").as("session_start_us"))
+        .select("user_id", "session_start_us", "n_events", "dur_us")
+        .orderBy("user_id", "session_start_us")),
+
+    /** Hopping (sliding) window aggregation — `window(ts, 1 day, 6 h)`:
+      * each event lands in 4 overlapping windows; Spark expands the
+      * slide assignments and aggregates in ONE pass (partial agg before
+      * the shuffle). Window identity is the slide-aligned start µs; the
+      * oracle replays the assignment arithmetic (base = 6h-floor, starts
+      * = base − k·6h, k<4). Sums accumulate DECIMAL. */
+    "agg_hopping_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start_us", "event_type")),
+
     /** Streaming CDC into a lake path
       * (`EventStream.runIncrementalUpsertOnce`): foreachBatch folds each
       * micro-batch into versioned parquet state as a keyed upsert (MERGE
@@ -430,6 +462,37 @@ object Ts {
         |FROM c JOIN v ON c.user_id = v.user_id
         |  AND v.vts BETWEEN c.cts - 21600000000 AND c.cts
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "sessionize_builtin" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) - min(ts_us) AS dur_us
+        |FROM sess GROUP BY user_id, grp
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "agg_hopping_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    21600000000 * (epoch_us(ts) // 21600000000) AS base
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, base - 21600000000 * k AS win_start_us
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) t)
+        |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The stream's final state must equal the batch latest-per-key dedup.
     "stream_upsert_cdc" ->
