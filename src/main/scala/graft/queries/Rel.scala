@@ -371,6 +371,29 @@ object Rel {
       graft.sources.Csv.read(s, path, schema).orderBy("o_orderkey")
     }),
 
+    /** Schema evolution at the parquet layer — a lake's generations
+      * rarely share a schema: generation 1 carries (key, totalprice),
+      * generation 2 adds priority and drops totalprice. `mergeSchema`
+      * unifies them BY NAME at read time (absent columns null-fill), the
+      * at-rest analog of `concat_union_by_name`. The oracle recomputes
+      * the union from the base table, so both the write split and the
+      * merged read must be lossless. Generation subdirs under one root
+      * make the merged scan ONE multi-file source, not a union of two
+      * scans. */
+    "scan_schema_evolution" -> ((s, d) => {
+      val root = graft.sources.Scratch.dir("evolve", d, "orders")
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     /** JSONL round-trip — THE training-data interchange format: the
       * documents table written as line-delimited JSON and read back with
       * a PINNED schema (no inference scan). Free-text content exercises
@@ -1030,6 +1053,14 @@ object Rel {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
         |ORDER BY user_id""".stripMargin,
+
+    "scan_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     // The NAIVE inequality range join — correct semantics, wrong plan at
     // scale; the engine's day-bucket decomposition must match it exactly.
