@@ -66,9 +66,12 @@ object Rel {
       template: (String => String) => String): DataFrame = {
     val run = sqlRuns.incrementAndGet()
     val view = tables.map(t => t -> s"${t}_v$run").toMap
-    view.foreach { case (t, v) => Tables.load(s, d, t).createOrReplaceTempView(v) }
-    try s.sql(template(view))
-    finally { view.values.foreach(v => s.catalog.dropTempView(v)); () }
+    // registration sits INSIDE the try: a failing later load must not
+    // leak the views already registered for this run
+    try {
+      view.foreach { case (t, v) => Tables.load(s, d, t).createOrReplaceTempView(v) }
+      s.sql(template(view))
+    } finally { view.values.foreach(v => s.catalog.dropTempView(v)); () }
   }
 
   /** The shared `revenue` money expression: DECIMAL accumulation (exact

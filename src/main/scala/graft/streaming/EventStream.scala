@@ -26,11 +26,15 @@ object EventStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming scan of an events directory; emits the same columns as the
-    * batch loader (`ts_ns` long + µs `ts`). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    * batch loader (`ts_ns` long + µs `ts`).
+    * @param maxFilesPerTrigger bound files per micro-batch (None = all
+    *                           available files in one batch) */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val reader = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       // glob, not a bare file path: the file stream source requires its
       // basePath to be a directory (here: the SF dir)
       .parquet(s"$dir/events*.parquet")
@@ -353,14 +357,20 @@ object EventStream {
 
   // ---- incremental keyed upsert (streaming CDC into a lake path) ------
 
-  /** Latest row per key under the (ts_ns, event_id) total order — the
-    * merge rule of [[runIncrementalUpsertOnce]]. Late or replayed data
-    * cannot corrupt state because the rule is an idempotent,
-    * order-insensitive fold: re-deduping the union of any states always
-    * yields the global winners. */
+  /** Latest row per key under the (ts_us, event_id) total order — the
+    * merge rule of [[runIncrementalUpsertOnce]]. The clock is the µs
+    * `ts_us` (not raw ns): the µs timestamp is the engine's calendar
+    * clock AND the finest granularity an external oracle can observe
+    * (parquet TIMESTAMP(NANOS) truncates to µs outside this engine), so
+    * ordering on it keeps the winner rule exactly replayable; the unique
+    * `event_id` breaks same-µs ties, making the order total. Late or
+    * replayed data cannot corrupt state because the rule is an
+    * idempotent, order-insensitive fold: re-deduping the union of any
+    * states always yields the global winners. */
   private def latestPerUser(df: DataFrame): DataFrame =
-    graft.operators.Relational.dedupByKey(df, Seq("user_id"),
-      Seq(col("ts_ns").desc, col("event_id").desc))
+    graft.operators.Relational.dedupByKey(
+      df.withColumn("ts_us", expr("ts_ns div 1000")), Seq("user_id"),
+      Seq(col("ts_us").desc, col("event_id").desc)).drop("ts_us")
 
   /** Streaming CDC sink: `foreachBatch` folds each micro-batch into a
     * parquet state directory as a keyed upsert — MERGE without a table
@@ -381,11 +391,7 @@ object EventStream {
   def runIncrementalUpsertOnce(spark: SparkSession, dir: String,
                                scratch: String,
                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsSchema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val events = reader.parquet(s"$dir/events*.parquet")
-      .withColumnRenamed("ts", "ts_ns")
+    val events = readEvents(spark, dir, maxFilesPerTrigger)
       .select("user_id", "event_id", "ts_ns", "event_type", "value")
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = events.writeStream

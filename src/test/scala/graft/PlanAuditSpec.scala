@@ -59,6 +59,15 @@ class PlanAuditSpec extends SparkSpec {
       "join_mapping_left should broadcast the pairs side")
   }
 
+  test("the bloom pre-filter guards a real shuffle join (merge hint honored)") {
+    val p = plans("join_bloom_prefilter")
+    assert(p.contains("SortMergeJoin"),
+      s"join_bloom_prefilter should keep the exchange topology the bloom guards:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the thin dim must not broadcast here — that would hide the " +
+        "map-side shuffle reduction this query exists to exercise")
+  }
+
   test("the range join decomposes to a broadcast HASH join, not a nested loop") {
     val p = plans("join_range_interval")
     assert(p.contains("BroadcastHashJoin"),

@@ -207,6 +207,9 @@ class StreamingSpec extends SparkSpec {
     // the cross-batch merge must beat blind replace to pass.
     val src = java.nio.file.Files.createTempDirectory("cdc_src").toString
     val scratch = java.nio.file.Files.createTempDirectory("cdc_state").toString
+    // own the nanos conf: this test must not depend on an earlier test
+    // in the suite having read events first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.schema(EventStream.eventsSchema)
       .parquet(s"$dir/events.parquet")
     ev.filter(col("event_id") % 3 === 0).coalesce(1).write.parquet(s"$src/f0")
@@ -225,8 +228,9 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = graft.operators.Relational.dedupByKey(
         Tables.events(spark, dir)
-          .select("user_id", "event_id", "ts_ns", "event_type", "value"),
-        Seq("user_id"), Seq(col("ts_ns").desc, col("event_id").desc))
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"), col("event_type"), col("value")),
+        Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
       .select("user_id", "event_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want && got.nonEmpty)
