@@ -566,6 +566,23 @@ object Rel {
       * it scales — the per-type top-k is the pattern an ntile/global
       * sort would get wrong at 100 TB. Deterministic (event_id)
       * tiebreak so both engines rank identically. */
+    /** Top-k per key WITHOUT a window sort — `functions.TopKByValue`:
+      * the bounded two-phase aggregate whose map side keeps ≤k
+      * candidates per key, so the exchange carries winners only (the
+      * `window_rank_percentile` flavor shuffles and sorts EVERY row).
+      * Identical result, different plan — `PlanAuditSpec` asserts no
+      * WindowExec appears; the oracle is the window formulation. */
+    "topk_per_key_agg" -> ((s, d) => {
+      val top = graft.functions.TopKByValue.topK(5)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(top(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("event_id"), round(col("col.v"), 6).as("value"))
+        .orderBy("event_type", "rank")
+    }),
+
     "window_rank_percentile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type")
@@ -1282,6 +1299,18 @@ object Rel {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    // The window formulation IS the oracle: same rows, same order — the
+    // aggregate form must be indistinguishable in result.
+    "topk_per_key_agg" ->
+      """SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+        |  round(value, 6) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events) WHERE rank <= 5
+        |ORDER BY event_type, rank""".stripMargin,
 
     "window_rank_percentile" ->
       """SELECT event_type, event_id, value, rnk, pct_rank FROM (

@@ -59,6 +59,14 @@ class PlanAuditSpec extends SparkSpec {
       "join_mapping_left should broadcast the pairs side")
   }
 
+  test("the bounded top-k aggregate plans as a two-phase agg, not a window sort") {
+    val p = plans("topk_per_key_agg")
+    assert(!p.contains("Window"),
+      s"topk_per_key_agg must not fall back to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed-buffer aggregate pair in:\n$p")
+  }
+
   test("the bloom pre-filter guards a real shuffle join (merge hint honored)") {
     val p = plans("join_bloom_prefilter")
     assert(p.contains("SortMergeJoin"),
