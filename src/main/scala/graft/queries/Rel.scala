@@ -51,6 +51,33 @@ object Rel {
 
   private val nullCols = Seq("v_sparse", "v_moderate", "v_dense")
 
+  /** Events with (value, ts_us) quantized onto the 16-bit z-grid from
+    * plan-derived min/max bounds (broadcast 1-row frame — adaptive at
+    * any SF, no driver collect). Shared by `zorder_curve` (the
+    * oracle-checked z arithmetic) and `zorder_layout_prune` (the layout
+    * measurement). */
+  private def zorderInput(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrder
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("value"), expr("ts_ns div 1000").as("ts_us"))
+    val mm = e.agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"),
+      min(col("ts_us")).as("tlo"), max(col("ts_us")).as("thi"))
+    e.crossJoin(broadcast(mm))
+      .select(col("event_id"),
+        ZOrder.quantize(col("value"), col("vlo"), col("vhi")).as("zx"),
+        ZOrder.quantize(col("ts_us"), col("tlo"), col("thi")).as("zy"))
+  }
+
+  /** DuckDB twin of `functions.ZOrder.spread16`: the identical
+    * mask-and-shift doubling ladder, unrolled. */
+  private def duckSpread(c: String): String = {
+    val a = s"($c & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val d = s"(($b | ($b << 4)) & 252645135)"
+    val e = s"(($d | ($d << 2)) & 858993459)"
+    s"(($e | ($e << 1)) & 1431655765)"
+  }
+
   /** Temp-view names must be unique per invocation (verify and bench run
     * queries concurrently in one session). */
   private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -479,6 +506,46 @@ object Rel {
       s.read.parquet(path).filter(col("event_type") === "click")
         .agg(count(lit(1)).as("n_click"),
           moneySum(col("value")).as("sum_value_click"))
+    }),
+
+    /** Z-order curve values (`functions.ZOrder`): quantize (value, ts_us)
+      * onto 16-bit buckets from plan-derived min/max (broadcast 1-row
+      * bounds, the `agg_histogram` pattern — adaptive at any SF) and
+      * Morton-interleave. All codegen'd integer built-ins; the oracle
+      * unrolls the identical mask-and-shift ladder in SQL, so z-values
+      * hash-match cross-engine. */
+    "zorder_curve" -> ((s, d) => {
+      val e = zorderInput(s, d)
+      e.select(col("event_id"), col("zx"), col("zy"),
+          graft.functions.ZOrder.zValue2(col("zx"), col("zy")).as("z"))
+        .orderBy("event_id")
+    }),
+
+    /** The layout payoff, measured (`operators.Layout`): write the same
+      * rows clustered by z (repartitionByRange + sort → each file owns a
+      * compact z-range, hence a compact (value, ts) rectangle) and, as
+      * the control, clustered by ts alone; build the per-file min/max
+      * manifest a table format keeps; count candidate files for the same
+      * 2-D box predicate against both. Z-order must prune BOTH
+      * dimensions where the single-column sort prunes only its own —
+      * `ZOrderSpec` pins the inequality, this entry records the numbers.
+      * Rows-only: file layout is not SQL-observable. */
+    "zorder_layout_prune" -> ((s, d) => {
+      import graft.operators.Layout
+      val q = zorderInput(s, d)
+        .withColumn("z", graft.functions.ZOrder.zValue2(col("zx"), col("zy")))
+      val zDir = graft.sources.Scratch.dir("zorder", d, "by_z")
+      val lDir = graft.sources.Scratch.dir("zorder", d, "by_time")
+      Layout.writeClustered(q, col("z"), zDir, nFiles = 32)
+      Layout.writeClustered(q, col("zy"), lDir, nFiles = 32)
+      // middle quarter of each dimension: 1/16 of the plane
+      val box = Seq(("zx", 16384L, 32767L), ("zy", 16384L, 32767L))
+      def stats(dir: String) = Layout.fileStats(s, dir, Seq("zx", "zy"))
+      val (zAll, zCand) = (stats(zDir).count(), Layout.candidateFiles(stats(zDir), box).count())
+      val (lAll, lCand) = (stats(lDir).count(), Layout.candidateFiles(stats(lDir), box).count())
+      import s.implicits._
+      Seq((zAll, zCand, lAll, lCand)).toDF(
+        "n_files_zorder", "n_candidates_zorder", "n_files_linear", "n_candidates_linear")
     }),
 
     // ---- §2.3 missing data --------------------------------------------
@@ -1158,6 +1225,23 @@ object Rel {
       """SELECT count(*) AS n_click,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_click
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    // Same quantize arithmetic (subtract in source type, scale in double,
+    // clamp both ends) and the spread ladder unrolled via duckSpread —
+    // z-values must hash-match bit-for-bit.
+    "zorder_curve" -> (
+      """WITH mm AS (SELECT min(value) AS vlo, max(value) AS vhi,
+        |                   min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi FROM events),
+        |q AS (
+        |  SELECT event_id,
+        |    CASE WHEN vhi <= vlo THEN 0 ELSE least(65535, greatest(0,
+        |      CAST(floor((value - vlo) * 65535.0 / (vhi - vlo)) AS BIGINT))) END AS zx,
+        |    CASE WHEN thi <= tlo THEN 0 ELSE least(65535, greatest(0,
+        |      CAST(floor((epoch_us(ts) - tlo) * 65535.0 / (thi - tlo)) AS BIGINT))) END AS zy
+        |  FROM events, mm)
+        |SELECT event_id, zx, zy,
+        |  (""".stripMargin + duckSpread("zx") + " | (" + duckSpread("zy") + """ << 1)) AS z
+        |FROM q ORDER BY event_id""".stripMargin),
 
     "scan_csv_labels" -> (evdSql +
       "SELECT event_id, v_sparse, v_moderate FROM evd ORDER BY event_id"),
