@@ -818,6 +818,25 @@ object Rel {
       * broadcast and hide the salted topology this query exists to
       * exercise); the oracle is the PLAIN join — salting must be
       * invisible in the result. */
+    /** Exact φ-heavy hitters through the Misra–Gries two-pass
+      * (`functions.HeavyHitters`): sketch pass → ≤k candidates, exact
+      * pass counts candidates only. The harness tables are uniform by
+      * construction, so the tenant key plants a known skew profile
+      * (hot ≈ 1/3, two warm ≈ 6–7 %, ~80 cold tenants ≈ 0.7 % each —
+      * cold cardinality > k, so the sketch's eviction path actually
+      * runs). The oracle is the full GROUP BY + HAVING — the sketch
+      * must be invisible in the result. */
+    "agg_heavy_hitters" -> ((s, d) => {
+      val keyed = Tables.events(s, d).select(
+        when(col("user_id") % 3 === 0, lit("hot_0"))
+          .when(col("user_id") % 5 === 0,
+            concat(lit("warm_"), (col("user_id") % 2).cast("string")))
+          .otherwise(concat(lit("tail_"), col("user_id").cast("string")))
+          .as("tenant"))
+      graft.functions.HeavyHitters.exactHeavy(keyed, "tenant", phi = 0.05, k = 32)
+        .orderBy("tenant")
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       import s.implicits._
       val dim = Seq(
@@ -1469,6 +1488,21 @@ object Rel {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The oracle is the unsketched full aggregation: same keys, same
+    // exact counts — the candidate pass must not change the result.
+    "agg_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 'hot_0'
+        |              WHEN user_id % 5 = 0 THEN 'warm_' || CAST(user_id % 2 AS VARCHAR)
+        |              ELSE 'tail_' || CAST(user_id AS VARCHAR) END AS tenant
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n_total FROM keyed)
+        |SELECT tenant, count(*) AS n,
+        |  round(count(*) * 1.0 / n_total, 6) AS share
+        |FROM keyed, tot GROUP BY tenant, n_total
+        |HAVING count(*) > n_total * 0.05
+        |ORDER BY tenant""".stripMargin,
 
     "join_skew_salted" ->
       """WITH dim(event_type, category) AS (

@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     "ml_metric_r2",    // crossJoin(broadcast(1-row avg(y)))
     "text_tfidf_topk", // crossJoin(broadcast(1-row corpus count))
     "corpus_upsample_weights", // crossJoin(broadcast(1-row token total))
-    "value_counts")            // crossJoin(broadcast(1-row grand total))
+    "value_counts",            // crossJoin(broadcast(1-row grand total))
+    "zorder_curve",            // crossJoin(broadcast(1-row min/max bounds))
+    "agg_heavy_hitters")       // crossJoin(broadcast(1-row grand total))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
@@ -65,6 +67,14 @@ class PlanAuditSpec extends SparkSpec {
       s"topk_per_key_agg must not fall back to a window sort:\n$p")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"expected the typed-buffer aggregate pair in:\n$p")
+  }
+
+  test("heavy hitters: candidate set is broadcast, sketch runs as an object-hash aggregate") {
+    val p = plans("agg_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"agg_heavy_hitters must broadcast the <=k candidate keys:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the MG sketch should ride the object-hash aggregate path:\n$p")
   }
 
   test("the bloom pre-filter guards a real shuffle join (merge hint honored)") {
