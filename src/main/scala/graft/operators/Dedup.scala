@@ -197,4 +197,60 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
   }
+
+  /** `dedup_substring_coverage`: per-document duplicated-span coverage —
+    * the exact-substring view of corpus self-duplication (the measure
+    * behind span-level training-data dedup, complementing the whole-doc
+    * verdicts of MinHash/SimHash: a doc can be 40 % boilerplate yet no
+    * one doc's near-duplicate). An `n`-token gram is DUPLICATED when it
+    * occurs in ≥ 2 distinct documents; a token position is COVERED when
+    * some duplicated gram's span [pos, pos+n) contains it.
+    *
+    * Emits per doc: `n_tokens`, `n_dup_grams` (occurrences of duplicated
+    * grams), `covered` (distinct covered positions) and
+    * `dup_frac = covered / n_tokens`.
+    *
+    * Shape at 100 TB: positional gram explode is narrow (~len× rows but
+    * no shuffle); one shuffle groups by gram to find duplicated ones
+    * (map-side partial agg applies); the semi-join back rides the same
+    * gram partitioning (ReuseExchange); the position explode that feeds
+    * coverage runs over duplicated occurrences ONLY — on a mostly-clean
+    * corpus that is a small fraction of the input. Grams join on their
+    * STRING for exactness; hash to `xxhash64` 8-byte keys when the gram
+    * payload dominates the exchange (same note as [[Corpus.decontaminate]]).
+    */
+  def substringCoverage(df: DataFrame, idCol: String, toksCol: String,
+                        n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val gramParts = (0 until n).map {
+      case 0 => s"element_at($toksCol, pos)"
+      case k => s"element_at($toksCol, least(pos + $k, size($toksCol)))"
+    }.mkString(", ")
+    val occ = df
+      .filter(size(col(toksCol)) >= 1)
+      .withColumn("pos",
+        explode(expr(s"sequence(1, greatest(size($toksCol) - ${n - 1}, 1))")))
+      .select(col(idCol), size(col(toksCol)).as("n_toks"), col("pos"),
+        expr(s"concat_ws(' ', $gramParts)").as("gram"))
+    val dupGrams = occ.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val dupOcc = occ.join(dupGrams, Seq("gram"), "left_semi")
+    val perDocGrams = dupOcc.groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_grams"))
+    val covered = dupOcc
+      .select(col(idCol),
+        explode(expr(s"sequence(pos, least(pos + ${n - 1}, n_toks))")).as("p"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("p")).as("covered"))
+    df.select(col(idCol), size(col(toksCol)).as("n_tokens"))
+      .join(perDocGrams, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)) /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
 }

@@ -197,4 +197,44 @@ object Joins {
       ColumnBridge.expression(big(bigKey).cast("long"))))
     big.filter(probe).join(small, big(bigKey) === small(smallKey))
   }
+
+  /** Fuzzy (edit-distance) equi-ized join — entity resolution without the
+    * n² cross product. The naive `levenshtein(l, r) <= d` predicate is a
+    * nested-loop plan; this q-gram-blocked form generates candidates by
+    * equi-joining on shared character q-grams, then verifies candidates
+    * with the exact distance.
+    *
+    * COMPLETE for the strings it is meant for, by the q-gram count
+    * lemma: `d` edits destroy at most `q·d` of a string's `len − q + 1`
+    * q-grams, so any pair within distance `d` with
+    * `len ≥ q·(d + 1) + q − 1` still shares at least one q-gram and
+    * survives blocking (q = 3, d = 2 ⇒ len ≥ 11). Blocking admits false
+    * candidates freely — the exact `levenshtein` refines — so the result
+    * equals the nested-loop join on such strings.
+    *
+    * Shape at 100 TB: per-side gram explode is narrow (distinct grams
+    * per string, so ≤ len − q + 1 rows each); the candidate join is a
+    * plain shuffle on the gram (skewed common grams hit AQE's skew
+    * split; a stop-gram cut — drop the top-frequency grams from BOTH
+    * sides symmetrically — trades recall for balance when needed); the
+    * verify filter is codegen'd. Candidates scale with gram collisions,
+    * not |L|×|R|.
+    */
+  def fuzzyJoinQgram(left: DataFrame, leftId: String, leftStr: String,
+                     right: DataFrame, rightId: String, rightStr: String,
+                     q: Int, maxDist: Int): DataFrame = {
+    require(q >= 1 && maxDist >= 0, s"need q >= 1, maxDist >= 0; got q=$q maxDist=$maxDist")
+    def grams(df: DataFrame, id: String, s: String) = df.select(
+      col(id), col(s),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length($s) - ${q - 1}, 1)), " +
+          s"i -> substring($s, i, $q))"))).as("__g"))
+    val cand = grams(left, leftId, leftStr)
+      .join(grams(right, rightId, rightStr), "__g")
+      .select(col(leftId), col(leftStr), col(rightId), col(rightStr))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -32,6 +32,11 @@ object Corpus {
     * in for the benchmark suite (deterministic on both engines). */
   private val EVAL_MOD = 25
   private val SHINGLE_N = 5
+  /** Gram width for `dedup_substring_coverage` — 4 rather than the
+    * decontamination 5: the synthetic vocabulary is 31 uniform tokens,
+    * and 4-grams are the width where cross-document repeats actually
+    * occur at harness scale (5-grams are near-unique there). */
+  private val COVER_N = 4
 
   /** Mixture targets for `corpus_mixture_sample` (rows per source). */
   private val QUOTAS = Map("src0" -> 30, "src1" -> 20)
@@ -68,6 +73,17 @@ object Corpus {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+
+    /** Span-level self-duplication: per document, the fraction of token
+      * positions covered by 4-grams that also occur in ANOTHER document —
+      * the exact-substring dedup measure (a doc can be heavily
+      * boilerplate without being any one doc's near-duplicate, which is
+      * what the whole-doc MinHash/SimHash verdicts miss). Narrow
+      * positional explode, one shuffle on the gram, coverage explode over
+      * duplicated occurrences only. */
+    "dedup_substring_coverage" -> ((s, d) =>
+      graft.operators.Dedup.substringCoverage(toked(s, d), "doc_id", "toks", COVER_N)
+        .orderBy("doc_id")),
 
     /** Scrub synthetic PII (deterministically injected so the redaction
       * is observable) and count the hits — the audit a compliance
@@ -252,6 +268,33 @@ object Corpus {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id % $EVAL_MOD <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin),
+
+    // Same positional-gram ladder as the engine (clamped tail, n = 4);
+    // a gram is duplicated when seen in >= 2 distinct docs, coverage is
+    // distinct positions under duplicated spans.
+    "dedup_substring_coverage" -> (tokedSql +
+      s""", occ AS (
+         |  SELECT doc_id, len(toks) AS n_toks, toks,
+         |         unnest(generate_series(1, greatest(len(toks) - ${COVER_N - 1}, 1))) AS pos
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, n_toks, pos,
+         |    concat_ws(' ', toks[pos], toks[least(pos + 1, n_toks)],
+         |              toks[least(pos + 2, n_toks)], toks[least(pos + 3, n_toks)]) AS gram
+         |  FROM occ),
+         |dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |docc AS (SELECT g.* FROM g JOIN dupg USING (gram)),
+         |dn AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM docc GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT p)::BIGINT AS covered FROM (
+         |    SELECT doc_id, unnest(generate_series(pos, least(pos + ${COVER_N - 1}, n_toks))) AS p
+         |    FROM docc) GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |  coalesce(dn.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+         |  coalesce(cov.covered, 0)::BIGINT AS covered,
+         |  round(coalesce(cov.covered, 0) / len(t.toks), 6) AS dup_frac
+         |FROM t LEFT JOIN dn USING (doc_id) LEFT JOIN cov USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
 
     "text_pii_redact" ->

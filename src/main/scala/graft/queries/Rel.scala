@@ -837,6 +837,26 @@ object Rel {
         .orderBy("tenant")
     }),
 
+    /** Entity resolution without the cross product: a deterministically
+      * corrupted lookup side (first char substituted, last char dropped —
+      * edit distance ≤ 2 from its source name) resolves back against the
+      * clean part names through `Joins.fuzzyJoinQgram` — 3-gram blocking
+      * generates candidates as a plain equi-join, exact `levenshtein`
+      * verifies. Complete for these strings by the q-gram count lemma
+      * (names ≫ 11 chars). The oracle replays blocking AND verify, so a
+      * lost candidate (not just a wrong final filter) fails the hash. */
+    "join_fuzzy_qgram" -> ((s, d) => {
+      val clean = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val dirty = clean.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("dirty_key"),
+          concat(lit("z"), expr("substring(p_name, 2, length(p_name) - 2)"))
+            .as("dirty_name"))
+      graft.operators.Joins.fuzzyJoinQgram(
+          dirty, "dirty_key", "dirty_name",
+          clean, "p_partkey", "p_name", q = 3, maxDist = 2)
+        .orderBy("dirty_key", "p_partkey")
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       import s.implicits._
       val dim = Seq(
@@ -1503,6 +1523,34 @@ object Rel {
         |FROM keyed, tot GROUP BY tenant, n_total
         |HAVING count(*) > n_total * 0.05
         |ORDER BY tenant""".stripMargin,
+
+    // Blocking replayed, not just the verify: candidates are pairs
+    // sharing >= 1 distinct character 3-gram, then exact levenshtein <= 2.
+    "join_fuzzy_qgram" ->
+      """WITH clean AS (SELECT p_partkey, p_name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_key,
+        |         'z' || substr(p_name, 2, length(p_name) - 2) AS dirty_name
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |lg AS (
+        |  SELECT dirty_key, dirty_name,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(length(dirty_name) - 2, 1)),
+        |      i -> substr(dirty_name, i, 3)))) AS g
+        |  FROM dirty),
+        |rg AS (
+        |  SELECT p_partkey, p_name,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(length(p_name) - 2, 1)),
+        |      i -> substr(p_name, i, 3)))) AS g
+        |  FROM clean),
+        |cand AS (
+        |  SELECT DISTINCT dirty_key, dirty_name, p_partkey, p_name
+        |  FROM lg JOIN rg USING (g))
+        |SELECT dirty_key, dirty_name, p_partkey, p_name,
+        |       levenshtein(dirty_name, p_name) AS dist
+        |FROM cand WHERE levenshtein(dirty_name, p_name) <= 2
+        |ORDER BY dirty_key, p_partkey""".stripMargin,
 
     "join_skew_salted" ->
       """WITH dim(event_type, category) AS (

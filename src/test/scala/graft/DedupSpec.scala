@@ -91,4 +91,35 @@ class DedupSpec extends SparkSpec {
     assert(out(30L) == 30L && out(31L) == 30L)
     assert(out.size == 12)
   }
+
+  test("substringCoverage: overlapping dup spans merge, clean docs score zero") {
+    // 4-gram sets: d1 {abcd, bcde, cdef}, d2 {xyab, yabc, abcd, bcdz},
+    // d5 {abcd, bcde, cdef, defm}, d3 disjoint. Duplicated (>=2 docs):
+    // abcd, bcde, cdef.
+    val docs = df(Seq(
+      Doc(1, "a b c d e f", "en", "s1"),
+      Doc(2, "x y a b c d z", "en", "s1"),
+      Doc(3, "p q r s t", "en", "s1"),
+      Doc(5, "a b c d e f m", "en", "s1")))
+      .withColumn("toks", split(col("text"), " "))
+    val out = Dedup.substringCoverage(docs, "doc_id", "toks", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_grams"), r.getAs[Long]("covered"),
+          r.getAs[Double]("dup_frac")))).toMap
+    // d1: spans 1-4, 2-5, 3-6 union to ALL 6 positions (distinct count,
+    // not 3×4 — the overlap test)
+    assert(out(1L) == ((3L, 6L, 1.0)), s"d1: ${out(1L)}")
+    assert(out(2L) == ((1L, 4L, 0.571429)), s"d2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"d3: ${out(3L)}")
+    assert(out(5L) == ((3L, 6L, 0.857143)), s"d5: ${out(5L)}")
+  }
+
+  test("substringCoverage clamps docs shorter than n to one full-cover gram") {
+    val docs = df(Seq(Doc(1, "hi yo", "en", "s1"), Doc(2, "hi yo", "en", "s1")))
+      .withColumn("toks", split(col("text"), " "))
+    val out = Dedup.substringCoverage(docs, "doc_id", "toks", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("covered"), r.getAs[Double]("dup_frac")))).toMap
+    assert(out(1L) == ((2L, 1.0)) && out(2L) == ((2L, 1.0)), s"got $out")
+  }
 }

@@ -139,4 +139,27 @@ class JoinsSpec extends SparkSpec {
     val survivors = big.collect().count(r => bf.mightContainLong(r.getLong(0)))
     assert(survivors < 200, s"bloom kept $survivors of 1000 fact rows")
   }
+
+  test("fuzzyJoinQgram equals the naive levenshtein join on long-enough strings") {
+    import spark.implicits._
+    val right = Seq((1L, "alpha widget deluxe"), (2L, "beta gadget prime"),
+      (3L, "gamma sprocket lux")).toDF("rid", "rname")
+    val left = Seq(
+      (10L, "zlpha widget delux"),   // dist 2 from rid 1 (sub + del)
+      (11L, "beta gadget prime"),    // dist 0 from rid 2
+      (12L, "zzzha widget deluxe"),  // dist 3 from rid 1 — must NOT match
+      (13L, "qqqqqqqqqqqqq"))        // shares no gram with anything
+      .toDF("lid", "lname")
+    val got = Joins.fuzzyJoinQgram(left, "lid", "lname", right, "rid", "rname",
+        q = 3, maxDist = 2)
+      .select("lid", "rid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((10L, 1L, 2), (11L, 2L, 0)), s"got $got")
+    // completeness check against the nested-loop formulation (all names
+    // exceed the q-gram guarantee length q*(d+1) + q - 1 = 11)
+    val naive = left.crossJoin(right)
+      .filter(levenshtein(col("lname"), col("rname")) <= 2)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)) == naive)
+  }
 }
