@@ -264,4 +264,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** `similarity_ann_lsh_multiprobe`: hamming-1 multiprobe over the same
+    * hyperplane signatures — the recall knob that does NOT cost more
+    * planes. Plain LSH loses exactly the pairs whose signatures differ in
+    * ≥ 1 plane (a near-dup pair straddling one hyperplane is the dominant
+    * loss mode); probing each one-bit flip of the LEFT side's bucket
+    * recovers every pair at signature hamming distance ≤ 1. Each
+    * qualifying pair matches on exactly ONE probe key (the flip equal to
+    * `sig_a XOR sig_b`), so no dedup pass is needed.
+    *
+    * Shape at 100 TB: the probe explode multiplies the left exchange by
+    * (planes + 1) — `planesForCorpus` grows as log2(n), so the factor is
+    * logarithmic, vs the quadratic bucket-size cost of getting the same
+    * recall by REMOVING a plane (halving buckets doubles candidates per
+    * bucket). The right side ships once at 1×. Same equi-join shape, AQE
+    * skew-split applies to hot buckets. */
+  def lshNearDupPairsMultiprobe(df: DataFrame, idCol: String, vecCol: String,
+                                numPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val keyed = fanOut(df).select(col(idCol), asDouble(col(vecCol)).as("v"),
+      bucketKey(col(vecCol), planes).as("bucket"))
+      .withColumn("nrm", norm(col("v")))
+    val flips = array((lit(0L) +: (0 until numPlanes).map(j => lit(1L << j))): _*)
+    val probed = keyed.withColumn("pbucket",
+      explode(transform(flips, f => col("bucket").bitwiseXOR(f))))
+    probed.as("a").join(keyed.as("b"),
+        col("a.pbucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

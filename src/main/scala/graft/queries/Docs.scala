@@ -160,6 +160,23 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    /** Hamming-1 multiprobe over the same 8-plane signatures — recall
+      * without more planes (`Similarity.lshNearDupPairsMultiprobe`): the
+      * result is exactly the cos ≥ 0.3 pairs whose signatures differ in
+      * ≤ 1 bit, a strict superset of `similarity_ann_lsh`. The oracle
+      * recomputes both buckets and checks `xor(bucket_a, bucket_b)` is 0
+      * or a power of two — blocking replayed, not just the scoring. */
+    "similarity_ann_lsh_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val planes = Similarity.planesForCorpus(e.count())
+      require(planes == ANN_PLANES,
+        s"corpus outgrew the static oracle: planesForCorpus=$planes != ANN_PLANES=$ANN_PLANES — regenerate the oracle plane unroll")
+      Similarity.lshNearDupPairsMultiprobe(e, "vec_id", "embedding",
+          numPlanes = planes, dim = ANN_DIM, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "text_token_count_bpe" -> ((s, d) =>
       // BPE-ish sub-word counting: letter runs, digit runs, and single
       // punctuation marks each count as one token (regex shared verbatim
@@ -744,6 +761,24 @@ object Docs {
          |  round(list_dot_product(a.v, b.v) /
          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
          |FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Same bucket prelude; the join admits signature hamming <= 1 —
+    // xor(bucket_a, bucket_b) is 0 or a single set bit.
+    "similarity_ann_lsh_multiprobe" -> {
+      val hamming1 = (0L +: (0 until ANN_PLANES).map(j => 1L << j)).mkString(", ")
+      s"""WITH k AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         ${duckBucket("embedding::DOUBLE[]")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |FROM k a JOIN k b ON a.vec_id < b.vec_id
+         |  AND xor(a.bucket, b.bucket) IN ($hamming1)
          |WHERE list_dot_product(a.v, b.v) /
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin

@@ -207,6 +207,26 @@ object Rel {
        |WHERE l_partkey = p_partkey
        |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue): the correlated-scalar-
+    * subquery decorrelation showcase. The per-part average-quantity
+    * subquery would be a re-executed point lookup per outer row in a
+    * naive engine; Catalyst decorrelates it into ONE aggregate over the
+    * (brand-filtered) fact joined back on `l_partkey` — the filter
+    * reaches the aggregate too, so the avg is computed only for
+    * qualifying parts. The tiny brand dim broadcasts. The average is an
+    * exact-decimal sum over a BIGINT count surfaced as double, so the
+    * `0.2 · avg` threshold is bit-identical on both engines regardless
+    * of aggregation order. */
+  private def q17Sql(t: String => String): String =
+    s"""SELECT count(*) AS n_small_qty,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+       |FROM ${t("lineitem")}, ${t("part")}
+       |WHERE p_partkey = l_partkey
+       |  AND p_brand = 'Brand#23'
+       |  AND l_quantity < 0.2 * (
+       |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       |    FROM ${t("lineitem")} l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   /** TPC-H Q18 (large-volume orders): the grouped-HAVING IN-subquery —
     * Catalyst plans the subquery as an aggregate feeding a (semi) join,
     * the fact side shuffles once on the shared `o_orderkey`, and the
@@ -263,6 +283,11 @@ object Rel {
       * one broadcast join pass (`q14Sql`). */
     "sql_q14_promo_share" -> ((s, d) =>
       sqlFrontDoor(s, d, Seq("lineitem", "part"))(q14Sql)),
+
+    /** TPC-H Q17 through the front door — correlated scalar subquery,
+      * decorrelated by Catalyst into one aggregate + join (`q17Sql`). */
+    "sql_q17_small_qty_revenue" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "part"))(q17Sql)),
 
     /** TPC-H Q18 through the front door — grouped-HAVING IN-subquery
       * (`q18Sql`). */
@@ -1159,6 +1184,7 @@ object Rel {
     "sql_q6_forecast_revenue" -> q6Sql(identity),
     "sql_q12_priority_lines" -> q12Sql(identity),
     "sql_q14_promo_share" -> q14Sql(identity),
+    "sql_q17_small_qty_revenue" -> q17Sql(identity),
     "sql_q18_large_orders" -> q18Sql(identity),
 
     "agg_group_quantiles" ->

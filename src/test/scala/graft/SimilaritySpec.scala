@@ -134,6 +134,36 @@ class SimilaritySpec extends SparkSpec {
     assert(approx(out(1L)._2, 2 * out(0L)._2))
   }
 
+  test("lshNearDupPairsMultiprobe: exactly the hamming<=1 pairs, strict superset of plain LSH") {
+    val corpus = df((0 until 30).map(i =>
+      Vec(i.toLong, Seq.tabulate(8)(j => math.sin(i * 2.3 + j * 1.7).toFloat))))
+    val planes = Similarity.hyperplanes(8, 8)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def dotp(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def sig(v: Seq[Double]): Long = planes.zipWithIndex.map { case (p, j) =>
+      if (dotp(v, p.map(_.toDouble)) > 0) 1L << j else 0L }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val expected = (for {
+      a <- vecs.keys; b <- vecs.keys
+      if a < b
+      if java.lang.Long.bitCount(sig(vecs(a)) ^ sig(vecs(b))) <= 1
+      if cos(vecs(a), vecs(b)) >= 0.3
+    } yield (a, b)).toSet
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(Similarity.lshNearDupPairsMultiprobe(
+      corpus, "vec_id", "embedding", numPlanes = 8, dim = 8, threshold = 0.3))
+    assert(got == expected, s"multiprobe != hamming<=1 reference: ${got.diff(expected)} / ${expected.diff(got)}")
+    val plain = pairs(Similarity.lshNearDupPairs(
+      corpus, "vec_id", "embedding", numPlanes = 8, dim = 8, threshold = 0.3))
+    assert(plain.subsetOf(got))
+    // the point of multiprobe: pairs straddling exactly one hyperplane
+    // are recovered — the fixture must exhibit at least one
+    assert((got -- plain).nonEmpty, "fixture has no hamming-1 pair above threshold — adjust it")
+  }
+
   test("lshNearDupPairs: parallel vectors share every bucket; found at threshold") {
     val out = Similarity.lshNearDupPairs(fixture, "vec_id", "embedding",
       numPlanes = 8, dim = 4, threshold = 0.9)
