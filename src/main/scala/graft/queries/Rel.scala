@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.operators.{Joins, MissingData, Relational}
@@ -862,24 +863,37 @@ object Rel {
         .orderBy("tenant")
     }),
 
-    /** Entity resolution without the cross product: a deterministically
+    /** Entity resolution on the DISTINCT key domain: a deterministically
       * corrupted lookup side (first char substituted, last char dropped —
       * edit distance ≤ 2 from its source name) resolves back against the
       * clean part names through `Joins.fuzzyJoinQgram` — 3-gram blocking
-      * generates candidates as a plain equi-join, exact `levenshtein`
-      * verifies. Complete for these strings by the q-gram count lemma
-      * (names ≫ 11 chars). The oracle replays blocking AND verify, so a
-      * lost candidate (not just a wrong final filter) fails the hash. */
+      * equi-izes candidates, exact `levenshtein` verifies. The load-
+      * bearing scale decision is the SHAPE: fuzzy matching runs over
+      * `DISTINCT` names with their row counts, and row multiplicities
+      * reattach by plain equi-join. Part names repeat heavily (64
+      * distinct over 20k rows at sf0.1), so the row-level formulation's
+      * OUTPUT is quadratic in SF (~1M pairs, measured 39 s) while the
+      * distinct-domain result is bounded by name-pair matches — at
+      * 100 TB the distinct entity strings are the small side, never the
+      * row pairs. The oracle replays the distinct-domain blocking AND
+      * verify, so a lost candidate fails the hash. */
     "join_fuzzy_qgram" -> ((s, d) => {
-      val clean = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
-      val dirty = clean.filter(col("p_partkey") % 7 === 0)
-        .select(col("p_partkey").as("dirty_key"),
-          concat(lit("z"), expr("substring(p_name, 2, length(p_name) - 2)"))
-            .as("dirty_name"))
-      graft.operators.Joins.fuzzyJoinQgram(
-          dirty, "dirty_key", "dirty_name",
-          clean, "p_partkey", "p_name", q = 3, maxDist = 2)
-        .orderBy("dirty_key", "p_partkey")
+      val p = Tables.part(s, d)
+      val clean = p.groupBy("p_name").agg(count(lit(1)).as("n_clean"))
+      val dirty = p.filter(col("p_partkey") % 7 === 0)
+        .select(concat(lit("z"), expr("substring(p_name, 2, length(p_name) - 2)"))
+          .as("dirty_name"))
+        .groupBy("dirty_name").agg(count(lit(1)).as("n_dirty"))
+      val m = graft.operators.Joins.fuzzyJoinQgram(
+        dirty.select(col("dirty_name"), col("dirty_name").as("d_str")),
+        "dirty_name", "d_str",
+        clean.select(col("p_name"), col("p_name").as("c_str")),
+        "p_name", "c_str", q = 3, maxDist = 2)
+      m.select("dirty_name", "p_name", "dist")
+        .join(broadcast(dirty), "dirty_name")
+        .join(broadcast(clean), "p_name")
+        .select("dirty_name", "p_name", "dist", "n_dirty", "n_clean")
+        .orderBy("dirty_name", "p_name")
     }),
 
     "join_skew_salted" -> ((s, d) => {
@@ -1005,6 +1019,81 @@ object Rel {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_approx"))
         .orderBy("event_type")),
+
+    /** EXACT distinct counting at scale via the bitmap aggregates — the
+      * third point on the distinct-count spectrum (exact-shuffle
+      * `count_distinct` ↔ this ↔ approximate HLL `agg_approx_distinct`):
+      * ids bucket into fixed 32k-bit ranges (`bitmap_bucket_number`),
+      * each (key, bucket) partial-aggregates to ONE ≤4 KB bitmap with
+      * map-side combine, and the final count is a sum of per-bucket
+      * popcounts. The shuffle carries bitmaps bounded by the id RANGE
+      * touched per partition — not one row per distinct id, which is
+      * what makes exact distinct on a hot key feasible at 100 TB. Exact,
+      * so it gets the same oracle as a plain COUNT(DISTINCT). */
+    "agg_bitmap_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("nd_users"))
+        .orderBy("event_type")),
+
+    /** Cumulative distinct counting — "new vs returning" first-touch
+      * attribution: each user's first active day via one keyed min, daily
+      * new-user counts, and the running total of distinct users ever
+      * seen. The cumulative window is UNpartitioned by construction —
+      * acceptable ONLY because it runs over the day-granularity frame
+      * (bounded rows ≈ calendar days), never raw events; the repo
+      * convention for `partition = Nil` windows. This is the exact
+      * running-distinct that a naive `count(DISTINCT) OVER (ORDER BY
+      * day)` cannot express scalably (it would rescan the full prefix
+      * per day). */
+    "agg_cumulative_distinct" -> ((s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(Tables.epochDay(col("ts")).cast("long")).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstDay.groupBy("day").agg(count(lit(1)).as("n_new_users"))
+        .select(col("day"), col("n_new_users"),
+          sum("n_new_users").over(w).as("cum_distinct_users"))
+        .orderBy("day")
+    }),
+
+    /** One-pass data-quality audit — the dbt-test / expectations suite
+      * as a query: five constraint classes (uniqueness, not-null,
+      * accepted values, range, calendar bounds) computed in a SINGLE
+      * aggregate scan (conditional sums + one count-distinct), plus the
+      * referential check as a broadcast anti-join count; long-form
+      * `(rule, n_violations, passed)` output so downstream gating is a
+      * filter, not a schema change. At 100 TB the audit costs one scan
+      * of the fact — rules are columnar expressions, not per-rule
+      * passes. */
+    "dq_expectations" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val scanRules = o.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_nullcust"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L)).as("v_status"),
+          sum(when(col("o_totalprice") > 0, 0L).otherwise(1L)).as("v_price"),
+          sum(when(year(col("o_orderdate")).between(1992, 1998), 0L).otherwise(1L)).as("v_date"))
+        .select(expr(
+          """stack(5,
+            |  'unique_orderkey',    n - n_keys,
+            |  'not_null_custkey',   v_nullcust,
+            |  'accepted_status',    v_status,
+            |  'positive_totalprice', v_price,
+            |  'orderdate_1992_1998', v_date) AS (rule, n_violations)""".stripMargin))
+      val fk = o.join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_custkey_in_customer").as("rule"), col("n_violations"))
+      scanRules.unionByName(fk)
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy("rule")
+    }),
 
     "agg_variance_per_col" -> ((s, d) =>
       Relational.unpivotAgg(Tables.lineitem(s, d),
@@ -1550,33 +1639,37 @@ object Rel {
         |HAVING count(*) > n_total * 0.05
         |ORDER BY tenant""".stripMargin,
 
-    // Blocking replayed, not just the verify: candidates are pairs
-    // sharing >= 1 distinct character 3-gram, then exact levenshtein <= 2.
+    // Distinct-domain blocking replayed, not just the verify: candidates
+    // are DISTINCT name pairs sharing >= 1 character 3-gram, then exact
+    // levenshtein <= 2; row multiplicities reattach by equi-join.
     "join_fuzzy_qgram" ->
-      """WITH clean AS (SELECT p_partkey, p_name FROM part),
-        |dirty AS (
-        |  SELECT p_partkey AS dirty_key,
-        |         'z' || substr(p_name, 2, length(p_name) - 2) AS dirty_name
-        |  FROM part WHERE p_partkey % 7 = 0),
+      """WITH cleann AS (
+        |  SELECT p_name, count(*)::BIGINT AS n_clean FROM part GROUP BY p_name),
+        |dirtyn AS (
+        |  SELECT 'z' || substr(p_name, 2, length(p_name) - 2) AS dirty_name,
+        |         count(*)::BIGINT AS n_dirty
+        |  FROM part WHERE p_partkey % 7 = 0 GROUP BY 1),
         |lg AS (
-        |  SELECT dirty_key, dirty_name,
+        |  SELECT dirty_name,
         |    unnest(list_distinct(list_transform(
         |      generate_series(1, greatest(length(dirty_name) - 2, 1)),
         |      i -> substr(dirty_name, i, 3)))) AS g
-        |  FROM dirty),
+        |  FROM dirtyn),
         |rg AS (
-        |  SELECT p_partkey, p_name,
+        |  SELECT p_name,
         |    unnest(list_distinct(list_transform(
         |      generate_series(1, greatest(length(p_name) - 2, 1)),
         |      i -> substr(p_name, i, 3)))) AS g
-        |  FROM clean),
-        |cand AS (
-        |  SELECT DISTINCT dirty_key, dirty_name, p_partkey, p_name
-        |  FROM lg JOIN rg USING (g))
-        |SELECT dirty_key, dirty_name, p_partkey, p_name,
-        |       levenshtein(dirty_name, p_name) AS dist
-        |FROM cand WHERE levenshtein(dirty_name, p_name) <= 2
-        |ORDER BY dirty_key, p_partkey""".stripMargin,
+        |  FROM cleann),
+        |cand AS (SELECT DISTINCT dirty_name, p_name FROM lg JOIN rg USING (g))
+        |SELECT cand.dirty_name, cand.p_name,
+        |       levenshtein(cand.dirty_name, cand.p_name) AS dist,
+        |       d.n_dirty, c.n_clean
+        |FROM cand
+        |JOIN dirtyn d ON d.dirty_name = cand.dirty_name
+        |JOIN cleann c ON c.p_name = cand.p_name
+        |WHERE levenshtein(cand.dirty_name, cand.p_name) <= 2
+        |ORDER BY cand.dirty_name, cand.p_name""".stripMargin,
 
     "join_skew_salted" ->
       """WITH dim(event_type, category) AS (
@@ -1599,6 +1692,43 @@ object Rel {
       Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    // Exact, so the oracle is the plain COUNT(DISTINCT) the bitmap
+    // two-phase must reproduce bit-for-bit.
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_cumulative_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS day
+        |  FROM events GROUP BY user_id),
+        |nd AS (SELECT day, count(*)::BIGINT AS n_new_users FROM fd GROUP BY day)
+        |SELECT day, n_new_users,
+        |  sum(n_new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_distinct_users
+        |FROM nd ORDER BY day""".stripMargin,
+
+    "dq_expectations" ->
+      """WITH scan AS (
+        |  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nullcust,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v_status,
+        |    sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price,
+        |    sum(CASE WHEN year(o_orderdate) BETWEEN 1992 AND 1998 THEN 0 ELSE 1 END) AS v_date
+        |  FROM orders),
+        |rules AS (
+        |  SELECT 'unique_orderkey' AS rule, (n - n_keys)::BIGINT AS n_violations FROM scan
+        |  UNION ALL SELECT 'not_null_custkey', v_nullcust::BIGINT FROM scan
+        |  UNION ALL SELECT 'accepted_status', v_status::BIGINT FROM scan
+        |  UNION ALL SELECT 'positive_totalprice', v_price::BIGINT FROM scan
+        |  UNION ALL SELECT 'orderdate_1992_1998', v_date::BIGINT FROM scan
+        |  UNION ALL SELECT 'fk_custkey_in_customer', count(*)::BIGINT
+        |    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT rule, n_violations, n_violations = 0 AS passed
+        |FROM rules ORDER BY rule""".stripMargin,
 
     "agg_variance_per_col" ->
       """SELECT column_name, round(variance, 2) AS variance FROM (

@@ -63,6 +63,34 @@ object Ts {
           Seq(expr("ts_ns div 1000"), col("event_id")), "value", days = 7)
         .orderBy("event_type", "bar")),
 
+    /** Calendar-spine gap fill — pandas `reindex(date_range) + ffill`:
+      * rebuild a complete daily axis per series and forward-fill the
+      * holes, flagging which rows were reconstructed. Gaps are injected
+      * deterministically (drop day % 7 == 3 from the daily aggregate) so
+      * the fill is observable and the oracle replays it. The spine is a
+      * per-key `sequence(min_day, max_day)` explode off a two-row agg —
+      * narrow, no driver round-trip; the fill is one `last(IGNORE
+      * NULLS)` window per series key over day-granularity rows (bounded
+      * rows per key — the frame a 100 TB run would window over is the
+      * day-aggregated series, never raw events). Epoch-day longs, not
+      * DATEs, so both engines compare identical integers. */
+    "ts_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", Tables.epochDay(col("ts")).cast("long"))
+        .groupBy("event_type", "day")
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("v"))
+        .filter(pmod(col("day"), lit(7)) =!= 3)
+      val spine = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          col("v").isNull.as("was_gap"),
+          last("v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("event_type", "day")
+    }),
+
     /** Calendar-RANGE rolling window — pandas `rolling('7D')`: the frame
       * is "all of this user's events in the trailing 7 calendar days",
       * however many rows that is (a ROWS frame like `rolling_stats`
@@ -387,6 +415,24 @@ object Ts {
         |      FROM events)
         |WHERE lagv IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same deterministic gaps (day % 7 == 3 dropped from the daily agg),
+    // same spine and IGNORE-NULLS fill; epoch-day longs on both engines.
+    "ts_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |gapped AS (SELECT * FROM daily WHERE day % 7 != 3),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(min(day), max(day))) AS day
+        |  FROM gapped GROUP BY event_type)
+        |SELECT s.event_type, s.day, g.v IS NULL AS was_gap,
+        |  last_value(g.v IGNORE NULLS)
+        |    OVER (PARTITION BY s.event_type ORDER BY s.day) AS v_filled
+        |FROM spine s LEFT JOIN gapped g USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
 
     "ts_resample_ohlc" ->
       """WITH e AS (
