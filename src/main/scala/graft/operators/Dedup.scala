@@ -250,7 +250,10 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("covered"), lit(0L)).as("covered"),
-        round(coalesce(col("covered"), lit(0L)) /
-          col("n_tokens").cast("double"), 6).as("dup_frac"))
+        // Zero-token docs have zero coverage by definition; guarding the
+        // division avoids 0/0 = NaN (DuckDB's 0/0 is NULL — a divergence).
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("covered"), lit(0L)) /
+            col("n_tokens").cast("double"), 6)).as("dup_frac"))
   }
 }

@@ -293,7 +293,8 @@ object Corpus {
          |SELECT t.doc_id, len(t.toks) AS n_tokens,
          |  coalesce(dn.n_dup_grams, 0)::BIGINT AS n_dup_grams,
          |  coalesce(cov.covered, 0)::BIGINT AS covered,
-         |  round(coalesce(cov.covered, 0) / len(t.toks), 6) AS dup_frac
+         |  CASE WHEN len(t.toks) = 0 THEN 0.0
+         |       ELSE round(coalesce(cov.covered, 0) / len(t.toks), 6) END AS dup_frac
          |FROM t LEFT JOIN dn USING (doc_id) LEFT JOIN cov USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
 

@@ -1726,7 +1726,8 @@ object Rel {
         |  UNION ALL SELECT 'positive_totalprice', v_price::BIGINT FROM scan
         |  UNION ALL SELECT 'orderdate_1992_1998', v_date::BIGINT FROM scan
         |  UNION ALL SELECT 'fk_custkey_in_customer', count(*)::BIGINT
-        |    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    FROM orders o WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |SELECT rule, n_violations, n_violations = 0 AS passed
         |FROM rules ORDER BY rule""".stripMargin,
 

@@ -547,7 +547,7 @@ object Ts {
         |FROM (
         |  SELECT user_id, event_id, ts, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_sessionize" ->

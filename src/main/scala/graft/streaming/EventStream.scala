@@ -409,6 +409,10 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // A source glob matching zero files yields zero micro-batches; surface
+    // that as an explicit contract failure instead of a parquet path error.
+    require(lastVersion.get() >= 0,
+      s"incremental upsert produced no micro-batches — no input matched under $dir")
     spark.read.parquet(s"$scratch/v${lastVersion.get()}")
   }
 }
