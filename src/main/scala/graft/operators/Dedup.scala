@@ -18,10 +18,15 @@ import graft.functions.Text
   *    classic shingle→minhash→band→bucket-join pipeline. Bucket joins are
   *    plain shuffles on the band key, so skewed buckets hit AQE's
   *    skew-join split;
-  *  - n-gram Jaccard keeps all-pairs but inside equality *blocks*
-  *    (cheap keys like (lang, source)), turning n² into Σ block².
+  *  - n-gram Jaccard generates candidates by PREFIX FILTERING (the
+  *    SSJoin/PPJoin principle): only docs sharing one of their
+  *    ⌊(1−t)·|A|⌋+1 globally rarest tokens can reach the verifier, so
+  *    a hot equality block (`lang='en'` at corpus scale) never goes
+  *    quadratic the way all-pairs-within-blocks (Σ block²) does.
   */
 object Dedup {
+
+  import org.apache.spark.sql.expressions.Window
 
   /** Signature computation is CPU-heavy per row (interpreted higher-order
     * lambdas) while the corpus often arrives in few partitions (small/
@@ -42,19 +47,71 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__ck")
 
-  /** `dedup_ngram_jaccard`: all-pairs token-set Jaccard within equality
-    * blocks. `jaccard = |A∩B| / |A∪B|` over DISTINCT tokens. Emits pairs
-    * with jaccard ≥ threshold, a < b. */
+  /** Distinct-token view shared by candidate generation and verification:
+    * (id, blockCols…, __dtoks, __sz). */
+  private def distinctToks(df: DataFrame, idCol: String, toksCol: String,
+                           blockCols: Seq[String]): DataFrame =
+    df.select(Seq(col(idCol), array_distinct(col(toksCol)).as("__dtoks"))
+        ++ blockCols.map(col): _*)
+      .withColumn("__sz", size(col("__dtoks")))
+
+  /** Candidate (id_a, id_b) pairs for [[ngramJaccardPairs]], by PREFIX
+    * FILTERING (SSJoin / PPJoin Lemma 1): under any global total order on
+    * tokens, two sets with `J(A,B) ≥ t` must share a token within their
+    * first `⌊(1−t)·|X|⌋ + 1` elements — because `J ≥ t` forces an overlap
+    * of at least `⌈t·|X|⌉` on each side, and a set whose whole prefix
+    * misses the overlap has at most `|X| − pfx < ⌈t·|X|⌉` slots left for
+    * it. Ordering by ASCENDING corpus document frequency makes the kept
+    * prefix the RAREST tokens, so candidate fan-in per join key is the
+    * rare token's df, not the block size: a hot block (`lang='en'` over
+    * half a 100 TB corpus) costs Σ df_rare², not |block|².
+    *
+    * The equi-join key is (token, blockCols…); a PPJoin length filter
+    * (`t·|A| ≤ |B| ≤ |A|/t`, necessary since `J ≤ min/max`) prunes
+    * size-incompatible collisions before the verifier. Shape at scale:
+    * token df is a wordcount (map-side combine), the prefix rank is a
+    * window over ≤|doc| rows per doc, and both join sides are the SAME
+    * plan so the prefix exchange is computed once (ReuseExchange). */
+  def ngramJaccardCandidates(df: DataFrame, idCol: String, toksCol: String,
+                             blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"need 0 < t <= 1, got $threshold")
+    val dt = distinctToks(df, idCol, toksCol, blockCols)
+    val toks = dt.select(
+      Seq(col(idCol), col("__sz"), explode(col("__dtoks")).as("__tok"))
+        ++ blockCols.map(col): _*)
+    // corpus document frequency (tokens are already distinct per doc)
+    val tdf = toks.groupBy("__tok").agg(count(lit(1)).as("__tdf"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__tdf"), col("__tok"))
+    // +1e-9: the boundary case (1−t)·|X| integral must round UP — a too-
+    // long prefix only costs candidates, a too-short one loses pairs
+    val prefix = toks.join(tdf, "__tok")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <=
+        floor(lit(1.0 - threshold) * col("__sz") + lit(1e-9)) + lit(1))
+    val joinCond = (Seq(col("a.__tok") === col("b.__tok"))
+        ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _) &&
+      col(s"a.$idCol") < col(s"b.$idCol") &&
+      col("b.__sz") * lit(threshold) <= col("a.__sz") &&
+      col("a.__sz") * lit(threshold) <= col("b.__sz")
+    prefix.as("a").join(prefix.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** `dedup_ngram_jaccard`: token-set Jaccard near-dup pairs,
+    * `jaccard = |A∩B| / |A∪B|` over DISTINCT tokens, emitted for
+    * jaccard ≥ threshold with a < b and equal `blockCols`. Candidates
+    * come from [[ngramJaccardCandidates]] (prefix-filtered, complete by
+    * the prefix lemma); each candidate is then verified exactly against
+    * the full token arrays, rejoined by id so the wide arrays never ride
+    * the candidate join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, toksCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    val dt = df.select(Seq(col(idCol), array_distinct(col(toksCol)).as("__dtoks"))
-      ++ blockCols.map(col): _*)
-    // alias self-join over ONE plan → ReuseExchange (distinct-tokens once)
-    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    dt.as("a").join(dt.as("b"), joinCond)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.__dtoks").as("toks_a"), col("b.__dtoks").as("toks_b"))
+    val dt = distinctToks(df, idCol, toksCol, blockCols)
+    val cand = ngramJaccardCandidates(df, idCol, toksCol, blockCols, threshold)
+    cand
+      .join(dt.select(col(idCol).as("id_a"), col("__dtoks").as("toks_a")), "id_a")
+      .join(dt.select(col(idCol).as("id_b"), col("__dtoks").as("toks_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /

@@ -35,6 +35,41 @@ class DedupSpec extends SparkSpec {
     assert(approx(out.head.getAs[Double]("jaccard"), 1.0)) // exact dup pair
   }
 
+  test("ngramJaccard prefix filter: complete vs brute force, candidates << block^2 on a hot block") {
+    // One hot block of 60 mostly-dissimilar docs: each doc has 16 unique
+    // rare tokens plus 4 corpus-wide stopwords (which would make naive
+    // single-token blocking quadratic too). Planted near-dups: (i, i+100)
+    // differ in one token out of 20.
+    val stop = "the of and a"
+    val docs = (0 until 60).map { i =>
+      val rare = (0 until 16).map(j => s"w${i}x$j").mkString(" ")
+      Doc(i.toLong, s"$stop $rare", "en", "s1")
+    } ++ Seq(101L, 107L, 113L).map { id =>
+      val i = id - 100
+      val rare = (0 until 15).map(j => s"w${i}x$j").mkString(" ")
+      Doc(id, s"$stop $rare zz$id", "en", "s1")
+    }
+    val toked = df(docs).withColumn("toks", split(col("text"), " "))
+    val t = 0.8
+    // brute-force reference on the driver (63 docs)
+    val sets = docs.map(d => d.doc_id -> d.text.split(" ").toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= t
+    } yield (a, b)).toSet
+    assert(expected == Set((1L, 101L), (7L, 107L), (13L, 113L)))
+    val out = Dedup.ngramJaccardPairs(toked, "doc_id", "toks",
+      Seq("lang", "source"), threshold = t)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    // the scale claim: candidate pairs are the near-dups plus rare-gram
+    // noise, nowhere near the 63*62/2 = 1953 all-pairs of the hot block
+    val nCand = Dedup.ngramJaccardCandidates(toked, "doc_id", "toks",
+      Seq("lang", "source"), threshold = t).count()
+    assert(nCand >= expected.size && nCand <= 50,
+      s"prefix filtering should bound candidates (got $nCand of 1953 block pairs)")
+  }
+
   test("minhashLshPairs: exact dup always collides; disjoint text never does") {
     val out = Dedup.minhashLshPairs(fixture, "doc_id", "text",
         numHashes = 16, numBands = 4, threshold = 0.5)

@@ -77,6 +77,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the MG sketch should ride the object-hash aggregate path:\n$p")
   }
 
+  test("ngram-Jaccard candidates come from a token-keyed equi-join, not block all-pairs") {
+    // The scale contract of the prefix filter: the candidate join must be
+    // keyed by the (rare) token — hash-partitionable, bounded fan-in —
+    // not an all-pairs comparison keyed only by the coarse block columns.
+    val p = plans("dedup_ngram_jaccard")
+    val joinKeyed = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[[^\\]]*__tok".r
+    assert(joinKeyed.findFirstIn(p).isDefined,
+      s"candidate join should equi-join on the prefix token:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "ngram-Jaccard must not fall back to a nested-loop join")
+  }
+
   test("the bloom pre-filter guards a real shuffle join (merge hint honored)") {
     val p = plans("join_bloom_prefilter")
     assert(p.contains("SortMergeJoin"),
