@@ -73,9 +73,19 @@ object Dedup {
     * window over ≤|doc| rows per doc, and both join sides are the SAME
     * plan so the prefix exchange is computed once (ReuseExchange). */
   def ngramJaccardCandidates(df: DataFrame, idCol: String, toksCol: String,
-                             blockCols: Seq[String], threshold: Double): DataFrame = {
+                             blockCols: Seq[String], threshold: Double): DataFrame =
+    ngramJaccardCandidates(distinctToks(df, idCol, toksCol, blockCols),
+      idCol, blockCols, threshold)
+
+  /** Candidate generation over a precomputed [[distinctToks]] frame —
+    * [[ngramJaccardPairs]] passes the SAME `dt` plan it verifies against,
+    * so the two sides share one subplan object. (The tokenize/explode
+    * still evaluates once per consuming exchange — recomputing a narrow
+    * projection is the intended trade at 100 TB; materializing a
+    * corpus-wide cache to save it would cost more than it buys.) */
+  private def ngramJaccardCandidates(dt: DataFrame, idCol: String,
+                                     blockCols: Seq[String], threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"need 0 < t <= 1, got $threshold")
-    val dt = distinctToks(df, idCol, toksCol, blockCols)
     val toks = dt.select(
       Seq(col(idCol), col("__sz"), explode(col("__dtoks")).as("__tok"))
         ++ blockCols.map(col): _*)
@@ -91,8 +101,12 @@ object Dedup {
     val joinCond = (Seq(col("a.__tok") === col("b.__tok"))
         ++ blockCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _) &&
       col(s"a.$idCol") < col(s"b.$idCol") &&
-      col("b.__sz") * lit(threshold) <= col("a.__sz") &&
-      col("a.__sz") * lit(threshold) <= col("b.__sz")
+      // same 1e-9 slack as the prefix bound: at an exact boundary
+      // (t·|B| == |A| in ℝ) double rounding must not prune a pair the
+      // verifier would emit — extra slack only admits candidates, and
+      // the exact verifier removes them
+      col("b.__sz") * lit(threshold) <= col("a.__sz") + lit(1e-9) &&
+      col("a.__sz") * lit(threshold) <= col("b.__sz") + lit(1e-9)
     prefix.as("a").join(prefix.as("b"), joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
@@ -108,7 +122,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, toksCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
     val dt = distinctToks(df, idCol, toksCol, blockCols)
-    val cand = ngramJaccardCandidates(df, idCol, toksCol, blockCols, threshold)
+    val cand = ngramJaccardCandidates(dt, idCol, blockCols, threshold)
     cand
       .join(dt.select(col(idCol).as("id_a"), col("__dtoks").as("toks_a")), "id_a")
       .join(dt.select(col(idCol).as("id_b"), col("__dtoks").as("toks_b")), "id_b")
