@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Svr}
+import graft.ml.{Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -228,6 +228,34 @@ object Ml {
           } finally { scored.unpersist(); () }
         } finally { withSar.unpersist(); () }
       } finally { design.unpersist(); () }
+    }),
+
+    /** `ml_sarimax` (SURVEY.md §2.9; `Marilyn_Cleaning.ipynb:34 (cell 1)`
+      * statsmodels SARIMAX, results `slide21-22.xml`): exact state-space
+      * MLE for ARIMA(1,1,1)×(1,0,1)₇ on the daily click series — Kalman
+      * filter with stationary initialization, σ² concentrated, PACF
+      * transform enforcing stationarity + invertibility (see
+      * `ml/Sarimax.scala`). This is the TRUE-MA upgrade over `ml_sarima`'s
+      * conditional-least-squares AR form, which stays registered as the
+      * distributed-regression twin. The daily aggregation is the
+      * distributed stage; the series itself is collected (driver-sized:
+      * one row per day, the same bound as every `withFrame` fit — a
+      * Kalman pass is serial by nature, exactly like statsmodels).
+      * Rows-only: no SQL engine computes a Kalman MLE; MlSpec pins the
+      * filter against the closed-form ARMA Gaussian likelihood and the
+      * MLE against simulated ground truth. */
+    "ml_sarimax" -> ((s, d) => {
+      import s.implicits._
+      val y = ModelingFrame.daily(s, d).select("date_id", "click")
+        .na.drop("any").orderBy("date_id")
+        .collect().map(_.getDouble(1))
+      val order = Sarimax.Order(p = 1, d = 1, q = 1, P = 1, D = 0, Q = 1, s = 7)
+      val f = Sarimax.fit(y, order)
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      Seq((r6(f.ar.head), r6(f.ma.head), r6(f.sar.head), r6(f.sma.head),
+          r6(f.sigma2), r6(f.logLik), r6(f.aic), r6(f.forecastNext), f.nObs))
+        .toDF("ar1", "ma1", "sar1", "sma1", "sigma2", "loglik", "aic",
+          "forecast_next", "n_obs")
     }),
 
     /** Per-series quadratic trend via the [[GroupedOls]] custom

@@ -1,0 +1,165 @@
+package graft
+
+import breeze.linalg.{det, inv, DenseMatrix, DenseVector}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Sarimax
+import graft.ml.Sarimax.Order
+
+/** Pins for the state-space SARIMAX estimator (`ml/Sarimax.scala`) —
+  * pure driver-side math, no Spark session needed.
+  *
+  * The load-bearing test is the likelihood EXACTNESS pin: the Kalman
+  * prediction-error decomposition must equal the closed-form Gaussian
+  * log-density  −½(n·ln 2π + ln|Σ| + yᵀΣ⁻¹y)  with Σ the Toeplitz ARMA
+  * autocovariance matrix. That is the definitional identity of the exact
+  * (statsmodels-style) MLE — any state-space, initialization, or filter
+  * slip breaks it at machine precision, not at the 4th decimal.
+  */
+class SarimaxSpec extends AnyFunSuite {
+
+  /** ARMA ψ-weights: ψ₀ = 1, ψ_j = θ_j + Σᵢ φᵢ ψ_{j−i}. */
+  private def psiWeights(arC: Array[Double], maC: Array[Double], n: Int): Array[Double] = {
+    val psi = Array.fill(n)(0.0)
+    psi(0) = 1.0
+    for (j <- 1 until n) {
+      val th = if (j <= maC.length) maC(j - 1) else 0.0
+      psi(j) = th + arC.zipWithIndex.collect {
+        case (p, i) if j - 1 - i >= 0 => p * psi(j - 1 - i) }.sum
+    }
+    psi
+  }
+
+  /** Closed-form stationary Gaussian log-likelihood at σ²: Σ from the
+    * MA(∞) autocovariances γ(k) = σ² Σ_j ψ_j ψ_{j+k} (truncated far past
+    * the geometric decay → machine precision). */
+  private def bruteLogLik(z: Array[Double], arC: Array[Double],
+                          maC: Array[Double], sigma2: Double): Double = {
+    val K = 4000
+    val psi = psiWeights(arC, maC, K)
+    def gamma(k: Int): Double =
+      sigma2 * (0 until K - k).map(j => psi(j) * psi(j + k)).sum
+    val n = z.length
+    val sigma = DenseMatrix.tabulate(n, n)((i, j) => gamma(math.abs(i - j)))
+    val y = DenseVector(z)
+    -0.5 * (n * math.log(2 * math.Pi) + math.log(det(sigma)) +
+      (y.t * (inv(sigma) * y)))
+  }
+
+  private val series =
+    Array(0.31, -0.47, 1.25, 0.82, -0.64, 0.11, 1.73, -1.02, 0.45, 0.98,
+      -0.23, 0.67, -1.41, 0.05, 0.88)
+
+  test("Kalman filter equals the closed-form ARMA(1,1) Gaussian likelihood") {
+    val (arC, maC) = (Array(0.6), Array(0.3))
+    val fr = Sarimax.filter(series, arC, maC)
+    val want = bruteLogLik(series, arC, maC, 1.0)
+    assert(math.abs(fr.logLikAt(1.0) - want) < 1e-8, s"${fr.logLikAt(1.0)} != $want")
+    // and at a non-unit σ² (scale must factor through the decomposition)
+    val want2 = bruteLogLik(series, arC, maC, 2.5)
+    assert(math.abs(fr.logLikAt(2.5) - want2) < 1e-8)
+  }
+
+  test("Kalman filter equals the closed form on a SEASONAL reduced ARMA") {
+    // (1 − 0.5B)(1 − 0.3B⁴) AR × (1 + 0.4B)(1 + 0.2B⁴) MA — the multiplied
+    // polynomials exercise expandPoly and a state dim r = 6
+    val arC = Sarimax.expandPoly(Seq(0.5), Seq(0.3), 4, sign = -1)
+    val maC = Sarimax.expandPoly(Seq(0.4), Seq(0.2), 4, sign = 1)
+    val fr = Sarimax.filter(series, arC, maC)
+    val want = bruteLogLik(series, arC, maC, 1.0)
+    assert(math.abs(fr.logLikAt(1.0) - want) < 1e-8, s"${fr.logLikAt(1.0)} != $want")
+  }
+
+  test("concentrated likelihood is the profile at sigma2Hat") {
+    val fr = Sarimax.filter(series, Array(0.6), Array(0.3))
+    assert(math.abs(fr.concentratedLogLik - fr.logLikAt(fr.sigma2Hat)) < 1e-12)
+    // σ̂² maximizes: nearby σ² must score lower
+    assert(fr.logLikAt(fr.sigma2Hat * 1.1) < fr.concentratedLogLik)
+    assert(fr.logLikAt(fr.sigma2Hat * 0.9) < fr.concentratedLogLik)
+  }
+
+  test("expandPoly multiplies seasonal and non-seasonal polynomials") {
+    // AR: (1 − 0.5B)(1 − 0.3B⁷) = 1 − 0.5B − 0.3B⁷ + 0.15B⁸
+    val ar = Sarimax.expandPoly(Seq(0.5), Seq(0.3), 7, sign = -1)
+    assert(ar.length == 8)
+    assert(ar(0) == 0.5 && ar(6) == 0.3 && math.abs(ar(7) - (-0.15)) < 1e-15)
+    assert((1 to 5).forall(i => ar(i) == 0.0))
+    // MA: (1 + 0.5B)(1 + 0.3B⁷) = 1 + 0.5B + 0.3B⁷ + 0.15B⁸
+    val ma = Sarimax.expandPoly(Seq(0.5), Seq(0.3), 7, sign = 1)
+    assert(ma(0) == 0.5 && ma(6) == 0.3 && math.abs(ma(7) - 0.15) < 1e-15)
+  }
+
+  test("difference applies regular then seasonal differencing") {
+    assert(Sarimax.difference(Array(1, 3, 6, 10), 1, 0, 1).toSeq == Seq(2.0, 3.0, 4.0))
+    assert(Sarimax.difference(Array(1, 3, 6, 10, 15, 21), 0, 1, 2).toSeq ==
+      Seq(5.0, 7.0, 9.0, 11.0))
+    // d then D: Δ [1,3,6,10,15,21] = [2,3,4,5,6]; Δ₂ of that = [2,2,2]
+    assert(Sarimax.difference(Array(1, 3, 6, 10, 15, 21), 1, 1, 2).toSeq ==
+      Seq(2.0, 2.0, 2.0))
+  }
+
+  test("PACF transform always lands in the stationary region") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val x = Seq.fill(4)(rng.nextGaussian() * 3)
+      val a = Sarimax.constrainAr(x)
+      // companion-matrix spectral radius < 1 ⇔ 1 − Σ aᵢBⁱ stationary
+      val m = DenseMatrix.zeros[Double](4, 4)
+      for (i <- 0 until 4) m(0, i) = a(i)
+      for (i <- 1 until 4) m(i, i - 1) = 1.0
+      val radius = breeze.linalg.max(breeze.linalg.eig(m).eigenvalues.toArray
+        .zip(breeze.linalg.eig(m).eigenvaluesComplex.toArray)
+        .map { case (re, im) => math.hypot(re, im) })
+      assert(radius < 1.0 - 1e-9, s"non-stationary map for $x: radius $radius")
+    }
+  }
+
+  test("filter one-step prediction matches the exact AR(1) conditional mean") {
+    val fr = Sarimax.filter(series, Array(0.7), Array.empty)
+    assert(math.abs(fr.aNext(0) - 0.7 * series.last) < 1e-12)
+  }
+
+  test("MLE recovers simulated ARMA(1,1) parameters and dominates the truth") {
+    val rng = new scala.util.Random(42)
+    val (phi, theta, n) = (0.7, 0.4, 400)
+    val z = Array.fill(n + 100)(0.0)
+    var ePrev = 0.0
+    for (t <- 1 until z.length) {
+      val e = rng.nextGaussian()
+      z(t) = phi * z(t - 1) + e + theta * ePrev
+      ePrev = e
+    }
+    val y = z.drop(100)
+    val f = Sarimax.fit(y, Order(p = 1, d = 0, q = 1, P = 0, D = 0, Q = 0, s = 1))
+    val llTrue = Sarimax.filter(y, Array(phi), Array(theta)).concentratedLogLik
+    assert(f.logLik >= llTrue - 1e-6,
+      s"MLE ${f.logLik} must dominate truth $llTrue")
+    assert(math.abs(f.ar.head - phi) < 0.15, s"phi ${f.ar.head}")
+    assert(math.abs(f.ma.head - theta) < 0.2, s"theta ${f.ma.head}")
+    assert(f.sigma2 > 0.7 && f.sigma2 < 1.3, s"sigma2 ${f.sigma2}")
+  }
+
+  test("seasonal MLE picks up a planted seasonal AR signal") {
+    val rng = new scala.util.Random(11)
+    val (sphi, s) = (0.8, 4)
+    val z = Array.fill(500)(0.0)
+    for (t <- s until z.length) z(t) = sphi * z(t - s) + rng.nextGaussian()
+    val y = z.drop(100)
+    val f = Sarimax.fit(y, Order(p = 0, d = 0, q = 0, P = 1, D = 0, Q = 0, s = s))
+    assert(math.abs(f.sar.head - sphi) < 0.1, s"seasonal phi ${f.sar.head}")
+  }
+
+  test("d=1 forecast undoes the differencing (random walk + drift-free AR)") {
+    // y = cumsum of an AR(1) increment series: fit ARIMA(1,1,0) and check
+    // the 1-step forecast is y_n + phî·Δy_n (exact AR(1) conditional mean
+    // pushed through the integration)
+    val rng = new scala.util.Random(5)
+    val inc = Array.fill(300)(0.0)
+    for (t <- 1 until inc.length) inc(t) = 0.6 * inc(t - 1) + rng.nextGaussian()
+    val y = inc.scanLeft(10.0)(_ + _).drop(1)
+    val f = Sarimax.fit(y, Order(p = 1, d = 1, q = 0, P = 0, D = 0, Q = 0, s = 1))
+    val want = y.last + f.ar.head * (y.last - y(y.length - 2))
+    assert(math.abs(f.forecastNext - want) < 1e-9,
+      s"${f.forecastNext} != $want")
+  }
+}
