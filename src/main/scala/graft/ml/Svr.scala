@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * The reference benchmarks sklearn `SVR()` as a weak baseline
   * (`slide20.xml`: "underperformed"; imports in `Marilyn_Cleaning.ipynb`
   * cell 1). Kernel (RBF) SVR trains against an O(n²) kernel matrix —
-  * there is no honest 100 TB analog, so this implements the
-  * `sklearn.svm.LinearSVR` formulation instead (documented exclusion of
-  * the kernel path; random-features/Nyström would be the scale-out route):
+  * there is no honest 100 TB analog of the exact Gram-matrix solver, so
+  * the base fit implements the `sklearn.svm.LinearSVR` formulation, and
+  * [[fitRbf]] lifts it to the RBF kernel through a seeded
+  * random-Fourier-features map (linear in n — see its doc):
   *
   *   min_{w,b}  ½‖w‖² + C·Σᵢ L_ε(yᵢ − w·xᵢ − b)
   *
@@ -100,6 +101,81 @@ object Svr {
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tolerance)
     val state = lbfgs.minimizeAndReturnState(objective, DenseVector.zeros[Double](k + 1))
     LinearSvrModel(state.x(0 until k).toArray.toSeq, state.x(k), state.value, evals)
+  }
+
+  /** RBF-kernel ε-SVR made linear in n via RANDOM FOURIER FEATURES
+    * (Rahimi & Recht, "Random Features for Large-Scale Kernel Machines",
+    * NeurIPS 2007 — the published scale-out route the linear-only
+    * exclusion note above pointed at). Bochner's theorem: the shift-
+    * invariant kernel k(x,y)=exp(−γ‖x−y‖²) is the expectation of
+    * cos(wᵀx+b)·cos(wᵀy+b) under w ~ N(0, 2γI), b ~ U[0,2π); with D
+    * seeded draws the map
+    *
+    *   z(x) = √(2/D) · [cos(wᵢᵀx + bᵢ)]ᵢ₌₁..D
+    *
+    * satisfies z(x)ᵀz(y) → k(x,y) at rate O(1/√D), so LinearSVR on z
+    * approximates kernel SVR without ever forming the O(n²) Gram matrix.
+    *
+    * Execution model: W (D×k) and b are a few KB drawn on the driver
+    * from a fixed seed; the map is D pure cos() projection COLUMNS
+    * (codegen'd, narrow, no UDF, no shuffle), and the fit is the same
+    * one-distributed-aggregation-per-evaluation loop as [[fit]] — the
+    * whole thing scans the data, never pairs it, so it holds at 100 TB.
+    * Inputs are z-scaled first (γ is then in units of standardized
+    * squared distance, the `RBFSampler`-after-`StandardScaler` sklearn
+    * pipeline shape); the model carries the full map for prediction. */
+  final case class RbfSvrModel(freq: Seq[Seq[Double]], phase: Seq[Double],
+                               mu: Seq[Double], sd: Seq[Double],
+                               linear: LinearSvrModel, gamma: Double) {
+    /** The feature map as columns over the RAW feature columns. */
+    def featureExprs(featureCols: Seq[String]): Seq[Column] = {
+      val d = freq.size
+      val xs = featureCols.zipWithIndex.map { case (c, j) =>
+        (col(c) - lit(mu(j))) / lit(sd(j)) }
+      freq.zip(phase).map { case (w, b) =>
+        lit(math.sqrt(2.0 / d)) *
+          cos(xs.zip(w).map { case (x, wj) => x * lit(wj) }.reduce(_ + _) + lit(b))
+      }
+    }
+    /** End-to-end prediction expression (map ∘ linear head), still one
+      * codegen'd scalar expression — no UDF. */
+    def predictExpr(featureCols: Seq[String]): Column =
+      featureExprs(featureCols).zip(linear.coefficients)
+        .map { case (z, w) => z * lit(w) }
+        .reduce(_ + _) + lit(linear.intercept)
+  }
+
+  /** Fit RBF-SVR with D random Fourier features. Defaults mirror sklearn
+    * (`RBFSampler`: gamma=1.0, n_components=100 — trimmed to 64 here;
+    * `SVR`: C=1, but ε defaults to 0 like [[fit]] for continuity). */
+  def fitRbf(df: DataFrame, featureCols: Seq[String], label: String,
+             gamma: Double = 1.0, numFeatures: Int = 64, seed: Long = 42L,
+             c: Double = 1.0, epsilon: Double = 0.0, smoothing: Double = 1e-3,
+             maxIter: Int = 200, tolerance: Double = 1e-6): RbfSvrModel = {
+    require(gamma > 0 && numFeatures > 0, "gamma>0, D>0")
+    val k = featureCols.size
+    val Standardize.Moments(mu, sd, _) = Standardize.moments(df, featureCols, label)
+    // java.util.Random's algorithm is specified — same seed, same map on
+    // every JVM, so the "random" features are reproducible build-to-build
+    val rng = new scala.util.Random(seed)
+    val freq = Seq.fill(numFeatures)(
+      Seq.fill(k)(rng.nextGaussian() * math.sqrt(2.0 * gamma)))
+    val phase = Seq.fill(numFeatures)(rng.nextDouble() * 2.0 * math.Pi)
+    val model = RbfSvrModel(freq, phase, mu, sd,
+      LinearSvrModel(Seq.fill(numFeatures)(0.0), 0.0, 0.0, 0), gamma)
+    val zCols = (0 until numFeatures).map(i => s"__rff$i")
+    val mapped = df.select(
+      model.featureExprs(featureCols).zip(zCols)
+        .map { case (e, n) => e.as(n) } :+ col(label): _*)
+      .cache()
+    try {
+      mapped.count()
+      // z-features are already bounded (|zᵢ| ≤ √(2/D)) and centered-ish;
+      // standardize handles the label centering and any residual spread
+      val lin = fit(mapped, zCols, label, c, epsilon, smoothing,
+        maxIter, tolerance, standardize = true)
+      model.copy(linear = lin)
+    } finally { mapped.unpersist(); () }
   }
 
   /** Scale → fit raw-path on the z-scaled projection → map back:

@@ -45,4 +45,39 @@ object Layout {
     box.foldLeft(stats) { case (acc, (c, lo, hi)) =>
       acc.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
     }
+
+  /** The intersection test as one boolean column (same predicate as
+    * [[candidateFiles]], kept as a flag instead of a filter so a
+    * manifest query can EMIT the planning decision per file). */
+  def candidateExpr(box: Seq[(String, Long, Long)]): Column =
+    box.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi
+    }.reduce(_ && _)
+
+  /** Deterministic grid-clustered write: `bucketCol` is a FIXED-WIDTH
+    * range bucket of the cluster key (e.g. `z div 2^27` for 32 buckets
+    * over the 32-bit z-domain), each bucket becoming one output
+    * directory. Unlike [[writeClustered]]'s `repartitionByRange` (whose
+    * boundaries come from a nondeterministic driver-side sample sketch),
+    * the grid assignment is a pure row-local function of the data — no
+    * global sort, no sampling, bit-for-bit reproducible by any engine —
+    * which is what lets a DuckDB oracle replay the resulting manifest.
+    * Equal-WIDTH buckets trade balanced file sizes for determinism; the
+    * sampled range path stays the compaction default when only the
+    * pruning (not the manifest hash) must be reproducible. */
+  def writeGridBucketed(df: DataFrame, bucketCol: Column, outDir: String): Unit =
+    df.withColumn("bucket", bucketCol)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(outDir)
+
+  /** Manifest of a [[writeGridBucketed]] layout read BACK from the files
+    * at rest: per-bucket (= per-directory) min/max of `cols`. `bucket`
+    * comes back as a partition column (int-inferred → cast to long). */
+  def bucketStats(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dir)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

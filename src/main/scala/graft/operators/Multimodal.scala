@@ -46,21 +46,36 @@ object Multimodal {
     (sum, (64 + sum % 1857).toInt, (48 + sum % 1393).toInt)
   }
 
-  /** Decode/feature-extract over a media frame: one decoder "session" per
-    * partition (the `mapPartitions` closure), row-at-a-time decode inside.
-    */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  /** Typed row for the decode input (payload + identity columns). */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Typed row for the decoded features — mirrors [[decodedSchema]]. */
+  final case class DecodedRow(media_id: Long, kind: String, n_bytes: Long,
+                              checksum: Long, width: Int, height: Int)
+
+  /** Decode/feature-extract over a media frame: a typed
+    * `Dataset.mapPartitions` (narrow, shuffle-free) with the codec
+    * behind an injectable per-partition factory — the seam a real
+    * pipeline fills with `() => { val codec = NativeCodec.open(); bytes
+    * => codec.decode(bytes) }`. The factory runs ONCE per partition (the
+    * expensive decoder init amortized across the whole partition) and
+    * the returned function once per row; `MultimodalSpec` counts both
+    * through the seam with accumulators. Default factory hands out the
+    * documented [[fakeDecode]] stub (this container has no codecs). */
+  def decodeFeatures(media: DataFrame,
+                     decoderFactory: () => Array[Byte] => (Long, Int, Int) =
+                       () => fakeDecode): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { it =>
-      // Real pipelines initialize the codec once per partition here.
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
-        val (sum, w, h) = fakeDecode(bytes)
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-          bytes.length.toLong, sum, w, h)
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        val decode = decoderFactory() // one codec session per partition
+        it.map { m =>
+          val (sum, w, h) = decode(m.payload)
+          DecodedRow(m.media_id, m.kind, m.payload.length.toLong, sum, w, h)
+        }
       }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+      .toDF()
   }
 
   /** Deterministic frame-sampling stub: take every `stride`-th byte as a

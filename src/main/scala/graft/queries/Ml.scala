@@ -358,6 +358,36 @@ object Ml {
       }
     }),
 
+    /** `ml_svr_rbf`: kernel SVR de-excluded — RBF via the seeded
+      * random-Fourier-features map (`ml/Svr.scala` `fitRbf`, Rahimi &
+      * Recht 2007), linear in n, never forming the O(n²) Gram matrix.
+      * The reference's `SVR()` default is the RBF kernel
+      * (`Marilyn_Cleaning.ipynb` cell 1 / `slide15.xml`), so this — not
+      * `ml_svr` — is the named model family's runnable counterpart.
+      * γ = 1/k mirrors sklearn's `gamma='scale'` on z-scored inputs.
+      * Output mirrors `ml_gbt`'s train-metrics row; rows-only (the RFF
+      * weights live in a rotated feature space with no SQL closed form —
+      * kernel recovery is pinned in `MlSpec`). */
+    "ml_svr_rbf" -> ((s, d) => {
+      import s.implicits._
+      withFrame(s, d) { train =>
+        val (_, sy) = Models.labelStats(train, ModelingFrame.Target)
+        val m = Svr.fitRbf(train, ModelingFrame.EventTypes, ModelingFrame.Target,
+          gamma = 1.0 / ModelingFrame.EventTypes.size, numFeatures = 64,
+          smoothing = math.max(1e-3, 0.01 * sy), maxIter = 100)
+        val pred = train.select(
+          col(ModelingFrame.Target).as("y"),
+          m.predictExpr(ModelingFrame.EventTypes).as("yhat"))
+        val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+        Seq((r.getAs[Long]("n"),
+            math.rint(r.getAs[Double]("mae") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("rmse") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("r2") * 1e6) / 1e6,
+            math.rint(r.getAs[Double]("dir_acc") * 1e6) / 1e6))
+          .toDF("n", "mae", "rmse", "r2", "dir_acc")
+      }
+    }),
+
     /** `ml_mlp` (de-excluded): 1-hidden-layer ReLU MLP regressor,
       * full-batch L-BFGS (sklearn `MLPRegressor(solver="lbfgs")` shape),
       * internally z-scaled — the reference's MLP "collapsed"

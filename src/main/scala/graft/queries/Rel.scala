@@ -548,30 +548,42 @@ object Rel {
     }),
 
     /** The layout payoff, measured (`operators.Layout`): write the same
-      * rows clustered by z (repartitionByRange + sort → each file owns a
-      * compact z-range, hence a compact (value, ts) rectangle) and, as
-      * the control, clustered by ts alone; build the per-file min/max
-      * manifest a table format keeps; count candidate files for the same
-      * 2-D box predicate against both. Z-order must prune BOTH
-      * dimensions where the single-column sort prunes only its own —
-      * `ZOrderSpec` pins the inequality, this entry records the numbers.
-      * Rows-only: file layout is not SQL-observable. */
+      * rows grid-clustered by z (fixed-width z-range buckets — each file
+      * owns a compact z-range, hence a compact (value, ts) rectangle)
+      * and, as the control, grid-clustered by ts alone; read the files
+      * back and build the per-file min/max manifest a table format
+      * keeps; emit it LONG-form with the planner's intersection verdict
+      * per file for the same 2-D box predicate. Z-order prunes BOTH
+      * dimensions where the single-column sort prunes only its own (the
+      * box is one level-2 quadrant of the curve → ~2 of 32 z-buckets
+      * intersect vs 8 of 32 linear buckets).
+      *
+      * Grid (equal-width) bucketing instead of sampled range partitioning
+      * makes the WHOLE pipeline — bucket assignment, file layout,
+      * manifest, pruning decision — a deterministic function of the
+      * data, so the DuckDB twin replays it hash-for-hash (the adaptive-
+      * oracle convention). The sampled `repartitionByRange` compaction
+      * path stays in [[graft.operators.Layout.writeClustered]], pinned
+      * by `ZOrderSpec`'s measured file-count inequality. */
     "zorder_layout_prune" -> ((s, d) => {
       import graft.operators.Layout
       val q = zorderInput(s, d)
         .withColumn("z", graft.functions.ZOrder.zValue2(col("zx"), col("zy")))
       val zDir = graft.sources.Scratch.dir("zorder", d, "by_z")
       val lDir = graft.sources.Scratch.dir("zorder", d, "by_time")
-      Layout.writeClustered(q, col("z"), zDir, nFiles = 32)
-      Layout.writeClustered(q, col("zy"), lDir, nFiles = 32)
+      // 32 buckets over the 32-bit z-domain / the 16-bit zy-domain
+      Layout.writeGridBucketed(q, expr("z div 134217728"), zDir)
+      Layout.writeGridBucketed(q, expr("zy div 2048"), lDir)
       // middle quarter of each dimension: 1/16 of the plane
       val box = Seq(("zx", 16384L, 32767L), ("zy", 16384L, 32767L))
-      def stats(dir: String) = Layout.fileStats(s, dir, Seq("zx", "zy"))
-      val (zAll, zCand) = (stats(zDir).count(), Layout.candidateFiles(stats(zDir), box).count())
-      val (lAll, lCand) = (stats(lDir).count(), Layout.candidateFiles(stats(lDir), box).count())
-      import s.implicits._
-      Seq((zAll, zCand, lAll, lCand)).toDF(
-        "n_files_zorder", "n_candidates_zorder", "n_files_linear", "n_candidates_linear")
+      def manifest(dir: String, layout: String) =
+        Layout.bucketStats(s, dir, Seq("zx", "zy"))
+          .withColumn("layout", lit(layout))
+          .withColumn("candidate", Layout.candidateExpr(box))
+      manifest(zDir, "zorder").unionByName(manifest(lDir, "linear"))
+        .select("layout", "bucket", "zx_min", "zx_max", "zy_min", "zy_max",
+          "candidate")
+        .orderBy("layout", "bucket")
     }),
 
     // ---- §2.3 missing data --------------------------------------------
@@ -1396,6 +1408,39 @@ object Rel {
         |SELECT event_id, zx, zy,
         |  (""".stripMargin + duckSpread("zx") + " | (" + duckSpread("zy") + """ << 1)) AS z
         |FROM q ORDER BY event_id""".stripMargin),
+
+    // Replays the grid-bucketed layout end-to-end: same quantize + spread
+    // ladder as zorder_curve, then the fixed-width bucket assignment, the
+    // per-bucket min/max manifest, and the box-intersection planning
+    // verdict — deterministic at every step, so the file layout the Spark
+    // side actually wrote hash-matches this logical replay.
+    "zorder_layout_prune" -> (
+      """WITH mm AS (SELECT min(value) AS vlo, max(value) AS vhi,
+        |                   min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi FROM events),
+        |q AS (
+        |  SELECT event_id,
+        |    CASE WHEN vhi <= vlo THEN 0 ELSE least(65535, greatest(0,
+        |      CAST(floor((value - vlo) * 65535.0 / (vhi - vlo)) AS BIGINT))) END AS zx,
+        |    CASE WHEN thi <= tlo THEN 0 ELSE least(65535, greatest(0,
+        |      CAST(floor((epoch_us(ts) - tlo) * 65535.0 / (thi - tlo)) AS BIGINT))) END AS zy
+        |  FROM events, mm),
+        |zc AS (
+        |  SELECT zx, zy,
+        |    (""".stripMargin + duckSpread("zx") + " | (" + duckSpread("zy") + """ << 1)) AS z
+        |  FROM q),
+        |b AS (
+        |  SELECT 'zorder' AS layout, z // 134217728 AS bucket, zx, zy FROM zc
+        |  UNION ALL
+        |  SELECT 'linear' AS layout, zy // 2048 AS bucket, zx, zy FROM zc),
+        |m AS (
+        |  SELECT layout, bucket,
+        |    min(zx) AS zx_min, max(zx) AS zx_max,
+        |    min(zy) AS zy_min, max(zy) AS zy_max
+        |  FROM b GROUP BY layout, bucket)
+        |SELECT layout, bucket, zx_min, zx_max, zy_min, zy_max,
+        |  (zx_max >= 16384 AND zx_min <= 32767 AND
+        |   zy_max >= 16384 AND zy_min <= 32767) AS candidate
+        |FROM m ORDER BY layout, bucket""".stripMargin),
 
     "scan_csv_labels" -> (evdSql +
       "SELECT event_id, v_sparse, v_moderate FROM evd ORDER BY event_id"),

@@ -152,6 +152,28 @@ object Ts {
           round(col("df_tstat"), 4).as("df_tstat"))
         .orderBy("user_id")),
 
+    /** `seasonal_design_by_series` (SURVEY.md §4.3.3's 100 TB prescription
+      * for the §2.7 spine, exercised end-to-end): the SARIMA design
+      * builder in MULTI-SERIES long format — every window in the plan is
+      * `Window.partitionBy(user_id)`, so the sort is per-series and the
+      * stage parallelizes across keys instead of collapsing to the
+      * single-task global window the reference's one-series notebook
+      * shape implies. Same [[TimeSeries.seasonalDesign]] code path as
+      * `ml_sarima` (which runs it with `Nil` on the provably tiny daily
+      * frame); PlanAuditSpec asserts the partitioned window. */
+    "seasonal_design_by_series" -> ((s, d) =>
+      TimeSeries.seasonalDesign(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("event_id")), "value",
+          TimeSeries.SeasonalOrder(p = 2, d = 1, P = 1, D = 0, s = 7))
+        .filter(col("sar_lag1").isNotNull && col("sar_lag2").isNotNull &&
+          col("sar_slag7").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          round(col("sar_y"), 6).as("sar_y"),
+          round(col("sar_lag1"), 6).as("sar_lag1"),
+          round(col("sar_lag2"), 6).as("sar_lag2"),
+          round(col("sar_slag7"), 6).as("sar_slag7"))
+        .orderBy("event_id")),
+
     // ---- §2.9 metric aggregates (SQL-expressible ML slice) -------------
     "ml_metric_r2" -> ((s, d) => {
       val p = pred(s, d)
@@ -368,6 +390,25 @@ object Ts {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "seasonal_design_by_series" ->
+      """WITH dsr AS (
+        |  SELECT event_id, user_id,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS sar_y
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_id, user_id, sar_y,
+        |    lag(sar_y, 1) OVER w AS sar_lag1,
+        |    lag(sar_y, 2) OVER w AS sar_lag2,
+        |    lag(sar_y, 7) OVER w AS sar_slag7
+        |  FROM dsr WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT event_id, user_id, round(sar_y, 6) AS sar_y,
+        |  round(sar_lag1, 6) AS sar_lag1, round(sar_lag2, 6) AS sar_lag2,
+        |  round(sar_slag7, 6) AS sar_slag7
+        |FROM lagged
+        |WHERE sar_lag1 IS NOT NULL AND sar_lag2 IS NOT NULL
+        |  AND sar_slag7 IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
     "stationarity_test" ->

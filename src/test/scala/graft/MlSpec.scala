@@ -222,6 +222,63 @@ class MlSpec extends SparkSpec {
     assert(m.coefficients.forall(w => math.abs(w) < 1e-6), m.coefficients.toString)
   }
 
+  // ---- RBF SVR (random Fourier features) -------------------------------
+
+  test("random Fourier feature map approximates the RBF kernel") {
+    // Bochner check: z(x)·z(y) -> exp(-γ‖x−y‖²) at rate O(1/√D). The
+    // map is evaluated through the model's own column expressions so the
+    // test covers the Spark-side math, not a parallel reimplementation.
+    val s = spark; import s.implicits._
+    val pts = Seq((0L, 0.0, 0.0), (1L, 0.5, -0.3), (2L, 1.2, 0.8), (3L, -1.0, 1.5))
+    val d = pts.toDF("id", "x1", "x2")
+    // identity standardization (μ=0, σ=1) isolates the kernel identity
+    val gamma = 0.7
+    val model = graft.ml.Svr.RbfSvrModel(
+      freq = Nil, phase = Nil, mu = Seq(0.0, 0.0), sd = Seq(1.0, 1.0),
+      linear = graft.ml.Svr.LinearSvrModel(Nil, 0.0, 0.0, 0), gamma = gamma)
+    val rng = new scala.util.Random(7L)
+    val bigD = 4096
+    val freq = Seq.fill(bigD)(Seq.fill(2)(rng.nextGaussian() * math.sqrt(2.0 * gamma)))
+    val phase = Seq.fill(bigD)(rng.nextDouble() * 2.0 * math.Pi)
+    val m = model.copy(freq = freq, phase = phase)
+    val z = d.select(col("id") +: m.featureExprs(Seq("x1", "x2"))
+        .zipWithIndex.map { case (e, i) => e.as(s"z$i") }: _*)
+      .orderBy("id").collect()
+      .map(r => (0 until bigD).map(i => r.getDouble(1 + i)))
+    for (i <- pts.indices; j <- pts.indices if i < j) {
+      val (_, xi1, xi2) = pts(i); val (_, xj1, xj2) = pts(j)
+      val exact = math.exp(-gamma * ((xi1 - xj1) * (xi1 - xj1) + (xi2 - xj2) * (xi2 - xj2)))
+      val approxK = z(i).zip(z(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(approxK - exact) < 0.05,
+        s"pair ($i,$j): RFF $approxK vs exact $exact")
+    }
+  }
+
+  test("RBF SVR recovers a nonlinear function linear SVR cannot fit") {
+    // y = sin(2x) on a grid: the best linear fit is ~flat (symmetric
+    // grid), so linear SVR's train MAE stays near E|sin| ≈ 0.6 while the
+    // kernel machine (via its RFF linearization) interpolates it.
+    val s = spark; import s.implicits._
+    val grid = (-20 to 20).map { i =>
+      val x = i / 10.0; (i.toLong, x, math.sin(2.0 * x)) }
+    val d = grid.toDF("id", "x", "y").coalesce(1).cache()
+    val lin = graft.ml.Svr.fit(d, Seq("x"), "y",
+      c = 10.0, epsilon = 0.01, smoothing = 1e-4, maxIter = 200)
+    val rbf = graft.ml.Svr.fitRbf(d, Seq("x"), "y",
+      gamma = 2.0, numFeatures = 128, seed = 42L,
+      c = 100.0, epsilon = 0.01, smoothing = 1e-4, maxIter = 400)
+    def mae(predict: org.apache.spark.sql.Column) =
+      d.select(avg(abs(col("y") - predict))).head().getDouble(0)
+    val (linMae, rbfMae) = (mae(lin.predictExpr(Seq("x"))), mae(rbf.predictExpr(Seq("x"))))
+    assert(rbfMae < 0.05, s"RBF train MAE $rbfMae")
+    assert(linMae > 0.3, s"linear SVR should NOT fit sin(2x): MAE $linMae")
+    // determinism: same seed, same map, same coefficients
+    val rbf2 = graft.ml.Svr.fitRbf(d, Seq("x"), "y",
+      gamma = 2.0, numFeatures = 128, seed = 42L,
+      c = 100.0, epsilon = 0.01, smoothing = 1e-4, maxIter = 400)
+    assert(rbf.freq == rbf2.freq && rbf.phase == rbf2.phase)
+  }
+
   // ---- MLP regressor ---------------------------------------------------
 
   test("MLP analytic gradient matches finite differences (backprop check)") {

@@ -25,6 +25,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Int]("width") == 64 + 36 % 1857)
   }
 
+  test("decoder seam: factory runs once per partition, decode once per row") {
+    // The contract a native codec depends on: its (expensive) init is
+    // amortized per partition, never per row — counted through the seam
+    // with accumulators so the counts come from the executor side.
+    val inits = spark.sparkContext.longAccumulator("decoder-inits")
+    val decodes = spark.sparkContext.longAccumulator("decoder-calls")
+    val m = media.repartition(3)
+    val nPartitions = m.rdd.getNumPartitions
+    val out = Multimodal.decodeFeatures(m, () => {
+      inits.add(1)
+      bytes => { decodes.add(1); Multimodal.fakeDecode(bytes) }
+    })
+    assert(out.count() == 2)
+    assert(inits.value == nPartitions,
+      s"expected one decoder init per partition ($nPartitions), got ${inits.value}")
+    assert(decodes.value == 2, s"expected one decode per row, got ${decodes.value}")
+    // and an injected decoder's output flows through (not the default stub)
+    val injected = Multimodal.decodeFeatures(m, () => _ => (7L, 2, 3))
+      .select("checksum", "width", "height").distinct().collect()
+    assert(injected.toSeq.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))) ==
+      Seq((7L, 2, 3)))
+  }
+
   test("fakeDecode matches the SQL-side formula shape") {
     val (sum, w, h) = Multimodal.fakeDecode(Array[Byte](10, 20))
     assert(sum == 30L && w == (64 + 30 % 1857) && h == (48 + 30 % 1393))

@@ -69,6 +69,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the typed-buffer aggregate pair in:\n$p")
   }
 
+  test("the multi-series seasonal design windows are PARTITIONED, not single-task") {
+    // §2.7 spine at 100 TB: every Window node must carry a partition spec
+    // (per-series sort) — the plan string prints
+    // `Window [exprs], [user_id#N], [event_id#M ASC ...]`; a global window
+    // would print no partition list and run as ONE task.
+    val p = plans("seasonal_design_by_series")
+    assert(p.contains("Window ["), s"expected a window node in:\n$p")
+    val partitioned = "Window \\[[^\\]]*\\], \\[user_id#\\d+L?\\], \\[event_id#".r
+    assert(partitioned.findFirstIn(p).isDefined,
+      s"seasonal design window must partition by the series key:\n$p")
+  }
+
   test("heavy hitters: candidate set is broadcast, sketch runs as an object-hash aggregate") {
     val p = plans("agg_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"),
