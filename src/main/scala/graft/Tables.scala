@@ -26,20 +26,42 @@ object Tables {
     datediff(ts.cast("date"), lit("1970-01-01").cast("date"))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent
-    * (TimestampType is microseconds). Read it as a raw long (`nanosAsLong`)
-    * and expose:
+  /** `events.ts` has shipped in two at-rest encodings across harness
+    * generations — parquet TIMESTAMP(NANOS) (which Spark cannot
+    * represent; `nanosAsLong` surfaces it as a raw long) and plain
+    * TIMESTAMP(MICROS). [[normalizeEventTs]] makes the engine contract
+    * independent of which one is on disk:
     *   - `ts_ns`: LongType nanos since epoch — the canonical, lossless
-    *     ordering/equality key (what the oracle compares via `epoch_ns`);
-    *   - `ts`: TimestampType truncated to micros — for calendar ops
-    *     (day/year truncation is unaffected by the dropped sub-µs part).
+    *     ordering/equality key (what the oracle compares via
+    *     `epoch_ns`/`epoch_us`; for µs-at-rest data the ×1000 widening
+    *     is exact, so both encodings produce identical ts_ns semantics);
+    *   - `ts`: TimestampType at micros — for calendar ops (day/year
+    *     truncation is unaffected by any dropped sub-µs part).
+    * Column order is pinned to the historical layout (ts_ns in the
+    * original ts position, µs ts appended last). Sessions are UTC
+    * engine-wide (Verify/Bench/tests), which is what makes the
+    * NTZ-at-rest → instant interpretation match DuckDB's naive read.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) at rest, read as raw ns longs
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP/TIMESTAMP_NTZ (µs) at rest
+        val ts = col("ts").cast(TimestampType)
+        val inPlace = df.columns.toIndexedSeq.map {
+          case "ts" => (unix_micros(ts) * lit(1000L)).as("ts_ns")
+          case c    => col(c)
+        }
+        df.select(inPlace :+ ts.as("ts"): _*)
+    }
+  }
+
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

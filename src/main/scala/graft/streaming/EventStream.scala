@@ -18,28 +18,33 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** `events.parquet` physical schema under `nanosAsLong` (the TIMESTAMP
-    * (NANOS) column arrives as a long — see graft.Tables). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** `events.parquet` physical schema with `ts` at its historical
+    * nanos-as-long encoding (see graft.Tables — the harness has shipped
+    * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) generations). */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType = LongType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming scan of an events directory; emits the same columns as the
-    * batch loader (`ts_ns` long + µs `ts`).
+    * batch loader (`ts_ns` long + µs `ts`). The stream source needs a
+    * declared schema, and `ts`'s at-rest type differs across harness
+    * generations — one batch schema probe of the directory (metadata
+    * only, no data scan) pins it, then `Tables.normalizeEventTs` applies
+    * the same contract as the batch loader.
     * @param maxFilesPerTrigger bound files per micro-batch (None = all
     *                           available files in one batch) */
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsSchema)
+    val atRestTs = spark.read.parquet(s"$dir/events*.parquet").schema("ts").dataType
+    val reader = spark.readStream.schema(eventsSchema(atRestTs))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
+    graft.Tables.normalizeEventTs(reader
       // glob, not a bare file path: the file stream source requires its
       // basePath to be a directory (here: the SF dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .parquet(s"$dir/events*.parquet"))
   }
 
   /** Tumbling-window aggregation with watermark — the streaming twin of
