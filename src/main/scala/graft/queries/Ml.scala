@@ -258,6 +258,39 @@ object Ml {
           "forecast_next", "n_obs")
     }),
 
+    /** `ml_sarimax_select`: AIC order selection over state-space fits —
+      * the statsmodels workflow the reference's notebook follows (pick
+      * SARIMAX orders by information criterion, `Marilyn_Cleaning.ipynb`
+      * cell 34's fitted order). Six candidate ARIMA(p,1,q)×(P,0,Q)₇
+      * orders fit by exact Kalman-filter MLE (`ml/Sarimax.scala`) on the
+      * daily click series; output is the ranked AIC table with the
+      * winner flagged — ties broken toward the smaller model, the
+      * parsimony rule every selection loop uses. Independent fits run on
+      * parallel driver threads (driver-side math like statsmodels; the
+      * distributed stage is the events→daily collapse). Rows-only: AIC
+      * law, winner determinism and grid shape pinned in SarimaxSpec. */
+    "ml_sarimax_select" -> ((s, d) => {
+      import s.implicits._
+      val y = ModelingFrame.daily(s, d).select("date_id", "click")
+        .na.drop("any").orderBy("date_id")
+        .collect().map(_.getDouble(1))
+      val grid = Seq((1, 0, 0, 0), (0, 1, 0, 0), (1, 1, 0, 0),
+        (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))
+      val fits = Models.inParallel(grid.map { case (p, q, sp, sq) => () =>
+        val f = Sarimax.fit(y, Sarimax.Order(p = p, d = 1, q = q, P = sp, D = 0, Q = sq, s = 7))
+        (p, q, sp, sq, f)
+      })
+      val bestAic = fits.map(_._5.aic).min
+      val best = fits.filter(_._5.aic == bestAic)
+        .minBy { case (p, q, sp, sq, _) => (p + q + sp + sq, p, q, sp, sq) }
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      fits.map { case (p, q, sp, sq, f) =>
+        (p, q, sp, sq, f.order.nParams, r6(f.logLik), r6(f.aic),
+          (p, q, sp, sq) == ((best._1, best._2, best._3, best._4)))
+      }.toDF("p", "q", "sp", "sq", "n_params", "loglik", "aic", "is_best")
+        .orderBy("aic", "p", "q", "sp", "sq")
+    }),
+
     /** Per-series quadratic trend via the [[GroupedOls]] custom
       * Aggregator: value ~ (1, day, day²) fitted for every event_type in
       * ONE aggregation — the shuffle carries O(k²) sufficient statistics
@@ -340,6 +373,69 @@ object Ml {
       }
     }),
 
+    /** `ml_conformal_interval`: SPLIT-CONFORMAL prediction intervals —
+      * the distribution-free upgrade a forecasting product needs over a
+      * point forecast (the reference reports point metrics only).
+      * Protocol (Vovk; Lei et al. 2018): time-ordered 50/25/25 split
+      * (train < c₁ ≤ cal < c₂ ≤ test from integer µs-clock cuts), OLS on
+      * train, nonconformity = |y − ŷ| on cal, q̂ = the
+      * ⌈(n_cal+1)(1−α)⌉-th smallest cal score (α=0.1 — integer ceil
+      * arithmetic, no float), and the interval ŷ ± q̂ is guaranteed
+      * ≥ 1−α coverage on exchangeable data; the query reports the
+      * EMPIRICAL test coverage next to the guarantee.
+      *
+      * The regression runs ROW-LEVEL on the fact table (value ~ type
+      * dummies + hour-of-day), not on the aggregate-sized daily frame —
+      * calibration needs enough points for a meaningful quantile, and
+      * this is the shape conformal takes at 100 TB: the fit is a k-sized
+      * normal-equations solve, the calibration quantile is an EXACT
+      * order statistic taken as max-of-k-smallest (orderBy + limit k →
+      * TakeOrdered, never a materialized global sort), and n_cal is the
+      * only driver round-trip. Coverage compares residuals pre-rounded
+      * to the 1e-6 grid so both engines decide every boundary
+      * identically. Oracle replays the whole protocol: elimination
+      * closed-form OLS over the same five regressors, row_number order
+      * statistic, same integer cuts and ceil. */
+    "ml_conformal_interval" -> ((s, d) => {
+      import s.implicits._
+      val feats = Seq("f_error", "f_purchase", "f_signup", "f_view", "f_hour")
+      val base = Tables.events(s, d).select(
+        col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        (col("event_type") === "error").cast("double").as("f_error"),
+        (col("event_type") === "purchase").cast("double").as("f_purchase"),
+        (col("event_type") === "signup").cast("double").as("f_signup"),
+        (col("event_type") === "view").cast("double").as("f_view"),
+        hour(col("ts")).cast("double").as("f_hour"),
+        col("value").as("y"))
+      val b = base.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 2, lo + (hi - lo) * 3 / 4)
+      val assembled = Models.assemble(base, feats)
+      val train = assembled.filter(col("ts_us") < c1)
+      val cal = assembled.filter(col("ts_us") >= c1 && col("ts_us") < c2)
+      val test = assembled.filter(col("ts_us") >= c2)
+      val m = Models.ols("y").fit(train)
+      def resid(x: DataFrame) = m.transform(x).select(col("event_id"),
+        abs(col("y") - col(Models.PredictionCol)).as("r"))
+      val calR = resid(cal).cache()
+      try {
+        val nCal = calR.count()
+        val k = (9L * (nCal + 1) + 9L) / 10L // ceil(0.9·(n_cal+1)), exact
+        require(k >= 1 && k <= nCal, s"calibration window too small: n_cal=$nCal")
+        val q = calR.orderBy(col("r"), col("event_id")).limit(k.toInt)
+          .agg(max(col("r"))).head().getDouble(0)
+        val cov = resid(test)
+          .agg(count(lit(1)).as("n"),
+            avg((round(col("r"), 6) <= round(lit(q), 6)).cast("double")).as("c"))
+          .head()
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        Seq((train.count(), nCal, cov.getAs[Long]("n"), k,
+            r6(q), r6(cov.getAs[Double]("c")), r6(2 * q)))
+          .toDF("n_train", "n_cal", "n_test", "k", "q_hat", "coverage", "avg_width")
+      } finally { calR.unpersist(); () }
+    }),
+
     /** `ml_svr` (de-excluded): linear ε-insensitive SVR — sklearn
       * `LinearSVR`-shaped (C=1, ε=0); kernel SVR stays excluded (O(n²)
       * kernel matrix has no 100 TB analog — see `ml/Svr.scala`). */
@@ -408,6 +504,37 @@ object Ml {
             math.rint(r.getAs[Double]("r2") * 1e6) / 1e6,
             math.rint(r.getAs[Double]("dir_acc") * 1e6) / 1e6))
           .toDF("n", "mae", "rmse", "r2", "dir_acc")
+      }
+    }),
+
+    /** `ml_isotonic`: distributed ISOTONIC regression (monotone
+      * least-squares — the calibration primitive: probability/score
+      * calibration, monotone dose-response, shape-constrained trend).
+      * MLlib's implementation IS the scale story: pool-adjacent-violators
+      * runs per partition in parallel, and only the already-pooled
+      * (point, weight) summaries — monotone blocks, not rows — meet for
+      * the final driver-side pass, so the fit survives any row count
+      * while the model itself stays boundary-sized. Fit: next-day click
+      * target as a monotone function of today's click mean over the
+      * modeling frame; output mirrors `ml_gbt`'s train-metrics row plus
+      * the learned boundary count. Rows-only: PAVA has no SQL closed
+      * form; MlSpec pins exact equality with a reference driver-side
+      * PAVA on a violation-planted fixture plus the monotone
+      * postcondition. */
+    "ml_isotonic" -> ((s, d) => {
+      import s.implicits._
+      withFrame(s, d) { train =>
+        val m = new org.apache.spark.ml.regression.IsotonicRegression()
+          .setFeaturesCol("click").setLabelCol(ModelingFrame.Target)
+          .setPredictionCol("yhat").fit(train)
+        val pred = m.transform(train)
+          .select(col(ModelingFrame.Target).as("y"), col("yhat"))
+        val r = Evaluation.metricsFull(pred, "y", "yhat").head()
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        Seq((r.getAs[Long]("n"), m.boundaries.size,
+            r6(r.getAs[Double]("mae")), r6(r.getAs[Double]("rmse")),
+            r6(r.getAs[Double]("r2"))))
+          .toDF("n", "n_boundaries", "mae", "rmse", "r2")
       }
     }),
 
@@ -624,6 +751,49 @@ object Ml {
          |ORDER BY fold""".stripMargin
   }
 
+  /** `ml_conformal_interval` twin: the full split-conformal protocol —
+    * same integer µs-clock 50/75% cuts, train-side OLS by the
+    * elimination closed form over the same five row-level regressors,
+    * calibration |residual| scores, the ⌈0.9·(n_cal+1)⌉-th order
+    * statistic via row_number (integer-ceil arithmetic identical to the
+    * engine's), and test coverage on the 1e-6-rounded comparison. */
+  private def conformalSql: String = {
+    val cfeats = Vector("f_error", "f_purchase", "f_signup", "f_view", "f_hour")
+    val pred = s"b_int + ${cfeats.zipWithIndex.map {
+      case (nm, j) => s"b$j*$nm" }.mkString(" + ")}"
+    s"""WITH base AS (
+       |  SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
+       |    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS f_error,
+       |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS f_purchase,
+       |    CASE WHEN event_type = 'signup' THEN 1.0 ELSE 0.0 END AS f_signup,
+       |    CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END AS f_view,
+       |    CAST(date_part('hour', ts) AS DOUBLE) AS f_hour,
+       |    value AS y
+       |  FROM events),
+       |bounds AS (SELECT min(ts_us)::BIGINT AS lo, max(ts_us)::BIGINT AS hi FROM base),
+       |cvals AS (SELECT lo + (hi - lo) // 2 AS c1, lo + ((hi - lo) * 3) // 4 AS c2 FROM bounds),
+       |train AS (SELECT b.* FROM base b, cvals WHERE ts_us < c1),
+       |cal AS (SELECT b.* FROM base b, cvals WHERE ts_us >= c1 AND ts_us < c2),
+       |test AS (SELECT b.* FROM base b, cvals WHERE ts_us >= c2)${
+         olsCtes(0.0, src = "train", feats = cfeats, yCol = "y")},
+       |calr AS (SELECT event_id, abs(y - ($pred)) AS r FROM cal, fin),
+       |kv AS (SELECT count(*)::BIGINT AS n_cal,
+       |         (9 * (count(*) + 1) + 9) // 10 AS k FROM calr),
+       |qv AS (SELECT max(r) AS q FROM (
+       |         SELECT r, row_number() OVER (ORDER BY r, event_id) AS rn FROM calr) x, kv
+       |       WHERE x.rn <= kv.k),
+       |tr AS (SELECT event_id, abs(y - ($pred)) AS r FROM test, fin),
+       |cv AS (SELECT count(*)::BIGINT AS n_test,
+       |         avg(CASE WHEN round(tr.r, 6) <= round(qv.q, 6)
+       |                  THEN 1.0 ELSE 0.0 END) AS coverage
+       |       FROM tr, qv)
+       |SELECT (SELECT count(*)::BIGINT FROM train) AS n_train,
+       |  kv.n_cal, cv.n_test, kv.k::BIGINT AS k,
+       |  round(qv.q, 6) AS q_hat, round(cv.coverage, 6) AS coverage,
+       |  round(2 * qv.q, 6) AS avg_width
+       |FROM kv, qv, cv""".stripMargin
+  }
+
   /** `ml_gridsearch` twin: every (α, fold) cell is one elimination
     * chain (generated — 8 chains for the 4-point grid over 2
     * walk-forward folds); mean test RMSE per α, best = min of the
@@ -767,6 +937,8 @@ object Ml {
     "ml_shap" -> shapSql,
 
     "ml_walk_forward" -> walkForwardSql,
+
+    "ml_conformal_interval" -> conformalSql,
 
     "ml_gridsearch" -> gridSearchSql,
 

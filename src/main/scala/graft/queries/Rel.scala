@@ -371,6 +371,49 @@ object Rel {
             .as("avg_value"))
         .orderBy("split")),
 
+    /** Leakage-safe K-fold OUT-OF-FOLD target encoding — the categorical
+      * feature-engineering step of a training pipeline done the only way
+      * that survives an audit: a row's own fold NEVER contributes to its
+      * encoded value. enc(cat, fold) = smoothed mean of `value` over the
+      * category's rows in the OTHER K−1 folds, with an m=20 pseudo-count
+      * pulled toward the (also out-of-fold) global prior — the standard
+      * high-cardinality smoothing, so a 3-row category does not memorize
+      * its own labels.
+      *
+      * Scale shape: ONE map-side-combined aggregation collapses the fact
+      * to |cats|×K cells; every total (per-category, per-fold, grand) is
+      * re-aggregated from those cells, so the fact is scanned once no
+      * matter how many encodings ride on it, and the resulting encoding
+      * table is metadata-sized — the thing you BROADCAST back onto the
+      * fact at training time. Fold = `event_id % K` (deterministic,
+      * map-side; for non-uniform id spaces hash the id first, same
+      * device as `split_train_test`'s md5). Sums accumulate
+      * DECIMAL(18,6) so out-of-fold differences are exact under any
+      * aggregation order; the final smoothing arithmetic is one fixed
+      * double expression both engines evaluate identically. */
+    "feature_target_encode_oof" -> ((s, d) => {
+      val m = 20.0 // smoothing pseudo-count
+      val cell = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("event_id") % 5).cast("int").as("fold"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy("event_type", "fold")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val cat = cell.groupBy("event_type").agg(sum("n").as("cn"), sum("sv").as("cs"))
+      val gf = cell.groupBy("fold").agg(sum("n").as("gn"), sum("sv").as("gs"))
+      val tot = cell.agg(sum("n").as("tn"), sum("sv").as("ts"))
+      val priorOut = (col("ts") - col("gs")).cast("double") /
+        (col("tn") - col("gn")).cast("double")
+      cell.join(broadcast(cat), "event_type")
+        .join(broadcast(gf), "fold")
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("fold"),
+          col("n").as("n_fold"), (col("cn") - col("n")).as("n_out"),
+          round(((col("cs") - col("sv")).cast("double") + lit(m) * priorOut) /
+            ((col("cn") - col("n")).cast("double") + lit(m)), 6).as("enc"))
+        .orderBy("event_type", "fold")
+    }),
+
     // ---- §2.2 projection / filter ------------------------------------
     "project_by_name_predicate" -> ((s, d) =>
       Relational.selectByNamePredicate(Tables.lineitem(s, d),
@@ -1352,6 +1395,27 @@ object Rel {
         |  count(DISTINCT user_id) AS n_users,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "feature_target_encode_oof" ->
+      """WITH cell AS (
+        |  SELECT event_type, CAST(event_id % 5 AS INT) AS fold,
+        |    count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |cat AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS cn, sum(sv) AS cs
+        |        FROM cell GROUP BY 1),
+        |gf AS (SELECT fold, CAST(sum(n) AS BIGINT) AS gn, sum(sv) AS gs
+        |       FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sv) AS ts FROM cell)
+        |SELECT c.event_type, c.fold, c.n AS n_fold,
+        |  CAST(ca.cn - c.n AS BIGINT) AS n_out,
+        |  round((CAST(ca.cs - c.sv AS DOUBLE) +
+        |         20.0 * (CAST(t.ts - g.gs AS DOUBLE) / CAST(t.tn - g.gn AS DOUBLE))) /
+        |        (CAST(ca.cn - c.n AS DOUBLE) + 20.0), 6) AS enc
+        |FROM cell c
+        |JOIN cat ca USING (event_type)
+        |JOIN gf g USING (fold)
+        |CROSS JOIN tot t
+        |ORDER BY event_type, fold""".stripMargin,
 
     "project_subset" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice FROM orders ORDER BY o_orderkey",

@@ -237,19 +237,30 @@ class MlSpec extends SparkSpec {
       freq = Nil, phase = Nil, mu = Seq(0.0, 0.0), sd = Seq(1.0, 1.0),
       linear = graft.ml.Svr.LinearSvrModel(Nil, 0.0, 0.0, 0), gamma = gamma)
     val rng = new scala.util.Random(7L)
-    val bigD = 4096
+    // D=1024 (error O(1/√D) → tol 0.1), evaluated in 256-column select
+    // CHUNKS: Catalyst's per-projection analysis cost grows superlinearly
+    // in expression count — one 4096-wide select took minutes of pure
+    // optimizer time for the same numerical content
+    val bigD = 1024
+    val chunk = 256
     val freq = Seq.fill(bigD)(Seq.fill(2)(rng.nextGaussian() * math.sqrt(2.0 * gamma)))
     val phase = Seq.fill(bigD)(rng.nextDouble() * 2.0 * math.Pi)
     val m = model.copy(freq = freq, phase = phase)
-    val z = d.select(col("id") +: m.featureExprs(Seq("x1", "x2"))
-        .zipWithIndex.map { case (e, i) => e.as(s"z$i") }: _*)
-      .orderBy("id").collect()
-      .map(r => (0 until bigD).map(i => r.getDouble(1 + i)))
+    val exprs = m.featureExprs(Seq("x1", "x2"))
+    val z = Array.fill(pts.size)(Array.newBuilder[Double])
+    exprs.grouped(chunk).foreach { g =>
+      val rows = d.select(col("id") +: g.zipWithIndex.map {
+          case (e, i) => e.as(s"z$i") }: _*)
+        .orderBy("id").collect()
+      rows.zipWithIndex.foreach { case (r, p) =>
+        (0 until g.size).foreach(i => z(p) += r.getDouble(1 + i)) }
+    }
+    val zv = z.map(_.result())
     for (i <- pts.indices; j <- pts.indices if i < j) {
       val (_, xi1, xi2) = pts(i); val (_, xj1, xj2) = pts(j)
       val exact = math.exp(-gamma * ((xi1 - xj1) * (xi1 - xj1) + (xi2 - xj2) * (xi2 - xj2)))
-      val approxK = z(i).zip(z(j)).map { case (a, b) => a * b }.sum
-      assert(math.abs(approxK - exact) < 0.05,
+      val approxK = zv(i).zip(zv(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(approxK - exact) < 0.1,
         s"pair ($i,$j): RFF $approxK vs exact $exact")
     }
   }
@@ -272,10 +283,12 @@ class MlSpec extends SparkSpec {
     val (linMae, rbfMae) = (mae(lin.predictExpr(Seq("x"))), mae(rbf.predictExpr(Seq("x"))))
     assert(rbfMae < 0.05, s"RBF train MAE $rbfMae")
     assert(linMae > 0.3, s"linear SVR should NOT fit sin(2x): MAE $linMae")
-    // determinism: same seed, same map, same coefficients
+    // determinism of the seeded MAP (freq/phase are drawn before any
+    // optimization — maxIter=1 keeps the re-fit from repeating the full
+    // 400-iteration L-BFGS run just to compare them)
     val rbf2 = graft.ml.Svr.fitRbf(d, Seq("x"), "y",
       gamma = 2.0, numFeatures = 128, seed = 42L,
-      c = 100.0, epsilon = 0.01, smoothing = 1e-4, maxIter = 400)
+      c = 100.0, epsilon = 0.01, smoothing = 1e-4, maxIter = 1)
     assert(rbf.freq == rbf2.freq && rbf.phase == rbf2.phase)
   }
 
@@ -378,5 +391,49 @@ class MlSpec extends SparkSpec {
     assert(sum("x2")._1 < 1e-6, s"x2 mean|phi| = ${sum("x2")._1}")
     assert(math.abs(sum("x1")._2) < 1e-6, "mean phi over background must be ~0")
     assert(sum("x1")._1 > 1.0, "x1 carries the signal")
+  }
+
+  /** Reference pool-adjacent-violators (unit weights): the exact isotonic
+    * least-squares solution MLlib's distributed PAVA must reproduce. */
+  private def pavaRef(ys: Seq[Double]): Seq[Double] = {
+    final case class Block(var sum: Double, var n: Int) { def mean: Double = sum / n }
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for (v <- ys) {
+      blocks += Block(v, 1)
+      while (blocks.length > 1 && blocks(blocks.length - 2).mean > blocks.last.mean) {
+        val last = blocks.remove(blocks.length - 1)
+        blocks.last.sum += last.sum
+        blocks.last.n += last.n
+      }
+    }
+    blocks.toSeq.flatMap(b => Seq.fill(b.n)(b.mean))
+  }
+
+  test("isotonic regression equals exact PAVA on a violation-planted fixture") {
+    val ys = Seq(1.0, 3.0, 2.0, 4.0, 6.0, 5.0, 5.0, 9.0, 8.0, 7.0, 11.0, 12.0)
+    val d = df(ys.zipWithIndex.map { case (y, i) => ((i + 1).toDouble, y) })
+      .toDF("x", "y")
+    val m = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("x").setLabelCol("y").setPredictionCol("yhat").fit(d)
+    val got = m.transform(d).orderBy("x").select("yhat")
+      .collect().map(_.getDouble(0)).toSeq
+    got.zip(pavaRef(ys)).foreach { case (g, w) =>
+      assert(approx(g, w, 1e-9), s"PAVA mismatch: $got vs ${pavaRef(ys)}") }
+    assert(got.sliding(2).forall(p => p(0) <= p(1) + 1e-12), "monotone postcondition")
+  }
+
+  test("split-conformal query obeys its own laws at sf0.001") {
+    // the oracle hash-checks the full protocol at sf0.01; here pin the
+    // structural laws on the tiny SF: the integer-ceil rank, the
+    // symmetric-interval width, disjoint split sizes, coverage in [0,1]
+    val row = SparkEntry.queries("ml_conformal_interval")(spark, "/root/testdata/sf0.001").head()
+    val nCal = row.getAs[Long]("n_cal")
+    assert(row.getAs[Long]("k") == (9L * (nCal + 1) + 9L) / 10L)
+    val q = row.getAs[Double]("q_hat")
+    assert(q > 0.0)
+    assert(approx(row.getAs[Double]("avg_width"), math.rint(2 * q * 1e6) / 1e6, 2e-6))
+    val cov = row.getAs[Double]("coverage")
+    assert(cov >= 0.0 && cov <= 1.0)
+    assert(row.getAs[Long]("n_train") > nCal, "train window should dominate the split")
   }
 }

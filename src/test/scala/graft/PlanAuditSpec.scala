@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_upsample_weights", // crossJoin(broadcast(1-row token total))
     "value_counts",            // crossJoin(broadcast(1-row grand total))
     "zorder_curve",            // crossJoin(broadcast(1-row min/max bounds))
-    "agg_heavy_hitters")       // crossJoin(broadcast(1-row grand total))
+    "agg_heavy_hitters",       // crossJoin(broadcast(1-row grand total))
+    "feature_target_encode_oof") // crossJoin(broadcast(1-row grand total))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

@@ -115,4 +115,29 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
     }
   }
+
+  test("OOF target encoding: a fold's own rows never contribute (leakage law)") {
+    // Independent recomputation of every (category, fold) cell from the
+    // raw rows with fold f REMOVED ENTIRELY — the definitional leakage
+    // check: if any own-fold row leaked into its encoding, the smoothed
+    // mean here (prior included) would disagree.
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("feature_target_encode_oof")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), (col("event_id") % 5).cast("int").as("fold"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    for (((cat, f), (nFold, nOut, enc)) <- got) {
+      val outRows = rows.filter(_._2 != f)
+      val catOut = outRows.filter(_._1 == cat)
+      val prior = outRows.map(_._3).sum / outRows.size
+      val want = (catOut.map(_._3).sum + 20.0 * prior) / (catOut.size + 20.0)
+      assert(nFold == rows.count(r => r._1 == cat && r._2 == f).toLong)
+      assert(nOut == catOut.size.toLong)
+      assert(math.abs(enc - want) <= 2e-6, s"$cat/$f: enc=$enc want=$want")
+    }
+  }
 }

@@ -162,4 +162,25 @@ class SarimaxSpec extends AnyFunSuite {
     assert(math.abs(f.forecastNext - want) < 1e-9,
       s"${f.forecastNext} != $want")
   }
+
+  test("AIC selection: the law holds, the fit is deterministic, and AR data picks AR") {
+    // `ml_sarimax_select`'s ranking logic: AIC = 2(k+1) − 2·loglik with
+    // k = nParams (σ² counted), identical re-fits, and a discriminative
+    // check — on simulated AR(1) data the AR(1) model must out-rank MA(1)
+    val rng = new scala.util.Random(11)
+    val z = Array.fill(450)(0.0)
+    for (t <- 1 until z.length) z(t) = 0.7 * z(t - 1) + rng.nextGaussian()
+    val y = z.drop(50)
+    val fits = Seq((1, 0), (0, 1)).map { case (p, q) =>
+      (p, q, Sarimax.fit(y, Order(p = p, d = 0, q = q, P = 0, D = 0, Q = 0, s = 1)))
+    }
+    fits.foreach { case (_, _, f) =>
+      assert(math.abs(f.aic - (2.0 * (f.order.nParams + 1) - 2.0 * f.logLik)) < 1e-9)
+    }
+    val again = Sarimax.fit(y, Order(1, 0, 0, 0, 0, 0, 1))
+    assert(again.aic == fits.head._3.aic && again.logLik == fits.head._3.logLik,
+      "re-fit must be bit-identical (seedless deterministic optimizer)")
+    assert(fits.minBy(_._3.aic)._1 == 1,
+      s"AR(1) data must select the AR(1) model: ${fits.map(f => (f._1, f._2, f._3.aic))}")
+  }
 }
