@@ -2,8 +2,58 @@ package graft.ml
 
 import breeze.linalg.DenseVector
 import breeze.optimize.{DiffFunction, LBFGS}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Elementwise-summable buffer for one SVR full-batch pass. */
+final case class SvrBuf(loss: Double, psi: Double, grad: Array[Double])
+
+/** Full-batch smoothed-hinge loss + gradient of linear ε-SVR as a custom
+  * [[Aggregator]] (the [[graft.ml.MlpGrad]] execution shape): one
+  * aggregation job per L-BFGS evaluation, shuffle carries k+2 doubles
+  * with map-side partial aggregation. vs the earlier k+2-named-SQL-
+  * aggregates formulation this keeps the per-evaluation plan O(1) —
+  * with k in the RFF hundreds, Catalyst re-analysis/codegen of the wide
+  * aggregate dominated every evaluation (the data math is identical:
+  * loss 0 | a²/2δ | a−δ/2 outside the ε-tube, ψ its derivative). */
+class SvrGrad(k: Int, w: Array[Double], b: Double,
+              epsilon: Double, smoothing: Double)
+    extends Aggregator[(Seq[Double], Double), SvrBuf, Seq[Double]] {
+  require(w.length == k, "bad weight vector length")
+
+  override def zero: SvrBuf = SvrBuf(0.0, 0.0, Array.fill(k)(0.0))
+
+  override def reduce(buf: SvrBuf, in: (Seq[Double], Double)): SvrBuf = {
+    val (x, y) = in
+    if (x == null || x.length != k || y.isNaN) return buf
+    var pred = b
+    var j = 0
+    while (j < k) { pred += w(j) * x(j); j += 1 }
+    val r = y - pred
+    val a = math.abs(r) - epsilon
+    if (a <= 0) return buf // inside the tube: zero loss, zero gradient
+    val loss = if (a < smoothing) a * a / (2.0 * smoothing) else a - smoothing / 2.0
+    val psi = math.signum(r) * math.min(a / smoothing, 1.0)
+    val g = buf.grad
+    j = 0
+    while (j < k) { g(j) += psi * x(j); j += 1 }
+    SvrBuf(buf.loss + loss, buf.psi + psi, g)
+  }
+
+  override def merge(x: SvrBuf, y: SvrBuf): SvrBuf = {
+    var i = 0
+    while (i < k) { x.grad(i) += y.grad(i); i += 1 }
+    SvrBuf(x.loss + y.loss, x.psi + y.psi, x.grad)
+  }
+
+  /** `[lossSum, ψSum, gradSum…]` — the driver adds penalty and C. */
+  override def finish(b: SvrBuf): Seq[Double] = b.loss +: b.psi +: b.grad.toSeq
+
+  override def bufferEncoder: Encoder[SvrBuf] = Encoders.product[SvrBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
 
 /** Linear ε-insensitive support-vector regression, distributed.
   *
@@ -63,31 +113,24 @@ object Svr {
     val k = featureCols.size
     var evals = 0
 
+    // features packed into ONE array column so each evaluation's plan is
+    // a single typed-Aggregator aggregate — constant-size regardless of k
+    val packed = df.select(
+      array(featureCols.map(cn => col(cn).cast("double")): _*).as("x"),
+      col(label).cast("double").as("y"))
+
     val objective = new DiffFunction[DenseVector[Double]] {
       override def calculate(theta: DenseVector[Double]): (Double, DenseVector[Double]) = {
         evals += 1
         val w = theta(0 until k).toArray
         val b = theta(k)
-        val pred = featureCols.zip(w.toSeq)
-          .map { case (cn, wi) => col(cn) * lit(wi) }
-          .reduce(_ + _) + lit(b)
-        val r = col(label) - pred
-        val a = abs(r) - lit(epsilon)           // distance outside the tube
-        // smoothed hinge: 0 | a²/2δ | a − δ/2   and its derivative ψ·sign(r)
-        val lossRow = when(a <= 0, lit(0.0))
-          .when(a < smoothing, a * a / lit(2.0 * smoothing))
-          .otherwise(a - lit(smoothing / 2.0))
-        val psi = when(a <= 0, lit(0.0))
-          .otherwise(signum(r) * least(a / lit(smoothing), lit(1.0)))
-        val aggs = sum(lossRow).as("loss") +: sum(psi).as("psi") +:
-          featureCols.zipWithIndex.map { case (cn, i) =>
-            sum(psi * col(cn)).as(s"g$i") }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        val lossSum = row.getDouble(0)
-        val psiSum = row.getDouble(1)
+        val ga = udaf(new SvrGrad(k, w, b, epsilon, smoothing))
+        val out = packed.agg(ga(col("x"), col("y")).as("g")).head().getSeq[Double](0)
+        val lossSum = out(0)
+        val psiSum = out(1)
         val grad = DenseVector.zeros[Double](k + 1)
         var i = 0
-        while (i < k) { grad(i) = w(i) - c * row.getDouble(2 + i); i += 1 }
+        while (i < k) { grad(i) = w(i) - c * out(2 + i); i += 1 }
         grad(k) = -c * psiSum
         val obj = 0.5 * w.map(x => x * x).sum + c * lossSum
         (obj, grad)
