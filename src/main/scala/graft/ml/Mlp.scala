@@ -136,7 +136,22 @@ object Mlp {
   def evaluate(df: DataFrame, xCol: String, yCol: String, k: Int, h: Int,
                weights: Array[Double], alpha: Double): (Double, Array[Double]) = {
     val ga = udaf(new MlpGrad(k, h, weights))
-    val out = df.select(ga(col(xCol), col(yCol)).as("g")).head().getSeq[Double](0)
+    finishEval(df.select(ga(col(xCol), col(yCol)).as("g")).head().getSeq[Double](0),
+      weights, k, h, alpha)
+  }
+
+  /** Driver-side twin of [[evaluate]]: the SAME [[MlpGrad]] folded over
+    * already-collected rows — the adaptive path for aggregate-sized
+    * training frames, where a scheduled job per L-BFGS evaluation is
+    * pure overhead (see the bound note in [[fit]]). */
+  def evaluateLocal(rows: Array[(Seq[Double], Double)], k: Int, h: Int,
+                    weights: Array[Double], alpha: Double): (Double, Array[Double]) = {
+    val ga = new MlpGrad(k, h, weights)
+    finishEval(ga.finish(rows.foldLeft(ga.zero)(ga.reduce)), weights, k, h, alpha)
+  }
+
+  private def finishEval(out: Seq[Double], weights: Array[Double], k: Int,
+                         h: Int, alpha: Double): (Double, Array[Double]) = {
     val n = math.max(out.head, 1.0)
     val lossSum = out(1)
     val grad = out.drop(2).toArray
@@ -173,10 +188,20 @@ object Mlp {
       (col(label) - lit(muY)).as("y"))
       .cache()
     try {
-      scaled.count() // materialize once; every L-BFGS eval re-scans it
+      // materialize once; every L-BFGS eval re-scans it. Adaptive path
+      // (driver-sized-bounds convention): an aggregate-sized frame is
+      // collected ONCE and each evaluation folds the same MlpGrad on the
+      // driver; larger frames keep the distributed per-evaluation job.
+      val local: Option[Array[(Seq[Double], Double)]] =
+        if (scaled.count() <= Models.MaxDriverFitRows)
+          Some(scaled.collect().map(r => (r.getSeq[Double](0), r.getDouble(1))))
+        else None
       val objective = new DiffFunction[DenseVector[Double]] {
         override def calculate(theta: DenseVector[Double]): (Double, DenseVector[Double]) = {
-          val (loss, grad) = evaluate(scaled, "x", "y", k, h, theta.toArray, alpha)
+          val (loss, grad) = local match {
+            case Some(rows) => evaluateLocal(rows, k, h, theta.toArray, alpha)
+            case None       => evaluate(scaled, "x", "y", k, h, theta.toArray, alpha)
+          }
           (loss, DenseVector(grad))
         }
       }

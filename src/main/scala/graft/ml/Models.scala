@@ -27,6 +27,15 @@ object Models {
   val FeaturesCol = "features"
   val PredictionCol = "prediction"
 
+  /** Driver-sized bound for the iterative fitters' adaptive evaluation
+    * path (Svr/Mlp): a training frame at or under this row count is
+    * collected ONCE and each L-BFGS evaluation folds the same Aggregator
+    * on the driver — the day-grain modeling tables are bounded far below
+    * this at ANY corpus SF, while row-level fits over raw facts exceed it
+    * and keep the one-distributed-aggregation-per-evaluation loop.
+    * 64k rows × (k+1) doubles is single-digit MB on the driver. */
+  val MaxDriverFitRows: Long = 1L << 16
+
   /** Assemble feature columns into the MLlib vector column. */
   def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame =
     new VectorAssembler()

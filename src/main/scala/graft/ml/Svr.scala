@@ -119,13 +119,30 @@ object Svr {
       array(featureCols.map(cn => col(cn).cast("double")): _*).as("x"),
       col(label).cast("double").as("y"))
 
+    // Adaptive evaluation path (the repo's driver-sized-bounds
+    // convention): an aggregate-sized training frame (the day-grain
+    // modeling table — bounded at ANY corpus SF) pays ~300 scheduled
+    // no-op jobs if every L-BFGS evaluation is distributed; collect it
+    // ONCE and fold the SAME Aggregator over the rows on the driver.
+    // Row-level frames above the bound keep the one-aggregation-per-
+    // evaluation distributed loop — that is the 100 TB path.
+    val local: Option[Array[(Seq[Double], Double)]] =
+      if (packed.count() <= Models.MaxDriverFitRows)
+        Some(packed.collect().map(r => (r.getSeq[Double](0), r.getDouble(1))))
+      else None
+
     val objective = new DiffFunction[DenseVector[Double]] {
       override def calculate(theta: DenseVector[Double]): (Double, DenseVector[Double]) = {
         evals += 1
         val w = theta(0 until k).toArray
         val b = theta(k)
-        val ga = udaf(new SvrGrad(k, w, b, epsilon, smoothing))
-        val out = packed.agg(ga(col("x"), col("y")).as("g")).head().getSeq[Double](0)
+        val ga = new SvrGrad(k, w, b, epsilon, smoothing)
+        val out = local match {
+          case Some(rows) => ga.finish(rows.foldLeft(ga.zero)(ga.reduce))
+          case None =>
+            val gu = udaf(ga)
+            packed.agg(gu(col("x"), col("y")).as("g")).head().getSeq[Double](0)
+        }
         val lossSum = out(0)
         val psiSum = out(1)
         val grad = DenseVector.zeros[Double](k + 1)

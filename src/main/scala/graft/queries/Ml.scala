@@ -468,9 +468,13 @@ object Ml {
       import s.implicits._
       withFrame(s, d) { train =>
         val (_, sy) = Models.labelStats(train, ModelingFrame.Target)
+        // tolerance 1e-4: sklearn SVR stops at tol=1e-3 — every extra
+        // L-BFGS evaluation is one scheduled job on the tiny cached
+        // frame, so a tighter stop buys 6th-decimal metric shifts (the
+        // output is rows-only) at real wall-clock cost
         val m = Svr.fitRbf(train, ModelingFrame.EventTypes, ModelingFrame.Target,
           gamma = 1.0 / ModelingFrame.EventTypes.size, numFeatures = 64,
-          smoothing = math.max(1e-3, 0.01 * sy), maxIter = 100)
+          smoothing = math.max(1e-3, 0.01 * sy), maxIter = 100, tolerance = 1e-4)
         val pred = train.select(
           col(ModelingFrame.Target).as("y"),
           m.predictExpr(ModelingFrame.EventTypes).as("yhat"))
@@ -492,8 +496,9 @@ object Ml {
     "ml_mlp" -> ((s, d) => {
       import s.implicits._
       withFrame(s, d) { train =>
+        // tolerance 1e-4 = sklearn MLPRegressor's own tol (see ml_svr_rbf)
         val m = Mlp.fit(train, ModelingFrame.EventTypes, ModelingFrame.Target,
-          h = 16, maxIter = 150)
+          h = 16, maxIter = 150, tolerance = 1e-4)
         val pred = train.select(
           col(ModelingFrame.Target).as("y"),
           m.predictExpr(ModelingFrame.EventTypes).as("yhat"))

@@ -393,6 +393,24 @@ class MlSpec extends SparkSpec {
     assert(sum("x1")._1 > 1.0, "x1 carries the signal")
   }
 
+  test("SVR distributed evaluation path (above the driver-fit bound) recovers coefficients") {
+    // a frame larger than Models.MaxDriverFitRows forces the
+    // one-distributed-aggregation-per-evaluation branch of SvrGrad — the
+    // path the registry's aggregate-sized fits never touch
+    val n = (graft.ml.Models.MaxDriverFitRows + 1024).toInt
+    val d = spark.range(n.toLong)
+      .select(((col("id") % 97) / 97.0).as("x1"), ((col("id") % 31) / 31.0).as("x2"))
+      .withColumn("y", lit(1.0) + col("x1") * 2.0 - col("x2") * 0.5)
+      .coalesce(4).cache()
+    try {
+      val m = graft.ml.Svr.fit(d, Seq("x1", "x2"), "y",
+        c = 10.0, epsilon = 0.0, smoothing = 1e-3, maxIter = 80)
+      assert(math.abs(m.coefficients(0) - 2.0) < 0.05, s"w1 = ${m.coefficients(0)}")
+      assert(math.abs(m.coefficients(1) + 0.5) < 0.05, s"w2 = ${m.coefficients(1)}")
+      assert(math.abs(m.intercept - 1.0) < 0.05, s"b = ${m.intercept}")
+    } finally { d.unpersist(); () }
+  }
+
   /** Reference pool-adjacent-violators (unit weights): the exact isotonic
     * least-squares solution MLlib's distributed PAVA must reproduce. */
   private def pavaRef(ys: Seq[Double]): Seq[Double] = {
