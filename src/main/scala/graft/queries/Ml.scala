@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Sarimax, Svr}
+import graft.ml.{Acf, Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -289,6 +289,60 @@ object Ml {
           (p, q, sp, sq) == ((best._1, best._2, best._3, best._4)))
       }.toDF("p", "q", "sp", "sq", "n_params", "loglik", "aic", "is_best")
         .orderBy("aic", "p", "q", "sp", "sq")
+    }),
+
+    /** `ml_acf`: the sample AUTOCORRELATION function of the daily click
+      * series — the order-selection diagnostic the reference's SARIMAX
+      * workflow reads before fixing (p, q) (statsmodels `plot_acf`;
+      * fitted orders in `Marilyn_Cleaning.ipynb:34 (cell 1)`), computed
+      * DISTRIBUTED: r(k) = Σ(x_t−μ)(x_{t+k}−μ)/Σ(x_t−μ)² from one lead
+      * window pass + one aggregation (the standard biased estimator —
+      * full-series denominator). The global mean rides the broadcast
+      * 1-row pattern; the unpartitioned lead window rides bounded
+      * calendar-day rows per the repo convention. Oracle replays windows
+      * and sums exactly. */
+    "ml_acf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val maxLag = 10
+      val daily = Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("date_id", Tables.epochDay(col("ts")))
+        .groupBy("date_id").agg(avg(col("value")).as("x"))
+      val mu = daily.agg(avg(col("x")).as("mu"))
+      val w = Window.orderBy("date_id")
+      val cent = daily.crossJoin(broadcast(mu))
+        .select(col("date_id"), (col("x") - col("mu")).as("c"))
+      val led = (1 to maxLag).foldLeft(cent)((df, k) =>
+        df.withColumn(s"c$k", lead(col("c"), k).over(w)))
+      val aggs = sum(col("c") * col("c")).as("den") +:
+        (1 to maxLag).map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
+      led.agg(aggs.head, aggs.tail: _*)
+        .select(posexplode(array((1 to maxLag).map(k =>
+          round(col(s"num$k") / col("den"), 6)): _*)).as(Seq("idx", "acf")))
+        .select((col("idx") + 1).cast("int").as("lag"), col("acf"))
+        .orderBy("lag")
+    }),
+
+    /** `ml_pacf`: the PARTIAL autocorrelation companion (statsmodels
+      * `plot_pacf(method="ywm")`) — Durbin–Levinson on the ACF prefix
+      * (`ml/Acf.scala`), an O(maxLag²) scalar recursion with no SQL
+      * form, run on the driver over the collected day-grain series (the
+      * same driver-sized bound as every `withFrame` fit). Emits the
+      * driver-reference ACF next to the PACF; rows-only — MlSpec pins
+      * the distributed `ml_acf` against this ACF column, and SarimaxSpec
+      * pins Durbin–Levinson against direct Toeplitz Yule–Walker solves
+      * plus the AR(1) lag-1 cutoff. */
+    "ml_pacf" -> ((s, d) => {
+      import s.implicits._
+      val maxLag = 10
+      val x = Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("date_id", Tables.epochDay(col("ts")))
+        .groupBy("date_id").agg(avg(col("value")).as("x"))
+        .orderBy("date_id").collect().map(_.getDouble(1))
+      val r = Acf.acf(x, maxLag)
+      val p = Acf.pacf(r.take(maxLag + 1))
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      (1 to maxLag).map(k => (k, r6(r(k)), r6(p(k - 1))))
+        .toDF("lag", "acf", "pacf").orderBy("lag")
     }),
 
     /** Per-series quadratic trend via the [[GroupedOls]] custom
@@ -944,6 +998,29 @@ object Ml {
     "ml_walk_forward" -> walkForwardSql,
 
     "ml_conformal_interval" -> conformalSql,
+
+    /** Distributed sample ACF — identical window/sum ladder. */
+    "ml_acf" -> {
+      val maxLag = 10
+      val leads = (1 to maxLag).map(k =>
+        s"lead(c, $k) OVER (ORDER BY date_id) AS c$k").mkString(",\n        ")
+      val nums = (1 to maxLag).map(k => s"sum(c*c$k) AS num$k").mkString(", ")
+      val arms = (1 to maxLag).map(k =>
+        s"SELECT $k AS lag, round(num$k/den, 6) AS acf FROM a").mkString("\n  UNION ALL ")
+      s"""WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS date_id,
+         |         avg(value) AS x
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |m AS (SELECT avg(x) AS mu FROM daily),
+         |c AS (SELECT date_id, x - mu AS c FROM daily, m),
+         |l AS (SELECT c,
+         |        $leads
+         |      FROM c),
+         |a AS (SELECT sum(c*c) AS den, $nums FROM l)
+         |SELECT lag, acf FROM (
+         |  $arms)
+         |ORDER BY lag""".stripMargin
+    },
 
     "ml_gridsearch" -> gridSearchSql,
 

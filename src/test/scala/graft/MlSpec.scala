@@ -440,6 +440,20 @@ class MlSpec extends SparkSpec {
     assert(got.sliding(2).forall(p => p(0) <= p(1) + 1e-12), "monotone postcondition")
   }
 
+  test("distributed ACF equals the driver-reference ACF (ml_acf vs ml_pacf columns)") {
+    // two independent implementations of the same estimator — the
+    // window/aggregate query and Acf.acf on the collected series — must
+    // agree at the 1e-6 output grid
+    val dir = "/root/testdata/sf0.001"
+    val dist = SparkEntry.queries("ml_acf")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val drv = SparkEntry.queries("ml_pacf")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == drv.keySet && dist.nonEmpty)
+    dist.foreach { case (lag, a) =>
+      assert(approx(a, drv(lag), 2e-6), s"lag $lag: $a vs ${drv(lag)}") }
+  }
+
   test("split-conformal query obeys its own laws at sf0.001") {
     // the oracle hash-checks the full protocol at sf0.01; here pin the
     // structural laws on the tiny SF: the integer-ceil rank, the

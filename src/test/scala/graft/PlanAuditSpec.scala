@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "value_counts",            // crossJoin(broadcast(1-row grand total))
     "zorder_curve",            // crossJoin(broadcast(1-row min/max bounds))
     "agg_heavy_hitters",       // crossJoin(broadcast(1-row grand total))
-    "feature_target_encode_oof") // crossJoin(broadcast(1-row grand total))
+    "feature_target_encode_oof", // crossJoin(broadcast(1-row grand total))
+    "ml_acf")                  // crossJoin(broadcast(1-row global mean))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

@@ -183,4 +183,37 @@ class SarimaxSpec extends AnyFunSuite {
     assert(fits.minBy(_._3.aic)._1 == 1,
       s"AR(1) data must select the AR(1) model: ${fits.map(f => (f._1, f._2, f._3.aic))}")
   }
+
+  test("Durbin-Levinson PACF equals direct Toeplitz Yule-Walker solves") {
+    // definitional identity: PACF(k) is the last coefficient of the
+    // Yule-Walker AR(k) system R_{k} phi = r_{1..k} with R the Toeplitz
+    // ACF matrix — solve each k directly with breeze and compare
+    val rng = new scala.util.Random(19)
+    val z = Array.fill(600)(0.0)
+    for (t <- 2 until z.length)
+      z(t) = 0.5 * z(t - 1) - 0.3 * z(t - 2) + rng.nextGaussian()
+    val x = z.drop(100)
+    val maxLag = 8
+    val r = graft.ml.Acf.acf(x, maxLag)
+    val p = graft.ml.Acf.pacf(r)
+    for (k <- 1 to maxLag) {
+      val rm = DenseMatrix.tabulate(k, k)((i, j) => r(math.abs(i - j)))
+      val rhs = DenseVector.tabulate(k)(i => r(i + 1))
+      val phi = inv(rm) * rhs
+      assert(math.abs(p(k - 1) - phi(k - 1)) < 1e-9,
+        s"lag $k: DL ${p(k - 1)} vs YW ${phi(k - 1)}")
+    }
+  }
+
+  test("PACF cuts off after lag 1 on simulated AR(1) data") {
+    val rng = new scala.util.Random(23)
+    val z = Array.fill(2100)(0.0)
+    for (t <- 1 until z.length) z(t) = 0.7 * z(t - 1) + rng.nextGaussian()
+    val x = z.drop(100)
+    val p = graft.ml.Acf.pacf(graft.ml.Acf.acf(x, 6))
+    assert(math.abs(p(0) - 0.7) < 0.1, s"pacf(1) = ${p(0)}")
+    // beyond the true order, partials are O(1/sqrt(n)) noise
+    (2 to 6).foreach(k => assert(math.abs(p(k - 1)) < 0.08,
+      s"pacf($k) = ${p(k - 1)} should be ~0"))
+  }
 }
