@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
+import graft.ml.Models
 import graft.operators.{Dedup, Relational, Similarity}
 
 /** Training-data-pipeline queries over the `documents` and `embeddings`
@@ -50,6 +51,53 @@ object Docs {
           round(least(size(col("toks")) / lit(100.0), lit(1.0))
             * (lit(1.0) - col("stopword_ratio")), 6).as("quality"))
         .orderBy("doc_id")),
+
+    /** MODEL-BASED quality filtering — the classifier-driven corpus
+      * filter of an LLM data pipeline (heuristic rules label a slice,
+      * a model generalizes them, the model scores the full corpus):
+      * logistic regression (L2, MLlib — the one IRLS surface in the
+      * registry) trained on a deterministic 80% doc split to predict the
+      * median-thresholded quality heuristic from token-statistics
+      * features, then the WHOLE corpus scored by the fitted model as a
+      * pure codegen'd sigmoid COLUMN (weights inlined as literals — at
+      * serving scale there is no MLlib transform, no UDF, no shuffle;
+      * the narrow scoring map is the 100 TB posture). Output: per-source
+      * keep rates under model vs heuristic and their agreement —
+      * long-form, bounded by |sources|. Rows-only (IRLS has no SQL
+      * closed form); MlSpec pins separable-data recovery and
+      * sigmoid-expression ≡ MLlib probability. */
+    "corpus_quality_classifier" -> ((s, d) => {
+      val feats = Seq("x_len", "x_stop", "x_mtl")
+      val base = toked(s, d).select(
+          col("doc_id"), col("source"),
+          least(size(col("toks")) / lit(100.0), lit(1.0)).as("x_len"),
+          Text.stopwordRatio("toks").as("x_stop"),
+          Text.meanTokenLen("toks").as("x_mtl"))
+        .withColumn("quality", col("x_len") * (lit(1.0) - col("x_stop")))
+      // median threshold (one aggregate scalar): both classes present at
+      // every SF, unlike a fixed cut on an unknown distribution
+      val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
+      val labeled = base.withColumn("label", (col("quality") > thr).cast("double"))
+      val train = Models.assemble(labeled.filter(col("doc_id") % 5 < 4), feats)
+      val m = new org.apache.spark.ml.classification.LogisticRegression()
+        .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
+        .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100)
+        .fit(train)
+      val w = m.coefficients.toArray
+      val z = feats.zip(w.toSeq).map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _) + lit(m.intercept)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      labeled
+        .withColumn("keep_model", (p >= 0.5).cast("int"))
+        .withColumn("keep_heur", col("label").cast("int"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("keep_model")), 6).as("keep_rate_model"),
+          round(avg(col("keep_heur")), 6).as("keep_rate_heur"),
+          round(avg((col("keep_model") === col("keep_heur")).cast("double")), 6)
+            .as("agreement"))
+        .orderBy("source")
+    }),
 
     "text_langid" -> ((s, d) => {
       val df = Text.langMarkers.foldLeft(toked(s, d)) { case (acc, (code, ms)) =>

@@ -440,6 +440,37 @@ class MlSpec extends SparkSpec {
     assert(got.sliding(2).forall(p => p(0) <= p(1) + 1e-12), "monotone postcondition")
   }
 
+  test("logistic classifier: separable recovery + codegen'd sigmoid equals MLlib probability") {
+    // margin-separated planted classes: the regularized fit must classify
+    // all of them, and the inlined-literal sigmoid column (the
+    // corpus_quality_classifier serving path) must reproduce MLlib's own
+    // probability to 1e-9
+    val rows = (1 to 300).map { i =>
+      val x1 = (i % 20) / 20.0; val x2 = ((i * 7) % 13) / 13.0
+      (i.toLong, x1, x2, if (x1 + x2 > 1.0) 1.0 else 0.0)
+    }.filter { case (_, x1, x2, _) => x1 + x2 > 1.2 || x1 + x2 < 0.8 }
+    val d = df(rows).toDF("id", "x1", "x2", "label")
+    val a = Models.assemble(d, Seq("x1", "x2"))
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
+      .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100).fit(a)
+    val w = m.coefficients.toArray
+    val z = col("x1") * w(0) + col("x2") * w(1) + lit(m.intercept)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val scored = m.transform(a)
+      .withColumn("p_expr", p)
+      .select(col("label"), col("p_expr"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+          .cast("double").as("p_mllib"))
+      .collect()
+    scored.foreach { r =>
+      assert(approx(r.getDouble(1), r.getDouble(2), 1e-9),
+        s"expr ${r.getDouble(1)} vs mllib ${r.getDouble(2)}")
+      assert((r.getDouble(1) >= 0.5) == (r.getDouble(0) == 1.0),
+        "margin-separated rows must all classify correctly")
+    }
+  }
+
   test("distributed ACF equals the driver-reference ACF (ml_acf vs ml_pacf columns)") {
     // two independent implementations of the same estimator — the
     // window/aggregate query and Acf.acf on the collected series — must
