@@ -547,6 +547,23 @@ object Rel {
       graft.sources.Csv.read(s, path, schema).orderBy("p_partkey")
     }),
 
+    /** ORC round-trip — the OTHER columnar at-rest format Spark ships
+      * natively (§2.1 beyond-ref): a typed orders extract written to ORC
+      * and read back schema-first. The oracle recomputes the extract
+      * from parquet, so any type or value loss through the ORC
+      * writer/reader (decimal handling, string encoding, predicate-
+      * pushdown-visible stats) hash-mismatches. Date rides as a
+      * formatted string per the repo's DATE-column oracle convention. */
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val path = graft.sources.Scratch.dir("orc", d, "orders")
+      val extract = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("o_orderpriority"))
+      extract.write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("o_orderkey")
+    }),
+
     "sink_csv_results" -> ((s, d) => {
       val path = graft.sources.Scratch.dir("csv", d, "results")
       val summary = Tables.orders(s, d).agg(
@@ -1445,6 +1462,11 @@ object Rel {
     "scan_jsonl_docs" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scan_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "sink_csv_results" ->
       """SELECT count(*) AS n_orders,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,36 @@ object Ts {
           Seq(col("event_type")), col("day"),
           Seq(expr("ts_ns div 1000"), col("event_id")), "value", days = 7)
         .orderBy("event_type", "bar")),
+
+    /** HAMPEL outlier filter — the robust time-series cleaning step a
+      * financial pipeline runs before modeling (rolling median ± k·MAD,
+      * the median-based alternative to z-scores that one spike cannot
+      * corrupt): per series, a ±3-row centered window collects the
+      * neighborhood ONCE (`collect_list` over a ROWS frame — bounded
+      * 7-element arrays over day-grain rows), the median and the median
+      * absolute deviation are explicit sorted-array arithmetic (not a
+      * library `median()` whose interpolation rule could differ between
+      * engines), and a point is flagged when |x−m| > 3·1.4826·MAD. The
+      * windows are PARTITIONED by the series key per the §2.7 scale
+      * convention; the DuckDB twin replays frame, sort, and index
+      * arithmetic identically. */
+    "ts_outlier_hampel" -> ((s, d) => {
+      def med(a: Column): Column =
+        (element_at(a, (((size(a) - 1) / 2).cast("int") + 1)) +
+          element_at(a, ((size(a) / 2).cast("int") + 1))) / 2.0
+      val daily = Tables.events(s, d)
+        .withColumn("day", Tables.epochDay(col("ts")).cast("long"))
+        .groupBy("event_type", "day").agg(avg(col("value")).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("x")).over(w)))
+        .withColumn("m", med(col("arr")))
+        .withColumn("mad", med(sort_array(transform(col("arr"), v => abs(v - col("m"))))))
+        .select(col("event_type"), col("day"),
+          round(col("x"), 6).as("x"), round(col("m"), 6).as("med"),
+          (abs(col("x") - col("m")) > lit(3.0 * 1.4826) * col("mad")).as("is_outlier"))
+        .orderBy("event_type", "day")
+    }),
 
     /** Calendar-spine gap fill — pandas `reindex(date_range) + ffill`:
       * rebuild a complete daily axis per series and forward-fill the
@@ -364,6 +394,31 @@ object Ts {
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice - l_extendedprice * (1 - l_discount), 6) AS spread
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    /** Hampel twin: same frame, same sorted-array median index math. */
+    "ts_outlier_hampel" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         avg(value) AS x
+        |  FROM events GROUP BY 1, 2),
+        |wnd AS (
+        |  SELECT event_type, day, x,
+        |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+        |                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        |  FROM daily),
+        |m1 AS (SELECT *,
+        |         (arr[(len(arr) - 1) // 2 + 1] + arr[len(arr) // 2 + 1]) / 2.0 AS m
+        |       FROM wnd),
+        |m2 AS (SELECT *,
+        |         list_sort(list_transform(arr, v -> abs(v - m))) AS dev
+        |       FROM m1),
+        |fin AS (SELECT event_type, day, x, m,
+        |          (dev[(len(dev) - 1) // 2 + 1] + dev[len(dev) // 2 + 1]) / 2.0 AS mad
+        |        FROM m2)
+        |SELECT event_type, day, round(x, 6) AS x, round(m, 6) AS med,
+        |  abs(x - m) > 3.0 * 1.4826 * mad AS is_outlier
+        |FROM fin ORDER BY event_type, day""".stripMargin,
 
     "log_returns" ->
       """SELECT event_id, round(log_ret, 6) AS log_ret FROM (
