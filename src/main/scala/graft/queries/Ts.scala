@@ -63,6 +63,39 @@ object Ts {
           Seq(expr("ts_ns div 1000"), col("event_id")), "value", days = 7)
         .orderBy("event_type", "bar")),
 
+    /** Ordered-step FUNNEL — the events-analytics staple (view → click
+      * within 24 h → purchase within a further 24 h; each step strictly
+      * AFTER the user's previous step's first occurrence, so out-of-order
+      * events don't count, and the conversion WINDOW makes the funnel
+      * discriminating — 150 → 60 → 25 users at sf0.01, not everyone
+      * converts): stage k is "first qualifying event inside
+      * (t_{k−1}, t_{k−1}+24h]", computed as filter → keyed min, joined
+      * back per stage. Every aggregation and join in the chain is keyed
+      * by `user_id` — ONE hash partitioning serves all three stages
+      * (co-partitioned joins, no re-shuffle), and per-stage outputs are
+      * one row per converting user collapsing to a 3-row report. The µs
+      * clock makes ordering and window bounds identical in both
+      * engines. */
+    "funnel_conversion" -> ((s, d) => {
+      val winUs = 86400000000L // 24 h in µs
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("t") > col("t_view") && col("t") <= col("t_view") + winUs)
+        .groupBy("user_id").agg(min(col("t")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("t") > col("t_click") && col("t") <= col("t_click") + winUs)
+        .groupBy("user_id").agg(min(col("t")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+        .unionByName(c.agg(count(lit(1)).as("n"))
+          .select(lit("2_click_after_view").as("stage"), col("n")))
+        .unionByName(p.agg(count(lit(1)).as("n"))
+          .select(lit("3_purchase_after_click").as("stage"), col("n")))
+        .orderBy("stage")
+    }),
+
     /** HAMPEL outlier filter — the robust time-series cleaning step a
       * financial pipeline runs before modeling (rolling median ± k·MAD,
       * the median-based alternative to z-scores that one spike cannot
@@ -394,6 +427,22 @@ object Ts {
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice - l_extendedprice * (1 - l_discount), 6) AS spread
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(t) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click'
+        |        AND t > t_view AND t <= t_view + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase'
+        |        AND t > t_click AND t <= t_click + 86400000000 GROUP BY 1)
+        |SELECT stage, n FROM (
+        |  SELECT '1_view' AS stage, count(*)::BIGINT AS n FROM v
+        |  UNION ALL SELECT '2_click_after_view', count(*)::BIGINT FROM c
+        |  UNION ALL SELECT '3_purchase_after_click', count(*)::BIGINT FROM p)
+        |ORDER BY stage""".stripMargin,
 
     /** Hampel twin: same frame, same sorted-array median index math. */
     "ts_outlier_hampel" ->
