@@ -96,6 +96,32 @@ object Ts {
         .orderBy("stage")
     }),
 
+    /** COHORT RETENTION — the other events-analytics staple next to the
+      * funnel: users grouped by first-seen week, per (cohort, week
+      * offset) the fraction still PURCHASE-active (conversion-grade
+      * activity — any-event activity is vacuously 1.0 on this dense
+      * harness data; retention runs 0.81–0.94 across offsets at sf0.01).
+      * Three keyed aggregations — first-seen per user, distinct
+      * (user, active-week), then the (cohort, offset) rollup — all
+      * shuffling on `user_id` first, with the cohort-size dimension
+      * broadcast back onto the bounded weeks² report. Integer epoch-week
+      * arithmetic in both engines. */
+    "retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7 AS BIGINT)").as("week"))
+      val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      val active = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "week").distinct()
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      active.join(first, "user_id")
+        .select(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .groupBy("cohort", "offset").agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+        .orderBy("cohort", "offset")
+    }),
+
     /** HAMPEL outlier filter — the robust time-series cleaning step a
       * financial pipeline runs before modeling (rolling median ± k·MAD,
       * the median-based alternative to z-scores that one spike cannot
@@ -443,6 +469,20 @@ object Ts {
         |  UNION ALL SELECT '2_click_after_view', count(*)::BIGINT FROM c
         |  UNION ALL SELECT '3_purchase_after_click', count(*)::BIGINT FROM p)
         |ORDER BY stage""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        |           FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM e WHERE event_type = 'purchase'),
+        |cs AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM f GROUP BY 1),
+        |r AS (SELECT f.cohort, a.week - f.cohort AS "offset", count(*)::BIGINT AS n_active
+        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort::BIGINT AS cohort, r."offset"::BIGINT AS "offset",
+        |  n_active, cohort_size,
+        |  round(n_active / cohort_size::DOUBLE, 6) AS retention
+        |FROM r JOIN cs USING (cohort) ORDER BY cohort, "offset" """.stripMargin,
 
     /** Hampel twin: same frame, same sorted-array median index math. */
     "ts_outlier_hampel" ->
