@@ -68,35 +68,44 @@ object Docs {
       * sigmoid-expression ≡ MLlib probability. */
     "corpus_quality_classifier" -> ((s, d) => {
       val feats = Seq("x_len", "x_stop", "x_mtl")
+      // cache the featurized frame: the threshold pass, every IRLS
+      // iteration, and the scoring pass would otherwise each re-tokenize
+      // the full corpus (the tokenize lambdas dominate the whole query)
       val base = toked(s, d).select(
           col("doc_id"), col("source"),
           least(size(col("toks")) / lit(100.0), lit(1.0)).as("x_len"),
           Text.stopwordRatio("toks").as("x_stop"),
           Text.meanTokenLen("toks").as("x_mtl"))
         .withColumn("quality", col("x_len") * (lit(1.0) - col("x_stop")))
-      // median threshold (one aggregate scalar): both classes present at
-      // every SF, unlike a fixed cut on an unknown distribution
-      val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
-      val labeled = base.withColumn("label", (col("quality") > thr).cast("double"))
-      val train = Models.assemble(labeled.filter(col("doc_id") % 5 < 4), feats)
-      val m = new org.apache.spark.ml.classification.LogisticRegression()
-        .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
-        .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100)
-        .fit(train)
-      val w = m.coefficients.toArray
-      val z = feats.zip(w.toSeq).map { case (c, wi) => col(c) * lit(wi) }
-        .reduce(_ + _) + lit(m.intercept)
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      labeled
-        .withColumn("keep_model", (p >= 0.5).cast("int"))
-        .withColumn("keep_heur", col("label").cast("int"))
-        .groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          round(avg(col("keep_model")), 6).as("keep_rate_model"),
-          round(avg(col("keep_heur")), 6).as("keep_rate_heur"),
-          round(avg((col("keep_model") === col("keep_heur")).cast("double")), 6)
-            .as("agreement"))
-        .orderBy("source")
+        .cache()
+      try {
+        // median threshold (one aggregate scalar): both classes present at
+        // every SF, unlike a fixed cut on an unknown distribution
+        val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
+        val labeled = base.withColumn("label", (col("quality") > thr).cast("double"))
+        val train = Models.assemble(labeled.filter(col("doc_id") % 5 < 4), feats)
+        // tol 1e-4 (sklearn LogisticRegression's own tol): every extra
+        // IRLS iteration is one scheduled job on the tiny labeled frame
+        val m = new org.apache.spark.ml.classification.LogisticRegression()
+          .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
+          .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100).setTol(1e-4)
+          .fit(train)
+        val w = m.coefficients.toArray
+        val z = feats.zip(w.toSeq).map { case (c, wi) => col(c) * lit(wi) }
+          .reduce(_ + _) + lit(m.intercept)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        labeled
+          .withColumn("keep_model", (p >= 0.5).cast("int"))
+          .withColumn("keep_heur", col("label").cast("int"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("keep_model")), 6).as("keep_rate_model"),
+            round(avg(col("keep_heur")), 6).as("keep_rate_heur"),
+            round(avg((col("keep_model") === col("keep_heur")).cast("double")), 6)
+              .as("agreement"))
+          .orderBy("source")
+          .localCheckpoint(eager = true)
+      } finally { base.unpersist(); () }
     }),
 
     "text_langid" -> ((s, d) => {
