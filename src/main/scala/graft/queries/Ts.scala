@@ -96,6 +96,33 @@ object Ts {
         .orderBy("stage")
     }),
 
+    /** CUSUM CHANGEPOINT detection — the structural-break check a
+      * forecasting pipeline runs before trusting one model over the
+      * whole history (a mean shift silently wrecks a global fit): the
+      * cumulative sum S_t = Σ_{i≤t}(x_i − μ) over the daily click
+      * series, the changepoint = argmax\|S_t\| (day tiebreak), and the
+      * normalized statistic max\|S\|/(σ√n). The running sum is a
+      * sequential unbounded-preceding window — both engines add the SAME
+      * operands in the SAME day order, so S_t is bit-identical; μ, σ, n
+      * ride one broadcast 1-row aggregate. Day-grain rows per the
+      * bounded-window convention; output is a single row. */
+    "ml_changepoint_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("day", Tables.epochDay(col("ts")).cast("long"))
+        .groupBy("day").agg(avg(col("value")).as("x"))
+      val m = daily.agg(avg(col("x")).as("mu"),
+        stddev_pop(col("x")).as("sigma"), count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      daily.crossJoin(broadcast(m))
+        .withColumn("s", sum(col("x") - col("mu")).over(w))
+        .select(col("day").as("cp_day"), abs(col("s")).as("abs_s"),
+          (abs(col("s")) / (col("sigma") * sqrt(col("n")))).as("stat"))
+        .orderBy(col("abs_s").desc, col("cp_day"))
+        .limit(1)
+        .select(col("cp_day"), round(col("abs_s"), 6).as("max_cusum"),
+          round(col("stat"), 6).as("stat"))
+    }),
+
     /** COHORT RETENTION — the other events-analytics staple next to the
       * funnel: users grouped by first-seen week, per (cohort, week
       * offset) the fraction still PURCHASE-active (conversion-grade
@@ -469,6 +496,20 @@ object Ts {
         |  UNION ALL SELECT '2_click_after_view', count(*)::BIGINT FROM c
         |  UNION ALL SELECT '3_purchase_after_click', count(*)::BIGINT FROM p)
         |ORDER BY stage""".stripMargin,
+
+    "ml_changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         avg(value) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |m AS (SELECT avg(x) AS mu, stddev_pop(x) AS sigma,
+        |        count(*)::BIGINT AS n FROM daily),
+        |c AS (SELECT day, sum(x - mu) OVER (ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |      FROM daily, m)
+        |SELECT day::BIGINT AS cp_day, round(abs(s), 6) AS max_cusum,
+        |  round(abs(s) / (m.sigma * sqrt(m.n)), 6) AS stat
+        |FROM c, m ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin,
 
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "zorder_curve",            // crossJoin(broadcast(1-row min/max bounds))
     "agg_heavy_hitters",       // crossJoin(broadcast(1-row grand total))
     "feature_target_encode_oof", // crossJoin(broadcast(1-row grand total))
-    "ml_acf")                  // crossJoin(broadcast(1-row global mean))
+    "ml_acf",                  // crossJoin(broadcast(1-row global mean))
+    "ml_changepoint_cusum")    // crossJoin(broadcast(1-row mu/sigma/n))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
