@@ -427,6 +427,38 @@ object Docs {
         .orderBy("label", "pred_label")
     }),
 
+    /** First-class KMEANS clustering (the quantizer inside
+      * `similarity_ivf`, surfaced as its own operator — corpus
+      * organization, topic bucketing, embedding-space EDA): seeded MLlib
+      * KMeans|| on the embeddings, reported as the per-cluster audit a
+      * pipeline actually reads — size, within-cluster SSE share, and
+      * label PURITY (majority-label fraction — embeddings carry labels,
+      * so cluster quality is measurable, not asserted). Distributed
+      * end-to-end: fit is MLlib's, assignment+purity is one groupBy over
+      * the assigned frame; output bounded by k. Rows-only (Lloyd's
+      * iterations have no SQL form); seeded determinism + structural
+      * laws in SimilaritySpec. */
+    "ml_kmeans" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val assembled = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      val k = 8
+      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cluster").fit(assembled)
+      val scored = m.transform(assembled)
+      scored.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .join(
+          scored.groupBy("cluster", "label").agg(count(lit(1)).as("nl"))
+            .groupBy("cluster").agg(max(col("nl")).as("n_major")),
+          "cluster")
+        .select(col("cluster"), col("n"),
+          round(col("n_major").cast("double") / col("n"), 6).as("purity"))
+        .orderBy("cluster")
+    }),
+
     "similarity_ivf" -> ((s, d) => {
       // rows-only: the KMeans quantizer is not SQL-reproducible.
       // nlist ≈ √n (Similarity.nlistForCorpus) so list length and

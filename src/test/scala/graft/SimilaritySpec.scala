@@ -171,4 +171,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L))) // same direction -> same signs -> same bucket
     assert(!pairs.contains((0L, 3L))) // opposite direction fails threshold anyway
   }
+
+  test("ml_kmeans query: seeded determinism, size conservation, purity bounds") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("ml_kmeans")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run()
+    assert(a == run(), "seeded KMeans must reproduce bit-identically")
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(a.map(_._2).sum == n, "cluster sizes must conserve the corpus")
+    a.foreach { case (c, sz, p) =>
+      assert(sz > 0 && p > 0.0 && p <= 1.0, s"cluster $c: size=$sz purity=$p") }
+  }
 }
