@@ -45,6 +45,13 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
+    // The µs branch casts NTZ-at-rest values through the SESSION timezone;
+    // the canonical ts_ns key silently shifts under any non-UTC session.
+    // Every entry point (Bench/Verify/tests) pins UTC — fail fast rather
+    // than produce shifted keys if a future caller forgets.
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    require(tz == "UTC",
+      s"events ts normalization requires spark.sql.session.timeZone=UTC, got $tz")
     df.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) at rest, read as raw ns longs
         df.withColumnRenamed("ts", "ts_ns")

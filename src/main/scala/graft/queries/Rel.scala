@@ -393,12 +393,19 @@ object Rel {
       * double expression both engines evaluate identically. */
     "feature_target_encode_oof" -> ((s, d) => {
       val m = 20.0 // smoothing pseudo-count
+      // eager localCheckpoint of the |cats|×K cell frame: Spark does not
+      // deduplicate the four common subplans below (cat/gf/tot/final
+      // join), so an unmaterialized `cell` would scan the fact table four
+      // times. Checkpointed blocks survive into the handed-back plan (a
+      // cache()+unpersist() pair would not) and are reclaimed by the
+      // ContextCleaner once the plan is dropped.
       val cell = Tables.events(s, d)
         .select(col("event_type"),
           (col("event_id") % 5).cast("int").as("fold"),
           col("value").cast("decimal(18,6)").as("v"))
         .groupBy("event_type", "fold")
         .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .localCheckpoint()
       val cat = cell.groupBy("event_type").agg(sum("n").as("cn"), sum("sv").as("cs"))
       val gf = cell.groupBy("fold").agg(sum("n").as("gn"), sum("sv").as("gs"))
       val tot = cell.agg(sum("n").as("tn"), sum("sv").as("ts"))

@@ -175,7 +175,13 @@ object Ts {
         .withColumn("mad", med(sort_array(transform(col("arr"), v => abs(v - col("m"))))))
         .select(col("event_type"), col("day"),
           round(col("x"), 6).as("x"), round(col("m"), 6).as("med"),
-          (abs(col("x") - col("m")) > lit(3.0 * 1.4826) * col("mad")).as("is_outlier"))
+          // boundary decided on the 1e-6 grid in BOTH engines (the repo's
+          // conformal-coverage convention): x is a float avg whose
+          // summation order differs between Spark and DuckDB, so an
+          // unrounded comparison can flip within a few ulps of the
+          // threshold in one engine only
+          (round(abs(col("x") - col("m")), 6) >
+            round(lit(3.0 * 1.4826) * col("mad"), 6)).as("is_outlier"))
         .orderBy("event_type", "day")
     }),
 
@@ -547,7 +553,7 @@ object Ts {
         |          (dev[(len(dev) - 1) // 2 + 1] + dev[len(dev) // 2 + 1]) / 2.0 AS mad
         |        FROM m2)
         |SELECT event_type, day, round(x, 6) AS x, round(m, 6) AS med,
-        |  abs(x - m) > 3.0 * 1.4826 * mad AS is_outlier
+        |  round(abs(x - m), 6) > round(3.0 * 1.4826 * mad, 6) AS is_outlier
         |FROM fin ORDER BY event_type, day""".stripMargin,
 
     "log_returns" ->

@@ -38,7 +38,13 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val atRestTs = spark.read.parquet(s"$dir/events*.parquet").schema("ts").dataType
+    // An empty watched directory is a NORMAL cold-start state for a file
+    // stream source: the eager probe throws AnalysisException ("unable to
+    // infer schema") when the glob matches nothing, so fall back to the
+    // historical nanos-as-long schema and let the stream start empty.
+    val atRestTs = scala.util.Try(
+      spark.read.parquet(s"$dir/events*.parquet").schema("ts").dataType
+    ).getOrElse(org.apache.spark.sql.types.LongType)
     val reader = spark.readStream.schema(eventsSchema(atRestTs))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     graft.Tables.normalizeEventTs(reader
