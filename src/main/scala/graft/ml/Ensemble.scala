@@ -47,13 +47,18 @@ object Ensemble {
     * (Models.FeaturesCol + label). Two Spark actions total: count (ridge's
     * penalty rescale) and the single member-metrics aggregate.
     * `numTrees` defaults to the reference's 100 (`app.py:123`); tests may
-    * shrink it to bound runtime — weights/metrics shift only statistically. */
-  def fitWeighted(train: DataFrame, label: String, numTrees: Int = 100): Fitted = {
+    * shrink it to bound runtime — weights/metrics shift only statistically.
+    * `rfMaxDepth` defaults to the sklearn-parity 30 (≈ fully grown, what
+    * the reference-CSV golden tests pin); larger frames pass a bound —
+    * MLlib trains level-synchronously, so wall cost is jobs ∝ depth. */
+  def fitWeighted(train: DataFrame, label: String, numTrees: Int = 100,
+                  rfMaxDepth: Int = 30): Fitted = {
     val (n, sy) = Models.labelStats(train, label)
     val estimators: Seq[(String, DataFrame => Model[_])] = Seq(
       "lr" -> (df => Models.ols(label).fit(df)),
       "ridge" -> (df => Models.ridge(label, alpha = 1.0, n = n, yStdPop = sy).fit(df)),
-      "rf" -> (df => Models.randomForest(label, numTrees = numTrees).fit(df)))
+      "rf" -> (df => Models.randomForest(label, numTrees = numTrees,
+        maxDepth = rfMaxDepth).fit(df)))
 
     val fitted = Models.inParallel(estimators.map { case (name, fit) =>
       () => name -> fit(train)
@@ -99,22 +104,26 @@ object Ensemble {
 
   /** Weak-keyed by the session object: entries die with their session
     * (no leak across long-lived JVMs, no identityHashCode aliasing after
-    * a session is GC'd). The inner map is keyed by (dir, label, numTrees)
-    * — every fitWeighted parameter that changes the fit is in the key. */
+    * a session is GC'd). The inner map is keyed by (dir, label, grain,
+    * numTrees) — every parameter that changes the fit is in the key;
+    * `grain` disambiguates WHICH modeling frame was trained on
+    * (`serving_signal` fits the day-grain reference frame,
+    * `ml_ensemble_weighted` the 30-minute one — same dir and label). */
   private val cache =
-    new java.util.WeakHashMap[AnyRef, ConcurrentHashMap[(String, String, Int), Fitted]]()
+    new java.util.WeakHashMap[AnyRef, ConcurrentHashMap[(String, String, String, Int), Fitted]]()
 
-  /** Memoized fit: `serving_signal` and `ml_ensemble_weighted` on the same
-    * (session, dir, label) share one set of fitted members instead of
-    * re-running three MLlib fits each. `train` is only evaluated on miss. */
+  /** Memoized fit: callers on the same (session, dir, label, grain) share
+    * one set of fitted members instead of re-running three MLlib fits
+    * each. `train` is only evaluated on miss. */
   def fittedCached(sessionKey: AnyRef, dir: String, label: String,
-                   train: => DataFrame, numTrees: Int = 100): Fitted = {
+                   train: => DataFrame, numTrees: Int = 100,
+                   grain: String = "daily", rfMaxDepth: Int = 30): Fitted = {
     val perSession = cache.synchronized {
       var m = cache.get(sessionKey)
       if (m == null) { m = new ConcurrentHashMap(); cache.put(sessionKey, m) }
       m
     }
-    perSession.computeIfAbsent((dir, label, numTrees),
-      _ => fitWeighted(train, label, numTrees))
+    perSession.computeIfAbsent((dir, label, grain, numTrees),
+      _ => fitWeighted(train, label, numTrees, rfMaxDepth))
   }
 }

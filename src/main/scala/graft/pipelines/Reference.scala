@@ -28,8 +28,8 @@ object Reference {
     // scheduling overhead per pass otherwise (see queries.Ml.withFrame)
     val assembled = ModelingFrame.assembled(spark, dir).coalesce(1).cache()
     try {
-      // memoized fit: shares the three member fits with
-      // ml_ensemble_weighted on the same (session, dir, target)
+      // memoized fit on the DAY-grain reference frame (grain="daily" —
+      // distinct cache entry from ml_ensemble_weighted's 30-minute frame)
       val fitted = Ensemble.fittedCached(spark, dir, ModelingFrame.Target, assembled)
 
       // default input = latest feature row (`app.py:242` last_row_lookup);

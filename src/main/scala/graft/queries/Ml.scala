@@ -36,11 +36,24 @@ object Ml {
     try f(frame) finally { frame.unpersist(); () }
   }
 
+  /** Same contract on the 30-MINUTE frame (`ModelingFrame.buildFine`) —
+    * the frame the iterative rows-only fits (ensemble/RF/GBT/SVR/MLP/
+    * isotonic/lasso) train on, so they exercise 10³+ rows on the
+    * harness's fixed ~30-day span instead of a ~29-row day-grain
+    * degenerate. The oracle-backed fits (ridge/scaler/shap/walk-forward/
+    * gridsearch) stay on [[withFrame]]: their DuckDB twins replay the
+    * day-grain frame and grain is orthogonal to what they verify. */
+  private def withFineFrame[A](s: SparkSession, d: String)(f: DataFrame => A): A = {
+    val frame = ModelingFrame.assembledFine(s, d).coalesce(1).cache()
+    try f(frame) finally { frame.unpersist(); () }
+  }
+
   val qs: Map[String, Q] = Map(
     "ml_ensemble_weighted" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
-        val f = Ensemble.fittedCached(s, d, ModelingFrame.Target, train)
+      withFineFrame(s, d) { train =>
+        val f = Ensemble.fittedCached(s, d, ModelingFrame.Target, train,
+          grain = "fine30m", rfMaxDepth = ModelingFrame.FineRfMaxDepth)
         round6(Ensemble.report(f, train, ModelingFrame.Target)
             .toDF("model", "weight", "r2", "mae"),
           Seq("weight", "r2", "mae")).orderBy("model")
@@ -61,8 +74,9 @@ object Ml {
 
     "ml_random_forest" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
-        val m = Models.randomForest(ModelingFrame.Target).fit(train)
+      withFineFrame(s, d) { train =>
+        val m = Models.randomForest(ModelingFrame.Target,
+          maxDepth = ModelingFrame.FineRfMaxDepth).fit(train)
         round6(Models.featureImportances(m, ModelingFrame.EventTypes)
             .toDF("feature", "importance"), Seq("importance"))
           .orderBy("feature")
@@ -71,9 +85,9 @@ object Ml {
 
     "ml_gbt" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         val m = Models.gbt(ModelingFrame.Target, maxIter = 20).fit(train)
-        val pred = m.transform(train).select(col("date_id"),
+        val pred = m.transform(train).select(col("bucket_id"),
           col(ModelingFrame.Target).as("y"), col(Models.PredictionCol).as("yhat"))
         val r = Evaluation.metricsFull(pred, "y", "yhat").head()
         Seq((r.getAs[Long]("n"),
@@ -107,7 +121,7 @@ object Ml {
 
     "ml_lasso" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 1.0,
           yStdPop = Models.labelStats(train, ModelingFrame.Target)._2).fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
@@ -118,7 +132,7 @@ object Ml {
 
     "ml_elasticnet" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         val m = Models.elasticNet(ModelingFrame.Target, alpha = 0.1, l1Ratio = 0.5,
           yStdPop = Models.labelStats(train, ModelingFrame.Target)._2).fit(train)
         val (coefs, intercept) = Models.coefficients(m, ModelingFrame.EventTypes)
@@ -477,6 +491,12 @@ object Ml {
         val nCal = calR.count()
         val k = (9L * (nCal + 1) + 9L) / 10L // ceil(0.9·(n_cal+1)), exact
         require(k >= 1 && k <= nCal, s"calibration window too small: n_cal=$nCal")
+        // limit() takes an Int, so the TakeOrdered order-statistic path
+        // holds to k ≤ 2^31−1 (≈2.38 B calibration rows at α=0.1); past
+        // that the silent k.toInt wrap would corrupt the quantile, so
+        // refuse loudly — the >2B-row regime needs a bucketed two-pass
+        // order statistic, not a wider limit.
+        require(k <= Int.MaxValue, s"calibration rank k=$k exceeds limit() range")
         val q = calR.orderBy(col("r"), col("event_id")).limit(k.toInt)
           .agg(max(col("r"))).head().getDouble(0)
         val cov = resid(test)
@@ -495,7 +515,7 @@ object Ml {
       * kernel matrix has no 100 TB analog — see `ml/Svr.scala`). */
     "ml_svr" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         // smoothing scaled to the label (δ = 1% of σy): a fixed tiny δ
         // makes the hinge curvature 1/δ enormous relative to the data
         // scale and L-BFGS runs to maxIter; the optimum moves O(δ)
@@ -520,7 +540,7 @@ object Ml {
       * kernel recovery is pinned in `MlSpec`). */
     "ml_svr_rbf" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         val (_, sy) = Models.labelStats(train, ModelingFrame.Target)
         // tolerance 1e-4: sklearn SVR stops at tol=1e-3 — every extra
         // L-BFGS evaluation is one scheduled job on the tiny cached
@@ -549,7 +569,7 @@ object Ml {
       * `ml_gbt`'s train-metrics row. */
     "ml_mlp" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         // tolerance 1e-4 = sklearn MLPRegressor's own tol (see ml_svr_rbf)
         val m = Mlp.fit(train, ModelingFrame.EventTypes, ModelingFrame.Target,
           h = 16, maxIter = 150, tolerance = 1e-4)
@@ -573,16 +593,17 @@ object Ml {
       * runs per partition in parallel, and only the already-pooled
       * (point, weight) summaries — monotone blocks, not rows — meet for
       * the final driver-side pass, so the fit survives any row count
-      * while the model itself stays boundary-sized. Fit: next-day click
-      * target as a monotone function of today's click mean over the
-      * modeling frame; output mirrors `ml_gbt`'s train-metrics row plus
+      * while the model itself stays boundary-sized. Fit: next-bucket
+      * click target as a monotone function of the current click mean
+      * over the 30-minute modeling frame (`ModelingFrame.buildFine`);
+      * output mirrors `ml_gbt`'s train-metrics row plus
       * the learned boundary count. Rows-only: PAVA has no SQL closed
       * form; MlSpec pins exact equality with a reference driver-side
       * PAVA on a violation-planted fixture plus the monotone
       * postcondition. */
     "ml_isotonic" -> ((s, d) => {
       import s.implicits._
-      withFrame(s, d) { train =>
+      withFineFrame(s, d) { train =>
         val m = new org.apache.spark.ml.regression.IsotonicRegression()
           .setFeaturesCol("click").setLabelCol(ModelingFrame.Target)
           .setPredictionCol("yhat").fit(train)
