@@ -37,13 +37,43 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
 
-  /** STUB decoder — deterministic fake: a real implementation would hand
-    * `bytes` to an image/audio codec here. Returns (checksum, w, h). */
-  def fakeDecode(bytes: Array[Byte]): (Long, Int, Int) = {
+  /** Unsigned byte-sum checksum shared by every decoder (payload
+    * integrity signal, independent of what the codec extracts). */
+  def byteChecksum(bytes: Array[Byte]): Long = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    sum
+  }
+
+  /** STUB decoder — deterministic fake: derives pseudo-(w, h) from the
+    * checksum. Kept as the DEFAULT for the `multimodal_extract` query
+    * path only because the harness's synthetic payloads are not real
+    * image bytes and the DuckDB oracle replays this exact formula; real
+    * media columns use [[imageIoDecoder]]. Returns (checksum, w, h). */
+  def fakeDecode(bytes: Array[Byte]): (Long, Int, Int) = {
+    val sum = byteChecksum(bytes)
     (sum, (64 + sum % 1857).toInt, (48 + sum % 1393).toInt)
+  }
+
+  /** REAL image decoder: JDK `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP
+    * readers ship with the JVM — zero external dependencies, works
+    * headless). The factory shape matches the seam contract: reader
+    * plumbing is set up once per partition, the returned closure decodes
+    * one payload to its actual (checksum, width, height). Undecodable
+    * bytes fail loudly — silently fabricated dimensions are worse than a
+    * dead-letter row at 100 TB (callers that want skip-semantics wrap
+    * this in their own Try). */
+  def imageIoDecoder(): Array[Byte] => (Long, Int, Int) = {
+    // per-partition init: pin ImageIO's static reader registry scan here
+    // (first use scans the classpath for ImageReader SPIs) so the per-row
+    // closure only pays stream decode
+    javax.imageio.ImageIO.getReaderFormatNames()
+    bytes => {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+      (byteChecksum(bytes), img.getWidth, img.getHeight)
+    }
   }
 
   /** Typed row for the decode input (payload + identity columns). */

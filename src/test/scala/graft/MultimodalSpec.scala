@@ -48,6 +48,42 @@ class MultimodalSpec extends SparkSpec {
       Seq((7L, 2, 3)))
   }
 
+  test("imageIoDecoder decodes REAL PNG bytes to true dimensions through the seam") {
+    // tiny PNGs generated in-test via the JDK: the real bytes→(w,h) path
+    // the fakeDecode stub stands in for on synthetic payloads
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val (p1, p2) = (png(5, 3), png(7, 2))
+    val rows = Seq(
+      Row(1L, "image", p1, Row("gen", p1.length.toLong)),
+      Row(2L, "image", p2, Row("gen", p2.length.toLong)))
+    val mediaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val out = Multimodal.decodeFeatures(mediaDf, Multimodal.imageIoDecoder)
+      .orderBy("media_id").collect()
+    assert(out.map(r => (r.getAs[Int]("width"), r.getAs[Int]("height"))).toSeq ==
+      Seq((5, 3), (7, 2)))
+    // checksum and byte count describe the ENCODED payload, not pixels
+    assert(out(0).getAs[Long]("n_bytes") == p1.length.toLong)
+    assert(out(0).getAs[Long]("checksum") == Multimodal.byteChecksum(p1))
+  }
+
+  test("imageIoDecoder fails loudly on undecodable bytes") {
+    val ex = intercept[Exception] {
+      val rows = Seq(Row(1L, "image", Array[Byte](1, 2, 3), Row(null, null)))
+      Multimodal.decodeFeatures(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.mediaSchema),
+        Multimodal.imageIoDecoder).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("fakeDecode matches the SQL-side formula shape") {
     val (sum, w, h) = Multimodal.fakeDecode(Array[Byte](10, 20))
     assert(sum == 30L && w == (64 + 30 % 1857) && h == (48 + 30 % 1393))
