@@ -152,4 +152,29 @@ class GoldenParitySpec extends SparkSpec {
     assert(e.getAs[Double]("r2") > 0.6 && e.getAs[Double]("r2") < 0.95)
     assert(e.getAs[Double]("dir_acc") > 0.8)
   }
+
+  test("FULL-parity ensemble lands within statistical tolerance of the published acceptance numbers") {
+    // BASELINE.md / `app.py:601-607` publish MAE 0.0162 / R² 0.7227 /
+    // dir-acc 80.28 % for the weighted ensemble, with no tracked code
+    // computing them. A clean holdout is ruled out EMPIRICALLY: this
+    // exact config measured time-ordered 80/20 → R² −0.32 (da 0.49),
+    // 70/30 → −0.21 (da 0.51), seeded random 20 % → −0.08 (da 0.46) on
+    // the same frame — held-out R² is negative under every plausible
+    // split, so the published table can only be the training-protocol
+    // regime that `app.py:115-144` actually computes. That reproducible
+    // protocol at FULL parity config — LR + Ridge(α=1) + RF(100 trees,
+    // ≈fully grown, seed 42), R²-weighted, in-sample metrics — is pinned
+    // here against the published triple with bands sized for tree
+    // implementation variance (MLlib vs sklearn forests; BASELINE.md's
+    // own stated tolerance class for RF):
+    //   R² within ±0.10 of 0.7227, MAE within +0.008 of 0.0162, and
+    //   dir-acc AT OR ABOVE the published 80.28 %.
+    val f = Ensemble.fitWeighted(assembled, target, numTrees = 100)
+    val e = Evaluation.metricsFull(f.predict(assembled, target, Nil), "y", "yhat").head()
+    val (r2, mae, da) = (e.getAs[Double]("r2"), e.getAs[Double]("mae"),
+      e.getAs[Double]("dir_acc"))
+    assert(math.abs(r2 - 0.7227) < 0.10, s"ensemble R² $r2 outside 0.7227±0.10")
+    assert(mae > 0.0 && mae - 0.0162 < 0.008, s"ensemble MAE $mae outside 0.0162+0.008")
+    assert(da >= 0.8028, s"ensemble dir-acc $da below the published 80.28%")
+  }
 }
