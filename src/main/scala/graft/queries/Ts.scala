@@ -25,6 +25,24 @@ object Ts {
 
   private def userW = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
 
+  /** 30-minute per-type price series for the indicator pack: the
+    * distributed collapse (one shuffle) every indicator shares. Prices
+    * land on the 1e-6 grid HERE so all window math downstream sees
+    * identical numbers in both engines; buckets are integer division of
+    * the lossless ts_ns key. */
+  private def indicatorSeries(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("event_type", "bucket")
+      .agg(round(avg(col("value")), 6).as("px"))
+
+  /** DuckDB twin of [[indicatorSeries]] (`epoch_ns` ↔ ts_ns contract). */
+  private val indicatorSeriesSql: String =
+    """WITH b AS (
+      |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
+      |         round(avg(value), 6) AS px
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   /** Per-event-type lead horizons — the `target_pairs.lag` analog
     * (`Marilyn_Cleaning.ipynb` cell 67; lag ∈ {1..4}). */
   private val horizons = Map(
@@ -466,6 +484,126 @@ object Ts {
             / (col("all_std") / sqrt(col("n_day"))), 4).as("z"))
         .orderBy("event_type", "day")
     }),
+
+    // ---- technical-indicator pack (the reference's DOMAIN: commodity
+    //      price analytics; `Presentation.pptx` frames the product as a
+    //      trading-signal tool). Each indicator runs on the 30-minute
+    //      per-type price series (`indicatorSeries`) with windows
+    //      PARTITIONED by the series key — the §4.3.3 multi-series 100 TB
+    //      layout: bounded parallel windows, never one global sort.
+    //      Prices pre-rounded to the 1e-6 grid so both engines window
+    //      identical numbers; divisions nullif-guarded (ANSI-safe). ----
+
+    /** Bollinger bands (20-bucket SMA ± 2σ + %B): the classic
+      * mean-reversion envelope. Complete windows only (n=20) so no
+      * partial-window NULL conventions leak into the hash. */
+    "ts_bollinger" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-19, 0)
+      indicatorSeries(s, d)
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("sma", avg(col("px")).over(w))
+        .withColumn("sd", stddev_samp(col("px")).over(w))
+        .filter(col("n_w") === 20)
+        .select(col("event_type"), col("bucket"), col("px"),
+          round(col("sma"), 6).as("sma"),
+          round(col("sma") + lit(2) * col("sd"), 6).as("upper"),
+          round(col("sma") - lit(2) * col("sd"), 6).as("lower"),
+          round((col("px") - (col("sma") - lit(2) * col("sd"))) /
+            nullif(lit(4) * col("sd"), lit(0.0)), 6).as("pct_b"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    /** RSI(14), SMA (Cutler) variant: 100·ag/(ag+al) over the trailing
+      * 14 deltas — the rolling-mean form, NOT Wilder's recursive
+      * smoothing, so the whole indicator stays one window expression in
+      * both engines (the recursion has no bounded SQL form). al=0 (a
+      * 14-bucket monotone rise) is the textbook RSI=100 case, expressed
+      * divisionlessly via the ag/(ag+al) identity + nullif guard. */
+    "ts_rsi" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val w = sw.rowsBetween(-13, 0)
+      indicatorSeries(s, d)
+        .withColumn("diff", round(col("px") - lag(col("px"), 1).over(sw), 6))
+        .filter(col("diff").isNotNull)
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("ag", avg(greatest(col("diff"), lit(0.0))).over(w))
+        .withColumn("al", avg(greatest(-col("diff"), lit(0.0))).over(w))
+        .filter(col("n_w") === 14)
+        .select(col("event_type"), col("bucket"),
+          round(coalesce(lit(100.0) * col("ag") /
+            nullif(col("ag") + col("al"), lit(0.0)), lit(50.0)), 6).as("rsi"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    /** Stochastic oscillator %K/%D(14,3): position of the close inside
+      * the trailing 14-bucket range, then the 3-bucket signal average of
+      * the PRE-ROUNDED %K (both engines average identical grid values).
+      * Flat 14-bucket range → %K defined as 50 (neutral), the common
+      * library convention for a degenerate range. */
+    "ts_stochastic" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val w14 = sw.rowsBetween(-13, 0)
+      val w3 = sw.rowsBetween(-2, 0)
+      indicatorSeries(s, d)
+        .withColumn("n_w", count(lit(1)).over(w14))
+        .withColumn("lo", min(col("px")).over(w14))
+        .withColumn("hi", max(col("px")).over(w14))
+        .withColumn("k", round(coalesce(lit(100.0) * (col("px") - col("lo")) /
+          nullif(col("hi") - col("lo"), lit(0.0)), lit(50.0)), 6))
+        .withColumn("n_k", count(when(col("n_w") === 14, 1)).over(w3))
+        // d_sig BEFORE the completeness filter: the first emitted row's
+        // signal window reaches back to complete-k rows that the filter
+        // drops from the output (the oracle's CTE structure — windows
+        // over the full series, WHERE at the end)
+        .withColumn("d_sig", round(avg(col("k")).over(w3), 6))
+        .filter(col("n_w") === 14 && col("n_k") === 3)
+        .select(col("event_type"), col("bucket"), col("k"), col("d_sig"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    /** Daily VWAP + 7-day rolling VWAP over lineitem (price×volume is
+      * the reference's market microstructure analog: extendedprice ×
+      * quantity). Sums ride DECIMAL so both engines aggregate exactly;
+      * the rolling variant re-aggregates the DAILY decimal sums (ratio
+      * of 7-day totals — the correct multi-day VWAP, not a mean of
+      * ratios). The daily collapse is the distributed stage; the
+      * ~2.4k-row day series makes the global window bounded. */
+    "ts_vwap" -> ((s, d) => {
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      Tables.lineitem(s, d)
+        .withColumn("day", Tables.epochDay(col("l_shipdate")).cast("long"))
+        .groupBy("day")
+        .agg(sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(28,6)")).as("pv"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("v"))
+        .withColumn("pv7", sum(col("pv")).over(w7))
+        .withColumn("v7", sum(col("v")).over(w7))
+        .select(col("day"),
+          round(col("pv").cast("double") / col("v").cast("double"), 6).as("vwap"),
+          round(col("pv7").cast("double") / col("v7").cast("double"), 6).as("vwap7"))
+        .orderBy("day")
+    }),
+
+    /** On-balance volume over the daily lineitem series: volume signed
+      * by the day-over-day VWAP direction, accumulated. The running sum
+      * is a DECIMAL cumulative window (exact under any accumulation
+      * order); sign compares 1e-6-rounded VWAPs so the direction bit is
+      * grid-decided in both engines. */
+    "ts_obv" -> ((s, d) => {
+      val sw = Window.orderBy("day")
+      Tables.lineitem(s, d)
+        .withColumn("day", Tables.epochDay(col("l_shipdate")).cast("long"))
+        .groupBy("day")
+        .agg(sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(28,6)")).as("pv"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("v"))
+        .withColumn("vwap", round(col("pv").cast("double") / col("v").cast("double"), 6))
+        .withColumn("dir", signum(col("vwap") - lag(col("vwap"), 1).over(sw)))
+        .filter(col("dir").isNotNull)
+        .withColumn("obv", sum((col("dir") * col("v")).cast("decimal(28,6)"))
+          .over(sw.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day"), col("dir").cast("int").as("dir"),
+          round(col("obv").cast("double"), 6).as("obv"))
+        .orderBy("day")
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -812,5 +950,94 @@ object Ts {
         |  round((d.day_mean - o.all_mean) / (o.all_std / sqrt(d.n_day)), 4) AS z
         |FROM days d JOIN overall o ON d.event_type = o.event_type
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "ts_bollinger" -> (indicatorSeriesSql +
+      """, w AS (
+        |  SELECT event_type, bucket, px,
+        |    count(*) OVER ww AS n_w,
+        |    avg(px) OVER ww AS sma,
+        |    stddev_samp(px) OVER ww AS sd
+        |  FROM b
+        |  WINDOW ww AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, px,
+        |  round(sma, 6) AS sma,
+        |  round(sma + 2 * sd, 6) AS upper,
+        |  round(sma - 2 * sd, 6) AS lower,
+        |  round((px - (sma - 2 * sd)) / nullif(4 * sd, 0), 6) AS pct_b
+        |FROM w WHERE n_w = 20 ORDER BY event_type, bucket""".stripMargin),
+
+    "ts_rsi" -> (indicatorSeriesSql +
+      """, dd AS (
+        |  SELECT event_type, bucket,
+        |    round(px - lag(px) OVER (PARTITION BY event_type ORDER BY bucket), 6) AS diff
+        |  FROM b),
+        |w AS (
+        |  SELECT event_type, bucket,
+        |    count(*) OVER ww AS n_w,
+        |    avg(greatest(diff, 0)) OVER ww AS ag,
+        |    avg(greatest(-diff, 0)) OVER ww AS al
+        |  FROM dd WHERE diff IS NOT NULL
+        |  WINDOW ww AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket,
+        |  round(coalesce(100.0 * ag / nullif(ag + al, 0), 50.0), 6) AS rsi
+        |FROM w WHERE n_w = 14 ORDER BY event_type, bucket""".stripMargin),
+
+    "ts_stochastic" -> (indicatorSeriesSql +
+      """, w AS (
+        |  SELECT event_type, bucket,
+        |    count(*) OVER w14 AS n_w,
+        |    min(px) OVER w14 AS lo,
+        |    max(px) OVER w14 AS hi,
+        |    px
+        |  FROM b
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY bucket
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |kk AS (
+        |  SELECT event_type, bucket, n_w,
+        |    round(coalesce(100.0 * (px - lo) / nullif(hi - lo, 0), 50.0), 6) AS k
+        |  FROM w),
+        |sig AS (
+        |  SELECT event_type, bucket, n_w, k,
+        |    count(CASE WHEN n_w = 14 THEN 1 END) OVER w3 AS n_k,
+        |    avg(k) OVER w3 AS d_sig
+        |  FROM kk
+        |  WINDOW w3 AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, k, round(d_sig, 6) AS d_sig
+        |FROM sig WHERE n_w = 14 AND n_k = 3
+        |ORDER BY event_type, bucket""".stripMargin),
+
+    "ts_vwap" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))::BIGINT AS day,
+        |    sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS pv,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS v
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day, pv, v,
+        |    sum(pv) OVER w7 AS pv7, sum(v) OVER w7 AS v7
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, round(pv::DOUBLE / v::DOUBLE, 6) AS vwap,
+        |  round(pv7::DOUBLE / v7::DOUBLE, 6) AS vwap7
+        |FROM w ORDER BY day""".stripMargin,
+
+    "ts_obv" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))::BIGINT AS day,
+        |    sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS pv,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS v
+        |  FROM lineitem GROUP BY 1),
+        |vw AS (
+        |  SELECT day, v, round(pv::DOUBLE / v::DOUBLE, 6) AS vwap FROM daily),
+        |dd AS (
+        |  SELECT day, v, sign(vwap - lag(vwap) OVER (ORDER BY day)) AS dir FROM vw)
+        |SELECT day, dir::INT AS dir,
+        |  round(sum(CAST(dir * v AS DECIMAL(28,6)))
+        |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,
+        |        6) AS obv
+        |FROM dd WHERE dir IS NOT NULL ORDER BY day""".stripMargin,
   )
 }
