@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Acf, Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Sarimax, Svr}
+import graft.ml.{Acf, Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -632,6 +632,62 @@ object Ml {
           Seq("mean_abs_shap", "mean_shap", "coefficient", "base_value"))
           .withColumn("mean_shap", col("mean_shap") + lit(0.0))
           .orderBy("feature")
+      }
+    }),
+
+    /** `ml_quantile_regression`: linear τ-quantile regression (Koenker &
+      * Bassett) at τ ∈ {0.1, 0.5, 0.9} on the 30-minute frame — the
+      * covariate-DEPENDENT risk band next to `ml_conformal_interval`'s
+      * constant-width one. One distributed pinball aggregation per
+      * L-BFGS evaluation (`ml/Quantile.scala`); the three fits run on
+      * parallel driver threads. Output per τ: raw-space intercept, the
+      * empirical coverage P(y ≤ ŷ_τ) — the calibration law a quantile
+      * fit must satisfy (≈ τ) — and the mean exact pinball loss.
+      * Rows-only: no SQL engine fits a quantile regression; MlSpec pins
+      * planted-data recovery, coverage and non-crossing. */
+    "ml_quantile_regression" -> ((s, d) => {
+      import s.implicits._
+      withFineFrame(s, d) { train =>
+        val taus = Seq(0.1, 0.5, 0.9)
+        val fits = Models.inParallel(taus.map(t => () =>
+          Quantile.fit(train, ModelingFrame.EventTypes, ModelingFrame.Target, t)))
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        val rows = fits.map { m =>
+          val pred = m.predictExpr(ModelingFrame.EventTypes)
+          val y = col(ModelingFrame.Target)
+          val e = train.agg(
+            avg((round(y, 6) <= round(pred, 6)).cast("double")).as("cov"),
+            avg(when(y >= pred, lit(m.tau) * (y - pred))
+              .otherwise(lit(1.0 - m.tau) * (pred - y))).as("pinball")).head()
+          (m.tau, r6(m.intercept), r6(e.getAs[Double]("cov")),
+            r6(e.getAs[Double]("pinball")))
+        }
+        rows.toDF("tau", "intercept", "coverage", "pinball").orderBy("tau")
+      }
+    }),
+
+    /** `ml_pca`: principal components of the 30-minute feature frame —
+      * the dimensionality-reduction staple of every feature pipeline
+      * (the reference's correlated multi-market columns are the classic
+      * PCA input). Distributed shape is the only one PCA has: one
+      * second-moment aggregation (data scanned once, k×k driver
+      * eigen-solve — `ml/Pca.scala`). Long-format output (component ×
+      * feature × loading + eigenvalue + explained ratio), sklearn sign
+      * convention. Rows-only: eigendecomposition has no SQL closed form;
+      * MlSpec pins planted-direction recovery, orthonormality and
+      * variance accounting. */
+    "ml_pca" -> ((s, d) => {
+      import s.implicits._
+      withFineFrame(s, d) { train =>
+        val m = Pca.fit(train, ModelingFrame.EventTypes)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+        val rows = for {
+          (c, ci) <- m.components.zipWithIndex
+          (f, fi) <- m.features.zipWithIndex
+        } yield (ci + 1, f, r6(c(fi)), r6(m.eigenvalues(ci)),
+          r6(m.explainedRatio(ci)))
+        rows.toDF("component", "feature", "loading", "eigenvalue",
+          "explained_ratio").orderBy("component", "feature")
       }
     }),
 

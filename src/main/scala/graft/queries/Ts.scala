@@ -561,6 +561,39 @@ object Ts {
         .orderBy("event_type", "bucket")
     }),
 
+    /** Seasonal-trend decomposition (STL-lite, the moving-average
+      * `seasonal_decompose` the reference's statsmodels workflow pairs
+      * with SARIMAX): per series, trend = centered 49-bucket moving
+      * average (one full daily cycle of 48 plus the center — the odd
+      * window standing in for the textbook 2×48 MA), seasonal = phase
+      * mean of the detrended series (phase = bucket mod 48), remainder =
+      * px − trend − seasonal. One partitioned window for the trend, one
+      * phase-keyed aggregation for the seasonal — additive decomposition
+      * with NO recursion, so it is fully replayable in SQL and
+      * hash-checked (statsmodels' default is this same MA estimator).
+      * Complete trend windows only; seasonal means re-centered to sum
+      * to zero over the cycle (the statsmodels convention). */
+    "ts_stl_decompose" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val wTrend = sw.rowsBetween(-24, 24)
+      val base = indicatorSeries(s, d)
+        .withColumn("n_w", count(lit(1)).over(wTrend))
+        .withColumn("trend", round(avg(col("px")).over(wTrend), 6))
+        .filter(col("n_w") === 49)
+        .withColumn("phase", pmod(col("bucket"), lit(48)).cast("long"))
+        .withColumn("det", round(col("px") - col("trend"), 6))
+      val wPhase = Window.partitionBy("event_type", "phase")
+      val wSeries = Window.partitionBy("event_type")
+      base
+        .withColumn("phase_mean", avg(col("det")).over(wPhase))
+        .withColumn("cycle_mean", avg(col("det")).over(wSeries))
+        .withColumn("seasonal", round(col("phase_mean") - col("cycle_mean"), 6))
+        .select(col("event_type"), col("bucket"), col("px"), col("trend"),
+          col("seasonal"),
+          round(col("px") - col("trend") - col("seasonal"), 6).as("remainder"))
+        .orderBy("event_type", "bucket")
+    }),
+
     /** Daily VWAP + 7-day rolling VWAP over lineitem (price×volume is
       * the reference's market microstructure analog: extendedprice ×
       * quantity). Sums ride DECIMAL so both engines aggregate exactly;
@@ -1008,6 +1041,29 @@ object Ts {
         |SELECT event_type, bucket, k, round(d_sig, 6) AS d_sig
         |FROM sig WHERE n_w = 14 AND n_k = 3
         |ORDER BY event_type, bucket""".stripMargin),
+
+    "ts_stl_decompose" -> (indicatorSeriesSql +
+      """, tr AS (
+        |  SELECT event_type, bucket, px,
+        |    count(*) OVER wt AS n_w,
+        |    round(avg(px) OVER wt, 6) AS trend
+        |  FROM b
+        |  WINDOW wt AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type, bucket, px, trend,
+        |    bucket % 48 AS phase,
+        |    round(px - trend, 6) AS det
+        |  FROM tr WHERE n_w = 49),
+        |sea AS (
+        |  SELECT event_type, bucket, px, trend,
+        |    avg(det) OVER (PARTITION BY event_type, phase) AS phase_mean,
+        |    avg(det) OVER (PARTITION BY event_type) AS cycle_mean
+        |  FROM det)
+        |SELECT event_type, bucket, px, trend,
+        |  round(phase_mean - cycle_mean, 6) AS seasonal,
+        |  round(px - trend - round(phase_mean - cycle_mean, 6), 6) AS remainder
+        |FROM sea ORDER BY event_type, bucket""".stripMargin),
 
     "ts_vwap" ->
       """WITH daily AS (
