@@ -485,6 +485,122 @@ object Ts {
         .orderBy("event_type", "day")
     }),
 
+    // ---- drift / monitoring pack (README.md:89-90's future-work
+    //      "Monitoring System … alerts for when performance drops" made
+    //      first-class): the standard model-monitoring aggregations,
+    //      each ONE or two keyed aggregations over the fact table —
+    //      at 100 TB these run as scheduled audits on the same partition
+    //      layout as the serving queries. --------------------------------
+
+    /** Population Stability Index of the value distribution, second half
+      * of the span vs first (the retrain-trigger metric): 10 bins from
+      * the REFERENCE half's exact deciles (percentile on the 1e-6 grid
+      * so both engines cut identically), per-bin shares Laplace-smoothed
+      * (+0.5) so an empty current bin stays finite, term =
+      * (p−q)·ln(p/q). Two aggregations: decile stats, then one binned
+      * count over the fact; the 10-row result carries the per-bin audit
+      * (the alerting consumer sums the terms). */
+    "drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr("unix_micros(ts)").as("t"), round(col("value"), 6).as("v"))
+      val b = ev.agg(min("t"), max("t")).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val refHalf = ev.filter(col("t") < mid)
+      val qs = (1 to 9).map(_ / 10.0)
+      val cuts = refHalf.agg(
+        expr(s"percentile(v, array(${qs.mkString(",")}))").as("c")).head()
+        .getSeq[Double](0).map(c => math.rint(c * 1e6) / 1e6)
+      // fold from the largest cut so the ascending `v <= c1` test wins
+      // over every later one (when-chains take the FIRST match)
+      val binFirstMatch = cuts.zipWithIndex.reverse
+        .foldLeft(lit(10)) { case (acc, (c, i)) =>
+          when(col("v") <= lit(c), lit(i + 1)).otherwise(acc) }
+      val counts = ev
+        .withColumn("half", when(col("t") < mid, "ref").otherwise("cur"))
+        .withColumn("bin", binFirstMatch)
+        .groupBy("bin")
+        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round((col("n_ref") + 0.5) / (col("tr") + 5.0), 6).as("p_ref"),
+          round((col("n_cur") + 0.5) / (col("tc") + 5.0), 6).as("p_cur"),
+          round(((col("n_ref") + 0.5) / (col("tr") + 5.0) -
+                 (col("n_cur") + 0.5) / (col("tc") + 5.0)) *
+            log(((col("n_ref") + 0.5) / (col("tr") + 5.0)) /
+                ((col("n_cur") + 0.5) / (col("tc") + 5.0))), 6).as("psi_term"))
+        .orderBy("bin")
+    }),
+
+    /** Two-sample Kolmogorov–Smirnov distance between the click and
+      * purchase value distributions (covariate-shift check between
+      * segments): D = max |F̂₁ − F̂₂| over the pooled sample points —
+      * grouped distinct values, two cumulative-count windows, one max.
+      * The reject flag applies the large-sample 95 % threshold
+      * c(α)·√((n₁+n₂)/(n₁n₂)), c(0.05)=1.358. All counts are integers;
+      * the single division per CDF step makes the comparison exact. */
+    "drift_ks" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"), round(col("value"), 6).as("v"))
+      val pts = ev.groupBy("v")
+        .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val cdf = pts
+        .withColumn("r1", sum("c1").over(w))
+        .withColumn("r2", sum("c2").over(w))
+      val n = cdf.agg(max("r1").as("n1"), max("r2").as("n2")).head()
+      val (n1, n2) = (n.getLong(0), n.getLong(1))
+      val dRow = cdf
+        .select(abs(col("r1").cast("double") / n1 -
+          col("r2").cast("double") / n2).as("diff"))
+        .agg(max("diff")).head()
+      val dStat = dRow.getDouble(0)
+      val crit = 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
+      import s.implicits._
+      Seq((math.rint(dStat * 1e6) / 1e6, n1, n2,
+          math.rint(crit * 1e6) / 1e6, dStat > crit))
+        .toDF("d_stat", "n_click", "n_purchase", "crit_95", "reject_95")
+    }),
+
+    /** Mutual information between event_type and the value DECILE (the
+      * feature-relevance screen a pipeline runs before modeling):
+      * global-decile binning on the 1e-6 grid, one (type × bin) count
+      * aggregation, MI = ΣΣ p·ln(p/(p_row·p_col)) in nats plus both
+      * marginal entropies (the normalizing quantities). Counts are
+      * exact integers; only the final 60-term sum is floating. */
+    "agg_mutual_information" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("g"), round(col("value"), 6).as("v"))
+      val qs = (1 to 9).map(_ / 10.0)
+      val cuts = ev.agg(
+        expr(s"percentile(v, array(${qs.mkString(",")}))").as("c")).head()
+        .getSeq[Double](0).map(c => math.rint(c * 1e6) / 1e6)
+      val bin = cuts.zipWithIndex.reverse.foldLeft(lit(10)) { case (acc, (c, i)) =>
+        when(col("v") <= lit(c), lit(i + 1)).otherwise(acc) }
+      val cell = ev.withColumn("bin", bin).groupBy("g", "bin").count()
+      val rows = cell.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2)))
+      val nTot = rows.map(_._3).sum.toDouble
+      val pg = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum / nTot }
+      val pb = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum / nTot }
+      // deterministic accumulation order (sorted cells) — driver-side
+      // metadata math on the |types|×10 table, same bound as ml_pca's k×k
+      val sorted = rows.sortBy(r => (r._1, r._2))
+      val mi = sorted.map { case (g, bn, c) =>
+        val p = c / nTot
+        p * math.log(p / (pg(g) * pb(bn)))
+      }.sum
+      val hg = -pg.toSeq.sortBy(_._1).map { case (_, p) => p * math.log(p) }.sum
+      val hb = -pb.toSeq.sortBy(_._1).map { case (_, p) => p * math.log(p) }.sum
+      import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6 + 0.0
+      Seq((r6(mi), r6(hg), r6(hb), r6(mi / math.min(hg, hb))))
+        .toDF("mi_nats", "h_type", "h_bin", "nmi")
+    }),
+
     // ---- technical-indicator pack (the reference's DOMAIN: commodity
     //      price analytics; `Presentation.pptx` frames the product as a
     //      trading-signal tool). Each indicator runs on the 30-minute
@@ -983,6 +1099,87 @@ object Ts {
         |  round((d.day_mean - o.all_mean) / (o.all_std / sqrt(d.n_day)), 4) AS z
         |FROM days d JOIN overall o ON d.event_type = o.event_type
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "drift_psi" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts)::BIGINT AS t, round(value, 6) AS v FROM events),
+        |bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM ev),
+        |mid AS (SELECT lo + (hi - lo) // 2 AS m FROM bounds),
+        |cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    q -> round(q, 6)) AS c
+        |  FROM ev, mid WHERE t < m),
+        |binned AS (
+        |  SELECT CASE
+        |    WHEN v <= c[1] THEN 1 WHEN v <= c[2] THEN 2 WHEN v <= c[3] THEN 3
+        |    WHEN v <= c[4] THEN 4 WHEN v <= c[5] THEN 5 WHEN v <= c[6] THEN 6
+        |    WHEN v <= c[7] THEN 7 WHEN v <= c[8] THEN 8 WHEN v <= c[9] THEN 9
+        |    ELSE 10 END AS bin,
+        |    CASE WHEN t < m THEN 'ref' ELSE 'cur' END AS half
+        |  FROM ev, cuts, mid),
+        |counts AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |    sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM counts)
+        |SELECT bin, n_ref, n_cur,
+        |  round((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
+        |  round((n_cur + 0.5) / (tc + 5.0), 6) AS p_cur,
+        |  round(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0)) *
+        |        ln(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0))), 6)
+        |    AS psi_term
+        |FROM counts, tot ORDER BY bin""".stripMargin,
+
+    "drift_ks" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, round(value, 6) AS v FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |pts AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM ev GROUP BY v),
+        |cdf AS (
+        |  SELECT v,
+        |    sum(c1) OVER wv AS r1, sum(c2) OVER wv AS r2
+        |  FROM pts
+        |  WINDOW wv AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT max(r1)::BIGINT AS n1, max(r2)::BIGINT AS n2 FROM cdf),
+        |d AS (SELECT max(abs(r1::DOUBLE / n1 - r2::DOUBLE / n2)) AS ds FROM cdf, n)
+        |SELECT round(ds, 6) AS d_stat, n1 AS n_click, n2 AS n_purchase,
+        |  round(1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2)), 6) AS crit_95,
+        |  ds > 1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2)) AS reject_95
+        |FROM d, n""".stripMargin,
+
+    "agg_mutual_information" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, round(value, 6) AS v FROM events),
+        |cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    q -> round(q, 6)) AS c
+        |  FROM ev),
+        |cell AS (
+        |  SELECT g, CASE
+        |    WHEN v <= c[1] THEN 1 WHEN v <= c[2] THEN 2 WHEN v <= c[3] THEN 3
+        |    WHEN v <= c[4] THEN 4 WHEN v <= c[5] THEN 5 WHEN v <= c[6] THEN 6
+        |    WHEN v <= c[7] THEN 7 WHEN v <= c[8] THEN 8 WHEN v <= c[9] THEN 9
+        |    ELSE 10 END AS bin, count(*)::BIGINT AS n
+        |  FROM ev, cuts GROUP BY 1, 2),
+        |tot AS (SELECT sum(n)::DOUBLE AS nt FROM cell),
+        |pg AS (SELECT g, sum(n)::DOUBLE AS ng FROM cell GROUP BY g),
+        |pb AS (SELECT bin, sum(n)::DOUBLE AS nb FROM cell GROUP BY bin),
+        |mi AS (
+        |  SELECT sum((n / nt) * ln((n / nt) / ((ng / nt) * (nb / nt)))) AS mi
+        |  FROM cell JOIN pg USING (g) JOIN pb USING (bin), tot),
+        |hh AS (
+        |  SELECT (SELECT -sum((ng / nt) * ln(ng / nt)) FROM pg, tot) AS hg,
+        |         (SELECT -sum((nb / nt) * ln(nb / nt)) FROM pb, tot) AS hb)
+        |SELECT round(mi, 6) AS mi_nats, round(hg, 6) AS h_type,
+        |  round(hb, 6) AS h_bin, round(mi / least(hg, hb), 6) AS nmi
+        |FROM mi, hh""".stripMargin,
 
     "ts_bollinger" -> (indicatorSeriesSql +
       """, w AS (

@@ -70,6 +70,30 @@ class IndicatorSpec extends SparkSpec {
     }
   }
 
+  test("drift pack laws: PSI terms nonnegative, KS stat in [0,1], MI bounds") {
+    // (p-q)ln(p/q) >= 0 for every bin by the log-sum inequality
+    val psi = SparkEntry.queries("drift_psi")(spark, dir).collect()
+    assert(psi.length == 10)
+    psi.foreach(r => assert(r.getAs[Double]("psi_term") >= -1e-9, s"negative PSI term: $r"))
+    assert(psi.map(_.getAs[Long]("n_ref")).sum > 0)
+
+    val ks = SparkEntry.queries("drift_ks")(spark, dir).head()
+    val dStat = ks.getAs[Double]("d_stat")
+    assert(dStat >= 0.0 && dStat <= 1.0)
+    assert(ks.getAs[Double]("crit_95") > 0.0)
+    // same deterministic generator for both types => no real shift
+    assert(!ks.getAs[Boolean]("reject_95"), s"false drift alarm: $ks")
+
+    val mi = SparkEntry.queries("agg_mutual_information")(spark, dir).head()
+    val (m, hg, hb) = (mi.getAs[Double]("mi_nats"), mi.getAs[Double]("h_type"),
+      mi.getAs[Double]("h_bin"))
+    assert(m >= -1e-9, s"negative MI: $m")
+    assert(m <= math.min(hg, hb) + 1e-6, "MI must be bounded by both entropies")
+    assert(hg > 0 && hb > 0)
+    val nmi = mi.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+  }
+
   test("obv: cumulative law - each obv is the previous plus dir x day volume") {
     val rows = SparkEntry.queries("ts_obv")(spark, dir).orderBy("day").collect()
     assert(rows.length > 10)

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "agg_heavy_hitters",       // crossJoin(broadcast(1-row grand total))
     "feature_target_encode_oof", // crossJoin(broadcast(1-row grand total))
     "ml_acf",                  // crossJoin(broadcast(1-row global mean))
-    "ml_changepoint_cusum")    // crossJoin(broadcast(1-row mu/sigma/n))
+    "ml_changepoint_cusum",    // crossJoin(broadcast(1-row mu/sigma/n))
+    "drift_psi")               // crossJoin(broadcast(1-row ref/cur totals))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
