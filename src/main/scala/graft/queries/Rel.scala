@@ -246,6 +246,84 @@ object Rel {
        |ORDER BY o_totalprice DESC, o_orderkey
        |LIMIT 100""".stripMargin
 
+  /** TPC-H Q7 (volume shipping): the two-nation trade-flow report. The
+    * nation dim joins TWICE (supplier's and customer's side); both are
+    * broadcast next to the single orders⋈lineitem fact shuffle, and the
+    * symmetric pair filter keeps only the two flow directions. */
+  private def q7Sql(t: String => String): String =
+    s"""SELECT supp_nation, cust_nation, l_year, $revenueSql AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    year(CAST(l_shipdate AS DATE)) AS l_year,
+       |    l_extendedprice, l_discount
+       |  FROM ${t("supplier")}, ${t("lineitem")}, ${t("orders")},
+       |    ${t("customer")}, ${t("nation")} n1, ${t("nation")} n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 (national market share): the EIGHT-table join — the widest
+    * plan in the suite. Every dimension broadcasts; the only big
+    * exchanges are the fact-fact orders⋈lineitem shuffle. The share is
+    * a ratio of two DECIMAL-exact conditional sums divided as doubles. */
+  private def q8Sql(t: String => String): String =
+    s"""SELECT o_year,
+       |  round(CAST(sum(CASE WHEN nation = 'NATION_3'
+       |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+       |          * CAST(1 - l_discount AS DECIMAL(18,2))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS mkt_share
+       |FROM (
+       |  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       |    l_extendedprice, l_discount, n2.n_name AS nation
+       |  FROM ${t("part")}, ${t("supplier")}, ${t("lineitem")}, ${t("orders")},
+       |    ${t("customer")}, ${t("nation")} n1, ${t("nation")} n2, ${t("region")}
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+       |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+       |    AND p_type = 'PROMO'
+       |) all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    * customer in a quarter — fact shuffle on o_orderkey, the customer
+    * and nation dims broadcast, deterministic top-20. */
+  private def q10Sql(t: String => String): String =
+    s"""SELECT c_custkey, c_name, $revenueSql AS revenue, c_acctbal, n_name
+       |FROM ${t("customer")}, ${t("orders")}, ${t("lineitem")}, ${t("nation")}
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue), adapted to the harness part schema
+    * (no container column — brand × size bands carry the disjunction):
+    * the OR-of-ANDs predicate showcase. Catalyst extracts the common
+    * `p_partkey = l_partkey` conjunct so the plan is ONE broadcast hash
+    * join with the disjunction as a post-join filter — not a nested
+    * loop, and the per-branch brand filters still prune the build side. */
+  private def q19Sql(t: String => String): String =
+    s"""SELECT $revenueSql AS revenue
+       |FROM ${t("lineitem")}, ${t("part")}
+       |WHERE p_partkey = l_partkey AND (
+       |    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |      AND l_quantity >= 1 AND l_quantity <= 21)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       |      AND l_quantity >= 10 AND l_quantity <= 30)
+       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       |      AND l_quantity >= 20 AND l_quantity <= 40))""".stripMargin
+
   val qs: Map[String, Q] = Map(
     // ---- §2.1 sources -------------------------------------------------
     "scan_parquet" -> ((s, d) =>
@@ -294,6 +372,28 @@ object Rel {
       * (`q18Sql`). */
     "sql_q18_large_orders" -> ((s, d) =>
       sqlFrontDoor(s, d, Seq("customer", "orders", "lineitem"))(q18Sql)),
+
+    /** TPC-H Q7 through the front door — double nation-dim join
+      * (`q7Sql`). */
+    "sql_q7_nation_volume" -> ((s, d) =>
+      sqlFrontDoor(s, d,
+        Seq("supplier", "lineitem", "orders", "customer", "nation"))(q7Sql)),
+
+    /** TPC-H Q8 through the front door — the 8-table market-share join
+      * (`q8Sql`). */
+    "sql_q8_market_share" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("part", "supplier", "lineitem", "orders",
+        "customer", "nation", "region"))(q8Sql)),
+
+    /** TPC-H Q10 through the front door — returned-item top-20
+      * (`q10Sql`). */
+    "sql_q10_returned_items" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("customer", "orders", "lineitem", "nation"))(q10Sql)),
+
+    /** TPC-H Q19 through the front door — OR-of-ANDs predicate over one
+      * broadcast join (`q19Sql`). */
+    "sql_q19_discount_revenue" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "part"))(q19Sql)),
 
     /** Grouped EXACT quantiles — per-series quartiles in one aggregation
       * (`percentile` with an array argument: one sort per group inside
@@ -1354,6 +1454,10 @@ object Rel {
     "sql_q14_promo_share" -> q14Sql(identity),
     "sql_q17_small_qty_revenue" -> q17Sql(identity),
     "sql_q18_large_orders" -> q18Sql(identity),
+    "sql_q7_nation_volume" -> q7Sql(identity),
+    "sql_q8_market_share" -> q8Sql(identity),
+    "sql_q10_returned_items" -> q10Sql(identity),
+    "sql_q19_discount_revenue" -> q19Sql(identity),
 
     "agg_group_quantiles" ->
       """SELECT event_type,
