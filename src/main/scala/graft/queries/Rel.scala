@@ -395,6 +395,58 @@ object Rel {
     "sql_q19_discount_revenue" -> ((s, d) =>
       sqlFrontDoor(s, d, Seq("lineitem", "part"))(q19Sql)),
 
+    /** PAGERANK on the customer↔supplier trade graph — the canonical
+      * iterative-distributed-joins algorithm (the shape GraphX/Pregel
+      * formalize, expressed directly in the DataFrame API so Catalyst
+      * plans every step): nodes = customers and suppliers that traded,
+      * undirected edges = distinct (customer, supplier) pairs from
+      * lineitem⋈orders, 8 damped (0.85) power iterations from uniform.
+      * Each iteration is ONE join + ONE keyed aggregation; the edge
+      * frame is computed once, cached, and reused — at 100 TB it is
+      * hash-partitioned once on src and every iteration co-locates on
+      * that layout. Ranks are re-rounded to the 1e-9 grid every
+      * iteration so both engines accumulate IDENTICAL operands (float
+      * sum-order drift cannot compound); the degree division is by an
+      * exact integer. Top-25 by rank, deterministic tiebreak. */
+    "graph_pagerank" -> ((s, d) => {
+      val damping = 0.85
+      val iters = 8
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      // ONE cached edge frame carrying the out-degree (the structure is
+      // static across iterations — join it once, not once per round)
+      val edgesDeg = edges
+        .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .cache()
+      try {
+        val n = edgesDeg.select(countDistinct(col("src"))).head().getLong(0)
+        var ranks = edgesDeg.select(col("src").as("node")).distinct()
+          .select(col("node"), round(lit(1.0) / n, 9).as("rank"))
+        for (_ <- 1 to iters) {
+          // rank frame is node-sized → broadcast side of the join; the
+          // edge scan stays in place and only the dst-keyed aggregation
+          // shuffles. Eager localCheckpoint truncates the lineage so the
+          // plan stays one-join deep (an 8-deep nested join tree sends
+          // Catalyst re-analysis superlinear — the same reason
+          // GraphX/ALS checkpoint iteratively).
+          val contrib = edgesDeg
+            .join(broadcast(ranks), edgesDeg("src") === ranks("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("rank") / col("deg")).as("inflow"))
+          ranks = contrib.select(col("dst").as("node"),
+            round(lit((1 - damping) / n) + lit(damping) * col("inflow"), 9).as("rank"))
+            .localCheckpoint()
+        }
+        ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+          .orderBy(col("rank").desc, col("node")).limit(25)
+      } finally { edgesDeg.unpersist(); () }
+    }),
+
     /** Grouped EXACT quantiles — per-series quartiles in one aggregation
       * (`percentile` with an array argument: one sort per group inside
       * the agg, not a per-quantile pass; both engines interpolate
@@ -1447,6 +1499,30 @@ object Rel {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
+    "graph_pagerank" -> {
+      val iterCtes = (1 to 8).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    round(0.15 / nn.n + 0.85 * sum(r.rank / d.deg), 9) AS rank
+           |  FROM edges e
+           |  JOIN deg d ON e.src = d.src
+           |  JOIN r${i - 1} r ON e.src = r.node, nn
+           |  GROUP BY e.dst, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT cn AS src, sn AS dst FROM pairs
+         |  UNION ALL SELECT sn AS src, cn AS dst FROM pairs),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |r0 AS (SELECT src AS node, round(1.0 / n, 9) AS rank FROM deg, nn),
+         |$iterCtes
+         |SELECT node, round(rank, 9) AS rank FROM r8
+         |ORDER BY rank DESC, node LIMIT 25""".stripMargin
+    },
+
     "sql_q3_shipping_priority" -> q3Sql(identity),
     "sql_q5_local_supplier" -> q5Sql(identity),
     "sql_q6_forecast_revenue" -> q6Sql(identity),

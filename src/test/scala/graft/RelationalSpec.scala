@@ -140,4 +140,22 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(enc - want) <= 2e-6, s"$cat/$f: enc=$enc want=$want")
     }
   }
+
+  test("pagerank: descending positive ranks, valid node ids, hubs outrank leaves") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    assert(ranks.forall(r => r > 0.0 && r < 1.0))
+    assert(ranks.toSeq == ranks.toSeq.sorted.reverse, "top-k must be rank-descending")
+    rows.foreach { r =>
+      val id = r.getAs[String]("node")
+      assert(id.startsWith("c") || id.startsWith("s"), s"bad node id $id")
+    }
+    // structural law: suppliers are the high-degree side of the bipartite
+    // trade graph (far fewer suppliers than customers), so the TOP rank
+    // must be a supplier hub
+    assert(rows.head.getAs[String]("node").startsWith("s"),
+      s"expected a supplier hub on top, got ${rows.head}")
+  }
 }
