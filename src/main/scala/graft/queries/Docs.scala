@@ -66,6 +66,53 @@ object Docs {
       * long-form, bounded by |sources|. Rows-only (IRLS has no SQL
       * closed form); MlSpec pins separable-data recovery and
       * sigmoid-expression ≡ MLlib probability. */
+    /** CALIBRATION audit of the corpus quality classifier — the check a
+      * filtering pipeline runs before trusting scores as probabilities
+      * (a miscalibrated filter silently shifts the kept-corpus mixture):
+      * same fit as `corpus_quality_classifier`, then the WHOLE corpus is
+      * bucketed into ten fixed-width score bins and each bin compares
+      * mean predicted probability against the empirical positive rate —
+      * the reliability-diagram table, with each bin's weighted ECE
+      * contribution. Scoring is the same codegen'd sigmoid column
+      * (weights inlined as literals); the audit is one aggregation.
+      * Rows-only: the IRLS fit has no SQL closed form; the bin laws are
+      * pinned in SimilaritySpec. */
+    "ml_calibration_bins" -> ((s, d) => {
+      val feats = Seq("x_len", "x_stop", "x_mtl")
+      val base = toked(s, d).select(
+          col("doc_id"),
+          least(size(col("toks")) / lit(100.0), lit(1.0)).as("x_len"),
+          Text.stopwordRatio("toks").as("x_stop"),
+          Text.meanTokenLen("toks").as("x_mtl"))
+        .withColumn("quality", col("x_len") * (lit(1.0) - col("x_stop")))
+        .cache()
+      try {
+        val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
+        val labeled = base.withColumn("label", (col("quality") > thr).cast("double"))
+        val train = Models.assemble(labeled.filter(col("doc_id") % 5 < 4), feats)
+        val m = new org.apache.spark.ml.classification.LogisticRegression()
+          .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
+          .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100).setTol(1e-4)
+          .fit(train)
+        val w = m.coefficients.toArray
+        val z = feats.zip(w.toSeq).map { case (c, wi) => col(c) * lit(wi) }
+          .reduce(_ + _) + lit(m.intercept)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val nTot = labeled.count()
+        labeled
+          .withColumn("p", p)
+          .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("p")), 6).as("mean_p"),
+            round(avg(col("label")), 6).as("frac_pos"),
+            round(abs(avg(col("p")) - avg(col("label"))) *
+              (count(lit(1)) / lit(nTot.toDouble)), 6).as("ece_term"))
+          .orderBy("bin")
+          .localCheckpoint(eager = true)
+      } finally { base.unpersist(); () }
+    }),
+
     "corpus_quality_classifier" -> ((s, d) => {
       val feats = Seq("x_len", "x_stop", "x_mtl")
       // cache the featurized frame: the threshold pass, every IRLS

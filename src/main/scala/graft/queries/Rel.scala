@@ -629,6 +629,47 @@ object Rel {
       graft.sources.Csv.read(s, path, schema).orderBy("o_orderkey")
     }),
 
+    /** Dirty-CSV ingest surfaced as a registry query (`Csv.readPermissive`
+      * was spec-only until round 8): a typed orders extract is written to
+      * CSV, three deterministically malformed lines are appended to the
+      * file, and the PERMISSIVE read keeps every row — parsed columns
+      * where possible, raw text in the corrupt-record channel otherwise.
+      * The summary separates clean from quarantined; the oracle
+      * recomputes the clean side from parquet and the corrupt count is
+      * the injected constant. At 100 TB this is the ingest posture:
+      * never FAILFAST on one bad row, never silently DROPMALFORMED. */
+    "scan_csv_malformed" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = graft.sources.Scratch.dir("csvbad", d, "orders")
+      val extract = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.Csv.write(extract, path, single = true)
+      // corrupt the landed file in place: three rows with unparseable keys
+      val part = new java.io.File(path).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).get
+      val w = new java.io.FileWriter(part, true)
+      try w.write("not_a_key,42,1.5\nNaK,7,2.5\nbroken,9,3.5\n") finally w.close()
+      // the writer leaves .crc sidecars; the raw append invalidates them
+      // (ChecksumException on read), and real dirty CSVs don't ship CRCs
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType)))
+      val back = graft.sources.Csv.readPermissive(s, path, schema).cache()
+      try {
+        val r = back.agg(
+          sum(col("_corrupt_record").isNull.cast("long")).as("n_good"),
+          sum(col("_corrupt_record").isNotNull.cast("long")).as("n_corrupt"),
+          round(sum(when(col("_corrupt_record").isNull,
+            col("o_totalprice").cast("decimal(18,2)"))).cast("double"), 2)
+            .as("sum_good_totalprice")).head()
+        Seq((r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toDF("n_good", "n_corrupt", "sum_good_totalprice")
+      } finally { back.unpersist(); () }
+    }),
+
     /** Schema evolution at the parquet layer — a lake's generations
       * rarely share a schema: generation 1 carries (key, totalprice),
       * generation 2 adds priority and drops totalprice. `mergeSchema`
@@ -1379,6 +1420,33 @@ object Rel {
         .orderBy("bucket")
     }),
 
+    /** WEIGHTED quantiles — the robust aggregation `percentile` cannot
+      * express (every unit of l_quantity votes for its line's unit
+      * price): lower weighted quantile, smallest price whose cumulative
+      * weight reaches q·total. The decision is PURE DECIMAL integer-like
+      * arithmetic (4·cw ≥ tot, 2·cw ≥ tot, 4·cw ≥ 3·tot — no float
+      * thresholds anywhere), so both engines pick identical rows. Scale
+      * shape: pre-aggregate to (group, price) cells FIRST — the window
+      * then runs over the bounded distinct-price domain, not raw rows. */
+    "agg_weighted_median" -> ((s, d) => {
+      val cell = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("l_returnflag")
+      cell
+        .withColumn("cw", sum(col("w")).over(wOrd))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("cw") * 4 >= col("tot"), col("price"))).as("w_p25"),
+          min(when(col("cw") * 2 >= col("tot"), col("price"))).as("w_median"),
+          min(when(col("cw") * 4 >= col("tot") * 3, col("price"))).as("w_p75"),
+          max(col("tot")).cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_boxplot_stats" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
           round(expr("percentile(l_quantity, 0.25)"), 4).as("q1"),
@@ -1649,6 +1717,32 @@ object Rel {
     "scan_jsonl_docs" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    /** The clean side is replayable from parquet; the corrupt count is
+      * the injected constant (three unparseable lines). */
+    "scan_csv_malformed" ->
+      """SELECT count(*)::BIGINT AS n_good, 3::BIGINT AS n_corrupt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_good_totalprice
+        |FROM orders""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH cell AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, price, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM cell)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cw * 4 >= tot THEN price END) AS w_p25,
+        |  min(CASE WHEN cw * 2 >= tot THEN price END) AS w_median,
+        |  min(CASE WHEN cw * 4 >= tot * 3 THEN price END) AS w_p75,
+        |  CAST(max(tot) AS DOUBLE) AS total_weight
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "scan_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -183,4 +183,28 @@ class SimilaritySpec extends SparkSpec {
     a.foreach { case (c, sz, p) =>
       assert(sz > 0 && p > 0.0 && p <= 1.0, s"cluster $c: size=$sz purity=$p") }
   }
+
+  test("ml_calibration_bins: reliability-table laws on the quality classifier") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ml_calibration_bins")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val n = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n, "bins must partition the corpus")
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val (p, f) = (r.getAs[Double]("mean_p"), r.getAs[Double]("frac_pos"))
+      assert(p >= bin / 10.0 - 1e-6 && p <= (bin + 1) / 10.0 + 1e-6,
+        s"mean_p $p outside bin $bin")
+      assert(f >= 0.0 && f <= 1.0)
+      // each ECE term is the bin's |gap| weighted by its mass
+      val want = math.abs(p - f) * (r.getAs[Long]("n").toDouble / n)
+      assert(math.abs(r.getAs[Double]("ece_term") - want) < 1e-4,
+        s"bin $bin: ece ${r.getAs[Double]("ece_term")} vs $want")
+    }
+    // a sane classifier is roughly monotone: positives concentrate in
+    // high-score bins — top bin rate must exceed bottom bin rate
+    val byBin = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Double]("frac_pos")).toMap
+    assert(byBin(byBin.keys.max) > byBin(byBin.keys.min),
+      "high-score bin must have more positives than low-score bin")
+  }
 }
