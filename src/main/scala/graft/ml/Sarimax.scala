@@ -34,6 +34,69 @@ import breeze.optimize.{ApproximateGradientFunction, DiffFunction, LBFGS}
   * distributed. A single series' likelihood cannot be parallelized without
   * changing the estimator.
   */
+/** Additive HOLT-WINTERS triple exponential smoothing — the classical
+  * seasonal forecasting baseline next to [[Sarimax]] (statsmodels
+  * `ExponentialSmoothing(trend="add", seasonal="add")`; the reference's
+  * workflow benchmarks the statsmodels family, `Marilyn_Cleaning.ipynb`
+  * cell 1 imports). Level/trend/season recursions are serial by nature —
+  * driver-side math over the aggregate-collapsed series, exactly like the
+  * Kalman filter; the distributed stage is whatever produces the series. */
+object HoltWinters {
+
+  final case class Fit(alpha: Double, beta: Double, gamma: Double, s: Int,
+                       sse: Double, rmse: Double, level: Double, trend: Double,
+                       season: Array[Double], nObs: Int) {
+    /** h-step-ahead forecast from the end of the fitted series. */
+    def forecast(h: Int): Double =
+      level + h * trend + season((nObs + h - 1) % s)
+  }
+
+  /** One smoothing pass at fixed (α, β, γ): classical initialization
+    * (level = mean of the first season, trend = first-vs-second-season
+    * average slope, seasonals = first-season deviations), one-step-ahead
+    * errors accumulated from the first full season onward. */
+  def smooth(y: Array[Double], s: Int, alpha: Double, beta: Double,
+             gamma: Double): Fit = {
+    require(y.length >= 2 * s, s"need >= 2 seasons (${2 * s}), got ${y.length}")
+    var level = y.take(s).sum / s
+    val secondMean = y.slice(s, 2 * s).sum / s
+    var trend = (secondMean - level) / s
+    // DE-TRENDED seasonal init (statsmodels' classical device): without
+    // the (i − (s−1)/2)·trend correction the within-season ramp leaks
+    // into the seasonals and the pass starts visibly biased even on
+    // noiseless data
+    val season = Array.tabulate(s)(i => y(i) - (level + (i - (s - 1) / 2.0) * trend))
+    var sse = 0.0
+    var n = 0
+    var t = 0
+    while (t < y.length) {
+      val si = t % s
+      val pred = level + trend + season(si)
+      if (t >= s) { sse += (y(t) - pred) * (y(t) - pred); n += 1 }
+      val newLevel = alpha * (y(t) - season(si)) + (1 - alpha) * (level + trend)
+      trend = beta * (newLevel - level) + (1 - beta) * trend
+      season(si) = gamma * (y(t) - newLevel) + (1 - gamma) * season(si)
+      level = newLevel
+      t += 1
+    }
+    Fit(alpha, beta, gamma, s, sse, math.sqrt(sse / math.max(n, 1)),
+      level, trend, season, y.length)
+  }
+
+  /** Grid-searched fit (the statsmodels-default-like optimization done as
+    * a deterministic coarse grid — 48 driver-side smoothing passes, each
+    * O(n)): minimal one-step-ahead SSE, ties to the smaller params. */
+  def fit(y: Array[Double], s: Int): Fit = {
+    val grid = for {
+      a <- Seq(0.1, 0.3, 0.5, 0.8)
+      b <- Seq(0.01, 0.1, 0.3)
+      g <- Seq(0.05, 0.1, 0.3, 0.5)
+    } yield (a, b, g)
+    grid.map { case (a, b, g) => smooth(y, s, a, b, g) }
+      .minBy(f => (f.sse, f.alpha, f.beta, f.gamma))
+  }
+}
+
 object Sarimax {
 
   /** Model orders: ARIMA(p,d,q)×(P,D,Q)_s. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Acf, Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
+import graft.ml.{Acf, Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -633,6 +633,31 @@ object Ml {
           .withColumn("mean_shap", col("mean_shap") + lit(0.0))
           .orderBy("feature")
       }
+    }),
+
+    /** `ml_holt_winters`: additive triple exponential smoothing on the
+      * 30-minute click series (season = the 48-bucket daily cycle) — the
+      * classical seasonal baseline the statsmodels family ships next to
+      * SARIMAX. Coarse 48-point (α, β, γ) grid by one-step-ahead SSE,
+      * deterministic tiebreak; the series collapse is the distributed
+      * stage, the recursions run on the driver like every serial filter
+      * (`ml/Sarimax.scala` HoltWinters). Rows-only: exponential-smoothing
+      * recursions have no SQL form; SarimaxSpec pins exact recovery on a
+      * planted trend+seasonal series and the recursion law. */
+    "ml_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val season = 48
+      val y = graft.ml.ModelingFrame.fine(s, d)
+        .select(col("bucket_id"), col("click"))
+        .na.drop("any").orderBy("bucket_id")
+        .collect().map(_.getDouble(1))
+      val f = HoltWinters.fit(y, season)
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      Seq((f.alpha, f.beta, f.gamma, season, f.nObs,
+          r6(f.rmse), r6(f.level), r6(f.trend), r6(f.forecast(1)),
+          r6(f.forecast(season))))
+        .toDF("alpha", "beta", "gamma", "season", "n_obs", "rmse",
+          "level", "trend", "forecast_1", "forecast_1day")
     }),
 
     /** `ml_quantile_regression`: linear τ-quantile regression (Koenker &

@@ -217,6 +217,32 @@ class SarimaxSpec extends AnyFunSuite {
       s"pacf($k) = ${p(k - 1)} should be ~0"))
   }
 
+  test("Holt-Winters recovers a planted trend+seasonal series and obeys the recursion law") {
+    import graft.ml.HoltWinters
+    val s = 12
+    // exact additive structure: y = 5 + 0.3 t + seasonal(t mod 12)
+    val pattern = Array(2.0, -1.0, 0.5, 3.0, -2.0, 1.0, 0.0, -0.5, 1.5, -3.0, 2.5, -4.0)
+    val zeroMean = pattern.map(_ - pattern.sum / s)
+    val y = Array.tabulate(8 * s)(t => 5.0 + 0.3 * t + zeroMean(t % s))
+    val f = HoltWinters.fit(y, s)
+    // on a noiseless series the best grid point tracks it closely
+    assert(f.rmse < 0.15, s"rmse ${f.rmse}")
+    assert(math.abs(f.trend - 0.3) < 0.05, s"trend ${f.trend}")
+    // forecasts extend the planted structure
+    val t1 = y.length
+    val want1 = 5.0 + 0.3 * t1 + zeroMean(t1 % s)
+    assert(math.abs(f.forecast(1) - want1) < 0.5, s"${f.forecast(1)} vs $want1")
+    // recursion law: one manual smoothing step from the fit's final state
+    val g = HoltWinters.smooth(y, s, 0.3, 0.1, 0.1)
+    val yNext = 5.0 + 0.3 * t1 + zeroMean(t1 % s)
+    val predNext = g.level + g.trend + g.season(t1 % s)
+    val newLevel = 0.3 * (yNext - g.season(t1 % s)) + 0.7 * (g.level + g.trend)
+    val extended = HoltWinters.smooth(y :+ yNext, s, 0.3, 0.1, 0.1)
+    assert(math.abs(extended.level - newLevel) < 1e-9,
+      "appending one point must advance the level by exactly one recursion step")
+    assert(math.abs(g.forecast(1) - predNext) < 1e-12)
+  }
+
   test("likelihood matches an independent numpy Kalman implementation (cross-language fixture)") {
     // VERDICT r7 "Missing" #3: the statsmodels-value cross-check. The
     // fixture (scripts/gen_sarimax_fixture.py, numpy-only, committed
