@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -506,6 +506,60 @@ object Docs {
         .orderBy("cluster")
     }),
 
+    /** Gaussian Naive Bayes over document surface features — a fully
+      * oracle-checkable distributed classifier: the "fit" is ONE keyed
+      * aggregation (per-class exact-DECIMAL sufficient statistics →
+      * mean/variance/prior, each rounded on the 1e-6 grid so both
+      * engines score from identical parameters), and the "predict" is a
+      * broadcast of the k-row parameter frame against every document —
+      * the same model-sized-state / narrow-scoring-map posture as
+      * `corpus_quality_classifier`, but with the entire protocol
+      * SQL-expressible. Features: n_chars, token count, mean token
+      * length. Scores round to 1e-6 BEFORE the argmax (class-name
+      * tiebreak), so an ulp of engine-specific ln() cannot flip the
+      * winner. Output is the lang × predicted confusion matrix (≤ k²
+      * rows). Population variance + 0.01 smoothing (the GaussianNB
+      * convention). */
+    "ml_naive_bayes" -> ((s, d) => {
+      val ft = toked(s, d).select(
+        col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("f1"),
+        size(col("toks")).cast("double").as("f2"),
+        round(col("n_chars").cast("double") / size(col("toks")), 6).as("f3"))
+      def dec(c: Column) = c.cast("decimal(18,6)")
+      val p0 = ft.groupBy(col("lang").as("cls")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("f1"))).as("a1"), sum(dec(col("f1")) * dec(col("f1"))).as("b1"),
+        sum(dec(col("f2"))).as("a2"), sum(dec(col("f2")) * dec(col("f2"))).as("b2"),
+        sum(dec(col("f3"))).as("a3"), sum(dec(col("f3")) * dec(col("f3"))).as("b3"))
+      val tot = p0.agg(sum("n").as("nn"))
+      def mu(a: String) = round(col(a).cast("double") / col("n"), 6)
+      def vr(a: String, b: String) = round(
+        (col(b).cast("double") - col(a).cast("double") * col(a).cast("double") / col("n"))
+          / col("n") + 0.01, 6)
+      val params = p0.crossJoin(broadcast(tot)).select(
+        col("cls"), col("n"), col("nn"),
+        mu("a1").as("mu1"), vr("a1", "b1").as("v1"),
+        mu("a2").as("mu2"), vr("a2", "b2").as("v2"),
+        mu("a3").as("mu3"), vr("a3", "b3").as("v3"))
+      // score assembles STRICTLY left-to-right (matching the oracle's
+      // textual order) so float association is identical in both engines
+      def sq(f: String, m: String, v: String) =
+        (col(f) - col(m)) * (col(f) - col(m)) / (lit(2.0) * col(v))
+      val score = round(
+        log(col("n").cast("double") / col("nn"))
+          - lit(0.5) * log(lit(2 * math.Pi) * col("v1")) - sq("f1", "mu1", "v1")
+          - lit(0.5) * log(lit(2 * math.Pi) * col("v2")) - sq("f2", "mu2", "v2")
+          - lit(0.5) * log(lit(2 * math.Pi) * col("v3")) - sq("f3", "mu3", "v3"), 6)
+      val scored = ft.crossJoin(broadcast(params)).withColumn("score", score)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("lang"), col("cls").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     "similarity_ivf" -> ((s, d) => {
       // rows-only: the KMeans quantizer is not SQL-reproducible.
       // nlist ≈ √n (Similarity.nlistForCorpus) so list length and
@@ -946,5 +1000,46 @@ object Docs {
         |      (a, b) -> a + b) AS checksum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "ml_naive_bayes" ->
+      """WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+        |ft AS (
+        |  SELECT doc_id, lang, n_chars::DOUBLE AS f1, len(toks)::DOUBLE AS f2,
+        |    round(n_chars::DOUBLE / len(toks), 6) AS f3
+        |  FROM t),
+        |p0 AS (
+        |  SELECT lang AS cls, count(*)::BIGINT AS n,
+        |    sum(CAST(f1 AS DECIMAL(18,6))) AS a1,
+        |    sum(CAST(f1 AS DECIMAL(18,6)) * CAST(f1 AS DECIMAL(18,6))) AS b1,
+        |    sum(CAST(f2 AS DECIMAL(18,6))) AS a2,
+        |    sum(CAST(f2 AS DECIMAL(18,6)) * CAST(f2 AS DECIMAL(18,6))) AS b2,
+        |    sum(CAST(f3 AS DECIMAL(18,6))) AS a3,
+        |    sum(CAST(f3 AS DECIMAL(18,6)) * CAST(f3 AS DECIMAL(18,6))) AS b3
+        |  FROM ft GROUP BY lang),
+        |tot AS (SELECT sum(n)::BIGINT AS nn FROM p0),
+        |params AS (
+        |  SELECT cls, n, nn,
+        |    round(a1::DOUBLE / n, 6) AS mu1,
+        |    round((b1::DOUBLE - a1::DOUBLE * a1::DOUBLE / n) / n + 0.01, 6) AS v1,
+        |    round(a2::DOUBLE / n, 6) AS mu2,
+        |    round((b2::DOUBLE - a2::DOUBLE * a2::DOUBLE / n) / n + 0.01, 6) AS v2,
+        |    round(a3::DOUBLE / n, 6) AS mu3,
+        |    round((b3::DOUBLE - a3::DOUBLE * a3::DOUBLE / n) / n + 0.01, 6) AS v3
+        |  FROM p0, tot),
+        |scored AS (
+        |  SELECT doc_id, lang, cls,
+        |    round(ln(n::DOUBLE / nn)
+        |      - 0.5 * ln(2 * pi() * v1) - (f1 - mu1) * (f1 - mu1) / (2.0 * v1)
+        |      - 0.5 * ln(2 * pi() * v2) - (f2 - mu2) * (f2 - mu2) / (2.0 * v2)
+        |      - 0.5 * ln(2 * pi() * v3) - (f3 - mu3) * (f3 - mu3) / (2.0 * v3),
+        |      6) AS score
+        |  FROM ft, params),
+        |pred AS (
+        |  SELECT doc_id, lang, cls,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM scored)
+        |SELECT lang, cls AS pred_lang, count(*)::BIGINT AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -324,6 +324,230 @@ object Rel {
        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
        |      AND l_quantity >= 20 AND l_quantity <= 40))""".stripMargin
 
+  /** TPC-H Q2 (minimum-cost supplier), adapted: the harness star schema
+    * has no `partsupp`, so the supplier↔part catalog and its cost are
+    * DERIVED from observed trade — supplier s "offers" part p at the
+    * minimum unit price ever transacted (`l_extendedprice/l_quantity`,
+    * rounded on the 1e-6 grid BEFORE the min so both engines take min
+    * over identical doubles). The correlated-scalar shape of Q2 is kept
+    * intact: the outer row survives only if its offer equals the
+    * region-wide minimum for that part, and Catalyst decorrelates the
+    * scalar into an aggregate + join rather than a per-row re-execution.
+    * The `offer` CTE is metadata-sized (|parts|×|suppliers| upper bound)
+    * next to the lineitem scan that builds it — at 100 TB that scan is
+    * the whole cost and it happens once, feeding both the outer join
+    * and the decorrelated min. */
+  private def q2Sql(t: String => String): String =
+    s"""WITH offer AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk,
+       |    min(round(CAST(l_extendedprice AS DOUBLE)
+       |      / CAST(l_quantity AS DOUBLE), 6)) AS unit_cost
+       |  FROM ${t("lineitem")} GROUP BY l_partkey, l_suppkey)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+       |FROM ${t("part")}, ${t("supplier")}, offer, ${t("nation")}, ${t("region")}
+       |WHERE p_partkey = pk AND s_suppkey = sk
+       |  AND p_size = 15 AND p_type = 'LARGE'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND unit_cost = (
+       |    SELECT min(o2.unit_cost)
+       |    FROM offer o2, ${t("supplier")} s2, ${t("nation")} n2, ${t("region")} r2
+       |    WHERE o2.pk = p_partkey AND s2.s_suppkey = o2.sk
+       |      AND s2.s_nationkey = n2.n_nationkey
+       |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q4 (order-priority checking), adapted: the harness lineitem
+    * has no commit/receipt dates, so "a line arrived late" is stood in
+    * by "a line was returned" (`l_returnflag = 'R'`). The shape is the
+    * point: a correlated EXISTS that Catalyst plans as a LEFT SEMI join
+    * on `l_orderkey` — the fact table is never widened, only probed. */
+  private def q4Sql(t: String => String): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM ${t("orders")}
+       |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+       |  AND EXISTS (
+       |    SELECT * FROM ${t("lineitem")}
+       |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q9 (product-type profit), adapted: without `ps_supplycost`
+    * the unit cost is stood in by the part's list price
+    * (`p_retailprice`), so profit = revenue − retailprice·qty; the
+    * part-name LIKE filter uses this generator's vocabulary ("bolt").
+    * The amount is assembled per-row in DECIMAL (exact under any
+    * aggregation order), summed exactly, and surfaced rounded — the
+    * five-table join keeps every dim broadcast-size next to the one
+    * orders⋈lineitem fact shuffle. */
+  private def q9Sql(t: String => String): String =
+    s"""SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 4) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+       |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+       |  FROM ${t("part")}, ${t("supplier")}, ${t("lineitem")},
+       |    ${t("orders")}, ${t("nation")}
+       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |    AND p_name LIKE '%bolt%'
+       |) profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 (important stock), adapted: inventory value per part is
+    * derived from traded value (`Σ extendedprice` by part through one
+    * nation's suppliers) instead of the missing
+    * `ps_supplycost·ps_availqty`. The HAVING-against-global-scalar
+    * shape survives intact: a part qualifies when its value exceeds a
+    * fixed fraction of the SAME aggregate computed over the whole
+    * slice — both sides are exact DECIMAL sums cast to double, so the
+    * threshold comparison sees identical operands in both engines. */
+  private def q11Sql(t: String => String): String =
+    s"""SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+       |FROM ${t("lineitem")}, ${t("supplier")}, ${t("nation")}
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND n_name = 'NATION_7'
+       |GROUP BY l_partkey
+       |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > 0.001 * (
+       |  SELECT CAST(sum(CAST(l2.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |  FROM ${t("lineitem")} l2, ${t("supplier")} s2, ${t("nation")} n2
+       |  WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+       |    AND n2.n_name = 'NATION_7')
+       |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): the LEFT-OUTER-join-with-
+    * filter-in-the-ON-clause showcase — customers who never ordered
+    * must survive with count 0, so the priority filter belongs in the
+    * join condition, NOT the WHERE (where it would silently turn the
+    * join inner). Two aggregations: per-customer order count, then the
+    * histogram of those counts. Verbatim TPC-H apart from the filter
+    * column (`o_orderpriority` stands in for the comment pattern). */
+  private def q13Sql(t: String => String): String =
+    s"""SELECT c_count, count(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+       |  FROM ${t("customer")} LEFT OUTER JOIN ${t("orders")}
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+       |  GROUP BY c_custkey
+       |) c_orders
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 (top supplier): the shared-view shape — `revenue` is
+    * defined ONCE as a CTE and consumed twice (outer join + the max
+    * scalar). Per-supplier revenue is rounded on the 1e-4 grid inside
+    * the CTE, so the `= max` equality compares identical doubles in
+    * both engines regardless of aggregation order. Verbatim TPC-H. */
+  private def q15Sql(t: String => String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, $revenueSql AS total_revenue
+       |  FROM ${t("lineitem")}
+       |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM ${t("supplier")}, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: the
+    * supplier↔part catalog is the DISTINCT pairs observed in lineitem
+    * (no `partsupp`), and the excluded-supplier subquery keys on
+    * negative account balance (no comment column). The shape is
+    * intact: NOT IN against an uncorrelated subquery (a broadcast
+    * null-aware anti join — the hard join type), a distinct-pair
+    * de-dup, then COUNT(DISTINCT) per group. */
+  private def q16Sql(t: String => String): String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM ${t("lineitem")}) ps,
+       |  ${t("part")}
+       |WHERE p_partkey = l_partkey
+       |  AND p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM ${t("supplier")} WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion), adapted: "supplier holds
+    * excess stock of a part" becomes "supplier shipped more than half
+    * of a part's total traded quantity" — the same nested rollup-vs-
+    * rollup comparison `partsupp.ps_availqty > 0.5·Σ l_quantity`
+    * expresses, derived entirely from the fact table. Both rollups come
+    * from ONE grouped scan reused via CTEs (the per-(part,supplier)
+    * frame re-aggregates to the per-part total — no second fact scan),
+    * and the final IN probes a key-only list. Quantity sums are exact
+    * DECIMAL cast to double, so the 0.5·total threshold compares
+    * identical operands in both engines. */
+  private def q20Sql(t: String => String): String =
+    s"""WITH shipped AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+       |  FROM ${t("lineitem")}, ${t("part")}
+       |  WHERE l_partkey = p_partkey AND p_type = 'SMALL'
+       |  GROUP BY l_partkey, l_suppkey),
+       |tot AS (SELECT pk, sum(q) AS tq FROM shipped GROUP BY pk)
+       |SELECT s_suppkey, s_name, n_name
+       |FROM ${t("supplier")}, ${t("nation")}
+       |WHERE s_nationkey = n_nationkey
+       |  AND s_suppkey IN (
+       |    SELECT sk FROM shipped, tot
+       |    WHERE shipped.pk = tot.pk
+       |      AND CAST(q AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE))
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "the line
+    * was late" is stood in by "the line was returned" (no commit/
+    * receipt dates). The double-correlated shape is the point — an
+    * EXISTS proving the order is multi-supplier and a NOT EXISTS
+    * proving THIS supplier is the only one with a returned line, both
+    * correlated on `l_orderkey` with a non-equality supplier predicate;
+    * Catalyst plans them as a semi and an anti join against the same
+    * fact, not per-row re-executions. */
+  private def q21Sql(t: String => String): String =
+    s"""SELECT s_name, count(*) AS numwait
+       |FROM ${t("supplier")}, ${t("lineitem")} l1, ${t("orders")}, ${t("nation")}
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+       |  AND EXISTS (
+       |    SELECT * FROM ${t("lineitem")} l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT * FROM ${t("lineitem")} l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), adapted: the country code is
+    * derived from `c_nationkey % 5` (no phone column). The shape is
+    * verbatim: an uncorrelated scalar average as the balance threshold
+    * (computed as exact-decimal sum over count so both engines divide
+    * identical operands) plus a NOT EXISTS anti join against orders —
+    * customers with money who never bought. */
+  private def q22Sql(t: String => String): String =
+    s"""SELECT cntrycode, count(*) AS numcust,
+       |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS totacctbal
+       |FROM (
+       |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+       |  FROM ${t("customer")}
+       |  WHERE c_nationkey % 5 IN (0, 1, 3)
+       |    AND c_acctbal > (
+       |      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+       |      FROM ${t("customer")} c2
+       |      WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 5 IN (0, 1, 3))
+       |    AND NOT EXISTS (
+       |      SELECT * FROM ${t("orders")} WHERE o_custkey = c_custkey)
+       |) custsale
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin
+
   val qs: Map[String, Q] = Map(
     // ---- §2.1 sources -------------------------------------------------
     "scan_parquet" -> ((s, d) =>
@@ -394,6 +618,90 @@ object Rel {
       * broadcast join (`q19Sql`). */
     "sql_q19_discount_revenue" -> ((s, d) =>
       sqlFrontDoor(s, d, Seq("lineitem", "part"))(q19Sql)),
+
+    /** TPC-H Q2 through the front door — correlated min-cost scalar
+      * over a derived supplier↔part catalog (`q2Sql`). */
+    "sql_q2_min_cost_supplier" -> ((s, d) =>
+      sqlFrontDoor(s, d,
+        Seq("lineitem", "part", "supplier", "nation", "region"))(q2Sql)),
+
+    /** TPC-H Q4 through the front door — correlated EXISTS planned as a
+      * left-semi join (`q4Sql`). */
+    "sql_q4_priority_check" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("orders", "lineitem"))(q4Sql)),
+
+    /** TPC-H Q9 through the front door — five-table profit rollup by
+      * nation × year (`q9Sql`). */
+    "sql_q9_product_profit" -> ((s, d) =>
+      sqlFrontDoor(s, d,
+        Seq("part", "supplier", "lineitem", "orders", "nation"))(q9Sql)),
+
+    /** TPC-H Q11 through the front door — HAVING against a global
+      * scalar subquery (`q11Sql`). */
+    "sql_q11_important_stock" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "supplier", "nation"))(q11Sql)),
+
+    /** TPC-H Q13 through the front door — left-outer join with the
+      * filter in the ON clause, then a histogram of counts (`q13Sql`). */
+    "sql_q13_cust_distribution" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("customer", "orders"))(q13Sql)),
+
+    /** TPC-H Q15 through the front door — shared revenue CTE consumed
+      * by both the join and the max scalar (`q15Sql`). */
+    "sql_q15_top_supplier" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "supplier"))(q15Sql)),
+
+    /** TPC-H Q16 through the front door — NOT IN null-aware anti join +
+      * COUNT(DISTINCT) per group (`q16Sql`). */
+    "sql_q16_supplier_counts" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "part", "supplier"))(q16Sql)),
+
+    /** TPC-H Q20 through the front door — rollup-vs-rollup threshold
+      * behind an IN probe (`q20Sql`). */
+    "sql_q20_promotion_parts" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("lineitem", "part", "supplier", "nation"))(q20Sql)),
+
+    /** TPC-H Q21 through the front door — EXISTS + NOT EXISTS doubly
+      * correlated on the same fact (`q21Sql`). */
+    "sql_q21_waiting_suppliers" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("supplier", "lineitem", "orders", "nation"))(q21Sql)),
+
+    /** TPC-H Q22 through the front door — scalar-average threshold +
+      * NOT EXISTS anti join (`q22Sql`). */
+    "sql_q22_sales_opportunity" -> ((s, d) =>
+      sqlFrontDoor(s, d, Seq("customer", "orders"))(q22Sql)),
+
+    /** Market-basket association mining (the A-Priori first pass):
+      * frequent part PAIRS across order baskets with support /
+      * confidence / lift. The pair generation is a self-equi-join of
+      * the DISTINCT (order, part) frame on the order key — fan-out
+      * bounded by Σ C(|basket|,2) with TPC-H-style baskets of ≤ ~7
+      * items, never an all-pairs product — and the two item-frequency
+      * joins broadcast the part-level rollup. All three measures derive
+      * from exact integer counts (single division each), so top-25 by
+      * (count, pair) is deterministic in both engines. At 100 TB this
+      * is one shuffle of the basket frame on the order key plus
+      * metadata-sized dimension joins. */
+    "mba_frequent_pairs" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val n = b.agg(countDistinct("o").as("n"))
+      val item = b.groupBy("p").agg(count(lit(1)).as("c"))
+      val pair = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("cab"))
+      pair
+        .join(broadcast(item.select(col("p").as("pa"), col("c").as("ca"))), "pa")
+        .join(broadcast(item.select(col("p").as("pb"), col("c").as("cb"))), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("cab"),
+          round(col("cab").cast("double") / col("n"), 6).as("support"),
+          round(col("cab").cast("double") / col("ca"), 6).as("confidence"),
+          round(col("n").cast("double") * col("cab") / (col("ca") * col("cb")), 6)
+            .as("lift"))
+        .orderBy(col("cab").desc, col("pa"), col("pb")).limit(25)
+    }),
 
     /** PAGERANK on the customer↔supplier trade graph — the canonical
       * iterative-distributed-joins algorithm (the shape GraphX/Pregel
@@ -1602,6 +1910,34 @@ object Rel {
     "sql_q8_market_share" -> q8Sql(identity),
     "sql_q10_returned_items" -> q10Sql(identity),
     "sql_q19_discount_revenue" -> q19Sql(identity),
+    "sql_q2_min_cost_supplier" -> q2Sql(identity),
+    "sql_q4_priority_check" -> q4Sql(identity),
+    "sql_q9_product_profit" -> q9Sql(identity),
+    "sql_q11_important_stock" -> q11Sql(identity),
+    "sql_q13_cust_distribution" -> q13Sql(identity),
+    "sql_q15_top_supplier" -> q15Sql(identity),
+    "sql_q16_supplier_counts" -> q16Sql(identity),
+    "sql_q20_promotion_parts" -> q20Sql(identity),
+    "sql_q21_waiting_suppliers" -> q21Sql(identity),
+    "sql_q22_sales_opportunity" -> q22Sql(identity),
+
+    "mba_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o)::BIGINT AS n FROM b),
+        |item AS (SELECT p, count(*)::BIGINT AS c FROM b GROUP BY p),
+        |pair AS (
+        |  SELECT b1.p AS pa, b2.p AS pb, count(*)::BIGINT AS cab
+        |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, cab,
+        |  round(cab::DOUBLE / n.n, 6) AS support,
+        |  round(cab::DOUBLE / ia.c, 6) AS confidence,
+        |  round(n.n::DOUBLE * cab / (ia.c * ib.c), 6) AS lift
+        |FROM pair
+        |JOIN item ia ON ia.p = pa
+        |JOIN item ib ON ib.p = pb
+        |CROSS JOIN n
+        |ORDER BY cab DESC, pa, pb LIMIT 25""".stripMargin,
 
     "agg_group_quantiles" ->
       """SELECT event_type,

