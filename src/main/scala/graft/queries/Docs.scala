@@ -521,11 +521,16 @@ object Docs {
       * rows). Population variance + 0.01 smoothing (the GaussianNB
       * convention). */
     "ml_naive_bayes" -> ((s, d) => {
-      val ft = toked(s, d).select(
+      // token COUNT via pure length arithmetic (spaces + 1) — the split
+      // array is never materialized; the feature frame is computed twice
+      // (fit pass + scoring pass) so each pass must stay a narrow
+      // codegen'd map over the corpus scan
+      val nToks = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+      val ft = Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
         col("n_chars").cast("double").as("f1"),
-        size(col("toks")).cast("double").as("f2"),
-        round(col("n_chars").cast("double") / size(col("toks")), 6).as("f3"))
+        nToks.cast("double").as("f2"),
+        round(col("n_chars").cast("double") / nToks, 6).as("f3"))
       def dec(c: Column) = c.cast("decimal(18,6)")
       val p0 = ft.groupBy(col("lang").as("cls")).agg(
         count(lit(1)).as("n"),
@@ -1002,11 +1007,12 @@ object Docs {
         |ORDER BY doc_id""".stripMargin,
 
     "ml_naive_bayes" ->
-      """WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
-        |ft AS (
-        |  SELECT doc_id, lang, n_chars::DOUBLE AS f1, len(toks)::DOUBLE AS f2,
-        |    round(n_chars::DOUBLE / len(toks), 6) AS f3
-        |  FROM t),
+      """WITH ft AS (
+        |  SELECT doc_id, lang, n_chars::DOUBLE AS f1,
+        |    (length(text) - length(replace(text, ' ', '')) + 1)::DOUBLE AS f2,
+        |    round(n_chars::DOUBLE
+        |      / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS f3
+        |  FROM documents),
         |p0 AS (
         |  SELECT lang AS cls, count(*)::BIGINT AS n,
         |    sum(CAST(f1 AS DECIMAL(18,6))) AS a1,
