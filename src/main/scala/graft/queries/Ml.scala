@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Acf, Ensemble, Evaluation, Explain, GroupedOls, GroupedOlsStats, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
+import graft.ml.{Acf, Ensemble, Evaluation, Explain, Garch, GroupedOls, GroupedOlsStats, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -75,8 +75,13 @@ object Ml {
     "ml_random_forest" -> ((s, d) => {
       import s.implicits._
       withFineFrame(s, d) { train =>
-        val m = Models.randomForest(ModelingFrame.Target,
-          maxDepth = ModelingFrame.FineRfMaxDepth).fit(train)
+        // the ensemble's RF member IS this query's forest (same frame,
+        // trees, depth, seed) — share one fit through the ensemble cache
+        // instead of training 100 trees twice per session
+        val f = Ensemble.fittedCached(s, d, ModelingFrame.Target, train,
+          grain = "fine30m", rfMaxDepth = ModelingFrame.FineRfMaxDepth)
+        val m = f.members.find(_.name == "rf").get.model
+          .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
         round6(Models.featureImportances(m, ModelingFrame.EventTypes)
             .toDF("feature", "importance"), Seq("importance"))
           .orderBy("feature")
@@ -357,6 +362,203 @@ object Ml {
       def r6(v: Double) = math.rint(v * 1e6) / 1e6
       (1 to maxLag).map(k => (k, r6(r(k)), r6(p(k - 1))))
         .toDF("lag", "acf", "pacf").orderBy("lag")
+    }),
+
+    /** `ml_granger`: GRANGER-CAUSALITY screen between the click and
+      * purchase 30-minute price series (does one series' past improve
+      * the other's one-step forecast? — the lead/lag question a
+      * multi-commodity desk asks before building cross-series features).
+      * Lag-1 bivariate form, both directions: restricted y_t ~ (1, y_{t−1})
+      * vs unrestricted y_t ~ (1, y_{t−1}, x_{t−1});
+      * F = (SSR_r − SSR_u)/(SSR_u/(n−3)). Each direction is ONE
+      * aggregation of nine exact moment sums over the bucket-joined
+      * series (prices pre-rounded to the 1e-6 grid); the closed-form
+      * 2×2 centered-Gram solve is scalar driver math the DuckDB twin
+      * replays operand-for-operand, the same Cramer convention as
+      * `ml_trend_per_series`. Rejection at the asymptotic χ²(1) 95 %
+      * threshold, decided on the rounded statistic. */
+    "ml_granger" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("bucket")
+      val ser = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket")
+        .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
+          round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+        .select(col("bucket"), col("a"), col("b"),
+          lag(col("a"), 1).over(w).as("a1"), lag(col("b"), 1).over(w).as("b1"))
+        .filter(col("a1").isNotNull && col("b1").isNotNull)
+      // ONE aggregation carries every moment both directions need — the
+      // series is scanned once, 14 sums travel (map-side combined)
+      val r = ser.agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a1")).as("sa1"), sum(col("b1")).as("sb1"),
+        sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+        sum(col("a1") * col("a1")).as("sa1a1"),
+        sum(col("b1") * col("b1")).as("sb1b1"),
+        sum(col("a1") * col("b1")).as("sa1b1"),
+        sum(col("a") * col("a1")).as("saa1"), sum(col("a") * col("b1")).as("sab1"),
+        sum(col("b") * col("b1")).as("sbb1"), sum(col("b") * col("a1")).as("sba1"))
+        .head()
+      val n = r.getAs[Long]("n")
+      def g(c: String) = r.getAs[Double](c)
+      // closed-form F from centered second moments (exact-sum assembly,
+      // replayed operand-for-operand by the twin)
+      def fStat(sy: Double, syy: Double, s1: Double, s11: Double, s2: Double,
+                s22: Double, s12: Double, sy1: Double, sy2: Double): (Double, Double) = {
+        val cyy = syy - sy * sy / n
+        val c11 = s11 - s1 * s1 / n
+        val c22 = s22 - s2 * s2 / n
+        val c12 = s12 - s1 * s2 / n
+        val cy1 = sy1 - sy * s1 / n
+        val cy2 = sy2 - sy * s2 / n
+        val ssrR = cyy - cy1 * cy1 / c11
+        val det = c11 * c22 - c12 * c12
+        val b1 = (cy1 * c22 - cy2 * c12) / det
+        val b2 = (cy2 * c11 - cy1 * c12) / det
+        val ssrU = cyy - b1 * cy1 - b2 * cy2
+        (ssrU, (ssrR - ssrU) / (ssrU / (n - 3)))
+      }
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val dirs = Seq(
+        ("purchase_to_click", fStat(g("sa"), g("saa"), g("sa1"), g("sa1a1"),
+          g("sb1"), g("sb1b1"), g("sa1b1"), g("saa1"), g("sab1"))),
+        ("click_to_purchase", fStat(g("sb"), g("sbb"), g("sb1"), g("sb1b1"),
+          g("sa1"), g("sa1a1"), g("sa1b1"), g("sbb1"), g("sba1"))))
+      dirs.map { case (name, (ssrU, f)) =>
+        (name, n, r6(ssrU), r6(f), r6(f) > 3.841459)
+      }.toDF("direction", "n", "ssr_unrestricted", "f_stat", "reject_95")
+        .orderBy("direction")
+    }),
+
+    /** `ml_var_forecast`: VAR(1) — the MULTIVARIATE autoregression a
+      * multi-commodity desk fits when series move together (Sims 1980;
+      * the natural next step after `ml_granger` finds cross-effects).
+      * Two equations over the same lag-1 design (click_t, purchase_t ~
+      * 1, click_{t−1}, purchase_{t−1}), solved from the SAME 14-moment
+      * single-aggregation frame as `ml_granger` by the centered-Gram
+      * 2×2 closed form; intercepts recovered from the means; one-step
+      * forecasts evaluated at the last observed pair (one tail lookup).
+      * Long-form output, one row per equation, oracle-replayed
+      * operand-for-operand. */
+    "ml_var_forecast" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("bucket")
+      val ser = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket")
+        .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
+          round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+        .select(col("bucket"), col("a"), col("b"),
+          lag(col("a"), 1).over(w).as("a1"), lag(col("b"), 1).over(w).as("b1"))
+      val fit = ser.filter(col("a1").isNotNull && col("b1").isNotNull)
+        .localCheckpoint()
+      val r = fit.agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a1")).as("sa1"), sum(col("b1")).as("sb1"),
+        sum(col("a1") * col("a1")).as("sa1a1"),
+        sum(col("b1") * col("b1")).as("sb1b1"),
+        sum(col("a1") * col("b1")).as("sa1b1"),
+        sum(col("a") * col("a1")).as("saa1"), sum(col("a") * col("b1")).as("sab1"),
+        sum(col("b") * col("b1")).as("sbb1"), sum(col("b") * col("a1")).as("sba1"))
+        .head()
+      val n = r.getAs[Long]("n")
+      def g(c: String) = r.getAs[Double](c)
+      val c11 = g("sa1a1") - g("sa1") * g("sa1") / n
+      val c22 = g("sb1b1") - g("sb1") * g("sb1") / n
+      val c12 = g("sa1b1") - g("sa1") * g("sb1") / n
+      val det = c11 * c22 - c12 * c12
+      // per-equation solve: (coef on a1, coef on b1, intercept)
+      def eq(sy: Double, sy1: Double, sy2: Double): (Double, Double, Double) = {
+        val cy1 = sy1 - sy * g("sa1") / n
+        val cy2 = sy2 - sy * g("sb1") / n
+        val b1 = (cy1 * c22 - cy2 * c12) / det
+        val b2 = (cy2 * c11 - cy1 * c12) / det
+        (b1, b2, sy / n - b1 * g("sa1") / n - b2 * g("sb1") / n)
+      }
+      val (aa, ab, ca) = eq(g("sa"), g("saa1"), g("sab1"))
+      val (ba, bb, cb) = eq(g("sb"), g("sbb1"), g("sba1"))
+      val last = fit.orderBy(col("bucket").desc).limit(1)
+        .select("a", "b").head()
+      val (la, lb) = (last.getDouble(0), last.getDouble(1))
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      Seq(
+        ("click", n, r6(ca), r6(aa), r6(ab), r6(ca + aa * la + ab * lb)),
+        ("purchase", n, r6(cb), r6(ba), r6(bb), r6(cb + ba * la + bb * lb)))
+        .toDF("equation", "n", "intercept", "coef_click_lag",
+          "coef_purchase_lag", "forecast_next").orderBy("equation")
+    }),
+
+    /** `ml_theilsen`: THEIL–SEN robust trend of the daily click series —
+      * the median of all pairwise slopes (x_j−x_i)/(t_j−t_i), the
+      * breakdown-point-29 % alternative to OLS that one outlier day
+      * cannot drag (Sen 1968). The day-grain series is CALENDAR-bounded
+      * (the same driver-sized frame every `withFrame` fit collects), so
+      * the O(n²) pair enumeration is exact driver math on metadata-sized
+      * input — at 100 TB the distributed stage is the daily collapse,
+      * not the pair scan. Slopes and the final median live on the 1e-6
+      * grid; the intercept is the median residual at the fitted slope
+      * (the standard Theil–Sen intercept). The DuckDB twin replays the
+      * full pairwise join + median. */
+    "ml_theilsen" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d).filter(col("event_type") === "click")
+        .groupBy(Tables.epochDay(col("ts")).cast("long").as("t"))
+        .agg(round(avg(col("value")), 6).as("x"))
+        .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val slopes = (for {
+        i <- daily.indices; j <- (i + 1) until daily.length
+      } yield math.rint((daily(j)._2 - daily(i)._2) / (daily(j)._1 - daily(i)._1) * 1e6) / 1e6)
+        .sorted
+      def median(v: Seq[Double]): Double =
+        if (v.length % 2 == 1) v(v.length / 2)
+        else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val m = r6(median(slopes))
+      val intercept = r6(median(daily.map { case (t, x) =>
+        math.rint((x - m * t) * 1e6) / 1e6 }.sorted.toSeq))
+      Seq((daily.length.toLong, slopes.length.toLong, m, intercept))
+        .toDF("n_days", "n_pairs", "slope", "intercept")
+    }),
+
+    /** `ml_garch`: GARCH(1,1) VOLATILITY MLE on the 30-minute click
+      * log-returns (`ml/Garch.scala`) — the conditional-heteroskedasticity
+      * companion to the SARIMAX mean model (volatility clustering is the
+      * defining stylized fact of commodity returns the reference's
+      * homoskedastic residual assumption ignores). Distributed stage:
+      * the bucket collapse + log-return window; the recursion σ²_t =
+      * ω + α·r²_{t−1} + β·σ²_{t−1} is inherently sequential and fits on
+      * the aggregate-sized driver series (the Kalman-SARIMAX posture).
+      * Deterministic Nelder–Mead from a variance-targeting start; output
+      * includes the persistence α+β and the annualization-free long-run
+      * variance ω/(1−α−β). Rows-only: an MLE over a nonlinear recursion
+      * has no SQL form; GarchSpec pins planted-parameter recovery and
+      * the likelihood law. */
+    "ml_garch" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("bucket")
+      val rets = Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("lr", log(col("px") / lag(col("px"), 1).over(w)))
+        .filter(col("lr").isNotNull)
+        .orderBy("bucket").select("lr")
+        .collect().map(_.getDouble(0))
+      val mu = rets.sum / rets.length
+      val r = rets.map(_ - mu)
+      val f = Garch.fit(r)
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      Seq((f.n.toLong, r6(f.omega * 1e6), r6(f.alpha), r6(f.beta),
+          r6(f.persistence), r6(f.uncondVar * 1e6), r6(f.logLik), r6(f.aic)))
+        .toDF("n", "omega_x1e6", "alpha", "beta", "persistence",
+          "uncond_var_x1e6", "loglik", "aic")
     }),
 
     /** Per-series quadratic trend via the [[GroupedOls]] custom
@@ -1277,5 +1479,119 @@ object Ml {
         |  UNION ALL
         |  SELECT 'view', avg((view - mv) / sv),
         |    stddev_samp((view - mv) / sv) FROM clean, stats)
-        |ORDER BY feature""".stripMargin))
+        |ORDER BY feature""".stripMargin),
+
+    /** Granger F both ways from the same 14 moment sums, the same
+      * centered-Gram closed form the engine assembles on the driver. */
+    "ml_granger" ->
+      """WITH ser0 AS (
+        |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
+        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |ser1 AS (
+        |  SELECT bucket, a, b,
+        |    lag(a) OVER (ORDER BY bucket) AS a1,
+        |    lag(b) OVER (ORDER BY bucket) AS b1
+        |  FROM ser0 WHERE a IS NOT NULL AND b IS NOT NULL),
+        |ser AS (SELECT * FROM ser1 WHERE a1 IS NOT NULL AND b1 IS NOT NULL),
+        |mo AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(a) AS sa, sum(b) AS sb, sum(a1) AS sa1, sum(b1) AS sb1,
+        |    sum(a*a) AS saa, sum(b*b) AS sbb,
+        |    sum(a1*a1) AS sa1a1, sum(b1*b1) AS sb1b1, sum(a1*b1) AS sa1b1,
+        |    sum(a*a1) AS saa1, sum(a*b1) AS sab1,
+        |    sum(b*b1) AS sbb1, sum(b*a1) AS sba1
+        |  FROM ser),
+        |f AS (
+        |  SELECT 'purchase_to_click' AS direction, n,
+        |    saa - sa*sa/n AS cyy, sa1a1 - sa1*sa1/n AS c11,
+        |    sb1b1 - sb1*sb1/n AS c22, sa1b1 - sa1*sb1/n AS c12,
+        |    saa1 - sa*sa1/n AS cy1, sab1 - sa*sb1/n AS cy2
+        |  FROM mo
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', n,
+        |    sbb - sb*sb/n, sb1b1 - sb1*sb1/n,
+        |    sa1a1 - sa1*sa1/n, sa1b1 - sa1*sb1/n,
+        |    sbb1 - sb*sb1/n, sba1 - sb*sa1/n
+        |  FROM mo),
+        |solve AS (
+        |  SELECT direction, n,
+        |    cyy - cy1*cy1/c11 AS ssr_r,
+        |    cyy - ((cy1*c22 - cy2*c12) / (c11*c22 - c12*c12)) * cy1
+        |        - ((cy2*c11 - cy1*c12) / (c11*c22 - c12*c12)) * cy2 AS ssr_u
+        |  FROM f)
+        |SELECT direction, n,
+        |  round(ssr_u, 6) AS ssr_unrestricted,
+        |  round((ssr_r - ssr_u) / (ssr_u / (n - 3)), 6) AS f_stat,
+        |  round((ssr_r - ssr_u) / (ssr_u / (n - 3)), 6) > 3.841459 AS reject_95
+        |FROM solve ORDER BY direction""".stripMargin,
+
+    /** VAR(1) replay: same 14-moment frame, same centered-Gram 2×2
+      * closed form per equation, same tail-row forecast. */
+    "ml_var_forecast" ->
+      """WITH ser0 AS (
+        |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
+        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |ser1 AS (
+        |  SELECT bucket, a, b,
+        |    lag(a) OVER (ORDER BY bucket) AS a1,
+        |    lag(b) OVER (ORDER BY bucket) AS b1
+        |  FROM ser0 WHERE a IS NOT NULL AND b IS NOT NULL),
+        |fit AS (SELECT * FROM ser1 WHERE a1 IS NOT NULL AND b1 IS NOT NULL),
+        |mo AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(a) AS sa, sum(b) AS sb, sum(a1) AS sa1, sum(b1) AS sb1,
+        |    sum(a1*a1) AS sa1a1, sum(b1*b1) AS sb1b1, sum(a1*b1) AS sa1b1,
+        |    sum(a*a1) AS saa1, sum(a*b1) AS sab1,
+        |    sum(b*b1) AS sbb1, sum(b*a1) AS sba1
+        |  FROM fit),
+        |gram AS (
+        |  SELECT *, sa1a1 - sa1*sa1/n AS c11, sb1b1 - sb1*sb1/n AS c22,
+        |    sa1b1 - sa1*sb1/n AS c12
+        |  FROM mo),
+        |gd AS (SELECT *, c11*c22 - c12*c12 AS det FROM gram),
+        |eqs AS (
+        |  SELECT 'click' AS equation, n, sa AS sy, saa1 AS sy1, sab1 AS sy2,
+        |    sa1, sb1, c11, c22, c12, det FROM gd
+        |  UNION ALL
+        |  SELECT 'purchase', n, sb, sbb1, sba1, sa1, sb1, c11, c22, c12, det
+        |  FROM gd),
+        |sol AS (
+        |  SELECT equation, n, sa1, sb1,
+        |    ((sy1 - sy*sa1/n)*c22 - (sy2 - sy*sb1/n)*c12) / det AS b1,
+        |    ((sy2 - sy*sb1/n)*c11 - (sy1 - sy*sa1/n)*c12) / det AS b2,
+        |    sy FROM eqs),
+        |coefs AS (
+        |  SELECT equation, n, b1, b2,
+        |    sy/n - b1*sa1/n - b2*sb1/n AS c0
+        |  FROM sol),
+        |tail AS (
+        |  SELECT a AS la, b AS lb FROM fit ORDER BY bucket DESC LIMIT 1)
+        |SELECT equation, n, round(c0, 6) AS intercept,
+        |  round(b1, 6) AS coef_click_lag, round(b2, 6) AS coef_purchase_lag,
+        |  round(c0 + b1*la + b2*lb, 6) AS forecast_next
+        |FROM coefs, tail ORDER BY equation""".stripMargin,
+
+    /** Pairwise-slope median replay: the day frame is calendar-bounded,
+      * so the quadratic pair CTE is metadata-sized in both engines. */
+    "ml_theilsen" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS t,
+        |    round(avg(value), 6) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pairs AS (
+        |  SELECT round((d2.x - d1.x) / (d2.t - d1.t), 6) AS slope
+        |  FROM daily d1 JOIN daily d2 ON d2.t > d1.t),
+        |m AS (SELECT round(median(slope), 6) + 0.0 AS slope FROM pairs),
+        |res AS (SELECT round(x - m.slope * t, 6) AS r FROM daily, m)
+        |SELECT (SELECT count(*)::BIGINT FROM daily) AS n_days,
+        |  (SELECT count(*)::BIGINT FROM pairs) AS n_pairs,
+        |  m.slope AS slope,
+        |  (SELECT round(median(r), 6) + 0.0 FROM res) AS intercept
+        |FROM m""".stripMargin)
 }

@@ -910,6 +910,234 @@ object Ts {
           round(col("obv").cast("double"), 6).as("obv"))
         .orderBy("day")
     }),
+
+    /** STL-RESIDUAL ANOMALY DETECTION — the "twitter anomaly" shape:
+      * decompose the 30-minute click series (the `ts_stl_decompose`
+      * machinery: centered-MA trend + re-centered phase-mean seasonal),
+      * then flag buckets whose REMAINDER sits beyond 3 robust sigmas
+      * (1.4826·MAD — the Hampel scale, immune to the anomalies being
+      * scored). Seasonality-aware where a raw z-score would flag every
+      * daily peak. One partitioned-window pass + one phase aggregation +
+      * one MAD aggregation; the boolean and the z-score are decided on
+      * 1e-6-grid operands in both engines; only anomalous rows emit. */
+    "ts_anomaly_stl" -> ((s, d) => {
+      val sw = Window.orderBy("bucket")
+      val wTrend = sw.rowsBetween(-24, 24)
+      val base = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("n_w", count(lit(1)).over(wTrend))
+        .withColumn("trend", round(avg(col("px")).over(wTrend), 6))
+        .filter(col("n_w") === 49)
+        .withColumn("phase", pmod(col("bucket"), lit(48)).cast("long"))
+        .withColumn("det", round(col("px") - col("trend"), 6))
+      val wPhase = Window.partitionBy("phase")
+      val wAll = Window.partitionBy(lit(1))
+      val rem = base
+        .withColumn("seasonal", round(avg(col("det")).over(wPhase) -
+          avg(col("det")).over(wAll), 6))
+        .withColumn("remainder", round(col("det") - col("seasonal"), 6))
+      // medians interpolate between grid values, so they CAN land exactly
+      // on a half-grid point — explicit half-up floor(x·1e6 + 0.5) is the
+      // same operation in both engines (rint/round half conventions differ)
+      def rh(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      val st = rem.agg(
+        expr("percentile(remainder, 0.5)").as("med"),
+        count(lit(1)).as("n")).head()
+      val med = rh(st.getDouble(0))
+      val mad = rem
+        .select(round(abs(col("remainder") - med), 6).as("ad"))
+        .agg(expr("percentile(ad, 0.5)")).head().getDouble(0)
+      val sigma = rh(1.4826 * rh(mad))
+      rem
+        .withColumn("z", round((col("remainder") - med) / sigma, 6))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("bucket"), col("px"), col("remainder"), col("z"))
+        .orderBy("bucket")
+    }),
+
+    /** DETERMINISTIC BOOTSTRAP confidence interval for the mean daily
+      * click level — resampling as a DATAFLOW (B×n index grid exploded,
+      * equi-joined back to the day series, one keyed mean per replicate,
+      * percentile CI): the embarrassingly-parallel shape bootstrap takes
+      * on a cluster. "Randomness" is a pure-integer LCG on (replicate,
+      * draw) — the `corpus_mixture_sample` convention — so both engines
+      * replay the exact index sequence and the oracle hash-matches what
+      * a seeded RNG could never give. B=200 percentile-bootstrap
+      * (Efron), 95 % interval, exact integer index arithmetic. */
+    "ml_bootstrap_ci" -> ((s, d) => {
+      val bReps = 200
+      val daily = Tables.events(s, d).filter(col("event_type") === "click")
+        .groupBy(Tables.epochDay(col("ts")).cast("long").as("day"))
+        .agg(round(avg(col("value")), 6).as("x"))
+      val idx = daily.select(row_number().over(Window.orderBy("day")).as("i"),
+        col("x"))
+      val n = idx.count()
+      val draws = s.range(0, bReps.toLong).select(col("id").as("b"))
+        .withColumn("j", explode(expr(s"sequence(0, ${n - 1})")))
+        .withColumn("i",
+          (pmod(lit(1103515245L) * (col("b") * 100003L + col("j")) + 12345L,
+            lit(2147483648L)) % n + 1).cast("int"))
+      val means = draws.join(idx, "i")
+        .groupBy("b").agg(round(avg(col("x")), 6).as("m"))
+      val pt = idx.agg(round(avg(col("x")), 6).as("mean")).head().getDouble(0)
+      val ci = means.agg(
+        expr("percentile(m, 0.025)").as("lo"),
+        expr("percentile(m, 0.975)").as("hi"),
+        round(stddev_samp(col("m")), 6).as("se")).head()
+      import s.implicits._
+      // interpolated percentiles → explicit half-up grid decision (the
+      // same floor(x·1e6 + 0.5) the anomaly query uses)
+      def rh(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      Seq((n, bReps.toLong, pt, rh(ci.getDouble(0)), rh(ci.getDouble(1)),
+          ci.getDouble(2)))
+        .toDF("n_days", "n_replicates", "mean", "ci_lo", "ci_hi", "boot_se")
+    }),
+
+    /** FORECAST BASELINES — the three reference methods every forecasting
+      * study must beat before a SARIMAX/ensemble earns its keep
+      * (Hyndman & Athanasopoulos, FPP3 §5.2): one-step in-sample
+      * naive (ŷ_t = x_{t−1}), seasonal-naive (ŷ_t = x_{t−s}, s = 48
+      * buckets = one day), and drift (x_{t−1} + the average historical
+      * step). Runs on the 30-minute click series: one collapse shuffle,
+      * then lag/first window expressions over the bounded single-series
+      * frame and ONE aggregation carrying all three methods' error sums
+      * — the scoreboard never scans the series per method. Errors are
+      * pre-rounded to the 1e-6 grid (predictions too, for drift's
+      * division) so both engines aggregate identical operands; rows
+      * where any method is undefined (t ≤ s) are excluded for all
+      * three, making the comparison like-for-like. */
+    "ts_forecast_baselines" -> ((s, d) => {
+      import s.implicits._
+      val sw = Window.orderBy("bucket")
+      val cum = sw.rowsBetween(Window.unboundedPreceding, 0)
+      val base = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(sw))
+        .withColumn("naive", lag(col("px"), 1).over(sw))
+        .withColumn("snaive", lag(col("px"), 48).over(sw))
+        .withColumn("x1", first(col("px")).over(cum))
+        .withColumn("drift", round(col("naive") +
+          (col("naive") - col("x1")) / (col("rn") - lit(2)), 6))
+        .filter(col("rn") > 48)
+      val errs = Seq("naive" -> "naive", "seasonal_naive" -> "snaive",
+        "drift" -> "drift")
+      val aggs = count(lit(1)).as("n") +: errs.flatMap { case (_, c) =>
+        val e = round(col("px") - col(c), 6)
+        Seq(sum(abs(e)).as(s"sae_$c"), sum(e * e).as(s"sse_$c")) }
+      val r = base.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      errs.map { case (name, c) =>
+        (name, n, r6(r.getAs[Double](s"sae_$c") / n),
+          r6(math.sqrt(r.getAs[Double](s"sse_$c") / n)))
+      }.toDF("method", "n", "mae", "rmse").orderBy("method")
+    }),
+
+    /** LJUNG–BOX portmanteau test (the residual-whiteness check a SARIMAX
+      * workflow runs after fitting — statsmodels `acorr_ljungbox`):
+      * Q(k) = n(n+2)·Σ_{j≤k} r_j²/(n−j) over the first 10 sample
+      * autocorrelations of the DIFFERENCED 30-minute click series (the
+      * stationarity transform, so the test examines innovations rather
+      * than the trending level). The ACF comes from one lead-window pass
+      * + ONE aggregation (the `ml_acf` distributed shape) on the bounded
+      * single-series frame; the 10-term Q ladder is driver scalar math on
+      * the 1-row sufficient-statistic result, with r_j pre-rounded to the
+      * 1e-6 grid so both engines assemble Q from identical operands.
+      * χ²(k) 95 % critical values are public constants. */
+    "stat_ljung_box" -> ((s, d) => {
+      import s.implicits._
+      val maxLag = 10
+      val sw = Window.orderBy("bucket")
+      val diff = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("dx", round(col("px") - lag(col("px"), 1).over(sw), 6))
+        .filter(col("dx").isNotNull)
+      val mu = diff.agg(avg(col("dx")).as("mu")).head().getDouble(0)
+      val cent = diff.select(col("bucket"), (col("dx") - mu).as("c"))
+      val led = (1 to maxLag).foldLeft(cent)((df, k) =>
+        df.withColumn(s"c$k", lead(col("c"), k).over(Window.orderBy("bucket"))))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("c") * col("c")).as("den")) ++
+        (1 to maxLag).map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
+      val r = led.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      val den = r.getAs[Double]("den")
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val acf = (1 to maxLag).map(k => r6(r.getAs[Double](s"num$k") / den))
+      // χ²_{0.95}(df) for df = 1..10 (Abramowitz & Stegun table 26.8)
+      val crit = Seq(3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+        12.591587, 14.06714, 15.507313, 16.918978, 18.307038)
+      val q = acf.zipWithIndex.scanLeft(0.0) { case (acc, (rk, i)) =>
+        acc + rk * rk / (n - (i + 1)) }.tail.map(s => n * (n + 2.0) * s)
+      (1 to maxLag).map { k =>
+        // boolean decided on the rounded grid (the repo's boundary-rounding
+        // convention) so an ulp of sum-order drift can't flip it
+        (k, acf(k - 1), r6(q(k - 1)), crit(k - 1), r6(q(k - 1)) > crit(k - 1))
+      }.toDF("lag", "acf", "q_stat", "crit_95", "reject_95").orderBy("lag")
+    }),
+
+    /** NADARAYA–WATSON kernel smoother over the daily click series — the
+      * nonparametric trend read (the classic alternative to the rolling
+      * mean; locally-weighted like LOWESS but with a closed window form):
+      * ŷ(t) = Σ K(Δ)·x_{t+Δ} / Σ K(Δ) with a truncated Gaussian kernel
+      * K(Δ) = exp(−Δ²/(2h²)), h = 3 days, |Δ| ≤ 7. The neighbor lookup is
+      * an EXPLODE of the 15 integer offsets + one equi-join on the
+      * neighbor day (the gap-fill pattern — never a non-equi self-join),
+      * so the plan stays hash-partitionable at any calendar span; the 15
+      * kernel weights are constants pre-rounded to the 1e-6 grid in both
+      * engines. Missing neighbors at the span edges just drop out of the
+      * weighted sums (the standard boundary renormalization). */
+    "ml_kernel_smoother" -> ((s, d) => {
+      val h = 3.0
+      val offs = (-7 to 7)
+      val w = offs.map(o => o -> math.rint(math.exp(-(o * o) / (2 * h * h)) * 1e6) / 1e6).toMap
+      val daily = Tables.events(s, d).filter(col("event_type") === "click")
+        .groupBy(Tables.epochDay(col("ts")).cast("long").as("date_id"))
+        .agg(round(avg(col("value")), 6).as("x"))
+      val wCol = offs.tail.foldLeft(when(col("off") === offs.head, lit(w(offs.head)))) {
+        (acc, o) => acc.when(col("off") === o, lit(w(o))) }
+      val neigh = daily
+        .withColumn("off", explode(array(offs.map(lit(_)): _*)))
+        .withColumn("nb", col("date_id") + col("off"))
+        .withColumn("kw", wCol)
+        .join(daily.select(col("date_id").as("nb"), col("x").as("xn")), "nb")
+      neigh.groupBy("date_id")
+        .agg(first(col("x")).as("x"),
+          round(sum(col("kw") * col("xn")) / sum(col("kw")), 6).as("smoothed"))
+        .select(col("date_id"), col("x"), col("smoothed"),
+          round(col("x") - col("smoothed"), 6).as("residual"))
+        .orderBy("date_id")
+    }),
+
+    /** DIEBOLD–MARIANO forecast-comparison test (Diebold & Mariano 1995)
+      * between the naive and seasonal-naive baselines on the 30-minute
+      * click series — the statistical answer to "is method A actually
+      * better, or is the MAE gap noise?": loss differential d_t =
+      * e²_naive − e²_snaive on the common support, DM = d̄/√(γ̂₀/n)
+      * with the lag-0 HAC variance (exact for 1-step forecasts, where
+      * d_t is serially uncorrelated under the null). One window pass +
+      * ONE aggregation of (n, Σd, Σd²); the test statistic is scalar
+      * math on that 1-row frame. d_t pre-rounded to the 1e-6 grid. */
+    "ml_diebold_mariano" -> ((s, d) => {
+      import s.implicits._
+      val sw = Window.orderBy("bucket")
+      val base = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(sw))
+        .withColumn("naive", lag(col("px"), 1).over(sw))
+        .withColumn("snaive", lag(col("px"), 48).over(sw))
+        .filter(col("rn") > 48)
+        .withColumn("d", round((col("px") - col("naive")) * (col("px") - col("naive")) -
+          (col("px") - col("snaive")) * (col("px") - col("snaive")), 6))
+      val r = base.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sdd")).head()
+      val n = r.getAs[Long]("n").toDouble
+      val mean = r.getAs[Double]("sd") / n
+      val g0 = r.getAs[Double]("sdd") / n - mean * mean
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      // sign and rejection decided on the ROUNDED statistic (boundary-
+      // rounding convention) so sum-order drift can't flip the verdict
+      val dm = r6(mean / math.sqrt(g0 / n))
+      Seq((r.getAs[Long]("n"), r6(mean), r6(g0), dm,
+          if (dm < 0) "naive" else "seasonal_naive", math.abs(dm) > 1.959964))
+        .toDF("n", "mean_loss_diff", "var_loss_diff", "dm_stat",
+          "favored", "reject_95")
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -1552,5 +1780,172 @@ object Ts {
         |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,
         |        6) AS obv
         |FROM dd WHERE dir IS NOT NULL ORDER BY day""".stripMargin,
+
+    "ts_anomaly_stl" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT bucket, px, count(*) OVER wt AS n_w,
+        |    round(avg(px) OVER wt, 6) AS trend
+        |  FROM b WHERE event_type = 'click'
+        |  WINDOW wt AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)),
+        |base AS (
+        |  SELECT bucket, px, bucket % 48 AS phase, round(px - trend, 6) AS det
+        |  FROM s WHERE n_w = 49),
+        |sea AS (
+        |  SELECT bucket, px, det,
+        |    round(avg(det) OVER (PARTITION BY phase) - avg(det) OVER (), 6)
+        |      AS seasonal
+        |  FROM base),
+        |rem AS (SELECT bucket, px, round(det - seasonal, 6) AS remainder FROM sea),
+        |m1 AS (
+        |  SELECT floor(quantile_cont(remainder, 0.5) * 1000000 + 0.5) / 1000000
+        |    AS med FROM rem),
+        |m2 AS (
+        |  SELECT floor(quantile_cont(round(abs(remainder - med), 6), 0.5)
+        |          * 1000000 + 0.5) / 1000000 AS mad
+        |  FROM rem, m1),
+        |sg AS (
+        |  SELECT floor(1.4826 * mad * 1000000 + 0.5) / 1000000 AS sigma
+        |  FROM m2)
+        |SELECT bucket, px, remainder,
+        |  round((remainder - med) / sigma, 6) AS z
+        |FROM rem, m1, sg
+        |WHERE abs(round((remainder - med) / sigma, 6)) > 3.0
+        |ORDER BY bucket""".stripMargin),
+
+    "ml_bootstrap_ci" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS day,
+        |    round(avg(value), 6) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY day) AS i, x FROM daily),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM idx),
+        |grid AS (
+        |  SELECT bb.b, jj.j
+        |  FROM (SELECT unnest(range(0, 200)) AS b) bb,
+        |       (SELECT unnest(range(0, (SELECT n FROM nn))) AS j) jj),
+        |draws AS (
+        |  SELECT b,
+        |    (((1103515245 * (b * 100003 + j) + 12345) % 2147483648) % n + 1)::INT
+        |      AS i
+        |  FROM grid, nn),
+        |means AS (
+        |  SELECT b, round(avg(x), 6) AS m
+        |  FROM draws JOIN idx USING (i) GROUP BY b),
+        |pt AS (SELECT round(avg(x), 6) AS mean FROM idx),
+        |ci AS (
+        |  SELECT floor(quantile_cont(m, 0.025) * 1000000 + 0.5) / 1000000 AS lo,
+        |    floor(quantile_cont(m, 0.975) * 1000000 + 0.5) / 1000000 AS hi,
+        |    round(stddev_samp(m), 6) AS se
+        |  FROM means)
+        |SELECT n AS n_days, 200::BIGINT AS n_replicates, mean,
+        |  lo AS ci_lo, hi AS ci_hi, se AS boot_se
+        |FROM nn, pt, ci""".stripMargin,
+
+    "ts_forecast_baselines" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT bucket, px, row_number() OVER w AS rn,
+        |    lag(px, 1) OVER w AS naive, lag(px, 48) OVER w AS snaive,
+        |    first_value(px) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1
+        |  FROM b WHERE event_type = 'click' WINDOW w AS (ORDER BY bucket)),
+        |e AS (
+        |  SELECT px, naive, snaive,
+        |    round(naive + (naive - x1) / (rn - 2), 6) AS drift
+        |  FROM s WHERE rn > 48),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(abs(round(px - naive, 6))) AS sae_n,
+        |    sum(round(px - naive, 6) * round(px - naive, 6)) AS sse_n,
+        |    sum(abs(round(px - snaive, 6))) AS sae_s,
+        |    sum(round(px - snaive, 6) * round(px - snaive, 6)) AS sse_s,
+        |    sum(abs(round(px - drift, 6))) AS sae_d,
+        |    sum(round(px - drift, 6) * round(px - drift, 6)) AS sse_d
+        |  FROM e)
+        |SELECT method, n, mae, rmse FROM (
+        |  SELECT 'naive' AS method, n, round(sae_n / n, 6) AS mae,
+        |    round(sqrt(sse_n / n), 6) AS rmse FROM agg
+        |  UNION ALL SELECT 'seasonal_naive', n, round(sae_s / n, 6),
+        |    round(sqrt(sse_s / n), 6) FROM agg
+        |  UNION ALL SELECT 'drift', n, round(sae_d / n, 6),
+        |    round(sqrt(sse_d / n), 6) FROM agg)
+        |ORDER BY method""".stripMargin),
+
+    "stat_ljung_box" -> (indicatorSeriesSql +
+      """, dx AS (
+        |  SELECT bucket, round(px - lag(px) OVER (ORDER BY bucket), 6) AS dx
+        |  FROM b WHERE event_type = 'click'),
+        |d2 AS (SELECT bucket, dx FROM dx WHERE dx IS NOT NULL),
+        |m AS (SELECT avg(dx) AS mu FROM d2),
+        |c AS (SELECT bucket, dx - mu AS c FROM d2, m),
+        |led AS (
+        |  SELECT c, lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+        |    lead(c, 3) OVER w AS c3, lead(c, 4) OVER w AS c4,
+        |    lead(c, 5) OVER w AS c5, lead(c, 6) OVER w AS c6,
+        |    lead(c, 7) OVER w AS c7, lead(c, 8) OVER w AS c8,
+        |    lead(c, 9) OVER w AS c9, lead(c, 10) OVER w AS c10
+        |  FROM c WINDOW w AS (ORDER BY bucket)),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(c*c) AS den,
+        |    sum(c*c1) AS n1, sum(c*c2) AS n2, sum(c*c3) AS n3,
+        |    sum(c*c4) AS n4, sum(c*c5) AS n5, sum(c*c6) AS n6,
+        |    sum(c*c7) AS n7, sum(c*c8) AS n8, sum(c*c9) AS n9,
+        |    sum(c*c10) AS n10
+        |  FROM led),
+        |a AS (
+        |  SELECT n, k,
+        |    round(CASE k WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
+        |      WHEN 4 THEN n4 WHEN 5 THEN n5 WHEN 6 THEN n6 WHEN 7 THEN n7
+        |      WHEN 8 THEN n8 WHEN 9 THEN n9 ELSE n10 END / den, 6) AS r,
+        |    CASE k WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+        |      WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498
+        |      WHEN 6 THEN 12.591587 WHEN 7 THEN 14.06714 WHEN 8 THEN 15.507313
+        |      WHEN 9 THEN 16.918978 ELSE 18.307038 END AS crit
+        |  FROM st, (SELECT unnest(generate_series(1, 10)) AS k)),
+        |q AS (
+        |  SELECT n, k, r, crit,
+        |    round(n * (n + 2.0) * sum(r * r / (n - k)) OVER (ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS q
+        |  FROM a)
+        |SELECT k::INT AS lag, r AS acf, q AS q_stat, crit AS crit_95,
+        |  q > crit AS reject_95
+        |FROM q ORDER BY lag""".stripMargin),
+
+    "ml_kernel_smoother" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS date_id,
+        |    round(avg(value), 6) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |w AS (
+        |  SELECT o, round(exp(-(o * o) / 18.0), 6) AS kw
+        |  FROM (SELECT unnest(generate_series(-7, 7)) AS o)),
+        |n AS (
+        |  SELECT d.date_id, d.x, w.kw, d2.x AS xn
+        |  FROM daily d CROSS JOIN w
+        |  JOIN daily d2 ON d2.date_id = d.date_id + w.o),
+        |sm AS (
+        |  SELECT date_id, x, round(sum(kw * xn) / sum(kw), 6) AS smoothed
+        |  FROM n GROUP BY date_id, x)
+        |SELECT date_id, x, smoothed, round(x - smoothed, 6) AS residual
+        |FROM sm ORDER BY date_id""".stripMargin,
+
+    "ml_diebold_mariano" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT px, row_number() OVER w AS rn,
+        |    lag(px, 1) OVER w AS naive, lag(px, 48) OVER w AS snaive
+        |  FROM b WHERE event_type = 'click' WINDOW w AS (ORDER BY bucket)),
+        |e AS (
+        |  SELECT round((px - naive) * (px - naive) -
+        |    (px - snaive) * (px - snaive), 6) AS d
+        |  FROM s WHERE rn > 48),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(d) AS sd, sum(d*d) AS sdd FROM e),
+        |t AS (
+        |  SELECT n, round(sd / n, 6) AS md,
+        |    round(sdd / n - (sd / n) * (sd / n), 6) AS vd,
+        |    round((sd / n) / sqrt((sdd / n - (sd / n) * (sd / n)) / n), 6) AS dm
+        |  FROM st)
+        |SELECT n, md AS mean_loss_diff, vd AS var_loss_diff, dm AS dm_stat,
+        |  CASE WHEN dm < 0 THEN 'naive' ELSE 'seasonal_naive' END AS favored,
+        |  abs(dm) > 1.959964 AS reject_95
+        |FROM t""".stripMargin),
   )
 }
