@@ -355,6 +355,52 @@ object Docs {
             .as("char_entropy"))
         .orderBy("doc_id")),
 
+    /** PERPLEXITY-BASED corpus filtering — the CCNet / Wenzek et al. 2020
+      * recipe every LLM data pipeline runs (there via a KenLM; here the
+      * in-engine equivalent): score each document by the perplexity of a
+      * unigram language model and drop the tail. The LM is trained on
+      * the corpus itself in ONE wordcount aggregation (token → count,
+      * map-side combined); log-probabilities (Lidstone 0.5 smoothing)
+      * are pre-rounded to the 1e-6 grid and joined back by a TOKEN-KEYED
+      * shuffle join — the vocabulary is data-sized, so no broadcast
+      * assumption; per-doc ppl = exp(−Σ log p / n) is a second keyed
+      * aggregation. Keep rule: ppl ≤ 1.5× the corpus median (the
+      * relative-threshold form that is SF-invariant), decided on the
+      * grid. Output is the per-source audit a pipeline owner reads:
+      * volume, median perplexity, keep rate. */
+    "text_perplexity_filter" -> ((s, d) => {
+      val tok = toked(s, d)
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("nTot"), count(lit(1)).as("v")).head()
+      val denom = tot.getLong(0) + 0.5 * (tot.getLong(1) + 1)
+      val lp = freq.select(col("token"),
+        round(log((col("c") + 0.5) / lit(denom)), 6).as("lp"))
+      // eagerly materialized: the doc-level score frame feeds BOTH the
+      // median action here and the rollup the caller evaluates later —
+      // localCheckpoint (the pagerank convention) computes the LM join
+      // once and survives past this builder's scope, where a
+      // cache+unpersist pair would evict before the caller's action
+      val perDoc = tok.join(lp, "token")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("source"),
+          round(exp(-col("slp") / col("n_tok")), 6).as("ppl"))
+        .localCheckpoint()
+      val med = perDoc.agg(expr("percentile(ppl, 0.5)")).head().getDouble(0)
+      // floor(x·1e6 + 0.5): explicit half-up, identical in both engines —
+      // med is a midpoint of two grid values, so ×1.5 CAN land exactly on
+      // a half-grid point where rint (half-even) and SQL round (half-away)
+      // disagree
+      val cut = math.floor(med * 1.5 * 1e6 + 0.5) / 1e6
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(ppl, 0.5)"), 6).as("median_ppl"),
+          sum(when(col("ppl") <= cut, 1L).otherwise(0L)).as("kept"))
+        .withColumn("keep_rate", round(col("kept") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     /** End-to-end corpus cleaning — the composition a training-data
       * pipeline actually runs, as ONE declarative plan Catalyst can
       * optimize across stages (all the per-doc scoring fuses into a
@@ -911,6 +957,28 @@ object Docs {
         |SELECT doc_id, sum(c)::BIGINT AS n_chars,
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS char_entropy
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    /** Unigram-LM perplexity filter replay: same smoothed LM, same
+      * grid-rounded log-probs, same relative keep threshold. */
+    "text_perplexity_filter" -> (tokedSql +
+      """, tok AS (SELECT doc_id, source, unnest(toks) AS token FROM t),
+        |freq AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n_tot, count(*)::BIGINT AS v FROM freq),
+        |lp AS (
+        |  SELECT token, round(ln((c + 0.5) / (n_tot + 0.5 * (v + 1))), 6) AS lp
+        |  FROM freq, tot),
+        |pd AS (
+        |  SELECT doc_id, source, round(exp(-sum(lp) / count(*)), 6) AS ppl
+        |  FROM tok JOIN lp USING (token) GROUP BY 1, 2),
+        |med AS (
+        |  SELECT floor(quantile_cont(ppl, 0.5) * 1.5 * 1000000 + 0.5) / 1000000
+        |    AS cut FROM pd)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  round(quantile_cont(ppl, 0.5), 6) AS median_ppl,
+        |  sum(CASE WHEN ppl <= cut THEN 1 ELSE 0 END)::BIGINT AS kept,
+        |  round(sum(CASE WHEN ppl <= cut THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS keep_rate
+        |FROM pd, med GROUP BY source, cut ORDER BY source""".stripMargin),
 
     "embedding_random_projection" -> {
       val rs = planesSqlLiterals.zipWithIndex.map { case (p, j) =>

@@ -755,6 +755,97 @@ object Rel {
       } finally { edgesDeg.unpersist(); () }
     }),
 
+    /** TRIANGLE COUNT + global clustering coefficient of the co-purchase
+      * graph (parts appearing together in ≥ 2 distinct orders — the
+      * support threshold that separates signal pairs from one-off basket
+      * noise, as in `mba_frequent_pairs`). The algorithm is the
+      * degree-ordered compact-forward method (Latapy 2008 / the
+      * Suri–Vassilvitskii MR formulation): orient every edge from the
+      * (degree, id)-smaller endpoint to the larger, enumerate wedges by
+      * self-joining oriented edges on their SOURCE, and close them
+      * against the oriented edge set with an equi-join — per-node wedge
+      * fan-out is bounded by O(√m), so the shuffle never sees the
+      * quadratic hub blow-up a naive id-ordering admits at 100 TB.
+      * Everything is integer-exact; the clustering coefficient
+      * 3·T / Σ C(deg,2) gets the one rounded division. */
+    "graph_triangles" -> ((s, d) => {
+      import s.implicits._
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("pa", "pb")
+      val deg = edges.select(col("pa").as("node"))
+        .unionAll(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // attach both endpoint degrees (broadcast — the degree frame is
+      // node-sized), then orient by the total (deg, id) order
+      val withDeg = edges
+        .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("da"))), "pa")
+        .join(broadcast(deg.select(col("node").as("pb"), col("deg").as("db"))), "pb")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val oriented = withDeg.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      val vFirst = col("w1.dv") < col("w2.dv") ||
+        (col("w1.dv") === col("w2.dv") && col("w1.v") < col("w2.v"))
+      val wedges = oriented.as("w1").join(oriented.as("w2"),
+          col("w1.u") === col("w2.u") && vFirst)
+        .select(col("w1.v").as("u"), col("w2.v").as("v"))
+      val tri = wedges.join(oriented.select("u", "v"), Seq("u", "v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val totals = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("deg")) / 2).cast("long").as("n_edges"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      totals.crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering"))
+    }),
+
+    /** PARTIAL-AGGREGATE MERGE — the algebraic re-aggregation contract
+      * behind every incremental ETL / materialized-view pipeline at
+      * 100 TB (Jesus et al., "Survey of Distributed Data Aggregation
+      * Algorithms"; Spark's own partial/final Aggregate split): per
+      * (event_type, day) partial states (n, Σv as DECIMAL, min, max) —
+      * what a daily ingest job would persist — then the per-type FINAL
+      * stats assembled ONLY from those partials (counts/sums add,
+      * min/max fold; the decimal sum makes merge order irrelevant),
+      * alongside a `consistent` flag re-derived against a direct
+      * single-pass aggregation of the fact. The flag is the query's
+      * point: merged ≡ direct is the invariant that licenses incremental
+      * maintenance, and it is asserted IN the result, not just in a
+      * test. */
+    "agg_partial_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        Tables.epochDay(col("ts")).as("day"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      val partials = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val merged = partials.groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+          count(lit(1)).as("n_partials"))
+      val direct = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_d"), sum(col("v")).as("sv_d"),
+          min(col("v")).as("mn_d"), max(col("v")).as("mx_d"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("n_partials"), col("n"),
+          col("sv").cast("double").as("sum_v"),
+          col("mn").cast("double").as("min_v"),
+          col("mx").cast("double").as("max_v"),
+          (col("n") === col("n_d") && col("sv") === col("sv_d") &&
+           col("mn") === col("mn_d") && col("mx") === col("mx_d"))
+            .as("consistent"))
+        .orderBy("event_type")
+    }),
+
     /** Grouped EXACT quantiles — per-series quartiles in one aggregation
       * (`percentile` with an array argument: one sort per group inside
       * the agg, not a per-quantile pass; both engines interpolate
@@ -1898,6 +1989,73 @@ object Rel {
          |SELECT node, round(rank, 9) AS rank FROM r8
          |ORDER BY rank DESC, node LIMIT 25""".stripMargin
     },
+
+    /** Degree-ordered compact-forward replay — identical orientation,
+      * wedge, and closing joins; all counts integer-exact. */
+    "graph_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT b1.p AS pa, b2.p AS pb
+        |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT pa AS node FROM edges
+        |    UNION ALL SELECT pb FROM edges)
+        |  GROUP BY node),
+        |oriented AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+        |      THEN pa ELSE pb END AS u,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+        |      THEN pb ELSE pa END AS v,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+        |      THEN d2.deg ELSE d1.deg END AS dv
+        |  FROM edges
+        |  JOIN deg d1 ON edges.pa = d1.node
+        |  JOIN deg d2 ON edges.pb = d2.node),
+        |wedges AS (
+        |  SELECT w1.v AS u, w2.v AS v
+        |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+        |   AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM wedges JOIN oriented o ON wedges.u = o.u AND wedges.v = o.v),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n_nodes,
+        |    (sum(deg) / 2)::BIGINT AS n_edges,
+        |    (sum(deg * (deg - 1) / 2))::BIGINT AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
+        |FROM tot, tri""".stripMargin,
+
+    /** Partial states re-merged and checked against the direct pass —
+      * the decimal sums make both routes exactly equal. */
+    "agg_partial_merge" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |partials AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS n, sum(v) AS sv,
+        |    min(v) AS mn, max(v) AS mx
+        |  FROM ev GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT event_type, sum(n)::BIGINT AS n, sum(sv) AS sv,
+        |    min(mn) AS mn, max(mx) AS mx, count(*)::BIGINT AS n_partials
+        |  FROM partials GROUP BY 1),
+        |direct AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_d, sum(v) AS sv_d,
+        |    min(v) AS mn_d, max(v) AS mx_d
+        |  FROM ev GROUP BY 1)
+        |SELECT m.event_type, m.n_partials, m.n,
+        |  m.sv::DOUBLE AS sum_v, m.mn::DOUBLE AS min_v, m.mx::DOUBLE AS max_v,
+        |  (m.n = d.n_d AND m.sv = d.sv_d AND m.mn = d.mn_d AND m.mx = d.mx_d)
+        |    AS consistent
+        |FROM merged m JOIN direct d USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "sql_q3_shipping_priority" -> q3Sql(identity),
     "sql_q5_local_supplier" -> q5Sql(identity),

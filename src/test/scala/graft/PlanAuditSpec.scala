@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "drift_psi",               // crossJoin(broadcast(1-row ref/cur totals))
     "stat_chi2_independence",  // crossJoin(broadcast(1-row grand total))
     "mba_frequent_pairs",      // crossJoin(broadcast(1-row basket count))
-    "ml_naive_bayes")          // crossJoin(broadcast(k-row param frame + 1-row total))
+    "ml_naive_bayes",          // crossJoin(broadcast(k-row param frame + 1-row total))
+    "graph_triangles")         // crossJoin(broadcast(1-row triangle count))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

@@ -75,4 +75,25 @@ class TextSpec extends SparkSpec {
       .head()
     assert(out.getInt(0) == 2 && out.getInt(1) == 1)
   }
+
+  test("perplexity filter: rows partition the corpus, rates bounded, ppl sane") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_perplexity_filter")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "per-source doc counts must partition the corpus")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("kept") <= r.getAs[Long]("n_docs"))
+      // a unigram LM's per-token perplexity is bounded below by 1 and, on
+      // a self-trained corpus, sits near the unigram branching factor
+      val ppl = r.getAs[Double]("median_ppl")
+      assert(ppl > 1.0 && ppl < 1e6, s"implausible median perplexity $ppl")
+    }
+    // relative threshold: at least half the corpus survives by construction
+    // (every doc at or below the 1.5x-median cut is kept)
+    val kept = rows.map(_.getAs[Long]("kept")).sum
+    assert(kept * 2 >= nDocs, s"keep rule dropped more than half: $kept/$nDocs")
+  }
 }
