@@ -401,6 +401,49 @@ object Docs {
         .orderBy("source")
     }),
 
+    /** COUNT-MIN SKETCH frequency audit (Cormode & Muthukrishnan 2005) —
+      * the bounded-memory frequency structure a 100 TB pipeline keeps
+      * when the exact token table won't fit: d=4 pairwise-independent
+      * hash rows × w=64 counters (deliberately tiny so collisions are
+      * VISIBLE), est(x) = min_i sketch[i][h_i(x)]. The sketch is built
+      * by one keyed aggregation over the token-frequency frame (the
+      * 4×64 counter table is metadata-sized and mergeable — the same
+      * algebraic-merge contract as `agg_partial_merge`); the audit joins
+      * the true top-15 tokens back and reports est − true ≥ 0, making
+      * the CMS one-sided error law part of the RESULT. Bucket hashing
+      * rides the engine-wide `strHash` polynomial (integer-exact in both
+      * engines). */
+    "agg_countmin_topk" -> ((s, d) => {
+      val seeds = Seq((31L, 7L), (131L, 17L), (1031L, 29L), (8191L, 97L))
+      val hcol = expr("(length(token) * 2654435761 + " +
+        "ascii(substring(token, 1, 1)) * 97 + " +
+        "ascii(substring(token, 1 + length(token) div 2, 1)) * 31 + " +
+        "ascii(substring(token, length(token), 1))) % 1000000007")
+      // seed explode instead of a 4-way union: ONE scan of the frequency
+      // frame feeds all d sketch rows; freq is checkpointed because the
+      // sketch build, the top-k, and the probe side all read it
+      val seedArr = array(seeds.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b")) }: _*)
+      val freq = toked(s, d)
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .withColumn("h", hcol)
+        .localCheckpoint()
+      def withBuckets(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("s", explode(seedArr))
+        .select(df.columns.map(col) :+ col("s.i").as("i") :+
+          ((col("h") * col("s.a") + col("s.b")) % 1000000007L % 64).as("bucket"): _*)
+      val cms = withBuckets(freq).groupBy("i", "bucket")
+        .agg(sum(col("c")).as("total"))
+      val topk = freq.orderBy(col("c").desc, col("token")).limit(15)
+      withBuckets(topk).join(cms, Seq("i", "bucket"))
+        .groupBy("token")
+        .agg(first(col("c")).as("true_count"), min(col("total")).as("cms_estimate"))
+        .select(col("token"), col("true_count"), col("cms_estimate"),
+          (col("cms_estimate") - col("true_count")).as("overcount"))
+        .orderBy(col("true_count").desc, col("token"))
+    }),
+
     /** End-to-end corpus cleaning — the composition a training-data
       * pipeline actually runs, as ONE declarative plan Catalyst can
       * optimize across stages (all the per-doc scoring fuses into a
@@ -979,6 +1022,29 @@ object Docs {
         |  round(sum(CASE WHEN ppl <= cut THEN 1 ELSE 0 END) / count(*), 6)
         |    AS keep_rate
         |FROM pd, med GROUP BY source, cut ORDER BY source""".stripMargin),
+
+    /** CMS replay: same strHash polynomial, same (a, b) seed rows, same
+      * 4×64 counter table — every number integer-exact. */
+    "agg_countmin_topk" -> (tokedSql +
+      s""", tok AS (SELECT unnest(toks) AS token FROM t),
+         |freq AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+         |fh AS (SELECT token, c, ${duckHash("token")} AS h FROM freq),
+         |seeds(i, a, b) AS (VALUES (0, 31, 7), (1, 131, 17),
+         |                          (2, 1031, 29), (3, 8191, 97)),
+         |buck AS (
+         |  SELECT token, c, i, ((h * a + b) % 1000000007) % 64 AS bucket
+         |  FROM fh, seeds),
+         |cms AS (SELECT i, bucket, sum(c)::BIGINT AS total
+         |        FROM buck GROUP BY 1, 2),
+         |topk AS (SELECT token, c FROM fh ORDER BY c DESC, token LIMIT 15),
+         |probe AS (
+         |  SELECT tk.token, tk.c, b.i, b.bucket
+         |  FROM topk tk JOIN buck b ON tk.token = b.token)
+         |SELECT token, c AS true_count, min(total) AS cms_estimate,
+         |  min(total) - c AS overcount
+         |FROM probe JOIN cms USING (i, bucket)
+         |GROUP BY token, c
+         |ORDER BY true_count DESC, token""".stripMargin),
 
     "embedding_random_projection" -> {
       val rs = planesSqlLiterals.zipWithIndex.map { case (p, j) =>

@@ -808,6 +808,35 @@ object Rel {
             .as("clustering"))
     }),
 
+    /** SCD TYPE-2 HISTORY — the slowly-changing-dimension build every
+      * warehouse runs on entity-attribute streams (Kimball): from the
+      * per-user event stream, emit one VERSION row per value CHANGE with
+      * its validity interval [valid_from, valid_to) and a current flag.
+      * Change detection is lag() ≠ current on the (user, ts, event_id)
+      * total order; interval close is lead() over the SURVIVING
+      * versions. Everything is windowed per user_id — ONE hash
+      * partitioning, bounded per-key work, the §4.3.3 multi-series
+      * layout; the µs clock and the 1e-6 value grid decide both the
+      * change predicate and the intervals identically in both
+      * engines. */
+    "scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val uw = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t"), round(col("value"), 6).as("v"))
+      val changed = ev
+        .withColumn("prev", lag(col("v"), 1).over(uw))
+        .filter(col("prev").isNull || col("v") =!= col("prev"))
+      changed
+        .withColumn("valid_to", lead(col("t"), 1).over(uw))
+        .select(col("user_id"), col("v").as("value"),
+          col("t").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     /** PARTIAL-AGGREGATE MERGE — the algebraic re-aggregation contract
       * behind every incremental ETL / materialized-view pipeline at
       * 100 TB (Jesus et al., "Survey of Distributed Data Aggregation
@@ -2029,6 +2058,28 @@ object Rel {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
         |FROM tot, tri""".stripMargin,
+
+    /** SCD2 replay: same change predicate, same per-user interval
+      * windows on the µs clock. */
+    "scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, round(value, 6) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (
+        |  SELECT user_id, event_id, t, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |  FROM ev),
+        |keep AS (
+        |  SELECT user_id, event_id, t, v FROM ch
+        |  WHERE prev IS NULL OR v <> prev),
+        |fin AS (
+        |  SELECT user_id, v AS value, t AS valid_from_us,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS valid_to_us
+        |  FROM keep)
+        |SELECT user_id, value, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM fin ORDER BY user_id, valid_from_us""".stripMargin,
 
     /** Partial states re-merged and checked against the direct pass —
       * the decimal sums make both routes exactly equal. */

@@ -954,6 +954,41 @@ object Ts {
         .orderBy("bucket")
     }),
 
+    /** SEASONAL / TREND STRENGTH (FPP3 §4.3, Wang-Smith-Hyndman feature
+      * space): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+      * F_S = max(0, 1 − Var(R)/Var(S+R)) from the same decomposition
+      * `ts_stl_decompose` runs — the two numbers a forecasting triage
+      * reads to pick between a trend model, a seasonal model, or
+      * neither. One window pass + one phase aggregation + ONE variance
+      * aggregation over grid-rounded components. */
+    "ml_seasonal_strength" -> ((s, d) => {
+      import s.implicits._
+      val sw = Window.orderBy("bucket")
+      val wTrend = sw.rowsBetween(-24, 24)
+      val base = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("n_w", count(lit(1)).over(wTrend))
+        .withColumn("trend", round(avg(col("px")).over(wTrend), 6))
+        .filter(col("n_w") === 49)
+        .withColumn("phase", pmod(col("bucket"), lit(48)).cast("long"))
+        .withColumn("det", round(col("px") - col("trend"), 6))
+      val wPhase = Window.partitionBy("phase")
+      val wAll = Window.partitionBy(lit(1))
+      val rem = base
+        .withColumn("seasonal", round(avg(col("det")).over(wPhase) -
+          avg(col("det")).over(wAll), 6))
+        .withColumn("remainder", round(col("det") - col("seasonal"), 6))
+        .withColumn("tr", round(col("px") - col("seasonal"), 6))
+      val r = rem.agg(count(lit(1)).as("n"),
+        var_pop(col("remainder")).as("vr"),
+        var_pop(col("tr")).as("vtr"),
+        var_pop(col("det")).as("vsr")).head()
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      Seq((r.getAs[Long]("n"),
+          r6(math.max(0.0, 1.0 - r.getAs[Double]("vr") / r.getAs[Double]("vtr"))),
+          r6(math.max(0.0, 1.0 - r.getAs[Double]("vr") / r.getAs[Double]("vsr")))))
+        .toDF("n", "strength_trend", "strength_seasonal")
+    }),
+
     /** DETERMINISTIC BOOTSTRAP confidence interval for the mean daily
       * click level — resampling as a DATAFLOW (B×n index grid exploded,
       * equi-joined back to the day series, one keyed mean per replicate,
@@ -1780,6 +1815,32 @@ object Ts {
         |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,
         |        6) AS obv
         |FROM dd WHERE dir IS NOT NULL ORDER BY day""".stripMargin,
+
+    "ml_seasonal_strength" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT bucket, px, count(*) OVER wt AS n_w,
+        |    round(avg(px) OVER wt, 6) AS trend
+        |  FROM b WHERE event_type = 'click'
+        |  WINDOW wt AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)),
+        |base AS (
+        |  SELECT bucket, px, bucket % 48 AS phase, round(px - trend, 6) AS det
+        |  FROM s WHERE n_w = 49),
+        |sea AS (
+        |  SELECT bucket, px, det,
+        |    round(avg(det) OVER (PARTITION BY phase) - avg(det) OVER (), 6)
+        |      AS seasonal
+        |  FROM base),
+        |rem AS (
+        |  SELECT round(det - seasonal, 6) AS remainder,
+        |    round(px - seasonal, 6) AS tr, det
+        |  FROM sea),
+        |v AS (
+        |  SELECT count(*)::BIGINT AS n, var_pop(remainder) AS vr,
+        |    var_pop(tr) AS vtr, var_pop(det) AS vsr
+        |  FROM rem)
+        |SELECT n, round(greatest(0.0, 1.0 - vr / vtr), 6) AS strength_trend,
+        |  round(greatest(0.0, 1.0 - vr / vsr), 6) AS strength_seasonal
+        |FROM v""".stripMargin),
 
     "ts_anomaly_stl" -> (indicatorSeriesSql +
       """, s AS (

@@ -299,6 +299,60 @@ class ForecastPackSpec extends SparkSpec {
     assert(cl >= 0.0 && cl <= 1.0 + 1e-9)
   }
 
+  test("count-min: one-sided error law holds and the top token recounts exactly") {
+    val rows = SparkEntry.queries("agg_countmin_topk")(spark, dir).collect()
+    assert(rows.length == 15)
+    val totalTokens = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tk")).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        "CMS estimates can only overcount (one-sided error)")
+      assert(r.getAs[Long]("cms_estimate") ==
+        r.getAs[Long]("true_count") + r.getAs[Long]("overcount"))
+      assert(r.getAs[Long]("cms_estimate") <= totalTokens,
+        "no counter can exceed the stream length")
+    }
+    // independent recount of the most frequent token
+    val top = rows.head
+    val direct = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") === top.getAs[String]("token")).count()
+    assert(direct == top.getAs[Long]("true_count"))
+  }
+
+  test("scd2: versions chain per user — one current row, intervals abut") {
+    val rows = SparkEntry.queries("scd2_history")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._3)
+      assert(sorted.count(_._5) == 1, s"user $u must have exactly one current row")
+      assert(sorted.last._5 && sorted.last._4.isEmpty,
+        s"user $u: the last version is the open/current one")
+      sorted.sliding(2).foreach {
+        case Array((_, v1, _, Some(to1), _), (_, v2, from2, _, _)) =>
+          assert(to1 == from2, s"user $u: intervals must abut")
+          assert(v1 != v2, s"user $u: consecutive versions must differ")
+        case _ => ()
+      }
+    }
+  }
+
+  test("seasonal strength: both measures in [0,1]; n matches the STL support") {
+    val r = SparkEntry.queries("ml_seasonal_strength")(spark, dir).head()
+    val (st, ss) = (r.getAs[Double]("strength_trend"),
+      r.getAs[Double]("strength_seasonal"))
+    assert(st >= 0.0 && st <= 1.0, s"strength_trend $st")
+    assert(ss >= 0.0 && ss <= 1.0, s"strength_seasonal $ss")
+    val stlRows = SparkEntry.queries("ts_stl_decompose")(spark, dir)
+      .filter(col("event_type") === "click").count()
+    assert(r.getAs[Long]("n") == stlRows,
+      "strength must be computed over the same complete-window support as the STL")
+  }
+
   test("partial merge: every per-type row reports consistent = true") {
     val rows = SparkEntry.queries("agg_partial_merge")(spark, dir).collect()
     assert(rows.nonEmpty)
