@@ -453,6 +453,20 @@ object Ts {
         .orderBy("user_id")
     }),
 
+    /** The REAL streaming SCD2 builder (`EventStream.scd2Stream`,
+      * flatMapGroupsWithState with buffered-region recompute and
+      * watermark-proved finalization) run to completion under
+      * AvailableNow and hash-compared against the SAME DuckDB oracle as
+      * the batch `scd2_history` — the stream's merged emissions must
+      * reproduce the batch chain exactly, regardless of micro-batch
+      * boundaries. Wide watermark per the `stream_sessionize`
+      * convention; incremental finalize/eviction is pinned by
+      * StreamingSpec's multi-batch MemoryStream test. */
+    "stream_scd2" -> ((s, d) =>
+      graft.streaming.EventStream.runScd2Once(s, d,
+          s"stream_scd2_v${sessionizeRuns.incrementAndGet()}")
+        .orderBy("user_id", "valid_from_us")),
+
     // ---- §2.10 streaming (batch-equivalent plans; the streaming jobs in
     //      graft.streaming run the same logic incrementally) --------------
     "stream_window_agg" -> ((s, d) =>
@@ -1815,6 +1829,10 @@ object Ts {
         |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,
         |        6) AS obv
         |FROM dd WHERE dir IS NOT NULL ORDER BY day""".stripMargin,
+
+    /** The streaming SCD2 must reproduce the batch chain exactly — same
+      * oracle by construction. */
+    "stream_scd2" -> graft.queries.Rel.sql("scd2_history"),
 
     "ml_seasonal_strength" -> (indicatorSeriesSql +
       """, s AS (

@@ -366,6 +366,142 @@ object EventStream {
         queryName, OutputMode.Update()))
   }
 
+  // ---- streaming SCD type-2 dimension maintenance ---------------------
+
+  /** `ts` must survive into the typed Dataset (watermark-column rule, as
+    * in [[SessEvent]]). */
+  case class ScdEvent(user_id: Long, event_id: Long, ts_us: Long,
+                      ts: java.sql.Timestamp, v: Double)
+  /** Per-user state for the streaming SCD2 builder: `anchor` carries the
+    * last FINALIZED version's value (the change-detection boundary for
+    * the still-mutable suffix), `buf` the events of the mutable region,
+    * `(life_id, version)` the same emission stamp as [[SessBuf]]. */
+  case class ScdBuf(anchor: Option[Double], buf: Seq[(Long, Long, Double)],
+                    version: Long, life_id: Long)
+  /** `valid_to_us` is None for the open version. Emission contract is the
+    * sessionizer's: finalized rows exactly once, non-final rows as
+    * whole-chain snapshots where only the highest (life_id, version)
+    * stamp per user is current; `valid_from_us = -1` is the drain
+    * sentinel. */
+  case class ScdOut(user_id: Long, value: Double, valid_from_us: Long,
+                    valid_to_us: Option[Long], is_current: Boolean,
+                    finalized: Boolean, life_id: Long, version: Long)
+
+  private case class Version(value: Double, from: Long, to: Option[Long])
+
+  /** Change-point chain over SORTED (ts_us, event_id, value) rows:
+    * a version opens at each value CHANGE (vs `anchor` for the first
+    * row); valid_to = the next version's valid_from (abutting). */
+  private def versionChain(anchor: Option[Double],
+                           sorted: Seq[(Long, Long, Double)]): Seq[Version] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Version]
+    var prev = anchor
+    for ((t, _, v) <- sorted) {
+      if (!prev.contains(v)) {
+        if (out.nonEmpty) out(out.length - 1) = out.last.copy(to = Some(t))
+        out += Version(v, t, None)
+      }
+      prev = Some(v)
+    }
+    out.toSeq
+  }
+
+  /** Streaming SCD2 — the stateful twin of the batch `scd2_history`
+    * query: per user, maintain the type-2 version chain of the value
+    * attribute as events stream in, event-time correct under any arrival
+    * order the watermark admits (a late event may open a version, merge
+    * two, or re-time a boundary — the buffered region is recomputed, the
+    * same reasoning as [[sessionizeStream]]).
+    *
+    * Finalization: a version whose `valid_to ≤ watermark` is provably
+    * immutable — every not-yet-arrived event has event time ≥ watermark,
+    * so nothing can land inside that interval or re-open its boundary —
+    * and is emitted EXACTLY ONCE with `finalized = true`; its events
+    * leave the buffer (only the boundary VALUE survives, as `anchor`).
+    * State is therefore O(events within the watermark horizon) per user,
+    * never O(stream) — the same bound as the sessionizer and the
+    * stream-stream join. The open suffix re-emits as a stamped snapshot
+    * on every change; [[mergeScdEmissions]] is the read side. */
+  def scd2Stream(events: DataFrame, watermark: String = "1 hour"): Dataset[ScdOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ts"), col("v"))
+      .as[ScdEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdBuf, ScdOut](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[ScdEvent], state: GroupState[ScdBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val arrived = rows.map(r => (r.ts_us, r.event_id, r.v)).toArray
+          val prev = state.getOption.getOrElse(
+            ScdBuf(None, Nil, 0L,
+              if (arrived.isEmpty) 0L else arrived.map(_._1).min))
+          val merged = (prev.buf ++ arrived).sortBy(e => (e._1, e._2))
+          val chain = versionChain(prev.anchor, merged)
+          val (done, open) = chain.partition(_.to.exists(_ <= wmUs))
+          val v = prev.version + 1
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+          done.foreach(c =>
+            out += ScdOut(uid, c.value, c.from, c.to, false, true,
+              prev.life_id, v))
+          if (open.isEmpty) {
+            out += ScdOut(uid, 0.0, -1L, None, false, false, prev.life_id, v)
+            state.remove()
+          } else {
+            open.foreach(c =>
+              out += ScdOut(uid, c.value, c.from, c.to, c.to.isEmpty, false,
+                prev.life_id, v))
+            // retain the mutable region: events at/after the first open
+            // version's boundary; the finalized prefix collapses to its
+            // last value (the change-detection anchor)
+            val cut = open.head.from
+            val anchor = if (done.nonEmpty) Some(done.last.value) else prev.anchor
+            state.update(ScdBuf(anchor, merged.filter(_._1 >= cut), v,
+              prev.life_id))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** Read side of the SCD2 emission contract (the [[mergeSessionEmissions]]
+    * rule): finalized versions are append-only facts; snapshot rows keep
+    * only each user's highest (life_id, version) stamp; sentinels drop. */
+  def mergeScdEmissions(emitted: DataFrame): DataFrame = {
+    val finals = emitted.filter(col("finalized"))
+    val opens = emitted.filter(!col("finalized"))
+    val latest = opens.groupBy(col("user_id").as("u"))
+      .agg(max(struct(col("life_id"), col("version"))).as("cur"))
+    finals.union(
+        opens.join(latest,
+          col("user_id") === col("u") &&
+            col("life_id") === col("cur.life_id") &&
+            col("version") === col("cur.version"))
+          .select(finals.columns.map(col): _*))
+      .filter(col("valid_from_us") >= 0L)
+      .select("user_id", "value", "valid_from_us", "valid_to_us", "is_current")
+  }
+
+  /** Harness entry: the REAL streaming SCD2 run to completion over the
+    * purchase stream; same wide-watermark convention (and rationale) as
+    * [[runSessionizeOnce]] — micro-batch boundaries must not decide
+    * oracle rows; eviction semantics are pinned by StreamingSpec's
+    * multi-batch MemoryStream test. Output matches the batch
+    * `scd2_history` oracle exactly. */
+  def runScd2Once(spark: SparkSession, dir: String, queryName: String,
+                  watermark: String = "3650 days"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("ts"),
+        round(col("value"), 6).as("v"))
+    mergeScdEmissions(
+      runToMemory(scd2Stream(events, watermark).toDF(),
+        queryName, OutputMode.Update()))
+  }
+
   // ---- incremental keyed upsert (streaming CDC into a lake path) ------
 
   /** Latest row per key under the (ts_us, event_id) total order — the

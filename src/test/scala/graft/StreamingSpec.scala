@@ -137,6 +137,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scd2 equals the batch scd2_history chain (availableNow, sf0.001)") {
+    val got = EventStream.runScd2Once(spark, dir, "scd2_test")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+        r.getBoolean(4))).toSet
+    val want = SparkEntry.queries("scd2_history")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+        r.getBoolean(4))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("scd2 across micro-batches: late revision before finalization, exact-once finals") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Double)](
+      47, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_id", "ts_us", "v")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val t0 = 1700000000000000L // µs
+    val sec = 1000000L
+    val q = EventStream.scd2Stream(toEvents(mem.toDF()), watermark = "1 hour")
+      .writeStream.format("memory").queryName("scd2_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: user 7 holds 10.0 at t0 and t0+10s -> one open version
+      mem.addData(Seq((7L, 1L, t0, 10.0), (7L, 2L, t0 + 10L * sec, 10.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE (but within-watermark) change at t0+5s splits the
+      // version into 10 -> 20 -> 10; the old snapshot must be superseded
+      mem.addData(Seq((7L, 3L, t0 + 5L * sec, 20.0)))
+      q.processAllAvailable()
+      // batches 3-4: far-future events advance the watermark past user
+      // 7's closed boundaries -> the first two versions finalize
+      mem.addData(Seq((9L, 4L, t0 + 7200L * sec, 5.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((9L, 5L, t0 + 7300L * sec, 5.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("scd2_mb")
+      val got = EventStream.mergeScdEmissions(emitted)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          r.getBoolean(4))).toSet
+      assert(got == Set(
+        (7L, 10.0, t0, Some(t0 + 5L * sec), false),
+        (7L, 20.0, t0 + 5L * sec, Some(t0 + 10L * sec), false),
+        (7L, 10.0, t0 + 10L * sec, None, true),
+        (9L, 5.0, t0 + 7200L * sec, None, true)))
+      // exact-once finals: each finalized interval appears exactly once
+      val finals = emitted.filter(col("finalized"))
+        .select("user_id", "valid_from_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(finals.length == finals.distinct.length,
+        "finalized versions must be emitted exactly once")
+      assert(finals.toSet == Set((7L, t0), (7L, t0 + 5L * sec)))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch interval join (availableNow)") {
     val got = EventStream.runAttributionOnce(spark, dir, "attrib_test")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
