@@ -681,6 +681,56 @@ object Docs {
           (lit(64) + col("checksum") % 1857).as("fake_width"),
           (lit(48) + col("checksum") % 1393).as("fake_height"))
         .orderBy("doc_id")),
+
+    /** REAL image decode through the production seam: deterministic tiny
+      * PNGs are ENCODED in-executor (JDK `ImageIO.write`, pixel pattern
+      * and dimensions derived from doc identity), then decoded back by
+      * `Multimodal.decodeFeatures` with the REAL `imageIoDecoder` — the
+      * same per-partition-factory `mapPartitions` path a 100 TB media
+      * pipeline runs, exercised end-to-end on genuine codec bytes (not
+      * the `fakeDecode` stub). Self-verifying output: decoded (w, h)
+      * sits next to the generation parameters with a `dims_match` flag,
+      * so the codec round-trip is asserted IN the result. Bounded to 64
+      * media rows — the query audits the codec path, not the corpus;
+      * rows-only (PNG bytes have no SQL form). */
+    "multimodal_decode_png" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id").limit(64)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nch) =>
+            val w = (8 + id % 32).toInt
+            val h = (8 + nch % 24).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) % 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, "image", bos.toByteArray, w, h)
+          }
+        }
+        .toDF("media_id", "kind", "payload", "exp_w", "exp_h")
+        .localCheckpoint() // encode once; decode and the audit join both read it
+      graft.operators.Multimodal
+        .decodeFeatures(media,
+          () => graft.operators.Multimodal.imageIoDecoder())
+        .join(media.select("media_id", "exp_w", "exp_h"), "media_id")
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          col("exp_w"), col("exp_h"),
+          (col("width") === col("exp_w") && col("height") === col("exp_h"))
+            .as("dims_match"))
+        .orderBy("media_id")
+    }),
   )
 
   // ---- DuckDB oracle twins ------------------------------------------------

@@ -89,6 +89,19 @@ class MultimodalSpec extends SparkSpec {
     assert(sum == 30L && w == (64 + 30 % 1857) && h == (48 + 30 % 1393))
   }
 
+  test("multimodal_decode_png: every generated PNG decodes to its true dimensions") {
+    val rows = SparkEntry.queries("multimodal_decode_png")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("dims_match"),
+        s"codec round-trip broke for media ${r.getAs[Long]("media_id")}: " +
+          s"decoded ${r.getAs[Int]("width")}x${r.getAs[Int]("height")} vs " +
+          s"expected ${r.getAs[Int]("exp_w")}x${r.getAs[Int]("exp_h")}")
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
   test("sampleFrames: one row per stride step") {
     val out = Multimodal.sampleFrames(media, stride = 4).orderBy("media_id", "frame_idx")
       .collect()
