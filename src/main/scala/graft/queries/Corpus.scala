@@ -55,7 +55,73 @@ object Corpus {
     (ts.map(_._1).mkString(" + "), ts.map(_._2).mkString(" + "))
   }
 
+  /** Merge budget for `corpus_bpe_train`. */
+  private val BPE_MERGES = 20
+
   val qs: Map[String, Q] = Map(
+    /** BPE TOKENIZER TRAINING (`operators/Bpe.scala`, Sennrich et al.
+      * 2016) — the vocabulary-construction step of an LLM pipeline, in
+      * its production division of labor: the corpus collapses to the
+      * (word, count) table in ONE wordcount shuffle; the merge loop runs
+      * driver-side over that vocabulary-sized table (exactly how the
+      * HuggingFace/SentencePiece trainers hold it — vocabulary grows
+      * sublinearly with corpus size). Deterministic argmax (count desc,
+      * pair asc) ⇒ the same merge table on every run. Rows-only: an
+      * iterative merge loop has no SQL form; BpeSpec pins the classic
+      * hand-derivable fixture and the laws. */
+    "corpus_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val words = toked(s, d)
+        .select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      graft.operators.Bpe.train(words, BPE_MERGES)
+        .map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+        .toDF("rank", "left", "right", "merged", "pair_count")
+        .orderBy("rank")
+    }),
+
+    /** BPE ENCODE audit — the trained merges applied back to the corpus
+      * (broadcast merge list, narrow `mapPartitions`, no shuffle at
+      * apply time — the serving posture of a tokenizer): per-source
+      * compression report chars/word vs BPE symbols/word. Rows-only;
+      * BpeSpec pins encode laws (concatenation invariant, merge-order
+      * priority). */
+    "corpus_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val words = toked(s, d)
+        .select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      val merges = graft.operators.Bpe.train(words, BPE_MERGES)
+      // encode each DISTINCT word once on the driver (the vocabulary is
+      // already collected for training) and broadcast the length table;
+      // the corpus side then pays one keyed count + a broadcast join —
+      // never a per-occurrence encode
+      val encDf = words.map { case (w, _) =>
+        (w, w.length.toLong,
+          graft.operators.Bpe.encodeWord(w, merges).length.toLong)
+      }.toDF("w", "n_chars", "n_syms")
+      toked(s, d)
+        .select(col("source"), explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .join(broadcast(encDf), "w")
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_words"),
+          round(sum(col("c") * col("n_chars")) / sum(col("c")), 6)
+            .as("chars_per_word"),
+          round(sum(col("c") * col("n_syms")) / sum(col("c")), 6)
+            .as("syms_per_word"),
+          round(lit(1.0) - sum(col("c") * col("n_syms")).cast("double")
+            / sum(col("c") * col("n_chars")), 6).as("compression"))
+        .orderBy("source")
+    }),
+
     /** Overlapping token windows (32/stride 24) — the pre-training feed
       * shape. Narrow explode, zero shuffles. */
     "text_chunk_windows" -> ((s, d) =>
