@@ -91,10 +91,15 @@ object Corpus {
       * priority). */
     "corpus_bpe_encode" -> ((s, d) => {
       import s.implicits._
-      val words = toked(s, d)
-        .select(explode(col("toks")).as("w"))
+      // ONE tokenize pass: the per-(source, word) count frame is
+      // checkpointed and serves BOTH the training vocabulary (its global
+      // rollup) and the audit join below
+      val bySrcWord = toked(s, d)
+        .select(col("source"), explode(col("toks")).as("w"))
         .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("c"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val words = bySrcWord.groupBy("w").agg(sum(col("c")).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         .sortBy { case (w, c) => (-c, w) }
       val merges = graft.operators.Bpe.train(words, BPE_MERGES)
@@ -106,10 +111,7 @@ object Corpus {
         (w, w.length.toLong,
           graft.operators.Bpe.encodeWord(w, merges).length.toLong)
       }.toDF("w", "n_chars", "n_syms")
-      toked(s, d)
-        .select(col("source"), explode(col("toks")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      bySrcWord
         .join(broadcast(encDf), "w")
         .groupBy("source")
         .agg(sum(col("c")).as("n_words"),
