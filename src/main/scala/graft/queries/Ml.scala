@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Acf, Ensemble, Evaluation, Explain, Garch, GroupedOls, GroupedOlsStats, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
+import graft.ml.{Acf, Ensemble, Evaluation, Explain, Garch, GroupedOls, GroupedOlsStats, Hmm, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -559,6 +559,51 @@ object Ml {
           r6(f.persistence), r6(f.uncondVar * 1e6), r6(f.logLik), r6(f.aic)))
         .toDF("n", "omega_x1e6", "alpha", "beta", "persistence",
           "uncond_var_x1e6", "loglik", "aic")
+    }),
+
+    /** `ml_hmm_regimes`: 2-state Gaussian HIDDEN MARKOV regime detection
+      * on the 30-minute click log-returns (`ml/Hmm.scala` — Hamilton
+      * 1989's Markov-switching lens on commodity series: calm vs
+      * turbulent regimes that a single-distribution model averages
+      * away). Baum–Welch EM with scaled forward–backward from a
+      * deterministic moment-spread start, Viterbi MAP decode; states
+      * relabeled by ascending mean so the report is stable. Driver-side
+      * recursion over the aggregate-sized series (the SARIMAX/GARCH
+      * posture). Rows-only: EM + dynamic programming have no SQL form;
+      * HmmSpec pins planted-regime recovery, the EM likelihood-ascent
+      * law, and Viterbi against brute-force path enumeration. */
+    "ml_hmm_regimes" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("bucket")
+      val rets = Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("lr", log(col("px") / lag(col("px"), 1).over(w)))
+        .filter(col("lr").isNotNull)
+        .orderBy("bucket").select("lr")
+        .collect().map(_.getDouble(0))
+      val f = Hmm.fit(rets, k = 2)
+      val path = Hmm.viterbi(rets, f)
+      // stable labels: state 0 = lower mean
+      val order = f.means.zipWithIndex.sortBy(_._1).map(_._2)
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val rows = order.zipWithIndex.map { case (orig, lab) =>
+        val n = path.count(_ == orig).toLong
+        // mean run length of this state's visits along the MAP path
+        var runs = 0L; var prev = -1
+        path.foreach { st =>
+          if (st == orig && prev != orig) runs += 1
+          prev = st
+        }
+        (lab, r6(f.pi(orig)), r6(f.means(orig) * 1e3), r6(f.vars(orig) * 1e3),
+          r6(f.trans(orig)(orig)), n,
+          if (runs > 0) r6(n.toDouble / runs) else 0.0)
+      }.toSeq
+      rows.toDF("state", "pi", "mean_x1e3", "var_x1e3", "stay_prob",
+          "n_assigned", "avg_run_len")
+        .withColumn("loglik", lit(r6(f.logLik)))
+        .orderBy("state")
     }),
 
     /** Per-series quadratic trend via the [[GroupedOls]] custom

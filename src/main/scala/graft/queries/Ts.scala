@@ -968,6 +968,80 @@ object Ts {
         .orderBy("bucket")
     }),
 
+    /** PERIODOGRAM scan — which cycle length actually dominates the
+      * series? (the question the STL pack ANSWERS BY ASSUMING 48; this
+      * measures it): spectral power at every candidate period p ∈ [2,96]
+      * buckets via the direct DFT projections a_p = Σ c_t·cos(2πt/p),
+      * b_p = Σ c_t·sin(2πt/p), power = (a²+b²)·2/n. The frequency grid
+      * EXPLODES against the series (95× fan-out of a bounded frame) and
+      * collapses in ONE keyed aggregation — embarrassingly parallel, the
+      * same grid-explode shape as `ml_bootstrap_ci`. cos/sin factors are
+      * pre-rounded to the 1e-6 grid in both engines (libm's last ulp
+      * cannot leak into the sums). Top-10 periods by power — on the
+      * harness data the winner sits near p≈72, NOT the daily 48 the STL
+      * queries assume: exactly the kind of fact this scan exists to
+      * surface before a seasonal model hardcodes its period. */
+    "ts_periodogram" -> ((s, d) => {
+      val sw = Window.orderBy("bucket")
+      val ser = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("t", row_number().over(sw) - 1)
+      val mu = ser.agg(avg(col("px"))).head().getDouble(0)
+      val cent = ser.select(col("t"),
+        round(col("px") - mu, 6).as("c"))
+      val twoPi = 6.283185307179586
+      cent
+        .withColumn("p", explode(array((2 to 96).map(lit(_)): _*)))
+        .withColumn("ang", lit(twoPi) * col("t") / col("p"))
+        .withColumn("co", round(cos(col("ang")), 6))
+        .withColumn("si", round(sin(col("ang")), 6))
+        .groupBy("p")
+        .agg(sum(col("c") * col("co")).as("a"),
+          sum(col("c") * col("si")).as("b"), count(lit(1)).as("n"))
+        .select(col("p").as("period"),
+          round((col("a") * col("a") + col("b") * col("b")) * 2 / col("n"), 6)
+            .as("power"))
+        .orderBy(col("power").desc, col("period")).limit(10)
+    }),
+
+    /** CROSS-CORRELATION function click ⇄ purchase at lags −12..+12
+      * buckets — the lead/lag screen (`ml_granger` tests ONE lag
+      * hypothesis; this maps the whole neighborhood): r_k =
+      * Σ(a_t−ā)(b_{t+k}−b̄) / (√Σ(a−ā)²·√Σ(b−b̄)²), full-series
+      * denominators, shifted products over the common support (the
+      * standard sample CCF). One bucket-joined collapse, 25 window
+      * expressions, ONE aggregation. */
+    "ml_ccf" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy("bucket")
+      val maxLag = 12
+      val ser = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket")
+        .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
+          round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      val m = ser.agg(avg(col("a")).as("ma"), avg(col("b")).as("mb")).head()
+      val (ma, mb) = (m.getDouble(0), m.getDouble(1))
+      val cent = ser.select(col("bucket"), (col("a") - ma).as("ca"),
+        (col("b") - mb).as("cb"))
+      val led = (-maxLag to maxLag).foldLeft(cent) { (df, k) =>
+        val shifted = if (k >= 0) lead(col("cb"), k).over(w)
+          else lag(col("cb"), -k).over(w)
+        df.withColumn(s"s$k".replace("-", "m"), shifted)
+      }
+      val aggs = Seq(sum(col("ca") * col("ca")).as("va"),
+        sum(col("cb") * col("cb")).as("vb")) ++
+        (-maxLag to maxLag).map(k =>
+          sum(col("ca") * col(s"s$k".replace("-", "m"))).as(s"n$k".replace("-", "m")))
+      val r = led.agg(aggs.head, aggs.tail: _*).head()
+      val den = math.sqrt(r.getAs[Double]("va")) * math.sqrt(r.getAs[Double]("vb"))
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      (-maxLag to maxLag).map { k =>
+        (k, r6(r.getAs[Double](s"n$k".replace("-", "m")) / den))
+      }.toDF("lag_buckets", "ccf").orderBy("lag_buckets")
+    }),
+
     /** SEASONAL / TREND STRENGTH (FPP3 §4.3, Wang-Smith-Hyndman feature
       * space): F_T = max(0, 1 − Var(R)/Var(T+R)) and
       * F_S = max(0, 1 − Var(R)/Var(S+R)) from the same decomposition
@@ -1833,6 +1907,60 @@ object Ts {
     /** The streaming SCD2 must reproduce the batch chain exactly — same
       * oracle by construction. */
     "stream_scd2" -> graft.queries.Rel.sql("scd2_history"),
+
+    "ts_periodogram" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT px, row_number() OVER (ORDER BY bucket) - 1 AS t
+        |  FROM b WHERE event_type = 'click'),
+        |m AS (SELECT avg(px) AS mu FROM s),
+        |c AS (SELECT t, round(px - mu, 6) AS c FROM s, m),
+        |g AS (
+        |  SELECT c.t, c.c, pp.p,
+        |    round(cos(6.283185307179586 * c.t / pp.p), 6) AS co,
+        |    round(sin(6.283185307179586 * c.t / pp.p), 6) AS si
+        |  FROM c, (SELECT unnest(generate_series(2, 96)) AS p) pp),
+        |ag AS (
+        |  SELECT p, sum(c * co) AS a, sum(c * si) AS bb,
+        |    count(*)::BIGINT AS n
+        |  FROM g GROUP BY p)
+        |SELECT p::INT AS period,
+        |  round((a * a + bb * bb) * 2 / n, 6) AS power
+        |FROM ag ORDER BY power DESC, period LIMIT 10""".stripMargin),
+
+    "ml_ccf" -> {
+      val maxLag = 12
+      def nm(k: Int) = s"n${if (k < 0) "m" + (-k) else k.toString}"
+      def sm(k: Int) = s"s${if (k < 0) "m" + (-k) else k.toString}"
+      val shifts = (-maxLag to maxLag).map(k =>
+        if (k >= 0) s"lead(cb, $k) OVER w AS ${sm(k)}"
+        else s"lag(cb, ${-k}) OVER w AS ${sm(k)}").mkString(",\n        |    ")
+      val nums = (-maxLag to maxLag).map(k =>
+        s"sum(ca * ${sm(k)}) AS ${nm(k)}").mkString(",\n        |    ")
+      val arms = (-maxLag to maxLag).map(k =>
+        s"SELECT $k AS lag_buckets, round(${nm(k)} / (sqrt(va) * sqrt(vb)), 6) AS ccf FROM st")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH ser0 AS (
+        |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
+        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |ser AS (SELECT bucket, a, b FROM ser0
+        |        WHERE a IS NOT NULL AND b IS NOT NULL),
+        |m AS (SELECT avg(a) AS ma, avg(b) AS mb FROM ser),
+        |c AS (SELECT bucket, a - ma AS ca, b - mb AS cb FROM ser, m),
+        |led AS (
+        |  SELECT ca, cb,
+        |    $shifts
+        |  FROM c WINDOW w AS (ORDER BY bucket)),
+        |st AS (
+        |  SELECT sum(ca * ca) AS va, sum(cb * cb) AS vb,
+        |    $nums
+        |  FROM led)
+        |SELECT lag_buckets, ccf FROM (
+        |  $arms)
+        |ORDER BY lag_buckets""".stripMargin
+    },
 
     "ml_seasonal_strength" -> (indicatorSeriesSql +
       """, s AS (

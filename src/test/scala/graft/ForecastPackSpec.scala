@@ -271,6 +271,33 @@ class ForecastPackSpec extends SparkSpec {
     assert(a.getAs[Long]("n_replicates") == 200)
   }
 
+  test("periodogram: nonnegative powers, descending, and stable row count") {
+    val rows = SparkEntry.queries("ts_periodogram")(spark, dir).collect()
+    assert(rows.length == 10)
+    val powers = rows.map(_.getAs[Double]("power"))
+    assert(powers.forall(_ >= 0.0))
+    assert(powers.sameElements(powers.sortBy(-_)), "rows must be power-ordered")
+    rows.foreach(r => assert(r.getAs[Int]("period") >= 2 &&
+      r.getAs[Int]("period") <= 96))
+  }
+
+  test("ccf: bounded by 1, and lag 0 equals the Pearson correlation") {
+    val rows = SparkEntry.queries("ml_ccf")(spark, dir).collect()
+    assert(rows.length == 25)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("ccf")) <= 1.0 + 1e-9))
+    val ccf0 = rows.find(_.getAs[Int]("lag_buckets") == 0).get.getAs[Double]("ccf")
+    val ser = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket")
+      .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
+        round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val pearson = ser.agg(corr(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(ccf0 - pearson) < 1e-4,
+      s"ccf(0)=$ccf0 must equal Pearson corr $pearson")
+  }
+
   // ---- graph + aggregation -----------------------------------------
 
   test("triangles: count matches a brute-force set check on the same edges") {
