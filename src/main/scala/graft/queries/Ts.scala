@@ -968,6 +968,121 @@ object Ts {
         .orderBy("bucket")
     }),
 
+    /** JARQUE–BERA normality test on the 30-minute click returns — the
+      * fat-tails check every returns study runs (commodity returns are
+      * famously non-Gaussian; a model assuming normal innovations should
+      * have to show this first): skewness and excess kurtosis from ONE
+      * aggregation of the four raw power sums, JB = n/6·(S² + K²/4),
+      * asymptotic χ²(2) threshold. All statistics assembled from
+      * identical sums in both engines; verdict on the rounded value. */
+    "stat_jarque_bera" -> ((s, d) => {
+      import s.implicits._
+      val sw = Window.orderBy("bucket")
+      val r = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("dx", round(col("px") - lag(col("px"), 1).over(sw), 6))
+        .filter(col("dx").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("dx")).as("s1"),
+          sum(col("dx") * col("dx")).as("s2"),
+          sum(col("dx") * col("dx") * col("dx")).as("s3"),
+          sum(col("dx") * col("dx") * col("dx") * col("dx")).as("s4"))
+        .head()
+      val n = r.getAs[Long]("n").toDouble
+      val m = r.getAs[Double]("s1") / n
+      val m2 = r.getAs[Double]("s2") / n - m * m
+      val m3 = r.getAs[Double]("s3") / n - 3 * m * r.getAs[Double]("s2") / n + 2 * m * m * m
+      val m4 = r.getAs[Double]("s4") / n - 4 * m * r.getAs[Double]("s3") / n +
+        6 * m * m * r.getAs[Double]("s2") / n - 3 * m * m * m * m
+      val skew = m3 / math.pow(m2, 1.5)
+      val exKurt = m4 / (m2 * m2) - 3.0
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val jb = r6(n / 6.0 * (skew * skew + exKurt * exKurt / 4.0))
+      Seq((r.getAs[Long]("n"), r6(skew), r6(exKurt), jb, 5.991465,
+          jb > 5.991465))
+        .toDF("n", "skewness", "excess_kurtosis", "jb_stat", "crit_95",
+          "reject_normal_95")
+    }),
+
+    /** WALD–WOLFOWITZ runs test — are the return SIGNS serially random?
+      * (the nonparametric momentum/mean-reversion screen): runs of
+      * positive/non-positive returns counted by one window pass, then
+      * the exact-moments z-statistic z = (R − E[R])/√Var[R] with
+      * E[R] = 2n₁n₂/n + 1. Sign decided on the 1e-6 grid (a zero return
+      * counts as non-positive, documented); counts are exact integers so
+      * both engines assemble identical statistics. */
+    "stat_runs_test" -> ((s, d) => {
+      import s.implicits._
+      val sw = Window.orderBy("bucket")
+      val signs = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("dx", round(col("px") - lag(col("px"), 1).over(sw), 6))
+        .filter(col("dx").isNotNull)
+        .withColumn("pos", (col("dx") > 0).cast("int"))
+        .withColumn("chg",
+          when(lag(col("pos"), 1).over(sw).isNull ||
+            col("pos") =!= lag(col("pos"), 1).over(sw), 1).otherwise(0))
+      val r = signs.agg(count(lit(1)).as("n"),
+        sum(col("pos")).as("n1"), sum(col("chg")).as("runs")).head()
+      val n = r.getAs[Long]("n"); val n1 = r.getAs[Long]("n1")
+      val n2 = n - n1; val runs = r.getAs[Long]("runs")
+      val eR = 2.0 * n1 * n2 / n + 1.0
+      val vR = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.toDouble * n * (n - 1))
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val z = r6((runs - eR) / math.sqrt(vR))
+      Seq((n, n1, n2, runs, r6(eR), z, math.abs(z) > 1.959964))
+        .toDF("n", "n_pos", "n_nonpos", "runs", "expected_runs", "z_stat",
+          "reject_random_95")
+    }),
+
+    /** HURST EXPONENT by rescaled-range analysis (Hurst 1951; Peters'
+      * fractal-markets reading for commodities) — the long-memory
+      * diagnostic: H ≈ 0.5 for a random walk's increments, > 0.5 for
+      * trending/persistent series. For block sizes 16..256 (powers of 2,
+      * so the regression abscissa log₂(bs) is EXACT in both engines),
+      * every full block's rescaled range R/S comes from partitioned
+      * windows (cumulative deviation range / population σ — bounded
+      * per-block work, the multi-series window layout), one (bs, block)
+      * collapse, one per-bs average; the 5-point log-log slope is the
+      * closed-form simple regression both engines replay. */
+    "ml_hurst" -> ((s, d) => {
+      val sizes = Seq(16, 32, 64, 128, 256)
+      val sw = Window.orderBy("bucket")
+      val ser = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("dx", round(col("px") - lag(col("px"), 1).over(sw), 6))
+        .filter(col("dx").isNotNull)
+        .withColumn("t", row_number().over(Window.orderBy("bucket")) - 1)
+      val blocks = ser
+        .withColumn("bs", explode(array(sizes.map(lit(_)): _*)))
+        .withColumn("blk", expr("t div bs"))
+      val wAll = Window.partitionBy("bs", "blk")
+      val wCum = wAll.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      val perBlock = blocks
+        .withColumn("nb", count(lit(1)).over(wAll))
+        .filter(col("nb") === col("bs"))
+        .withColumn("m", avg(col("dx")).over(wAll))
+        .withColumn("cum", sum(col("dx") - col("m")).over(wCum))
+        .groupBy("bs", "blk")
+        .agg((max(col("cum")) - min(col("cum"))).as("r"),
+          stddev_pop(col("dx")).as("sd"))
+        .filter(col("sd") > 0)
+        .select(col("bs"), round(col("r") / col("sd"), 6).as("rs"))
+      val perSize = perBlock.groupBy("bs")
+        .agg(count(lit(1)).as("n_blocks"), round(avg(col("rs")), 6).as("mean_rs"))
+        .orderBy("bs")
+      import s.implicits._
+      val rows = perSize.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      // 5-point simple regression of ln(RS) on ln(bs) — closed form
+      val pts = rows.map { case (bs, _, rs) => (math.log(bs.toDouble), math.log(rs)) }
+      val k = pts.length
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val h = r6((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      rows.toSeq.map { case (bs, nb, rs) => (bs, nb, rs, h) }
+        .toDF("block_size", "n_blocks", "mean_rs", "hurst")
+        .orderBy("block_size")
+    }),
+
     /** PERIODOGRAM scan — which cycle length actually dominates the
       * series? (the question the STL pack ANSWERS BY ASSUMING 48; this
       * measures it): spectral power at every candidate period p ∈ [2,96]
@@ -1907,6 +2022,101 @@ object Ts {
     /** The streaming SCD2 must reproduce the batch chain exactly — same
       * oracle by construction. */
     "stream_scd2" -> graft.queries.Rel.sql("scd2_history"),
+
+    "stat_jarque_bera" -> (indicatorSeriesSql +
+      """, dx AS (
+        |  SELECT round(px - lag(px) OVER (ORDER BY bucket), 6) AS dx
+        |  FROM b WHERE event_type = 'click'),
+        |d2 AS (SELECT dx FROM dx WHERE dx IS NOT NULL),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dx) AS s1, sum(dx*dx) AS s2,
+        |    sum(dx*dx*dx) AS s3, sum(dx*dx*dx*dx) AS s4
+        |  FROM d2),
+        |mo AS (
+        |  SELECT n, s1 / n AS m, s2, s3, s4 FROM st),
+        |cm AS (
+        |  SELECT n,
+        |    s2/n - m*m AS m2,
+        |    s3/n - 3*m*s2/n + 2*m*m*m AS m3,
+        |    s4/n - 4*m*s3/n + 6*m*m*s2/n - 3*m*m*m*m AS m4
+        |  FROM mo),
+        |sk AS (
+        |  SELECT n, m3 / power(m2, 1.5) AS skew, m4 / (m2*m2) - 3.0 AS ek
+        |  FROM cm),
+        |jb AS (
+        |  SELECT n, round(skew, 6) AS skewness, round(ek, 6) AS excess_kurtosis,
+        |    round(n / 6.0 * (skew*skew + ek*ek/4.0), 6) AS jb_stat
+        |  FROM sk)
+        |SELECT n, skewness, excess_kurtosis, jb_stat, 5.991465 AS crit_95,
+        |  jb_stat > 5.991465 AS reject_normal_95
+        |FROM jb""".stripMargin),
+
+    "stat_runs_test" -> (indicatorSeriesSql +
+      """, dx AS (
+        |  SELECT bucket, round(px - lag(px) OVER (ORDER BY bucket), 6) AS dx
+        |  FROM b WHERE event_type = 'click'),
+        |d2 AS (SELECT bucket, dx FROM dx WHERE dx IS NOT NULL),
+        |sg AS (
+        |  SELECT bucket, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS pos FROM d2),
+        |ch AS (
+        |  SELECT pos,
+        |    CASE WHEN lag(pos) OVER (ORDER BY bucket) IS NULL
+        |           OR pos <> lag(pos) OVER (ORDER BY bucket) THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM sg),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(pos)::BIGINT AS n1,
+        |    sum(chg)::BIGINT AS runs
+        |  FROM ch),
+        |ex AS (
+        |  SELECT n, n1, n - n1 AS n2, runs,
+        |    2.0 * n1 * (n - n1) / n + 1.0 AS er,
+        |    2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+        |      / (n::DOUBLE * n * (n - 1)) AS vr
+        |  FROM st)
+        |SELECT n, n1 AS n_pos, n2 AS n_nonpos, runs,
+        |  round(er, 6) AS expected_runs,
+        |  round((runs - er) / sqrt(vr), 6) AS z_stat,
+        |  abs(round((runs - er) / sqrt(vr), 6)) > 1.959964 AS reject_random_95
+        |FROM ex""".stripMargin),
+
+    "ml_hurst" -> (indicatorSeriesSql +
+      """, dx0 AS (
+        |  SELECT bucket, round(px - lag(px) OVER (ORDER BY bucket), 6) AS dx
+        |  FROM b WHERE event_type = 'click'),
+        |ser AS (
+        |  SELECT dx, row_number() OVER (ORDER BY bucket) - 1 AS t
+        |  FROM dx0 WHERE dx IS NOT NULL),
+        |blocks AS (
+        |  SELECT s.t, s.dx, z.bs, s.t // z.bs AS blk
+        |  FROM ser s, (SELECT unnest([16, 32, 64, 128, 256]) AS bs) z),
+        |full_blocks AS (
+        |  SELECT bs, blk FROM blocks GROUP BY bs, blk HAVING count(*) = bs),
+        |wb AS (
+        |  SELECT b2.bs, b2.blk, b2.t, b2.dx,
+        |    avg(b2.dx) OVER (PARTITION BY b2.bs, b2.blk) AS m
+        |  FROM blocks b2 JOIN full_blocks USING (bs, blk)),
+        |cum AS (
+        |  SELECT bs, blk, dx,
+        |    sum(dx - m) OVER (PARTITION BY bs, blk ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM wb),
+        |per_block AS (
+        |  SELECT bs, blk, max(cum) - min(cum) AS r, stddev_pop(dx) AS sd
+        |  FROM cum GROUP BY bs, blk),
+        |rs AS (
+        |  SELECT bs, round(r / sd, 6) AS rs FROM per_block WHERE sd > 0),
+        |per_size AS (
+        |  SELECT bs, count(*)::BIGINT AS n_blocks,
+        |    round(avg(rs), 6) AS mean_rs
+        |  FROM rs GROUP BY bs),
+        |reg AS (
+        |  SELECT count(*)::DOUBLE AS k, sum(lx) AS sx, sum(ly) AS sy,
+        |    sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+        |  FROM (SELECT ln(bs::DOUBLE) AS lx, ln(mean_rs) AS ly FROM per_size))
+        |SELECT bs::INT AS block_size, n_blocks, mean_rs,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
+        |FROM per_size, reg ORDER BY block_size""".stripMargin),
 
     "ts_periodogram" -> (indicatorSeriesSql +
       """, s AS (

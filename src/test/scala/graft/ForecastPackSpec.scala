@@ -298,6 +298,64 @@ class ForecastPackSpec extends SparkSpec {
       s"ccf(0)=$ccf0 must equal Pearson corr $pearson")
   }
 
+  test("jarque-bera: moments match a driver recomputation from raw returns") {
+    val out = SparkEntry.queries("stat_jarque_bera")(spark, dir).head()
+    val dx = {
+      val px = Tables.events(spark, dir).filter(col("event_type") === "click")
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .orderBy("bucket").collect().map(_.getDouble(1))
+      px.indices.drop(1).map(i => math.rint((px(i) - px(i - 1)) * 1e6) / 1e6)
+    }
+    val n = dx.length
+    val m = dx.sum / n
+    def cm(p: Int) = dx.map(v => math.pow(v - m, p)).sum / n
+    val skew = cm(3) / math.pow(cm(2), 1.5)
+    val ek = cm(4) / (cm(2) * cm(2)) - 3.0
+    assert(out.getAs[Long]("n") == n)
+    assert(math.abs(out.getAs[Double]("skewness") - skew) < 1e-4)
+    assert(math.abs(out.getAs[Double]("excess_kurtosis") - ek) < 1e-4)
+    val jb = n / 6.0 * (skew * skew + ek * ek / 4.0)
+    assert(math.abs(out.getAs[Double]("jb_stat") - jb) < 1e-2)
+  }
+
+  test("runs test: run count matches a direct scan of the sign sequence") {
+    val out = SparkEntry.queries("stat_runs_test")(spark, dir).head()
+    val px = Tables.events(spark, dir).filter(col("event_type") === "click")
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    val signs = px.indices.drop(1)
+      .map(i => if (math.rint((px(i) - px(i - 1)) * 1e6) / 1e6 > 0) 1 else 0)
+    val runs = 1 + signs.sliding(2).count { case Seq(a, b) => a != b }
+    assert(out.getAs[Long]("runs") == runs)
+    assert(out.getAs[Long]("n_pos") == signs.count(_ == 1))
+    assert(out.getAs[Long]("n") == signs.length)
+  }
+
+  test("hurst: constant slope column matches the 5-point closed form; R/S grows") {
+    val rows = SparkEntry.queries("ml_hurst")(spark, dir)
+      .orderBy("block_size").collect()
+    // block sizes without a single full block drop out (sf0.001 has ~180
+    // buckets, so 256 is absent there; sf0.01+ yields all five)
+    assert(rows.length >= 3 && rows.length <= 5)
+    val rs = rows.map(_.getAs[Double]("mean_rs"))
+    rs.sliding(2).foreach { case Array(a, b) =>
+      assert(b > a, "rescaled range must grow with block size") }
+    val hs = rows.map(_.getAs[Double]("hurst")).distinct
+    assert(hs.length == 1, "hurst must be one constant column")
+    assert(hs.head > 0.0 && hs.head < 1.0)
+    // independent slope recomputation
+    val pts = rows.map(r => (math.log(r.getAs[Int]("block_size").toDouble),
+      math.log(r.getAs[Double]("mean_rs"))))
+    val k = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(hs.head - h) < 1e-5)
+  }
+
   // ---- graph + aggregation -----------------------------------------
 
   test("triangles: count matches a brute-force set check on the same edges") {
