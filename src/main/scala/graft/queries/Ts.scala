@@ -741,6 +741,46 @@ object Ts {
         .toDF("u_stat", "n_click", "n_view", "z_stat", "reject_95")
     }),
 
+    /** KRUSKAL–WALLIS rank test — the nonparametric ANOVA companion
+      * (`stat_anova_f` compares means assuming normality; this compares
+      * DISTRIBUTIONS by midrank, immune to the fat tails
+      * `stat_jarque_bera` just demonstrated): pooled midranks over the
+      * grouped-value frame (the `stat_mannwhitney_u` machinery extended
+      * to k=5 groups), per-type rank sums in ONE aggregation,
+      * H = 12/(N(N+1))·ΣR²ⱼ/nⱼ − 3(N+1) with the standard tie
+      * correction, χ²(k−1) threshold on the rounded statistic. */
+    "stat_kruskal_wallis" -> ((s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("g"), round(col("value"), 6).as("v"))
+      val counts = types.map(t =>
+        sum(when(col("g") === t, 1L).otherwise(0L)).as(s"c_$t"))
+      val pts = ev.groupBy("v").agg(counts.head, counts.tail: _*)
+        .withColumn("t", types.map(t => col(s"c_$t")).reduce(_ + _))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = pts
+        .withColumn("prev", coalesce(sum("t").over(w), lit(0L)))
+        .withColumn("midrank", col("prev") + (col("t") + 1) / lit(2.0))
+      val aggs = types.flatMap(t => Seq(
+        sum(col(s"c_$t") * col("midrank")).as(s"r_$t"),
+        sum(col(s"c_$t")).as(s"n_$t"))) :+
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3")
+      val r = ranked.agg(aggs.head, aggs.tail: _*).head()
+      val ns = types.map(t => r.getAs[Long](s"n_$t"))
+      val nTot = ns.sum
+      val sumTerm = types.map { t =>
+        val rj = r.getAs[Double](s"r_$t"); val nj = r.getAs[Long](s"n_$t")
+        rj * rj / nj }.sum
+      val h = 12.0 / (nTot.toDouble * (nTot + 1)) * sumTerm - 3.0 * (nTot + 1)
+      val corr = 1.0 - r.getAs[Long]("tie3").toDouble /
+        (nTot.toDouble * nTot * nTot - nTot)
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val hC = r6(h / corr)
+      Seq((nTot, types.length.toLong, r6(h), hC, 9.487729, hC > 9.487729))
+        .toDF("n", "k_groups", "h_stat", "h_corrected", "crit_95", "reject_95")
+    }),
+
     /** One-way ANOVA F-test across ALL event types: does mean value
       * differ by type? Per-group n/Σv/Σv² in one exact-DECIMAL pass
       * (k×3 sufficient statistics); SSB/SSW assemble driver-side in
@@ -1267,6 +1307,59 @@ object Ts {
         (name, n, r6(r.getAs[Double](s"sae_$c") / n),
           r6(math.sqrt(r.getAs[Double](s"sse_$c") / n)))
       }.toDF("method", "n", "mae", "rmse").orderBy("method")
+    }),
+
+    /** FORECAST COMBINATION (Bates & Granger 1969; the "combinations
+      * beat components" result forecasting practice is built on):
+      * inverse-MSE weights for the three baselines estimated on the
+      * FIRST HALF of the common support, the weighted combination
+      * evaluated against each member on the SECOND half — an honest
+      * out-of-sample comparison with no leakage. One window pass builds
+      * all member predictions, ONE aggregation per half; weights and the
+      * report are scalar math on grid-rounded operands both engines
+      * share. */
+    "ml_forecast_combination" -> ((s, d) => {
+      import s.implicits._
+      val sw = Window.orderBy("bucket")
+      val cum = sw.rowsBetween(Window.unboundedPreceding, 0)
+      val base = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(sw))
+        .withColumn("naive", lag(col("px"), 1).over(sw))
+        .withColumn("snaive", lag(col("px"), 48).over(sw))
+        .withColumn("x1", first(col("px")).over(cum))
+        .withColumn("drift", round(col("naive") +
+          (col("naive") - col("x1")) / (col("rn") - lit(2)), 6))
+        .filter(col("rn") > 48)
+        .localCheckpoint()
+      val n = base.count()
+      val cut = 48 + (n / 2) // train: rn in (48, cut]; test: rn > cut
+      val methods = Seq("naive", "snaive", "drift")
+      val trainAggs = methods.map { c =>
+        val e = round(col("px") - col(c), 6)
+        sum(e * e).as(s"sse_$c") } :+ count(lit(1)).as("n")
+      val tr = base.filter(col("rn") <= cut)
+        .agg(trainAggs.head, trainAggs.tail: _*).head()
+      val mses = methods.map(c =>
+        c -> tr.getAs[Double](s"sse_$c") / tr.getAs[Long]("n"))
+      val invSum = mses.map(1.0 / _._2).sum
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val ws = mses.map { case (c, mse) => c -> r6((1.0 / mse) / invSum) }.toMap
+      val comb = round(lit(ws("naive")) * col("naive") +
+        lit(ws("snaive")) * col("snaive") + lit(ws("drift")) * col("drift"), 6)
+      val testAggs = (methods.map(c => c -> col(c)) :+ ("combined" -> comb))
+        .flatMap { case (name, p) =>
+          val e = round(col("px") - p, 6)
+          Seq(sum(abs(e)).as(s"sae_$name"), sum(e * e).as(s"sse_$name")) } :+
+        count(lit(1)).as("n")
+      val te = base.filter(col("rn") > cut)
+        .agg(testAggs.head, testAggs.tail: _*).head()
+      val nTest = te.getAs[Long]("n")
+      (methods.map(c => (c, ws(c))) :+ (("combined", 1.0))).map { case (name, w) =>
+        (name, w, nTest,
+          r6(te.getAs[Double](s"sae_$name") / nTest),
+          r6(math.sqrt(te.getAs[Double](s"sse_$name") / nTest)))
+      }.toDF("model", "weight", "n_test", "test_mae", "test_rmse")
+        .orderBy("model")
     }),
 
     /** LJUNG–BOX portmanteau test (the residual-whiteness check a SARIMAX
@@ -2022,6 +2115,107 @@ object Ts {
     /** The streaming SCD2 must reproduce the batch chain exactly — same
       * oracle by construction. */
     "stream_scd2" -> graft.queries.Rel.sql("scd2_history"),
+
+    "stat_kruskal_wallis" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cnts = types.map(t =>
+        s"sum(CASE WHEN g = '$t' THEN 1 ELSE 0 END)::BIGINT AS c_$t")
+        .mkString(",\n        |    ")
+      val tSum = types.map(t => s"c_$t").mkString(" + ")
+      val rs = types.flatMap(t => Seq(
+        s"sum(c_$t * midrank) AS r_$t", s"sum(c_$t)::BIGINT AS n_$t"))
+        .mkString(",\n        |    ")
+      val nTot = types.map(t => s"n_$t").mkString(" + ")
+      val sumTerm = types.map(t => s"r_$t * r_$t / n_$t").mkString(" + ")
+      s"""WITH ev AS (
+        |  SELECT event_type AS g, round(value, 6) AS v FROM events),
+        |pts AS (
+        |  SELECT v,
+        |    $cnts
+        |  FROM ev GROUP BY v),
+        |pt2 AS (SELECT *, $tSum AS t FROM pts),
+        |ranked AS (
+        |  SELECT *,
+        |    coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (t + 1) / 2.0 AS midrank
+        |  FROM pt2),
+        |ag AS (
+        |  SELECT
+        |    $rs,
+        |    sum(t * t * t - t)::BIGINT AS tie3
+        |  FROM ranked),
+        |st AS (
+        |  SELECT ($nTot) AS n,
+        |    12.0 / (($nTot)::DOUBLE * (($nTot) + 1)) * ($sumTerm)
+        |      - 3.0 * (($nTot) + 1) AS h,
+        |    1.0 - tie3::DOUBLE
+        |      / (($nTot)::DOUBLE * ($nTot) * ($nTot) - ($nTot)) AS corr
+        |  FROM ag)
+        |SELECT n, 5::BIGINT AS k_groups, round(h, 6) AS h_stat,
+        |  round(h / corr, 6) AS h_corrected, 9.487729 AS crit_95,
+        |  round(h / corr, 6) > 9.487729 AS reject_95
+        |FROM st""".stripMargin
+    },
+
+    "ml_forecast_combination" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT bucket, px, row_number() OVER w AS rn,
+        |    lag(px, 1) OVER w AS naive, lag(px, 48) OVER w AS snaive,
+        |    first_value(px) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1
+        |  FROM b WHERE event_type = 'click' WINDOW w AS (ORDER BY bucket)),
+        |e AS (
+        |  SELECT px, rn, naive, snaive,
+        |    round(naive + (naive - x1) / (rn - 2), 6) AS drift
+        |  FROM s WHERE rn > 48),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM e),
+        |tr AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(round(px - naive, 6) * round(px - naive, 6)) AS sse_n,
+        |    sum(round(px - snaive, 6) * round(px - snaive, 6)) AS sse_s,
+        |    sum(round(px - drift, 6) * round(px - drift, 6)) AS sse_d
+        |  FROM e, nn WHERE rn <= 48 + nn.n // 2),
+        |ms AS (SELECT sse_n / n AS mse_n, sse_s / n AS mse_s,
+        |        sse_d / n AS mse_d FROM tr),
+        |w AS (
+        |  SELECT
+        |    round((1.0/mse_n) / ((1.0/mse_n) + (1.0/mse_s) + (1.0/mse_d)), 6)
+        |      AS w_naive,
+        |    round((1.0/mse_s) / ((1.0/mse_n) + (1.0/mse_s) + (1.0/mse_d)), 6)
+        |      AS w_snaive,
+        |    round((1.0/mse_d) / ((1.0/mse_n) + (1.0/mse_s) + (1.0/mse_d)), 6)
+        |      AS w_drift
+        |  FROM ms),
+        |te AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(abs(round(px - naive, 6))) AS sae_naive,
+        |    sum(round(px - naive, 6) * round(px - naive, 6)) AS sse_naive,
+        |    sum(abs(round(px - snaive, 6))) AS sae_snaive,
+        |    sum(round(px - snaive, 6) * round(px - snaive, 6)) AS sse_snaive,
+        |    sum(abs(round(px - drift, 6))) AS sae_drift,
+        |    sum(round(px - drift, 6) * round(px - drift, 6)) AS sse_drift,
+        |    sum(abs(round(px - round(w_naive*naive + w_snaive*snaive
+        |      + w_drift*drift, 6), 6))) AS sae_combined,
+        |    sum(round(px - round(w_naive*naive + w_snaive*snaive
+        |      + w_drift*drift, 6), 6) * round(px - round(w_naive*naive
+        |      + w_snaive*snaive + w_drift*drift, 6), 6)) AS sse_combined
+        |  FROM e, nn, w WHERE rn > 48 + nn.n // 2),
+        |fin AS (
+        |  SELECT 'naive' AS model, w_naive AS weight, te.n AS n_test,
+        |    round(sae_naive / te.n, 6) AS test_mae,
+        |    round(sqrt(sse_naive / te.n), 6) AS test_rmse FROM te, w
+        |  UNION ALL SELECT 'snaive', w_snaive, te.n,
+        |    round(sae_snaive / te.n, 6), round(sqrt(sse_snaive / te.n), 6)
+        |  FROM te, w
+        |  UNION ALL SELECT 'drift', w_drift, te.n,
+        |    round(sae_drift / te.n, 6), round(sqrt(sse_drift / te.n), 6)
+        |  FROM te, w
+        |  UNION ALL SELECT 'combined', 1.0, te.n,
+        |    round(sae_combined / te.n, 6), round(sqrt(sse_combined / te.n), 6)
+        |  FROM te, w)
+        |SELECT model, weight, n_test, test_mae, test_rmse
+        |FROM fin ORDER BY model""".stripMargin),
 
     "stat_jarque_bera" -> (indicatorSeriesSql +
       """, dx AS (

@@ -298,6 +298,28 @@ class ForecastPackSpec extends SparkSpec {
       s"ccf(0)=$ccf0 must equal Pearson corr $pearson")
   }
 
+  test("forecast combination: weights sum to 1 and the blend is never worst") {
+    val rows = SparkEntry.queries("ml_forecast_combination")(spark, dir)
+      .collect().map(r => r.getAs[String]("model") ->
+        ((r.getAs[Double]("weight"), r.getAs[Double]("test_rmse")))).toMap
+    val members = Seq("naive", "snaive", "drift")
+    val wSum = members.map(rows(_)._1).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"member weights sum to $wSum")
+    members.foreach(m => assert(rows(m)._1 > 0.0 && rows(m)._1 < 1.0))
+    val worst = members.map(rows(_)._2).max
+    assert(rows("combined")._2 <= worst + 1e-9,
+      "the inverse-MSE blend cannot be strictly worse than every member")
+  }
+
+  test("kruskal-wallis: nonnegative H, tie correction only inflates") {
+    val r = SparkEntry.queries("stat_kruskal_wallis")(spark, dir).head()
+    assert(r.getAs[Long]("k_groups") == 5)
+    val h = r.getAs[Double]("h_stat")
+    assert(h >= 0.0)
+    assert(r.getAs[Double]("h_corrected") >= h - 1e-9,
+      "tie correction divides by a factor <= 1")
+  }
+
   test("jarque-bera: moments match a driver recomputation from raw returns") {
     val out = SparkEntry.queries("stat_jarque_bera")(spark, dir).head()
     val dx = {
