@@ -245,6 +245,133 @@ object Similarity {
         transform(col("__v"), x => floor(x / col("scale") + 0.5).cast("int")).as("q"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `k` centroids each,
+    * trained by deterministic driver-side Lloyd iterations on a
+    * deterministic sample (first `sampleCap` vectors by id — PQ
+    * codebooks are model-sized metadata, and faiss trains them on a
+    * bounded sample for the same reason the IVF quantizer does).
+    * Init = strided picks from the sorted sample; empty clusters keep
+    * their previous centroid; no RNG anywhere. */
+  def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+              iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val xs = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      val kk = math.min(k, xs.length)
+      var cents = Array.tabulate(kk)(i => xs(i * xs.length / kk).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kk)(new Array[Double](sub))
+        val cnt = new Array[Long](kk)
+        xs.foreach { x =>
+          var best = 0; var bd = Double.MaxValue
+          for (c <- 0 until kk) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+          }
+          cnt(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cents(c))
+      }
+      cents
+    }
+  }
+
+  /** Encode every vector to its m-byte PQ code (argmin centroid per
+    * subspace). The codebooks are broadcast model metadata; encoding is
+    * a narrow typed map — no shuffle, the 8×-to-32× at-rest/shuffle
+    * compression PQ exists for. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebooks)
+    fanOut(df).select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        val m = cbs.length
+        it.map { case (id, v) =>
+          val varr = v.toArray
+          val sub = varr.length / m
+          val codes = Array.tabulate(m) { s =>
+            val cents = cbs(s)
+            var best = 0; var bd = Double.MaxValue
+            for (c <- cents.indices) {
+              var d = 0.0; var i = 0
+              while (i < sub) {
+                val t = varr(s * sub + i) - cents(c)(i); d += t * t; i += 1 }
+              if (d < bd) { bd = d; best = c }
+            }
+            best
+          }
+          (id, codes.toSeq)
+        }
+      }.toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query's m×k
+    * lookup table of partial squared distances is driver-computed,
+    * broadcast, and applied in a narrow `mapPartitions` that keeps a
+    * per-(partition, query) top-k heap — the scan does m table lookups
+    * per code instead of `dim` multiplications, and only p·q·k candidate
+    * rows ever reach the final per-query selection. The queries frame
+    * must be driver-sized (the brute-force baseline's same contract). */
+  def pqSearchTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, codebooks: Array[Array[Array[Double]]],
+                   k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])].collect()
+    val m = codebooks.length
+    val luts = qs.map { case (qid, qv) =>
+      val qarr = qv.toArray
+      val sub = qarr.length / m
+      qid -> Array.tabulate(m) { s =>
+        codebooks(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = qarr(s * sub + i) - c(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val partial = codes.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val qluts = bc.value
+        // per-query top-k heaps over this partition's codes
+        val heaps = qluts.map { case (qid, _) =>
+          qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](identity)) }
+        it.foreach { case (nid, cseq) =>
+          val carr = cseq.toArray
+          qluts.zip(heaps).foreach { case ((qid, lut), (_, heap)) =>
+            if (qid != nid) {
+              var d = 0.0; var s = 0
+              while (s < carr.length) { d += lut(s)(carr(s)); s += 1 }
+              heap.enqueue((d, nid))
+              if (heap.size > k) { heap.dequeue(); () }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, heap) =>
+          heap.toSeq.map { case (d, nid) => (qid, nid, d) } }
+      }.toDF("query_id", "neighbor_id", "approx_dist")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "approx_dist")
+  }
+
   /** `similarity_ann_lsh`: near-dup pairs by cosine ≥ threshold among
     * bucket-cohabiting vectors. One narrow map to key each vector, one
     * equi-join on the bucket key. Misses cross-bucket pairs by design —

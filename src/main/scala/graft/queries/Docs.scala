@@ -668,6 +668,53 @@ object Docs {
         .orderBy("query_id", "rank")
     }),
 
+    /** PRODUCT QUANTIZATION ANN (`Similarity.pqTrain/pqEncode/
+      * pqSearchTopK` — Jégou et al. 2011, the codebook compression
+      * behind every serious vector index): m=8 subspaces × k=16
+      * centroids trained driver-side on a deterministic bounded sample
+      * (codebooks are model metadata, the faiss posture), corpus encoded
+      * to 8-byte codes by a narrow map (the 32× shuffle/at-rest
+      * compression PQ exists for), queries answered by asymmetric-
+      * distance scans — m table lookups per code instead of 64
+      * multiplications, per-partition top-k heaps so only p·q·k rows
+      * reach the final selection. The ADC scan produces a SHORTLIST
+      * (top-25) that an exact re-rank reduces to the answer — the
+      * standard two-stage serving pipeline (compressed scan → exact
+      * re-score of p·q·k' candidates), which is where PQ earns its keep:
+      * the full-precision vectors are only touched for the shortlist.
+      * Rows-only (an argmin-trained codebook has no SQL form);
+      * SimilaritySpec pins the exact-recovery limit (distinct-subvector
+      * corpus ⇒ ADC ≡ exact) and end-to-end recall@5 against the exact
+      * euclidean ranking. */
+    "similarity_pq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val sample = e.orderBy("vec_id").limit(2048)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cbs = Similarity.pqTrain(sample, m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cbs)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val short = Similarity.pqSearchTopK(codes, queries, "vec_id", "embedding",
+        cbs, k = 25)
+      val nv = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("nv"))
+      val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")))
+      val d2 = Similarity.dot(col("qv"), col("qv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+        Similarity.dot(col("nv"), col("nv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+      short.join(nv, "neighbor_id").join(qv, "query_id")
+        .withColumn("dist", d2)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("rank"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal (binary-column plumbing; decode itself is the
     //      deterministic fake — graft.operators.Multimodal has the real
     //      mapPartitions path) ------------------------------------------

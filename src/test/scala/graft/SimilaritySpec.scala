@@ -172,6 +172,51 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L))) // opposite direction fails threshold anyway
   }
 
+  test("pq: on a distinct-subvector corpus ADC is exact and matches euclidean ranks") {
+    // 12 deterministic 8-dim vectors; k=16 >= 12 so Lloyd converges to
+    // zero distortion (every subvector its own centroid) and the ADC
+    // distance equals the exact squared euclidean distance
+    val vecs = (0 until 12).map(i =>
+      Vec(i.toLong, (0 until 8).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+    val frame = df(vecs)
+    val sample = vecs.map(_.embedding.map(_.toDouble).toArray).toArray
+    val cbs = Similarity.pqTrain(sample, m = 4, k = 16)
+    val codes = Similarity.pqEncode(frame, "vec_id", "embedding", cbs)
+    val got = Similarity.pqSearchTopK(codes, frame.filter(col("vec_id") === 0),
+        "vec_id", "embedding", cbs, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("approx_dist")))
+    def d2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val want = vecs.drop(1)
+      .map(v => (v.vec_id, d2(vecs.head.embedding, v.embedding)))
+      .sortBy { case (id, d) => (d, id) }.take(3)
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, ad), (_, td)) =>
+      assert(math.abs(ad - td) < 1e-9, s"ADC $ad vs exact $td") }
+  }
+
+  test("pq: recall@5 against exact euclidean ranking on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("similarity_pq")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    val recalls = byQuery.map { case (qid, rs) =>
+      val got = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      val truth = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, d2(all(qid), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean PQ recall@5 $mean below the 8x16 codebook floor")
+  }
+
   test("ml_kmeans query: seeded determinism, size conservation, purity bounds") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("ml_kmeans")(spark, dir).collect()
