@@ -1,0 +1,590 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Financial risk / market-analytics pack on the 30-minute per-type
+  * price series — the reference's DOMAIN is commodity-price trading
+  * analytics (`app.py` ships trading signals; `Presentation.pptx`
+  * frames the product around market risk), so the engine carries the
+  * risk-desk staples a user of that product reaches for next:
+  * drawdown, ATR, MACD, Sharpe/Sortino/VaR, rank correlation,
+  * concentration (Gini), digit-law auditing (Benford), and
+  * Engle–Granger cointegration across series.
+  *
+  * Every query here is FULL-ORACLE: the recursive indicators use the
+  * registry's truncated-EWMA convention (`ewma_halflife` precedent —
+  * the lag-expansion both engines replay verbatim), and every
+  * cross-engine float hazard rides the house conventions: inputs
+  * pre-rounded to the 1e-6 grid, sufficient statistics accumulated in
+  * DECIMAL (exact under any partition order — the `stat_anova_f`
+  * convention), and boolean verdicts decided on rounded values.
+  *
+  * Scale shape: everything downstream of the one `indicatorSeries`
+  * collapse (events → per-type 30-min bars) is windows PARTITIONED by
+  * the series key or aggregations over bar-count-sized frames — at
+  * 100 TB the bar table is ~series×17.5k rows/yr, metadata-sized
+  * relative to the raw events, and no query here ever re-touches the
+  * raw event rows after the collapse.
+  */
+object Fin {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The shared distributed collapse: 30-minute per-type price bars on
+    * the 1e-6 grid (same frame as the Ts indicator pack; duplicated
+    * here because both registries keep their helpers private — the
+    * PLAN is identical so Catalyst treats them the same). */
+  private def bars(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("event_type", "bucket")
+      .agg(round(avg(col("value")), 6).as("px"))
+
+  private val barsSql: String =
+    """WITH b AS (
+      |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
+      |         round(avg(value), 6) AS px
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  // ---- truncated-EWMA helpers (the `ewma_halflife` convention:
+  //      depth-D lag expansion, null-aware renormalization — the
+  //      recursion has no bounded SQL form, the truncation does, and
+  //      both engines evaluate the SAME left-associated term chain) ----
+
+  private def emaTrunc(c: String, over: org.apache.spark.sql.expressions.WindowSpec,
+                       alpha: Double, depth: Int): Column = {
+    val terms = (0 until depth).map { i =>
+      val wi = math.pow(1.0 - alpha, i)
+      val l = if (i == 0) col(c) else lag(col(c), i).over(over)
+      (when(l.isNull, 0.0).otherwise(lit(wi) * l),
+        when(l.isNull, 0.0).otherwise(lit(wi)))
+    }
+    terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _)
+  }
+
+  private def emaTruncSql(c: String, win: String, alpha: Double, depth: Int): String = {
+    val ts = (0 until depth).map { i =>
+      val wi = math.pow(1.0 - alpha, i)
+      val l = if (i == 0) c else s"lag($c, $i) OVER $win"
+      (s"CASE WHEN $l IS NULL THEN 0.0 ELSE ($wi)::DOUBLE * $l END",
+        s"CASE WHEN $l IS NULL THEN 0.0 ELSE ($wi)::DOUBLE END")
+    }
+    s"(${ts.map(_._1).mkString(" + ")}) / (${ts.map(_._2).mkString(" + ")})"
+  }
+
+  /** MACD periods: classic 12/26/9 with truncation depths chosen so the
+    * dropped tail weight is < 5% of the kernel (documented definition —
+    * both engines compute THIS estimator, not an approximation of each
+    * other). */
+  private val MACD_DEPTH = 40
+  private val SIGNAL_DEPTH = 25
+  private val A_FAST = 2.0 / 13.0
+  private val A_SLOW = 2.0 / 27.0
+  private val A_SIG = 2.0 / 10.0
+
+  /** Engle–Granger 5% critical value (MacKinnon 2010, two variables,
+    * constant in the cointegrating regression, large n). */
+  private val EG_CRIT_5 = -3.34
+
+  /** Annualization factor for 30-minute bars (48 bars/day × 365). */
+  private val BARS_PER_YEAR = 48.0 * 365.0
+
+  val qs: Map[String, Q] = Map(
+
+    /** Maximum drawdown per series: running peak (cumulative max
+      * window), drawdown = px/peak − 1 on the grid, and the per-series
+      * argmin row (earliest trough on ties — row_number over the
+      * rounded dd makes the pick grid-deterministic). The running-max
+      * window is partitioned by the series key: bounded parallel tasks,
+      * never a global sort. */
+    "ts_drawdown" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val cum = sw.rowsBetween(Window.unboundedPreceding, 0)
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("dd").asc, col("bucket").asc)
+      bars(s, d)
+        .withColumn("peak", max(col("px")).over(cum))
+        .withColumn("dd", round(col("px") / col("peak") - 1, 6))
+        .withColumn("n_bars", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_bars"),
+          col("dd").as("max_drawdown"),
+          col("bucket").as("trough_bucket"),
+          col("px").as("trough_px"), col("peak").as("peak_px"))
+        .orderBy("event_type")
+    }),
+
+    /** ATR(14), SMA variant (Cutler-style — the rolling-mean form, like
+      * the registry's `ts_rsi`, so the whole indicator is one window
+      * expression; Wilder's recursion has no bounded SQL form). Bars are
+      * intra-bucket OHLC via the `ts_resample_ohlc` row_number
+      * convention (first/last by the lossless (ts_us, event_id) order);
+      * true range = max(h−l, |h−pc|, |l−pc|) against the PRIOR bar's
+      * close, complete 14-bar windows only. */
+    "ts_atr" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("ts_ns div 1800000000000L").as("bucket"),
+        round(col("value"), 6).as("v"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      val inBar = Window.partitionBy("event_type", "bucket")
+      val ra = inBar.orderBy(col("ts_us").asc, col("event_id").asc)
+      val rd = inBar.orderBy(col("ts_us").desc, col("event_id").desc)
+      val ohlc = e
+        .withColumn("ra", row_number().over(ra))
+        .withColumn("rdn", row_number().over(rd))
+        .groupBy("event_type", "bucket")
+        .agg(max(col("v")).as("high"), min(col("v")).as("low"),
+          max(when(col("rdn") === 1, col("v"))).as("close"))
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val w14 = sw.rowsBetween(-13, 0)
+      ohlc
+        .withColumn("pc", lag(col("close"), 1).over(sw))
+        .filter(col("pc").isNotNull)
+        .withColumn("tr", round(greatest(col("high") - col("low"),
+          abs(col("high") - col("pc")), abs(col("low") - col("pc"))), 6))
+        .withColumn("n_w", count(lit(1)).over(w14))
+        .withColumn("atr", round(avg(col("tr")).over(w14), 6))
+        .filter(col("n_w") === 14)
+        .select(col("event_type"), col("bucket"), col("tr"), col("atr"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    /** MACD(12,26,9) under the truncated-EWMA definition: fast/slow
+      * EMAs as depth-40 lag expansions over the bar series, macd line
+      * rounded to the grid BEFORE the depth-25 signal EMA runs over it
+      * (so the second-level recursion also sees identical numbers in
+      * both engines), histogram = macd − signal. All three windows are
+      * partitioned by the series key. */
+    "ts_macd" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      bars(s, d)
+        .withColumn("macd", round(
+          emaTrunc("px", sw, A_FAST, MACD_DEPTH) -
+            emaTrunc("px", sw, A_SLOW, MACD_DEPTH), 6))
+        .withColumn("signal_line", round(emaTrunc("macd", sw, A_SIG, SIGNAL_DEPTH), 6))
+        .select(col("event_type"), col("bucket"), col("macd"), col("signal_line"),
+          round(col("macd") - col("signal_line"), 6).as("histogram"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    /** Risk profile per series from 30-minute log returns: annualized
+      * volatility, Sharpe, Sortino (downside semi-deviation), and
+      * historical VaR/CVaR at 95% as EXACT order statistics (rank
+      * k = ⌈0.05·n⌉ by integer arithmetic — no interpolation convention
+      * to disagree on). Returns land on the 1e-6 grid and every moment
+      * accumulates in DECIMAL, so both engines assemble identical
+      * statistics from exact sums regardless of partition order. */
+    "ts_risk_profile" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val r = bars(s, d)
+        .withColumn("prev", lag(col("px"), 1).over(sw))
+        .filter(col("prev").isNotNull && col("prev") > 0 && col("px") > 0)
+        .withColumn("r", round(log(col("px") / col("prev")), 6).cast("decimal(18,6)"))
+      val rk = Window.partitionBy("event_type").orderBy(col("r").asc, col("bucket").asc)
+      val ranked = r.withColumn("rn", row_number().over(rk))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("k", ceil(col("n") * 0.05).cast("long"))
+      // DECIMAL sums are exact and order-independent; every sum is cast
+      // to double BEFORE any arithmetic so both engines run the same
+      // IEEE ops on identical inputs (decimal-division scale rules
+      // differ between engines — never divide decimals).
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("s1"),
+          sum(col("r") * col("r")).as("s2"),
+          sum(when(col("r") < 0, col("r") * col("r")).otherwise(lit(0).cast("decimal(38,12)"))).as("sneg"),
+          max(when(col("rn") === col("k"), col("r"))).as("var_raw"),
+          sum(when(col("rn") <= col("k"), col("r"))).as("tail_sum"),
+          max(col("k")).as("kk"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("s2d", col("s2").cast("double"))
+        .withColumn("snegd", col("sneg").cast("double"))
+        .select(col("event_type"), col("n"),
+          round(sqrt((col("s2d") - col("s1d") * col("s1d") / col("nd")) / (col("nd") - 1)) *
+            math.sqrt(BARS_PER_YEAR), 6).as("ann_vol"),
+          round((col("s1d") / col("nd")) /
+            sqrt((col("s2d") - col("s1d") * col("s1d") / col("nd")) / (col("nd") - 1)) *
+            math.sqrt(BARS_PER_YEAR), 6).as("sharpe"),
+          round((col("s1d") / col("nd")) /
+            sqrt(col("snegd") / (col("nd") - 1)) *
+            math.sqrt(BARS_PER_YEAR), 6).as("sortino"),
+          col("var_raw").cast("double").as("var_95"),
+          round(col("tail_sum").cast("double") / col("kk"), 6).as("cvar_95"))
+        .orderBy("event_type")
+    }),
+
+    /** Spearman rank correlation between every pair of series (bucket-
+      * aligned inner join, type_a < type_b — 10 pairs over 5 types):
+      * tie-corrected midranks via rank() + equal-count (midrank =
+      * rank + (ties−1)/2, the textbook average-rank convention), then
+      * Pearson over the midranks assembled from exact DECIMAL sufficient
+      * statistics (midranks live on the 0.5 grid). The pair frame is
+      * bar-count-sized; each rank window partitions by (pair, side). */
+    "stat_spearman" -> ((s, d) => {
+      val b = bars(s, d)
+      val pairs = b.select(col("event_type").as("type_a"), col("bucket"), col("px").as("xa"))
+        .join(b.select(col("event_type").as("type_b"), col("bucket"), col("px").as("xb")),
+          Seq("bucket"))
+        .filter(col("type_a") < col("type_b"))
+      def midrank(c: String): Column = {
+        val rw = Window.partitionBy("type_a", "type_b").orderBy(col(c).asc)
+        val tw = Window.partitionBy(col("type_a"), col("type_b"), col(c))
+        (rank().over(rw) + (count(lit(1)).over(tw) - 1) / lit(2.0)).cast("decimal(18,1)")
+      }
+      pairs
+        .withColumn("ra", midrank("xa"))
+        .withColumn("rb", midrank("xb"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n"), sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+          sum(col("ra") * col("ra")).as("saa"), sum(col("rb") * col("rb")).as("sbb"),
+          sum(col("ra") * col("rb")).as("sab"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          round((col("n") * col("sab") - col("sa") * col("sb")) /
+            sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
+                 (col("n") * col("sbb") - col("sb") * col("sb"))), 6).as("rho"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    /** Benford first-digit audit over `l_extendedprice` — the fraud /
+      * data-quality digit-law check a pricing pipeline runs. The leading
+      * digit comes from INTEGER cents via string truncation (round half-
+      * up to cents is exact for 2-decimal prices; no log10 float hazard
+      * near powers of ten), expected share is log₁₀(1+1/d), and the χ²
+      * contribution per digit is assembled from exact counts. One
+      * wordcount-shaped aggregation; the 1-row total broadcasts. */
+    "stat_benford" -> ((s, d) => {
+      val digits = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(round(col("l_extendedprice") * 100)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum("n_obs").as("n_tot"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("exp_pct", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs") / col("n_tot"), 6).as("obs_pct"),
+          col("exp_pct"),
+          round(pow(col("n_obs") - col("n_tot") * col("exp_pct"), 2) /
+            (col("n_tot") * col("exp_pct")), 6).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    /** Gini concentration of customer spend per nation — the market-
+      * concentration lens on the order book. Per-customer totals ride
+      * DECIMAL (exact), per-nation ranks order by (spend, custkey) so
+      * the permutation is unique, and G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+      * assembles from exact sums. Rank windows partition by nation:
+      * bounded parallel sorts, and the two joins are broadcast dims. */
+    "agg_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      val named = spend
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val rw = Window.partitionBy("n_name").orderBy(col("x").asc, col("o_custkey").asc)
+      named
+        .withColumn("i", row_number().over(rw).cast("decimal(18,0)"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x")).as("total_spend"),
+          sum(col("i") * col("x")).as("ix"))
+        // exact decimal sums → double BEFORE dividing (the pack-wide
+        // convention: decimal-division scale rules differ per engine)
+        .withColumn("totd", col("total_spend").cast("double"))
+        .withColumn("ixd", col("ix").cast("double"))
+        .select(col("nation"), col("n_customers"),
+          round(col("total_spend"), 2).cast("double").as("total_spend"),
+          round((lit(2) * col("ixd") - (col("n_customers") + 1) * col("totd")) /
+            (col("n_customers") * col("totd")), 6).as("gini"))
+        .orderBy("nation")
+    }),
+
+    /** Engle–Granger cointegration over every series pair — THE
+      * statistical backbone of pairs trading on commodities (the
+      * reference's `spread_compute` is step zero of this workflow).
+      * Step 1: cointegrating OLS y = α + β·x per pair from exact
+      * DECIMAL sufficient statistics (grid-valued bars ⇒ exact sums;
+      * β, α are then identical doubles in both engines). Step 2:
+      * Dickey–Fuller on the residual, no constant, maxlag 0 (the
+      * textbook EG second stage): γ from Σe₁Δe/Σe₁², t = γ/se with
+      * SSR = ΣΔe² − γΣe₁Δe — again all DECIMAL-exact sums over the
+      * grid-rounded residual. Verdict decided on the 1e-4-rounded t
+      * against the MacKinnon 5% value. The pair frame never exceeds
+      * pairs × bars rows; every window partitions by the pair. */
+    "ml_cointegration" -> ((s, d) => {
+      val b = bars(s, d)
+      val pairs = b.select(col("event_type").as("type_a"), col("bucket"), col("px").as("x"))
+        .join(b.select(col("event_type").as("type_b"), col("bucket"), col("px").as("y")),
+          Seq("bucket"))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("bucket"),
+          col("x").cast("decimal(18,6)").as("x"), col("y").cast("decimal(18,6)").as("y"))
+      // Sums stay DECIMAL (exact, order-free); each is cast to double
+      // BEFORE any arithmetic so both engines run identical IEEE ops —
+      // decimal-division scale rules differ between engines.
+      val ols = pairs.groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("sxd", col("sx").cast("double"))
+        .withColumn("syd", col("sy").cast("double"))
+        .withColumn("sxxd", col("sxx").cast("double"))
+        .withColumn("sxyd", col("sxy").cast("double"))
+        .withColumn("beta", (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+        .withColumn("alpha", col("syd") / col("nd") -
+          col("beta") * (col("sxd") / col("nd")))
+        .select(col("type_a"), col("type_b"), col("n"), col("beta"), col("alpha"))
+      val sw = Window.partitionBy("type_a", "type_b").orderBy("bucket")
+      val resid = pairs.join(broadcast(ols.drop("n")), Seq("type_a", "type_b"))
+        .withColumn("e", round(col("y").cast("double") -
+          (col("alpha") + col("beta") * col("x").cast("double")), 6).cast("decimal(18,6)"))
+        .withColumn("e1", lag(col("e"), 1).over(sw))
+        .filter(col("e1").isNotNull)
+        .withColumn("de", (col("e") - col("e1")).cast("decimal(18,6)"))
+      resid.groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_r"),
+          sum(col("e1") * col("de")).as("s_ed"),
+          sum(col("e1") * col("e1")).as("s_ee"),
+          sum(col("de") * col("de")).as("s_dd"))
+        .join(broadcast(ols), Seq("type_a", "type_b"))
+        .withColumn("sed_d", col("s_ed").cast("double"))
+        .withColumn("see_d", col("s_ee").cast("double"))
+        .withColumn("sdd_d", col("s_dd").cast("double"))
+        .withColumn("gamma", col("sed_d") / col("see_d"))
+        .withColumn("ssr", col("sdd_d") - col("gamma") * col("sed_d"))
+        .withColumn("t_stat", round(col("gamma") /
+          sqrt((col("ssr") / (col("n_r") - 1)) / col("see_d")), 4))
+        .select(col("type_a"), col("type_b"), col("n"),
+          round(col("beta"), 6).as("beta"), round(col("alpha"), 6).as("alpha"),
+          col("t_stat").as("adf_t"),
+          (col("t_stat") < EG_CRIT_5).as("cointegrated"))
+        .orderBy("type_a", "type_b")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "ts_drawdown" -> (barsSql +
+      """, dd AS (
+        |  SELECT event_type, bucket, px,
+        |    max(px) OVER (PARTITION BY event_type ORDER BY bucket
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        |    count(*) OVER (PARTITION BY event_type) AS n_bars
+        |  FROM b),
+        |r AS (
+        |  SELECT event_type, n_bars, round(px / peak - 1, 6) AS dd,
+        |    bucket, px, peak,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY round(px / peak - 1, 6) ASC, bucket ASC) AS rn
+        |  FROM dd)
+        |SELECT event_type, n_bars, dd AS max_drawdown,
+        |  bucket AS trough_bucket, px AS trough_px, peak AS peak_px
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin),
+
+    "ts_atr" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(value, 6) AS v, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY ts_us DESC, event_id DESC) AS rdn
+        |  FROM e),
+        |ohlc AS (
+        |  SELECT event_type, bucket, max(v) AS high, min(v) AS low,
+        |    max(CASE WHEN rdn = 1 THEN v END) AS close
+        |  FROM r GROUP BY event_type, bucket),
+        |tr AS (
+        |  SELECT event_type, bucket, high, low, close,
+        |    lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS pc
+        |  FROM ohlc),
+        |t2 AS (
+        |  SELECT event_type, bucket,
+        |    round(greatest(high - low, abs(high - pc), abs(low - pc)), 6) AS tr
+        |  FROM tr WHERE pc IS NOT NULL),
+        |t3 AS (
+        |  SELECT event_type, bucket, tr,
+        |    count(*) OVER ww AS n_w,
+        |    round(avg(tr) OVER ww, 6) AS atr
+        |  FROM t2
+        |  WINDOW ww AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, tr, atr FROM t3 WHERE n_w = 14
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "ts_macd" -> {
+      val fast = emaTruncSql("px", "sw", A_FAST, MACD_DEPTH)
+      val slow = emaTruncSql("px", "sw", A_SLOW, MACD_DEPTH)
+      val sig = emaTruncSql("macd", "sw", A_SIG, SIGNAL_DEPTH)
+      barsSql +
+        s""", m AS (
+           |  SELECT event_type, bucket, round(($fast) - ($slow), 6) AS macd
+           |  FROM b WINDOW sw AS (PARTITION BY event_type ORDER BY bucket)),
+           |s AS (
+           |  SELECT event_type, bucket, macd, round($sig, 6) AS signal_line
+           |  FROM m WINDOW sw AS (PARTITION BY event_type ORDER BY bucket))
+           |SELECT event_type, bucket, macd, signal_line,
+           |  round(macd - signal_line, 6) AS histogram
+           |FROM s ORDER BY event_type, bucket""".stripMargin
+    },
+
+    "ts_risk_profile" -> {
+      val annv = "sqrt((s2 - s1 * s1 / n) / (n - 1))"
+      val dsd = "sqrt(sneg / (n - 1))"
+      val sq = math.sqrt(BARS_PER_YEAR)
+      barsSql +
+        s""", lr AS (
+           |  SELECT event_type, bucket,
+           |    CAST(round(ln(px / prev), 6) AS DECIMAL(18,6)) AS r
+           |  FROM (SELECT event_type, bucket, px,
+           |          lag(px, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+           |        FROM b)
+           |  WHERE prev IS NOT NULL AND prev > 0 AND px > 0),
+           |rk AS (
+           |  SELECT event_type, bucket, r,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY r ASC, bucket ASC) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n_g,
+           |    CAST(ceil(count(*) OVER (PARTITION BY event_type) * 0.05) AS BIGINT) AS k
+           |  FROM lr),
+           |g AS (
+           |  SELECT event_type, count(*)::DOUBLE AS n,
+           |    CAST(sum(r) AS DOUBLE) AS s1, CAST(sum(r * r) AS DOUBLE) AS s2,
+           |    CAST(sum(CASE WHEN r < 0 THEN r * r ELSE CAST(0 AS DECIMAL(38,12)) END)
+           |      AS DOUBLE) AS sneg,
+           |    max(CASE WHEN rn = k THEN r END) AS var_raw,
+           |    CAST(sum(CASE WHEN rn <= k THEN r END) AS DOUBLE) AS tail_sum,
+           |    max(k) AS kk
+           |  FROM rk GROUP BY event_type)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  round($annv * $sq, 6) AS ann_vol,
+           |  round((s1 / n) / $annv * $sq, 6) AS sharpe,
+           |  round((s1 / n) / $dsd * $sq, 6) AS sortino,
+           |  CAST(var_raw AS DOUBLE) AS var_95,
+           |  round(tail_sum / kk, 6) AS cvar_95
+           |FROM g ORDER BY event_type""".stripMargin
+    },
+
+    "stat_spearman" -> (barsSql +
+      """, p AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |         a.bucket AS bucket, a.px AS xa, c.px AS xb
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.event_type < c.event_type),
+        |m AS (
+        |  SELECT type_a, type_b,
+        |    CAST(rank() OVER (PARTITION BY type_a, type_b ORDER BY xa ASC)
+        |      + (count(*) OVER (PARTITION BY type_a, type_b, xa) - 1) / 2.0
+        |      AS DECIMAL(18,1)) AS ra,
+        |    CAST(rank() OVER (PARTITION BY type_a, type_b ORDER BY xb ASC)
+        |      + (count(*) OVER (PARTITION BY type_a, type_b, xb) - 1) / 2.0
+        |      AS DECIMAL(18,1)) AS rb
+        |  FROM p),
+        |g AS (
+        |  SELECT type_a, type_b, count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+        |    sum(ra * ra) AS saa, sum(rb * rb) AS sbb, sum(ra * rb) AS sab
+        |  FROM m GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, n,
+        |  round((n * sab - sa * sb) /
+        |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS rho
+        |FROM g ORDER BY type_a, type_b""".stripMargin),
+
+    "stat_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+        |t AS (SELECT sum(n_obs) AS n_tot FROM c)
+        |SELECT digit, n_obs,
+        |  round(n_obs / n_tot, 6) AS obs_pct,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS exp_pct,
+        |  round(pow(n_obs - n_tot * round(log10(1.0 + 1.0 / digit), 6), 2) /
+        |    (n_tot * round(log10(1.0 + 1.0 / digit), 6)), 6) AS chi2_term
+        |FROM c, t ORDER BY digit""".stripMargin,
+
+    "agg_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |named AS (
+        |  SELECT n.n_name AS nation, s.o_custkey, s.x
+        |  FROM spend s
+        |  JOIN customer c ON s.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |rk AS (
+        |  SELECT nation, x,
+        |    CAST(row_number() OVER (PARTITION BY nation ORDER BY x ASC, o_custkey ASC)
+        |      AS DECIMAL(18,0)) AS i
+        |  FROM named),
+        |g AS (
+        |  SELECT nation, count(*) AS n_customers, sum(x) AS total_spend,
+        |    CAST(sum(x) AS DOUBLE) AS totd, CAST(sum(i * x) AS DOUBLE) AS ixd
+        |  FROM rk GROUP BY nation)
+        |SELECT nation, n_customers,
+        |  CAST(round(total_spend, 2) AS DOUBLE) AS total_spend,
+        |  round((2 * ixd - (n_customers + 1) * totd) /
+        |    (n_customers * totd), 6) AS gini
+        |FROM g ORDER BY nation""".stripMargin,
+
+    "ml_cointegration" -> (barsSql +
+      s""", p AS (
+         |  SELECT a.event_type AS type_a, c.event_type AS type_b, a.bucket AS bucket,
+         |    CAST(a.px AS DECIMAL(18,6)) AS x, CAST(c.px AS DECIMAL(18,6)) AS y
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.event_type < c.event_type),
+         |ols AS (
+         |  SELECT type_a, type_b, count(*) AS n,
+         |    count(*)::DOUBLE AS nd,
+         |    CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxxd, CAST(sum(x * y) AS DOUBLE) AS sxyd
+         |  FROM p GROUP BY type_a, type_b),
+         |bet AS (
+         |  SELECT type_a, type_b, n, nd, sxd, syd,
+         |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS beta
+         |  FROM ols),
+         |coef AS (
+         |  SELECT type_a, type_b, n, beta,
+         |    syd / nd - beta * (sxd / nd) AS alpha
+         |  FROM bet),
+         |e AS (
+         |  SELECT p.type_a, p.type_b, p.bucket, coef.n, coef.beta, coef.alpha,
+         |    CAST(round(CAST(p.y AS DOUBLE)
+         |      - (coef.alpha + coef.beta * CAST(p.x AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS e
+         |  FROM p JOIN coef ON p.type_a = coef.type_a AND p.type_b = coef.type_b),
+         |l AS (
+         |  SELECT type_a, type_b, n, beta, alpha, e,
+         |    lag(e, 1) OVER (PARTITION BY type_a, type_b ORDER BY bucket) AS e1
+         |  FROM e),
+         |l2 AS (
+         |  SELECT type_a, type_b, n, beta, alpha, e1,
+         |    CAST(e - e1 AS DECIMAL(18,6)) AS de
+         |  FROM l WHERE e1 IS NOT NULL),
+         |g AS (
+         |  SELECT type_a, type_b, max(n) AS n, max(beta) AS beta, max(alpha) AS alpha,
+         |    count(*) AS n_r,
+         |    CAST(sum(e1 * de) AS DOUBLE) AS sed_d,
+         |    CAST(sum(e1 * e1) AS DOUBLE) AS see_d,
+         |    CAST(sum(de * de) AS DOUBLE) AS sdd_d
+         |  FROM l2 GROUP BY type_a, type_b),
+         |gm AS (
+         |  SELECT type_a, type_b, n, beta, alpha, n_r, see_d,
+         |    sed_d / see_d AS gamma,
+         |    CAST(sdd_d - (sed_d / see_d) * sed_d AS DOUBLE) AS ssr
+         |  FROM g)
+         |SELECT type_a, type_b, n, round(beta, 6) AS beta, round(alpha, 6) AS alpha,
+         |  round(gamma / sqrt((ssr / (n_r - 1)) / see_d), 4) AS adf_t,
+         |  round(gamma / sqrt((ssr / (n_r - 1)) / see_d), 4) < $EG_CRIT_5 AS cointegrated
+         |FROM gm ORDER BY type_a, type_b""".stripMargin)
+  )
+}

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent driver-side cross-checks for the financial-risk pack
+  * (`queries/Fin.scala`). The DuckDB oracle pins cross-engine value
+  * equality; these tests re-derive the statistics from the raw rows in
+  * plain Scala — a different implementation of the same definition —
+  * plus the structural laws (histogram identity, rank bounds, digit-law
+  * normalization) the oracle can't express.
+  */
+class FinSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Driver-side rebuild of the 30-minute bar series for one type. */
+  private def barsOf(tpe: String): Array[(Long, Double)] =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === tpe)
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+  test("ts_drawdown equals a driver-side running-peak scan per series") {
+    val out = SparkEntry.queries("ts_drawdown")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for (tpe <- Seq("click", "purchase", "view")) {
+      val series = barsOf(tpe)
+      var peak = Double.MinValue
+      var best = (0.0, 0L, 0.0, 0.0) // dd, bucket, px, peak
+      var first = true
+      for ((b, px) <- series) {
+        peak = math.max(peak, px)
+        val dd = math.rint((px / peak - 1) * 1e6) / 1e6
+        if (first || dd < best._1) { best = (dd, b, px, peak); first = false }
+      }
+      val r = out(tpe)
+      assert(r.getAs[Long]("n_bars") == series.length)
+      assert(math.abs(r.getAs[Double]("max_drawdown") - best._1) < 1e-9)
+      assert(r.getAs[Long]("trough_bucket") == best._2,
+        s"$tpe trough ${r.getAs[Long]("trough_bucket")} vs ${best._2}")
+      assert(math.abs(r.getAs[Double]("peak_px") - best._4) < 1e-9)
+    }
+  }
+
+  test("ts_atr: true range obeys its max identity and ATR is the 14-bar mean") {
+    val rows = SparkEntry.queries("ts_atr")(spark, dir)
+      .filter(col("event_type") === "click").orderBy("bucket")
+      .collect().map(r => (r.getAs[Double]("tr"), r.getAs[Double]("atr")))
+    assert(rows.length > 20, "need enough complete windows")
+    // every ATR equals the mean of the trailing 14 TRs (the SMA law),
+    // re-derived from the emitted TR column itself — but the first
+    // emitted row's window reaches back to TR rows the completeness
+    // filter dropped, so check from row 13 on
+    for (i <- 13 until rows.length) {
+      val win = (i - 13 to i).map(j => rows(j)._1)
+      val m = math.rint(win.sum / 14 * 1e6) / 1e6
+      assert(math.abs(rows(i)._2 - m) < 2e-6, s"row $i atr ${rows(i)._2} vs $m")
+    }
+    assert(rows.forall(_._1 >= 0), "true range is nonnegative")
+  }
+
+  test("ts_macd equals a driver-side truncated-EMA recomputation; histogram identity") {
+    val out = SparkEntry.queries("ts_macd")(spark, dir)
+      .filter(col("event_type") === "purchase").orderBy("bucket").collect()
+    val px = barsOf("purchase").map(_._2)
+    def ema(xs: Array[Double], i: Int, alpha: Double, depth: Int): Double = {
+      val terms = (0 until depth).flatMap { k =>
+        val j = i - k
+        if (j < 0) None else Some((math.pow(1 - alpha, k) * xs(j), math.pow(1 - alpha, k)))
+      }
+      terms.map(_._1).sum / terms.map(_._2).sum
+    }
+    for (i <- out.indices) {
+      val macd = math.rint((ema(px, i, 2.0 / 13, 40) - ema(px, i, 2.0 / 27, 40)) * 1e6) / 1e6
+      assert(math.abs(out(i).getAs[Double]("macd") - macd) < 2e-6,
+        s"bar $i macd ${out(i).getAs[Double]("macd")} vs $macd")
+      val h = out(i).getAs[Double]("histogram")
+      val m = out(i).getAs[Double]("macd"); val s = out(i).getAs[Double]("signal_line")
+      assert(math.abs(h - math.rint((m - s) * 1e6) / 1e6) < 1e-9, "histogram identity")
+    }
+  }
+
+  test("ts_risk_profile: moments and exact-rank VaR match a driver recomputation") {
+    val out = SparkEntry.queries("ts_risk_profile")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for (tpe <- Seq("click", "view")) {
+      val px = barsOf(tpe).map(_._2)
+      val r = px.sliding(2).collect { case Array(a, b) if a > 0 && b > 0 =>
+        math.rint(math.log(b / a) * 1e6) / 1e6 }.toArray
+      val n = r.length
+      val mean = r.sum / n
+      val sd = math.sqrt(r.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      val ann = math.sqrt(48.0 * 365)
+      val row = out(tpe)
+      assert(row.getAs[Long]("n") == n)
+      assert(math.abs(row.getAs[Double]("ann_vol") - sd * ann) < 1e-4,
+        s"$tpe ann_vol ${row.getAs[Double]("ann_vol")} vs ${sd * ann}")
+      assert(math.abs(row.getAs[Double]("sharpe") - mean / sd * ann) < 1e-4)
+      val k = math.ceil(n * 0.05).toInt
+      val sorted = r.sorted
+      assert(math.abs(row.getAs[Double]("var_95") - sorted(k - 1)) < 1e-9,
+        s"$tpe VaR rank-$k")
+      val cvar = math.rint(sorted.take(k).sum / k * 1e6) / 1e6
+      assert(math.abs(row.getAs[Double]("cvar_95") - cvar) < 2e-6)
+      assert(row.getAs[Double]("cvar_95") <= row.getAs[Double]("var_95") + 1e-9,
+        "CVaR is at least as deep as VaR")
+    }
+  }
+
+  test("stat_spearman matches a driver-side midrank correlation; bounds hold") {
+    val rows = SparkEntry.queries("stat_spearman")(spark, dir).collect()
+    assert(rows.length == 10, "5 choose 2 pairs")
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("rho")) <= 1.0 + 1e-9))
+    val a = barsOf("click").toMap
+    val b = barsOf("purchase").toMap
+    val common = a.keySet.intersect(b.keySet).toArray.sorted
+    val xa = common.map(a); val xb = common.map(b)
+    def midranks(v: Array[Double]): Array[Double] = {
+      val idx = v.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < idx.length) {
+        var j = i
+        while (j + 1 < idx.length && idx(j + 1)._1 == idx(i)._1) j += 1
+        val mid = (i + 1 + j + 1) / 2.0
+        for (k <- i to j) out(idx(k)._2) = mid
+        i = j + 1
+      }
+      out
+    }
+    val ra = midranks(xa); val rb = midranks(xb)
+    val n = ra.length
+    val ma = ra.sum / n; val mb = rb.sum / n
+    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val va = ra.map(x => (x - ma) * (x - ma)).sum
+    val vb = rb.map(x => (x - mb) * (x - mb)).sum
+    val rho = cov / math.sqrt(va * vb)
+    val got = rows.find(r => r.getAs[String]("type_a") == "click" &&
+      r.getAs[String]("type_b") == "purchase").get
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("rho") - rho) < 1e-6,
+      s"rho ${got.getAs[Double]("rho")} vs driver $rho")
+  }
+
+  test("stat_benford: digit extraction, normalization, and driver recount") {
+    val rows = SparkEntry.queries("stat_benford")(spark, dir).collect()
+    val digits = rows.map(_.getAs[Int]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("obs_pct")).sum - 1.0) < 1e-4)
+    // driver recount of leading digits from integer cents
+    val counts = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 0)
+      .select(col("l_extendedprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.charAt(0).asDigit)
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_obs") == counts(r.getAs[Int]("digit")),
+        s"digit ${r.getAs[Int]("digit")} count")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0))
+  }
+
+  test("agg_gini matches a driver-side sorted-rank formula; bounds hold") {
+    val rows = SparkEntry.queries("agg_gini")(spark, dir).collect()
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-9 && g < 1.0, s"${r.getAs[String]("nation")} gini $g")
+    }
+    // recompute one nation end-to-end
+    val nation = rows.head.getAs[String]("nation")
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nation)
+      .select(col("x").cast("double"), col("o_custkey"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (x, k) => (x, k) }
+    val n = spend.length
+    val tot = spend.map(_._1).sum
+    val ix = spend.zipWithIndex.map { case ((x, _), i) => (i + 1) * x }.sum
+    val gini = (2 * ix - (n + 1) * tot) / (n * tot)
+    assert(rows.head.getAs[Long]("n_customers") == n)
+    assert(math.abs(rows.head.getAs[Double]("gini") - gini) < 1e-6,
+      s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
+  }
+
+  test("ml_cointegration matches a driver-side Engle-Granger recomputation") {
+    val rows = SparkEntry.queries("ml_cointegration")(spark, dir).collect()
+    assert(rows.length == 10)
+    val a = barsOf("click").toMap
+    val b = barsOf("error").toMap
+    val common = a.keySet.intersect(b.keySet).toArray.sorted
+    val x = common.map(a); val y = common.map(b)
+    val n = x.length
+    val sx = x.sum; val sy = y.sum
+    val sxx = x.map(v => v * v).sum; val sxy = x.zip(y).map { case (u, v) => u * v }.sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val alpha = sy / n - beta * (sx / n)
+    val e = x.zip(y).map { case (u, v) => math.rint((v - (alpha + beta * u)) * 1e6) / 1e6 }
+    val e1 = e.dropRight(1); val de = e.tail.zip(e1).map { case (c, p) => c - p }
+    val sed = e1.zip(de).map { case (u, v) => u * v }.sum
+    val see = e1.map(v => v * v).sum
+    val sdd = de.map(v => v * v).sum
+    val gamma = sed / see
+    val ssr = sdd - gamma * sed
+    val t = gamma / math.sqrt((ssr / (e1.length - 1)) / see)
+    val got = rows.find(r => r.getAs[String]("type_a") == "click" &&
+      r.getAs[String]("type_b") == "error").get
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("beta") - beta) < 1e-4,
+      s"beta ${got.getAs[Double]("beta")} vs $beta")
+    assert(math.abs(got.getAs[Double]("adf_t") - t) < 1e-2,
+      s"adf_t ${got.getAs[Double]("adf_t")} vs $t")
+    assert(got.getAs[Boolean]("cointegrated") == (got.getAs[Double]("adf_t") < -3.34))
+  }
+}
