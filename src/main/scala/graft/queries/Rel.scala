@@ -819,6 +819,51 @@ object Rel {
             .as("clustering"))
     }),
 
+    /** SINGLE-SOURCE BFS over the customer↔supplier trade graph — the
+      * other canonical iterative-joins primitive next to
+      * `graph_pagerank` (reachability / hop-distance; the Pregel
+      * textbook example). Frontier expansion: each round joins the
+      * (node-sized, broadcast) frontier against the one cached,
+      * dst-pre-partitioned edge frame and anti-joins the visited set —
+      * so every round is one co-located join plus one keyed dedup, and
+      * the edge scan never re-shuffles (the pagerank layout). The
+      * source is the smallest customer node (deterministic); 6 rounds
+      * covers the diameter of the dense bipartite trade graph. Output
+      * is the hop-distance histogram; the oracle replays the expansion
+      * as a recursive CTE with UNION-dedup (textbook SQL BFS). */
+    "graph_bfs_distance" -> ((s, d) => {
+      import s.implicits._
+      val maxHops = 6
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+        .repartition(col("src"))
+        .cache()
+      try {
+        val src0 = "c" + pairs.agg(min(expr("substr(cn, 2)").cast("long"))).head().getLong(0)
+        var visited = Seq((src0, 0)).toDF("node", "dist")
+        var frontier = visited
+        var hop = 0
+        while (hop < maxHops && !frontier.isEmpty) {
+          hop += 1
+          val next = edges
+            .join(broadcast(frontier), edges("src") === frontier("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
+            .select(col("node"), lit(hop).as("dist"))
+            .localCheckpoint()
+          visited = visited.unionAll(next).localCheckpoint()
+          frontier = next
+        }
+        visited.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      } finally { edges.unpersist(); () }
+    }),
+
     /** SCD TYPE-2 HISTORY — the slowly-changing-dimension build every
       * warehouse runs on entity-attribute streams (Kimball): from the
       * per-user event stream, emit one VERSION row per value CHANGE with
@@ -2069,6 +2114,28 @@ object Rel {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
         |FROM tot, tri""".stripMargin,
+
+    /** Textbook SQL BFS: recursive CTE with UNION dedup over (node,
+      * dist) pairs, hop-capped at 6; min(dist) per node is the BFS
+      * distance (a node re-reached deeper contributes a dominated
+      * row). */
+    "graph_bfs_distance" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT cn AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn AS src, cn AS dst FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT 'c' || CAST(min(CAST(substr(cn, 2) AS BIGINT)) AS VARCHAR), 0
+        |  FROM pairs
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.dist < 6),
+        |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+        |SELECT dist, count(*)::BIGINT AS n_nodes FROM best
+        |GROUP BY dist ORDER BY dist""".stripMargin,
 
     /** SCD2 replay: same change predicate, same per-user interval
       * windows on the µs clock. */

@@ -158,4 +158,35 @@ class RelationalSpec extends SparkSpec {
     assert(rows.head.getAs[String]("node").startsWith("s"),
       s"expected a supplier hub on top, got ${rows.head}")
   }
+
+  test("bfs distances match a driver-side queue BFS on the same edge set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("graph_bfs_distance")(spark, dir)
+      .collect().map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    // driver BFS over the collected edge list (bounded: distinct pairs)
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = (pairs.map { case (c, su) => c -> su } ++
+      pairs.map { case (c, su) => su -> c })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val src = "c" + pairs.map(_._1.drop(1).toLong).min
+    var dist = Map(src -> 0)
+    var frontier = Set(src)
+    var hop = 0
+    while (hop < 6 && frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> hop)
+      frontier = next
+    }
+    val want = dist.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == want, s"got $out want $want")
+    // bipartite law: odd hops are suppliers-only counts' parity side —
+    // the source is a customer, so hop parity alternates sides
+    assert(out.keySet.min == 0 && out(0) == 1L)
+  }
 }
