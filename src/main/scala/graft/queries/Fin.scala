@@ -320,6 +320,41 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** Banded DTW distance between every pair of series
+      * (`operators/Dtw.scala`, Sakoe–Chiba radius = one trading day of
+      * bars) — the alignment-tolerant series-similarity measure a
+      * commodity desk uses where Pearson/Spearman assume lockstep
+      * timing. Each series collapses to ONE bounded array row (bar
+      * count ≤ span/30 min — metadata-sized, same bound the SARIMAX
+      * driver fits rely on), pairs fan out as executor-side typed-map
+      * tasks: thousands of series ⇒ thousands of independent O(n·r)
+      * tasks, no driver loop, no quadratic shuffle. ROWS-ONLY: the DP
+      * recursion has no SQL form; DtwSpec pins the kernel against the
+      * unbanded O(n·m) reference and the query against per-law
+      * invariants. */
+    "ts_dtw_pairs" -> ((s, d) => {
+      import s.implicits._
+      val radius = 48
+      val series = bars(s, d)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("px")))).as("sp"))
+        .select(col("event_type"), expr("transform(sp, e -> e.px)").as("px"))
+      val pairs = series.select(col("event_type").as("type_a"), col("px").as("xa"))
+        .crossJoin(series.select(col("event_type").as("type_b"), col("px").as("xb")))
+        .filter(col("type_a") < col("type_b"))
+        .select("type_a", "type_b", "xa", "xb")
+      pairs.as[(String, String, Seq[Double], Seq[Double])]
+        .map { case (a, b, xa, xb) =>
+          val x = xa.toArray; val y = xb.toArray
+          val dist = graft.operators.Dtw.banded(x, y, radius)
+          (a, b, x.length.toLong, y.length.toLong, radius.toLong,
+            math.rint(dist * 1e6) / 1e6,
+            math.rint(dist / (x.length + y.length) * 1e6) / 1e6)
+        }
+        .toDF("type_a", "type_b", "n_a", "n_b", "radius", "dtw_dist", "dtw_norm")
+        .orderBy("type_a", "type_b")
+    }),
+
     "ml_cointegration" -> ((s, d) => {
       val b = bars(s, d)
       val pairs = b.select(col("event_type").as("type_a"), col("bucket"), col("px").as("x"))
