@@ -1278,6 +1278,48 @@ object Rel {
           moneySum(col("value")).as("sum_value_click"))
     }),
 
+    /** SMALL-FILE COMPACTION — the lake-maintenance job every streaming
+      * ingest needs (Delta/Iceberg `OPTIMIZE`): a fragmented table (64
+      * tiny files, the micro-batch debris pattern) is rewritten into
+      * size-targeted files, clustered by (event_type, event_id) via
+      * repartitionByRange + sortWithinPartitions so the compacted files
+      * also carry pruning-friendly min/max ranges (the `zorder_layout`
+      * lesson applied to the 1-D case). The target file COUNT is
+      * planned from the fragments' actual on-disk bytes — adaptive at
+      * any SF, no hardcoded parallelism. The query's oracle-facing
+      * output is the before/after CONTENT audit (row count, exact
+      * DECIMAL value sum, key range, type count — identical rows ⇒
+      * identical audit), which is exactly the invariant that licenses
+      * compaction; file counts are asserted in LakeSpec, where the
+      * filesystem is observable. */
+    "lake_compact_small_files" -> ((s, d) => {
+      val targetBytes = 8L << 20
+      val frag = graft.sources.Scratch.dir("compact", d, "fragmented")
+      val comp = graft.sources.Scratch.dir("compact", d, "compacted")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val fragBytes = Option(new java.io.File(frag).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val nTarget = math.max(1, math.ceil(fragBytes / targetBytes.toDouble).toInt)
+      s.read.parquet(frag)
+        .repartitionByRange(nTarget, col("event_type"), col("event_id"))
+        .sortWithinPartitions("event_type", "event_id")
+        .write.mode("overwrite").parquet(comp)
+      def audit(path: String, phase: String) =
+        s.read.parquet(path).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          countDistinct(col("event_type")).as("n_types"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("sum_value"),
+            col("min_id"), col("max_id"), col("n_types"))
+      audit(comp, "compacted").unionAll(audit(frag, "fragmented"))
+        .orderBy("phase")
+    }),
+
     /** Z-order curve values (`functions.ZOrder`): quantize (value, ts_us)
       * onto 16-bit buckets from plan-derived min/max (broadcast 1-row
       * bounds, the `agg_histogram` pattern — adaptive at any SF) and
@@ -2381,6 +2423,21 @@ object Rel {
       """SELECT count(*) AS n_click,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_click
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    /** Both phases hold the same rows, so both audit rows equal the
+      * source-table audit — that equality IS the compaction
+      * invariant. */
+    "lake_compact_small_files" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |    min(event_id) AS min_id, max(event_id) AS max_id,
+        |    count(DISTINCT event_type) AS n_types
+        |  FROM events)
+        |SELECT 'compacted' AS phase, n_rows, sum_value, min_id, max_id, n_types FROM a
+        |UNION ALL
+        |SELECT 'fragmented', n_rows, sum_value, min_id, max_id, n_types FROM a
+        |ORDER BY phase""".stripMargin,
 
     // Same quantize arithmetic (subtract in source type, scale in double,
     // clamp both ends) and the spread ladder unrolled via duckSpread —
