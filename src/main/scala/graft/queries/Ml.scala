@@ -907,6 +907,51 @@ object Ml {
           "level", "trend", "forecast_1", "forecast_1day")
     }),
 
+    /** POISSON GLM (log link) on per-(user, day) event counts — the
+      * count-data member of the GLM family next to the registry's
+      * logistic (`corpus_quality_classifier`) and OLS surfaces, fitted
+      * by MLlib's distributed IRLS (`GeneralizedLinearRegression`,
+      * family=poisson): rate ~ day-of-week, the demand-seasonality
+      * regression a forecasting desk runs on arrival counts. The count
+      * frame is one keyed aggregation; each IRLS iteration is one
+      * treeAggregate over it — nothing driver-sized but the K×K normal
+      * equations. Output long-form: per-term coefficient and rate
+      * ratio, then deviance/AIC and the mean-balance pair (Σ fitted ≡
+      * Σ observed — the log-link score equation MlSpec pins as the
+      * IRLS-stationarity law). Rows-only: IRLS has no SQL closed
+      * form. */
+    "ml_poisson_glm" -> ((s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), Tables.epochDay(col("ts")).as("day"),
+          dayofweek(col("ts")).as("dow"))
+        .groupBy("user_id", "day", "dow")
+        .agg(count(lit(1)).cast("double").as("y"))
+      val feats = (2 to 7).map(k => s"dow_$k")
+      val design = feats.foldLeft(counts) { case (df, f) =>
+        df.withColumn(f, (col("dow") === f.drop(4).toInt).cast("double"))
+      }
+      val train = Models.assemble(design, feats)
+      val m = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+        .setFamily("poisson").setLink("log")
+        .setFeaturesCol(Models.FeaturesCol).setLabelCol("y")
+        .setMaxIter(50).setTol(1e-8)
+        .fit(train)
+      val s2 = m.summary
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val meanObs = train.agg(avg("y")).head().getDouble(0)
+      val meanFit = m.transform(train).agg(avg(Models.PredictionCol)).head().getDouble(0)
+      val coefRows = ("intercept" +: feats).zip(m.intercept +: m.coefficients.toArray.toSeq)
+        .map { case (t, c) => (t, r6(c), Some(r6(math.exp(c)))) }
+      val sumRows = Seq(
+        ("deviance", r6(s2.deviance), None),
+        ("aic", r6(s2.aic), None),
+        ("n_obs", s2.numInstances.toDouble, None),
+        ("mean_observed", r6(meanObs), None),
+        ("mean_fitted", r6(meanFit), None))
+      (coefRows ++ sumRows).toDF("term", "estimate", "rate_ratio")
+    }),
+
     /** `ml_quantile_regression`: linear τ-quantile regression (Koenker &
       * Bassett) at τ ∈ {0.1, 0.5, 0.9} on the 30-minute frame — the
       * covariate-DEPENDENT risk band next to `ml_conformal_interval`'s

@@ -588,4 +588,38 @@ class MlSpec extends SparkSpec {
     val fine = graft.ml.ModelingFrame.buildFine(spark, "/root/testdata/sf0.001")
     assert(fine.count() >= 100L, "repair must keep the sparse-SF frame usable")
   }
+
+  test("poisson GLM: one-binary-feature closed form (fitted means = group means)") {
+    val s = spark; import s.implicits._
+    // counts: group x=0 has mean 2.0, group x=1 has mean 6.0 — with a
+    // single binary regressor + intercept the log-link MLE saturates:
+    // intercept = ln(2), coef = ln(6/2), fitted means equal group means
+    val df = Seq((0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (1.0, 5.0), (1.0, 6.0), (1.0, 7.0))
+      .toDF("x", "y")
+    val train = Models.assemble(df, Seq("x"))
+    val m = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+      .setFamily("poisson").setLink("log")
+      .setFeaturesCol(Models.FeaturesCol).setLabelCol("y")
+      .setMaxIter(100).setTol(1e-10).fit(train)
+    assert(math.abs(m.intercept - math.log(2.0)) < 1e-6,
+      s"intercept ${m.intercept} vs ${math.log(2.0)}")
+    assert(math.abs(m.coefficients(0) - math.log(3.0)) < 1e-6,
+      s"coef ${m.coefficients(0)} vs ${math.log(3.0)}")
+  }
+
+  test("ml_poisson_glm obeys the log-link balance law and reports sane terms") {
+    val rows = SparkEntry.queries("ml_poisson_glm")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Double]("estimate"), Option(r.getAs[Any]("rate_ratio")))).toMap
+    // 7 coefficient rows + 5 summary rows
+    assert(rows.size == 12, s"got ${rows.keys}")
+    // score equation for the intercept under log link: sum(fitted) = sum(observed)
+    assert(math.abs(rows("mean_fitted")._1 - rows("mean_observed")._1) < 1e-4,
+      s"balance law: ${rows("mean_fitted")._1} vs ${rows("mean_observed")._1}")
+    for (k <- 2 to 7)
+      assert(rows(s"dow_$k")._2.get.asInstanceOf[Double] > 0, s"rate ratio dow_$k")
+    assert(rows("deviance")._1 >= 0 && rows("n_obs")._1 > 100)
+    assert(rows("intercept")._2.isDefined && rows("deviance")._2.isEmpty,
+      "rate_ratio populated only for coefficient rows")
+  }
 }
