@@ -320,6 +320,45 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** CAPM-style factor loadings: each series' 30-minute log return
+      * regressed on the equal-weight market return (the mean of all
+      * five series' returns per bucket, complete buckets only — the
+      * index a commodity desk builds first). β/α/R² per series from
+      * DECIMAL-exact sufficient statistics cast to double before any
+      * division (the pack convention). Two bar-count-sized shuffles:
+      * the per-bucket index aggregation and the per-series stats. */
+    "ml_factor_loadings" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val r = bars(s, d)
+        .withColumn("prev", lag(col("px"), 1).over(sw))
+        .filter(col("prev").isNotNull && col("prev") > 0 && col("px") > 0)
+        .select(col("event_type"), col("bucket"),
+          round(log(col("px") / col("prev")), 6).cast("decimal(18,6)").as("r"))
+      val market = r.groupBy("bucket")
+        .agg(count(lit(1)).as("k"), round(avg(col("r")), 6).cast("decimal(18,6)").as("rm"))
+        .filter(col("k") === 5).drop("k")
+      r.join(market, Seq("bucket"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("r").as("sy"), sum("rm").as("sx"),
+          sum(col("rm") * col("rm")).as("sxx"), sum(col("r") * col("r")).as("syy"),
+          sum(col("rm") * col("r")).as("sxy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("sxd", col("sx").cast("double"))
+        .withColumn("syd", col("sy").cast("double"))
+        .withColumn("sxxd", col("sxx").cast("double"))
+        .withColumn("syyd", col("syy").cast("double"))
+        .withColumn("sxyd", col("sxy").cast("double"))
+        .withColumn("beta", (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+        .select(col("event_type"), col("n"),
+          round(col("beta"), 6).as("beta"),
+          round(col("syd") / col("nd") - col("beta") * (col("sxd") / col("nd")), 6).as("alpha"),
+          round(pow(col("nd") * col("sxyd") - col("sxd") * col("syd"), 2) /
+            ((col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+             (col("nd") * col("syyd") - col("syd") * col("syd"))), 6).as("r2"))
+        .orderBy("event_type")
+    }),
+
     /** Banded DTW distance between every pair of series
       * (`operators/Dtw.scala`, Sakoe–Chiba radius = one trading day of
       * bars) — the alignment-tolerant series-similarity measure a
@@ -571,6 +610,33 @@ object Fin {
         |  round((2 * ixd - (n_customers + 1) * totd) /
         |    (n_customers * totd), 6) AS gini
         |FROM g ORDER BY nation""".stripMargin,
+
+    "ml_factor_loadings" -> (barsSql +
+      """, lr AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(ln(px / prev), 6) AS DECIMAL(18,6)) AS r
+        |  FROM (SELECT event_type, bucket, px,
+        |          lag(px, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        |        FROM b)
+        |  WHERE prev IS NOT NULL AND prev > 0 AND px > 0),
+        |mkt AS (
+        |  SELECT bucket, CAST(round(avg(r), 6) AS DECIMAL(18,6)) AS rm
+        |  FROM lr GROUP BY bucket HAVING count(*) = 5),
+        |j AS (SELECT lr.event_type, lr.r, mkt.rm FROM lr JOIN mkt ON lr.bucket = mkt.bucket),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, count(*)::DOUBLE AS nd,
+        |    CAST(sum(r) AS DOUBLE) AS syd, CAST(sum(rm) AS DOUBLE) AS sxd,
+        |    CAST(sum(rm * rm) AS DOUBLE) AS sxxd, CAST(sum(r * r) AS DOUBLE) AS syyd,
+        |    CAST(sum(rm * r) AS DOUBLE) AS sxyd
+        |  FROM j GROUP BY event_type),
+        |bet AS (
+        |  SELECT *, (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS beta
+        |  FROM g)
+        |SELECT event_type, n, round(beta, 6) AS beta,
+        |  round(syd / nd - beta * (sxd / nd), 6) AS alpha,
+        |  round(pow(nd * sxyd - sxd * syd, 2) /
+        |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+        |FROM bet ORDER BY event_type""".stripMargin),
 
     "ml_cointegration" -> (barsSql +
       s""", p AS (

@@ -907,6 +907,48 @@ object Ml {
           "level", "trend", "forecast_1", "forecast_1day")
     }),
 
+    /** KAPLAN–MEIER survival curve over user lifetimes — the
+      * censoring-aware retention estimator next to the naive
+      * `retention_cohorts` (users still active at the span edge are
+      * CENSORED, not churned; ignoring that biases retention down).
+      * Lifetime = last−first active day per user; churn is observed
+      * when the user has been quiet ≥ 7 days before the span end,
+      * otherwise the lifetime is right-censored. The product-limit
+      * estimator runs as pure ordered-window algebra: risk set via a
+      * prior-rows cumulative count, S(t) = exp(Σ ln(1−d/n)) as a
+      * sequential cumulative window (both engines accumulate in the
+      * same t-order ⇒ identical IEEE doubles). Two keyed aggregations
+      * + one |distinct-lifetimes|-sized window: fully SQL-replayable,
+      * full oracle. */
+    "ml_survival_km" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val life = Tables.events(s, d).groupBy("user_id")
+        .agg(min(Tables.epochDay(col("ts")).cast("long")).as("first_day"),
+          max(Tables.epochDay(col("ts")).cast("long")).as("last_day"))
+      val bounds = life.agg(max("last_day").as("span_end"),
+        count(lit(1)).as("n_users"))
+      val obs = life.crossJoin(broadcast(bounds))
+        .select(col("n_users"),
+          (col("last_day") - col("first_day")).as("t"),
+          (col("last_day") <= col("span_end") - 7).cast("long").as("e"))
+      val byT = obs.groupBy("t")
+        .agg(max("n_users").as("n_users"), count(lit(1)).as("n_at_t"),
+          sum("e").as("d_events"),
+          (count(lit(1)) - sum("e")).as("c_censored"))
+      val w = Window.orderBy("t")
+      byT
+        .withColumn("prior", coalesce(
+          sum(col("n_at_t")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_risk", col("n_users") - col("prior"))
+        .withColumn("lnterm", when(col("d_events") > 0,
+          log(lit(1.0) - col("d_events") / col("n_risk"))).otherwise(lit(0.0)))
+        .withColumn("survival", round(exp(
+          sum(col("lnterm")).over(w.rowsBetween(Window.unboundedPreceding, 0))), 6))
+        .select(col("t").as("lifetime_days"), col("n_risk"), col("d_events"),
+          col("c_censored"), col("survival"))
+        .orderBy("lifetime_days")
+    }),
+
     /** POISSON GLM (log link) on per-(user, day) event counts — the
       * count-data member of the GLM family next to the registry's
       * logistic (`corpus_quality_classifier`) and OLS surfaces, fitted
@@ -1426,6 +1468,38 @@ object Ml {
       * one cofactor ([S⁻¹]₁₁ = (c22·c33 − c23²)/det) and
       * s² = SSR/(n−4). Verifies the GroupedOlsStats Aggregator — betas,
       * Gram inverse AND residual variance — end-to-end. */
+    /** Product-limit replay: identical risk-set windows and the same
+      * exp-sum-ln cumulative accumulation in t-order. */
+    "ml_survival_km" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS first_day,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS last_day
+        |  FROM events GROUP BY user_id),
+        |bounds AS (SELECT max(last_day) AS span_end, count(*) AS n_users FROM life),
+        |obs AS (
+        |  SELECT n_users, last_day - first_day AS t,
+        |    CASE WHEN last_day <= span_end - 7 THEN 1 ELSE 0 END AS e
+        |  FROM life, bounds),
+        |byt AS (
+        |  SELECT t, max(n_users) AS n_users, count(*) AS n_at_t,
+        |    sum(e)::BIGINT AS d_events,
+        |    (count(*) - sum(e))::BIGINT AS c_censored
+        |  FROM obs GROUP BY t),
+        |rk AS (
+        |  SELECT *,
+        |    n_users - coalesce(sum(n_at_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |ln AS (
+        |  SELECT *,
+        |    CASE WHEN d_events > 0 THEN ln(1.0 - d_events / n_risk) ELSE 0.0 END AS lnterm
+        |  FROM rk)
+        |SELECT t AS lifetime_days, n_risk::BIGINT AS n_risk, d_events, c_censored,
+        |  round(exp(sum(lnterm) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM ln ORDER BY lifetime_days""".stripMargin,
+
     "stationarity_test_adf" ->
       """WITH daily AS (
         |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,

@@ -1859,6 +1859,33 @@ object Rel {
         .orderBy("day")
     }),
 
+    /** ROLLING 7-DAY DISTINCT USERS (the "rolling MAU" product metric) —
+      * the aggregation sliding windows canNOT express, because DISTINCT
+      * does not merge across window frames. The scale-safe form is the
+      * contribution explode: each (user, day) presence row contributes
+      * to the 7 trailing windows that see it (`sequence(day, day+6)`,
+      * a narrow ×7 explode on the DEDUPED presence frame — presence is
+      * |users|×|days|, metadata-sized next to the fact), then ONE
+      * count-distinct per window day. DAU rides the same presence frame
+      * and joins back; windows past the data's edge are cut by the
+      * broadcast 1-row max-day bound (the `agg_histogram` pattern). */
+    "agg_rolling_distinct_users" -> ((s, d) => {
+      val presence = Tables.events(s, d)
+        .select(col("user_id"), Tables.epochDay(col("ts")).cast("long").as("day"))
+        .distinct()
+      val bounds = presence.agg(max("day").as("max_day"))
+      val mau = presence
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wday") <= col("max_day"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("mau7"))
+      val dau = presence.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      mau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau7"))
+        .orderBy("day")
+    }),
+
     /** One-pass data-quality audit — the dbt-test / expectations suite
       * as a query: five constraint classes (uniqueness, not-null,
       * accepted values, range, calendar bounds) computed in a SINGLE
@@ -2802,6 +2829,26 @@ object Rel {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_distinct_users
         |FROM nd ORDER BY day""".stripMargin,
+
+    /** Same contribution-explode construction: presence × trailing
+      * windows via generate_series, one count-distinct per window
+      * day. */
+    "agg_rolling_distinct_users" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM p),
+        |contrib AS (
+        |  SELECT p.user_id, unnest(generate_series(p.day, p.day + 6)) AS wday
+        |  FROM p),
+        |mau AS (
+        |  SELECT wday AS day, count(DISTINCT user_id)::BIGINT AS mau7
+        |  FROM contrib, mx WHERE wday <= max_day GROUP BY wday),
+        |dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM p GROUP BY day)
+        |SELECT mau.day, coalesce(dau.dau, 0)::BIGINT AS dau, mau.mau7
+        |FROM mau LEFT JOIN dau ON mau.day = dau.day
+        |ORDER BY mau.day""".stripMargin,
 
     "dq_expectations" ->
       """WITH scan AS (

@@ -13,8 +13,8 @@ class FinSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** Driver-side rebuild of the 30-minute bar series for one type. */
-  private def barsOf(tpe: String): Array[(Long, Double)] =
-    Tables.events(spark, dir)
+  private def barsOf(tpe: String, d: String = dir): Array[(Long, Double)] =
+    Tables.events(spark, d)
       .filter(col("event_type") === tpe)
       .withColumn("bucket", expr("ts_ns div 1800000000000L"))
       .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
@@ -185,6 +185,44 @@ class FinSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_customers") == n)
     assert(math.abs(rows.head.getAs[Double]("gini") - gini) < 1e-6,
       s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
+  }
+
+  test("ml_factor_loadings: equal-weight index pins mean beta to ~1; driver recompute") {
+    // sf0.001 has NO complete 30-min bucket (every bucket misses a
+    // type), so the complete-bucket index is empty there by definition —
+    // assert that degenerates gracefully, then cross-check at sf0.01
+    assert(SparkEntry.queries("ml_factor_loadings")(spark, dir).count() == 0L)
+    val dir01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("ml_factor_loadings")(spark, dir01).collect()
+    assert(rows.length == 5)
+    // the market is the equal-weight mean of the SAME five return series
+    // over the SAME complete buckets, so cov(r_i, rm) averages to
+    // var(rm) and mean(beta) = 1 up to the 1e-6 return grid
+    val meanBeta = rows.map(_.getAs[Double]("beta")).sum / 5
+    assert(math.abs(meanBeta - 1.0) < 0.01, s"mean beta $meanBeta")
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1 + 1e-9, s"${r.getAs[String]("event_type")} r2 $r2")
+    }
+    // driver recompute for one series
+    val series = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => barsOf(t, dir01))
+    val rets = series.map(_.sliding(2).collect {
+      case Array((_, a), (bk, b)) if a > 0 && b > 0 =>
+        bk -> math.rint(math.log(b / a) * 1e6) / 1e6
+    }.toMap)
+    val common = rets.map(_.keySet).reduce(_ intersect _).toArray.sorted
+    val rm = common.map(bk =>
+      bk -> math.rint(rets.map(_(bk)).sum / 5 * 1e6) / 1e6).toMap
+    val y = common.map(rets.head) // click
+    val x = common.map(rm)
+    val n = x.length
+    val beta = (n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum) /
+      (n * x.map(v => v * v).sum - x.sum * x.sum)
+    val got = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("beta") - beta) < 1e-4,
+      s"click beta ${got.getAs[Double]("beta")} vs driver $beta")
   }
 
   test("ml_cointegration matches a driver-side Engle-Granger recomputation") {

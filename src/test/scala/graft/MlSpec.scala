@@ -589,6 +589,38 @@ class MlSpec extends SparkSpec {
     assert(fine.count() >= 100L, "repair must keep the sparse-SF frame usable")
   }
 
+  test("kaplan-meier: equals a driver-side product-limit recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ml_survival_km")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("lifetime_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Double]("survival")))
+    // survival is a non-increasing step function from <= 1
+    assert(out.head._4 <= 1.0 + 1e-9)
+    out.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(1)._4 <= w(0)._4 + 1e-9, s"survival must not rise: ${w(0)} -> ${w(1)}")
+    }
+    // driver product-limit from raw lifetimes
+    val raw = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(Tables.epochDay(col("ts")).cast("long")).as("f"),
+        max(Tables.epochDay(col("ts")).cast("long")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val spanEnd = raw.map(_._2).max
+    val obs = raw.map { case (f, l) => (l - f, if (l <= spanEnd - 7) 1 else 0) }
+    val byT = obs.groupBy(_._1).map { case (t, v) =>
+      (t, v.length.toLong, v.map(_._2).sum.toLong) }.toArray.sortBy(_._1)
+    var atRisk = obs.length.toLong
+    var s = 1.0
+    val want = byT.map { case (t, nt, d) =>
+      if (d > 0) s *= 1.0 - d.toDouble / atRisk
+      val row = (t, atRisk, d, math.rint(s * 1e6) / 1e6)
+      atRisk -= nt
+      row
+    }
+    assert(out.toSeq == want.toSeq, s"got ${out.toSeq} want ${want.toSeq}")
+  }
+
   test("poisson GLM: one-binary-feature closed form (fitted means = group means)") {
     val s = spark; import s.implicits._
     // counts: group x=0 has mean 2.0, group x=1 has mean 6.0 — with a

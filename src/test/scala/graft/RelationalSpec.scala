@@ -159,6 +159,27 @@ class RelationalSpec extends SparkSpec {
       s"expected a supplier hub on top, got ${rows.head}")
   }
 
+  test("rolling 7-day distinct users equals a driver-side set-union recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("agg_rolling_distinct_users")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau7"))).toMap
+    val presence = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.epochDay(col("ts")).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = presence.map(_._2).max
+    val byDay = presence.groupBy(_._2).map { case (d, v) => d -> v.map(_._1).toSet }
+    for ((day, (dau, mau7)) <- out) {
+      val want7 = (day - 6 to day).flatMap(d => byDay.getOrElse(d, Set.empty)).toSet.size
+      val want1 = byDay.getOrElse(day, Set.empty).size
+      assert(dau == want1, s"day $day dau $dau vs $want1")
+      assert(mau7 == want7, s"day $day mau7 $mau7 vs $want7")
+      assert(mau7 >= dau, "weekly actives contain daily actives")
+    }
+    // every window day up to the data edge is present
+    assert(out.keySet.max == maxDay)
+  }
+
   test("bfs distances match a driver-side queue BFS on the same edge set") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("graph_bfs_distance")(spark, dir)
