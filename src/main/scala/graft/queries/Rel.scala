@@ -893,6 +893,44 @@ object Rel {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    /** POINT-IN-TIME JOIN against the SCD2 dimension — the read side of
+      * `scd2_history`: every click fact picks the purchase-value
+      * VERSION that was valid at its event time (valid_from ≤ t <
+      * valid_to, open-ended current rows). The interval predicate rides
+      * the `user_id` equi-key, so the plan is one keyed join with a
+      * residual range filter — per-user version chains are short
+      * (bounded by that user's change count), so the per-key work stays
+      * bounded at 100 TB, and facts and versions co-partition on the
+      * same key. Output is the audit aggregate (match rate, current-row
+      * share, exact value mass) rather than the fact-sized row
+      * stream. */
+    "join_point_in_time" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val uw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t"), round(col("value"), 6).as("v"))
+      val dim = ev
+        .withColumn("prev", lag(col("v"), 1).over(uw))
+        .filter(col("prev").isNull || col("v") =!= col("prev"))
+        .withColumn("valid_to", lead(col("t"), 1).over(uw))
+        .select(col("user_id").as("d_user"), col("v"),
+          col("t").as("valid_from"), col("valid_to"))
+      val fact = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("ft"))
+      fact.join(dim,
+          col("user_id") === col("d_user") &&
+            col("ft") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ft") < col("valid_to")),
+          "left")
+        .agg(count(lit(1)).as("n_facts"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("v").isNotNull && col("valid_to").isNull, 1L).otherwise(0L))
+            .as("n_current"),
+          sum(col("v").cast("decimal(18,6)")).cast("double").as("value_mass"),
+          countDistinct(when(col("v").isNotNull, col("user_id"))).as("n_users_matched"))
+    }),
+
     /** PARTIAL-AGGREGATE MERGE — the algebraic re-aggregation contract
       * behind every incremental ETL / materialized-view pipeline at
       * 100 TB (Jesus et al., "Survey of Distributed Data Aggregation
@@ -2205,6 +2243,36 @@ object Rel {
         |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
         |SELECT dist, count(*)::BIGINT AS n_nodes FROM best
         |GROUP BY dist ORDER BY dist""".stripMargin,
+
+    /** Same disjoint-interval semantics: each click matches at most one
+      * version of its user's value chain. */
+    "join_point_in_time" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, round(value, 6) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (
+        |  SELECT *, lag(v) OVER w AS prev
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |dim AS (
+        |  SELECT user_id AS d_user, v, t AS valid_from,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+        |  FROM ch WHERE prev IS NULL OR v <> prev),
+        |fact AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ft
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT fact.user_id, dim.v, dim.valid_to
+        |  FROM fact LEFT JOIN dim ON fact.user_id = dim.d_user
+        |    AND fact.ft >= dim.valid_from
+        |    AND (dim.valid_to IS NULL OR fact.ft < dim.valid_to))
+        |SELECT count(*) AS n_facts,
+        |  sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |  sum(CASE WHEN v IS NOT NULL AND valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_current,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS value_mass,
+        |  count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END)::BIGINT
+        |    AS n_users_matched
+        |FROM j""".stripMargin,
 
     /** SCD2 replay: same change predicate, same per-user interval
       * windows on the µs clock. */

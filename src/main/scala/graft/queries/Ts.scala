@@ -392,6 +392,17 @@ object Ts {
           s"stream_window_live_v${sessionizeRuns.incrementAndGet()}")
         .orderBy("day", "event_type")),
 
+    /** Continuous top-k users per 6-hour window
+      * (`EventStream.topkWindowed`): the stream maintains watermarked
+      * (window, user) counts — the incremental part — and the top-3 is
+      * a deterministic serving-side rank over the materialized
+      * aggregate, run here to completion under AvailableNow and
+      * hash-compared against the DuckDB window/rank twin. */
+    "stream_topk_users" -> ((s, d) =>
+      graft.streaming.EventStream.runTopkOnce(s, d,
+          s"stream_topk_v${sessionizeRuns.incrementAndGet()}")
+        .orderBy("win_start_us", "rk")),
+
     /** The REAL watermarked stream-stream interval join
       * (`EventStream.attributionJoin`): clicks ⋈ same-user views within
       * the preceding 6 hours, run to completion under AvailableNow and
@@ -1709,6 +1720,20 @@ object Ts {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    /** Epoch-aligned 6-hour tumbling windows (Spark's window() aligns
+      * to the epoch in UTC) + the same (n desc, user asc) rank. */
+    "stream_topk_users" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+        |    user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY win_start_us
+        |    ORDER BY n_events DESC, user_id ASC) AS rk
+        |  FROM c)
+        |SELECT win_start_us, rk::BIGINT AS rk, user_id, n_events
+        |FROM r WHERE rk <= 3 ORDER BY win_start_us, rk""".stripMargin,
 
     "sessionize_events" ->
       """WITH e AS (

@@ -97,6 +97,41 @@ object EventStream {
     runToMemory(windowedAgg(readEvents(spark, dir)), queryName,
       OutputMode.Complete())
 
+  /** Continuously-maintained per-window user activity counts — the
+    * state behind a live "top users right now" panel: watermarked
+    * 6-hour tumbling windows keyed by (window, user). The stream
+    * maintains the COUNTS (that is the part that must be incremental);
+    * top-k is a rank over the materialized aggregate at serving read
+    * time — ranking inside the stream would force per-window global
+    * state for a question the read side answers with one bounded
+    * window. */
+  def topkWindowed(events: DataFrame, window: String = "6 hours",
+                   watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("user_id"), col("n_events"))
+
+  /** Harness/test entry: run the count maintenance to completion under
+    * AvailableNow (complete mode — same reasoning as
+    * [[runWindowedAggOnce]]), then the serving-side top-3 rank with a
+    * deterministic (n desc, user asc) tiebreak. */
+  def runTopkOnce(spark: SparkSession, dir: String,
+                  queryName: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = runToMemory(topkWindowed(readEvents(spark, dir)), queryName,
+      OutputMode.Complete())
+    val w = Window.partitionBy("win_start_us")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    agg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("win_start_us"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("n_events"))
+  }
+
   // ---- stateful drift monitor -----------------------------------------
 
   case class EventRow(event_type: String, value: Double)

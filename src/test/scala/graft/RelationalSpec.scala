@@ -159,6 +159,28 @@ class RelationalSpec extends SparkSpec {
       s"expected a supplier hub on top, got ${rows.head}")
   }
 
+  test("point-in-time join: each fact matches at most the version valid at its time") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("join_point_in_time")(spark, dir).head()
+    val nFacts = r.getAs[Long]("n_facts")
+    val nMatched = r.getAs[Long]("n_matched")
+    assert(nFacts == Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count(),
+      "disjoint version intervals must not duplicate facts")
+    assert(nMatched <= nFacts && r.getAs[Long]("n_current") <= nMatched)
+    // driver recount of matched facts: a click matches iff its user has
+    // ANY purchase at or before the click time
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("first_p"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wantMatched = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+      .collect().count(x => purchases.get(x.getLong(0)).exists(_ <= x.getLong(1)))
+    assert(nMatched == wantMatched, s"matched $nMatched vs driver $wantMatched")
+  }
+
   test("rolling 7-day distinct users equals a driver-side set-union recount") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("agg_rolling_distinct_users")(spark, dir)

@@ -21,6 +21,29 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("streaming topk maintains counts incrementally: equals the batch rank (availableNow)") {
+    import org.apache.spark.sql.expressions.Window
+    val got = EventStream.runTopkOnce(spark, dir, "topk_test")
+      .orderBy("win_start_us", "rk").collect()
+    val w = Window.partitionBy("win_start_us")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    val want = Tables.events(spark, dir)
+      .select(expr("(unix_micros(ts) div 21600000000) * 21600000000")
+        .as("win_start_us"), col("user_id"))
+      .groupBy("win_start_us", "user_id").agg(count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("win_start_us", "rk", "user_id", "n_events")
+      .orderBy("win_start_us", "rk").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, x) => assert(g == x, s"$g vs $x") }
+    // within every window, counts are rank-descending
+    got.groupBy(_.getAs[Long]("win_start_us")).values.foreach { rows =>
+      val byRk = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("n_events"))
+      assert(byRk.toSeq == byRk.toSeq.sorted.reverse)
+    }
+  }
+
   test("streaming content dedup emits each distinct text once (equals batch DISTINCT)") {
     import spark.implicits._
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](
