@@ -320,6 +320,44 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** MANN–KENDALL trend test per series — the non-parametric trend
+      * verdict that pairs with the registry's `ml_theilsen` slope (the
+      * two are the textbook couple: MK decides IF there is a monotone
+      * trend, Theil–Sen says how steep). S = Σ_{i<j} sign(pxⱼ − pxᵢ)
+      * via the bar self-join (bar-count-sized input ⇒ the pair frame is
+      * bounded and keyed by series — never a fact-scale cross product);
+      * tie-corrected normal approximation with the ±1 continuity
+      * correction. All counts integer-exact; z decided on the 1e-4
+      * grid. */
+    "stat_mann_kendall" -> ((s, d) => {
+      val b = bars(s, d)
+      val pairs = b.as("b1").join(b.as("b2"),
+          col("b1.event_type") === col("b2.event_type") &&
+            col("b1.bucket") < col("b2.bucket"))
+        .groupBy(col("b1.event_type").as("event_type"))
+        .agg(sum(when(col("b2.px") > col("b1.px"), 1L)
+          .when(col("b2.px") < col("b1.px"), -1L).otherwise(0L)).as("s_stat"))
+      val nTies = b.groupBy(col("event_type"), col("px"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_corr"))
+      pairs.join(nTies, Seq("event_type"))
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_corr")) /
+            lit(18.0))
+        .withColumn("z", round(
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 4))
+        .select(col("event_type"), col("n"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"), col("z"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy("event_type")
+    }),
+
     /** CAPM-style factor loadings: each series' 30-minute log return
       * regressed on the equal-weight market return (the mean of all
       * five series' returns per bucket, complete buckets only — the
@@ -610,6 +648,36 @@ object Fin {
         |  round((2 * ixd - (n_customers + 1) * totd) /
         |    (n_customers * totd), 6) AS gini
         |FROM g ORDER BY nation""".stripMargin,
+
+    "stat_mann_kendall" -> (barsSql +
+      """, pr AS (
+        |  SELECT b1.event_type AS event_type,
+        |    sum(CASE WHEN b2.px > b1.px THEN 1
+        |             WHEN b2.px < b1.px THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        |  FROM b b1 JOIN b b2 ON b1.event_type = b2.event_type
+        |    AND b1.bucket < b2.bucket
+        |  GROUP BY 1),
+        |tg AS (
+        |  SELECT event_type, px, count(*)::BIGINT AS t
+        |  FROM b GROUP BY event_type, px),
+        |nt AS (
+        |  SELECT event_type, sum(1)::BIGINT AS n_distinct, sum(t)::BIGINT AS n,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_corr
+        |  FROM tg GROUP BY event_type),
+        |v AS (
+        |  SELECT pr.event_type, nt.n, pr.s_stat,
+        |    (nt.n * (nt.n - 1) * (2 * nt.n + 5) - nt.tie_corr) / 18.0 AS var_s
+        |  FROM pr JOIN nt ON pr.event_type = nt.event_type),
+        |z AS (
+        |  SELECT *,
+        |    round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |               WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |               ELSE 0.0 END, 4) AS z
+        |  FROM v)
+        |SELECT event_type, n, s_stat, round(var_s, 6) AS var_s, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+        |FROM z ORDER BY event_type""".stripMargin),
 
     "ml_factor_loadings" -> (barsSql +
       """, lr AS (

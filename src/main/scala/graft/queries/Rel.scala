@@ -703,6 +703,33 @@ object Rel {
         .orderBy(col("cab").desc, col("pa"), col("pb")).limit(25)
     }),
 
+    /** ITEM-ITEM COSINE SIMILARITY — the neighborhood-model recommender
+      * primitive (Sarwar et al. 2001) on the order×part incidence:
+      * sim(a,b) = |A∩B| / √(|A|·|B|) over the binary basket vectors,
+      * assembled from the SAME distinct-basket self-join as
+      * `mba_frequent_pairs` (co-occurrence is the only pair-generating
+      * step, and it is keyed by order — never an item×item cross
+      * product; at 100 TB the hot-basket fan-out is the `graph_triangles`
+      * degree-capping story). A ≥2 co-occurrence floor drops one-off
+      * noise pairs; global top-25 by (cosine, pair) keeps the output
+      * bounded and deterministic. */
+    "ml_item_similarity" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val item = b.groupBy("p").agg(count(lit(1)).as("c"))
+      val pair = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      pair
+        .join(broadcast(item.select(col("p").as("pa"), col("c").as("ca"))), "pa")
+        .join(broadcast(item.select(col("p").as("pb"), col("c").as("cb"))), "pb")
+        .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+          round(col("cab") / sqrt(col("ca") * col("cb")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("pa"), col("pb")).limit(25)
+    }),
+
     /** PAGERANK on the customer↔supplier trade graph — the canonical
       * iterative-distributed-joins algorithm (the shape GraphX/Pregel
       * formalize, expressed directly in the DataFrame API so Catalyst
@@ -2362,6 +2389,20 @@ object Rel {
         |JOIN item ib ON ib.p = pb
         |CROSS JOIN n
         |ORDER BY cab DESC, pa, pb LIMIT 25""".stripMargin,
+
+    "ml_item_similarity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |item AS (SELECT p, count(*)::BIGINT AS c FROM b GROUP BY p),
+        |pair AS (
+        |  SELECT b1.p AS pa, b2.p AS pb, count(*)::BIGINT AS cab
+        |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, cab, ia.c AS ca, ib.c AS cb,
+        |  round(cab / sqrt(ia.c * ib.c), 6) AS cosine
+        |FROM pair
+        |JOIN item ia ON ia.p = pa
+        |JOIN item ib ON ib.p = pb
+        |ORDER BY cosine DESC, pa, pb LIMIT 25""".stripMargin,
 
     "agg_group_quantiles" ->
       """SELECT event_type,

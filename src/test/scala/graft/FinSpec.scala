@@ -187,6 +187,32 @@ class FinSpec extends SparkSpec {
       s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
   }
 
+  test("stat_mann_kendall matches a driver-side pairwise recomputation") {
+    val rows = SparkEntry.queries("stat_mann_kendall")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for (tpe <- Seq("click", "view")) {
+      val px = barsOf(tpe).map(_._2)
+      val n = px.length
+      var s = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += java.lang.Long.signum(java.lang.Double.compare(px(j), px(i))).toLong
+      val ties = px.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - ties) / 18.0
+      val z =
+        if (s > 0) (s - 1) / math.sqrt(varS)
+        else if (s < 0) (s + 1) / math.sqrt(varS)
+        else 0.0
+      val r = rows(tpe)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("s_stat") == s, s"$tpe S ${r.getAs[Long]("s_stat")} vs $s")
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-3, s"$tpe z")
+      val verdict = if (r.getAs[Double]("z") > 1.96) "increasing"
+        else if (r.getAs[Double]("z") < -1.96) "decreasing" else "none"
+      assert(r.getAs[String]("trend") == verdict)
+    }
+  }
+
   test("ml_factor_loadings: equal-weight index pins mean beta to ~1; driver recompute") {
     // sf0.001 has NO complete 30-min bucket (every bucket misses a
     // type), so the complete-bucket index is empty there by definition —

@@ -120,6 +120,33 @@ class StatsSpec extends SparkSpec {
     assert(got == top.getAs[Long]("cab"), s"pair count mismatch: $got vs $top")
   }
 
+  test("item-item cosine: bounds, identity from emitted counts, top pair re-derived") {
+    val rows = SparkEntry.queries("ml_item_similarity")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("cosine")
+      assert(cos > 0 && cos <= 1 + 1e-9, s"cosine $cos out of range")
+      assert(r.getAs[Long]("cab") >= 2, "co-occurrence floor")
+      assert(r.getAs[Long]("cab") <= math.min(r.getAs[Long]("ca"), r.getAs[Long]("cb")),
+        "intersection bounded by either set")
+      // cosine identity from the emitted sufficient counts
+      val want = math.rint(r.getAs[Long]("cab") /
+        math.sqrt(r.getAs[Long]("ca").toDouble * r.getAs[Long]("cb")) * 1e6) / 1e6
+      assert(math.abs(cos - want) < 1e-9, s"cosine identity: $cos vs $want")
+    }
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse), "descending order")
+    // re-derive the top pair's intersection directly
+    val top = rows.head
+    val got = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .groupBy("o")
+      .agg(max(when(col("p") === top.getAs[Long]("pa"), 1).otherwise(0)).as("ha"),
+        max(when(col("p") === top.getAs[Long]("pb"), 1).otherwise(0)).as("hb"))
+      .filter(col("ha") === 1 && col("hb") === 1).count()
+    assert(got == top.getAs[Long]("cab"))
+  }
+
   test("tpch completions: structural laws at sf0.001") {
     def run(k: String) = SparkEntry.queries(k)(spark, dir)
     // Q13: the order-count histogram partitions every customer
