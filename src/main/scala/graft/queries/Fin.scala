@@ -320,6 +320,46 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** PELT optimal changepoint segmentation per series
+      * (`operators/Pelt.scala`) — the retrospective mean-shift
+      * partition next to `ml_changepoint_cusum`'s sequential alarm.
+      * Penalty = 2σ̂²·ln n (BIC form) with σ̂ from the MAD of first
+      * differences (robust to the changes being sought). Executor-side
+      * per-series tasks on bounded bar arrays (the `ts_dtw_pairs`
+      * fan-out shape). Rows-only: an optimal-partition DP has no SQL
+      * form; PeltSpec pins pruned ≡ exhaustive and planted-shift
+      * recovery. */
+    "ml_changepoint_pelt" -> ((s, d) => {
+      import s.implicits._
+      bars(s, d)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("px")))).as("sp"))
+        .select(col("event_type"),
+          expr("transform(sp, e -> e.bucket)").as("bks"),
+          expr("transform(sp, e -> e.px)").as("px"))
+        .as[(String, Seq[Long], Seq[Double])]
+        .flatMap { case (tpe, bks, pxs) =>
+          val x = pxs.toArray
+          val n = x.length
+          val diffs = x.sliding(2).collect { case Array(a, b) => math.abs(b - a) }
+            .toArray.sorted
+          val mad = if (diffs.isEmpty) 0.0 else diffs(diffs.length / 2)
+          val sigma = math.max(1.4826 * mad / math.sqrt(2.0), 1e-9)
+          val penalty = 2.0 * sigma * sigma * math.log(n.toDouble)
+          val cps = graft.operators.Pelt.segment(x, penalty)
+          val bounds = (0 +: cps.toSeq) :+ n
+          bounds.sliding(2).zipWithIndex.collect {
+            case (Seq(a, b), i) =>
+              val mean = x.slice(a, b).sum / (b - a)
+              (tpe, i.toLong, bks(a), bks(b - 1), (b - a).toLong,
+                math.rint(mean * 1e6) / 1e6)
+          }
+        }
+        .toDF("event_type", "seg_idx", "start_bucket", "end_bucket", "n_bars",
+          "seg_mean")
+        .orderBy("event_type", "seg_idx")
+    }),
+
     /** MANN–KENDALL trend test per series — the non-parametric trend
       * verdict that pairs with the registry's `ml_theilsen` slope (the
       * two are the textbook couple: MK decides IF there is a monotone

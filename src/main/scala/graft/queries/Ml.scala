@@ -124,6 +124,42 @@ object Ml {
         .toDF("feature", "scaled_mean", "scaled_std").orderBy("feature")
     }),
 
+    /** HUBER robust regression on the 30-minute frame — the
+      * outlier-tolerant member of the linear family (OLS's L2 loss
+      * hands a single fat-tailed bar unbounded leverage; Huber's
+      * ε-switch caps it at linear): MLlib `LinearRegression` with
+      * loss="huber", ε = 1.35 (the 95%-Gaussian-efficiency textbook
+      * value), L-BFGS distributed. Output: per-feature coefficients
+      * next to the OLS fit's on the SAME frame, plus each model's MAE —
+      * the robustness comparison a desk actually reads. Rows-only (an
+      * M-estimator has no SQL closed form); MlSpec pins the
+      * planted-outlier law: contaminating 2% of rows moves the Huber
+      * slope far less than the OLS slope. */
+    "ml_huber" -> ((s, d) => {
+      import s.implicits._
+      withFineFrame(s, d) { train =>
+        val huber = new org.apache.spark.ml.regression.LinearRegression()
+          .setFeaturesCol(Models.FeaturesCol).setLabelCol(ModelingFrame.Target)
+          .setLoss("huber").setEpsilon(1.35)
+          .setRegParam(0.0).setMaxIter(100).setTol(1e-8)
+          .fit(train)
+        val olsM = Models.ols(ModelingFrame.Target).fit(train)
+        def mae(m: org.apache.spark.ml.regression.LinearRegressionModel) =
+          m.transform(train)
+            .select(avg(abs(col(ModelingFrame.Target) - col(Models.PredictionCol))))
+            .head().getDouble(0)
+        val (hc, hi) = Models.coefficients(huber, ModelingFrame.EventTypes)
+        val (oc, oi) = Models.coefficients(olsM, ModelingFrame.EventTypes)
+        val hMap = (hc :+ (("__intercept", hi))).toMap
+        val oMap = (oc :+ (("__intercept", oi))).toMap
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+        val coefRows = hMap.keys.toSeq.sorted.map(k =>
+          (k, r6(hMap(k)), r6(oMap(k))))
+        val metricRows = Seq(("__mae", r6(mae(huber)), r6(mae(olsM))))
+        (coefRows ++ metricRows).toDF("feature", "huber", "ols").orderBy("feature")
+      }
+    }),
+
     "ml_lasso" -> ((s, d) => {
       import s.implicits._
       withFineFrame(s, d) { train =>

@@ -589,6 +589,42 @@ class MlSpec extends SparkSpec {
     assert(fine.count() >= 100L, "repair must keep the sparse-SF frame usable")
   }
 
+  test("huber regression resists planted outliers far better than OLS") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // y = 2x + small noise, with 2% of rows blown up by +50
+    val rows = (1 to 500).map { i =>
+      val x = i / 50.0
+      val y = 2.0 * x + rnd.nextGaussian() * 0.05 + (if (i % 50 == 0) 50.0 else 0.0)
+      (x, y)
+    }
+    val train = Models.assemble(rows.toDF("x", "y"), Seq("x"))
+    val huber = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol(Models.FeaturesCol).setLabelCol("y")
+      .setLoss("huber").setEpsilon(1.35)
+      .setRegParam(0.0).setMaxIter(100).setTol(1e-8).fit(train)
+    val ols = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol(Models.FeaturesCol).setLabelCol("y")
+      .setRegParam(0.0).setSolver("normal").fit(train)
+    val hErr = math.abs(huber.coefficients(0) - 2.0)
+    val oErr = math.abs(ols.coefficients(0) - 2.0)
+    assert(hErr < oErr / 3,
+      s"huber slope err $hErr should be far under OLS err $oErr")
+    assert(hErr < 0.05, s"huber should recover the true slope, err $hErr")
+  }
+
+  test("ml_huber emits paired coefficients and the MAE comparison row") {
+    val rows = SparkEntry.queries("ml_huber")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Double]("huber"), r.getAs[Double]("ols"))).toMap
+    assert(rows.contains("__intercept") && rows.contains("__mae"))
+    assert(rows.size == graft.ml.ModelingFrame.EventTypes.size + 2)
+    // MAE is what Huber's rho approximately optimizes in the tails: it
+    // must not lose badly to OLS on its own training frame
+    val (hM, oM) = rows("__mae")
+    assert(hM <= oM * 1.2, s"huber MAE $hM vs ols $oM")
+  }
+
   test("kaplan-meier: equals a driver-side product-limit recomputation") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("ml_survival_km")(spark, dir)
