@@ -70,6 +70,45 @@ object Joins {
       .select((lCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): each left row takes whichever right row is closer in
+    * time — the backward carry of [[asof]] plus its mirror-image
+    * forward carry over the SAME union frame (still ONE shuffle on the
+    * keys, two window passes over it), then a per-row nearer-pick with
+    * the pandas tie rule (backward wins at equal distance). A right row
+    * at the exact left timestamp is a Δ=0 backward match, so the
+    * forward window can safely exclude equal timestamps. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val rTagged = right.select(
+        (keys.map(col) :+ col(rightTs).as("__ts")) :+
+          struct((valueCols.map(col) :+ col(rightTs).as("__mts")): _*).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
+    val db = col("__ts") - col("__b").getField("__mts")
+    val df = col("__f").getField("__mts") - col("__ts")
+    val pickB = col("__f").isNull || (col("__b").isNotNull && db <= df)
+    val picked = carried.withColumn("__n", when(pickB, col("__b")).otherwise(col("__f")))
+    valueCols.foldLeft(picked) { (acc, c) =>
+      acc.withColumn(s"asof_$c", col("__n").getField(c))
+    }
+      .withColumn("asof_dt", when(col("__n").isNotNull,
+        abs(col("__ts") - col("__n").getField("__mts"))))
+      .filter(col("__side") === 1)
+      .select((lCols ++ valueCols.map(c => s"asof_$c") :+ "asof_dt").map(col): _*)
+  }
+
   /** Bucketed co-located layout — the 100 TB fact-fact join answer.
     * Write a table ONCE bucketed (and sorted) on its join key; every
     * subsequent equi-join between tables bucketed into the SAME bucket

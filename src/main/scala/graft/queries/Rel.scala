@@ -1587,6 +1587,31 @@ object Rel {
         .orderBy("event_id")
     }),
 
+    /** Nearest-direction as-of join (pandas `merge_asof(direction=
+      * 'nearest')`, `Joins.asofNearest`): each click takes the CLOSER
+      * purchase in time, backward winning ties — completing the asof
+      * family (backward / tolerance / nearest) on the same one-shuffle
+      * union-window plan: two window passes over one keyed exchange,
+      * never a non-equi join. Emits the matched distance so the oracle
+      * checks the pick, not just the value. */
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = Relational.dedupByKey(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id", "ts_us"), Seq(col("value").desc))
+      Joins.asofNearest(clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 6).as("nearest_purchase"),
+          col("asof_dt").as("dt_us"))
+        .orderBy("event_id")
+    }),
+
     /** As-of join with a lookback tolerance (pandas
       * `merge_asof(tolerance=…)`): same union-window plan, but a match
       * older than 6 h reads as no-match — the staleness bound every
@@ -1922,6 +1947,34 @@ object Rel {
         .select(col("day"), col("n_new_users"),
           sum("n_new_users").over(w).as("cum_distinct_users"))
         .orderBy("day")
+    }),
+
+    /** KEY-SKEW PROFILE — the diagnostic run BEFORE choosing a shuffle
+      * key at 100 TB (this registry's own `join_skew_salted` and
+      * `agg_salted_stats` are the mitigations; this is the detector
+      * that tells you whether you need them): per-key group sizes for
+      * each candidate key, collapsed to the distribution stats a
+      * planner reads — exact p50/p90/p99, max, the hot-key share of
+      * all rows, and max/mean (the straggler multiplier). Two keyed
+      * aggregations per candidate over the key-cardinality-sized size
+      * frame; long-form, one row per candidate key. */
+    "agg_skew_report" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def profile(keyCol: String): DataFrame =
+        ev.groupBy(col(keyCol).cast("string").as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+            round(avg("c"), 4).as("mean_sz"),
+            round(expr("percentile(c, 0.5)"), 4).as("p50"),
+            round(expr("percentile(c, 0.9)"), 4).as("p90"),
+            round(expr("percentile(c, 0.99)"), 4).as("p99"),
+            max("c").as("max_sz"))
+          .select(lit(keyCol).as("key"), col("n_keys"), col("n_rows"),
+            col("mean_sz"), col("p50"), col("p90"), col("p99"), col("max_sz"),
+            round(col("max_sz") / col("n_rows"), 6).as("top1_share"),
+            round(col("max_sz") / col("mean_sz"), 4).as("skew_ratio"))
+      Seq("user_id", "event_type").map(profile).reduce(_.unionAll(_))
+        .orderBy("key")
     }),
 
     /** ROLLING 7-DAY DISTINCT USERS (the "rolling MAU" product metric) —
@@ -2804,6 +2857,32 @@ object Rel {
         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         |ORDER BY event_id""".stripMargin,
 
+    /** Naive nearest replay: every (click, purchase) pair per user,
+      * ranked by (|Δt|, backward-first); row 1 is the pick. */
+    "join_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts_us, value FROM (
+        |    SELECT user_id, ts_us, value,
+        |      row_number() OVER (PARTITION BY user_id, ts_us ORDER BY value DESC) AS rn
+        |    FROM ev WHERE event_type = 'purchase')
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT c.event_id, c.user_id, p.value, abs(c.ts_us - p.ts_us) AS dt,
+        |    CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END AS fwd,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY abs(c.ts_us - p.ts_us) ASC,
+        |        CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END ASC) AS pick
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.user_id)
+        |SELECT c.event_id, c.user_id,
+        |  round(k.value, 6) AS nearest_purchase, k.dt AS dt_us
+        |FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE pick = 1) k
+        |  ON c.event_id = k.event_id
+        |ORDER BY c.event_id""".stripMargin,
+
     "join_asof_tolerance" ->
       s"""WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
@@ -2978,6 +3057,35 @@ object Rel {
         |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |SELECT rule, n_violations, n_violations = 0 AS passed
         |FROM rules ORDER BY rule""".stripMargin,
+
+    "agg_skew_report" ->
+      """WITH su AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |se AS (
+        |  SELECT event_type AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |pu AS (
+        |  SELECT 'user_id' AS key, count(*)::BIGINT AS n_keys,
+        |    sum(c)::BIGINT AS n_rows, round(avg(c), 4) AS mean_sz,
+        |    round(quantile_cont(c, 0.5), 4) AS p50,
+        |    round(quantile_cont(c, 0.9), 4) AS p90,
+        |    round(quantile_cont(c, 0.99), 4) AS p99,
+        |    max(c)::BIGINT AS max_sz
+        |  FROM su),
+        |pe AS (
+        |  SELECT 'event_type' AS key, count(*)::BIGINT AS n_keys,
+        |    sum(c)::BIGINT AS n_rows, round(avg(c), 4) AS mean_sz,
+        |    round(quantile_cont(c, 0.5), 4) AS p50,
+        |    round(quantile_cont(c, 0.9), 4) AS p90,
+        |    round(quantile_cont(c, 0.99), 4) AS p99,
+        |    max(c)::BIGINT AS max_sz
+        |  FROM se),
+        |u AS (SELECT * FROM pu UNION ALL SELECT * FROM pe)
+        |SELECT key, n_keys, n_rows, mean_sz, p50, p90, p99, max_sz,
+        |  round(max_sz / n_rows, 6) AS top1_share,
+        |  round(max_sz / mean_sz, 4) AS skew_ratio
+        |FROM u ORDER BY key""".stripMargin,
 
     "agg_variance_per_col" ->
       """SELECT column_name, round(variance, 2) AS variance FROM (

@@ -38,6 +38,58 @@ class JoinsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_v")))
   }
 
+  test("asofNearest: closer side wins, backward tie rule, equal-ts is a zero match") {
+    val left = df(Seq(
+      L("a", 10, 100), // backward 7 (d=3) vs forward 18 (d=8) -> backward
+      L("a", 17, 101), // backward 7 (d=10) vs forward 18 (d=1) -> forward
+      L("a", 7, 102),  // exact hit -> d=0
+      L("b", 50, 103), // only backward exists
+      L("c", 1, 104))) // no rights at all for key c in this fixture
+    val right = df(Seq(
+      R("a", 7, 1.0), R("a", 18, 3.0),
+      R("b", 8, 9.0)))
+    val out = Joins.asofNearest(left, right, Seq("k"), "lts", "rts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        ((Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble),
+          Option(r.getAs[java.lang.Long]("asof_dt")).map(_.toLong)))).toMap
+    assert(out == Map(
+      100L -> ((Some(1.0), Some(3L))),
+      101L -> ((Some(3.0), Some(1L))),
+      102L -> ((Some(1.0), Some(0L))),
+      103L -> ((Some(9.0), Some(42L))),
+      104L -> ((None, None))))
+    // exact tie in both directions prefers backward (pandas rule)
+    val tieL = df(Seq(L("a", 10, 200)))
+    val tieR = df(Seq(R("a", 7, 1.0), R("a", 13, 2.0)))
+    val tie = Joins.asofNearest(tieL, tieR, Seq("k"), "lts", "rts", Seq("v")).head()
+    assert(tie.getAs[Double]("asof_v") == 1.0 && tie.getAs[Long]("asof_dt") == 3L)
+  }
+
+  test("asofNearest equals the naive min-|dt| nested-loop formulation") {
+    val rnd = new scala.util.Random(11)
+    val left = df((1 to 120).map(i =>
+      L(s"k${i % 4}", rnd.nextInt(1000).toLong, i.toLong)))
+    val right = df((1 to 60).map(i =>
+      R(s"k${i % 5}", rnd.nextInt(1000).toLong, i.toDouble)))
+    // dedup rights per (k, ts) by max v — the query-layer convention
+    val rDedup = right.groupBy("k", "rts").agg(max("v").as("v"))
+    val got = Joins.asofNearest(left, rDedup, Seq("k"), "lts", "rts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    val rs = rDedup.collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("rts"),
+      r.getAs[Double]("v")))
+    val ls = left.collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("lts"),
+      r.getAs[Long]("lid")))
+    ls.foreach { case (k, lts, lid) =>
+      val cands = rs.filter(_._1 == k)
+      val want =
+        if (cands.isEmpty) None
+        else Some(cands.minBy(c =>
+          (math.abs(c._2 - lts), if (c._2 <= lts) 0 else 1, -c._2))._3)
+      assert(got(lid) == want, s"lid $lid: got ${got(lid)} want $want")
+    }
+  }
+
   test("asof tolerance: stale matches null out, fresh and boundary matches survive") {
     val left = df(Seq(
       L("a", 10, 100),  // match at 7, gap 3 <= 5 -> fresh

@@ -159,6 +159,28 @@ class RelationalSpec extends SparkSpec {
       s"expected a supplier hub on top, got ${rows.head}")
   }
 
+  test("skew report: ordered quantiles, mass conservation, hot-key share re-derived") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_skew_report")(spark, dir)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(rows.keySet == Set("user_id", "event_type"))
+    val total = Tables.events(spark, dir).count()
+    for ((k, r) <- rows) {
+      assert(r.getAs[Long]("n_rows") == total, s"$k mass conservation")
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+        r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99 && p99 <= r.getAs[Long]("max_sz"),
+        s"$k quantile order")
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+    }
+    // event_type has 5 keys; its hot-key share re-derived directly
+    assert(rows("event_type").getAs[Long]("n_keys") == 5)
+    val hot = Tables.events(spark, dir).groupBy("event_type").count()
+      .agg(max("count")).head().getLong(0)
+    assert(math.abs(rows("event_type").getAs[Double]("top1_share") -
+      math.rint(hot.toDouble / total * 1e6) / 1e6) < 1e-9)
+  }
+
   test("point-in-time join: each fact matches at most the version valid at its time") {
     val dir = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("join_point_in_time")(spark, dir).head()
