@@ -320,6 +320,58 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** SIGNAL BACKTEST — the loop that closes the reference's product
+      * story (its `case_trade_signal` emits signals; a desk's next
+      * question is ALWAYS "what would they have earned?"): a
+      * 20-bar momentum rule (long above the SMA, short below, complete
+      * windows only) applied to NEXT-bar log returns — the correct
+      * no-lookahead alignment — scored per series: strategy vs
+      * buy-and-hold total return, hit rate (grid-decided), turnover
+      * (position changes — the cost driver), annualized strategy
+      * Sharpe from DECIMAL-exact moments, and the max drawdown of the
+      * cumulative strategy curve. Pure partitioned-window algebra over
+      * the bar frame: fully SQL-replayable, full oracle. */
+    "fin_backtest_signal" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val w20 = sw.rowsBetween(-19, 0)
+      val base = bars(s, d)
+        .withColumn("n_w", count(lit(1)).over(w20))
+        .withColumn("sma", avg(col("px")).over(w20))
+        .withColumn("nxt", lead(col("px"), 1).over(sw))
+        .filter(col("n_w") === 20 && col("nxt").isNotNull &&
+          col("px") > 0 && col("nxt") > 0)
+        .withColumn("sig", when(col("px") > col("sma"), 1).otherwise(-1))
+        .withColumn("ret", round(log(col("nxt") / col("px")), 6).cast("decimal(18,6)"))
+        .withColumn("sret", (col("sig") * col("ret")).cast("decimal(18,6)"))
+        .withColumn("flip",
+          when(lag(col("sig"), 1).over(sw).isNotNull &&
+            col("sig") =!= lag(col("sig"), 1).over(sw), 1L).otherwise(0L))
+        .withColumn("cum", sum(col("sret")).over(
+          sw.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("peak", max(col("cum")).over(
+          sw.rowsBetween(Window.unboundedPreceding, 0)))
+      base.groupBy("event_type")
+        .agg(count(lit(1)).as("n_bars"),
+          sum("sret").as("s1"), sum(col("sret") * col("sret")).as("s2"),
+          sum("ret").as("bh"),
+          sum(when(col("sret") > 0, 1L).otherwise(0L)).as("wins"),
+          sum("flip").as("turnover"),
+          min((col("cum") - col("peak")).cast("double")).as("mdd"))
+        .withColumn("nd", col("n_bars").cast("double"))
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("s2d", col("s2").cast("double"))
+        .select(col("event_type"), col("n_bars"),
+          round(col("s1d"), 6).as("strat_return"),
+          round(col("bh").cast("double"), 6).as("buyhold_return"),
+          round(col("wins") / col("nd"), 6).as("hit_rate"),
+          col("turnover"),
+          round((col("s1d") / col("nd")) /
+            sqrt((col("s2d") - col("s1d") * col("s1d") / col("nd")) / (col("nd") - 1)) *
+            math.sqrt(BARS_PER_YEAR), 6).as("strat_sharpe"),
+          round(col("mdd"), 6).as("max_drawdown"))
+        .orderBy("event_type")
+    }),
+
     /** PELT optimal changepoint segmentation per series
       * (`operators/Pelt.scala`) — the retrospective mean-shift
       * partition next to `ml_changepoint_cusum`'s sequential alarm.
@@ -688,6 +740,59 @@ object Fin {
         |  round((2 * ixd - (n_customers + 1) * totd) /
         |    (n_customers * totd), 6) AS gini
         |FROM g ORDER BY nation""".stripMargin,
+
+    "fin_backtest_signal" -> {
+      val sq = math.sqrt(BARS_PER_YEAR)
+      barsSql +
+        s""", f AS (
+           |  SELECT event_type, bucket, px,
+           |    count(*) OVER w20 AS n_w,
+           |    avg(px) OVER w20 AS sma,
+           |    lead(px, 1) OVER sw AS nxt
+           |  FROM b
+           |  WINDOW sw AS (PARTITION BY event_type ORDER BY bucket),
+           |         w20 AS (PARTITION BY event_type ORDER BY bucket
+           |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+           |g AS (
+           |  SELECT event_type, bucket,
+           |    CASE WHEN px > sma THEN 1 ELSE -1 END AS sig,
+           |    CAST(round(ln(nxt / px), 6) AS DECIMAL(18,6)) AS ret
+           |  FROM f WHERE n_w = 20 AND nxt IS NOT NULL AND px > 0 AND nxt > 0),
+           |h AS (
+           |  SELECT event_type, bucket, sig, ret,
+           |    CAST(sig * ret AS DECIMAL(18,6)) AS sret,
+           |    CASE WHEN lag(sig, 1) OVER sw IS NOT NULL
+           |           AND sig <> lag(sig, 1) OVER sw THEN 1 ELSE 0 END AS flip
+           |  FROM g WINDOW sw AS (PARTITION BY event_type ORDER BY bucket)),
+           |i0 AS (
+           |  SELECT *, sum(sret) OVER cw AS cum
+           |  FROM h
+           |  WINDOW cw AS (PARTITION BY event_type ORDER BY bucket
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |i AS (
+           |  SELECT *, max(cum) OVER cw AS peak
+           |  FROM i0
+           |  WINDOW cw AS (PARTITION BY event_type ORDER BY bucket
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |j AS (
+           |  SELECT event_type, count(*) AS n_bars, count(*)::DOUBLE AS nd,
+           |    CAST(sum(sret) AS DOUBLE) AS s1d,
+           |    CAST(sum(sret * sret) AS DOUBLE) AS s2d,
+           |    CAST(sum(ret) AS DOUBLE) AS bh,
+           |    sum(CASE WHEN sret > 0 THEN 1 ELSE 0 END)::BIGINT AS wins,
+           |    sum(flip)::BIGINT AS turnover,
+           |    min(CAST(cum - peak AS DOUBLE)) AS mdd
+           |  FROM i GROUP BY event_type)
+           |SELECT event_type, n_bars,
+           |  round(s1d, 6) AS strat_return,
+           |  round(bh, 6) AS buyhold_return,
+           |  round(wins / nd, 6) AS hit_rate,
+           |  turnover,
+           |  round((s1d / nd) / sqrt((s2d - s1d * s1d / nd) / (nd - 1)) * $sq, 6)
+           |    AS strat_sharpe,
+           |  round(mdd, 6) AS max_drawdown
+           |FROM j ORDER BY event_type""".stripMargin
+    },
 
     "stat_mann_kendall" -> (barsSql +
       """, pr AS (

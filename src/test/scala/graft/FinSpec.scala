@@ -187,6 +187,41 @@ class FinSpec extends SparkSpec {
       s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
   }
 
+  test("fin_backtest_signal matches a driver-side backtest replay") {
+    val rows = SparkEntry.queries("fin_backtest_signal")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for (tpe <- Seq("click", "purchase")) {
+      val px = barsOf(tpe).map(_._2)
+      // replay: SMA(20) complete windows, next-bar log return, ±1 signal
+      val recs = (19 until px.length - 1).flatMap { i =>
+        val sma = px.slice(i - 19, i + 1).sum / 20
+        if (px(i) > 0 && px(i + 1) > 0) {
+          val sig = if (px(i) > sma) 1 else -1
+          val ret = math.rint(math.log(px(i + 1) / px(i)) * 1e6) / 1e6
+          Some((sig, sig * ret, ret))
+        } else None
+      }
+      val r = rows(tpe)
+      assert(r.getAs[Long]("n_bars") == recs.length)
+      val strat = math.rint(recs.map(_._2).sum * 1e6) / 1e6
+      val bh = math.rint(recs.map(_._3).sum * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("strat_return") - strat) < 2e-6,
+        s"$tpe strat ${r.getAs[Double]("strat_return")} vs $strat")
+      assert(math.abs(r.getAs[Double]("buyhold_return") - bh) < 2e-6)
+      val flips = recs.map(_._1).sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      assert(r.getAs[Long]("turnover") == flips, s"$tpe turnover")
+      val hit = recs.count(_._2 > 0).toDouble / recs.length
+      assert(math.abs(r.getAs[Double]("hit_rate") - hit) < 1e-5)
+      // max drawdown of the cumulative strategy curve
+      var cum = 0.0; var peak = Double.MinValue; var mdd = 0.0
+      recs.foreach { t =>
+        cum += t._2; peak = math.max(peak, cum); mdd = math.min(mdd, cum - peak) }
+      assert(math.abs(r.getAs[Double]("max_drawdown") - mdd) < 1e-4,
+        s"$tpe mdd ${r.getAs[Double]("max_drawdown")} vs $mdd")
+      assert(r.getAs[Double]("max_drawdown") <= 0.0)
+    }
+  }
+
   test("stat_mann_kendall matches a driver-side pairwise recomputation") {
     val rows = SparkEntry.queries("stat_mann_kendall")(spark, dir)
       .collect().map(r => r.getAs[String]("event_type") -> r).toMap

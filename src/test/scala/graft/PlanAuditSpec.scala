@@ -36,7 +36,11 @@ class PlanAuditSpec extends SparkSpec {
     "stat_chi2_independence",  // crossJoin(broadcast(1-row grand total))
     "mba_frequent_pairs",      // crossJoin(broadcast(1-row basket count))
     "ml_naive_bayes",          // crossJoin(broadcast(k-row param frame + 1-row total))
-    "graph_triangles")         // crossJoin(broadcast(1-row triangle count))
+    "graph_triangles",         // crossJoin(broadcast(1-row triangle count))
+    "stat_benford",            // crossJoin(broadcast(1-row digit total))
+    "ml_survival_km",          // crossJoin(broadcast(1-row span_end/n_users))
+    "agg_rolling_distinct_users", // crossJoin(broadcast(1-row max-day bound))
+    "ts_dtw_pairs")            // crossJoin of the 5-row per-series array frame
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
