@@ -161,6 +161,35 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** LSH-bucketed kNN label classification: every `holdout`-th vector
+    * is a query, candidates come from the SAME LSH bucket (equi-join —
+    * never query×corpus), exact cosine top-k inside the bucket with a
+    * deterministic (rounded-cos desc, id asc) rank, majority vote with
+    * the (count desc, label asc) tiebreak. Returns the per-query
+    * predictions; the query layer collapses them to a confusion
+    * matrix. */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, planes: Seq[Seq[Long]],
+                  holdout: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__bucket", bucketKey(col(vecCol), planes))
+    val queries = keyed.filter(col(idCol) % holdout === 0)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
+        col(labelCol).as("true_label"), col("__bucket"))
+    val corpus = keyed.filter(col(idCol) % holdout =!= 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"),
+        col(labelCol).as("cl"), col("__bucket"))
+    val cand = queries.join(corpus, Seq("__bucket"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val rkw = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val votes = cand.withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") <= k)
+      .groupBy("qid", "true_label", "cl").agg(count(lit(1)).as("v"))
+    val pw = Window.partitionBy("qid").orderBy(col("v").desc, col("cl").asc)
+    votes.withColumn("p", row_number().over(pw)).filter(col("p") === 1)
+      .select(col("qid"), col("true_label"), col("cl").as("pred_label"))
+  }
+
   /** `similarity_ivf`: IVF-style ANN — a KMeans coarse quantizer (nlist
     * centroids, seeded) assigns every corpus vector to an inverted list;
     * each query probes its `nprobe` nearest centroids and searches only

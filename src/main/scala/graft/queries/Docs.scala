@@ -281,6 +281,23 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    /** LSH-BUCKETED kNN CLASSIFICATION — the label-propagation serving
+      * path of a vector index (classify a new embedding by its
+      * neighbors' labels): every 10th vector held out as the query set,
+      * candidates restricted to the SAME 8-plane LSH bucket (the
+      * `similarity_ann_lsh` blocking — an equi-join, never
+      * query×corpus), exact cosine top-5 inside the bucket with a
+      * deterministic (rounded-cos desc, id asc) rank, majority vote
+      * with the (count desc, label asc) tiebreak. Output is the
+      * label-confusion matrix. Full oracle: the twin replays the
+      * identical plane literals, rank, and vote. */
+    "ml_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", Similarity.hyperplanes(ANN_PLANES, ANN_DIM))
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")),
+
     "text_token_count_bpe" -> ((s, d) =>
       // BPE-ish sub-word counting: letter runs, digit runs, and single
       // punctuation marks each count as one token (regex shared verbatim
@@ -1177,6 +1194,39 @@ object Docs {
         |                               ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ml_knn_classify" -> {
+      s"""WITH k AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, label,
+         |         ${duckBucket("embedding::DOUBLE[]")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label, bucket
+         |      FROM k WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS cid, v AS cv, label AS cl, bucket
+         |      FROM k WHERE vec_id % 10 <> 0),
+         |cand AS (
+         |  SELECT q.qid, q.true_label, c.cid, c.cl,
+         |    round(list_dot_product(q.qv, c.cv) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) *
+         |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+         |  FROM q JOIN c ON q.bucket = c.bucket),
+         |top5 AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, cid ASC) AS rk
+         |    FROM cand) WHERE rk <= 5),
+         |votes AS (
+         |  SELECT qid, true_label, cl, count(*) AS v
+         |  FROM top5 GROUP BY qid, true_label, cl),
+         |pred AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY v DESC, cl ASC) AS p
+         |    FROM votes) WHERE p = 1)
+         |SELECT true_label, cl AS pred_label, count(*) AS n
+         |FROM pred GROUP BY true_label, cl
+         |ORDER BY true_label, pred_label""".stripMargin
+    },
 
     "similarity_ann_lsh" -> {
       s"""WITH k AS (

@@ -229,6 +229,45 @@ class SimilaritySpec extends SparkSpec {
       assert(sz > 0 && p > 0.0 && p <= 1.0, s"cluster $c: size=$sz purity=$p") }
   }
 
+  test("knnClassify recovers labels on a cone-clustered synthetic corpus") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    // three well-separated label cones: base direction per label plus
+    // small noise — cosine neighbors share the label by construction
+    val base = Array.tabulate(3, dim)((l, i) => if (i % 3 == l) 1.0 else 0.05)
+    val rows = (0 until 120).map { id =>
+      val l = id % 3
+      val v = Array.tabulate(dim)(i =>
+        (base(l)(i) + rnd.nextGaussian() * 0.02).toFloat)
+      (id.toLong, v.toSeq, l)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, "vec_id", "embedding", "label",
+        Similarity.hyperplanes(8, dim))
+      .collect()
+    assert(out.length == 12, "every 10th vector classified")
+    out.foreach(r => assert(r.getAs[Int]("pred_label") == r.getAs[Int]("true_label"),
+      s"misclassified: $r"))
+  }
+
+  test("ml_knn_classify: one confusion cell per classified query, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ml_knn_classify")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val e = graft.Tables.embeddings(spark, dir)
+    val nQueries = e.filter(org.apache.spark.sql.functions.expr("vec_id % 10 = 0")).count()
+    val classified = rows.map(_.getAs[Long]("n")).sum
+    // every classified query contributes exactly one confusion cell;
+    // bucket-empty queries may drop, never duplicate (the real
+    // harness embeddings have label-agnostic angular structure, so
+    // accuracy here is a data property, not an operator law — the
+    // synthetic cone test above pins the accuracy behavior)
+    assert(classified <= nQueries && classified > 0)
+    val again = SparkEntry.queries("ml_knn_classify")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("ml_calibration_bins: reliability-table laws on the quality classifier") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("ml_calibration_bins")(spark, dir).collect()
