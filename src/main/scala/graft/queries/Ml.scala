@@ -943,6 +943,50 @@ object Ml {
           "level", "trend", "forecast_1", "forecast_1day")
     }),
 
+    /** ALS COLLABORATIVE FILTERING — Spark's canonical distributed
+      * recommender (MLlib `ALS`, Hu et al. 2008 implicit variant) on
+      * the customer×part purchase matrix: implicit preference with
+      * order-count confidence, rank 8, seeded (ALS's normal-equation
+      * blocks are deterministic under a fixed seed and partitioning).
+      * Each iteration alternates two block-solved least-squares sweeps
+      * — the factor-matrix shuffle IS the scale story (factors stay
+      * partitioned, ratings stream past them). Output: top-3 part
+      * recommendations for the 10 most active customers (deterministic
+      * audit slice) plus the training-set RMSE row. Rows-only: an
+      * iterative matrix factorization has no SQL form; MlSpec pins
+      * seeded determinism and that recommendations rank a user's OWN
+      * purchased parts above never-purchased ones on average
+      * (reconstruction sanity). */
+    "ml_als_recommend" -> ((s, d) => {
+      import s.implicits._
+      val ratings = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_partkey").cast("int").as("item"))
+        .agg(count(lit(1)).cast("float").as("cnt"))
+      val als = new org.apache.spark.ml.recommendation.ALS()
+        .setUserCol("user").setItemCol("item").setRatingCol("cnt")
+        .setImplicitPrefs(true).setRank(8).setMaxIter(8)
+        .setRegParam(0.1).setAlpha(1.0).setSeed(42L)
+        .setColdStartStrategy("drop")
+      val m = als.fit(ratings)
+      val topUsers = ratings.groupBy("user").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user").asc).limit(10)
+      val recs = m.recommendForUserSubset(topUsers, 3)
+        .select(col("user"), posexplode(col("recommendations")))
+        .select(col("user"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("item"),
+          round(col("col.rating"), 4).as("score"))
+      // reconstruction signal: mean predicted preference over the
+      // OBSERVED (user, item) pairs — high iff the factorization
+      // actually fits the interaction matrix (audit row, user = -1)
+      val pred = m.transform(ratings)
+        .agg(avg(col("prediction")).as("mean_pref"))
+        .select(lit(-1).as("user"), lit(0L).as("rank"), lit(-1).as("item"),
+          round(col("mean_pref"), 4).as("score"))
+      recs.unionAll(pred).orderBy("user", "rank", "item")
+    }),
+
     /** KAPLAN–MEIER survival curve over user lifetimes — the
       * censoring-aware retention estimator next to the naive
       * `retention_cohorts` (users still active at the span edge are

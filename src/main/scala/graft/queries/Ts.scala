@@ -798,6 +798,75 @@ object Ts {
       * sorted group order (deterministic 5-term accumulation, the
       * `agg_mutual_information` convention). Reports F, both df, and
       * η² (SSB/SST) — the effect size the EDA notebook would read. */
+    /** LAST-TOUCH ATTRIBUTION — the marketing-analytics staple over the
+      * event stream: each purchase is credited to the user's most
+      * recent non-purchase touch within 24 h (the classic lookback
+      * window), unmatched purchases land in the 'none' bucket. The
+      * point-in-time pick IS `Joins.asof` with a tolerance — one keyed
+      * union-window shuffle, no non-equi join — and the credit report
+      * is one channel-sized aggregation with a window share. Touches
+      * are deduped per (user, µs) with a deterministic tiebreak so the
+      * ASOF twin picks identically. */
+    "attribution_last_touch" -> ((s, d) => {
+      val winUs = 86400000000L
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"), col("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "t")
+      val touch = graft.operators.Relational.dedupByKey(
+        ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("t"), col("event_type").as("ch")),
+        Seq("user_id", "t"), Seq(col("ch").desc))
+      val credited = graft.operators.Joins.asof(purch, touch, Seq("user_id"),
+          "t", "t", Seq("ch"), tolerance = Some(winUs))
+        .select(coalesce(col("asof_ch"), lit("none")).as("channel"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      credited.groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+        .withColumn("share", round(col("n_purchases") /
+          sum(col("n_purchases")).over(w), 6))
+        .orderBy("channel")
+    }),
+
+    /** LEVENE'S TEST (Brown–Forsythe median variant) — the
+      * variance-homogeneity precondition check in front of
+      * `stat_anova_f` (ANOVA assumes it; this is the test a careful
+      * workflow runs first): W = the one-way F statistic on the
+      * median-centered absolute deviations zᵢⱼ = |xᵢⱼ − medianⱼ|.
+      * Per-group exact medians (one percentile aggregation), the
+      * deviations re-aggregated to k×3 DECIMAL sufficient statistics,
+      * the same 5-term driver assembly as the ANOVA query. Full
+      * oracle. */
+    "stat_levene" -> ((s, d) => {
+      val vals = Tables.events(s, d)
+        .select(col("event_type").as("g"), round(col("value"), 6).as("x"))
+      val med = vals.groupBy("g")
+        .agg(round(expr("percentile(x, 0.5)"), 6).as("m"))
+      val gstats = vals.join(broadcast(med), Seq("g"))
+        .select(col("g"), round(abs(col("x") - col("m")), 6)
+          .cast("decimal(18,6)").as("z"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("z").as("s1"),
+          sum(col("z") * col("z")).as("s2"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue()))
+        .sortBy(_._1)
+      val k = gstats.length
+      val n = gstats.map(_._2).sum
+      val gs1 = gstats.map(_._3).sum
+      val ssw = gstats.map { case (_, ng, s1, s2) => s2 - s1 * s1 / ng }.sum
+      val ssb = gstats.map { case (_, ng, s1, _) => s1 * s1 / ng }.sum -
+        gs1 * gs1 / n
+      val w = (ssb / (k - 1)) / (ssw / (n - k))
+      import s.implicits._
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      // F(4, large) 95% critical value — public constant (k=5 groups)
+      Seq((k.toLong, n, r6(w), (k - 1).toLong, (n - k), 2.372,
+          r6(w) > 2.372))
+        .toDF("k_groups", "n", "w_stat", "df_between", "df_within",
+          "crit_95", "reject_95")
+    }),
+
     "stat_anova_f" -> ((s, d) => {
       val gstats = Tables.events(s, d)
         .select(col("event_type").as("g"),
@@ -2023,6 +2092,53 @@ object Ts {
         |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
         |  (k - 1)::BIGINT AS df_between, (nn - k)::BIGINT AS df_within,
         |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM fin""".stripMargin,
+
+    /** ASOF-joined touch with the 24 h staleness gate, identical dedup
+      * tiebreak, share over the channel frame. */
+    "attribution_last_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+        |purch AS (SELECT user_id, event_id, t FROM ev WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, t, ch FROM (
+        |    SELECT user_id, t, event_type AS ch,
+        |      row_number() OVER (PARTITION BY user_id, t ORDER BY event_type DESC) AS rn
+        |    FROM ev WHERE event_type <> 'purchase')
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT CASE WHEN k.t IS NOT NULL AND p.t - k.t <= 86400000000
+        |           THEN k.ch ELSE 'none' END AS channel
+        |  FROM purch p ASOF LEFT JOIN touch k
+        |    ON p.user_id = k.user_id AND p.t >= k.t),
+        |c AS (SELECT channel, count(*)::BIGINT AS n_purchases FROM j GROUP BY channel)
+        |SELECT channel, n_purchases,
+        |  round(n_purchases / sum(n_purchases) OVER (), 6) AS share
+        |FROM c ORDER BY channel""".stripMargin,
+
+    "stat_levene" ->
+      """WITH vals AS (
+        |  SELECT event_type AS g, round(value, 6) AS x FROM events),
+        |med AS (
+        |  SELECT g, round(quantile_cont(x, 0.5), 6) AS m FROM vals GROUP BY g),
+        |z AS (
+        |  SELECT vals.g, CAST(round(abs(x - m), 6) AS DECIMAL(18,6)) AS z
+        |  FROM vals JOIN med ON vals.g = med.g),
+        |gr AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(z) AS s1, sum(z * z) AS s2
+        |  FROM z GROUP BY g),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(s1::DOUBLE) AS gs1,
+        |    sum(s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) AS ssw,
+        |    sum(s1::DOUBLE * s1::DOUBLE / n) AS ssbp
+        |  FROM gr),
+        |fin AS (SELECT k, nn, ssw, ssbp - gs1 * gs1 / nn AS ssb FROM tot)
+        |SELECT k AS k_groups, nn AS n,
+        |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS w_stat,
+        |  (k - 1)::BIGINT AS df_between, (nn - k)::BIGINT AS df_within,
+        |  2.372 AS crit_95,
+        |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) > 2.372 AS reject_95
         |FROM fin""".stripMargin,
 
     "ts_bollinger" -> (indicatorSeriesSql +

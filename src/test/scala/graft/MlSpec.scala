@@ -589,6 +589,47 @@ class MlSpec extends SparkSpec {
     assert(fine.count() >= 100L, "repair must keep the sparse-SF frame usable")
   }
 
+  test("ALS implicit: recovers block structure on a planted two-community matrix") {
+    val s = spark; import s.implicits._
+    // users 0-9 interact only with items 0-9, users 10-19 only with
+    // items 10-19 — the factorization must score in-block pairs far
+    // above cross-block pairs
+    val obs = for (u <- 0 until 20; i <- 0 until 20
+                   if (u < 10) == (i < 10) && (u + i) % 3 != 0)
+      yield (u, i, 1.0f + (u + i) % 2)
+    val ratings = obs.toDF("user", "item", "cnt")
+    val m = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("cnt")
+      .setImplicitPrefs(true).setRank(4).setMaxIter(10)
+      .setRegParam(0.05).setSeed(42L).fit(ratings)
+    val all = (for (u <- 0 until 20; i <- 0 until 20) yield (u, i))
+      .toDF("user", "item")
+    val scored = m.transform(all).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getFloat(2))).toMap
+    val in = scored.collect { case ((u, i), p) if (u < 10) == (i < 10) => p }
+    val out = scored.collect { case ((u, i), p) if (u < 10) != (i < 10) => p }
+    val (mi, mo) = (in.sum / in.size, out.sum / out.size)
+    assert(mi > mo + 0.3, s"in-block mean $mi must clear cross-block $mo")
+  }
+
+  test("ml_als_recommend: seeded determinism and a healthy reconstruction row") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("ml_als_recommend")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val a = run()
+    assert(a == run(), "seeded ALS must reproduce bit-identically")
+    val rows = SparkEntry.queries("ml_als_recommend")(spark, dir).collect()
+    val audit = rows.filter(_.getAs[Int]("user") == -1)
+    assert(audit.length == 1 && audit.head.getAs[Double]("score") > 0.05,
+      s"observed-pair mean preference too low: ${audit.head}")
+    val recs = rows.filter(_.getAs[Int]("user") != -1)
+    assert(recs.nonEmpty && recs.length <= 30)
+    recs.groupBy(_.getAs[Int]("user")).values.foreach { r =>
+      val byRank = r.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.toSeq == byRank.toSeq.sorted.reverse, "rank order by score")
+    }
+  }
+
   test("huber regression resists planted outliers far better than OLS") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)

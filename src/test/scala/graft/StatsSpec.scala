@@ -120,6 +120,56 @@ class StatsSpec extends SparkSpec {
     assert(got == top.getAs[Long]("cab"), s"pair count mismatch: $got vs $top")
   }
 
+  test("levene (brown-forsythe) matches a driver-side recomputation") {
+    val out = SparkEntry.queries("stat_levene")(spark, dir).head()
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value"), 6))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def median(v: Array[Double]) = {
+      val n = v.length
+      if (n % 2 == 1) v(n / 2) else (v(n / 2 - 1) + v(n / 2)) / 2
+    }
+    val z = vals.map { case (g, x) =>
+      (g, math.rint(math.abs(x - math.rint(median(groups(g)) * 1e6) / 1e6) * 1e6) / 1e6)
+    }
+    val k = groups.size
+    val n = z.length
+    val byG = z.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val grand = z.map(_._2).sum / n
+    val ssb = byG.values.map(v => v.length * math.pow(v.sum / v.length - grand, 2)).sum
+    val ssw = byG.values.map(v => { val m = v.sum / v.length
+      v.map(x => (x - m) * (x - m)).sum }).sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(out.getAs[Long]("k_groups") == k && out.getAs[Long]("n") == n)
+    assert(math.abs(out.getAs[Double]("w_stat") - w) < 1e-3,
+      s"W ${out.getAs[Double]("w_stat")} vs driver $w")
+    assert(out.getAs[Boolean]("reject_95") == (out.getAs[Double]("w_stat") > 2.372))
+  }
+
+  test("last-touch attribution: shares normalize, 'none' bucket re-derived") {
+    val rows = SparkEntry.queries("attribution_last_touch")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_purchases")).sum
+    assert(total == Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count(),
+      "every purchase lands in exactly one bucket")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(!rows.map(_.getAs[String]("channel")).contains("purchase"))
+    // re-derive the unattributed bucket: purchases with no non-purchase
+    // touch in the trailing 24 h
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val none = evs.filter(_._2 == "purchase").count { case (u, _, t) =>
+      !byUser(u).exists(e => e._2 != "purchase" && e._3 <= t &&
+        t - e._3 <= 86400000000L)
+    }
+    val got = rows.find(_.getAs[String]("channel") == "none")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    assert(got == none, s"'none' bucket $got vs driver $none")
+  }
+
   test("item-item cosine: bounds, identity from emitted counts, top pair re-derived") {
     val rows = SparkEntry.queries("ml_item_similarity")(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 25)
