@@ -943,6 +943,44 @@ object Ml {
           "level", "trend", "forecast_1", "forecast_1day")
     }),
 
+    /** ISOLATION FOREST (`operators/IsolationForest.scala`, Liu et al.
+      * 2008) over the 30-minute multivariate frame — the unsupervised
+      * multivariate anomaly detector next to the univariate Hampel/STL
+      * flags: 100 seeded trees trained driver-side on the paper's own
+      * ψ=256 bounded subsample (model-sized — THE property that makes
+      * iForest scale-free), every bucket scored by a narrow
+      * executor-side map walking the broadcast forest (no shuffle at
+      * serving). Emits the top-10 most isolated buckets with scores
+      * plus the frame-wide score moments. Rows-only: 100 random trees
+      * have no SQL form; IsolationForestSpec pins planted-outlier
+      * detection, the score range law, and seeded determinism. */
+    "ml_isolation_forest" -> ((s, d) => {
+      import s.implicits._
+      val frame = ModelingFrame.buildFine(s, d)
+      locally {
+        val feats = ModelingFrame.EventTypes
+        val rows = frame.select(col("bucket_id") +: feats.map(col): _*)
+          .orderBy("bucket_id")
+          .collect().map(r => (r.getLong(0),
+            feats.indices.map(i => r.getDouble(i + 1)).toArray))
+        val psi = math.min(256, rows.length)
+        val forest = graft.operators.IsolationForest.fit(rows.map(_._2), 100, psi)
+        val bc = s.sparkContext.broadcast(forest)
+        val scored = rows.toSeq.toDF("bucket_id", "fv")
+          .as[(Long, Seq[Double])]
+          .map { case (id, fv) =>
+            (id, math.rint(graft.operators.IsolationForest
+              .score(fv.toArray, bc.value, psi) * 1e6) / 1e6)
+          }
+          .toDF("bucket_id", "score")
+        val stats = scored.agg(round(avg("score"), 6).as("mean"),
+          round(max("score"), 6).as("mx")).head()
+        scored.orderBy(col("score").desc, col("bucket_id").asc).limit(10)
+          .withColumn("mean_score", lit(stats.getDouble(0)))
+          .withColumn("is_anomalous", col("score") > 0.6)
+      }
+    }),
+
     /** ALS COLLABORATIVE FILTERING — Spark's canonical distributed
       * recommender (MLlib `ALS`, Hu et al. 2008 implicit variant) on
       * the customer×part purchase matrix: implicit preference with
