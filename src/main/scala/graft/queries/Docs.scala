@@ -281,6 +281,46 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    /** LDA TOPIC MODELING (MLlib EM optimizer, seeded) — the corpus-
+      * organization lens an LLM-data pipeline runs after language ID
+      * (what IS in this corpus?): a deterministic top-200 vocabulary
+      * ((count desc, token asc) — no CountVectorizer tie ambiguity),
+      * documents to sparse count vectors in one narrow typed map, k=4
+      * topics via distributed EM (each iteration one pass over the
+      * doc-term graph), top-8 terms per topic emitted long-form.
+      * Rows-only: an EM fixed point has no SQL form; TextSpec pins
+      * disjoint-vocabulary topic recovery and seeded determinism. */
+    "ml_lda_topics" -> ((s, d) => {
+      import s.implicits._
+      val tk = toked(s, d).select(col("doc_id"), col("toks"))
+      val vocab = tk.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(200)
+        .collect().map(_.getString(0))
+      val vmap = vocab.zipWithIndex.toMap
+      val vecs = tk.as[(Long, Seq[String])]
+        .map { case (id, toks) =>
+          val counts = toks.collect { case w if vmap.contains(w) => vmap(w) }
+            .groupBy(identity).map { case (i, v) => (i, v.size.toDouble) }
+            .toSeq.sortBy(_._1)
+          (id, org.apache.spark.ml.linalg.Vectors.sparse(vocab.length, counts))
+        }
+        .toDF("doc_id", "features")
+      val m = new org.apache.spark.ml.clustering.LDA()
+        .setK(4).setMaxIter(30).setSeed(42L).setOptimizer("em")
+        .setFeaturesCol("features")
+        .fit(vecs)
+      m.describeTopics(8)
+        .select(col("topic"), posexplode(arrays_zip(col("termIndices"), col("termWeights"))))
+        .select(col("topic"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.termIndices").as("ti"),
+          round(col("col.termWeights"), 4).as("weight"))
+        .withColumn("term",
+          element_at(typedLit(vocab.toSeq), col("ti") + 1))
+        .select("topic", "rank", "term", "weight")
+        .orderBy("topic", "rank")
+    }),
+
     /** LSH-BUCKETED kNN CLASSIFICATION — the label-propagation serving
       * path of a vector index (classify a new embedding by its
       * neighbors' labels): every 10th vector held out as the query set,

@@ -96,4 +96,50 @@ class TextSpec extends SparkSpec {
     val kept = rows.map(_.getAs[Long]("kept")).sum
     assert(kept * 2 >= nDocs, s"keep rule dropped more than half: $kept/$nDocs")
   }
+
+  test("ml_lda_topics: 4 topics x 8 ranked terms, weights ordered, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("ml_lda_topics")(spark, dir).collect()
+    val rows = run()
+    assert(rows.length == 32, "4 topics x top-8 terms")
+    rows.groupBy(_.getAs[Int]("topic")).foreach { case (t, r) =>
+      val w = r.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("weight"))
+      assert(w.toSeq == w.toSeq.sorted.reverse, s"topic $t weight order")
+      w.foreach(x => assert(x >= 0 && x <= 1))
+      assert(r.map(_.getAs[String]("term")).distinct.length == 8,
+        s"topic $t terms must be distinct")
+    }
+    assert(rows.map(_.toString).toSeq == run().map(_.toString).toSeq,
+      "seeded EM determinism")
+  }
+
+  test("LDA recovers planted disjoint-vocabulary topics") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(9)
+    // two disjoint vocabularies; each doc draws from exactly one
+    val va = (0 until 20).map(i => s"alpha$i")
+    val vb = (0 until 20).map(i => s"beta$i")
+    val docs = (0 until 60).map { id =>
+      val v = if (id % 2 == 0) va else vb
+      (id.toLong, Seq.fill(30)(v(rnd.nextInt(v.length))))
+    }
+    val vocab = (va ++ vb).toArray
+    val vmap = vocab.zipWithIndex.toMap
+    val vecs = docs.map { case (id, toks) =>
+      val counts = toks.map(vmap).groupBy(identity)
+        .map { case (i, v) => (i, v.size.toDouble) }.toSeq.sortBy(_._1)
+      (id, org.apache.spark.ml.linalg.Vectors.sparse(vocab.length, counts))
+    }.toDF("doc_id", "features")
+    val m = new org.apache.spark.ml.clustering.LDA()
+      .setK(2).setMaxIter(40).setSeed(42L).setOptimizer("em")
+      .setFeaturesCol("features").fit(vecs)
+    val topics = m.describeTopics(10).collect()
+    // each topic's top-10 terms must be (nearly) pure one vocabulary
+    topics.foreach { r =>
+      val terms = r.getAs[scala.collection.Seq[Int]]("termIndices").toSeq.map(vocab)
+      val aShare = terms.count(_.startsWith("alpha")).toDouble / terms.length
+      assert(aShare >= 0.9 || aShare <= 0.1,
+        s"topic ${r.getAs[Int]("topic")} mixes vocabularies: $terms")
+    }
+  }
 }
