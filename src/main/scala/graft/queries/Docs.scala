@@ -281,6 +281,45 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    /** LSH RECALL AUDIT — "measure, don't guess" applied to the
+      * registry's own MinHash blocking: ground truth is the exact
+      * shingle-Jaccard ≥ 0.5 pair set from the brute-force all-pairs
+      * baseline (the `similarity_topk_bruteforce` posture — an audit
+      * runs on a bounded sample, never the corpus), the production
+      * side is the SAME banded pipeline `dedup_minhash_lsh` ships, and
+      * the report buckets truth pairs by Jaccard decile with measured
+      * vs theoretical recall (1−(1−j^r)^b, r=b=4) — the table that
+      * justifies the banding operating point. Expected recall
+      * accumulates as per-pair grid-rounded DECIMALs (exact mean). */
+    "dedup_lsh_recall_audit" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(Text.shingleHashes(col("text"))).as("shl"))
+      val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("ni", size(array_intersect(col("a.shl"), col("b.shl"))))
+        .withColumn("jaccard", col("ni").cast("double") /
+          (size(col("a.shl")) + size(col("b.shl")) - col("ni")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("jaccard"))
+      val found = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 16, numBands = 4, threshold = 0.5)
+        .select(col("id_a").as("fa"), col("id_b").as("fb"), lit(1).as("hit"))
+      truth.join(found,
+          col("id_a") === col("fa") && col("id_b") === col("fb"), "left")
+        .withColumn("decile", least(floor(col("jaccard") * 10), lit(9)).cast("long"))
+        .withColumn("p_theory", round(lit(1.0) -
+          pow(lit(1.0) - pow(col("jaccard"), 4), 4), 6).cast("decimal(18,6)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_found"),
+          sum(col("p_theory")).as("pt_sum"))
+        .select(col("decile"), col("n_true"), col("n_found"),
+          round(col("n_found") / col("n_true"), 6).as("recall"),
+          round(col("pt_sum").cast("double") / col("n_true"), 6)
+            .as("expected_recall"))
+        .orderBy("decile")
+    }),
+
     /** LDA TOPIC MODELING (MLlib EM optimizer, seeded) — the corpus-
       * organization lens an LLM-data pipeline runs after language ID
       * (what IS in this corpus?): a deterministic top-200 vocabulary
@@ -1051,6 +1090,34 @@ object Docs {
 
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM prs ORDER BY id_a, id_b"),
+
+    /** Truth from the brute-force all-pairs shingle Jaccard; found from
+      * the SAME banded `prs` pipeline; per-decile measured vs
+      * 1−(1−j⁴)⁴ expected recall on grid-rounded decimal sums. */
+    "dedup_lsh_recall_audit" -> (lshPairsSql +
+      """, truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.shl, b.shl))::DOUBLE /
+        |    (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shl, b.shl))::DOUBLE /
+        |        (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))) >= 0.5),
+        |j AS (
+        |  SELECT t.jaccard,
+        |    CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    least(CAST(floor(t.jaccard * 10) AS BIGINT), 9) AS decile,
+        |    CAST(round(1.0 - pow(1.0 - pow(t.jaccard, 4), 4), 6)
+        |      AS DECIMAL(18,6)) AS p_theory
+        |  FROM truth t LEFT JOIN prs p
+        |    ON t.id_a = p.id_a AND t.id_b = p.id_b),
+        |g AS (
+        |  SELECT decile, count(*)::BIGINT AS n_true,
+        |    sum(hit)::BIGINT AS n_found, sum(p_theory) AS pt_sum
+        |  FROM j GROUP BY decile)
+        |SELECT decile, n_true, n_found,
+        |  round(n_found / n_true, 6) AS recall,
+        |  round(CAST(pt_sum AS DOUBLE) / n_true, 6) AS expected_recall
+        |FROM g ORDER BY decile""".stripMargin),
 
     /** Pair list → dedup groups: transitive closure via recursive CTE
       * (fine at oracle scale; the engine side is the distributed

@@ -157,4 +157,23 @@ class DedupSpec extends SparkSpec {
         ((r.getAs[Long]("covered"), r.getAs[Double]("dup_frac")))).toMap
     assert(out(1L) == ((2L, 1.0)) && out(2L) == ((2L, 1.0)), s"got $out")
   }
+
+  test("lsh recall audit: found within truth, recall bounded, theory column sane") {
+    val rows = SparkEntry.queries("dedup_lsh_recall_audit")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "the synthetic corpus plants near-dup pairs")
+    rows.foreach { r =>
+      val (nt, nf) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"))
+      assert(nf <= nt, "the banded pipeline verifies, so found is a subset of truth")
+      val rec = r.getAs[Double]("recall")
+      val exp = r.getAs[Double]("expected_recall")
+      assert(rec >= 0 && rec <= 1 && exp > 0 && exp <= 1)
+      assert(r.getAs[Long]("decile") >= 5, "truth pairs all have jaccard >= 0.5")
+    }
+    // the planted near-dups are extreme-overlap pairs: banding theory
+    // predicts near-certain recall there, and the measured value agrees
+    val top = rows.maxBy(_.getAs[Long]("decile"))
+    assert(top.getAs[Double]("expected_recall") > 0.9)
+    assert(top.getAs[Double]("recall") >= top.getAs[Double]("expected_recall") - 0.25)
+  }
 }

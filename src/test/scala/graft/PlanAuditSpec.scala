@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "stat_benford",            // crossJoin(broadcast(1-row digit total))
     "ml_survival_km",          // crossJoin(broadcast(1-row span_end/n_users))
     "agg_rolling_distinct_users", // crossJoin(broadcast(1-row max-day bound))
-    "ts_dtw_pairs")            // crossJoin of the 5-row per-series array frame
+    "ts_dtw_pairs",            // crossJoin of the 5-row per-series array frame
+    "dedup_lsh_recall_audit")  // brute-force truth baseline (audit-sample posture)
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
@@ -49,9 +50,16 @@ class PlanAuditSpec extends SparkSpec {
     }.toMap
   }
 
+  /** The one sanctioned cartesian: MLlib's recommendForUserSubset
+    * scores every (user-block, item-block) factor pair — that blocked
+    * cross IS the recommend-over-all-items algorithm, bounded by
+    * rank-sized factor blocks, not a planner accident. */
+  private val cartesianByDesign = Set("ml_als_recommend")
+
   test("no query plan contains a cartesian product") {
     val offenders = plans.collect {
-      case (n, p) if p.contains("CartesianProduct") => n }
+      case (n, p) if p.contains("CartesianProduct")
+        && !cartesianByDesign(n) => n }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
