@@ -2004,6 +2004,28 @@ object Rel {
         .orderBy("day")
     }),
 
+    /** The SKETCH path of `agg_rolling_distinct_users` — at 100 TB the
+      * exact rolling count-distinct shuffles every (user, window) pair;
+      * the HLL++ variant keeps per-window state at KB-size and
+      * mergeable (rsd 2%), which is how a production metrics store
+      * actually serves rolling MAU. Same contribution explode, sketch
+      * aggregation instead of exact. Rows-only (sketch estimates are
+      * impl-defined); RelationalSpec pins the per-day relative error
+      * against the exact twin. */
+    "agg_rolling_distinct_hll" -> ((s, d) => {
+      val presence = Tables.events(s, d)
+        .select(col("user_id"), Tables.epochDay(col("ts")).cast("long").as("day"))
+        .distinct()
+      val bounds = presence.agg(max("day").as("max_day"))
+      presence
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wday") <= col("max_day"))
+        .groupBy(col("wday").as("day"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("mau7_approx"))
+        .orderBy("day")
+    }),
+
     /** One-pass data-quality audit — the dbt-test / expectations suite
       * as a query: five constraint classes (uniqueness, not-null,
       * accepted values, range, calendar bounds) computed in a SINGLE

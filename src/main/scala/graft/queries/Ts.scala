@@ -1216,6 +1216,50 @@ object Ts {
       * harness data the winner sits near p≈72, NOT the daily 48 the STL
       * queries assume: exactly the kind of fact this scan exists to
       * surface before a seasonal model hardcodes its period. */
+    /** WELCH'S AVERAGED PERIODOGRAM — the variance-reduced upgrade of
+      * `ts_periodogram` (a raw periodogram is an inconsistent
+      * estimator; Welch 1967 averages windowed overlapping segments):
+      * 256-bucket Hann-windowed segments at 50% overlap (each point
+      * feeds ≤ 2 segments — a bounded ×2 explode, not a per-segment
+      * scan), per-(segment, period) DFT power from ONE aggregation,
+      * then the across-segment mean on exact DECIMAL sums. All
+      * trig/window factors grid-rounded so both engines sum identical
+      * operands. */
+    "ts_welch_psd" -> ((s, d) => {
+      val sw = Window.orderBy("bucket")
+      val segLen = 256
+      val stride = 128
+      val ser = indicatorSeries(s, d).filter(col("event_type") === "click")
+        .withColumn("t", row_number().over(sw) - 1)
+      val nTot = ser.count()
+      val maxSeg = math.max(0L, (nTot - segLen) / stride)
+      val mu = ser.agg(avg(col("px"))).head().getDouble(0)
+      val twoPi = 6.283185307179586
+      ser.select(col("t"), round(col("px") - mu, 6).as("c"))
+        .withColumn("k", explode(array(
+          floor(col("t") / stride), floor(col("t") / stride) - 1)))
+        .filter(col("k") >= 0 && col("k") <= maxSeg &&
+          col("t") - col("k") * stride < segLen)
+        .withColumn("tau", col("t") - col("k") * stride)
+        .withColumn("w", round(lit(0.5) *
+          (lit(1.0) - cos(lit(twoPi) * col("tau") / (segLen - 1))), 6))
+        .withColumn("cw", round(col("c") * col("w"), 6))
+        .withColumn("p", explode(array((2 to 96).map(lit(_)): _*)))
+        .withColumn("ang", lit(twoPi) * col("tau") / col("p"))
+        .withColumn("co", round(cos(col("ang")), 6))
+        .withColumn("si", round(sin(col("ang")), 6))
+        .groupBy("k", "p")
+        .agg(sum(col("cw") * col("co")).as("a"),
+          sum(col("cw") * col("si")).as("b"), count(lit(1)).as("n"))
+        .select(col("p"), round((col("a") * col("a") + col("b") * col("b")) *
+          2 / col("n"), 6).cast("decimal(18,6)").as("pw"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_segments"),
+          round(sum(col("pw")).cast("double") / count(lit(1)), 6).as("power"))
+        .select(col("p").as("period"), col("n_segments"), col("power"))
+        .orderBy(col("power").desc, col("period")).limit(10)
+    }),
+
     "ts_periodogram" -> ((s, d) => {
       val sw = Window.orderBy("bucket")
       val ser = indicatorSeries(s, d).filter(col("event_type") === "click")
@@ -2452,6 +2496,41 @@ object Ts {
         |SELECT bs::INT AS block_size, n_blocks, mean_rs,
         |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
         |FROM per_size, reg ORDER BY block_size""".stripMargin),
+
+    /** Same ×2 segment explode, Hann factors and trig on the grid, the
+      * across-segment mean from exact decimal sums. */
+    "ts_welch_psd" -> (indicatorSeriesSql +
+      """, s AS (
+        |  SELECT px, row_number() OVER (ORDER BY bucket) - 1 AS t
+        |  FROM b WHERE event_type = 'click'),
+        |nn AS (SELECT greatest(0, (count(*) - 256) // 128) AS max_seg FROM s),
+        |m AS (SELECT avg(px) AS mu FROM s),
+        |c AS (SELECT t, round(px - mu, 6) AS c FROM s, m),
+        |seg AS (
+        |  SELECT c.t, c.c, c.t // 128 + d.dk AS k
+        |  FROM c, nn, (SELECT unnest([0, -1]) AS dk) d
+        |  WHERE c.t // 128 + d.dk >= 0 AND c.t // 128 + d.dk <= max_seg
+        |    AND c.t - (c.t // 128 + d.dk) * 128 < 256),
+        |wv AS (
+        |  SELECT k, t - k * 128 AS tau,
+        |    round(c * round(0.5 * (1.0 - cos(6.283185307179586 * (t - k * 128) / 255)), 6), 6) AS cw
+        |  FROM seg),
+        |g AS (
+        |  SELECT wv.k, wv.cw, wv.tau, pp.p,
+        |    round(cos(6.283185307179586 * wv.tau / pp.p), 6) AS co,
+        |    round(sin(6.283185307179586 * wv.tau / pp.p), 6) AS si
+        |  FROM wv, (SELECT unnest(generate_series(2, 96)) AS p) pp),
+        |ag AS (
+        |  SELECT k, p, sum(cw * co) AS a, sum(cw * si) AS bb,
+        |    count(*)::BIGINT AS n
+        |  FROM g GROUP BY k, p),
+        |pw AS (
+        |  SELECT p, CAST(round((a * a + bb * bb) * 2 / n, 6) AS DECIMAL(18,6)) AS pw
+        |  FROM ag)
+        |SELECT p::INT AS period, count(*)::BIGINT AS n_segments,
+        |  round(CAST(sum(pw) AS DOUBLE) / count(*), 6) AS power
+        |FROM pw GROUP BY p
+        |ORDER BY power DESC, period LIMIT 10""".stripMargin),
 
     "ts_periodogram" -> (indicatorSeriesSql +
       """, s AS (

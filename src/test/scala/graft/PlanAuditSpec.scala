@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "stat_benford",            // crossJoin(broadcast(1-row digit total))
     "ml_survival_km",          // crossJoin(broadcast(1-row span_end/n_users))
     "agg_rolling_distinct_users", // crossJoin(broadcast(1-row max-day bound))
+    "agg_rolling_distinct_hll",   // crossJoin(broadcast(1-row max-day bound))
     "ts_dtw_pairs",            // crossJoin of the 5-row per-series array frame
     "dedup_lsh_recall_audit")  // brute-force truth baseline (audit-sample posture)
 

@@ -224,6 +224,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.keySet.max == maxDay)
   }
 
+  test("rolling MAU sketch tracks the exact rolling MAU within HLL error") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("agg_rolling_distinct_users")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("mau7")).toMap
+    val approx = SparkEntry.queries("agg_rolling_distinct_hll")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("mau7_approx")).toMap
+    assert(approx.keySet == exact.keySet, "same window days")
+    approx.foreach { case (day, est) =>
+      val e = exact(day)
+      assert(math.abs(est - e).toDouble / e <= 0.05,
+        s"day $day: sketch $est vs exact $e exceeds 5% (rsd 2%)")
+    }
+  }
+
   test("bfs distances match a driver-side queue BFS on the same edge set") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("graph_bfs_distance")(spark, dir)

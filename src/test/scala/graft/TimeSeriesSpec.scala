@@ -169,4 +169,20 @@ class TimeSeriesSpec extends SparkSpec {
     // ŷ = v̂ + y_T + y_{T+1-3} − y_{T-3} = 2 + 9 + 7 − 6 = 12
     assert(approx(TimeSeries.forecastNext(soB, 2.0, Nil, Nil, Seq(9.0, 8.0, 7.0, 6.0)), 12.0))
   }
+
+  test("welch psd: segment count law, positive descending power, full overlap with raw top") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ts_welch_psd")(spark, dir).collect()
+    assert(rows.length == 10)
+    val powers = rows.map(_.getAs[Double]("power"))
+    assert(powers.toSeq == powers.toSeq.sorted.reverse)
+    powers.foreach(p => assert(p >= 0))
+    // every period was measured over the same full segment set
+    val nBars = graft.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .selectExpr("ts_ns div 1800000000000L as b").distinct().count()
+    val expSegs = math.max(0L, (nBars - 256) / 128) + 1
+    rows.foreach(r => assert(r.getAs[Long]("n_segments") == expSegs,
+      s"segments ${r.getAs[Long]("n_segments")} vs $expSegs"))
+  }
 }
