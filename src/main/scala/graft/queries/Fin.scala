@@ -320,6 +320,55 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** HARMONIC REGRESSION per series — the parametric seasonality fit
+      * beside the non-parametric STL: pxₜ ~ α + β·sin(2πt/48) +
+      * γ·cos(2πt/48) (one daily harmonic on the 30-minute grid),
+      * closed-form via DECIMAL-exact sufficient statistics and the
+      * centered 2×2 Gram solve (sin/cos regressors), reported as
+      * amplitude √(β²+γ²), phase atan2(γ, β), and R² — the
+      * interpretable "how big and when is the daily cycle" answer.
+      * Regressors are grid-rounded so both engines sum identical
+      * operands; the t index is the per-series bar rank. */
+    "ml_harmonic_regression" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val twoPi = 6.283185307179586
+      val base = bars(s, d)
+        .withColumn("t", row_number().over(sw) - 1)
+        .withColumn("sn", round(sin(lit(twoPi) * col("t") / 48), 6).cast("decimal(18,6)"))
+        .withColumn("cs", round(cos(lit(twoPi) * col("t") / 48), 6).cast("decimal(18,6)"))
+        .withColumn("y", col("px").cast("decimal(18,6)"))
+      base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("sn").as("ss"),
+          sum("cs").as("sc"), sum(col("sn") * col("sn")).as("sss"),
+          sum(col("cs") * col("cs")).as("scc"), sum(col("sn") * col("cs")).as("ssc"),
+          sum(col("sn") * col("y")).as("ssy"), sum(col("cs") * col("y")).as("scy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("syd", col("sy").cast("double"))
+        .withColumn("ssd", col("ss").cast("double"))
+        .withColumn("scd", col("sc").cast("double"))
+        .withColumn("c11", col("sss").cast("double") - col("ssd") * col("ssd") / col("nd"))
+        .withColumn("c22", col("scc").cast("double") - col("scd") * col("scd") / col("nd"))
+        .withColumn("c12", col("ssc").cast("double") - col("ssd") * col("scd") / col("nd"))
+        .withColumn("cy1", col("ssy").cast("double") - col("ssd") * col("syd") / col("nd"))
+        .withColumn("cy2", col("scy").cast("double") - col("scd") * col("syd") / col("nd"))
+        .withColumn("cyy", col("syy").cast("double") - col("syd") * col("syd") / col("nd"))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("beta", (col("cy1") * col("c22") - col("c12") * col("cy2")) / col("det"))
+        .withColumn("gamma", (col("c11") * col("cy2") - col("cy1") * col("c12")) / col("det"))
+        .withColumn("alpha", col("syd") / col("nd") -
+          col("beta") * (col("ssd") / col("nd")) - col("gamma") * (col("scd") / col("nd")))
+        .select(col("event_type"), col("n"),
+          round(col("alpha"), 6).as("alpha"),
+          round(col("beta"), 6).as("beta"), round(col("gamma"), 6).as("gamma"),
+          round(sqrt(col("beta") * col("beta") + col("gamma") * col("gamma")), 6)
+            .as("amplitude"),
+          round(atan2(col("gamma"), col("beta")), 6).as("phase"),
+          round((col("beta") * col("cy1") + col("gamma") * col("cy2")) / col("cyy"), 6)
+            .as("r2"))
+        .orderBy("event_type")
+    }),
+
     /** SIGNAL BACKTEST — the loop that closes the reference's product
       * story (its `case_trade_signal` emits signals; a desk's next
       * question is ALWAYS "what would they have earned?"): a
@@ -740,6 +789,45 @@ object Fin {
         |  round((2 * ixd - (n_customers + 1) * totd) /
         |    (n_customers * totd), 6) AS gini
         |FROM g ORDER BY nation""".stripMargin,
+
+    "ml_harmonic_regression" -> (barsSql +
+      """, s AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS t,
+        |    CAST(px AS DECIMAL(18,6)) AS y
+        |  FROM b),
+        |r AS (
+        |  SELECT event_type, y,
+        |    CAST(round(sin(6.283185307179586 * t / 48), 6) AS DECIMAL(18,6)) AS sn,
+        |    CAST(round(cos(6.283185307179586 * t / 48), 6) AS DECIMAL(18,6)) AS cs
+        |  FROM s),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, count(*)::DOUBLE AS nd,
+        |    CAST(sum(y) AS DOUBLE) AS syd, CAST(sum(sn) AS DOUBLE) AS ssd,
+        |    CAST(sum(cs) AS DOUBLE) AS scd,
+        |    CAST(sum(sn * sn) AS DOUBLE) AS sss, CAST(sum(cs * cs) AS DOUBLE) AS scc,
+        |    CAST(sum(sn * cs) AS DOUBLE) AS ssc, CAST(sum(sn * y) AS DOUBLE) AS ssy,
+        |    CAST(sum(cs * y) AS DOUBLE) AS scy, CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM r GROUP BY event_type),
+        |cg AS (
+        |  SELECT event_type, n, nd, syd, ssd, scd,
+        |    sss - ssd * ssd / nd AS c11, scc - scd * scd / nd AS c22,
+        |    ssc - ssd * scd / nd AS c12, ssy - ssd * syd / nd AS cy1,
+        |    scy - scd * syd / nd AS cy2, syy - syd * syd / nd AS cyy
+        |  FROM g),
+        |sol AS (
+        |  SELECT *, c11 * c22 - c12 * c12 AS det FROM cg),
+        |bet AS (
+        |  SELECT *, (cy1 * c22 - c12 * cy2) / det AS beta,
+        |    (c11 * cy2 - cy1 * c12) / det AS gamma
+        |  FROM sol)
+        |SELECT event_type, n,
+        |  round(syd / nd - beta * (ssd / nd) - gamma * (scd / nd), 6) AS alpha,
+        |  round(beta, 6) AS beta, round(gamma, 6) AS gamma,
+        |  round(sqrt(beta * beta + gamma * gamma), 6) AS amplitude,
+        |  round(atan2(gamma, beta), 6) AS phase,
+        |  round((beta * cy1 + gamma * cy2) / cyy, 6) AS r2
+        |FROM bet ORDER BY event_type""".stripMargin),
 
     "fin_backtest_signal" -> {
       val sq = math.sqrt(BARS_PER_YEAR)

@@ -943,6 +943,58 @@ object Ml {
           "level", "trend", "forecast_1", "forecast_1day")
     }),
 
+    /** OLS INFLUENCE DIAGNOSTICS — leverage hᵢᵢ and Cook's distance
+      * over the 30-minute frame: the regression-audit table (which rows
+      * MOVE the fit?) every careful OLS workflow reads before trusting
+      * coefficients. The K×K normal matrix accumulates in ONE exact
+      * DECIMAL aggregation; its 6×6 inverse is driver-side metadata
+      * (breeze — the linalg MLlib itself ships), and leverage/Cook
+      * score the WHOLE frame as pure codegen'd quadratic-form COLUMNS
+      * with the inverse inlined as literals (the
+      * `corpus_quality_classifier` serving posture: model-sized driver
+      * state, narrow scoring map, no shuffle). Top-10 by Cook's D with
+      * the 4/n flag. Rows-only (a matrix inverse has no SQL form);
+      * MlSpec pins hat-matrix laws (Σh = p, h ∈ (0,1]) and a
+      * driver-side replay of the top row. */
+    "ml_influence_diagnostics" -> ((s, d) => {
+      val feats = ModelingFrame.EventTypes
+      val df0 = ModelingFrame.buildFine(s, d)
+        .select(col("bucket_id") +: col(ModelingFrame.Target).as("y") +: feats.map(col): _*)
+      val xcols = lit(1.0) +: feats.map(col)
+      val p = xcols.size
+      val prodAggs =
+        (for (i <- 0 until p; j <- i until p) yield
+          sum((xcols(i) * xcols(j)).cast("decimal(38,10)")).as(s"xx_${i}_$j")) ++
+        (0 until p).map(i => sum((xcols(i) * col("y")).cast("decimal(38,10)")).as(s"xy_$i")) :+
+        sum((col("y") * col("y")).cast("decimal(38,10)")).as("yy") :+
+        count(lit(1)).as("n")
+      val r = df0.agg(prodAggs.head, prodAggs.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      val xtx = breeze.linalg.DenseMatrix.tabulate(p, p) { (i, j) =>
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        r.getAs[java.math.BigDecimal](s"xx_${a}_$b").doubleValue()
+      }
+      val xty = breeze.linalg.DenseVector.tabulate(p)(i =>
+        r.getAs[java.math.BigDecimal](s"xy_$i").doubleValue())
+      val ainv = breeze.linalg.inv(xtx)
+      val beta = ainv * xty
+      val s2 = (r.getAs[java.math.BigDecimal]("yy").doubleValue() -
+        (beta dot xty)) / (n - p)
+      // codegen'd scoring columns: inverse + coefficients as literals
+      val hatCol = (for (i <- 0 until p; j <- 0 until p) yield
+        lit(ainv(i, j)) * xcols(i) * xcols(j)).reduce(_ + _)
+      val predCol = (0 until p).map(i => lit(beta(i)) * xcols(i)).reduce(_ + _)
+      df0
+        .withColumn("h", hatCol)
+        .withColumn("resid", col("y") - predCol)
+        .withColumn("cook", (col("resid") * col("resid") * col("h")) /
+          (lit(p) * lit(s2) * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+        .select(col("bucket_id"), round(col("resid"), 6).as("resid"),
+          round(col("h"), 6).as("leverage"), round(col("cook"), 6).as("cooks_d"),
+          (round(col("cook"), 6) > math.rint(4.0 / n * 1e6) / 1e6).as("influential"))
+        .orderBy(col("cooks_d").desc, col("bucket_id").asc).limit(10)
+    }),
+
     /** ISOLATION FOREST (`operators/IsolationForest.scala`, Liu et al.
       * 2008) over the 30-minute multivariate frame — the unsupervised
       * multivariate anomaly detector next to the univariate Hampel/STL

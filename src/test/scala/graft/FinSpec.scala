@@ -187,6 +187,34 @@ class FinSpec extends SparkSpec {
       s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
   }
 
+  test("harmonic regression matches a driver-side least-squares replay") {
+    val rows = SparkEntry.queries("ml_harmonic_regression")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for (tpe <- Seq("click", "view")) {
+      val px = barsOf(tpe).map(_._2)
+      val n = px.length
+      val twoPi = 2 * math.Pi
+      val sn = Array.tabulate(n)(t => math.rint(math.sin(twoPi * t / 48) * 1e6) / 1e6)
+      val cs = Array.tabulate(n)(t => math.rint(math.cos(twoPi * t / 48) * 1e6) / 1e6)
+      def c(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum - a.sum * b.sum / n
+      val (c11, c22, c12) = (c(sn, sn), c(cs, cs), c(sn, cs))
+      val (cy1, cy2, cyy) = (c(sn, px), c(cs, px), c(px, px))
+      val det = c11 * c22 - c12 * c12
+      val beta = (cy1 * c22 - c12 * cy2) / det
+      val gamma = (c11 * cy2 - cy1 * c12) / det
+      val r = rows(tpe)
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-4, s"$tpe beta")
+      assert(math.abs(r.getAs[Double]("gamma") - gamma) < 1e-4, s"$tpe gamma")
+      val amp = math.sqrt(beta * beta + gamma * gamma)
+      assert(math.abs(r.getAs[Double]("amplitude") - amp) < 1e-4)
+      val r2 = (beta * cy1 + gamma * cy2) / cyy
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-4)
+      assert(r.getAs[Double]("r2") >= -1e-9 && r.getAs[Double]("r2") <= 1 + 1e-9)
+    }
+  }
+
   test("fin_backtest_signal matches a driver-side backtest replay") {
     val rows = SparkEntry.queries("fin_backtest_signal")(spark, dir)
       .collect().map(r => r.getAs[String]("event_type") -> r).toMap

@@ -589,6 +589,48 @@ class MlSpec extends SparkSpec {
     assert(fine.count() >= 100L, "repair must keep the sparse-SF frame usable")
   }
 
+  test("influence diagnostics: hat laws hold and the top row replays driver-side") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ml_influence_diagnostics")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("leverage")
+      assert(h > 0 && h <= 1.0 + 1e-9, s"leverage out of range: $r")
+      assert(r.getAs[Double]("cooks_d") >= 0)
+    }
+    val ds = rows.map(_.getAs[Double]("cooks_d"))
+    assert(ds.toSeq == ds.toSeq.sorted.reverse)
+    // driver replay: full OLS via normal equations on the collected
+    // frame; leverage and Cook's D of the query's top row must match
+    val feats = graft.ml.ModelingFrame.EventTypes
+    val frame = graft.ml.ModelingFrame.buildFine(spark, dir)
+      .select(col("bucket_id") +: col(graft.ml.ModelingFrame.Target).as("y") +:
+        feats.map(col): _*).collect()
+    val p = feats.size + 1
+    val xs = frame.map(r => Array(1.0) ++ feats.indices.map(i => r.getDouble(i + 2)))
+    val ys = frame.map(_.getDouble(1))
+    val n = xs.length
+    val xtx = breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) =>
+      xs.map(x => x(i) * x(j)).sum)
+    val xty = breeze.linalg.DenseVector.tabulate(p)(i =>
+      xs.zip(ys).map { case (x, y) => x(i) * y }.sum)
+    val ainv = breeze.linalg.inv(xtx)
+    val beta = ainv * xty
+    val s2 = xs.zip(ys).map { case (x, y) =>
+      val e = y - (0 until p).map(i => beta(i) * x(i)).sum; e * e }.sum / (n - p)
+    // hat trace law: sum of leverages over ALL rows equals p
+    val hAll = xs.map(x => (for (i <- 0 until p; j <- 0 until p)
+      yield ainv(i, j) * x(i) * x(j)).sum)
+    assert(math.abs(hAll.sum - p) < 1e-6, s"trace(H) ${hAll.sum} != $p")
+    val top = rows.head
+    val idx = frame.indexWhere(_.getLong(0) == top.getAs[Long]("bucket_id"))
+    val e = ys(idx) - (0 until p).map(i => beta(i) * xs(idx)(i)).sum
+    val cook = e * e * hAll(idx) / (p * s2 * math.pow(1 - hAll(idx), 2))
+    assert(math.abs(top.getAs[Double]("leverage") - hAll(idx)) < 1e-4)
+    assert(math.abs(top.getAs[Double]("cooks_d") - cook) < 1e-3,
+      s"cook ${top.getAs[Double]("cooks_d")} vs driver $cook")
+  }
+
   test("ALS implicit: recovers block structure on a planted two-community matrix") {
     val s = spark; import s.implicits._
     // users 0-9 interact only with items 0-9, users 10-19 only with
