@@ -943,6 +943,36 @@ object Ml {
           "level", "trend", "forecast_1", "forecast_1day")
     }),
 
+    /** GAUSSIAN MIXTURE over the (click, purchase) plane — the SOFT
+      * clustering completion of the family (`ml_kmeans` partitions,
+      * `ml_hmm_regimes` adds time; GMM gives static density-based
+      * posteriors): seeded MLlib EM, k=3, full covariances. Output per
+      * component: weight, means, covariance diagonal, and the MAP
+      * cluster size — the mixture summary an EDA reads. Rows-only (an
+      * EM fixed point has no SQL form); MlSpec pins planted
+      * two-Gaussian recovery and seeded determinism. */
+    "ml_gmm_clusters" -> ((s, d) => {
+      import s.implicits._
+      val pts = ModelingFrame.buildFine(s, d)
+        .select(col("bucket_id"), col("click"), col("purchase"))
+      val train = Models.assemble(pts, Seq("click", "purchase"))
+      val m = new org.apache.spark.ml.clustering.GaussianMixture()
+        .setK(3).setMaxIter(60).setTol(1e-6).setSeed(42L)
+        .setFeaturesCol(Models.FeaturesCol)
+        .fit(train)
+      val sizes = m.transform(train).groupBy("prediction")
+        .agg(count(lit(1)).as("n_points"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      (0 until 3).map { k =>
+        val g = m.gaussians(k)
+        (k.toLong, r6(m.weights(k)), r6(g.mean(0)), r6(g.mean(1)),
+          r6(g.cov(0, 0)), r6(g.cov(1, 1)), sizes.getOrElse(k, 0L))
+      }.toDF("component", "weight", "mean_click", "mean_purchase",
+        "var_click", "var_purchase", "n_points")
+        .orderBy("component")
+    }),
+
     /** OLS INFLUENCE DIAGNOSTICS — leverage hᵢᵢ and Cook's distance
       * over the 30-minute frame: the regression-audit table (which rows
       * MOVE the fit?) every careful OLS workflow reads before trusting

@@ -589,6 +589,35 @@ class MlSpec extends SparkSpec {
     assert(fine.count() >= 100L, "repair must keep the sparse-SF frame usable")
   }
 
+  test("GMM recovers a planted two-Gaussian mixture; query is seeded-deterministic") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (Seq.fill(200)((rnd.nextGaussian() * 0.5, rnd.nextGaussian() * 0.5)) ++
+      Seq.fill(200)((8.0 + rnd.nextGaussian() * 0.5, 8.0 + rnd.nextGaussian() * 0.5)))
+      .toDF("a", "b")
+    val train = Models.assemble(pts, Seq("a", "b"))
+    val m = new org.apache.spark.ml.clustering.GaussianMixture()
+      .setK(2).setMaxIter(80).setTol(1e-8).setSeed(42L)
+      .setFeaturesCol(Models.FeaturesCol).fit(train)
+    val means = m.gaussians.map(g => (g.mean(0), g.mean(1))).sortBy(_._1)
+    assert(math.abs(means(0)._1) < 0.3 && math.abs(means(0)._2) < 0.3,
+      s"component near origin: ${means(0)}")
+    assert(math.abs(means(1)._1 - 8) < 0.3 && math.abs(means(1)._2 - 8) < 0.3,
+      s"component near (8,8): ${means(1)}")
+    m.weights.foreach(w => assert(w > 0.4 && w < 0.6, s"balanced weights: ${m.weights.toSeq}"))
+
+    def run() = SparkEntry.queries("ml_gmm_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    val q = run()
+    assert(q == run(), "seeded EM determinism")
+    val rows = SparkEntry.queries("ml_gmm_clusters")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("var_click") > 0 && r.getAs[Double]("var_purchase") > 0)
+    }
+  }
+
   test("influence diagnostics: hat laws hold and the top row replays driver-side") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("ml_influence_diagnostics")(spark, dir).collect()
