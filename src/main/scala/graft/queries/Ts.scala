@@ -392,6 +392,17 @@ object Ts {
           s"stream_window_live_v${sessionizeRuns.incrementAndGet()}")
         .orderBy("day", "event_type")),
 
+    /** Input/output reconciliation of the live windowed aggregation
+      * (`EventStream.runObservedAuditOnce`): observed pre-aggregation
+      * metrics vs materialized post-watermark output — the audit row a
+      * streaming dashboard alerts on. Deterministic under AvailableNow
+      * (single batch ⇒ provably zero drops), so it carries a full
+      * DuckDB oracle; the multi-batch late-drop path is pinned in
+      * StreamingSpec via MemoryStream. */
+    "stream_observe_audit" -> ((s, d) =>
+      graft.streaming.EventStream.runObservedAuditOnce(s, d,
+        s"stream_observe_v${sessionizeRuns.incrementAndGet()}")),
+
     /** Continuous top-k users per 6-hour window
       * (`EventStream.topkWindowed`): the stream maintains watermarked
       * (window, user) counts — the incremental part — and the top-3 is
@@ -1833,6 +1844,18 @@ object Ts {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    /** Single-batch AvailableNow ⇒ input equals output mass exactly. */
+    "stream_observe_audit" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_input,
+        |    round(sum(CAST(value AS DECIMAL(18,2))), 2) AS mass,
+        |    count(DISTINCT (strftime(ts, '%Y-%m-%d'), event_type)) AS n_groups
+        |  FROM events)
+        |SELECT n_input, n_input AS n_output, n_groups::BIGINT AS n_groups,
+        |  CAST(mass AS DOUBLE) AS mass_input, CAST(mass AS DOUBLE) AS mass_output,
+        |  0::BIGINT AS n_dropped
+        |FROM base""".stripMargin,
 
     /** Epoch-aligned 6-hour tumbling windows (Spark's window() aligns
       * to the epoch in UTC) + the same (n desc, user asc) rank. */

@@ -97,6 +97,53 @@ object EventStream {
     runToMemory(windowedAgg(readEvents(spark, dir)), queryName,
       OutputMode.Complete())
 
+  /** Streaming OBSERVABILITY through the `observe` API — the
+    * input-vs-output reconciliation every production stream wants on a
+    * dashboard (watermark drops are SILENT; this makes them a number):
+    * named observed metrics count the pre-aggregation input rows and
+    * value mass per micro-batch, the windowed aggregate emits the
+    * post-watermark output, and the audit row reconciles the two.
+    * Under a single AvailableNow batch nothing can be dropped (the
+    * watermark only advances BETWEEN batches), so the audit's zero is
+    * a real assertion, and the multi-batch late-drop case is driven in
+    * StreamingSpec via MemoryStream. */
+  def windowedAggObserved(events: DataFrame): DataFrame =
+    windowedAgg(events.observe("graft_input",
+      count(lit(1)).as("n_in"),
+      sum(col("value").cast("decimal(18,2)")).as("mass_in")))
+
+  /** Harness entry: run to completion, then reconcile the observed
+    * input metrics (summed across micro-batch progress events) against
+    * the materialized output. */
+  def runObservedAuditOnce(spark: SparkSession, dir: String,
+                           queryName: String): DataFrame = {
+    val df = windowedAggObserved(readEvents(spark, dir))
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (nIn, massIn) = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_input")))
+      .map(r => (r.getAs[Long]("n_in"),
+        Option(r.getAs[java.math.BigDecimal]("mass_in"))
+          .map(_.doubleValue()).getOrElse(0.0)))
+      .foldLeft((0L, 0.0)) { case ((a, b), (c, e)) => (a + c, b + e) }
+    val out = spark.table(queryName)
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_out"),
+        sum(col("sum_value")).as("mass_out")).head()
+    spark.catalog.dropTempView(queryName)
+    import spark.implicits._
+    def r2(v: Double) = math.rint(v * 100) / 100
+    Seq((nIn, out.getAs[Long]("n_out"), out.getAs[Long]("n_groups"),
+        r2(massIn), r2(out.getAs[Double]("mass_out")),
+        nIn - out.getAs[Long]("n_out")))
+      .toDF("n_input", "n_output", "n_groups", "mass_input", "mass_output",
+        "n_dropped")
+  }
+
   /** Continuously-maintained per-window user activity counts — the
     * state behind a live "top users right now" panel: watermarked
     * 6-hour tumbling windows keyed by (window, user). The stream

@@ -21,6 +21,52 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("observe audit: single-batch run reconciles to zero dropped rows") {
+    val got = EventStream.runObservedAuditOnce(spark, dir, "obs_audit_test").head()
+    assert(got.getAs[Long]("n_dropped") == 0L, s"single batch cannot drop: $got")
+    assert(got.getAs[Long]("n_input") == got.getAs[Long]("n_output"))
+    assert(got.getAs[Long]("n_input") ==
+      Tables.events(spark, dir).count())
+    assert(math.abs(got.getAs[Double]("mass_input") -
+      got.getAs[Double]("mass_output")) < 0.01)
+  }
+
+  test("observe audit: a late row past the watermark is counted in, dropped from output") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)](
+      44, spark, None)
+    val dayUs = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val t0 = 1700000000000000L
+    val q = EventStream.windowedAggObserved(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("obs_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: one row on day 1, one 3 days later (watermark = max - 1 day
+      // after this batch finalizes day 1's window)
+      mem.addData(Seq((ts(t0), "click", 1.0), (ts(t0 + 3 * dayUs), "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE row back on day 1 — behind the watermark, dropped
+      // by the aggregation, but the observe() metric still counts it
+      mem.addData(Seq((ts(t0 + 1000), "click", 1.0)))
+      q.processAllAvailable()
+      // batch 3: advance far so remaining windows finalize and emit
+      mem.addData(Seq((ts(t0 + 10 * dayUs), "click", 1.0)))
+      q.processAllAvailable()
+      val nIn = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_input")))
+        .map(_.getAs[Long]("n_in")).sum
+      assert(nIn == 4L, s"observe() must count every arriving row, got $nIn")
+      val day1 = spark.table("obs_late")
+        .filter(col("day") === "2023-11-14")
+        .collect()
+      assert(day1.length == 1 && day1.head.getAs[Long]("n") == 1L,
+        s"the late day-1 row must NOT re-open the finalized window: ${day1.toSeq}")
+    } finally { q.stop(); spark.catalog.dropTempView("obs_late"); () }
+  }
+
   test("streaming topk maintains counts incrementally: equals the batch rank (availableNow)") {
     import org.apache.spark.sql.expressions.Window
     val got = EventStream.runTopkOnce(spark, dir, "topk_test")
