@@ -59,6 +59,41 @@ object Corpus {
   private val BPE_MERGES = 20
 
   val qs: Map[String, Q] = Map(
+    /** JENSEN–SHANNON drift between corpus halves — the mixture-shift
+      * alarm of an LLM data pipeline (a changed source mix silently
+      * changes the model; `drift_psi` watches a VALUE distribution,
+      * this watches the CATEGORICAL source mix, and JS is symmetric and
+      * bounded in [0, ln 2] where KL is neither): P = source shares of
+      * the first half (doc_id median split), Q = second half, JS =
+      * ½KL(P‖M) + ½KL(Q‖M). Long-form per source with each source's
+      * divergence contribution plus the window total — one aggregation
+      * over the source-cardinality frame. */
+    "corpus_drift_js" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      val counts = docs
+        .withColumn("half", when(col("doc_id") <= mid, "a").otherwise("b"))
+        .groupBy("source")
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .withColumn("ta", sum("na").over(w))
+        .withColumn("tb", sum("nb").over(w))
+        .withColumn("p", col("na") / col("ta"))
+        .withColumn("q", col("nb") / col("tb"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("contrib", round(
+          when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0)) / 2 +
+          when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)) / 2, 6))
+        .select(col("source"), col("na"), col("nb"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+          col("contrib"),
+          round(sum(col("contrib")).over(w), 6).as("js_total"))
+        .orderBy("source")
+    }),
+
     /** BPE TOKENIZER TRAINING (`operators/Bpe.scala`, Sennrich et al.
       * 2016) — the vocabulary-construction step of an LLM pipeline, in
       * its production division of labor: the corpus collapses to the
@@ -316,6 +351,28 @@ object Corpus {
       |""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "corpus_drift_js" ->
+      """WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    sum(CASE WHEN doc_id <= mid.m THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN doc_id <= mid.m THEN 0 ELSE 1 END)::BIGINT AS nb
+        |  FROM documents, mid GROUP BY source),
+        |t AS (
+        |  SELECT *, sum(na) OVER () AS ta, sum(nb) OVER () AS tb FROM c),
+        |pq AS (
+        |  SELECT source, na, nb,
+        |    na / ta AS p, nb / tb AS q, (na / ta + nb / tb) / 2 AS m
+        |  FROM t),
+        |k AS (
+        |  SELECT source, na, nb, p, q,
+        |    round(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END / 2 +
+        |          CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END / 2, 6) AS contrib
+        |  FROM pq)
+        |SELECT source, na, nb, round(p, 6) AS p, round(q, 6) AS q, contrib,
+        |  round(sum(contrib) OVER (), 6) AS js_total
+        |FROM k ORDER BY source""".stripMargin,
+
     "text_chunk_windows" -> (tokedSql +
       s""", c AS (
          |  SELECT doc_id, toks,

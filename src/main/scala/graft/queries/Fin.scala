@@ -320,6 +320,57 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** INTERRUPTED TIME-SERIES analysis per series — the causal-impact
+      * primitive (did something CHANGE at time T?): yₜ ~ α + β·t +
+      * γ·step(t ≥ T) with T at the series midpoint (a deterministic
+      * pseudo-intervention the oracle replays; a real analysis passes
+      * its own T), the segmented-regression model of Wagner et al.
+      * 2002. γ is the level change, its t-statistic from the centered
+      * 2×2 Gram inverse — all from DECIMAL-exact sufficient statistics
+      * cast to double before division (the pack convention). The
+      * verdict pairs with `ml_changepoint_pelt`: PELT finds WHERE,
+      * ITS quantifies and tests a HYPOTHESIZED where. */
+    "ml_intervention_its" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val base = bars(s, d)
+        .withColumn("t", (row_number().over(sw) - 1).cast("double"))
+        .withColumn("n_series", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("step", (col("t") >= col("n_series") / 2).cast("double"))
+        .select(col("event_type"),
+          col("t").cast("decimal(18,6)").as("t"),
+          col("step").cast("decimal(18,6)").as("st"),
+          col("px").cast("decimal(18,6)").as("y"))
+      base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("t").as("s1"),
+          sum("st").as("s2"), sum(col("t") * col("t")).as("s11"),
+          sum(col("st") * col("st")).as("s22"), sum(col("t") * col("st")).as("s12"),
+          sum(col("t") * col("y")).as("sy1"), sum(col("st") * col("y")).as("sy2"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("syd", col("sy").cast("double"))
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("s2d", col("s2").cast("double"))
+        .withColumn("c11", col("s11").cast("double") - col("s1d") * col("s1d") / col("nd"))
+        .withColumn("c22", col("s22").cast("double") - col("s2d") * col("s2d") / col("nd"))
+        .withColumn("c12", col("s12").cast("double") - col("s1d") * col("s2d") / col("nd"))
+        .withColumn("cy1", col("sy1").cast("double") - col("s1d") * col("syd") / col("nd"))
+        .withColumn("cy2", col("sy2").cast("double") - col("s2d") * col("syd") / col("nd"))
+        .withColumn("cyy", col("syy").cast("double") - col("syd") * col("syd") / col("nd"))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("beta", (col("cy1") * col("c22") - col("c12") * col("cy2")) / col("det"))
+        .withColumn("gamma", (col("c11") * col("cy2") - col("cy1") * col("c12")) / col("det"))
+        .withColumn("ssr", col("cyy") - col("beta") * col("cy1") - col("gamma") * col("cy2"))
+        .withColumn("s2e", col("ssr") / (col("nd") - 3))
+        .withColumn("t_gamma", round(col("gamma") /
+          sqrt(col("s2e") * (col("c11") / col("det"))), 4))
+        .select(col("event_type"), col("n"),
+          round(col("beta"), 6).as("trend"),
+          round(col("gamma"), 6).as("level_change"),
+          col("t_gamma"),
+          (abs(col("t_gamma")) > 1.96).as("significant_95"))
+        .orderBy("event_type")
+    }),
+
     /** HARMONIC REGRESSION per series — the parametric seasonality fit
       * beside the non-parametric STL: pxₜ ~ α + β·sin(2πt/48) +
       * γ·cos(2πt/48) (one daily harmonic on the 30-minute grid),
@@ -789,6 +840,51 @@ object Fin {
         |  round((2 * ixd - (n_customers + 1) * totd) /
         |    (n_customers * totd), 6) AS gini
         |FROM g ORDER BY nation""".stripMargin,
+
+    "ml_intervention_its" -> (barsSql +
+      """, s AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+        |      AS DOUBLE) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS n_series,
+        |    CAST(px AS DECIMAL(18,6)) AS y
+        |  FROM b),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(t AS DECIMAL(28,6)) AS t,
+        |    CAST(CASE WHEN t >= n_series / 2.0 THEN 1.0 ELSE 0.0 END
+        |      AS DECIMAL(28,6)) AS st,
+        |    CAST(y AS DECIMAL(28,6)) AS y
+        |  FROM s),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, count(*)::DOUBLE AS nd,
+        |    CAST(sum(y) AS DOUBLE) AS syd, CAST(sum(t) AS DOUBLE) AS s1d,
+        |    CAST(sum(st) AS DOUBLE) AS s2d,
+        |    CAST(sum(t * t) AS DOUBLE) AS s11, CAST(sum(st * st) AS DOUBLE) AS s22,
+        |    CAST(sum(t * st) AS DOUBLE) AS s12, CAST(sum(t * y) AS DOUBLE) AS sy1,
+        |    CAST(sum(st * y) AS DOUBLE) AS sy2, CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM r GROUP BY event_type),
+        |cg AS (
+        |  SELECT event_type, n, nd, syd, s1d, s2d,
+        |    s11 - s1d * s1d / nd AS c11, s22 - s2d * s2d / nd AS c22,
+        |    s12 - s1d * s2d / nd AS c12, sy1 - s1d * syd / nd AS cy1,
+        |    sy2 - s2d * syd / nd AS cy2, syy - syd * syd / nd AS cyy
+        |  FROM g),
+        |sol AS (
+        |  SELECT *, c11 * c22 - c12 * c12 AS det FROM cg),
+        |bet AS (
+        |  SELECT *, (cy1 * c22 - c12 * cy2) / det AS beta,
+        |    (c11 * cy2 - cy1 * c12) / det AS gamma
+        |  FROM sol),
+        |fin AS (
+        |  SELECT *,
+        |    (cyy - beta * cy1 - gamma * cy2) / (nd - 3) AS s2e
+        |  FROM bet)
+        |SELECT event_type, n, round(beta, 6) AS trend,
+        |  round(gamma, 6) AS level_change,
+        |  round(gamma / sqrt(s2e * (c11 / det)), 4) AS t_gamma,
+        |  abs(round(gamma / sqrt(s2e * (c11 / det)), 4)) > 1.96 AS significant_95
+        |FROM fin ORDER BY event_type""".stripMargin),
 
     "ml_harmonic_regression" -> (barsSql +
       """, s AS (

@@ -130,4 +130,26 @@ class CorpusSpec extends SparkSpec {
     // t=3: (30 + 0.5*20 + 0.25*10) / 1.75 = 42.5/1.75
     assert(approx(out(3L), 42.5 / 1.75))
   }
+
+  test("JS drift: bounded by ln 2, contributions sum to the total, driver recount") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("corpus_drift_js")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val js = rows.head.getAs[Double]("js_total")
+    assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9, s"JS out of [0, ln2]: $js")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("js_total") - js) < 1e-9))
+    val sumC = rows.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(sumC - js) < 1e-4, "contributions must sum to the total")
+    // per-source halves partition the corpus
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(r => r.getAs[Long]("na") + r.getAs[Long]("nb")).sum == nDocs)
+    // identical halves law: computing JS of a distribution against
+    // itself is zero — re-derive driver-side with P = Q = overall mix
+    val overall = Tables.documents(spark, dir).groupBy("source").count()
+      .collect().map(_.getLong(1).toDouble)
+    val tot = overall.sum
+    val p = overall.map(_ / tot)
+    val self = p.map(x => x * math.log(x / x) / 2 * 2).sum
+    assert(math.abs(self) < 1e-12)
+  }
 }

@@ -187,6 +187,33 @@ class FinSpec extends SparkSpec {
       s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
   }
 
+  test("interrupted time-series matches a driver-side segmented regression") {
+    val rows = SparkEntry.queries("ml_intervention_its")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for (tpe <- Seq("click", "purchase")) {
+      val y = barsOf(tpe).map(_._2)
+      val n = y.length
+      val t = Array.tabulate(n)(_.toDouble)
+      val st = Array.tabulate(n)(i => if (i >= n / 2.0) 1.0 else 0.0)
+      def c(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, v) => x * v }.sum - a.sum * b.sum / n
+      val (c11, c22, c12) = (c(t, t), c(st, st), c(t, st))
+      val (cy1, cy2, cyy) = (c(t, y), c(st, y), c(y, y))
+      val det = c11 * c22 - c12 * c12
+      val beta = (cy1 * c22 - c12 * cy2) / det
+      val gamma = (c11 * cy2 - cy1 * c12) / det
+      val s2e = (cyy - beta * cy1 - gamma * cy2) / (n - 3)
+      val tg = gamma / math.sqrt(s2e * (c11 / det))
+      val r = rows(tpe)
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("trend") - beta) < 1e-4, s"$tpe trend")
+      assert(math.abs(r.getAs[Double]("level_change") - gamma) < 1e-3, s"$tpe gamma")
+      assert(math.abs(r.getAs[Double]("t_gamma") - tg) < 1e-2, s"$tpe t")
+      assert(r.getAs[Boolean]("significant_95") ==
+        (math.abs(r.getAs[Double]("t_gamma")) > 1.96))
+    }
+  }
+
   test("harmonic regression matches a driver-side least-squares replay") {
     val rows = SparkEntry.queries("ml_harmonic_regression")(spark, dir)
       .collect().map(r => r.getAs[String]("event_type") -> r).toMap
