@@ -320,6 +320,49 @@ object Fin {
       * grid-rounded residual. Verdict decided on the 1e-4-rounded t
       * against the MacKinnon 5% value. The pair frame never exceeds
       * pairs × bars rows; every window partitions by the pair. */
+    /** EMPIRICAL TAIL DEPENDENCE per series pair — the risk question
+      * correlation can't answer (do these markets crash TOGETHER?):
+      * λ_U = P(rank_b > q | rank_a > q) and λ_L mirrored at 1−q,
+      * q = 0.9, from bucket-aligned return midranks (tie-robust,
+      * distribution-free — the empirical copula corner counts). A
+      * Gaussian-like dependence has λ → 0; λ ≫ ρ flags tail
+      * co-movement. Exceedance counting is integer-exact; ranks ride
+      * the same midrank machinery as `stat_spearman`. */
+    "stat_tail_dependence" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val r = bars(s, d)
+        .withColumn("prev", lag(col("px"), 1).over(sw))
+        .filter(col("prev").isNotNull && col("prev") > 0 && col("px") > 0)
+        .select(col("event_type"), col("bucket"),
+          round(log(col("px") / col("prev")), 6).as("r"))
+      val pairs = r.select(col("event_type").as("type_a"), col("bucket"), col("r").as("xa"))
+        .join(r.select(col("event_type").as("type_b"), col("bucket"), col("r").as("xb")),
+          Seq("bucket"))
+        .filter(col("type_a") < col("type_b"))
+      def midrank(c: String): Column = {
+        val rw = Window.partitionBy("type_a", "type_b").orderBy(col(c).asc)
+        val tw = Window.partitionBy(col("type_a"), col("type_b"), col(c))
+        rank().over(rw) + (count(lit(1)).over(tw) - 1) / lit(2.0)
+      }
+      pairs
+        .withColumn("ra", midrank("xa"))
+        .withColumn("rb", midrank("xb"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("type_a", "type_b")))
+        .withColumn("ua", col("ra") / (col("nn") + 1))
+        .withColumn("ub", col("rb") / (col("nn") + 1))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ua") > 0.9, 1L).otherwise(0L)).as("na_hi"),
+          sum(when(col("ua") > 0.9 && col("ub") > 0.9, 1L).otherwise(0L)).as("nab_hi"),
+          sum(when(col("ua") < 0.1, 1L).otherwise(0L)).as("na_lo"),
+          sum(when(col("ua") < 0.1 && col("ub") < 0.1, 1L).otherwise(0L)).as("nab_lo"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          col("na_hi"), col("nab_hi"),
+          round(col("nab_hi") / nullif(col("na_hi"), lit(0L)), 6).as("lambda_upper"),
+          round(col("nab_lo") / nullif(col("na_lo"), lit(0L)), 6).as("lambda_lower"))
+        .orderBy("type_a", "type_b")
+    }),
+
     /** INTERRUPTED TIME-SERIES analysis per series — the causal-impact
       * primitive (did something CHANGE at time T?): yₜ ~ α + β·t +
       * γ·step(t ≥ T) with T at the series midpoint (a deterministic
@@ -840,6 +883,39 @@ object Fin {
         |  round((2 * ixd - (n_customers + 1) * totd) /
         |    (n_customers * totd), 6) AS gini
         |FROM g ORDER BY nation""".stripMargin,
+
+    "stat_tail_dependence" -> (barsSql +
+      """, lr AS (
+        |  SELECT event_type, bucket, round(ln(px / prev), 6) AS r
+        |  FROM (SELECT event_type, bucket, px,
+        |          lag(px, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        |        FROM b)
+        |  WHERE prev IS NOT NULL AND prev > 0 AND px > 0),
+        |p AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |    a.bucket AS bucket, a.r AS xa, c.r AS xb
+        |  FROM lr a JOIN lr c ON a.bucket = c.bucket AND a.event_type < c.event_type),
+        |m AS (
+        |  SELECT type_a, type_b,
+        |    rank() OVER (PARTITION BY type_a, type_b ORDER BY xa ASC)
+        |      + (count(*) OVER (PARTITION BY type_a, type_b, xa) - 1) / 2.0 AS ra,
+        |    rank() OVER (PARTITION BY type_a, type_b ORDER BY xb ASC)
+        |      + (count(*) OVER (PARTITION BY type_a, type_b, xb) - 1) / 2.0 AS rb,
+        |    count(*) OVER (PARTITION BY type_a, type_b) AS nn
+        |  FROM p),
+        |u AS (
+        |  SELECT type_a, type_b, ra / (nn + 1) AS ua, rb / (nn + 1) AS ub FROM m),
+        |g AS (
+        |  SELECT type_a, type_b, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN ua > 0.9 THEN 1 ELSE 0 END)::BIGINT AS na_hi,
+        |    sum(CASE WHEN ua > 0.9 AND ub > 0.9 THEN 1 ELSE 0 END)::BIGINT AS nab_hi,
+        |    sum(CASE WHEN ua < 0.1 THEN 1 ELSE 0 END)::BIGINT AS na_lo,
+        |    sum(CASE WHEN ua < 0.1 AND ub < 0.1 THEN 1 ELSE 0 END)::BIGINT AS nab_lo
+        |  FROM u GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, n, na_hi, nab_hi,
+        |  round(nab_hi / nullif(na_hi, 0), 6) AS lambda_upper,
+        |  round(nab_lo / nullif(na_lo, 0), 6) AS lambda_lower
+        |FROM g ORDER BY type_a, type_b""".stripMargin),
 
     "ml_intervention_its" -> (barsSql +
       """, s AS (

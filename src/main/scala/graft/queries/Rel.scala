@@ -1949,6 +1949,36 @@ object Rel {
         .orderBy("day")
     }),
 
+    /** CATEGORICAL ENTROPY PROFILE — the information-content column
+      * audit beside `agg_dtype_counts`' type census: per categorical
+      * column, Shannon entropy in nats and its ln(k)-normalized form
+      * (≈0 ⇒ near-constant column, ≈1 ⇒ uniform), from one
+      * wordcount-shaped aggregation per column over the category-sized
+      * count frame. The feature-selection triage every profiling pass
+      * wants. */
+    "agg_categorical_entropy" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      def profile(df: DataFrame, c: String): DataFrame = {
+        val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.groupBy(col(c).cast("string").as("v"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum("n").over(w))
+          .withColumn("p", col("n") / col("tot"))
+          .agg(count(lit(1)).as("n_categories"),
+            (-sum(col("p") * log(col("p")))).as("h"))
+          .select(lit(c).as("column_name"), col("n_categories"),
+            round(col("h"), 6).as("entropy_nats"),
+            round(col("h") / log(col("n_categories").cast("double")), 6)
+              .as("entropy_norm"))
+      }
+      val pt = Tables.part(s, d)
+      Seq(profile(o, "o_orderstatus"), profile(o, "o_orderpriority"),
+        profile(li, "l_returnflag"), profile(li, "l_linestatus"),
+        profile(pt, "p_brand"))
+        .reduce(_.unionAll(_)).orderBy("column_name")
+    }),
+
     /** KEY-SKEW PROFILE — the diagnostic run BEFORE choosing a shuffle
       * key at 100 TB (this registry's own `join_skew_salted` and
       * `agg_salted_stats` are the mitigations; this is the detector
@@ -3079,6 +3109,21 @@ object Rel {
         |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |SELECT rule, n_violations, n_violations = 0 AS passed
         |FROM rules ORDER BY rule""".stripMargin,
+
+    "agg_categorical_entropy" -> {
+      def one(table: String, c: String) =
+        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_categories,
+           |  round(-sum(p * ln(p)), 6) AS entropy_nats,
+           |  round(-sum(p * ln(p)) / ln(count(*)::DOUBLE), 6) AS entropy_norm
+           |FROM (
+           |  SELECT n / sum(n) OVER () AS p FROM (
+           |    SELECT CAST($c AS VARCHAR) AS v, count(*)::BIGINT AS n
+           |    FROM $table GROUP BY 1))""".stripMargin
+      Seq(one("lineitem", "l_linestatus"), one("lineitem", "l_returnflag"),
+        one("orders", "o_orderpriority"), one("orders", "o_orderstatus"),
+        one("part", "p_brand"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     "agg_skew_report" ->
       """WITH su AS (

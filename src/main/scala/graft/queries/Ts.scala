@@ -809,6 +809,65 @@ object Ts {
       * sorted group order (deterministic 5-term accumulation, the
       * `agg_mutual_information` convention). Reports F, both df, and
       * η² (SSB/SST) — the effect size the EDA notebook would read. */
+    /** MARKOV TRANSITION MATRIX of the per-user event sequence — the
+      * behavioral-analytics complement to the funnel (the funnel tests
+      * ONE path; this maps the whole first-order chain): transitions
+      * from each event to the user's NEXT event on the (t, event_id)
+      * total order, collapsed to P(to | from) with row counts. One
+      * per-user window pass + one k²-sized aggregation. The stationary
+      * distribution of the estimated chain ships separately
+      * (`seq_markov_stationary` — its power iteration has no SQL
+      * form). */
+    "seq_markov_transitions" -> ((s, d) => {
+      val uw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(uw))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("row_total"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    /** Stationary distribution of the estimated user-behavior chain —
+      * where the process SPENDS ITS TIME in the long run (the
+      * page-importance number for behavioral states): deterministic
+      * power iteration on the k×k transition matrix (aggregate-sized
+      * driver state — the `ml_pacf` bound), 100 steps from uniform.
+      * Rows-only: the fixed point has no SQL form; StatsSpec pins the
+      * πP = π law and agreement with the empirical state frequencies
+      * (which for an ergodic chain of observed transitions track the
+      * stationary vector). */
+    "seq_markov_stationary" -> ((s, d) => {
+      import s.implicits._
+      val uw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(uw))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("f"), col("next_type").as("tt"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val states = trans.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+      val k = states.length
+      val p = Array.tabulate(k, k) { (i, j) =>
+        val row = states.indices.map(jj => trans.getOrElse((states(i), states(jj)), 0L)).sum
+        if (row == 0) if (i == j) 1.0 else 0.0
+        else trans.getOrElse((states(i), states(j)), 0L).toDouble / row
+      }
+      var pi = Array.fill(k)(1.0 / k)
+      for (_ <- 1 to 100)
+        pi = Array.tabulate(k)(j => (0 until k).map(i => pi(i) * p(i)(j)).sum)
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      states.indices.map(i => (states(i), r6(pi(i))))
+        .toDF("state", "stationary_p").orderBy("state")
+    }),
+
     /** LAST-TOUCH ATTRIBUTION — the marketing-analytics staple over the
       * event stream: each purchase is credited to the user's most
       * recent non-purchase touch within 24 h (the classic lookback
@@ -2160,6 +2219,21 @@ object Ts {
         |  (k - 1)::BIGINT AS df_between, (nn - k)::BIGINT AS df_within,
         |  round(ssb / (ssb + ssw), 6) AS eta_sq
         |FROM fin""".stripMargin,
+
+    "seq_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |l AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     /** ASOF-joined touch with the 24 h staleness gate, identical dedup
       * tiebreak, share over the channel frame. */

@@ -187,6 +187,45 @@ class FinSpec extends SparkSpec {
       s"$nation gini ${rows.head.getAs[Double]("gini")} vs driver $gini")
   }
 
+  test("tail dependence: lambdas in [0,1], driver recount for one pair") {
+    val rows = SparkEntry.queries("stat_tail_dependence")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      Seq("lambda_upper", "lambda_lower").foreach { c =>
+        Option(r.getAs[Any](c)).foreach { v =>
+          val x = v.asInstanceOf[Double]
+          assert(x >= 0 && x <= 1, s"$c out of range: $r")
+        }
+      }
+      assert(r.getAs[Long]("nab_hi") <= r.getAs[Long]("na_hi"))
+    }
+    // driver recount of the upper-tail exceedance for click/view
+    val a = barsOf("click"); val b = barsOf("view")
+    def rets(s: Array[(Long, Double)]) = s.sliding(2).collect {
+      case Array((_, x), (bk, y)) if x > 0 && y > 0 =>
+        bk -> math.rint(math.log(y / x) * 1e6) / 1e6 }.toMap
+    val (ra, rb) = (rets(a), rets(b))
+    val common = ra.keySet.intersect(rb.keySet).toArray.sorted
+    val xa = common.map(ra); val xb = common.map(rb)
+    def midranks(v: Array[Double]): Array[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.indexWhere(_ == x) + 1
+        val hi = sorted.lastIndexWhere(_ == x) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val n = common.length
+    val (ua, ub) = (midranks(xa).map(_ / (n + 1)), midranks(xb).map(_ / (n + 1)))
+    val naHi = ua.count(_ > 0.9)
+    val nabHi = ua.zip(ub).count { case (p, q) => p > 0.9 && q > 0.9 }
+    val got = rows.find(r => r.getAs[String]("type_a") == "click" &&
+      r.getAs[String]("type_b") == "view").get
+    assert(got.getAs[Long]("n") == n)
+    assert(got.getAs[Long]("na_hi") == naHi && got.getAs[Long]("nab_hi") == nabHi,
+      s"exceedances ${got.getAs[Long]("na_hi")}/${got.getAs[Long]("nab_hi")} vs $naHi/$nabHi")
+  }
+
   test("interrupted time-series matches a driver-side segmented regression") {
     val rows = SparkEntry.queries("ml_intervention_its")(spark, dir)
       .collect().map(r => r.getAs[String]("event_type") -> r).toMap

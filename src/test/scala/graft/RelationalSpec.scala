@@ -159,6 +159,25 @@ class RelationalSpec extends SparkSpec {
       s"expected a supplier hub on top, got ${rows.head}")
   }
 
+  test("categorical entropy: normalized to [0,1], one column replayed driver-side") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_categorical_entropy")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val norm = r.getAs[Double]("entropy_norm")
+      assert(norm >= -1e-9 && norm <= 1.0 + 1e-9, s"norm out of range: $r")
+      assert(r.getAs[Double]("entropy_nats") >= -1e-9)
+    }
+    val counts = Tables.orders(spark, dir).groupBy("o_orderstatus").count()
+      .collect().map(_.getLong(1).toDouble)
+    val tot = counts.sum
+    val h = -counts.map(_ / tot).map(p => p * math.log(p)).sum
+    val got = rows.find(_.getAs[String]("column_name") == "o_orderstatus").get
+    assert(got.getAs[Long]("n_categories") == counts.length)
+    assert(math.abs(got.getAs[Double]("entropy_nats") - h) < 1e-5,
+      s"H ${got.getAs[Double]("entropy_nats")} vs driver $h")
+  }
+
   test("skew report: ordered quantiles, mass conservation, hot-key share re-derived") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("agg_skew_report")(spark, dir)

@@ -120,6 +120,37 @@ class StatsSpec extends SparkSpec {
     assert(got == top.getAs[Long]("cab"), s"pair count mismatch: $got vs $top")
   }
 
+  test("markov chain: row-stochastic transitions, stationary obeys piP = pi") {
+    val trans = SparkEntry.queries("seq_markov_transitions")(spark, dir).collect()
+    val byFrom = trans.groupBy(_.getAs[String]("from_type"))
+    byFrom.foreach { case (f, rows) =>
+      val ps = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(ps - 1.0) < 1e-4, s"row $f sums to $ps")
+    }
+    val pi = SparkEntry.queries("seq_markov_stationary")(spark, dir)
+      .collect().map(r => r.getAs[String]("state") -> r.getAs[Double]("stationary_p")).toMap
+    assert(math.abs(pi.values.sum - 1.0) < 1e-4)
+    // fixed-point law: pi P = pi, with P rebuilt from the transition query
+    val p = trans.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+      r.getAs[Double]("p")))
+    val states = pi.keySet
+    states.foreach { j =>
+      val inflow = p.collect { case (f, t, v) if t == j => pi(f) * v }.sum
+      assert(math.abs(inflow - pi(j)) < 1e-3, s"piP != pi at $j: $inflow vs ${pi(j)}")
+    }
+    // ergodic-chain law: stationary probabilities track the empirical
+    // to-state frequencies of the observed transitions
+    val totals = p.groupBy(_._2).view.mapValues(_ => 0).toMap
+    val counts = trans.groupBy(_.getAs[String]("to_type")).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val all = counts.values.sum.toDouble
+    states.foreach { sst =>
+      assert(math.abs(pi(sst) - counts(sst) / all) < 0.02,
+        s"$sst stationary ${pi(sst)} vs empirical ${counts(sst) / all}")
+    }
+    assert(totals != null)
+  }
+
   test("levene (brown-forsythe) matches a driver-side recomputation") {
     val out = SparkEntry.queries("stat_levene")(spark, dir).head()
     val vals = Tables.events(spark, dir)
