@@ -1,0 +1,480 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Feature-engineering / model-prep pack (round 8, eighth wave) — the
+  * operations that sit between this engine's profiling surface
+  * (`agg_describe`, `agg_skew_report`) and its model fits (`ml_*`): risk
+  * encodings, the hashing trick, snapshot drift audits, graph-derived
+  * features, an exact contingency test, and recursive state-space
+  * smoothing. The reference's pipeline hand-rolls exactly this layer in
+  * pandas between `df_transformed` and the model cells (`app.py:93-113`
+  * builds lag/spread features; the notebooks add ad-hoc encodings) — here
+  * each step is a declarative Spark plan with a DuckDB twin.
+  *
+  * Cross-engine float discipline is the house convention set: inputs
+  * pre-rounded to the 1e-6 grid, counts/sums that feed divisions kept
+  * integer- or DECIMAL-exact (order-independent), doubles only in fixed
+  * expression trees both engines evaluate in the same operation order,
+  * and recursions re-rounded to the 1e-9 grid every step (the
+  * `graph_pagerank` rule) so drift cannot compound.
+  */
+object Feat {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** `$.k` payload as BIGINT — the one JSON field the events table
+    * carries (same extraction as `json_extract_field`). */
+  private def kCol = get_json_object(col("props"), "$.k").cast("long")
+
+  // ------------------------------------------------------------------
+  // ln(x!) as a SHARED SQL expression: exact lookup for x ≤ 20, then the
+  // Stirling–de Moivre series (error < 1e-13 relative for x ≥ 21 — far
+  // below the 1e-9 decision slack and 1e-6 output grid downstream).
+  // Both engines parse the SAME text, so the expression trees — and the
+  // IEEE operation order — are identical; no x! ever overflows because
+  // only LOGS are materialized. Powers are explicit multiplication
+  // chains, not `power()` (libm pow may differ across runtimes;
+  // IEEE multiply may not).
+  // ------------------------------------------------------------------
+  private[graft] def lnFactSql(x: String): String = {
+    val lut = (0 to 20).scanLeft(0.0)((acc, i) => if (i == 0) 0.0 else acc + math.log(i)).tail
+    val cases = (0 to 20).map(i => s"WHEN $x = $i THEN ${if (i <= 1) "0.0" else lut(i).toString}")
+    val xd = s"CAST($x AS DOUBLE)"
+    val stirling =
+      s"0.9189385332046727 + ($xd + 0.5) * ln($xd) - $xd" +
+        s" + 1.0/(12.0*$xd) - 1.0/(360.0*$xd*$xd*$xd)" +
+        s" + 1.0/(1260.0*$xd*$xd*$xd*$xd*$xd) - 1.0/(1680.0*$xd*$xd*$xd*$xd*$xd*$xd*$xd)"
+    s"(CASE ${cases.mkString(" ")} ELSE $stirling END)"
+  }
+
+  /** Fisher's exact test template — ONE text for both engines (the
+    * `sqlFrontDoor` discipline): only the events reference, the JSON
+    * extraction, and the integer-range enumeration clause are dialect
+    * parameters. The 2×2 table is purchase-vs-error × low-k-vs-high-k;
+    * the two-sided p-value sums hypergeometric probabilities of every
+    * table at least as extreme as the observed one (prob ≤ observed,
+    * the standard definition). Numerics: cell counts are exact
+    * integers; log-probabilities come from [[lnFactSql]] (identical
+    * trees); the mirror table's probability is ANALYTICALLY equal to
+    * the observed one but computed in floats, so inclusion carries a
+    * 1e-9 log-domain slack; and the num/den mass sums accumulate
+    * DECIMAL(38,30) (exact under any partition order — the
+    * `stat_anova_f` convention) after a max-shifted exp that also
+    * cancels any shared Stirling bias. Scale shape: one scan for the
+    * cells, then the enumeration is MARGIN-sized (min(r1,c1)+1 rows —
+    * ~20k at sf0.1) and every per-table term is a narrow map; nothing
+    * quadratic, nothing driver-side. */
+  private def fisherSql(events: String, kx: String, enumFrom: String): String = {
+    val lf = lnFactSql _
+    s"""WITH cells AS (
+       |  SELECT CAST(sum(CASE WHEN pos AND lowk THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |         CAST(sum(CASE WHEN pos AND NOT lowk THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |         CAST(sum(CASE WHEN NOT pos AND lowk THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |         CAST(sum(CASE WHEN NOT pos AND NOT lowk THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM (SELECT event_type = 'purchase' AS pos, $kx < 50 AS lowk
+       |        FROM $events WHERE event_type IN ('purchase', 'error')) t),
+       |marg AS (
+       |  SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2,
+       |         a + b + c + d AS n
+       |  FROM cells),
+       |enum AS (
+       |  SELECT m.a, m.r1, m.r2, m.c1, m.c2, m.n, x
+       |  $enumFrom),
+       |lp AS (
+       |  SELECT x, a,
+       |    ${lf("r1")} + ${lf("r2")} + ${lf("c1")} + ${lf("c2")} - ${lf("n")}
+       |      - ${lf("x")} - ${lf("(r1 - x)")} - ${lf("(c1 - x)")}
+       |      - ${lf("(r2 - c1 + x)")} AS l
+       |  FROM enum),
+       |obs AS (SELECT l AS lobs FROM lp WHERE x = a),
+       |mx AS (SELECT max(l) AS m FROM lp),
+       |terms AS (
+       |  SELECT CAST(exp(l - m) AS DECIMAL(38,30)) AS t,
+       |         l <= lobs + 1e-9 AS incl
+       |  FROM lp, mx, obs),
+       |sums AS (
+       |  SELECT sum(t) AS den,
+       |         sum(CASE WHEN incl THEN t ELSE CAST(0 AS DECIMAL(38,30)) END) AS num
+       |  FROM terms)
+       |SELECT a, b, c, d,
+       |  round(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5))
+       |      / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)), 6) AS odds_ratio,
+       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_value
+       |FROM cells, sums""".stripMargin
+  }
+
+  /** The per-invocation temp-view front door (same discipline as
+    * `Rel.sqlFrontDoor`, private there). */
+  private val runs = new java.util.concurrent.atomic.AtomicLong(0)
+  private def withEventsView[T](s: SparkSession, d: String)(f: String => T): T = {
+    val v = s"events_feat_v${runs.incrementAndGet()}"
+    try {
+      Tables.load(s, d, "events").createOrReplaceTempView(v)
+      f(v)
+    } finally { s.catalog.dropTempView(v); () }
+  }
+
+  /** HALF_UP 1e-9 rounding — matches SQL `round(x, 9)` in both engines
+    * (math.rint would be half-even). */
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------------------------
+
+  val qs: Map[String, Q] = Map(
+
+    /** WEIGHT-OF-EVIDENCE ENCODING + information value — the credit-risk
+      * categorical encoding (Siddiqi 2006) this registry's
+      * `feature_target_encode_oof` is the mean-target sibling of: per
+      * k-decile band, WoE = ln(P(band|positive)/P(band|negative)) with
+      * Laplace 0.5 on the band cells (never a ±∞ WoE from an empty
+      * cell), and the band's information-value term. Positives are
+      * purchase events. ONE keyed aggregation over the fact; totals ride
+      * an unpartitioned window over the BAND-sized frame (10 rows — the
+      * repo's bounded-frame window convention). Counts are exact
+      * integers, so both engines divide identical operands. */
+    "feature_woe_encode" -> ((s, d) => {
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select((kCol / 10).cast("long").as("band"),
+          (col("event_type") === "purchase").cast("int").as("pos"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+        .withColumn("tp", sum("n_pos").over(w))
+        .withColumn("tn", sum("n_neg").over(w))
+        .select(col("band"), col("n"), col("n_pos"), col("n_neg"),
+          round(log(((col("n_pos") + 0.5) / col("tp")) /
+            ((col("n_neg") + 0.5) / col("tn"))), 6).as("woe"),
+          round((col("n_pos") / col("tp") - col("n_neg") / col("tn")) *
+            log(((col("n_pos") + 0.5) / col("tp")) /
+              ((col("n_neg") + 0.5) / col("tn"))), 6).as("iv_term"))
+        .orderBy("band")
+    }),
+
+    /** THE HASHING TRICK (Weinberger et al. 2009) — fixed-width
+      * featurization with NO vocabulary pass: feature string
+      * `event_type:k` → md5 → bucket (first 8 hex digits mod 32) and
+      * sign (9th hex digit parity), the signed-sum collision correction
+      * of the original paper. md5 is the house cross-engine hash (the
+      * `corpus_mixture_sample` convention — DuckDB replays it exactly,
+      * unlike xxhash64). Two-phase: per-FEATURE counts first (wordcount
+      * shape, map-side combine), then the 32-bucket collapse; the output
+      * is the bucket census a serving layer ships. At 100 TB this is
+      * the one featurizer whose memory is O(width), not O(vocabulary). */
+    "feature_hashing_trick" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(concat(col("event_type"), lit(":"), kCol.cast("string")).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("cnt"))
+        .select(col("f"), col("cnt"),
+          (expr("conv(substring(md5(f), 1, 8), 16, 10)").cast("long") % 32).as("bucket"),
+          when(expr("conv(substring(md5(f), 9, 1), 16, 10)").cast("long") % 2 === 0, 1L)
+            .otherwise(-1L).as("sign"))
+        .groupBy("bucket")
+        .agg(sum(col("sign") * col("cnt")).as("signed_count"),
+          count(lit(1)).as("n_features"), sum("cnt").as("n_rows"))
+        .orderBy("bucket")),
+
+    /** SNAPSHOT DRIFT AUDIT — the before/after profile diff a pipeline
+      * runs when a new data drop lands (this repo lived the failure mode
+      * it guards: the harness regenerated `/root/testdata` mid-round-7
+      * and every span-sensitive query moved — BENCH_TRIAGE_r07.md). The
+      * fact is split at its integer midpoint day (exact arithmetic on
+      * epoch days); each half's profile — rows, distinct users, distinct
+      * types, value mean, k mean — is computed by CONDITIONAL aggregates
+      * in ONE scan (no second pass, no self-join), means divide
+      * DECIMAL/integer-exact sums, and the long-form metric table is an
+      * unpivot of the single profile row. `drift_psi`/`drift_ks` are the
+      * distribution-shape siblings; this is the schema-level census. */
+    "dq_schema_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(Tables.epochDay(col("ts")).cast("long").as("day"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).cast("decimal(18,6)").as("v"), kCol.as("k"))
+      val mid = ev.agg(((min("day") + max("day") + 1) / 2).cast("long").as("mid"))
+      val early = col("day") < col("mid")
+      val prof = ev.crossJoin(broadcast(mid))
+        .agg(
+          sum(when(early, 1L).otherwise(0L)).as("rows_b"),
+          sum(when(!early, 1L).otherwise(0L)).as("rows_a"),
+          countDistinct(when(early, col("user_id"))).as("users_b"),
+          countDistinct(when(!early, col("user_id"))).as("users_a"),
+          countDistinct(when(early, col("event_type"))).as("types_b"),
+          countDistinct(when(!early, col("event_type"))).as("types_a"),
+          sum(when(early, col("v"))).as("sv_b"),
+          sum(when(!early, col("v"))).as("sv_a"),
+          sum(when(early, col("k")).otherwise(0L)).as("sk_b"),
+          sum(when(!early, col("k")).otherwise(0L)).as("sk_a"))
+      prof.select(expr(
+        """stack(5,
+          |  'n_rows', CAST(rows_b AS DOUBLE), CAST(rows_a AS DOUBLE),
+          |  'n_users', CAST(users_b AS DOUBLE), CAST(users_a AS DOUBLE),
+          |  'n_event_types', CAST(types_b AS DOUBLE), CAST(types_a AS DOUBLE),
+          |  'avg_value', round(CAST(sv_b AS DOUBLE) / rows_b, 6),
+          |              round(CAST(sv_a AS DOUBLE) / rows_a, 6),
+          |  'avg_k', round(CAST(sk_b AS DOUBLE) / rows_b, 6),
+          |          round(CAST(sk_a AS DOUBLE) / rows_a, 6)
+          |) AS (metric, before, after)""".stripMargin))
+        .select(col("metric"), col("before"), col("after"),
+          round((col("after") - col("before")) / col("before"), 6).as("rel_delta"))
+        .orderBy("metric")
+    }),
+
+    /** DEGREE DISTRIBUTION of the co-purchase graph (same support-≥2
+      * edge set as `graph_triangles` — parts co-ordered in ≥2 distinct
+      * orders) — the first diagnostic of any graph workload: a
+      * heavy-tailed degree histogram is WHY `graph_triangles` needs its
+      * degree orientation and `join_skew_salted` its salt. Output is
+      * degree → node count → share; the histogram frame is
+      * degree-domain-sized, so its share window is bounded. */
+    "graph_degree_distribution" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("pa", "pb")
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      edges.select(col("pa").as("node"))
+        .unionAll(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("share", round(col("n_nodes") / sum("n_nodes").over(w), 6))
+        .orderBy("degree")
+    }),
+
+    /** COMMON-NEIGHBOR / JACCARD LINK PREDICTION (Liben-Nowell &
+      * Kleinberg 2003) — scores for node pairs NOT yet connected:
+      * wedges enumerated per center (the one pair-generating step —
+      * keyed by center node, C(deg,2) fan-out bounded by the support
+      * floor exactly as in `graph_triangles`; a production run caps or
+      * samples hub centers first, which the degree histogram above
+      * sizes), distinct-center counts per candidate pair, existing
+      * edges removed by an anti-join, degrees attached broadcast.
+      * Deterministic global top-20 by (common desc, pair). */
+    "graph_common_neighbors" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("pa", "pb")
+      val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      val cand = und.as("e1").join(und.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .groupBy(col("e1.dst").as("u"), col("e2.dst").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .join(edges, col("u") === col("pa") && col("v") === col("pb"), "left_anti")
+      cand
+        .join(broadcast(deg.select(col("src").as("u"), col("deg").as("deg_u"))), "u")
+        .join(broadcast(deg.select(col("src").as("v"), col("deg").as("deg_v"))), "v")
+        .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
+          round(col("common") / (col("deg_u") + col("deg_v") - col("common")), 6)
+            .as("jaccard"))
+        .orderBy(col("common").desc, col("u"), col("v")).limit(20)
+    }),
+
+    /** FISHER'S EXACT TEST (2×2) — the small-cell-safe sibling of
+      * `stat_chi2_independence`: is a purchase (vs error) independent of
+      * the payload band k<50? Runs the SHARED template through
+      * `spark.sql` (see [[fisherSql]] — enumeration is margin-sized,
+      * log-factorials via the shared Stirling/lookup expression, mass
+      * sums DECIMAL-exact). */
+    "stat_fisher_exact" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(fisherSql(v, "CAST(get_json_object(props, '$.k') AS BIGINT)",
+        """FROM marg m LATERAL VIEW explode(sequence(
+          |    CAST(greatest(0, c1 - r2) AS BIGINT),
+          |    CAST(least(r1, c1) AS BIGINT))) ex AS x""".stripMargin))
+    }),
+
+    /** LOCAL-LEVEL KALMAN FILTER per series — the state-space smoother
+      * under `ml_sarimax`'s full MLE machinery, run as a DATA-PARALLEL
+      * per-key scan: events collapse to per-type 30-minute bars (the
+      * `Fin.bars` frame), then each series' filter recursion
+      * (q=0.01, r=1: predict P+q, gain, update) runs INSIDE its group —
+      * the `sessionize_events` shape, distributed ACROSS series, each
+      * group's state O(1). At 100 TB with millions of series this is
+      * exactly how per-entity recursive state runs without a single
+      * sequential bottleneck (and it is the batch twin of
+      * `flatMapGroupsWithState`). Every step re-rounds level/P/gain to
+      * the 1e-9 grid (HALF_UP — SQL `round` semantics, not rint's
+      * half-even) so the DuckDB recursive-CTE oracle replays the
+      * recursion BITWISE; inputs are the 1e-6-rounded bar means. */
+    "ts_kalman_level" -> ((s, d) => {
+      import s.implicits._
+      val bars = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("y"))
+      val out = bars.select("event_type", "bucket", "y").as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          var level = 0.0; var p = 0.0
+          pts.iterator.zipWithIndex.map { case ((_, bucket, y), i) =>
+            val gain =
+              if (i == 0) { level = y; p = 1.0; 1.0 }
+              else {
+                val pp = r9(p + 0.01)
+                val kg = r9(pp / (pp + 1.0))
+                level = r9(level + kg * (y - level))
+                p = r9((1.0 - kg) * pp)
+                kg
+              }
+            (g, bucket, y, level, gain)
+          }
+        }
+      out.toDF("event_type", "bucket", "y", "level", "gain")
+        .orderBy("event_type", "bucket")
+    })
+  )
+
+  // ------------------------------------------------------------------
+
+  val sql: Map[String, String] = Map(
+
+    "feature_woe_encode" ->
+      """WITH cell AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS band,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT band, n, n_pos, n - n_pos AS n_neg,
+        |    sum(n_pos) OVER () AS tp, sum(n - n_pos) OVER () AS tn
+        |  FROM cell)
+        |SELECT band, n, n_pos, n_neg,
+        |  round(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS woe,
+        |  round((n_pos / tp - n_neg / tn)
+        |    * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS iv_term
+        |FROM t ORDER BY band""".stripMargin,
+
+    "feature_hashing_trick" ->
+      """WITH feat AS (
+        |  SELECT event_type || ':' || CAST(json_extract(props, '$.k') AS BIGINT) AS f,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |hashed AS (
+        |  SELECT cnt,
+        |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 32 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(f), 9, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM feat)
+        |SELECT bucket, sum(sign * cnt)::BIGINT AS signed_count,
+        |  count(*)::BIGINT AS n_features, sum(cnt)::BIGINT AS n_rows
+        |FROM hashed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "dq_schema_drift" ->
+      """WITH ev AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS day,
+        |    user_id, event_type,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |prof AS (
+        |  SELECT
+        |    sum(CASE WHEN day < mid THEN 1 ELSE 0 END)::BIGINT AS rows_b,
+        |    sum(CASE WHEN day >= mid THEN 1 ELSE 0 END)::BIGINT AS rows_a,
+        |    count(DISTINCT CASE WHEN day < mid THEN user_id END)::BIGINT AS users_b,
+        |    count(DISTINCT CASE WHEN day >= mid THEN user_id END)::BIGINT AS users_a,
+        |    count(DISTINCT CASE WHEN day < mid THEN event_type END)::BIGINT AS types_b,
+        |    count(DISTINCT CASE WHEN day >= mid THEN event_type END)::BIGINT AS types_a,
+        |    sum(CASE WHEN day < mid THEN v END) AS sv_b,
+        |    sum(CASE WHEN day >= mid THEN v END) AS sv_a,
+        |    sum(CASE WHEN day < mid THEN k ELSE 0 END)::BIGINT AS sk_b,
+        |    sum(CASE WHEN day >= mid THEN k ELSE 0 END)::BIGINT AS sk_a
+        |  FROM ev, mid),
+        |longf AS (
+        |  SELECT 'n_rows' AS metric, rows_b::DOUBLE AS before, rows_a::DOUBLE AS after FROM prof
+        |  UNION ALL SELECT 'n_users', users_b::DOUBLE, users_a::DOUBLE FROM prof
+        |  UNION ALL SELECT 'n_event_types', types_b::DOUBLE, types_a::DOUBLE FROM prof
+        |  UNION ALL SELECT 'avg_value', round(sv_b::DOUBLE / rows_b, 6),
+        |    round(sv_a::DOUBLE / rows_a, 6) FROM prof
+        |  UNION ALL SELECT 'avg_k', round(sk_b::DOUBLE / rows_b, 6),
+        |    round(sk_a::DOUBLE / rows_a, 6) FROM prof)
+        |SELECT metric, "before", "after",
+        |  round(("after" - "before") / "before", 6) AS rel_delta
+        |FROM longf ORDER BY metric""".stripMargin,
+
+    "graph_degree_distribution" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT b1.p AS pa, b2.p AS pb
+        |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS degree FROM (
+        |    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+        |  GROUP BY node),
+        |h AS (SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY degree)
+        |SELECT degree, n_nodes,
+        |  round(n_nodes / sum(n_nodes) OVER (), 6) AS share
+        |FROM h ORDER BY degree""".stripMargin,
+
+    "graph_common_neighbors" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT b1.p AS pa, b2.p AS pb
+        |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (
+        |  SELECT pa AS src, pb AS dst FROM edges
+        |  UNION ALL SELECT pb, pa FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
+        |cand AS (
+        |  SELECT e1.dst AS u, e2.dst AS v, count(*)::BIGINT AS common
+        |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY 1, 2),
+        |new_pairs AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges e WHERE e.pa = c.u AND e.pb = c.v))
+        |SELECT u, v, common, du.deg AS deg_u, dv.deg AS deg_v,
+        |  round(common / (du.deg + dv.deg - common), 6) AS jaccard
+        |FROM new_pairs
+        |JOIN deg du ON du.src = u
+        |JOIN deg dv ON dv.src = v
+        |ORDER BY common DESC, u, v LIMIT 20""".stripMargin,
+
+    "stat_fisher_exact" -> fisherSql("events",
+      "CAST(json_extract(props, '$.k') AS BIGINT)",
+      """FROM marg m, unnest(generate_series(
+        |    CAST(greatest(0, c1 - r2) AS BIGINT),
+        |    CAST(least(r1, c1) AS BIGINT))) AS ex(x)""".stripMargin),
+
+    "ts_kalman_level" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT g, bucket, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY bucket) AS rn
+        |  FROM b),
+        |k AS (
+        |  SELECT g, bucket, y, rn, y AS level, CAST(1.0 AS DOUBLE) AS p,
+        |    CAST(1.0 AS DOUBLE) AS gain
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g, bucket, y, rn,
+        |    round(level + kg * (y - level), 9),
+        |    round((1 - kg) * pp, 9), kg
+        |  FROM (
+        |    SELECT s.g, s.bucket, s.y, s.rn, k.level,
+        |      round(k.p + 0.01, 9) AS pp,
+        |      round(round(k.p + 0.01, 9) / (round(k.p + 0.01, 9) + 1.0), 9) AS kg
+        |    FROM k JOIN s ON s.g = k.g AND s.rn = k.rn + 1) q)
+        |SELECT g AS event_type, bucket, y, level, gain
+        |FROM k ORDER BY event_type, bucket""".stripMargin
+  )
+}
