@@ -296,6 +296,159 @@ object Feat {
           |    CAST(least(r1, c1) AS BIGINT))) ex AS x""".stripMargin))
     }),
 
+    /** MATRIX PROFILE (Yeh et al. 2016) — per-series all-subsequence
+      * nearest neighbors over z-normalized hourly bars (m = 24 ≅ one
+      * day): the motif-and-discord primitive of modern time-series
+      * mining (min of the profile = the series' best-repeated day;
+      * max = its most anomalous one). Shape: windows built by ONE
+      * partitioned frame-collect; the pair stage is the BLOCKED
+      * self-join of the distributed brute-force kNN family (each
+      * window replicated once per 256-window target block, so
+      * parallelism is block-pairs — never one task per series;
+      * exclusion zone |i−j| ≥ m/2 drops trivial matches), and the
+      * per-window argmin is a (series, i)-keyed window rank. Per-series
+      * work is inherently O(n²m) for exact profiles — the scale levers
+      * are the block grid here and per-partition STOMP once a single
+      * series outgrows a task. Numerics: dot/Σ/Σ² accumulate
+      * DECIMAL (exact under any order) from 1e-6-grid bars; μ/σ/dist
+      * are identical double trees in both engines; degenerate
+      * (σ ≈ 0) windows are excluded by a shared rule. */
+    "ts_matrix_profile" -> ((s, d) => {
+      val m = 24
+      val bars = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("bucket", expr("ts_ns div 3600000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("y"))
+        .withColumn("v", col("y").cast("decimal(18,6)"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("bucket")))
+      val frame = Window.partitionBy("event_type").orderBy("idx")
+        .rowsBetween(Window.currentRow, m - 1)
+      val win = bars
+        .withColumn("arr", collect_list(col("v")).over(frame))
+        .withColumn("sv", sum(col("v")).over(frame))
+        .withColumn("sv2", sum(col("v") * col("v")).over(frame))
+        .filter(size(col("arr")) === m)
+        .withColumn("mu", col("sv").cast("double") / lit(24.0))
+        .withColumn("sig", sqrt(greatest(
+          col("sv2").cast("double") / lit(24.0) - col("mu") * col("mu"), lit(0.0))))
+        .filter(col("sig") > 1e-9)
+        .select(col("event_type").as("g"), col("idx"), col("arr"),
+          col("mu"), col("sig"), (col("idx") / 256).cast("long").as("blk"))
+      val nBlk = win.groupBy("g").agg(max("blk").as("max_blk"))
+      val left = win.join(broadcast(nBlk), "g")
+        .withColumn("tb", explode(expr("sequence(0L, max_blk)")))
+      val pairs = left.as("a").join(win.as("b"),
+          col("a.g") === col("b.g") && col("a.tb") === col("b.blk") &&
+            abs(col("a.idx") - col("b.idx")) >= m / 2)
+      // dot via positional explode + DECIMAL sum (exact under any
+      // aggregation order — a fold lambda would hit Spark's decimal
+      // precision-loss rescale at (38,12)+(37,12) and silently drop the
+      // 12th digit the oracle keeps)
+      val dots = pairs
+        .select(col("a.g").as("g"), col("a.idx").as("idx"), col("b.idx").as("j"),
+          col("a.mu").as("mua"), col("b.mu").as("mub"),
+          col("a.sig").as("siga"), col("b.sig").as("sigb"),
+          explode(zip_with(col("a.arr"), col("b.arr"), (x, y) => x * y)).as("p"))
+        .groupBy("g", "idx", "j", "mua", "mub", "siga", "sigb")
+        .agg(sum("p").as("dt"))
+      dots
+        .select(col("g"), col("idx"), col("j"),
+          round(sqrt(greatest(lit(48.0) * (lit(1.0) -
+            (col("dt").cast("double") - lit(24.0) * col("mua") * col("mub")) /
+              (lit(24.0) * col("siga") * col("sigb"))), lit(0.0))), 6).as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("g", "idx").orderBy(col("dist"), col("j"))))
+        .filter(col("rk") === 1)
+        .select(col("g").as("event_type"), col("idx"), col("j").as("nn_idx"),
+          col("dist").as("nn_dist"))
+        .orderBy("event_type", "idx")
+    }),
+
+    /** SHINGLE CONTAINMENT DEDUP — the ASYMMETRIC near-dup relation
+      * whole-doc Jaccard misses (`dedup_ngram_jaccard`'s blind spot): a
+      * short doc quoted inside a long one has high containment
+      * C(A,B) = |S_A∩S_B|/|S_A| but low Jaccard (Broder 1997 defines
+      * both). 5-gram shingles, distinct per doc; shingles with document
+      * frequency > 50 are dropped BEFORE pairing (the Σdf² bound that
+      * keeps the shingle equi-join linear in the corpus — boilerplate
+      * grams are exactly the ones that would explode it, and both
+      * sizes and intersections are defined over the capped universe so
+      * the measure stays self-consistent). One shingle-keyed shuffle
+      * generates candidates; both directions are reported per unordered
+      * pair; the keep rule (max containment ≥ 0.6) is decided on the
+      * 1e-6 grid. */
+    "dedup_containment" -> ((s, d) => {
+      val sh0 = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")))
+          .as("sh"))
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("sh")
+      val cap = sh0.join(rare, "sh")
+      val sz = cap.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      cap.as("a").join(cap.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(sz.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .withColumn("containment_a",
+          round(col("inter").cast("double") / col("n_a"), 6))
+        .withColumn("containment_b",
+          round(col("inter").cast("double") / col("n_b"), 6))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.6)
+        .select("id_a", "id_b", "inter", "n_a", "n_b",
+          "containment_a", "containment_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    /** DATA-SELECTION IMPORTANCE RESAMPLING (DSIR — Xie et al. 2023) —
+      * the pretraining-mix selector one tier above the perplexity
+      * filter: score every raw doc by how much more likely its hashed
+      * unigram features are under a TARGET corpus (here the `en` slice)
+      * than under the raw pool, then keep docs whose length-normalized
+      * log-ratio is positive. Features are md5-hashed token buckets
+      * (width 1024 — memory is O(width), never O(vocabulary); the
+      * `feature_hashing_trick` posture), both LMs are one wordcount
+      * aggregation, the per-bucket log-ratio λ is pre-rounded to the
+      * 1e-6 grid, and per-doc Σλ accumulates DECIMAL (exact under any
+      * partition order — stricter than the perplexity filter's double
+      * sum). Output is the per-source audit: volume, kept, mean score. */
+    "corpus_importance_resample" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .withColumn("b",
+          expr("conv(substring(md5(token), 1, 8), 16, 10)").cast("long") % 1024)
+      val rawC = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgtC = tok.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val lam = rawC.join(tgtC, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+      val tots = lam.agg(sum("cr").as("nr"), sum("ct").as("nt")).head()
+      val (nr, nt) = (tots.getLong(0), tots.getLong(1))
+      val lamR = lam.select(col("b"),
+        round(log(((col("ct") + 0.5) / lit(nt + 0.5 * 1024)) /
+          ((col("cr") + 0.5) / lit(nr + 0.5 * 1024))), 6)
+          .cast("decimal(18,6)").as("lam"))
+      tok.join(lamR, "b")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("slam"))
+        .select(col("doc_id"), col("source"),
+          round(col("slam").cast("double") / col("n_tok"), 6).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
+          round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"))
+        .withColumn("keep_rate", round(col("kept").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     /** LOCAL-LEVEL KALMAN FILTER per series — the state-space smoother
       * under `ml_sarimax`'s full MLE machinery, run as a DATA-PARALLEL
       * per-key scan: events collapse to per-type 30-minute bars (the
@@ -451,6 +604,105 @@ object Feat {
       """FROM marg m, unnest(generate_series(
         |    CAST(greatest(0, c1 - r2) AS BIGINT),
         |    CAST(least(r1, c1) AS BIGINT))) AS ex(x)""".stripMargin),
+
+    "ts_matrix_profile" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS bucket,
+        |    round(avg(value), 6) AS y
+        |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT g, CAST(y AS DECIMAL(18,6)) AS v,
+        |    row_number() OVER (PARTITION BY g ORDER BY bucket) AS idx
+        |  FROM b),
+        |w0 AS (
+        |  SELECT g, idx, list(v) OVER fr AS arr, sum(v) OVER fr AS sv,
+        |    sum(v * v) OVER fr AS sv2
+        |  FROM bi
+        |  WINDOW fr AS (PARTITION BY g ORDER BY idx
+        |                ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
+        |w AS (
+        |  SELECT g, idx, arr, CAST(sv AS DOUBLE) / 24.0 AS mu,
+        |    sqrt(greatest(CAST(sv2 AS DOUBLE) / 24.0
+        |      - (CAST(sv AS DOUBLE) / 24.0) * (CAST(sv AS DOUBLE) / 24.0), 0.0)) AS sig
+        |  FROM w0 WHERE len(arr) = 24),
+        |wf AS (SELECT * FROM w WHERE sig > 1e-9),
+        |pz AS (
+        |  SELECT a.g AS g, a.idx AS idx, b.idx AS j, a.mu AS mua, b.mu AS mub,
+        |    a.sig AS siga, b.sig AS sigb, unnest(list_zip(a.arr, b.arr)) AS z
+        |  FROM wf a JOIN wf b ON a.g = b.g AND abs(a.idx - b.idx) >= 12),
+        |dots AS (
+        |  SELECT g, idx, j, mua, mub, siga, sigb, sum(z[1] * z[2]) AS dt
+        |  FROM pz GROUP BY g, idx, j, mua, mub, siga, sigb),
+        |dist AS (
+        |  SELECT g, idx, j,
+        |    round(sqrt(greatest(48.0 * (1.0
+        |      - (CAST(dt AS DOUBLE) - 24.0 * mua * mub)
+        |        / (24.0 * siga * sigb)), 0.0)), 6) AS dist
+        |  FROM dots),
+        |rk AS (
+        |  SELECT g, idx, j, dist,
+        |    row_number() OVER (PARTITION BY g, idx ORDER BY dist, j) AS rk
+        |  FROM dist)
+        |SELECT g AS event_type, idx, j AS nn_idx, dist AS nn_dist
+        |FROM rk WHERE rk = 1 ORDER BY event_type, idx""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(0, len(toks) - 5),
+        |    i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh
+        |  FROM t WHERE len(toks) >= 5),
+        |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+        |cap AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM cap GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+        |  FROM cap a JOIN cap b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |    round(inter::DOUBLE / sa.n_sh, 6) AS containment_a,
+        |    round(inter::DOUBLE / sb.n_sh, 6) AS containment_b
+        |  FROM pr
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b)
+        |SELECT * FROM sc
+        |WHERE greatest(containment_a, containment_b) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "corpus_importance_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tokb AS (
+        |  SELECT doc_id, source, lang,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 1024 AS b
+        |  FROM t),
+        |rawc AS (SELECT b, count(*)::BIGINT AS cr FROM tokb GROUP BY b),
+        |tgtc AS (SELECT b, count(*)::BIGINT AS ct FROM tokb
+        |         WHERE lang = 'en' GROUP BY b),
+        |j AS (
+        |  SELECT rawc.b, cr, coalesce(ct, 0)::BIGINT AS ct
+        |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b),
+        |tots AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM j),
+        |lam AS (
+        |  SELECT b, CAST(round(ln(
+        |    ((ct + 0.5) / (nt + 0.5 * 1024)) / ((cr + 0.5) / (nr + 0.5 * 1024))
+        |    ), 6) AS DECIMAL(18,6)) AS lam
+        |  FROM j, tots),
+        |pd AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(sum(lam) AS DOUBLE) / count(*), 6) AS score
+        |  FROM tokb JOIN lam USING (b) GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS kept,
+        |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_score,
+        |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS keep_rate
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

@@ -162,6 +162,116 @@ class FeatSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("matrix profile: driver brute-force replay for one series") {
+    val out = SparkEntry.queries("ts_matrix_profile")(spark, dir)
+      .filter(col("event_type") === "purchase").collect()
+      .map(r => r.getAs[Int]("idx") ->
+        (r.getAs[Int]("nn_idx"), r.getAs[Double]("nn_dist"))).toMap
+    assert(out.nonEmpty)
+    // rebuild the hourly bar series and compute the exact z-normalized
+    // profile in plain doubles (the engine's DECIMAL path must agree to
+    // well inside the 1e-6 output grid)
+    val ys = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket", expr("ts_ns div 3600000000000L"))
+      .groupBy("bucket").agg(round(avg(col("value")), 6).as("y"))
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    val m = 24
+    val nw = ys.length - m + 1
+    val stats = (0 until nw).map { i =>
+      val w = ys.slice(i, i + m)
+      val mu = w.sum / m
+      val sig = math.sqrt(math.max(w.map(x => x * x).sum / m - mu * mu, 0.0))
+      (mu, sig)
+    }
+    val valid = (0 until nw).filter(i => stats(i)._2 > 1e-9)
+    for (i <- valid) {
+      var best = (Double.MaxValue, -1)
+      for (j <- valid if math.abs(i - j) >= m / 2) {
+        val dot = (0 until m).map(l => ys(i + l) * ys(j + l)).sum
+        val d2 = 2.0 * m * (1.0 - (dot - m * stats(i)._1 * stats(j)._1) /
+          (m * stats(i)._2 * stats(j)._2))
+        val dd = math.sqrt(math.max(d2, 0.0))
+        if (dd < best._1 - 1e-9) best = (dd, j)
+      }
+      val (gotJ, gotD) = out(i + 1) // engine idx is 1-based row_number
+      assert(math.abs(gotD - best._1) < 1e-4,
+        s"i=$i: dist $gotD vs ${best._1}")
+      // nn index must achieve the same minimum (ties may differ by id)
+      val dotG = (0 until m).map(l => ys(i + l) * ys(gotJ - 1 + l)).sum
+      val dG = math.sqrt(math.max(2.0 * m * (1.0 -
+        (dotG - m * stats(i)._1 * stats(gotJ - 1)._1) /
+          (m * stats(i)._2 * stats(gotJ - 1)._2)), 0.0))
+      assert(math.abs(dG - best._1) < 1e-4)
+    }
+  }
+
+  test("containment dedup: complete driver re-derivation of the pair set") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 5)
+    val shingles = docs.map { case (id, toks) =>
+      id -> toks.sliding(5).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = new scala.collection.mutable.HashMap[String, Int]().withDefaultValue(0)
+    for ((_, ss) <- shingles; sh <- ss) df(sh) += 1
+    val capped = shingles.map { case (id, ss) => id -> ss.filter(df(_) <= 50) }
+    val want = (for {
+      (a, sa) <- capped; (b, sb) <- capped if a < b
+      inter = (sa intersect sb).size
+      if inter > 0 && sa.nonEmpty && sb.nonEmpty
+      ca = inter.toDouble / sa.size; cb = inter.toDouble / sb.size
+      if math.rint(math.max(ca, cb) * 1e6) / 1e6 >= 0.6
+    } yield (a, b, inter)).toSet
+    val got = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Long]("inter").toInt)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    for (r <- rows) {
+      assert(r.getAs[Double]("containment_a") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("containment_b") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("importance resampling: full driver replay of the DSIR pipeline") {
+    val rows = SparkEntry.queries("corpus_importance_resample")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // driver replay: md5-hash buckets, two LMs, per-doc mean log-ratio
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).toSeq))
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    val allB = docs.flatMap(d => d._4.map(bucket))
+    val tgtB = docs.filter(_._3 == "en").flatMap(d => d._4.map(bucket))
+    val cr = allB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tgtB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (allB.length.toLong, tgtB.length.toLong)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lam = cr.keys.map { b =>
+      b -> r6(math.log(((ct.getOrElse(b, 0L) + 0.5) / (nt + 0.5 * 1024)) /
+        ((cr(b) + 0.5) / (nr + 0.5 * 1024))))
+    }.toMap
+    val scores = docs.map { case (_, src, _, toks) =>
+      val s = toks.map(t => lam(bucket(t))).sum
+      src -> r6((s / toks.length).toDouble)
+    }
+    for ((src, grp) <- scores.groupBy(_._1)) {
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == grp.length)
+      assert(r.getAs[Long]("kept") == grp.count(_._2 > 0))
+      val mean = (grp.map(_._2).sum / grp.length).toDouble
+      assert(approx(r.getAs[Double]("mean_score"), r6(mean).toDouble, 1e-6),
+        s"$src mean: ${r.getAs[Double]("mean_score")} vs $mean")
+    }
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)
