@@ -449,6 +449,129 @@ object Feat {
         .orderBy("source")
     }),
 
+    /** MOVING-BLOCK BOOTSTRAP CI (Künsch 1989) — the bootstrap that is
+      * actually valid for AUTOCORRELATED data (`ml_bootstrap_ci` is the
+      * iid form; on a dependent series it understates the variance):
+      * the CI for the mean 30-minute log-return resamples CONTIGUOUS
+      * blocks (L=24 ≅ half a day), preserving within-block dependence.
+      * Scale shape: raw values are touched exactly once — every block's
+      * sum is ONE windowed DECIMAL aggregation, and each of the B=200
+      * resamples is a K-row join against that block-sum table (md5-
+      * derived deterministic offsets both engines replay), so resample
+      * cost is O(B·K) block rows, never O(B·n) values. CI bounds are
+      * exact order statistics over the B resample means; the bootstrap
+      * SE accumulates 1e-9-grid means in DECIMAL. */
+    "ts_block_bootstrap" -> ((s, d) => {
+      val (bB, lL) = (200, 24)
+      val wOrd = Window.orderBy("bucket")
+      val r = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
+        .filter(col("r").isNotNull)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("rd", col("r").cast("decimal(18,6)"))
+      val wBlk = Window.orderBy("rn").rowsBetween(Window.currentRow, lL - 1)
+      val bs = r
+        .withColumn("bsum", sum("rd").over(wBlk))
+        .withColumn("cnt", count(lit(1)).over(wBlk))
+        .filter(col("cnt") === lL)
+        .select(col("rn").as("o"), col("bsum"))
+      val bounds = r.agg(max("rn").cast("long").as("n_r"),
+          sum("rd").as("sr"))
+        .select(col("n_r"), col("sr"),
+          (col("n_r") - (lL - 1)).as("n_off"),
+          expr(s"(n_r + ${lL - 1}) div $lL").as("k_blocks"))
+      val grid = s.range(1, bB + 1).select(col("id").as("b"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("j", explode(expr("sequence(1L, k_blocks)")))
+        .withColumn("o", expr(
+          """CAST(conv(substring(md5(concat(CAST(b AS STRING), ':',
+            |  CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)
+            |  % n_off + 1""".stripMargin))
+      val means = grid.join(bs, "o")
+        .groupBy("b", "k_blocks")
+        .agg((sum("bsum").cast("double") /
+          (col("k_blocks") * lL).cast("double")).as("m"))
+        .select(col("b"),
+          round(col("m"), 9).cast("decimal(18,9)").as("md"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("md"), col("b"))))
+      val ciLo = math.ceil(0.025 * bB).toInt
+      val ciHi = math.ceil(0.975 * bB).toInt
+      val boot = means.agg(
+        count(lit(1)).as("n_resamples"),
+        sum(col("md")).as("s1"), sum(col("md") * col("md")).as("s2"),
+        min(when(col("rk") === ciLo, col("md"))).as("lo"),
+        min(when(col("rk") === ciHi, col("md"))).as("hi"))
+      boot.crossJoin(broadcast(bounds))
+        .select(col("n_r").as("n_ret"), lit(lL).cast("long").as("block_len"),
+          col("n_resamples"),
+          round(col("sr").cast("double") / col("n_r"), 6).as("mean_ret"),
+          round(col("lo").cast("double"), 6).as("ci_lo"),
+          round(col("hi").cast("double"), 6).as("ci_hi"),
+          round(sqrt(greatest(
+            (col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / lit(bB.toDouble)) /
+              lit((bB - 1).toDouble), lit(0.0))), 6).as("se_boot"))
+    }),
+
+    /** K-CORE DECOMPOSITION — coreness per node of the co-purchase
+      * graph via the distributed H-INDEX fixpoint (Lü et al. 2016:
+      * start from degrees, repeatedly replace each node's estimate
+      * with the h-index of its neighbors' estimates; the sequence is
+      * non-increasing and converges to the core number — the
+      * peeling algorithm's result WITHOUT its sequential peel order).
+      * Each round is ONE edge-keyed join + ONE per-node window rank
+      * (h = max over desc-ranked neighbor values of min(rank, value)),
+      * the same cached pre-partitioned edge layout as
+      * `graph_pagerank`; convergence is a driver-checked integer sum
+      * (exact — no float tolerance), localCheckpoint per round keeps
+      * the plan shallow. Output: the coreness histogram. No SQL form
+      * (aggregation inside recursion) → ScalaTest pins equality with
+      * driver-side exact peeling. */
+    "graph_k_core" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("pa", "pb")
+      val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
+        .repartition(col("src")).cache()
+      try {
+        var est = und.groupBy("src").agg(count(lit(1)).cast("long").as("est"))
+          .localCheckpoint()
+        var prevSum = -1L
+        var curSum = est.agg(sum("est")).head().getLong(0)
+        var rounds = 0
+        while (curSum != prevSum && rounds < 30) {
+          val hw = Window.partitionBy("src").orderBy(col("nv").desc, col("dst"))
+          // node-sized estimate frame broadcasts (the pagerank layout
+          // rule): the dst-keyed lookup then preserves und's src
+          // partitioning, so the per-node window rank runs with NO
+          // per-round exchange
+          val next = und
+            .join(broadcast(est.select(col("src").as("dst"), col("est").as("nv"))), "dst")
+            .withColumn("rk", row_number().over(hw))
+            .groupBy("src")
+            .agg(max(least(col("rk").cast("long"), col("nv"))).as("h"))
+            .join(est, "src")
+            .select(col("src"), least(col("est"), col("h")).as("est"))
+            .localCheckpoint()
+          est = next
+          prevSum = curSum
+          curSum = est.agg(sum("est")).head().getLong(0)
+          rounds += 1
+        }
+        est.groupBy(col("est").as("coreness"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("coreness")
+      } finally { und.unpersist(); () }
+    }),
+
     /** LOCAL-LEVEL KALMAN FILTER per series — the state-space smoother
       * under `ml_sarimax`'s full MLE machinery, run as a DATA-PARALLEL
       * per-key scan: events collapse to per-type 30-minute bars (the
@@ -703,6 +826,50 @@ object Feat {
         |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
         |    AS keep_rate
         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+    "ts_block_bootstrap" ->
+      """WITH px AS (
+        |  SELECT epoch_ns(ts) // 1800000000000 AS bucket, round(avg(value), 6) AS px
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r0 AS (
+        |  SELECT bucket, round(ln(px / lag(px, 1) OVER (ORDER BY bucket)), 6) AS r
+        |  FROM px),
+        |r AS (
+        |  SELECT CAST(r AS DECIMAL(18,6)) AS rd,
+        |    row_number() OVER (ORDER BY bucket) AS rn
+        |  FROM r0 WHERE r IS NOT NULL),
+        |bs AS (
+        |  SELECT rn AS o, sum(rd) OVER w AS bsum, count(*) OVER w AS cnt
+        |  FROM r WINDOW w AS (ORDER BY rn ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
+        |bsf AS (SELECT o, bsum FROM bs WHERE cnt = 24),
+        |bounds AS (
+        |  SELECT max(rn)::BIGINT AS n_r, sum(rd) AS sr,
+        |    max(rn)::BIGINT - 23 AS n_off,
+        |    (max(rn)::BIGINT + 23) // 24 AS k_blocks
+        |  FROM r),
+        |grid AS (
+        |  SELECT b, k_blocks,
+        |    ('0x' || substr(md5(b::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+        |      % n_off + 1 AS o
+        |  FROM bounds, unnest(generate_series(1::BIGINT, 200::BIGINT)) AS tb(b),
+        |       unnest(generate_series(1::BIGINT, k_blocks)) AS tj(j)),
+        |means AS (
+        |  SELECT b, CAST(round(sum(bsum)::DOUBLE / (k_blocks * 24)::DOUBLE, 9)
+        |    AS DECIMAL(18,9)) AS md
+        |  FROM grid JOIN bsf USING (o) GROUP BY b, k_blocks),
+        |rkm AS (SELECT b, md, row_number() OVER (ORDER BY md, b) AS rk FROM means),
+        |boot AS (
+        |  SELECT count(*)::BIGINT AS n_resamples, sum(md) AS s1, sum(md * md) AS s2,
+        |    min(CASE WHEN rk = 5 THEN md END) AS lo,
+        |    min(CASE WHEN rk = 195 THEN md END) AS hi
+        |  FROM rkm)
+        |SELECT n_r AS n_ret, 24::BIGINT AS block_len, n_resamples,
+        |  round(sr::DOUBLE / n_r, 6) AS mean_ret,
+        |  round(lo::DOUBLE, 6) AS ci_lo, round(hi::DOUBLE, 6) AS ci_hi,
+        |  round(sqrt(greatest(
+        |    (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / 200.0) / 199.0, 0.0)), 6)
+        |    AS se_boot
+        |FROM boot, bounds""".stripMargin,
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

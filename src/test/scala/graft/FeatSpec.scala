@@ -272,6 +272,74 @@ class FeatSpec extends SparkSpec {
     }
   }
 
+  test("block bootstrap: full driver replay (md5 offsets, block sums, CI ranks)") {
+    val r = SparkEntry.queries("ts_block_bootstrap")(spark, dir).head()
+    // rebuild the return series
+    val px = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ret = px.sliding(2).map(p => r6(math.log(p(1) / p(0)))).toArray
+    val n = ret.length
+    assert(r.getAs[Long]("n_ret") == n)
+    val L = 24
+    val nOff = n - (L - 1)
+    val k = (n + L - 1) / L
+    val blockSum = (0 until nOff).map(o => ret.slice(o, o + L).sum)
+    def md5off(b: Long, j: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$b:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % nOff).toInt // 1-based offset − 1
+    }
+    val means = (1 to 200).map { b =>
+      val s = (1 to k).map(j => blockSum(md5off(b, j))).sum
+      (b, BigDecimal((s / BigDecimal(k * L)).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    assert(approx(r.getAs[Double]("ci_lo"), r6(sorted(4).toDouble).toDouble, 1e-6))
+    assert(approx(r.getAs[Double]("ci_hi"), r6(sorted(194).toDouble).toDouble, 1e-6))
+    val mObs = (ret.sum / n).toDouble
+    assert(approx(r.getAs[Double]("mean_ret"), r6(mObs).toDouble, 1e-6))
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("se_boot") >= 0.0)
+  }
+
+  test("k-core: h-index fixpoint equals exact driver peeling") {
+    val rows = SparkEntry.queries("graph_k_core")(spark, dir).collect()
+      .map(r => r.getAs[Long]("coreness") -> r.getAs[Long]("n_nodes")).toMap
+    // driver peeling: exact core numbers by repeated min-degree removal
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCnt = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+    for (grp <- b.groupBy(_._1).values; x <- grp; y <- grp if x._2 < y._2)
+      pairCnt((x._2, y._2)) = pairCnt.getOrElse((x._2, y._2), 0) + 1
+    val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.Set[Long]]()
+    for (((u, v), c) <- pairCnt if c >= 2) {
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set()) += u
+    }
+    val deg = scala.collection.mutable.HashMap(adj.toSeq.map { case (k2, s) => k2 -> s.size }: _*)
+    val core = scala.collection.mutable.HashMap[Long, Int]()
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    var kCur = 0
+    while (alive.nonEmpty) {
+      val mins = alive.filter(v => deg(v) <= kCur)
+      if (mins.isEmpty) kCur += 1
+      else for (v <- mins) {
+        core(v) = kCur
+        alive -= v
+        for (u <- adj(v) if alive(u)) deg(u) -= 1
+      }
+    }
+    val want = core.values.groupBy(identity).map { case (c, vs) => c.toLong -> vs.size.toLong }
+    assert(rows == want, s"got $rows want $want")
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)

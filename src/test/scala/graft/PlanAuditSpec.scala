@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     "agg_rolling_distinct_users", // crossJoin(broadcast(1-row max-day bound))
     "agg_rolling_distinct_hll",   // crossJoin(broadcast(1-row max-day bound))
     "ts_dtw_pairs",            // crossJoin of the 5-row per-series array frame
-    "dedup_lsh_recall_audit")  // brute-force truth baseline (audit-sample posture)
+    "dedup_lsh_recall_audit",  // brute-force truth baseline (audit-sample posture)
+    "dq_schema_drift",         // crossJoin(broadcast(1-row midpoint-day bound))
+    "stat_fisher_exact")       // 1-row cells × 1-row max-logprob × 1-row observed
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
