@@ -572,6 +572,59 @@ object Feat {
       } finally { und.unpersist(); () }
     }),
 
+    /** ROLLING MEDIAN (49-bar centered) per series — the robust smoother
+      * beside `rolling_stats`' moments: a single level shift or outlier
+      * run moves a rolling mean for the whole window but leaves the
+      * median untouched until half the window crosses (`ts_outlier_hampel`
+      * scores points against this same idea; this emits the smoothed
+      * SERIES). Exact interpolated percentile over a partitioned row
+      * frame — per-series windows, never a global sort. Both engines
+      * interpolate linearly (Spark `percentile` ≡ DuckDB
+      * `quantile_cont`) on identical 1e-6-grid inputs. */
+    "ts_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-24, 24)
+      Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("roll_med", round(expr("percentile(px, 0.5)").over(w), 6))
+        .withColumn("n_in_window", count(lit(1)).over(w))
+        .orderBy("event_type", "bucket")
+    }),
+
+    /** ERROR-BURST DETECTION — the CEP-style "k events within T per
+      * key" pattern (2+ errors in one hour), run as a declarative
+      * RANGE window over the canonical ts_ns key: each error row sees
+      * the count of same-user errors in its trailing one-hour
+      * interval — per-user partitions, so the state is the window
+      * frame, never a global scan. A burst EPISODE is then the
+      * first row that crosses the threshold after a quiet gap (the
+      * previous qualifying row is > 1 h away — the same
+      * island-numbering idiom as `sessionize_events`), so one
+      * sustained storm counts once. Output: per-user episode count +
+      * span, deterministic. */
+    "dq_error_burst" -> ((s, d) => {
+      val we = Window.partitionBy("user_id").orderBy("ts_ns")
+        .rangeBetween(-3600000000000L, 0L)
+      val wo = Window.partitionBy("user_id").orderBy("ts_ns")
+      val errs = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ns"))
+        .withColumn("n_1h", count(lit(1)).over(we))
+        .filter(col("n_1h") >= 2)
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(wo))
+        .withColumn("new_episode",
+          when(col("prev_ns").isNull ||
+            col("ts_ns") - col("prev_ns") > 3600000000000L, 1L).otherwise(0L))
+      errs.groupBy("user_id")
+        .agg(sum("new_episode").as("n_bursts"),
+          count(lit(1)).as("n_burst_rows"),
+          min("ts_ns").as("first_burst_ns"),
+          max("ts_ns").as("last_burst_ns"))
+        .orderBy("user_id")
+    }),
+
     /** LOCAL-LEVEL KALMAN FILTER per series — the state-space smoother
       * under `ml_sarimax`'s full MLE machinery, run as a DATA-PARALLEL
       * per-key scan: events collapse to per-type 30-minute bars (the
@@ -870,6 +923,42 @@ object Feat {
         |    (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / 200.0) / 199.0, 0.0)), 6)
         |    AS se_boot
         |FROM boot, bounds""".stripMargin,
+
+    "ts_rolling_median" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, px,
+        |  round(quantile_cont(px, 0.5) OVER w, 6) AS roll_med,
+        |  count(*) OVER w AS n_in_window
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |             ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "dq_error_burst" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id, ts_ns, count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ns
+        |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS n_1h
+        |  FROM e),
+        |q AS (SELECT user_id, ts_ns FROM c WHERE n_1h >= 2),
+        |ep AS (
+        |  SELECT user_id, ts_ns,
+        |    CASE WHEN lag(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns)
+        |           IS NULL
+        |         OR ts_ns - lag(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns)
+        |           > 3600000000000
+        |      THEN 1 ELSE 0 END AS new_episode
+        |  FROM q)
+        |SELECT user_id, sum(new_episode)::BIGINT AS n_bursts,
+        |  count(*)::BIGINT AS n_burst_rows,
+        |  min(ts_ns)::BIGINT AS first_burst_ns, max(ts_ns)::BIGINT AS last_burst_ns
+        |FROM ep GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

@@ -340,6 +340,51 @@ class FeatSpec extends SparkSpec {
     assert(rows == want, s"got $rows want $want")
   }
 
+  test("rolling median: driver replay of the centered interpolated median") {
+    val rows = SparkEntry.queries("ts_rolling_median")(spark, dir)
+      .filter(col("event_type") === "view").orderBy("bucket").collect()
+    val px = rows.map(_.getAs[Double]("px"))
+    def medInterp(xs: Array[Double]): Double = {
+      val s2 = xs.sorted
+      val pos = 0.5 * (s2.length - 1)
+      val (lo, hi) = (s2(pos.toInt), s2(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val w = px.slice(math.max(0, i - 24), math.min(px.length, i + 25))
+      assert(r.getAs[Long]("n_in_window") == w.length)
+      assert(approx(r.getAs[Double]("roll_med"),
+        math.rint(medInterp(w) * 1e6) / 1e6, 1e-6), s"row $i")
+    }
+  }
+
+  test("error burst: episodes re-derived from raw error timestamps") {
+    val rows = SparkEntry.queries("dq_error_burst")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val byUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select("user_id", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val T = 3600000000000L
+    for ((u, ts) <- byUser) {
+      val qualifying = ts.filter(t => ts.count(x => x >= t - T && x <= t) >= 2)
+      if (qualifying.isEmpty) assert(!rows.contains(u))
+      else {
+        val r = rows(u)
+        assert(r.getAs[Long]("n_burst_rows") == qualifying.length)
+        val eps = qualifying.foldLeft((0L, Option.empty[Long])) {
+          case ((n, prev), t) =>
+            (if (prev.forall(p => t - p > T)) n + 1 else n, Some(t))
+        }._1
+        assert(r.getAs[Long]("n_bursts") == eps, s"user $u")
+        assert(r.getAs[Long]("first_burst_ns") == qualifying.head)
+      }
+    }
+    assert(rows.keySet == byUser.keySet.filter(u =>
+      byUser(u).exists(t => byUser(u).count(x => x >= t - T && x <= t) >= 2)))
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)
