@@ -342,17 +342,23 @@ object Feat {
       val pairs = left.as("a").join(win.as("b"),
           col("a.g") === col("b.g") && col("a.tb") === col("b.blk") &&
             abs(col("a.idx") - col("b.idx")) >= m / 2)
-      // dot via positional explode + DECIMAL sum (exact under any
-      // aggregation order — a fold lambda would hit Spark's decimal
-      // precision-loss rescale at (38,12)+(37,12) and silently drop the
-      // 12th digit the oracle keeps)
+      // dot as an IN-ROW decimal fold — no positional explode, no 24×
+      // pair-row blow-up through a hash aggregate (A/B: the explode+
+      // groupBy form pushed ~22M rows through a shuffle-side aggregate
+      // and was the query's whole cost). Exactness is preserved by
+      // explicit casts that keep scale 12 with integer headroom 1e18
+      // (|v| ≤ 1e3 ⇒ |dot| ≤ 1e7): a bare `acc + p` at (38,12) would
+      // trip Spark's precision-overflow rescale to scale 11 and drop
+      // the 12th digit the DuckDB twin keeps.
       val dots = pairs
         .select(col("a.g").as("g"), col("a.idx").as("idx"), col("b.idx").as("j"),
           col("a.mu").as("mua"), col("b.mu").as("mub"),
           col("a.sig").as("siga"), col("b.sig").as("sigb"),
-          explode(zip_with(col("a.arr"), col("b.arr"), (x, y) => x * y)).as("p"))
-        .groupBy("g", "idx", "j", "mua", "mub", "siga", "sigb")
-        .agg(sum("p").as("dt"))
+          expr(
+            """aggregate(zip_with(a.arr, b.arr,
+              |    (x, y) -> CAST(x * y AS DECIMAL(28,12))),
+              |  CAST(0 AS DECIMAL(30,12)),
+              |  (acc, p) -> CAST(acc + p AS DECIMAL(30,12)))""".stripMargin).as("dt"))
       dots
         .select(col("g"), col("idx"), col("j"),
           round(sqrt(greatest(lit(48.0) * (lit(1.0) -
