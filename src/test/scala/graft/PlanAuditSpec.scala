@@ -44,7 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "ts_dtw_pairs",            // crossJoin of the 5-row per-series array frame
     "dedup_lsh_recall_audit",  // brute-force truth baseline (audit-sample posture)
     "dq_schema_drift",         // crossJoin(broadcast(1-row midpoint-day bound))
-    "stat_fisher_exact")       // 1-row cells × 1-row max-logprob × 1-row observed
+    "stat_fisher_exact",       // 1-row cells × 1-row max-logprob × 1-row observed
+    "ts_block_bootstrap")      // crossJoin(broadcast(1-row n/offsets/blocks bounds))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
@@ -159,5 +160,34 @@ class PlanAuditSpec extends SparkSpec {
           s"$q recomputes signatures per join side:\n$p")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("matrix profile pairs come from the blocked equi-join, dot stays in-row") {
+    // The scale contract: window pairing must be keyed by
+    // (series, target-block) — hash-partitionable block-pairs — never a
+    // nested loop over windows; and the 24-lag dot product must not
+    // explode pair rows through an aggregate (the in-row fold rewrite,
+    // A/B'd 2.8× in BENCH_TRIAGE_r08).
+    val p = plans("ts_matrix_profile")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findFirstIn(p).isDefined, s"pair stage should be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "window pairing must not be a nested loop")
+    // the ONLY Generate allowed is the deliberate target-block fan-out
+    // (explode(sequence(...))); the lag dot must be the in-row
+    // zip_with/aggregate fold, never an exploded-product aggregate
+    assert(!p.contains("explode(zip_with"),
+      s"the lag dot must be an in-row fold, not an explode:\n$p")
+    assert(p.contains("zip_with"),
+      s"expected the in-row dot fold in the projection:\n$p")
+  }
+
+  test("containment dedup candidates come from a shingle-keyed equi-join") {
+    val p = plans("dedup_containment")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[sh".r
+      .findFirstIn(p).isDefined,
+      s"candidate join should be keyed by the capped shingle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment must never compare documents all-pairs")
   }
 }
