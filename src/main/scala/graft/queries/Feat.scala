@@ -124,6 +124,34 @@ object Feat {
   private def r9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private val burstRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared DuckDB twin for BOTH the batch RANGE-window burst query and
+    * its streaming CEP twin — streaming ≡ batch is the contract. */
+  private val errorBurstSql: String =
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id, ts_ns, count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ns
+        |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS n_1h
+        |  FROM e),
+        |q AS (SELECT user_id, ts_ns FROM c WHERE n_1h >= 2),
+        |ep AS (
+        |  SELECT user_id, ts_ns,
+        |    CASE WHEN lag(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns)
+        |           IS NULL
+        |         OR ts_ns - lag(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns)
+        |           > 3600000000000
+        |      THEN 1 ELSE 0 END AS new_episode
+        |  FROM q)
+        |SELECT user_id, sum(new_episode)::BIGINT AS n_bursts,
+        |  count(*)::BIGINT AS n_burst_rows,
+        |  min(ts_ns)::BIGINT AS first_burst_ns, max(ts_ns)::BIGINT AS last_burst_ns
+        |FROM ep GROUP BY user_id ORDER BY user_id""".stripMargin
+
+
   // ------------------------------------------------------------------
 
   val qs: Map[String, Q] = Map(
@@ -631,6 +659,23 @@ object Feat {
         .orderBy("user_id")
     }),
 
+    /** The REAL streaming twin of `dq_error_burst` —
+      * `EventStream.burstStream`, a stateful `flatMapGroupsWithState`
+      * CEP pattern detector (Flink-CEP territory): per-user buffered
+      * error times, qualification and episodes recomputed on every
+      * state change so late errors can qualify earlier lone errors or
+      * bridge episodes, watermark-proved exactly-once episode
+      * finalization. Run to completion under AvailableNow with the wide-
+      * watermark convention (micro-batch boundaries must not decide
+      * oracle rows); hash-compared against the SAME DuckDB oracle as
+      * the batch RANGE-window query — streaming ≡ batch is the
+      * correctness contract. Eviction/late-data paths are pinned by
+      * StreamingSpec's multi-batch MemoryStream test. */
+    "stream_error_burst" -> ((s, d) =>
+      graft.streaming.EventStream.runBurstOnce(s, d,
+          s"stream_error_burst_v${burstRuns.incrementAndGet()}")
+        .orderBy("user_id")),
+
     /** LOCAL-LEVEL KALMAN FILTER per series — the state-space smoother
       * under `ml_sarimax`'s full MLE machinery, run as a DATA-PARALLEL
       * per-key scan: events collapse to per-type 30-minute bars (the
@@ -943,28 +988,9 @@ object Feat {
         |             ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)
         |ORDER BY event_type, bucket""".stripMargin,
 
-    "dq_error_burst" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) AS ts_ns FROM events
-        |  WHERE event_type = 'error'),
-        |c AS (
-        |  SELECT user_id, ts_ns, count(*) OVER (
-        |    PARTITION BY user_id ORDER BY ts_ns
-        |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS n_1h
-        |  FROM e),
-        |q AS (SELECT user_id, ts_ns FROM c WHERE n_1h >= 2),
-        |ep AS (
-        |  SELECT user_id, ts_ns,
-        |    CASE WHEN lag(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns)
-        |           IS NULL
-        |         OR ts_ns - lag(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns)
-        |           > 3600000000000
-        |      THEN 1 ELSE 0 END AS new_episode
-        |  FROM q)
-        |SELECT user_id, sum(new_episode)::BIGINT AS n_bursts,
-        |  count(*)::BIGINT AS n_burst_rows,
-        |  min(ts_ns)::BIGINT AS first_burst_ns, max(ts_ns)::BIGINT AS last_burst_ns
-        |FROM ep GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "dq_error_burst" -> errorBurstSql,
+
+    "stream_error_burst" -> errorBurstSql,
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

@@ -644,4 +644,132 @@ object EventStream {
       s"incremental upsert produced no micro-batches — no input matched under $dir")
     spark.read.parquet(s"$scratch/v${lastVersion.get()}")
   }
+
+  // ---- streaming CEP burst detection ----------------------------------
+
+  case class BurstEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
+  /** Per-user buffered error times not yet provably irrelevant. A time's
+    * QUALIFICATION (≥ k errors in its trailing window) depends only on
+    * events AT OR BEFORE it, so it is final once the watermark passes it;
+    * an EPISODE (island of qualifying times with gaps ≤ window) is final
+    * once `last + window < watermark` — no admissible future event can
+    * join it or requalify into it. Retention: times ≥
+    * min(watermark, first open episode start) − window; everything older
+    * can neither qualify a future row nor belong to a non-final episode.
+    * State is O(errors within window+watermark horizon) per user — the
+    * [[SessBuf]] bound. */
+  case class BurstBuf(buf: Seq[Long], version: Long, life_id: Long)
+  case class BurstOut(user_id: Long, start_us: Long, end_us: Long,
+                      n_rows: Long, finalized: Boolean, life_id: Long,
+                      version: Long)
+
+  /** Streaming "k events within T per key" pattern detector — the
+    * stateful CEP twin of the batch `dq_error_burst` RANGE-window query
+    * (Flink-CEP territory, expressed as `flatMapGroupsWithState`).
+    * Event-time correct under any arrival order the watermark admits:
+    * qualification and episode membership are recomputed from the
+    * buffered time set on every state change (the [[sessionizeStream]]
+    * buffered-recompute rule — a late error can qualify an earlier lone
+    * error or bridge two episodes, which no single-row retained state
+    * could replay). Emission contract is the sessionizer's: finalized
+    * episodes exactly once, open episodes as whole-picture snapshots
+    * superseded by their (life_id, version) stamp. */
+  def burstStream(events: DataFrame, windowUs: Long, k: Int,
+                  watermark: String = "1 hour"): Dataset[BurstOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type") === "error")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts_us"), col("ts"))
+      .as[BurstEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstBuf, BurstOut](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[BurstEvent], state: GroupState[BurstBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val arrived = rows.map(_.ts_us).toArray
+          val prev = state.getOption.getOrElse(
+            BurstBuf(Nil, 0L, if (arrived.isEmpty) 0L else arrived.min))
+          val merged = prev.buf.toArray ++ arrived
+          java.util.Arrays.sort(merged)
+          // two-pointer trailing-window count: qualifying iff ≥ k times
+          // in [t − window, t] (the batch RANGE frame, inclusive)
+          val qual = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var j = 0
+          var i = 0
+          while (i < merged.length) {
+            while (merged(i) - merged(j) > windowUs) j += 1
+            if (i - j + 1 >= k) qual += merged(i)
+            i += 1
+          }
+          val eps = islands(qual.toArray, windowUs)
+          val (done, open) = eps.partition(_.last_us + windowUs < wmUs)
+          val v = prev.version + 1
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstOut]
+          done.foreach(e =>
+            out += BurstOut(uid, e.start_us, e.last_us, e.n, true,
+              prev.life_id, v))
+          val cutoff = (open.headOption.map(_.start_us).toSeq :+ wmUs)
+            .min - windowUs
+          val keep = merged.filter(_ >= cutoff)
+          if (open.isEmpty && keep.isEmpty) {
+            out += BurstOut(uid, -1L, 0L, 0L, false, prev.life_id, v)
+            state.remove()
+          } else {
+            open.foreach(e =>
+              out += BurstOut(uid, e.start_us, e.last_us, e.n, false,
+                prev.life_id, v))
+            if (open.isEmpty)
+              out += BurstOut(uid, -1L, 0L, 0L, false, prev.life_id, v)
+            state.update(BurstBuf(keep.toSeq, v, prev.life_id))
+            // wake when the watermark can finalize the earliest open
+            // episode, or purge the lone buffered times
+            val horizonUs = open.headOption.map(_.last_us)
+              .getOrElse(keep.max) + windowUs
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, horizonUs / 1000L + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Read side of the burst emission contract (the
+    * [[mergeSessionEmissions]] rule), collapsed to the per-user audit the
+    * batch twin emits: episode count, qualifying-row count, first/last
+    * qualifying time in ns. */
+  def mergeBurstEmissions(emitted: DataFrame): DataFrame = {
+    val finals = emitted.filter(col("finalized"))
+    val opens = emitted.filter(!col("finalized"))
+    val latest = opens.groupBy(col("user_id").as("u"))
+      .agg(max(struct(col("life_id"), col("version"))).as("cur"))
+    finals.union(
+        opens.join(latest,
+          col("user_id") === col("u") &&
+            col("life_id") === col("cur.life_id") &&
+            col("version") === col("cur.version"))
+          .select(finals.columns.map(col): _*))
+      .filter(col("start_us") >= 0L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_bursts"),
+        sum("n_rows").as("n_burst_rows"),
+        (min("start_us") * 1000L).as("first_burst_ns"),
+        (max("end_us") * 1000L).as("last_burst_ns"))
+  }
+
+  /** Harness entry: the REAL streaming burst detector run to completion;
+    * wide-watermark convention as [[runSessionizeOnce]] (micro-batch
+    * boundaries must not decide oracle rows; eviction semantics are
+    * pinned by StreamingSpec's multi-batch MemoryStream test). Output
+    * matches the batch `dq_error_burst` oracle exactly. */
+  def runBurstOnce(spark: SparkSession, dir: String, queryName: String,
+                   windowUs: Long = 3600000000L, k: Int = 2,
+                   watermark: String = "3650 days"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        expr("ts_ns div 1000").as("ts_us"))
+    mergeBurstEmissions(
+      runToMemory(burstStream(events, windowUs, k, watermark).toDF(),
+        queryName, OutputMode.Update()))
+  }
 }

@@ -367,4 +367,69 @@ class StreamingSpec extends SparkSpec {
     // more than one state version must exist (the multi-batch path ran)
     assert(new java.io.File(scratch).listFiles().count(_.getName.startsWith("v")) > 1)
   }
+
+  test("streaming burst detector equals the batch RANGE-window query (availableNow, sf0.001)") {
+    val got = EventStream.runBurstOnce(spark, dir, "burst_eq")
+      .orderBy("user_id").collect().map(_.toSeq)
+    val want = SparkEntry.queries("dq_error_burst")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("burst detector across micro-batches: late error qualifies a lone one, exact-once finals") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](
+      61, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val t0 = 1700000000000000L // µs
+    val sec = 1000000L
+    val hourUs = 3600L * sec
+    val q = EventStream.burstStream(toEvents(mem.toDF()), hourUs, 2,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("burst_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: lone errors — user 7 at T, user 8 at T+1000s. No bursts.
+      mem.addData(Seq((7L, "error", t0), (8L, "error", t0 + 1000L * sec)))
+      q.processAllAvailable()
+      // batch 2: user 7's SECOND error within the hour -> its trailing
+      // window qualifies; user 8 gets a LATE error at T+400s — earlier
+      // than its buffered one, still within watermark — which must
+      // retroactively qualify the T+1000s row (trailing count 2): the
+      // CEP case a single-row retained state cannot replay.
+      mem.addData(Seq((7L, "error", t0 + 1800L * sec),
+        (8L, "error", t0 + 400L * sec)))
+      q.processAllAvailable()
+      // batch 3: far-future error advances the watermark past both
+      // episodes' finalization horizon (episode last + 1h)
+      mem.addData(Seq((9L, "error", t0 + 14400L * sec)))
+      q.processAllAvailable()
+      // batch 4: timers drain (finalizing users 7/8) AND user 7 opens a
+      // fresh episode far past the old one
+      mem.addData(Seq((7L, "error", t0 + 14410L * sec),
+        (7L, "error", t0 + 14420L * sec)))
+      q.processAllAvailable()
+      val merged = EventStream.mergeBurstEmissions(spark.table("burst_mb"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // user 7: the finalized first episode (qualifying row T+1800s) plus
+      // the open second one (qualifying row T+14420s)
+      assert(merged(7L) == (2L, 2L, (t0 + 1800L * sec) * 1000L,
+        (t0 + 14420L * sec) * 1000L), s"user7: ${merged(7L)}")
+      // user 8: one episode whose single qualifying row is the EARLIER-
+      // arrived-later T+1000s row
+      assert(merged(8L) == (1L, 1L, (t0 + 1000L * sec) * 1000L,
+        (t0 + 1000L * sec) * 1000L), s"user8: ${merged(8L)}")
+      // user 9: a lone error is never a burst
+      assert(!merged.contains(9L))
+      // exactly-once finalization: one finalized row per closed episode
+      val finals = spark.table("burst_mb").filter(col("finalized"))
+        .select("user_id").collect().map(_.getLong(0)).toSeq
+      assert(finals.sorted == Seq(7L, 8L), s"finals: $finals")
+    } finally q.stop()
+  }
 }
