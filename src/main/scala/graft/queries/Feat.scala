@@ -111,13 +111,130 @@ object Feat {
   /** The per-invocation temp-view front door (same discipline as
     * `Rel.sqlFrontDoor`, private there). */
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
-  private def withEventsView[T](s: SparkSession, d: String)(f: String => T): T = {
-    val v = s"events_feat_v${runs.incrementAndGet()}"
+  private def withTableView[T](s: SparkSession, d: String, table: String)(
+      f: String => T): T = {
+    val v = s"${table}_feat_v${runs.incrementAndGet()}"
     try {
-      Tables.load(s, d, "events").createOrReplaceTempView(v)
+      Tables.load(s, d, table).createOrReplaceTempView(v)
       f(v)
     } finally { s.catalog.dropTempView(v); () }
   }
+  private def withEventsView[T](s: SparkSession, d: String)(f: String => T): T =
+    withTableView(s, d, "events")(f)
+
+  /** Null-aware truncated-EWMA term pair (numerator, denominator) — the
+    * `ewma_halflife` convention generated as SHARED SQL text: depth-D
+    * lag expansion with weights (1−α)^i, null lags renormalized out.
+    * Both engines parse the same string, so the left-associated term
+    * chains are identical double trees. `lag(c, 0)` is the row itself. */
+  private def emaTruncSqlPair(c: String, win: String, alpha: Double,
+                              depth: Int): (String, String) = {
+    // weights as explicit DOUBLE casts: a bare high-precision literal
+    // parses as DECIMAL in both engines, and their 40-term decimal sum
+    // chains rescale DIFFERENTLY (Spark drops scale on precision
+    // overflow) — observed as a 1e-6-relative p_hat drift before the cast
+    val ts = (0 until depth).map { i =>
+      val wi = math.pow(1.0 - alpha, i)
+      val l = if (i == 0) c else s"lag($c, $i) OVER $win"
+      (s"CASE WHEN $l IS NULL THEN 0.0 ELSE CAST($wi AS DOUBLE) * $l END",
+        s"CASE WHEN $l IS NULL THEN 0.0 ELSE CAST($wi AS DOUBLE) END")
+    }
+    (ts.map(_._1).mkString("(", " + ", ")"), ts.map(_._2).mkString("(", " + ", ")"))
+  }
+
+  /** Croston template — ONE text for both engines; only the lineitem
+    * reference and the epoch-day expression differ. */
+  private def crostonSql(lineitem: String, dayExpr: String): String = {
+    val (zN, zD) = emaTruncSqlPair("q", "w", 0.1, 40)
+    val (pN, pD) = emaTruncSqlPair("iv", "w", 0.1, 40)
+    s"""WITH d AS (
+       |  SELECT l_partkey AS part, $dayExpr AS day,
+       |    CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+       |      AS DOUBLE) AS q
+       |  FROM $lineitem GROUP BY 1, 2),
+       |top5 AS (
+       |  SELECT part FROM (
+       |    SELECT part, row_number() OVER (ORDER BY count(*) DESC, part) AS rk
+       |    FROM d GROUP BY part) t
+       |  WHERE rk <= 5),
+       |s AS (
+       |  SELECT d.part AS part, day, q,
+       |    row_number() OVER w AS rn,
+       |    count(*) OVER (PARTITION BY d.part) AS n_points,
+       |    CAST(day - lag(day, 1) OVER w AS DOUBLE) AS iv
+       |  FROM d JOIN top5 ON d.part = top5.part
+       |  WINDOW w AS (PARTITION BY d.part ORDER BY day)),
+       |e AS (
+       |  SELECT part, n_points, rn,
+       |    $zN / $zD AS z_hat,
+       |    $pN / $pD AS p_hat
+       |  FROM s
+       |  WINDOW w AS (PARTITION BY part ORDER BY day))
+       |SELECT part, CAST(n_points AS BIGINT) AS n_points,
+       |  round(z_hat, 6) AS z_hat, round(p_hat, 6) AS p_hat,
+       |  round(z_hat / p_hat, 6) AS croston_forecast
+       |FROM e WHERE rn = n_points ORDER BY part""".stripMargin
+  }
+
+  /** Mahalanobis template — per-user 3-feature vectors, DECIMAL-exact
+    * moment sums, population covariance, closed-form 3×3 Cramer
+    * inverse, quadratic-form distances: every float op is one shared
+    * expression tree. Only the events reference and the JSON k
+    * extraction differ per engine. */
+  private def mahalanobisSql(events: String, kx: String): String =
+    s"""WITH f AS (
+       |  SELECT user_id,
+       |    CAST(round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+       |        AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS f1,
+       |    CAST(round(ln(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS f2,
+       |    CAST(round(CAST(sum($kx) AS DOUBLE) / count(*), 6)
+       |      AS DECIMAL(18,6)) AS f3
+       |  FROM $events GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(f1) AS DOUBLE) AS s1, CAST(sum(f2) AS DOUBLE) AS s2,
+       |    CAST(sum(f3) AS DOUBLE) AS s3,
+       |    CAST(sum(f1 * f1) AS DOUBLE) AS s11, CAST(sum(f1 * f2) AS DOUBLE) AS s12,
+       |    CAST(sum(f1 * f3) AS DOUBLE) AS s13, CAST(sum(f2 * f2) AS DOUBLE) AS s22,
+       |    CAST(sum(f2 * f3) AS DOUBLE) AS s23, CAST(sum(f3 * f3) AS DOUBLE) AS s33
+       |  FROM f),
+       |c AS (
+       |  SELECT n, s1 / n AS mu1, s2 / n AS mu2, s3 / n AS mu3,
+       |    s11 / n - (s1 / n) * (s1 / n) AS c11,
+       |    s12 / n - (s1 / n) * (s2 / n) AS c12,
+       |    s13 / n - (s1 / n) * (s3 / n) AS c13,
+       |    s22 / n - (s2 / n) * (s2 / n) AS c22,
+       |    s23 / n - (s2 / n) * (s3 / n) AS c23,
+       |    s33 / n - (s3 / n) * (s3 / n) AS c33
+       |  FROM m),
+       |inv AS (
+       |  SELECT mu1, mu2, mu3,
+       |    (c22 * c33 - c23 * c23) / det AS i11,
+       |    (c13 * c23 - c12 * c33) / det AS i12,
+       |    (c12 * c23 - c13 * c22) / det AS i13,
+       |    (c11 * c33 - c13 * c13) / det AS i22,
+       |    (c13 * c12 - c11 * c23) / det AS i23,
+       |    (c11 * c22 - c12 * c12) / det AS i33
+       |  FROM (SELECT c.*,
+       |    c11 * (c22 * c33 - c23 * c23) - c12 * (c12 * c33 - c23 * c13)
+       |      + c13 * (c12 * c23 - c22 * c13) AS det
+       |    FROM c) cd),
+       |dist AS (
+       |  SELECT user_id,
+       |    CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+       |    CAST(f3 AS DOUBLE) AS f3,
+       |    (CAST(f1 AS DOUBLE) - mu1) * (CAST(f1 AS DOUBLE) - mu1) * i11
+       |      + (CAST(f2 AS DOUBLE) - mu2) * (CAST(f2 AS DOUBLE) - mu2) * i22
+       |      + (CAST(f3 AS DOUBLE) - mu3) * (CAST(f3 AS DOUBLE) - mu3) * i33
+       |      + 2.0 * ((CAST(f1 AS DOUBLE) - mu1) * (CAST(f2 AS DOUBLE) - mu2) * i12
+       |        + (CAST(f1 AS DOUBLE) - mu1) * (CAST(f3 AS DOUBLE) - mu3) * i13
+       |        + (CAST(f2 AS DOUBLE) - mu2) * (CAST(f3 AS DOUBLE) - mu3) * i23)
+       |      AS d2
+       |  FROM f, inv)
+       |SELECT user_id, f1, f2, f3, round(d2, 6) AS mahal_sq,
+       |  round(d2, 6) > 9.348404 AS is_outlier_975
+       |FROM dist
+       |ORDER BY round(d2, 6) DESC, user_id LIMIT 10""".stripMargin
 
   /** HALF_UP 1e-9 rounding — matches SQL `round(x, 9)` in both engines
     * (math.rint would be half-even). */
@@ -659,6 +776,62 @@ object Feat {
         .orderBy("user_id")
     }),
 
+    /** CROSTON'S METHOD (Croston 1972) — the forecaster for INTERMITTENT
+      * demand, which is what per-part order streams actually look like
+      * (most parts sell on a minority of days; an SES/ARIMA fit on the
+      * zero-padded series biases toward zero): separate truncated-EWMA
+      * smoothing of nonzero demand SIZES and inter-demand INTERVALS,
+      * forecast = z/p demand per day. Runs on the top-5 most-regularly-
+      * ordered parts via ONE shared SQL template (`sqlFrontDoor`
+      * discipline — only the epoch-day expression differs per engine);
+      * demand collapse is one keyed DECIMAL aggregation, smoothing is
+      * per-part partitioned windows under the `ewma_halflife`
+      * lag-expansion convention. Commodity-demand planning is the
+      * reference's own domain. */
+    "ml_croston" -> ((s, d) => withTableView(s, d, "lineitem") { v =>
+      s.sql(crostonSql(v, "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"))
+    }),
+
+    /** MAHALANOBIS MULTIVARIATE OUTLIERS — the correlated-feature
+      * anomaly score `ts_outlier_hampel` (univariate) and
+      * `ml_isolation_forest` (tree-based, rows-only) bracket: per-user
+      * 3-feature vectors (mean value, ln activity, mean payload),
+      * population covariance from DECIMAL-exact moment sums, the 3×3
+      * inverse in CLOSED FORM (Cramer adjugate — no iterative solver,
+      * so the whole statistic is one shared expression tree and the
+      * query is FULL-ORACLE where the 6×6-breeze
+      * `ml_influence_diagnostics` had to stay rows-only), quadratic-form
+      * distances, χ²₃(0.975) flag decided on the 1e-6 grid. One keyed
+      * aggregation + a broadcast 1-row moment frame — nothing iterative,
+      * nothing driver-side. */
+    "ml_anomaly_mahalanobis" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(mahalanobisSql(v, "CAST(get_json_object(props, '$.k') AS BIGINT)"))
+    }),
+
+    /** TIME-TO-CONVERT — the timing companion of `funnel_conversion`'s
+      * counts: per signup user, hours from first signup to first
+      * subsequent purchase; output is the conversion-latency audit
+      * (volume, converted, rate, interpolated p50/p90 hours). One keyed
+      * min per side + one left join; percentiles over the user-sized
+      * latency frame. */
+    "agg_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_ns").as("s_ns"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"))
+      su.join(pu, Seq("user_id"), "left")
+        .groupBy("user_id", "s_ns")
+        .agg(min(when(col("ts_ns") >= col("s_ns"), col("ts_ns"))).as("p_ns"))
+        .withColumn("hrs",
+          round((col("p_ns") - col("s_ns")) / lit(3.6e12), 6))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("hrs")).as("n_converted"),
+          round(count(col("hrs")).cast("double") / count(lit(1)), 6).as("conv_rate"),
+          round(expr("percentile(hrs, 0.5)"), 6).as("p50_hours"),
+          round(expr("percentile(hrs, 0.9)"), 6).as("p90_hours"))
+    }),
+
     /** The REAL streaming twin of `dq_error_burst` —
       * `EventStream.burstStream`, a stateful `flatMapGroupsWithState`
       * CEP pattern detector (Flink-CEP territory): per-user buffered
@@ -991,6 +1164,29 @@ object Feat {
     "dq_error_burst" -> errorBurstSql,
 
     "stream_error_burst" -> errorBurstSql,
+
+    "ml_croston" -> crostonSql("lineitem",
+      "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))"),
+
+    "ml_anomaly_mahalanobis" -> mahalanobisSql("events",
+      "CAST(json_extract(props, '$.k') AS BIGINT)"),
+
+    "agg_time_to_convert" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS s_ns FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT user_id, epoch_ns(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |per AS (
+        |  SELECT su.user_id, s_ns, min(CASE WHEN t >= s_ns THEN t END) AS p_ns
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id GROUP BY 1, 2),
+        |h AS (SELECT round((p_ns - s_ns) / 3600000000000.0, 6) AS hrs FROM per)
+        |SELECT count(*)::BIGINT AS n_users, count(hrs)::BIGINT AS n_converted,
+        |  round(count(hrs)::DOUBLE / count(*), 6) AS conv_rate,
+        |  round(quantile_cont(hrs, 0.5), 6) AS p50_hours,
+        |  round(quantile_cont(hrs, 0.9), 6) AS p90_hours
+        |FROM h""".stripMargin,
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

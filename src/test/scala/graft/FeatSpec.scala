@@ -385,6 +385,122 @@ class FeatSpec extends SparkSpec {
       byUser(u).exists(t => byUser(u).count(x => x >= t - T && x <= t) >= 2)))
   }
 
+  test("croston: truncated-EWMA replay on the top part; forecast identity") {
+    val rows = SparkEntry.queries("ml_croston")(spark, dir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      assert(approx(r.getAs[Double]("croston_forecast"),
+        math.rint(r.getAs[Double]("z_hat") / r.getAs[Double]("p_hat") * 1e6) / 1e6,
+        1e-6))
+      assert(r.getAs[Double]("p_hat") >= 1.0) // intervals are ≥ 1 day
+    }
+    // driver replay for the top part: same demand collapse, same
+    // null-aware depth-40 truncated EMA
+    val top = rows.map(_.getAs[Long]("part")).min // any; recompute its series
+    val series = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") === top)
+      .groupBy(expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')").as("day"))
+      .agg(round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6)
+        .cast("double").as("q"))
+      .orderBy("day").collect().map(r2 => (r2.getInt(0).toLong, r2.getDouble(1)))
+    def ema(xs: Array[Option[Double]]): Double = {
+      // value at the LAST point: weights 0.9^i over its depth-40 lags
+      val last = xs.length - 1
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until 40) {
+        val idx = last - i
+        val v = if (idx >= 0) xs(idx) else None
+        v.foreach { x => num += math.pow(0.9, i) * x; den += math.pow(0.9, i) }
+      }
+      num / den
+    }
+    val sizes: Array[Option[Double]] = series.map(p => Option(p._2))
+    val ivs = series.indices.map(i =>
+      if (i == 0) None else Some((series(i)._1 - series(i - 1)._1).toDouble)).toArray
+    val got = rows.find(_.getAs[Long]("part") == top).get
+    assert(approx(got.getAs[Double]("z_hat"),
+      math.rint(ema(sizes) * 1e6) / 1e6, 1e-5))
+    assert(approx(got.getAs[Double]("p_hat"),
+      math.rint(ema(ivs) * 1e6) / 1e6, 1e-5))
+    assert(got.getAs[Long]("n_points") == series.length)
+  }
+
+  test("mahalanobis: driver replay of covariance, Cramer inverse, distances") {
+    val rows = SparkEntry.queries("ml_anomaly_mahalanobis")(spark, dir).collect()
+    assert(rows.length == 10)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver features (same rounding ladder)
+    val feats = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).as("sv"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sk"))
+      .collect().map { r2 =>
+        val n = r2.getAs[Long]("n").toDouble
+        (r2.getAs[Long]("user_id"),
+          Array(r6(r2.getDecimal(2).doubleValue() / n), r6(math.log(n)),
+            r6(r2.getAs[Long]("sk") / n)))
+      }
+    val n = feats.length.toDouble
+    val mu = Array(0, 1, 2).map(j => feats.map(_._2(j)).sum / n)
+    val c = Array.ofDim[Double](3, 3)
+    for (i2 <- 0 until 3; j2 <- 0 until 3)
+      c(i2)(j2) = feats.map(f => f._2(i2) * f._2(j2)).sum / n - mu(i2) * mu(j2)
+    val det = c(0)(0) * (c(1)(1) * c(2)(2) - c(1)(2) * c(1)(2)) -
+      c(0)(1) * (c(0)(1) * c(2)(2) - c(1)(2) * c(0)(2)) +
+      c(0)(2) * (c(0)(1) * c(1)(2) - c(1)(1) * c(0)(2))
+    val inv = Array(
+      Array((c(1)(1) * c(2)(2) - c(1)(2) * c(1)(2)) / det,
+        (c(0)(2) * c(1)(2) - c(0)(1) * c(2)(2)) / det,
+        (c(0)(1) * c(1)(2) - c(0)(2) * c(1)(1)) / det),
+      Array(0.0, (c(0)(0) * c(2)(2) - c(0)(2) * c(0)(2)) / det,
+        (c(0)(2) * c(0)(1) - c(0)(0) * c(1)(2)) / det),
+      Array(0.0, 0.0, (c(0)(0) * c(1)(1) - c(0)(1) * c(0)(1)) / det))
+    inv(1)(0) = inv(0)(1); inv(2)(0) = inv(0)(2); inv(2)(1) = inv(1)(2)
+    def d2(f: Array[Double]): Double = {
+      val d = Array(f(0) - mu(0), f(1) - mu(1), f(2) - mu(2))
+      (for (i2 <- 0 until 3; j2 <- 0 until 3) yield d(i2) * d(j2) * inv(i2)(j2)).sum
+    }
+    // identity: mean Mahalanobis² under the population covariance = p = 3
+    val all = feats.map(f => d2(f._2))
+    assert(math.abs(all.sum / n - 3.0) < 1e-6, s"mean d² = ${all.sum / n}")
+    // engine top-10 matches the driver ranking and values
+    val want = feats.map(f => (f._1, d2(f._2)))
+      .sortBy { case (u, dd) => (-r6(dd), u) }.take(10)
+    rows.zip(want).foreach { case (r2, (u, dd)) =>
+      assert(r2.getAs[Long]("user_id") == u)
+      assert(approx(r2.getAs[Double]("mahal_sq"), r6(dd), 1e-4),
+        s"user $u: ${r2.getAs[Double]("mahal_sq")} vs $dd")
+    }
+  }
+
+  test("time-to-convert: driver replay of the conversion latency audit") {
+    val r = SparkEntry.queries("agg_time_to_convert")(spark, dir).head()
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts_ns").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val signups = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3)).toMap
+    val lat = signups.map { case (u, s) =>
+      purchases.getOrElse(u, Array.empty[Long]).filter(_ >= s) match {
+        case e if e.isEmpty => None
+        case e => Some(math.rint((e.min - s) / 3.6e12 * 1e6) / 1e6)
+      }
+    }
+    assert(r.getAs[Long]("n_users") == signups.size)
+    assert(r.getAs[Long]("n_converted") == lat.count(_.isDefined))
+    val hs = lat.flatten.toArray.sorted
+    def q(p: Double): Double = {
+      val pos = p * (hs.length - 1)
+      hs(pos.toInt) + (pos - pos.toInt) *
+        (hs(math.ceil(pos).toInt) - hs(pos.toInt))
+    }
+    assert(approx(r.getAs[Double]("p50_hours"), math.rint(q(0.5) * 1e6) / 1e6, 1e-6))
+    assert(approx(r.getAs[Double]("p90_hours"), math.rint(q(0.9) * 1e6) / 1e6, 1e-6))
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)
