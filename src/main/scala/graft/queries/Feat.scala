@@ -832,6 +832,114 @@ object Feat {
           round(expr("percentile(hrs, 0.9)"), 6).as("p90_hours"))
     }),
 
+    /** KUPIEC POF VaR BACKTEST (Kupiec 1995) — the regulatory audit of
+      * `ts_risk_profile`'s VaR95: does the 5% tail quantile actually get
+      * exceeded 5% of the time? Per series: exact ceil-rank VaR over the
+      * 30-min log returns (the house order-statistic convention — no
+      * interpolation disagreement), exceedance count, and the
+      * proportion-of-failures likelihood ratio
+      * LR = −2[(n−x)ln(1−p)+x ln p −(n−x)ln(1−x̂)−x ln x̂] against
+      * χ²₁(0.95), decided on the 1e-6 grid. All inputs are exact
+      * integers/grid values, so both engines evaluate identical trees;
+      * the x=0 branch is an explicit shared CASE. In-sample by design
+      * (the audit shape; rolling OOS is the same plan on split frames). */
+    "fin_var_backtest_kupiec" -> ((s, d) => {
+      val wOrd = Window.partitionBy("event_type").orderBy("bucket")
+      val wRnk = Window.partitionBy("event_type").orderBy(col("r"), col("bucket"))
+      val wAll = Window.partitionBy("event_type")
+      val r = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
+        .filter(col("r").isNotNull)
+        .withColumn("rk", row_number().over(wRnk))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("var95",
+          max(when(col("rk") === ceil(col("n") * 0.05).cast("long"), col("r")))
+            .over(wAll))
+      val x = sum(when(col("r") <= col("var95"), 1L).otherwise(0L))
+      r.groupBy("event_type")
+        .agg(max("n").as("n_ret"), max("var95").as("var95"), x.as("n_exceed"))
+        .withColumn("xr", col("n_exceed").cast("double") / col("n_ret"))
+        .withColumn("lr_pof",
+          round(lit(-2.0) * ((col("n_ret") - col("n_exceed")) * log(lit(0.95)) +
+            col("n_exceed") * log(lit(0.05)) -
+            (col("n_ret") - col("n_exceed")) * log(lit(1.0) - col("xr")) -
+            when(col("n_exceed") === 0, lit(0.0))
+              .otherwise(col("n_exceed") * log(col("xr")))), 6))
+        .select(col("event_type"), col("n_ret"), col("var95"),
+          col("n_exceed"), col("lr_pof"),
+          (col("lr_pof") > 3.841459).as("reject_95"))
+        .orderBy("event_type")
+    }),
+
+    /** MASE (Hyndman & Koehler 2006) — the scale-free forecast-accuracy
+      * metric that completes the `ml_metric_*` family (MAPE breaks at
+      * zero, sMAPE is asymmetric; MASE is THE standard for
+      * intermittent/seasonal comparison — the `ml_croston` evaluation
+      * metric): per series, MAE of the seasonal-naive-48 forecast scaled
+      * by in-sample MAE of the naive-1 forecast. Absolute errors are
+      * grid values summed in DECIMAL; the ratio divides exact sums. */
+    "ml_metric_mase" -> ((s, d) => {
+      val wOrd = Window.partitionBy("event_type").orderBy("bucket")
+      Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("e_seas",
+          round(abs(col("px") - lag(col("px"), 48).over(wOrd)), 6)
+            .cast("decimal(18,6)"))
+        .withColumn("e_naive",
+          round(abs(col("px") - lag(col("px"), 1).over(wOrd)), 6)
+            .cast("decimal(18,6)"))
+        .filter(col("e_seas").isNotNull && col("e_naive").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("e_seas").as("ss"), sum("e_naive").as("sn"))
+        .select(col("event_type"), col("n"),
+          round(col("ss").cast("double") / col("n"), 6).as("mae_seasonal"),
+          round(col("sn").cast("double") / col("n"), 6).as("mae_naive"),
+          round((col("ss").cast("double") / col("n")) /
+            (col("sn").cast("double") / col("n")), 6).as("mase"))
+        .orderBy("event_type")
+    }),
+
+    /** DEGREE ASSORTATIVITY (Newman 2002) — do high-degree parts
+      * co-purchase with high-degree parts? Pearson correlation of
+      * endpoint degrees over the DIRECTED edge list (both orientations,
+      * the standard undirected convention): one broadcast degree attach
+      * + one aggregation of exact integer sums; the correlation divides
+      * exact operands. The sign is the one-number summary the degree
+      * histogram (`graph_degree_distribution`) cannot give. */
+    "graph_assortativity" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("pa", "pb")
+      val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      und
+        .join(broadcast(deg.select(col("src"), col("deg").as("du"))), "src")
+        .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("dv"))), "dst")
+        .agg(count(lit(1)).as("m"), sum("du").as("su"), sum("dv").as("sv"),
+          sum(col("du") * col("dv")).as("suv"),
+          sum(col("du") * col("du")).as("suu"),
+          sum(col("dv") * col("dv")).as("svv"))
+        .select((col("m") / 2).cast("long").as("n_edges"),
+          round((col("suv").cast("double") / col("m") -
+            (col("su").cast("double") / col("m")) * (col("sv").cast("double") / col("m"))) /
+            (sqrt(col("suu").cast("double") / col("m") -
+              (col("su").cast("double") / col("m")) * (col("su").cast("double") / col("m"))) *
+              sqrt(col("svv").cast("double") / col("m") -
+                (col("sv").cast("double") / col("m")) * (col("sv").cast("double") / col("m")))), 6)
+            .as("assortativity"))
+    }),
+
     /** The REAL streaming twin of `dq_error_burst` —
       * `EventStream.burstStream`, a stateful `flatMapGroupsWithState`
       * CEP pattern detector (Flink-CEP territory): per-user buffered
@@ -1187,6 +1295,91 @@ object Feat {
         |  round(quantile_cont(hrs, 0.5), 6) AS p50_hours,
         |  round(quantile_cont(hrs, 0.9), 6) AS p90_hours
         |FROM h""".stripMargin,
+
+    "fin_var_backtest_kupiec" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (
+        |  SELECT event_type, bucket,
+        |    round(ln(px / lag(px, 1) OVER (PARTITION BY event_type ORDER BY bucket)), 6) AS r
+        |  FROM b),
+        |r AS (
+        |  SELECT event_type, bucket, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY r, bucket) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM r0 WHERE r IS NOT NULL),
+        |v AS (
+        |  SELECT event_type, r, n,
+        |    max(CASE WHEN rk = CAST(ceil(n * 0.05) AS BIGINT) THEN r END)
+        |      OVER (PARTITION BY event_type) AS var95
+        |  FROM r),
+        |agg AS (
+        |  SELECT event_type, max(n)::BIGINT AS n_ret, max(var95) AS var95,
+        |    sum(CASE WHEN r <= var95 THEN 1 ELSE 0 END)::BIGINT AS n_exceed
+        |  FROM v GROUP BY event_type),
+        |lr AS (
+        |  SELECT event_type, n_ret, var95, n_exceed,
+        |    CAST(n_exceed AS DOUBLE) / n_ret AS xr
+        |  FROM agg)
+        |SELECT event_type, n_ret, var95, n_exceed,
+        |  round(-2.0 * ((n_ret - n_exceed) * ln(0.95) + n_exceed * ln(0.05)
+        |    - (n_ret - n_exceed) * ln(1.0 - xr)
+        |    - CASE WHEN n_exceed = 0 THEN 0.0 ELSE n_exceed * ln(xr) END), 6)
+        |    AS lr_pof,
+        |  round(-2.0 * ((n_ret - n_exceed) * ln(0.95) + n_exceed * ln(0.05)
+        |    - (n_ret - n_exceed) * ln(1.0 - xr)
+        |    - CASE WHEN n_exceed = 0 THEN 0.0 ELSE n_exceed * ln(xr) END), 6)
+        |    > 3.841459 AS reject_95
+        |FROM lr ORDER BY event_type""".stripMargin,
+
+    "ml_metric_mase" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_type,
+        |    CAST(round(abs(px - lag(px, 48) OVER w), 6) AS DECIMAL(18,6)) AS e_seas,
+        |    CAST(round(abs(px - lag(px, 1) OVER w), 6) AS DECIMAL(18,6)) AS e_naive
+        |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |f AS (SELECT * FROM e WHERE e_seas IS NOT NULL AND e_naive IS NOT NULL)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(CAST(sum(e_seas) AS DOUBLE) / count(*), 6) AS mae_seasonal,
+        |  round(CAST(sum(e_naive) AS DOUBLE) / count(*), 6) AS mae_naive,
+        |  round((CAST(sum(e_seas) AS DOUBLE) / count(*))
+        |    / (CAST(sum(e_naive) AS DOUBLE) / count(*)), 6) AS mase
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT b1.p AS pa, b2.p AS pb
+        |  FROM bk b1 JOIN bk b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (
+        |  SELECT pa AS src, pb AS dst FROM edges
+        |  UNION ALL SELECT pb, pa FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
+        |j AS (
+        |  SELECT du.deg AS du, dv.deg AS dv
+        |  FROM und JOIN deg du ON und.src = du.src
+        |  JOIN deg dv ON und.dst = dv.src),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS m, sum(du)::BIGINT AS su, sum(dv)::BIGINT AS sv,
+        |    sum(du * dv)::BIGINT AS suv, sum(du * du)::BIGINT AS suu,
+        |    sum(dv * dv)::BIGINT AS svv
+        |  FROM j)
+        |SELECT (m // 2)::BIGINT AS n_edges,
+        |  round((CAST(suv AS DOUBLE) / m
+        |      - (CAST(su AS DOUBLE) / m) * (CAST(sv AS DOUBLE) / m))
+        |    / (sqrt(CAST(suu AS DOUBLE) / m
+        |        - (CAST(su AS DOUBLE) / m) * (CAST(su AS DOUBLE) / m))
+        |      * sqrt(CAST(svv AS DOUBLE) / m
+        |        - (CAST(sv AS DOUBLE) / m) * (CAST(sv AS DOUBLE) / m))), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

@@ -501,6 +501,72 @@ class FeatSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("p90_hours"), math.rint(q(0.9) * 1e6) / 1e6, 1e-6))
   }
 
+  test("kupiec backtest: LR re-derived from emitted counts, coverage sane") {
+    val rows = SparkEntry.queries("fin_var_backtest_kupiec")(spark, dir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (n, x) = (r.getAs[Long]("n_ret"), r.getAs[Long]("n_exceed"))
+      // exact ceil-rank VaR ⇒ at least ceil(0.05n) returns sit at/below it
+      assert(x >= math.ceil(0.05 * n).toLong && x <= n / 2)
+      val xr = x.toDouble / n
+      val lr = -2.0 * ((n - x) * math.log(0.95) + x * math.log(0.05) -
+        (n - x) * math.log(1.0 - xr) -
+        (if (x == 0) 0.0 else x * math.log(xr)))
+      assert(approx(r.getAs[Double]("lr_pof"), math.rint(lr * 1e6) / 1e6, 1e-6))
+      assert(r.getAs[Boolean]("reject_95") == (r.getAs[Double]("lr_pof") > 3.841459))
+      assert(r.getAs[Double]("lr_pof") >= -1e-9)
+    }
+  }
+
+  test("mase: ratio identity and one-series driver replay") {
+    val rows = SparkEntry.queries("ml_metric_mase")(spark, dir).collect()
+    assert(rows.length == 5)
+    for (r <- rows)
+      assert(approx(r.getAs[Double]("mase"),
+        math.rint(r.getAs[Double]("mae_seasonal") / r.getAs[Double]("mae_naive") * 1e6) / 1e6,
+        2e-6))
+    val px = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pairs = (48 until px.length).map(i =>
+      (r6(math.abs(px(i) - px(i - 48))), r6(math.abs(px(i) - px(i - 1)))))
+    val r = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(r.getAs[Long]("n") == pairs.length)
+    assert(approx(r.getAs[Double]("mae_seasonal"),
+      r6((pairs.map(_._1).sum / pairs.length).toDouble).toDouble, 1e-6))
+    assert(approx(r.getAs[Double]("mae_naive"),
+      r6((pairs.map(_._2).sum / pairs.length).toDouble).toDouble, 1e-6))
+  }
+
+  test("assortativity: driver replay over the rebuilt edge list, bounds") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, dir).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pairCnt = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+    for (grp <- b.groupBy(_._1).values; x <- grp; y <- grp if x._2 < y._2)
+      pairCnt((x._2, y._2)) = pairCnt.getOrElse((x._2, y._2), 0) + 1
+    val edges = pairCnt.filter(_._2 >= 2).keys.toSeq
+    val dirEdges = edges ++ edges.map(e => (e._2, e._1))
+    val deg = dirEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = dirEdges.length.toDouble
+    val (du, dv) = (dirEdges.map(e => deg(e._1).toDouble),
+      dirEdges.map(e => deg(e._2).toDouble))
+    val (su, sv) = (du.sum, dv.sum)
+    val suv = dirEdges.map(e => deg(e._1).toDouble * deg(e._2)).sum
+    val (suu, svv) = (du.map(x => x * x).sum, dv.map(x => x * x).sum)
+    val want = (suv / m - (su / m) * (sv / m)) /
+      (math.sqrt(suu / m - (su / m) * (su / m)) *
+        math.sqrt(svv / m - (sv / m) * (sv / m)))
+    assert(approx(a, math.rint(want * 1e6) / 1e6, 1e-5), s"$a vs $want")
+    assert(r.getAs[Long]("n_edges") == edges.length)
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)
