@@ -108,6 +108,139 @@ object Feat {
        |FROM cells, sums""".stripMargin
   }
 
+  /** SPECTRAL ENTROPY template — normalized Shannon entropy of the
+    * direct-DFT power spectrum over periods 2..96 (Goerg 2013 /
+    * tsfeatures `entropy`): ≈1 ⇒ white noise (unforecastable), low ⇒
+    * concentrated spectral mass (forecastable). The FORECASTABILITY
+    * triage run before any `ml_*` fit. All sums DECIMAL-exact from
+    * grid-rounded centered values and trig factors; entropy terms
+    * re-gridded at 1e-9 before the cross-period sum so aggregation
+    * order cannot drift. Dialect params: events ref, bucket expr,
+    * period-grid explode clause. */
+  private def spectralEntropySql(events: String, bucket: String,
+                                 periodExplode: String): String =
+    s"""WITH b AS (
+       |  SELECT event_type AS g, $bucket AS bucket, round(avg(value), 6) AS px
+       |  FROM $events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT g, bucket, CAST(px AS DECIMAL(18,6)) AS pxd,
+       |    row_number() OVER (PARTITION BY g ORDER BY bucket) - 1 AS t
+       |  FROM b),
+       |mu AS (
+       |  SELECT g, round(CAST(sum(pxd) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM st GROUP BY g),
+       |cent AS (
+       |  SELECT st.g AS g, t,
+       |    CAST(round(CAST(pxd AS DOUBLE) - mu, 6) AS DECIMAL(18,6)) AS c
+       |  FROM st JOIN mu ON st.g = mu.g),
+       |grid AS (
+       |  SELECT g, t, c, p
+       |  $periodExplode),
+       |trig AS (
+       |  SELECT g, p,
+       |    sum(c * CAST(round(cos(CAST(6.283185307179586 AS DOUBLE)
+       |      * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6))) AS a,
+       |    sum(c * CAST(round(sin(CAST(6.283185307179586 AS DOUBLE)
+       |      * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6))) AS bb
+       |  FROM grid GROUP BY g, p),
+       |pw AS (
+       |  SELECT g, p,
+       |    CAST(round(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+       |      + CAST(bb AS DOUBLE) * CAST(bb AS DOUBLE), 6) AS DECIMAL(28,6)) AS pw
+       |  FROM trig),
+       |tot AS (SELECT g, sum(pw) AS tp, count(*) AS np FROM pw GROUP BY g),
+       |q AS (
+       |  SELECT pw.g AS g, p, pw, np,
+       |    CAST(pw AS DOUBLE) / CAST(tp AS DOUBLE) AS q
+       |  FROM pw JOIN tot ON pw.g = tot.g),
+       |hterm AS (
+       |  SELECT g, np,
+       |    CAST(round(CASE WHEN q <= 0.0 THEN 0.0 ELSE -q * ln(q) END, 9)
+       |      AS DECIMAL(20,9)) AS h
+       |  FROM q),
+       |peak AS (
+       |  SELECT g, p AS peak_period FROM (
+       |    SELECT g, p, row_number() OVER (PARTITION BY g ORDER BY pw DESC, p) AS rk
+       |    FROM pw) rkt WHERE rk = 1),
+       |ent AS (
+       |  SELECT g, CAST(max(np) AS BIGINT) AS n_periods,
+       |    round(CAST(sum(h) AS DOUBLE) / ln(CAST(max(np) AS DOUBLE)), 6)
+       |      AS spectral_entropy
+       |  FROM hterm GROUP BY g)
+       |SELECT ent.g AS event_type, n_periods, peak_period, spectral_entropy
+       |FROM ent JOIN peak ON ent.g = peak.g
+       |ORDER BY event_type""".stripMargin
+
+  /** HIERARCHICAL FORECAST RECONCILIATION template (Hyndman et al.
+    * 2011, bottom-up / top-down over the event_type → total hierarchy):
+    * daily-seasonal-naive forecasts (lag 4 over 6-hour bars — grain and
+    * lag chosen so complete buckets exist at every SF) on the last 12
+    * complete buckets,
+    * scored four ways — series-level naive vs top-down allocation of
+    * the direct total forecast (historical train shares), and
+    * total-level bottom-up sum vs direct. The COHERENCE question
+    * (forecast the parts and add, or forecast the whole and split) a
+    * forecasting deployment over any hierarchy must answer. Grid
+    * absolute errors summed in DECIMAL. */
+  private def reconcileSql(events: String, bucket: String): String =
+    s"""WITH b AS (
+       |  SELECT event_type AS g, $bucket AS bucket,
+       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS px
+       |  FROM $events GROUP BY 1, 2),
+       |comp AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) = 5),
+       |sb AS (
+       |  SELECT g, b.bucket AS bucket, px,
+       |    row_number() OVER (PARTITION BY g ORDER BY b.bucket) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS n
+       |  FROM b JOIN comp ON b.bucket = comp.bucket),
+       |tt AS (
+       |  SELECT bucket, tot,
+       |    row_number() OVER (ORDER BY bucket) AS rn, count(*) OVER () AS n
+       |  FROM (SELECT bucket, sum(px) AS tot FROM sb GROUP BY bucket) t0),
+       |tr AS (SELECT g, sum(px) AS sp FROM sb WHERE rn <= n - 12 GROUP BY g),
+       |trt AS (SELECT sum(sp) AS stt FROM tr),
+       |share AS (
+       |  SELECT g, CAST(sp AS DOUBLE) / CAST(stt AS DOUBLE) AS sh FROM tr, trt),
+       |test AS (
+       |  SELECT cur.g AS g, cur.bucket AS bucket, cur.px AS actual,
+       |    prev.px AS f_naive
+       |  FROM sb cur JOIN sb prev ON cur.g = prev.g AND prev.rn = cur.rn - 4
+       |  WHERE cur.rn > cur.n - 12),
+       |ttest AS (
+       |  SELECT cur.bucket AS bucket, cur.tot AS actual_tot, prev.tot AS f_direct
+       |  FROM tt cur JOIN tt prev ON prev.rn = cur.rn - 4
+       |  WHERE cur.rn > cur.n - 12),
+       |bu AS (SELECT bucket, sum(f_naive) AS f_bu FROM test GROUP BY bucket),
+       |toterr AS (
+       |  SELECT 'total' AS level, 'bottom_up' AS method,
+       |    round(CAST(sum(CAST(round(abs(CAST(f_bu AS DOUBLE)
+       |      - CAST(actual_tot AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS mae
+       |  FROM bu JOIN ttest ON bu.bucket = ttest.bucket
+       |  UNION ALL
+       |  SELECT 'total', 'direct',
+       |    round(CAST(sum(CAST(round(abs(CAST(f_direct AS DOUBLE)
+       |      - CAST(actual_tot AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6)
+       |  FROM ttest),
+       |serr AS (
+       |  SELECT 'series' AS level, 'naive' AS method,
+       |    round(CAST(sum(CAST(round(abs(CAST(f_naive AS DOUBLE)
+       |      - CAST(actual AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS mae
+       |  FROM test
+       |  UNION ALL
+       |  SELECT 'series', 'top_down',
+       |    round(CAST(sum(CAST(round(abs(CAST(f_direct AS DOUBLE) * sh
+       |      - CAST(actual AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6)
+       |  FROM test
+       |  JOIN ttest ON test.bucket = ttest.bucket
+       |  JOIN share ON test.g = share.g)
+       |SELECT level, method, mae FROM toterr
+       |UNION ALL SELECT level, method, mae FROM serr
+       |ORDER BY level, method""".stripMargin
+
   /** The per-invocation temp-view front door (same discipline as
     * `Rel.sqlFrontDoor`, private there). */
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -940,6 +1073,19 @@ object Feat {
             .as("assortativity"))
     }),
 
+    /** Spectral entropy — see [[spectralEntropySql]]. */
+    "ts_spectral_entropy" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(spectralEntropySql(v,
+        "((unix_micros(CAST(ts AS TIMESTAMP)) * 1000) div 1800000000000)",
+        "FROM cent LATERAL VIEW explode(sequence(2, 96)) pe AS p"))
+    }),
+
+    /** Hierarchical forecast reconciliation — see [[reconcileSql]]. */
+    "ml_hierarchical_reconcile" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(reconcileSql(v,
+        "((unix_micros(CAST(ts AS TIMESTAMP)) * 1000) div 21600000000000)"))
+    }),
+
     /** The REAL streaming twin of `dq_error_burst` —
       * `EventStream.burstStream`, a stateful `flatMapGroupsWithState`
       * CEP pattern detector (Flink-CEP territory): per-user buffered
@@ -1380,6 +1526,13 @@ object Feat {
         |        - (CAST(sv AS DOUBLE) / m) * (CAST(sv AS DOUBLE) / m))), 6)
         |    AS assortativity
         |FROM m""".stripMargin,
+
+    "ts_spectral_entropy" -> spectralEntropySql("events",
+      "(epoch_ns(ts) // 1800000000000)",
+      "FROM cent, unnest(generate_series(2, 96)) AS pe(p)"),
+
+    "ml_hierarchical_reconcile" -> reconcileSql("events",
+      "(epoch_ns(ts) // 21600000000000)"),
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

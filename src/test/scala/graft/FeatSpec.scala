@@ -567,6 +567,78 @@ class FeatSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == edges.length)
   }
 
+  test("spectral entropy: bounds, white-noise law, one-series driver replay") {
+    val rows = SparkEntry.queries("ts_spectral_entropy")(spark, dir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val h = r.getAs[Double]("spectral_entropy")
+      assert(h >= 0.0 && h <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_periods") == 95)
+      val p = r.getAs[Int]("peak_period")
+      assert(p >= 2 && p <= 96)
+    }
+    // driver replay for one series (same rounding ladder)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val px = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    val mu = r6((px.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum /
+      px.length).toDouble).toDouble
+    val c = px.map(x => r6(x - mu))
+    val pows = (2 to 96).map { p =>
+      var a = BigDecimal(0); var b = BigDecimal(0)
+      for (t <- px.indices) {
+        val ang = 6.283185307179586 * t / p
+        a += c(t) * r6(math.cos(ang))
+        b += c(t) * r6(math.sin(ang))
+      }
+      r6(a.toDouble * a.toDouble + b.toDouble * b.toDouble)
+    }
+    val tp = pows.sum.toDouble
+    val hsum = pows.map { pw =>
+      val q = pw.toDouble / tp
+      BigDecimal(if (q <= 0) 0.0 else -q * math.log(q))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val want = r6(hsum / math.log(95.0)).toDouble
+    val got = rows.find(_.getAs[String]("event_type") == "purchase").get
+    assert(approx(got.getAs[Double]("spectral_entropy"), want, 1e-5),
+      s"${got.getAs[Double]("spectral_entropy")} vs $want")
+  }
+
+  test("hierarchical reconcile: four methods, coherent test support") {
+    val rows = SparkEntry.queries("ml_hierarchical_reconcile")(spark, dir)
+      .collect().map(r => (r.getAs[String]("level"), r.getAs[String]("method")) ->
+        r.getAs[Double]("mae")).toMap
+    assert(rows.keySet == Set(("total", "bottom_up"), ("total", "direct"),
+      ("series", "naive"), ("series", "top_down")))
+    assert(rows.values.forall(_ >= 0.0))
+    // driver replay of the total-level rows: rebuild complete 6-hour
+    // buckets, total series, and the lag-4 (daily cycle) test split
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val perType = Tables.events(spark, dir)
+      .withColumn("bucket", expr("ts_ns div 21600000000000L"))
+      .groupBy("event_type", "bucket")
+      .agg(round(avg(col("value")), 6).as("px"))
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[String]("event_type"),
+        BigDecimal(r.getAs[Double]("px")).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    val byBucket = perType.groupBy(_._1).filter(_._2.length == 5)
+    val totals = byBucket.view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1).map(_._2)
+    val n = totals.length
+    assert(n > 16, s"need > 16 complete buckets, got $n")
+    val test = (n - 12) until n
+    val maeDirect = r6(test.map(i => (totals(i) - totals(i - 4)).abs)
+      .map(e => r6(e)).sum / 12).toDouble
+    assert(approx(rows(("total", "direct")), maeDirect, 1e-6),
+      s"${rows(("total", "direct"))} vs $maeDirect")
+    // bottom-up total forecast = Σ per-series lag-48 = total at lag-48 on
+    // COMPLETE buckets ⇒ BU ≡ direct at the total level for this
+    // hierarchy (the coherence identity — a structural check)
+    assert(rows(("total", "bottom_up")) == rows(("total", "direct")))
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_lsh_recall_audit",  // brute-force truth baseline (audit-sample posture)
     "dq_schema_drift",         // crossJoin(broadcast(1-row midpoint-day bound))
     "stat_fisher_exact",       // 1-row cells × 1-row max-logprob × 1-row observed
-    "ts_block_bootstrap")      // crossJoin(broadcast(1-row n/offsets/blocks bounds))
+    "ts_block_bootstrap",      // crossJoin(broadcast(1-row n/offsets/blocks bounds))
+    "ml_anomaly_mahalanobis",  // 1-row moment/inverse frame × user features
+    "ml_hierarchical_reconcile") // 1-row train-total frame × per-series shares
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
