@@ -241,6 +241,54 @@ object Feat {
        |UNION ALL SELECT level, method, mae FROM serr
        |ORDER BY level, method""".stripMargin
 
+  /** THETA-METHOD template (Assimakopoulos & Nikolopoulos 2000 — the
+    * M3-competition winner): decompose each series into the θ=0 line
+    * (the OLS linear trend, carrying ALL long-run signal) and the θ=2
+    * line Z₂ = 2X − trend (double the local curvature), extrapolate the
+    * trend exactly and the θ=2 line by SES (the house truncated-EWMA,
+    * α=0.3, depth 40), forecast = their equal-weight average. Completes
+    * the classical family (naive/seasonal/drift → Holt-Winters → AR/
+    * SARIMA/VAR → Croston → Theta). OLS moments are DECIMAL/integer-
+    * exact; Z₂ re-grids at 1e-6 before smoothing; per-series windows
+    * throughout. */
+  private def thetaSql(events: String, bucket: String): String = {
+    val (sN, sD) = emaTruncSqlPair("z2", "w", 0.3, 40)
+    s"""WITH b AS (
+       |  SELECT event_type AS g, $bucket AS bucket,
+       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS x
+       |  FROM $events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT g, bucket, x,
+       |    CAST(row_number() OVER (PARTITION BY g ORDER BY bucket) - 1 AS BIGINT) AS t
+       |  FROM b),
+       |mom AS (
+       |  SELECT g, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x * t) AS DOUBLE) AS sxt,
+       |    CAST(sum(t) AS DOUBLE) AS stt, CAST(sum(t * t) AS DOUBLE) AS st2
+       |  FROM st GROUP BY g),
+       |ab AS (
+       |  SELECT g, n,
+       |    (n * sxt - stt * sx) / (n * st2 - stt * stt) AS slope,
+       |    (sx - (n * sxt - stt * sx) / (n * st2 - stt * stt) * stt) / n
+       |      AS intercept
+       |  FROM mom),
+       |z AS (
+       |  SELECT st.g AS g, bucket, t, n, slope, intercept,
+       |    round(2.0 * CAST(x AS DOUBLE) - (intercept + slope * t), 6) AS z2
+       |  FROM st JOIN ab ON st.g = ab.g),
+       |e AS (
+       |  SELECT g, t, n, slope, intercept,
+       |    $sN / $sD AS ses
+       |  FROM z
+       |  WINDOW w AS (PARTITION BY g ORDER BY bucket))
+       |SELECT g AS event_type, CAST(n AS BIGINT) AS n_obs,
+       |  round(intercept, 6) AS intercept, round(slope, 6) AS slope,
+       |  round(ses, 6) AS ses_theta2,
+       |  round(0.5 * (intercept + slope * n) + 0.5 * ses, 6) AS forecast_next
+       |FROM e WHERE t = CAST(n AS BIGINT) - 1
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** The per-invocation temp-view front door (same discipline as
     * `Rel.sqlFrontDoor`, private there). */
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1073,6 +1121,12 @@ object Feat {
             .as("assortativity"))
     }),
 
+    /** Theta-method forecast — see [[thetaSql]]. */
+    "ml_theta_forecast" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(thetaSql(v,
+        "((unix_micros(CAST(ts AS TIMESTAMP)) * 1000) div 1800000000000)"))
+    }),
+
     /** Spectral entropy — see [[spectralEntropySql]]. */
     "ts_spectral_entropy" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(spectralEntropySql(v,
@@ -1526,6 +1580,9 @@ object Feat {
         |        - (CAST(sv AS DOUBLE) / m) * (CAST(sv AS DOUBLE) / m))), 6)
         |    AS assortativity
         |FROM m""".stripMargin,
+
+    "ml_theta_forecast" -> thetaSql("events",
+      "(epoch_ns(ts) // 1800000000000)"),
 
     "ts_spectral_entropy" -> spectralEntropySql("events",
       "(epoch_ns(ts) // 1800000000000)",

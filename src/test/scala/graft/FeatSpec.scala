@@ -639,6 +639,40 @@ class FeatSpec extends SparkSpec {
     assert(rows(("total", "bottom_up")) == rows(("total", "direct")))
   }
 
+  test("theta forecast: driver replay of trend, theta-2 SES, and the average") {
+    val rows = SparkEntry.queries("ml_theta_forecast")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.size == 5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (tpe <- Seq("purchase", "view")) {
+      val xs = Tables.events(spark, dir)
+        .filter(col("event_type") === tpe)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .orderBy("bucket").collect().map(_.getDouble(1))
+      val n = xs.length.toDouble
+      val ts2 = xs.indices.map(_.toDouble)
+      val (sx, sxt, st, st2) =
+        (xs.sum, xs.zip(ts2).map(p => p._1 * p._2).sum, ts2.sum, ts2.map(t => t * t).sum)
+      val slope = (n * sxt - st * sx) / (n * st2 - st * st)
+      val intercept = (sx - slope * st) / n
+      val z2 = xs.indices.map(i => r6(2.0 * xs(i) - (intercept + slope * i)))
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until 40; idx = z2.length - 1 - i if idx >= 0) {
+        num += math.pow(0.7, i) * z2(idx); den += math.pow(0.7, i)
+      }
+      val ses = num / den
+      val want = r6(0.5 * (intercept + slope * n) + 0.5 * ses)
+      val r = rows(tpe)
+      assert(approx(r.getAs[Double]("slope"), r6(slope), 1e-5))
+      assert(approx(r.getAs[Double]("ses_theta2"), r6(ses), 1e-4),
+        s"$tpe ses: ${r.getAs[Double]("ses_theta2")} vs $ses")
+      assert(approx(r.getAs[Double]("forecast_next"), want, 1e-4),
+        s"$tpe: ${r.getAs[Double]("forecast_next")} vs $want")
+      assert(r.getAs[Long]("n_obs") == xs.length)
+    }
+  }
+
   test("common neighbors: top pair re-derived, no candidate is an edge") {
     val rows = SparkEntry.queries("graph_common_neighbors")(spark, dir).collect()
     assert(rows.nonEmpty)
