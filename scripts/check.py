@@ -12,6 +12,7 @@ distinguishable from hard mismatches).
 import glob
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -48,7 +49,10 @@ def cell_eq(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb
+        # Bit-exact, matching the driver's hash gate: -0.0 != +0.0 here
+        # even though Python's `==` says they're equal (r8 feature_woe_encode
+        # shipped red because the old `fa == fb` was blind to signed zeros).
+        return struct.pack(">d", fa) == struct.pack(">d", fb)
     return str(a) == str(b)
 
 

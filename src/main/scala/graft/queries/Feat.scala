@@ -187,7 +187,8 @@ object Feat {
        |  SELECT event_type AS g, $bucket AS bucket,
        |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS px
        |  FROM $events GROUP BY 1, 2),
-       |comp AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) = 5),
+       |comp AS (SELECT bucket FROM b GROUP BY bucket
+       |  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM $events)),
        |sb AS (
        |  SELECT g, b.bucket AS bucket, px,
        |    row_number() OVER (PARTITION BY g ORDER BY b.bucket) AS rn,
@@ -475,11 +476,15 @@ object Feat {
         .withColumn("tp", sum("n_pos").over(w))
         .withColumn("tn", sum("n_neg").over(w))
         .select(col("band"), col("n"), col("n_pos"), col("n_neg"),
-          round(log(((col("n_pos") + 0.5) / col("tp")) /
-            ((col("n_neg") + 0.5) / col("tn"))), 6).as("woe"),
-          round((col("n_pos") / col("tp") - col("n_neg") / col("tn")) *
+          // `+ 0.0` after round(): both woe and iv_term are sign-indefinite
+          // near zero, and DuckDB's round() is sign-preserving (-1e-8 → -0.0)
+          // while Spark's BigDecimal path yields +0.0 — IEEE -0.0 + 0.0 = +0.0
+          // normalizes the bit pattern on both sides (r8 hash-mismatch fix).
+          (round(log(((col("n_pos") + 0.5) / col("tp")) /
+            ((col("n_neg") + 0.5) / col("tn"))), 6) + 0.0).as("woe"),
+          (round((col("n_pos") / col("tp") - col("n_neg") / col("tn")) *
             log(((col("n_pos") + 0.5) / col("tp")) /
-              ((col("n_neg") + 0.5) / col("tn"))), 6).as("iv_term"))
+              ((col("n_neg") + 0.5) / col("tn"))), 6) + 0.0).as("iv_term"))
         .orderBy("band")
     }),
 
@@ -870,9 +875,21 @@ object Feat {
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("pa", "pb")
-      val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
-        .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
-        .repartition(col("src")).cache()
+      val und0 = edges.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst"))).cache()
+      // Gated layout (GraphLayout): while the node-sized estimate frame
+      // fits a broadcast, partition the edge cache by src — the broadcast
+      // dst-keyed lookup preserves that partitioning, so the per-node
+      // window rank runs with NO per-round exchange. Past the limit
+      // (10⁸-node graphs, where a per-round full broadcast dies at the
+      // driver), partition by dst instead: the shuffled-hash est join then
+      // exchanges only the node-sized frame, and the src-keyed window
+      // exchanges the per-edge (src, neighbor-value) messages — the
+      // Pregel-minimal volume for an h-index gather, which has no smaller
+      // exchange than its messages.
+      val nNodes = und0.select(countDistinct(col("src"))).head().getLong(0)
+      val useB = graft.operators.GraphLayout.useBroadcast(nNodes)
+      val und = und0.repartition(if (useB) col("src") else col("dst")).cache()
       try {
         var est = und.groupBy("src").agg(count(lit(1)).cast("long").as("est"))
           .localCheckpoint()
@@ -881,27 +898,38 @@ object Feat {
         var rounds = 0
         while (curSum != prevSum && rounds < 30) {
           val hw = Window.partitionBy("src").orderBy(col("nv").desc, col("dst"))
-          // node-sized estimate frame broadcasts (the pagerank layout
-          // rule): the dst-keyed lookup then preserves und's src
-          // partitioning, so the per-node window rank runs with NO
-          // per-round exchange
           val next = und
-            .join(broadcast(est.select(col("src").as("dst"), col("est").as("nv"))), "dst")
+            .join(graft.operators.GraphLayout.nodeSide(
+                est.select(col("src").as("dst"), col("est").as("nv")), nNodes),
+              "dst")
             .withColumn("rk", row_number().over(hw))
             .groupBy("src")
             .agg(max(least(col("rk").cast("long"), col("nv"))).as("h"))
             .join(est, "src")
             .select(col("src"), least(col("est"), col("h")).as("est"))
-            .localCheckpoint()
-          est = next
           prevSum = curSum
-          curSum = est.agg(sum("est")).head().getLong(0)
+          curSum = next.agg(sum("est")).head().getLong(0)
           rounds += 1
+          // checkpoint only if another round follows — the converged
+          // frame's last join stays visible in the final plan
+          // (PlanAuditSpec pins the gated join strategy) and the final
+          // materialization job disappears
+          est = if (curSum == prevSum || rounds >= 30) next
+                else next.localCheckpoint()
         }
+        if (curSum != prevSum)
+          // The h-index sequence is non-increasing and integer, so it
+          // converges in ≤ max-degree rounds — but a stringier graph than
+          // the test pins could need more than the cap, and returning the
+          // partial estimates silently would hand back UPPER BOUNDS, not
+          // core numbers.
+          org.slf4j.LoggerFactory.getLogger("graft.graph_k_core").warn(
+            s"h-index fixpoint NOT converged after $rounds rounds " +
+              s"(sum moved $prevSum -> $curSum); returned values are upper bounds")
         est.groupBy(col("est").as("coreness"))
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy("coreness")
-      } finally { und.unpersist(); () }
+      } finally { und.unpersist(); und0.unpersist(); () }
     }),
 
     /** ROLLING MEDIAN (49-bar centered) per series — the robust smoother
@@ -1044,9 +1072,15 @@ object Feat {
         .agg(max("n").as("n_ret"), max("var95").as("var95"), x.as("n_exceed"))
         .withColumn("xr", col("n_exceed").cast("double") / col("n_ret"))
         .withColumn("lr_pof",
+          // both degenerate branches of the POF likelihood are guarded:
+          // x=0 makes x·ln(x̂) → 0·ln(0), and x=n makes (n−x)·ln(1−x̂) →
+          // 0·ln(0) — each is 0 in the limit, but evaluates to NaN left
+          // bare (tie-heavy 1e-6-grid returns can genuinely inflate
+          // exceedances to n via r <= var95)
           round(lit(-2.0) * ((col("n_ret") - col("n_exceed")) * log(lit(0.95)) +
             col("n_exceed") * log(lit(0.05)) -
-            (col("n_ret") - col("n_exceed")) * log(lit(1.0) - col("xr")) -
+            when(col("n_exceed") === col("n_ret"), lit(0.0))
+              .otherwise((col("n_ret") - col("n_exceed")) * log(lit(1.0) - col("xr"))) -
             when(col("n_exceed") === 0, lit(0.0))
               .otherwise(col("n_exceed") * log(col("xr")))), 6))
         .select(col("event_type"), col("n_ret"), col("var95"),
@@ -1214,9 +1248,9 @@ object Feat {
         |    sum(n_pos) OVER () AS tp, sum(n - n_pos) OVER () AS tn
         |  FROM cell)
         |SELECT band, n, n_pos, n_neg,
-        |  round(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS woe,
+        |  round(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) + 0.0 AS woe,
         |  round((n_pos / tp - n_neg / tn)
-        |    * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS iv_term
+        |    * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) + 0.0 AS iv_term
         |FROM t ORDER BY band""".stripMargin,
 
     "feature_hashing_trick" ->
@@ -1525,11 +1559,13 @@ object Feat {
         |  FROM agg)
         |SELECT event_type, n_ret, var95, n_exceed,
         |  round(-2.0 * ((n_ret - n_exceed) * ln(0.95) + n_exceed * ln(0.05)
-        |    - (n_ret - n_exceed) * ln(1.0 - xr)
+        |    - CASE WHEN n_exceed = n_ret THEN 0.0
+        |        ELSE (n_ret - n_exceed) * ln(1.0 - xr) END
         |    - CASE WHEN n_exceed = 0 THEN 0.0 ELSE n_exceed * ln(xr) END), 6)
         |    AS lr_pof,
         |  round(-2.0 * ((n_ret - n_exceed) * ln(0.95) + n_exceed * ln(0.05)
-        |    - (n_ret - n_exceed) * ln(1.0 - xr)
+        |    - CASE WHEN n_exceed = n_ret THEN 0.0
+        |        ELSE (n_ret - n_exceed) * ln(1.0 - xr) END
         |    - CASE WHEN n_exceed = 0 THEN 0.0 ELSE n_exceed * ln(xr) END), 6)
         |    > 3.841459 AS reject_95
         |FROM lr ORDER BY event_type""".stripMargin,

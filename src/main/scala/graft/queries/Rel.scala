@@ -751,46 +751,59 @@ object Rel {
         .select(concat(lit("c"), col("o_custkey")).as("cn"),
           concat(lit("s"), col("l_suppkey")).as("sn"))
         .distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      val edges0 = pairs.select(col("cn").as("src"), col("sn").as("dst"))
         .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+        .cache()
       // ONE cached edge frame carrying the out-degree (the structure is
       // static across iterations — join it once, not once per round),
-      // hash-partitioned by dst UP FRONT: the per-iteration broadcast
-      // join preserves its child's partitioning, so the dst-keyed inflow
-      // aggregation runs with NO per-iteration exchange — eight shuffles
-      // collapse into this single one (the pre-partitioned-join layout
-      // rule every iterative graph algorithm wants at 100 TB)
-      val edgesDeg = edges
-        .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-        .repartition(col("dst"))
+      // hash-partitioned UP FRONT by the key its per-iteration consumer
+      // needs. Broadcast mode (nodes fit a broadcast): partition by dst —
+      // the broadcast rank join preserves the child's partitioning, so
+      // the dst-keyed inflow aggregation runs with NO per-iteration
+      // exchange; eight shuffles collapse into this single one. Shuffle
+      // mode (past GraphLayout.broadcastNodeLimit, where a per-iteration
+      // full broadcast of a 10⁸-row rank vector dies at the driver):
+      // partition by src — the shuffled-hash rank join then exchanges
+      // ONLY the node-sized rank frame per round, and the dst aggregation
+      // exchanges map-side-combined partials (node-bounded per task),
+      // never the raw edge frame.
+      val n = edges0.select(countDistinct(col("src"))).head().getLong(0)
+      val useB = graft.operators.GraphLayout.useBroadcast(n)
+      val edgesDeg = edges0
+        .join(edges0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .repartition(if (useB) col("dst") else col("src"))
         .cache()
       try {
-        val n = edgesDeg.select(countDistinct(col("src"))).head().getLong(0)
         var ranks = edgesDeg.select(col("src").as("node")).distinct()
           .select(col("node"), round(lit(1.0) / n, 9).as("rank"))
         for (i <- 1 to iters) {
-          // rank frame is node-sized → broadcast side of the join; the
-          // edge scan stays in place and only the dst-keyed aggregation
-          // shuffles. Eager localCheckpoint truncates the lineage so the
-          // plan stays shallow (an 8-deep nested join tree sends
-          // Catalyst re-analysis superlinear — the same reason
-          // GraphX/ALS checkpoint iteratively) — but materializing EVERY
-          // iteration pays one extra distributed job per round, so
-          // checkpoint every second round: plans stay ≤ 2 joins deep and
-          // half the materialization jobs disappear (A/B-measured ~15 %
-          // off the query's wall time at sf0.1, before the dst
-          // pre-partitioning above removed the per-iteration exchange).
+          // rank frame is node-sized → gated side of the join (see the
+          // layout note above); the edge scan stays in place. Eager
+          // localCheckpoint truncates the lineage so the plan stays
+          // shallow (an 8-deep nested join tree sends Catalyst
+          // re-analysis superlinear — the same reason GraphX/ALS
+          // checkpoint iteratively) — but materializing EVERY iteration
+          // pays one extra distributed job per round, so checkpoint every
+          // second round: plans stay ≤ 2 joins deep and half the
+          // materialization jobs disappear (A/B-measured ~15 % off the
+          // query's wall time at sf0.1, before the pre-partitioning above
+          // removed the per-iteration exchange).
           val contrib = edgesDeg
-            .join(broadcast(ranks), edgesDeg("src") === ranks("node"))
+            .join(graft.operators.GraphLayout.nodeSide(ranks, n),
+              edgesDeg("src") === ranks("node"))
             .groupBy(col("dst"))
             .agg(sum(col("rank") / col("deg")).as("inflow"))
           val next = contrib.select(col("dst").as("node"),
             round(lit((1 - damping) / n) + lit(damping) * col("inflow"), 9).as("rank"))
-          ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
+          // never checkpoint the FINAL round: the last materialization job
+          // is pure waste (the caller's action materializes anyway), and
+          // leaving the last join un-truncated keeps the gated join
+          // strategy visible in the final plan (PlanAuditSpec pins it)
+          ranks = if (i % 2 == 0 && i != iters) next.localCheckpoint() else next
         }
         ranks.select(col("node"), round(col("rank"), 9).as("rank"))
           .orderBy(col("rank").desc, col("node")).limit(25)
-      } finally { edgesDeg.unpersist(); () }
+      } finally { edgesDeg.unpersist(); edges0.unpersist(); () }
     }),
 
     /** TRIANGLE COUNT + global clustering coefficient of the co-purchase
@@ -874,17 +887,27 @@ object Rel {
         val src0 = "c" + pairs.agg(min(expr("substr(cn, 2)").cast("long"))).head().getLong(0)
         var visited = Seq((src0, 0)).toDF("node", "dist")
         var frontier = visited
+        // The frontier can reach O(nodes) at the middle hop of a dense
+        // graph, so its join side is gated per round on the measured
+        // frontier size (GraphLayout): broadcast while it fits, else a
+        // shuffled-hash join that — edges being pre-partitioned by src,
+        // the join key — exchanges only the frontier frame. The count is
+        // free: it doubles as the loop's emptiness check and reads the
+        // just-checkpointed frame.
+        var frontierN = 1L
         var hop = 0
-        while (hop < maxHops && !frontier.isEmpty) {
+        while (hop < maxHops && frontierN > 0) {
           hop += 1
           val next = edges
-            .join(broadcast(frontier), edges("src") === frontier("node"))
+            .join(graft.operators.GraphLayout.nodeSide(frontier, frontierN),
+              edges("src") === frontier("node"))
             .select(col("dst").as("node")).distinct()
             .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
             .select(col("node"), lit(hop).as("dist"))
             .localCheckpoint()
           visited = visited.unionAll(next).localCheckpoint()
           frontier = next
+          frontierN = next.count()
         }
         visited.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
           .orderBy("dist")

@@ -765,9 +765,18 @@ object EventStream {
   def runBurstOnce(spark: SparkSession, dir: String, queryName: String,
                    windowUs: Long = 3600000000L, k: Int = 2,
                    watermark: String = "3650 days"): DataFrame = {
+    // The state machine runs on µs while the batch twin and the shared
+    // DuckDB oracle run on raw ns — sound ONLY while every ts_ns is a
+    // µs-multiple, so that truncation is lossless and window-boundary
+    // qualification agrees. Enforce that precondition here instead of
+    // silently diverging if a TIMESTAMP(NANOS) generation ever carries
+    // sub-µs components.
     val events = readEvents(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"),
-        expr("ts_ns div 1000").as("ts_us"))
+        expr("""CASE WHEN ts_ns % 1000 != 0 THEN CAST(raise_error(concat(
+                 'runBurstOnce: sub-microsecond ts_ns (', CAST(ts_ns AS STRING),
+                 ') breaks the streaming-vs-batch burst contract')) AS LONG)
+                ELSE ts_ns div 1000 END""").as("ts_us"))
     mergeBurstEmissions(
       runToMemory(burstStream(events, windowUs, k, watermark).toDF(),
         queryName, OutputMode.Update()))
