@@ -838,10 +838,14 @@ object Ts {
       * page-importance number for behavioral states): deterministic
       * power iteration on the k×k transition matrix (aggregate-sized
       * driver state — the `ml_pacf` bound), 100 steps from uniform.
-      * Rows-only: the fixed point has no SQL form; StatsSpec pins the
-      * πP = π law and agreement with the empirical state frequencies
-      * (which for an ergodic chain of observed transitions track the
-      * stationary vector). */
+      * FULL ORACLE (flipped from rows-only in r9): each step re-rounds
+      * π to the 1e-9 HALF_UP grid — the `ts_kalman_level` grid-pinned
+      * recursion convention — so a DuckDB RECURSIVE CTE carrying
+      * (iter, state, π) rows and aggregating the matrix-vector product
+      * per step replays the fixpoint bit-exactly (the `graph_pagerank`
+      * oracle's unrolled-iteration idea, as a recursion because DuckDB
+      * allows GROUP BY in the recursive term). StatsSpec still pins the
+      * πP = π law and agreement with empirical state frequencies. */
     "seq_markov_stationary" -> ((s, d) => {
       import s.implicits._
       val uw = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
@@ -860,10 +864,13 @@ object Ts {
         if (row == 0) if (i == j) 1.0 else 0.0
         else trans.getOrElse((states(i), states(j)), 0L).toDouble / row
       }
-      var pi = Array.fill(k)(1.0 / k)
+      def r9(v: Double): Double =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var pi = Array.fill(k)(r9(1.0 / k))
       for (_ <- 1 to 100)
-        pi = Array.tabulate(k)(j => (0 until k).map(i => pi(i) * p(i)(j)).sum)
-      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+        pi = Array.tabulate(k)(j => r9((0 until k).map(i => pi(i) * p(i)(j)).sum))
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
       states.indices.map(i => (states(i), r6(pi(i))))
         .toDF("state", "stationary_p").orderBy("state")
     }),
@@ -2234,6 +2241,48 @@ object Ts {
         |SELECT from_type, to_type, n,
         |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    /** The grid-pinned power iteration as a RECURSIVE CTE: the working
+      * table carries (iter, state, π), each step joins the k²-row
+      * transition matrix and aggregates the matrix-vector product,
+      * re-rounding to the shared 1e-9 grid exactly like the Spark
+      * driver loop. Dangling states get the identity self-loop; states
+      * with no inflow leave the recursion (their π is 0) and re-enter
+      * via the final LEFT JOIN. All matrix entries are BIGINT/BIGINT
+      * divisions promoted to DOUBLE — identical operands both engines. */
+    "seq_markov_stationary" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |l AS (
+        |  SELECT event_type AS f,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS tt
+        |  FROM e),
+        |tr AS (
+        |  SELECT f, tt, count(*)::BIGINT AS n
+        |  FROM l WHERE tt IS NOT NULL GROUP BY 1, 2),
+        |states AS (SELECT DISTINCT st FROM (
+        |  SELECT f AS st FROM tr UNION ALL SELECT tt FROM tr) u),
+        |rowt AS (SELECT f, sum(n)::BIGINT AS rt FROM tr GROUP BY f),
+        |m AS (
+        |  SELECT tr.f AS i, tr.tt AS j, CAST(tr.n AS DOUBLE) / rowt.rt AS p
+        |  FROM tr JOIN rowt ON tr.f = rowt.f
+        |  UNION ALL
+        |  SELECT st, st, CAST(1.0 AS DOUBLE) FROM states
+        |  WHERE st NOT IN (SELECT f FROM tr)),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM states),
+        |rec(it, state, pi) AS (
+        |  SELECT 0, st, round(CAST(1.0 AS DOUBLE) / kk.k, 9) FROM states, kk
+        |  UNION ALL
+        |  SELECT it + 1, m.j, round(sum(rec.pi * m.p), 9)
+        |  FROM rec JOIN m ON rec.state = m.i
+        |  WHERE it < 100
+        |  GROUP BY it, m.j)
+        |SELECT s.st AS state,
+        |  coalesce(round(r.pi, 6), 0.0) + 0.0 AS stationary_p
+        |FROM states s
+        |LEFT JOIN (SELECT state, pi FROM rec WHERE it = 100) r ON s.st = r.state
+        |ORDER BY state""".stripMargin,
 
     /** ASOF-joined touch with the 24 h staleness gate, identical dedup
       * tiebreak, share over the channel frame. */
