@@ -33,6 +33,74 @@ object Docs {
   private val ANN_PLANES = 8
   private val ANN_DIM = 64
 
+  /** The per-invocation temp-view front door (the `Rel.sqlFrontDoor`
+    * discipline, private there). */
+  private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private def withEmbView[T](s: SparkSession, d: String)(f: String => T): T = {
+    val v = s"embeddings_docs_v${sqlRuns.incrementAndGet()}"
+    try {
+      Tables.embeddings(s, d).createOrReplaceTempView(v)
+      f(v)
+    } finally { s.catalog.dropTempView(v); () }
+  }
+
+  /** Shared SQL template for the PQ ASYMMETRIC-DISTANCE SCAN
+    * (`similarity_pq_adc`) — ONE text for both engines, so the two sides
+    * cannot drift; the only dialect knob is 1-based list indexing
+    * (Spark `element_at` / DuckDB `list_extract`). The codebook here is
+    * the SAMPLED one (the 16 lowest-vec_id corpus vectors act as the
+    * per-subspace centroids — k-means++-style init without Lloyd
+    * rounds), which keeps codebook construction inside SQL; the
+    * Lloyd-TRAINED path stays rows-only in `similarity_pq`. Per-subspace
+    * squared distances are left-associated 8-term double chains
+    * (identical trees both engines); the cross-subspace ADC sum rides
+    * DECIMAL on the 1e-9 grid so the 8-row aggregation is exact under
+    * any order. */
+  private def pqAdcSql(emb: String, ix: (String, String) => String): String = {
+    val m = 8; val ksub = 16
+    def dist8(a: String, b: String): String =
+      (1 to m).map { j =>
+        val i = s"sv * 8 + $j"
+        val t = s"(CAST(${ix(a, i)} AS DOUBLE) - CAST(${ix(b, i)} AS DOUBLE))"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    val subRows = (0 until m).map(v => s"SELECT $v AS sv").mkString(" UNION ALL ")
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+       |  WHERE vec_id % 50 = 0),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM $emb
+       |        ORDER BY vec_id LIMIT $ksub) s0),
+       |sub AS ($subRows),
+       |cand AS (
+       |  SELECT corpus.vec_id AS vec_id, sub.sv AS sv, samp.c AS c,
+       |    ${dist8("ve", "ce")} AS dist
+       |  FROM corpus CROSS JOIN samp CROSS JOIN sub),
+       |encd AS (
+       |  SELECT vec_id, sv, c FROM (
+       |    SELECT vec_id, sv, c,
+       |      row_number() OVER (PARTITION BY vec_id, sv
+       |        ORDER BY dist ASC, c ASC) AS rn
+       |    FROM cand) r WHERE rn = 1),
+       |qtd AS (
+       |  SELECT q.query_id AS query_id, sub.sv AS sv, samp.c AS c,
+       |    CAST(round(${dist8("qe", "ce")}, 9) AS DECIMAL(28,9)) AS td
+       |  FROM q CROSS JOIN samp CROSS JOIN sub),
+       |adc AS (
+       |  SELECT qtd.query_id AS query_id, encd.vec_id AS neighbor_id,
+       |    sum(qtd.td) AS approx
+       |  FROM encd JOIN qtd ON encd.sv = qtd.sv AND encd.c = qtd.c
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx ASC, neighbor_id ASC) AS rank,
+       |    round(CAST(approx AS DOUBLE), 6) AS adc_dist
+       |  FROM adc) t WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val qs: Map[String, Q] = Map(
     // ---- text analysis --------------------------------------------------
     "text_token_count" -> ((s, d) =>
@@ -824,6 +892,20 @@ object Docs {
         .orderBy("query_id", "rank")
     }),
 
+    /** The PQ ADC SCAN PATH as a FULL ORACLE ROW (`pqAdcSql` — one
+      * shared template, `spark.sql` front door): code assignment is an
+      * argmin join against the 128-row sampled-centroid table, the
+      * asymmetric-distance top-5 is a (sv, c)-keyed join of the codes
+      * against the per-query distance tables plus an exact DECIMAL
+      * cross-subspace sum. This hash-matches the serving-scan half of
+      * PQ; the Lloyd-trained codebook (which has no SQL form) stays in
+      * `similarity_pq` with its laws pinned in SimilaritySpec. The plan
+      * shape is the production ADC shape: corpus × (m·k) bounded
+      * broadcast attach for encode — never corpus × corpus. */
+    "similarity_pq_adc" -> ((s, d) =>
+      withEmbView(s, d)(v =>
+        s.sql(pqAdcSql(v, (e, i) => s"element_at($e, $i)")))),
+
     // ---- multimodal (binary-column plumbing; decode itself is the
     //      deterministic fake — graft.operators.Multimodal has the real
     //      mapPartitions path) ------------------------------------------
@@ -973,6 +1055,9 @@ object Docs {
     }.mkString(" + ")
 
   val sql: Map[String, String] = Map(
+    "similarity_pq_adc" ->
+      pqAdcSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+
     "text_token_count" -> (tokedSql +
       "SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_computed " +
       "FROM t ORDER BY doc_id"),

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "stat_fisher_exact",       // 1-row cells × 1-row max-logprob × 1-row observed
     "ts_block_bootstrap",      // crossJoin(broadcast(1-row n/offsets/blocks bounds))
     "ml_anomaly_mahalanobis",  // 1-row moment/inverse frame × user features
-    "ml_hierarchical_reconcile") // 1-row train-total frame × per-series shares
+    "ml_hierarchical_reconcile", // 1-row train-total frame × per-series shares
+    "similarity_pq_adc")       // corpus × 16-row codebook × 8-row subspace attach
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
