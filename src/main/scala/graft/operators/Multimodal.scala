@@ -76,6 +76,27 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder: JDK `javax.sound.sampled.AudioSystem` (the WAV/
+    * AIFF/AU file readers ship with the JVM — zero external dependencies,
+    * headless-safe). Same factory shape as [[imageIoDecoder]]: the SPI
+    * registry scan is pinned at per-partition init, the closure parses
+    * ONE payload's header to (checksum, sampleRateHz, channels, nFrames).
+    * Header-only — `getAudioFileFormat` reads the RIFF/fmt chunks without
+    * decoding samples, which is exactly what a 100 TB audio-metadata pass
+    * wants. Undecodable bytes fail loudly (the [[imageIoDecoder]]
+    * dead-letter posture). */
+  def wavDecoder(): Array[Byte] => (Long, Int, Int, Long) = {
+    // per-partition init: force the AudioFileReader SPI scan once
+    javax.sound.sampled.AudioSystem.getAudioFileTypes()
+    bytes => {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      (byteChecksum(bytes), fmt.getSampleRate.toInt, fmt.getChannels,
+        aff.getFrameLength.toLong)
+    }
+  }
+
   /** Typed row for the decode input (payload + identity columns). */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -103,6 +124,33 @@ object Multimodal {
         it.map { m =>
           val (sum, w, h) = decode(m.payload)
           DecodedRow(m.media_id, m.kind, m.payload.length.toLong, sum, w, h)
+        }
+      }
+      .toDF()
+  }
+
+  /** Typed row for decoded audio features: header facts + the derived
+    * duration (µs, integer arithmetic so every engine agrees). */
+  final case class AudioDecodedRow(media_id: Long, kind: String, n_bytes: Long,
+                                   checksum: Long, sample_rate_hz: Int,
+                                   channels: Int, n_frames: Long,
+                                   duration_us: Long)
+
+  /** Audio twin of [[decodeFeatures]]: the identical per-partition
+    * factory seam, producing header-level features (rate, channels,
+    * frames, duration). Narrow, shuffle-free, schema up front. */
+  def decodeAudioFeatures(media: DataFrame,
+                          decoderFactory: () => Array[Byte] => (Long, Int, Int, Long) =
+                            () => wavDecoder()): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        val decode = decoderFactory()
+        it.map { m =>
+          val (sum, rate, ch, frames) = decode(m.payload)
+          AudioDecodedRow(m.media_id, m.kind, m.payload.length.toLong, sum,
+            rate, ch, frames, frames * 1000000L / rate)
         }
       }
       .toDF()

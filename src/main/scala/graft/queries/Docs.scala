@@ -969,6 +969,59 @@ object Docs {
             .as("dims_match"))
         .orderBy("media_id")
     }),
+
+    /** REAL audio decode through the production seam — the WAV sibling
+      * of `multimodal_decode_png`: deterministic tiny PCM WAVs are
+      * ENCODED in-executor (`AudioSystem.write` of a raw 16-bit PCM
+      * stream — genuine RIFF bytes, not a fake), then header-parsed back
+      * by `Multimodal.decodeAudioFeatures` with the REAL `wavDecoder`
+      * (`javax.sound.sampled`, JDK-only). Self-verifying: decoded
+      * (rate, channels, frames) sit next to the generation parameters
+      * with a `params_match` flag. Bounded to 64 media rows; rows-only
+      * (WAV bytes have no SQL form); MultimodalSpec pins the seam
+      * counters and the round-trip. */
+    "multimodal_decode_wav" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id").limit(64)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nch) =>
+            val rates = Array(8000, 11025, 16000, 22050)
+            val rate = rates((id % 4).toInt)
+            val channels = 1 + (id % 2).toInt
+            val frames = (100 + nch % 400).toInt
+            val pcm = new Array[Byte](frames * channels * 2)
+            var i = 0
+            while (i < pcm.length) {
+              pcm(i) = ((id * 31 + i * 7) % 251).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              rate.toFloat, 16, channels, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, "audio", bos.toByteArray, rate, channels, frames.toLong)
+          }
+        }
+        .toDF("media_id", "kind", "payload", "exp_rate", "exp_ch", "exp_frames")
+        .localCheckpoint() // encode once; decode and the audit join both read it
+      graft.operators.Multimodal
+        .decodeAudioFeatures(media)
+        .join(media.select("media_id", "exp_rate", "exp_ch", "exp_frames"),
+          "media_id")
+        .select(col("media_id"), col("n_bytes"), col("sample_rate_hz"),
+          col("channels"), col("n_frames"), col("duration_us"),
+          col("exp_rate"), col("exp_ch"), col("exp_frames"),
+          (col("sample_rate_hz") === col("exp_rate") &&
+            col("channels") === col("exp_ch") &&
+            col("n_frames") === col("exp_frames")).as("params_match"))
+        .orderBy("media_id")
+    }),
   )
 
   // ---- DuckDB oracle twins ------------------------------------------------

@@ -102,6 +102,77 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavDecoder parses REAL RIFF bytes to true header facts through the seam") {
+    // tiny PCM WAVs generated in-test via the JDK — the audio sibling of
+    // the PNG round-trip above
+    def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * channels * 2)
+      for (i <- pcm.indices) pcm(i) = ((i * 7) % 251).toByte
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val (w1, w2) = (wav(8000, 1, 120), wav(22050, 2, 333))
+    val rows = Seq(
+      Row(1L, "audio", w1, Row("gen", w1.length.toLong)),
+      Row(2L, "audio", w2, Row("gen", w2.length.toLong)))
+    val mediaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val out = Multimodal.decodeAudioFeatures(mediaDf).orderBy("media_id").collect()
+    assert(out.map(r => (r.getAs[Int]("sample_rate_hz"), r.getAs[Int]("channels"),
+      r.getAs[Long]("n_frames"))).toSeq == Seq((8000, 1, 120L), (22050, 2, 333L)))
+    // duration derives from the header with integer arithmetic
+    assert(out(0).getAs[Long]("duration_us") == 120L * 1000000L / 8000L)
+    assert(out(0).getAs[Long]("checksum") == Multimodal.byteChecksum(w1))
+    assert(out(0).getAs[Long]("n_bytes") == w1.length.toLong)
+  }
+
+  test("audio decoder seam: factory once per partition, header parse once per row") {
+    val inits = spark.sparkContext.longAccumulator("wav-inits")
+    val decodes = spark.sparkContext.longAccumulator("wav-calls")
+    val m = media.repartition(3)
+    val nPartitions = m.rdd.getNumPartitions
+    val out = Multimodal.decodeAudioFeatures(m, () => {
+      inits.add(1)
+      bytes => { decodes.add(1); (Multimodal.byteChecksum(bytes), 8000, 1, 10L) }
+    })
+    assert(out.count() == 2)
+    assert(inits.value == nPartitions,
+      s"expected one decoder init per partition ($nPartitions), got ${inits.value}")
+    assert(decodes.value == 2, s"expected one parse per row, got ${decodes.value}")
+  }
+
+  test("wavDecoder fails loudly on non-audio bytes") {
+    val ex = intercept[Exception] {
+      val rows = Seq(Row(1L, "audio", Array[Byte](1, 2, 3), Row(null, null)))
+      Multimodal.decodeAudioFeatures(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows),
+          Multimodal.mediaSchema)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("multimodal_decode_wav: every generated WAV header-parses to its parameters") {
+    val rows = SparkEntry.queries("multimodal_decode_wav")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("params_match"),
+        s"WAV round-trip broke for media ${r.getAs[Long]("media_id")}: " +
+          s"decoded ${r.getAs[Int]("sample_rate_hz")}Hz/" +
+          s"${r.getAs[Int]("channels")}ch/${r.getAs[Long]("n_frames")}f vs " +
+          s"expected ${r.getAs[Int]("exp_rate")}/${r.getAs[Int]("exp_ch")}/" +
+          s"${r.getAs[Long]("exp_frames")}")
+      assert(r.getAs[Long]("n_bytes") > 44L) // RIFF header + payload
+      assert(r.getAs[Long]("duration_us") ==
+        r.getAs[Long]("n_frames") * 1000000L / r.getAs[Int]("sample_rate_hz"))
+    }
+  }
+
   test("sampleFrames: one row per stride step") {
     val out = Multimodal.sampleFrames(media, stride = 4).orderBy("media_id", "frame_idx")
       .collect()
