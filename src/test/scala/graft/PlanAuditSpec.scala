@@ -202,18 +202,20 @@ class PlanAuditSpec extends SparkSpec {
     }
     // BFS's final plan is a groupBy over checkpointed union leaves (its
     // termination check forces the per-round checkpoint), so it is pinned
-    // by result mode-invariance below; pagerank/k-core leave their last
-    // round un-truncated and expose the gated join structurally.
+    // by result mode-invariance below; pagerank/k-core expose the gated
+    // join structurally under the keepFinalPlan probe (the default/bench
+    // path checkpoints the final round, which truncates the lineage).
     val structural = Seq("graph_pagerank", "graph_k_core")
     val rowsBcast = Seq("graph_pagerank", "graph_bfs_distance")
       .map(q => q -> SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq)
-    for (q <- structural)
-      assert(executed(q).contains("BroadcastHashJoin"),
-        s"$q should broadcast the node frame under the gate")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-    sys.props("graft.graph.broadcastNodeLimit") = "0"
+    sys.props("graft.graph.keepFinalPlan") = "true"
     try {
+      for (q <- structural)
+        assert(executed(q).contains("BroadcastHashJoin"),
+          s"$q should broadcast the node frame under the gate")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      sys.props("graft.graph.broadcastNodeLimit") = "0"
       for (q <- structural) {
         val p = executed(q)
         assert(p.contains("ShuffledHashJoin"),
@@ -225,6 +227,7 @@ class PlanAuditSpec extends SparkSpec {
         assert(got == want, s"$q results must not depend on the join mode")
       }
     } finally {
+      sys.props.remove("graft.graph.keepFinalPlan")
       sys.props.remove("graft.graph.broadcastNodeLimit")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
