@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     "ts_block_bootstrap",      // crossJoin(broadcast(1-row n/offsets/blocks bounds))
     "ml_anomaly_mahalanobis",  // 1-row moment/inverse frame × user features
     "ml_hierarchical_reconcile", // 1-row train-total frame × per-series shares
-    "similarity_pq_adc")       // corpus × 16-row codebook × 8-row subspace attach
+    "similarity_pq_adc",       // corpus × 16-row codebook × 8-row subspace attach
+    "stat_permutation_fdr",    // pool × 100-row replicate frame + 1-row kmax
+    "feature_select_mrmr")     // cube-sized frames × 1-row grand total
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
