@@ -241,6 +241,67 @@ object R9 {
        |ORDER BY step""".stripMargin
   }
 
+  /** HAAR WAVELET ENERGY DECOMPOSITION — the multi-resolution
+    * companion to `ts_periodogram`/`ts_welch_psd`: per series, detail
+    * coefficients at dyadic scales 2¹…2⁸ over the first ≤256 30-min
+    * bars (d_{ℓ,i} = (mean of first half − mean of second half)/2 of
+    * each 2^ℓ block — the closed BLOCK form of the Haar cascade, so
+    * every level is one grouped aggregation over the base bars, no
+    * recursion), per-level energy Σd² and its share. ONE shared text:
+    * the level table is an explicit 8-row UNION (no power()), block
+    * and half indices come from exact floor arithmetic on ≤256-sized
+    * integers, block sums are DECIMAL-exact, d is re-gridded at 1e-9,
+    * and the energy share divides exact DECIMAL window sums. The ≤256
+    * window cap is the scale posture: cost is per-series-bounded no
+    * matter the corpus. */
+  private def haarSql(events: String, dl: Dialect): String = {
+    val lv = (1 to 8).map(l => s"SELECT $l AS l, ${1 << l} AS bs")
+      .mkString(" UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT event_type AS g, ${dl.bucket} AS bucket,
+       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS px
+       |  FROM $events GROUP BY 1, 2),
+       |s AS (
+       |  SELECT g, px,
+       |    row_number() OVER (PARTITION BY g ORDER BY bucket) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS n
+       |  FROM b),
+       |m AS (
+       |  SELECT g, CASE WHEN max(n) >= 256 THEN 256
+       |    WHEN max(n) >= 128 THEN 128 WHEN max(n) >= 64 THEN 64
+       |    WHEN max(n) >= 32 THEN 32 ELSE 16 END AS m
+       |  FROM s GROUP BY g),
+       |lv AS ($lv),
+       |x AS (
+       |  SELECT s.g, s.rn, s.px, m.m FROM s JOIN m ON s.g = m.g
+       |  WHERE s.rn <= m.m),
+       |c AS (
+       |  SELECT x.g, lv.l, lv.bs,
+       |    CAST(floor((x.rn - 1) / (lv.bs * 1.0)) AS BIGINT) AS blk,
+       |    CAST(floor(((x.rn - 1) % lv.bs) / (lv.bs / 2.0)) AS BIGINT) AS half,
+       |    x.px
+       |  FROM x JOIN lv ON lv.bs <= x.m),
+       |h AS (
+       |  SELECT g, l, blk, half, sum(px) AS sp, count(*) AS cnt
+       |  FROM c GROUP BY 1, 2, 3, 4),
+       |dcoef AS (
+       |  SELECT g, l, blk,
+       |    round((CAST(max(CASE WHEN half = 0 THEN sp END) AS DOUBLE)
+       |        / max(CASE WHEN half = 0 THEN cnt END)
+       |      - CAST(max(CASE WHEN half = 1 THEN sp END) AS DOUBLE)
+       |        / max(CASE WHEN half = 1 THEN cnt END)) / 2.0, 9) AS d
+       |  FROM h GROUP BY 1, 2, 3),
+       |e AS (
+       |  SELECT g, l, count(*) AS n_coeffs,
+       |    sum(CAST(round(d * d, 9) AS DECIMAL(28,9))) AS edec
+       |  FROM dcoef GROUP BY 1, 2)
+       |SELECT g AS event_type, l AS level, n_coeffs,
+       |  round(CAST(edec AS DOUBLE), 6) AS energy,
+       |  round(CAST(edec AS DOUBLE) /
+       |    CAST(sum(edec) OVER (PARTITION BY g) AS DOUBLE), 6) AS energy_share
+       |FROM e ORDER BY event_type, level""".stripMargin
+  }
+
   /** DuckDB rendition: cube built inline from the events table as
     * MATERIALIZED CTEs (without the hint DuckDB re-evaluates the whole
     * fw scan per cube reference — measured 99 s → 5 s at sf0.01). */
@@ -332,6 +393,176 @@ object R9 {
 
     "stat_permutation_fdr" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(permutationFdrSql(v, sparkDialect)))),
+
+    /** IRREGULAR-TIME EWMA — the time-decay smoother real event streams
+      * need (bar-based EWMA assumes equal spacing; market/event data is
+      * not): s_t = s_{t-1} + α_t (v_t − s_{t-1}) with
+      * α_t = 1 − exp(−Δt/τ), τ = 6 h, on RAW event times. Per-series
+      * `flatMapGroups` scan (O(1) state per group, distributed ACROSS
+      * series — the `ts_kalman_level` machinery) with every α and state
+      * re-rounded to the 1e-9 grid so the DuckDB RECURSIVE-CTE twin
+      * replays the recursion bitwise. (t, event_id) total order makes
+      * simultaneous events deterministic. */
+    "ts_ewma_irregular" -> ((s, d) => {
+      import s.implicits._
+      val tauUs = 21600000000.0
+      def r9d(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("t"), round(col("value"), 6).as("v"))
+        .as[(String, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          val pts = it.toArray.sortBy(p => (p._3, p._2))
+          var ewma = 0.0
+          var tPrev = 0L
+          pts.iterator.zipWithIndex.map { case ((_, id, t, v), i) =>
+            val alpha =
+              if (i == 0) { ewma = v; tPrev = t; 1.0 }
+              else {
+                val a = r9d(1.0 - math.exp(-(t - tPrev).toDouble / tauUs))
+                ewma = r9d(ewma + a * (v - ewma))
+                tPrev = t
+                a
+              }
+            (g, t, id, v, alpha, ewma)
+          }
+        }
+        .toDF("event_type", "t", "event_id", "v", "alpha", "ewma")
+        .orderBy("event_type", "t", "event_id")
+    }),
+
+    /** RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the unsupervised
+      * keyphrase staple over the corpus: candidate phrases are maximal
+      * stopword-free token runs (capped at 4 tokens), word scores are
+      * degree/frequency over the kept phrases, a phrase scores the sum
+      * of its word scores. Phrase segmentation is ONE per-doc window
+      * (cumulative stopword count = phrase id); all scoring is corpus-
+      * level aggregation; per-phrase word-score sums ride the 1e-9
+      * DECIMAL grid (≤4 terms, order-free). Top-20 by (score, phrase). */
+    "text_rake_keywords" -> ((s, d) => {
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "pos").withColumnRenamed("col", "tok")
+        .withColumn("stop",
+          col("tok").isin(graft.functions.Text.stopwords: _*))
+        .withColumn("pid", sum(col("stop").cast("int")).over(wp))
+      val words = toks.filter(!col("stop"))
+        .select("doc_id", "pid", "pos", "tok")
+      val phraseLen = words.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("n_words"))
+        .filter(col("n_words") <= 4)
+      val kept = words.join(phraseLen, Seq("doc_id", "pid"))
+      val wordScore = kept.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("n_words").as("degree"))
+        .select(col("tok"),
+          round(col("degree") / col("freq"), 9).as("wscore"))
+      val scored = kept.join(wordScore, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"),
+            col("tok")))), x => x.getField("tok")), " ").as("phrase"),
+          sum(round(col("wscore"), 9).cast("decimal(28,9)")).as("pscore"))
+      scored.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"),
+          (round(max(col("pscore")).cast("double"), 6) + 0.0).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    }),
+
+    /** PAIRS-TRADING BACKTEST — the strategy `ml_cointegration` exists
+      * to justify: per series pair, hedge ratio β by exact-sum OLS,
+      * spread = pa − β·pb, full-sample z-score, and the classic
+      * enter-at-|z|>1 / exit-at-|z|<0.25 state machine applied to
+      * NEXT-bar spread changes (no lookahead: bar t's PnL uses the
+      * position decided at t−1). The position scan is a per-pair
+      * `flatMapGroups` over grid-rounded (spread, z) — all state
+      * transitions decided on the 1e-6 grid, so the DuckDB
+      * RECURSIVE-CTE twin replays the machine exactly; PnL sums are
+      * exact DECIMAL over grid values. In-sample by design (the audit
+      * shape, as `fin_var_backtest_kupiec`). */
+    "fin_pairs_backtest" -> ((s, d) => {
+      import s.implicits._
+      def r9d(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6d(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val bars = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+      val a = bars.select(col("event_type").as("ga"), col("bucket"),
+        col("px").as("pa"))
+      val b = bars.select(col("event_type").as("gb"), col("bucket"),
+        col("px").as("pb"))
+      val paired = a.join(b, Seq("bucket")).filter(col("ga") < col("gb"))
+      def dec(c: Column) = c.cast("decimal(18,6)")
+      val stats = paired.groupBy("ga", "gb").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("pa"))).as("sa"), sum(dec(col("pb"))).as("sb"),
+        sum((dec(col("pa")) * dec(col("pb"))).cast("decimal(30,12)")).as("sab"),
+        sum((dec(col("pb")) * dec(col("pb"))).cast("decimal(30,12)")).as("sbb"))
+        .withColumn("beta", round(
+          (col("n") * col("sab").cast("double") -
+            col("sa").cast("double") * col("sb").cast("double")) /
+          (col("n") * col("sbb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double")), 9))
+      val spreads = paired.join(stats.select("ga", "gb", "beta"), Seq("ga", "gb"))
+        .withColumn("spread", round(col("pa") - col("beta") * col("pb"), 6))
+      val zstats = spreads.groupBy("ga", "gb").agg(
+        count(lit(1)).as("nz"),
+        sum(dec(col("spread"))).as("ss"),
+        sum((dec(col("spread")) * dec(col("spread"))).cast("decimal(30,12)"))
+          .as("ss2"))
+        .withColumn("mu", col("ss").cast("double") / col("nz"))
+        .withColumn("sigma", sqrt(greatest(
+          (col("ss2").cast("double") -
+            col("ss").cast("double") * col("ss").cast("double") / col("nz")) /
+            col("nz"), lit(0.0))))
+      spreads.join(zstats.select("ga", "gb", "mu", "sigma"), Seq("ga", "gb"))
+        .withColumn("z", round((col("spread") - col("mu")) / col("sigma"), 6))
+        .select(col("ga"), col("gb"), col("bucket"), col("spread"), col("z"),
+          col("mu"), col("sigma"))
+        .as[(String, String, Long, Double, Double, Double, Double)]
+        .groupByKey(p => (p._1, p._2))
+        .mapGroups { (key: (String, String), it) =>
+          val (ga, gb) = key
+          val pts = it.toArray.sortBy(_._3)
+          var pos = 0
+          var trades = 0L
+          var pnl = BigDecimal(0)
+          var win = 0L; var lose = 0L
+          var prevSpread = 0.0
+          pts.zipWithIndex.foreach { case ((_, _, _, sp, z, _, _), i) =>
+            if (i > 0) {
+              val p = BigDecimal(r9d(pos * (sp - prevSpread)))
+              pnl += p
+              if (p > 0) win += 1 else if (p < 0) lose += 1
+            }
+            val next =
+              if (math.abs(z) < 0.25) 0
+              else if (z > 1.0) -1
+              else if (z < -1.0) 1
+              else pos
+            if (next != pos && next != 0) trades += 1
+            pos = next
+            prevSpread = sp
+          }
+          val hit = if (win + lose == 0) 0.0
+            else r6d(win.toDouble / (win + lose))
+          (ga, gb, pts.length.toLong, trades, r6d(pnl.toDouble), hit)
+        }
+        .toDF("series_a", "series_b", "n_bars", "n_trades", "total_pnl",
+          "hit_rate")
+        .orderBy("series_a", "series_b")
+    }),
+
+    "ts_haar_energy" -> ((s, d) =>
+      withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
     /** Spark side of mRMR: the fact collapses to the joint contingency
       * cube ONCE (one scan — json parse, bucketing, the exact global
@@ -484,6 +715,12 @@ object R9 {
 
   // ---- DuckDB oracle twins ------------------------------------------------
 
+  /** Local copy of the Docs tokenizer CTE (private there): text split
+    * once on the single-space contract. Must precede the `sql` map —
+    * object-body vals initialize in order. */
+  private val tokedSqlR9 =
+    "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
+
   val sql: Map[String, String] = Map(
 
     "seq_path_trigrams" ->
@@ -535,6 +772,157 @@ object R9 {
 
     "stat_permutation_fdr" -> permutationFdrSqlDuck("events", duckDialect),
 
-    "feature_select_mrmr" -> mrmrSqlDuck("events", duckDialect)
+    "feature_select_mrmr" -> mrmrSqlDuck("events", duckDialect),
+
+    /** The irregular-EWMA recursion replayed exactly (the
+      * `ts_kalman_level` oracle shape): α and state re-round to the
+      * 1e-9 grid each step, Δt/τ divides identical BIGINT/DOUBLE
+      * operands, (t, event_id) breaks simultaneous events. */
+    "ts_ewma_irregular" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT event_type AS g, event_id, epoch_us(ts) AS t,
+        |    round(value, 6) AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT g, event_id, t, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY t, event_id) AS rn
+        |  FROM e),
+        |k AS (
+        |  SELECT g, t, event_id, v, rn, CAST(1.0 AS DOUBLE) AS alpha,
+        |    v AS ewma
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.g, q.t, q.event_id, q.v, q.rn, q.alpha,
+        |    round(q.ewma0 + q.alpha * (q.v - q.ewma0), 9)
+        |  FROM (
+        |    SELECT s.g, s.t, s.event_id, s.v, s.rn, k.ewma AS ewma0,
+        |      round(1.0 - exp(-((s.t - k.t) / 21600000000.0)), 9) AS alpha
+        |    FROM k JOIN s ON s.g = k.g AND s.rn = k.rn + 1) q)
+        |SELECT g AS event_type, t, event_id, v, alpha, ewma
+        |FROM k ORDER BY event_type, t, event_id""".stripMargin,
+
+    /** RAKE replay: phrase ids from the same cumulative-stopword
+      * window, phrase strings via ORDER BY string_agg, word and phrase
+      * scores from identical integer counts, score sums on the 1e-9
+      * DECIMAL grid. */
+    "text_rake_keywords" -> (tokedSqlR9 +
+      """, tk0 AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+        |  FROM t),
+        |tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tk0),
+        |fl AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN (""".stripMargin +
+      graft.functions.Text.stopwords.map(w => s"'$w'").mkString(", ") +
+      """) THEN 1 ELSE 0 END AS stop
+        |  FROM tk),
+        |pid AS (
+        |  SELECT doc_id, pos, tok, stop,
+        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |  FROM fl),
+        |words AS (SELECT doc_id, pid, pos, tok FROM pid WHERE stop = 0),
+        |plen AS (
+        |  SELECT doc_id, pid, count(*)::BIGINT AS n_words
+        |  FROM words GROUP BY 1, 2 HAVING count(*) <= 4),
+        |kept AS (
+        |  SELECT w.doc_id, w.pid, w.pos, w.tok, p.n_words
+        |  FROM words w JOIN plen p ON w.doc_id = p.doc_id AND w.pid = p.pid),
+        |ws AS (
+        |  SELECT tok, round(sum(n_words) / count(*), 9) AS wscore
+        |  FROM kept GROUP BY tok),
+        |ph AS (
+        |  SELECT k.doc_id, k.pid,
+        |    string_agg(k.tok, ' ' ORDER BY k.pos) AS phrase,
+        |    sum(CAST(round(ws.wscore, 9) AS DECIMAL(28,9))) AS pscore
+        |  FROM kept k JOIN ws ON k.tok = ws.tok GROUP BY 1, 2)
+        |SELECT phrase, count(*)::BIGINT AS n_occurrences,
+        |  round(CAST(max(pscore) AS DOUBLE), 6) + 0.0 AS score
+        |FROM ph GROUP BY phrase
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
+
+    /** The pairs-trading state machine replayed: β/μ/σ from the same
+      * DECIMAL-exact sums, z on the 1e-6 grid, the position recursion a
+      * RECURSIVE CTE over rn (all pairs advance in parallel), PnL and
+      * trade counts from lag windows over the recursion's output. */
+    "fin_pairs_backtest" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.g AS ga, c.g AS gb, a.bucket AS bucket,
+        |    a.px AS pa, c.px AS pb
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.g < c.g),
+        |st AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS n,
+        |    sum(CAST(pa AS DECIMAL(18,6))) AS sa,
+        |    sum(CAST(pb AS DECIMAL(18,6))) AS sb,
+        |    sum(CAST(CAST(pa AS DECIMAL(18,6)) * CAST(pb AS DECIMAL(18,6))
+        |      AS DECIMAL(30,12))) AS sab,
+        |    sum(CAST(CAST(pb AS DECIMAL(18,6)) * CAST(pb AS DECIMAL(18,6))
+        |      AS DECIMAL(30,12))) AS sbb
+        |  FROM p GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT ga, gb,
+        |    round((n * CAST(sab AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / (n * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 9) AS beta
+        |  FROM st),
+        |sp AS (
+        |  SELECT p.ga, p.gb, p.bucket, round(p.pa - bt.beta * p.pb, 6) AS spread
+        |  FROM p JOIN bt ON p.ga = bt.ga AND p.gb = bt.gb),
+        |zs AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS nz,
+        |    sum(CAST(spread AS DECIMAL(18,6))) AS ss,
+        |    sum(CAST(CAST(spread AS DECIMAL(18,6))
+        |      * CAST(spread AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS ss2
+        |  FROM sp GROUP BY 1, 2),
+        |zz AS (
+        |  SELECT ga, gb, CAST(ss AS DOUBLE) / nz AS mu,
+        |    sqrt(greatest((CAST(ss2 AS DOUBLE)
+        |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nz) / nz, 0.0))
+        |      AS sigma
+        |  FROM zs),
+        |sq AS (
+        |  SELECT sp.ga, sp.gb, sp.bucket, sp.spread,
+        |    round((sp.spread - zz.mu) / zz.sigma, 6) AS z,
+        |    row_number() OVER (PARTITION BY sp.ga, sp.gb ORDER BY sp.bucket)
+        |      AS rn
+        |  FROM sp JOIN zz ON sp.ga = zz.ga AND sp.gb = zz.gb),
+        |k AS (
+        |  SELECT ga, gb, rn, spread,
+        |    CASE WHEN abs(z) < 0.25 THEN 0 WHEN z > 1.0 THEN -1
+        |      WHEN z < -1.0 THEN 1 ELSE 0 END AS pos
+        |  FROM sq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.ga, q.gb, q.rn, q.spread,
+        |    CASE WHEN abs(q.z) < 0.25 THEN 0 WHEN q.z > 1.0 THEN -1
+        |      WHEN q.z < -1.0 THEN 1 ELSE q.pos0 END
+        |  FROM (
+        |    SELECT sq.ga, sq.gb, sq.rn, sq.spread, sq.z, k.pos AS pos0
+        |    FROM k JOIN sq ON sq.ga = k.ga AND sq.gb = k.gb
+        |      AND sq.rn = k.rn + 1) q),
+        |pnl AS (
+        |  SELECT ga, gb, rn, pos,
+        |    lag(pos) OVER (PARTITION BY ga, gb ORDER BY rn) AS pos_prev,
+        |    round(coalesce(lag(pos) OVER (PARTITION BY ga, gb ORDER BY rn), 0)
+        |      * (spread - lag(spread) OVER (PARTITION BY ga, gb ORDER BY rn)),
+        |      9) AS pv
+        |  FROM k)
+        |SELECT ga AS series_a, gb AS series_b,
+        |  count(*)::BIGINT AS n_bars,
+        |  sum(CASE WHEN pos != coalesce(pos_prev, 0) AND pos != 0
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_trades,
+        |  round(CAST(sum(CAST(pv AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0
+        |    AS total_pnl,
+        |  CASE WHEN sum(CASE WHEN pv > 0 THEN 1 WHEN pv < 0 THEN 1 ELSE 0 END)
+        |      = 0 THEN 0.0
+        |    ELSE round(sum(CASE WHEN pv > 0 THEN 1 ELSE 0 END)
+        |      / sum(CASE WHEN pv > 0 THEN 1 WHEN pv < 0 THEN 1 ELSE 0 END), 6)
+        |    END AS hit_rate
+        |FROM pnl GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin,
+
+    "ts_haar_energy" -> haarSql("events", duckDialect)
   )
 }
