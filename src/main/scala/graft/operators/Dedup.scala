@@ -172,6 +172,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL near-dup admission — the nightly-production dedup
+    * shape: a NEW batch is checked AGAINST the existing corpus, never
+    * the corpus against itself (that work was done when the corpus was
+    * admitted). Same signature/banding machinery as [[minhashLshPairs]]
+    * but the bucket join is ASYMMETRIC (new bands × corpus bands), so
+    * the per-night cost is O(|batch| · bucket-collision rate), not
+    * O(|corpus|²); at 100 TB the corpus side is a PRECOMPUTED signature
+    * table read from the lake — here both sides derive from one
+    * checkpointed signature pass, which is the same plan with the scan
+    * swapped. Every new doc emits exactly one row: its best corpus
+    * match (max verified Jaccard, id tiebreak) or a clean-admission
+    * row. */
+  def incrementalLshDedup(df: DataFrame, idCol: String, textCol: String,
+                          newFlag: Column, numHashes: Int, numBands: Int,
+                          threshold: Double): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    val withSig = fanOut(df)
+      .withColumn("__new", newFlag)
+      .withColumn("__sh", array_distinct(Text.shingleHashes(col(textCol))))
+      .withColumn("__sig", Text.minhashSignature(col("__sh"), numHashes))
+      .localCheckpoint()
+    val banded = withSig.select(
+      col(idCol), col("__new"), col("__sh"),
+      explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
+        s"b -> struct(b AS band, slice(__sig, b * $rows + 1, $rows) AS chunk))")).as("bk"))
+      .select(col(idCol), col("__new"), col("__sh"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val cand = banded.filter(col("__new")).as("a")
+      .join(banded.filter(!col("__new")).as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
+      .select(col(s"a.$idCol").as("id_new"), col(s"b.$idCol").as("id_corpus"),
+        col("a.__sh").as("sh_a"), col("b.__sh").as("sh_b"))
+      .distinct()
+    val best = cand
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rk", row_number().over(Window.partitionBy("id_new")
+        .orderBy(col("jaccard").desc, col("id_corpus"))))
+      .filter(col("rk") === 1)
+      .select(col("id_new").as(idCol), col("id_corpus").as("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"))
+    withSig.filter(col("__new")).select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNotNull.as("is_duplicate"),
+        col("dup_of"), col("jaccard"))
+      .orderBy(idCol)
+  }
+
   /** SimHash signatures: (id, simhash long). Near-dup candidates are rows
     * whose signatures agree on a byte-band (same blocking idea as MinHash
     * bands, over Hamming space). */

@@ -264,6 +264,20 @@ object Docs {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    /** INCREMENTAL batch admission (`Dedup.incrementalLshDedup`) — the
+      * nightly shape: the ~10 % of docs the house md5 split marks "new"
+      * are near-dup-checked AGAINST the remaining corpus through an
+      * ASYMMETRIC band join (never corpus×corpus — that work was done at
+      * admission time). One row per new doc: best verified corpus match
+      * or clean admission. Same signature/band/verify parameters as
+      * `dedup_minhash_lsh`, so the oracle reuses its whole signature
+      * ladder. */
+    "dedup_incremental_batch" -> ((s, d) =>
+      Dedup.incrementalLshDedup(Tables.documents(s, d), "doc_id", "text",
+        newFlag = (expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+          .cast("long") % 10) === 0,
+        numHashes = 16, numBands = 4, threshold = 0.5)),
+
     /** Pairwise near-dups → dedup groups (`Dedup.connectedComponents`,
       * distributed min-label propagation): the output a pipeline actually
       * consumes — keep `doc_id == component`, drop the rest. */
@@ -1238,6 +1252,41 @@ object Docs {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "dedup_incremental_batch" -> (sigSql +
+      """, bands AS (
+        |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
+        |  FROM sig GROUP BY doc_id, i // 4)
+        |, nw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 10 = 0 THEN 1 ELSE 0 END AS is_new
+        |  FROM t)
+        |, cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+        |  FROM bands a JOIN nw na ON a.doc_id = na.doc_id AND na.is_new = 1
+        |  JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+        |  JOIN nw nb ON b.doc_id = nb.doc_id AND nb.is_new = 0)
+        |, prs AS (
+        |  SELECT id_new, id_corpus,
+        |    len(list_intersect(x.shl, y.shl))::DOUBLE /
+        |    (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
+        |      AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = id_new
+        |    JOIN sh y ON y.doc_id = id_corpus
+        |  WHERE len(list_intersect(x.shl, y.shl))::DOUBLE /
+        |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
+        |      >= 0.5)
+        |, best AS (
+        |  SELECT id_new, id_corpus, jaccard FROM (
+        |    SELECT id_new, id_corpus, jaccard,
+        |      row_number() OVER (PARTITION BY id_new
+        |        ORDER BY jaccard DESC, id_corpus) AS rk
+        |    FROM prs) rt WHERE rk = 1)
+        |SELECT n.doc_id, best.id_corpus IS NOT NULL AS is_duplicate,
+        |  best.id_corpus AS dup_of, round(best.jaccard, 6) AS jaccard
+        |FROM nw n LEFT JOIN best ON n.doc_id = best.id_new
+        |WHERE n.is_new = 1 ORDER BY n.doc_id""".stripMargin),
 
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM prs ORDER BY id_a, id_b"),

@@ -564,6 +564,19 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** The REAL streaming twin of `ts_ewma_irregular`
+      * (`EventStream.ewmaStream`): flatMapGroupsWithState per series
+      * with an O(1) finalized-prefix anchor + watermark-horizon suffix
+      * buffer, run to completion under AvailableNow and hash-compared
+      * against the SAME DuckDB recursive oracle as the batch scan —
+      * streaming ≡ batch is the contract, regardless of micro-batch
+      * boundaries. Multi-batch late-data recompute and exactly-once
+      * finalization pinned in StreamingSpec. */
+    "stream_ewma_irregular" -> ((s, d) =>
+      graft.streaming.EventStream.runEwmaOnce(s, d,
+          s"stream_ewma_v${sqlRuns.incrementAndGet()}")
+        .orderBy("event_type", "t", "event_id")),
+
     /** Spark side of mRMR: the fact collapses to the joint contingency
       * cube ONCE (one scan — json parse, bucketing, the exact global
       * median as a driver scalar), the cube is localCheckpoint'd and
@@ -721,6 +734,30 @@ object R9 {
   private val tokedSqlR9 =
     "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
 
+  /** Shared twin for the batch AND streaming irregular EWMA. */
+  private val ewmaIrregularSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type AS g, event_id, epoch_us(ts) AS t,
+      |    round(value, 6) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT g, event_id, t, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY t, event_id) AS rn
+      |  FROM e),
+      |k AS (
+      |  SELECT g, t, event_id, v, rn, CAST(1.0 AS DOUBLE) AS alpha,
+      |    v AS ewma
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT q.g, q.t, q.event_id, q.v, q.rn, q.alpha,
+      |    round(q.ewma0 + q.alpha * (q.v - q.ewma0), 9)
+      |  FROM (
+      |    SELECT s.g, s.t, s.event_id, s.v, s.rn, k.ewma AS ewma0,
+      |      round(1.0 - exp(-((s.t - k.t) / 21600000000.0)), 9) AS alpha
+      |    FROM k JOIN s ON s.g = k.g AND s.rn = k.rn + 1) q)
+      |SELECT g AS event_type, t, event_id, v, alpha, ewma
+      |FROM k ORDER BY event_type, t, event_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "seq_path_trigrams" ->
@@ -778,28 +815,12 @@ object R9 {
       * `ts_kalman_level` oracle shape): α and state re-round to the
       * 1e-9 grid each step, Δt/τ divides identical BIGINT/DOUBLE
       * operands, (t, event_id) breaks simultaneous events. */
-    "ts_ewma_irregular" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT event_type AS g, event_id, epoch_us(ts) AS t,
-        |    round(value, 6) AS v
-        |  FROM events),
-        |s AS (
-        |  SELECT g, event_id, t, v,
-        |    row_number() OVER (PARTITION BY g ORDER BY t, event_id) AS rn
-        |  FROM e),
-        |k AS (
-        |  SELECT g, t, event_id, v, rn, CAST(1.0 AS DOUBLE) AS alpha,
-        |    v AS ewma
-        |  FROM s WHERE rn = 1
-        |  UNION ALL
-        |  SELECT q.g, q.t, q.event_id, q.v, q.rn, q.alpha,
-        |    round(q.ewma0 + q.alpha * (q.v - q.ewma0), 9)
-        |  FROM (
-        |    SELECT s.g, s.t, s.event_id, s.v, s.rn, k.ewma AS ewma0,
-        |      round(1.0 - exp(-((s.t - k.t) / 21600000000.0)), 9) AS alpha
-        |    FROM k JOIN s ON s.g = k.g AND s.rn = k.rn + 1) q)
-        |SELECT g AS event_type, t, event_id, v, alpha, ewma
-        |FROM k ORDER BY event_type, t, event_id""".stripMargin,
+    "ts_ewma_irregular" -> ewmaIrregularSql,
+
+    /** The streaming twin answers to the SAME oracle — streaming ≡
+      * batch. */
+    "stream_ewma_irregular" -> ewmaIrregularSql,
+
 
     /** RAKE replay: phrase ids from the same cumulative-stopword
       * window, phrase strings via ORDER BY string_agg, word and phrase

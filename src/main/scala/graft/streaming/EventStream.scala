@@ -757,6 +757,120 @@ object EventStream {
         (max("end_us") * 1000L).as("last_burst_ns"))
   }
 
+  // ---- streaming irregular-time EWMA ----------------------------------
+
+  case class EwmaEvent(event_type: String, event_id: Long, ts_us: Long,
+                       ts: java.sql.Timestamp, v: Double)
+
+  /** O(1)-anchor + watermark-horizon buffer per series: the finalized
+    * prefix collapses to its last (t, ewma) pair — the ONLY state the
+    * recursion needs to extend — and the mutable suffix (events the
+    * watermark hasn't yet sealed) is re-smoothed on every state change
+    * so a late event re-times every α after it (the sessionizer's
+    * buffered-recompute rule; a retained scalar could not replay it). */
+  case class EwmaBuf(anchorT: Option[Long], anchorE: Option[Double],
+                     buf: Seq[(Long, Long, Double)], version: Long,
+                     life_id: Long)
+  case class EwmaOut(event_type: String, t: Long, event_id: Long, v: Double,
+                     alpha: Double, ewma: Double, finalized: Boolean,
+                     life_id: Long, version: Long)
+
+  /** Streaming twin of the batch `ts_ewma_irregular` recursion —
+    * time-decay smoothing with α = 1 − exp(−Δt/τ) on raw event times,
+    * run incrementally: rows with t < watermark are provably immutable
+    * (nothing can arrive before them) and emit exactly once as
+    * `finalized`; the suffix re-emits as a stamped whole-picture
+    * snapshot per change (the sessionize/scd2 emission contract). The
+    * per-step 1e-9 grid re-rounding matches the batch scan bitwise, so
+    * the merged emissions hash-match the SAME DuckDB RECURSIVE-CTE
+    * oracle. */
+  def ewmaStream(events: DataFrame, tauUs: Double = 21600000000.0,
+                 watermark: String = "1 hour"): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("event_id"), col("ts_us"), col("ts"),
+        col("v"))
+      .as[EwmaEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaBuf, EwmaOut](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (g: String, rows: Iterator[EwmaEvent], state: GroupState[EwmaBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val arrived = rows.map(r => (r.ts_us, r.event_id, r.v)).toArray
+          val prev = state.getOption.getOrElse(EwmaBuf(None, None, Nil, 0L, 0L))
+          val merged = (prev.buf ++ arrived).sortBy(e => (e._1, e._2))
+          var tPrev = prev.anchorT.getOrElse(0L)
+          var ew = prev.anchorE.getOrElse(0.0)
+          var first = prev.anchorT.isEmpty
+          val v = prev.version + 1
+          val recomputed = merged.map { case (t, id, x) =>
+            val alpha =
+              if (first) { ew = x; tPrev = t; first = false; 1.0 }
+              else {
+                val a = r9(1.0 - math.exp(-(t - tPrev).toDouble / tauUs))
+                ew = r9(ew + a * (x - ew)); tPrev = t; a
+              }
+            EwmaOut(g, t, id, x, alpha, ew, t < wmUs, prev.life_id, v)
+          }
+          val (done, open) = recomputed.partition(_.finalized)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          out ++= done
+          if (open.isEmpty)
+            // supersede any stale open snapshot from an earlier version
+            out += EwmaOut(g, -1L, 0L, 0.0, 0.0, 0.0, false, prev.life_id, v)
+          else out ++= open
+          val anchorRow = done.lastOption
+          val keep = merged.filter(_._1 >= wmUs)
+          state.update(EwmaBuf(
+            anchorRow.map(_.t).orElse(prev.anchorT),
+            anchorRow.map(_.ewma).orElse(prev.anchorE),
+            keep, v, prev.life_id))
+          // a data-less key never re-enters the function without a
+          // timeout — wake when the watermark can seal buffered rows
+          // (the scd2 rule); an empty buffer needs no wake-up, the
+          // anchor alone is immutable
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }
+  }
+
+  /** Read side of the EWMA emission contract: finalized rows are
+    * append-only facts; snapshot rows keep only each series' highest
+    * (life_id, version) stamp; sentinels drop. */
+  def mergeEwmaEmissions(emitted: DataFrame): DataFrame = {
+    val finals = emitted.filter(col("finalized"))
+    val opens = emitted.filter(!col("finalized"))
+    val latest = opens.groupBy(col("event_type").as("g"))
+      .agg(max(struct(col("life_id"), col("version"))).as("cur"))
+    finals.union(
+        opens.join(latest,
+          col("event_type") === col("g") &&
+            col("life_id") === col("cur.life_id") &&
+            col("version") === col("cur.version"))
+          .select(finals.columns.map(col): _*))
+      .filter(col("t") >= 0L)
+      .select("event_type", "t", "event_id", "v", "alpha", "ewma")
+  }
+
+  /** Harness entry: the REAL streaming irregular EWMA run to completion;
+    * wide-watermark convention as [[runSessionizeOnce]]. Output matches
+    * the batch `ts_ewma_irregular` oracle exactly. */
+  def runEwmaOnce(spark: SparkSession, dir: String, queryName: String,
+                  watermark: String = "3650 days"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("ts"),
+        round(col("value"), 6).as("v"))
+    mergeEwmaEmissions(
+      runToMemory(ewmaStream(events, watermark = watermark).toDF(),
+        queryName, OutputMode.Update()))
+  }
+
   /** Harness entry: the REAL streaming burst detector run to completion;
     * wide-watermark convention as [[runSessionizeOnce]] (micro-batch
     * boundaries must not decide oracle rows; eviction semantics are

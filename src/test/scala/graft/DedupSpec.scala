@@ -81,6 +81,34 @@ class DedupSpec extends SparkSpec {
     assert(approx(out.head.getAs[Double]("jaccard"), 1.0))
   }
 
+  test("incrementalLshDedup: exact copy matches the corpus, clean docs admit, one row each") {
+    // docs 2 and 3 form the "new batch"; 1 and 4 are the corpus. Doc 2 is
+    // an exact copy of corpus doc 1 — an exact dup ALWAYS collides
+    // (identical signature in every band). Doc 3's near-dup match is
+    // recall-probabilistic by LSH design (this fixture's hashes happen to
+    // miss — the measured-vs-theoretical gap `dedup_lsh_recall_audit`
+    // exists to quantify), so the assertion is one row per new doc and
+    // never a match AGAINST a fellow new doc, not guaranteed recall.
+    val out = Dedup.incrementalLshDedup(fixture, "doc_id", "text",
+        newFlag = col("doc_id").isin(2L, 3L),
+        numHashes = 16, numBands = 4, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      "exactly one row per new-batch doc")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getBoolean(1), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(byId(2L) == ((true, Some(1L))), "exact copy must match corpus doc 1")
+    assert(approx(out.head.getAs[Double]("jaccard"), 1.0))
+    // no new doc may ever be matched against the other NEW doc
+    assert(!byId.values.exists(_._2.exists(Set(2L, 3L))),
+      "matches must come from the corpus side only")
+    // a clean new doc admits without a match
+    val clean = Dedup.incrementalLshDedup(fixture, "doc_id", "text",
+        newFlag = col("doc_id") === 4L,
+        numHashes = 16, numBands = 4, threshold = 0.5).collect()
+    assert(clean.length == 1 && !clean.head.getBoolean(1))
+  }
+
   test("simhash: identical text -> identical signature; near-dup -> small hamming") {
     val sigs = Dedup.simhashSignatures(fixture, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.getLong(1))

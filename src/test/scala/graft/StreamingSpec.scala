@@ -266,6 +266,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewma across micro-batches: late event re-times the suffix, exact-once finals") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long, Double)](
+      48, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_type", "event_id", "ts_us", "v")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val t0 = 1700000000000000L // µs
+    val hr = 3600000000L
+    val q = EventStream.ewmaStream(toEvents(mem.toDF()), watermark = "1 hour")
+      .writeStream.format("memory").queryName("ewma_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: series A at t0 and t0+4h
+      mem.addData(Seq(("A", 1L, t0, 10.0), ("A", 2L, t0 + 4L * hr, 20.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE (within-watermark: wm = t0+3h) event at t0+3.5h —
+      // the recompute must re-time the t0+4h row's alpha (gap shrinks
+      // from 4h to 0.5h); the t0 row finalizes (t < wm)
+      mem.addData(Seq(("A", 3L, t0 + 3L * hr + 1800000000L, 15.0)))
+      q.processAllAvailable()
+      // batches 3-4: far-future events advance the watermark past A's
+      // suffix -> the re-timed rows finalize exactly once
+      mem.addData(Seq(("A", 4L, t0 + 100L * hr, 30.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(("B", 5L, t0 + 200L * hr, 1.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("ewma_mb")
+      val got = EventStream.mergeEwmaEmissions(emitted)
+        .orderBy("event_type", "t")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(4), r.getDouble(5)))
+      // driver replay of the exact recursion over the final event set
+      def r9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val tau = 21600000000.0
+      val pts = Seq((t0, 1L, 10.0), (t0 + 3L * hr + 1800000000L, 3L, 15.0),
+        (t0 + 4L * hr, 2L, 20.0), (t0 + 100L * hr, 4L, 30.0))
+      var ew = 0.0; var tp = 0L
+      val wantA = pts.zipWithIndex.map { case ((t, id, v), i) =>
+        val a = if (i == 0) { ew = v; tp = t; 1.0 }
+          else {
+            val al = r9(1.0 - math.exp(-(t - tp).toDouble / tau))
+            ew = r9(ew + al * (v - ew)); tp = t; al
+          }
+        ("A", t, id, a, ew)
+      }
+      val want = wantA :+ (("B", t0 + 200L * hr, 5L, 1.0, 1.0))
+      assert(got.toSeq == want,
+        s"merged stream output must equal the batch recursion:\n" +
+          s"got  ${got.toSeq}\nwant $want")
+      // exact-once finals, and the late row's re-timed successors final only once
+      val finals = emitted.filter(col("finalized"))
+        .select("event_id").collect().map(_.getLong(0))
+      assert(finals.length == finals.distinct.length,
+        "finalized rows must be emitted exactly once")
+      assert(finals.toSet == Set(1L, 2L, 3L, 4L),
+        s"A's sealed rows should have finalized, got ${finals.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch interval join (availableNow)") {
     val got = EventStream.runAttributionOnce(spark, dir, "attrib_test")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
