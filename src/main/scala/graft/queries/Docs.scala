@@ -101,6 +101,68 @@ object Docs {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared SQL template for the IVF PROBE SCAN (`similarity_ivf_probe`)
+    * — the serving half of the inverted-file index, hash-matched the way
+    * [[pqAdcSql]] hash-matches PQ's ADC scan: the coarse quantizer is
+    * the SAMPLED one (16 lowest-vec_id corpus vectors — k-means++-style
+    * init without Lloyd, keeping quantizer construction inside SQL; the
+    * Lloyd-TRAINED path stays rows-only in `similarity_ivf`), corpus
+    * vectors assign to their nearest centroid's list (argmin over a
+    * 16-row attach), queries probe their nprobe=4 nearest lists, and the
+    * probed candidates re-rank by exact cosine. All distances/dots are
+    * left-associated 64-term double chains — identical trees both
+    * engines; ranking ties break on ids. The plan IS the production IVF
+    * shape: candidates come from a LIST-keyed equi-join (≈ nprobe/nlist
+    * of the corpus per query), never corpus × queries. */
+  private def ivfProbeSql(emb: String, ix: (String, String) => String): String = {
+    val dim = 64; val nlist = 16; val nprobe = 4
+    def dist64(a: String, b: String): String =
+      (1 to dim).map { j =>
+        val t = s"(CAST(${ix(a, j.toString)} AS DOUBLE) - CAST(${ix(b, j.toString)} AS DOUBLE))"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    def dot64(a: String, b: String): String =
+      (1 to dim).map(j =>
+        s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+       |  WHERE vec_id % 50 = 0),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM $emb
+       |        ORDER BY vec_id LIMIT $nlist) s0),
+       |assign AS (
+       |  SELECT vec_id, c AS list_id FROM (
+       |    SELECT corpus.vec_id, samp.c,
+       |      row_number() OVER (PARTITION BY corpus.vec_id
+       |        ORDER BY ${dist64("ve", "ce")} ASC, samp.c ASC) AS rn
+       |    FROM corpus CROSS JOIN samp) r WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, c AS list_id FROM (
+       |    SELECT q.query_id, samp.c,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dist64("qe", "ce")} ASC, samp.c ASC) AS rn
+       |    FROM q CROSS JOIN samp) r WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT probes.query_id, assign.vec_id AS neighbor_id
+       |  FROM probes JOIN assign ON probes.list_id = assign.list_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${dot64("qe", "ve")} /
+       |      (sqrt(${dot64("qe", "qe")}) * sqrt(${dot64("ve", "ve")})) AS cos
+       |  FROM cand
+       |  JOIN q ON q.query_id = cand.query_id
+       |  JOIN corpus ON corpus.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       |    round(cos, 6) + 0.0 AS cos
+       |  FROM scored) t WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val qs: Map[String, Q] = Map(
     // ---- text analysis --------------------------------------------------
     "text_token_count" -> ((s, d) =>
@@ -920,6 +982,91 @@ object Docs {
       withEmbView(s, d)(v =>
         s.sql(pqAdcSql(v, (e, i) => s"element_at($e, $i)")))),
 
+    /** The IVF PROBE PATH as a full oracle row (`ivfProbeSql` — one
+      * shared template, `spark.sql` front door): sampled coarse
+      * quantizer, list assignment, nprobe=4 probed lists, exact-cosine
+      * re-rank of the probed candidates only. Hash-matches the serving
+      * half of IVF the way `similarity_pq_adc` hash-matches PQ's; the
+      * k-means-trained quantizer and its recall law stay in
+      * `similarity_ivf`/SimilaritySpec. */
+    "similarity_ivf_probe" -> ((s, d) =>
+      withEmbView(s, d)(v =>
+        s.sql(ivfProbeSql(v, (e, i) => s"element_at($e, $i)")))),
+
+    /** MMR RERANKING (Carbonell & Goldstein 1998) — the diversification
+      * pass between retrieval and serving: from each query's exact
+      * cosine top-25 shortlist (brute-force here, the documented
+      * audit-baseline posture — at scale the shortlist comes from the
+      * `similarity_ann_lsh`/`similarity_pq_adc` index), greedily pick 5
+      * results maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ=0.7.
+      * The greedy runs per-query in `flatMapGroups` over the BOUNDED
+      * 25-vector candidate set (executor-side typed tasks — thousands
+      * of queries fan out with no driver loop); relevance, pairwise
+      * sims, and scores all live on the 1e-9 grid, and the cosine loop
+      * replicates `list_dot_product`'s sequential fold, so the DuckDB
+      * twin's unrolled 5-step selection chain replays the pick
+      * bit-exactly. */
+    "similarity_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val cand = corpus.crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 9).as("rel"), col("cv"))
+      cand.as[(Long, Long, Double, Seq[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          val cs = it.toArray.sortBy(_._2)
+          def r9(x: Double): Double =
+            BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          def r6(x: Double): Double =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+          // the exact sequential fold list_dot_product/DotProductExpr use
+          def cos(a: Seq[Double], b: Seq[Double]): Double = {
+            var dv = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+            while (j < a.length) {
+              dv += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+            }
+            dv / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val n = cs.length
+          val relv = cs.map(_._3)
+          val pcos = Array.tabulate(n, n)((i, j) =>
+            if (i == j) 0.0 else r9(cos(cs(i)._4, cs(j)._4)))
+          val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, Double, Double, Double)]
+          for (step <- 1 to math.min(5, n)) {
+            val scored = (0 until n).filterNot(selected.contains).map { i =>
+              val ms = if (selected.isEmpty) 0.0
+                else selected.map(jv => pcos(i)(jv)).max
+              val sc = if (selected.isEmpty) relv(i)
+                else r9(0.7 * relv(i) - 0.3 * ms)
+              (i, ms, sc)
+            }
+            val best = scored.sortBy { case (i, _, sc) => (-sc, cs(i)._2) }.head
+            out += ((qid, step, cs(best._1)._2, r6(relv(best._1)),
+              r6(best._2), r6(best._3)))
+            selected += best._1
+          }
+          out.iterator
+        }
+        .toDF("query_id", "rank", "neighbor_id", "relevance",
+          "max_sim_selected", "mmr_score")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal (binary-column plumbing; decode itself is the
     //      deterministic fake — graft.operators.Multimodal has the real
     //      mapPartitions path) ------------------------------------------
@@ -1038,6 +1185,74 @@ object Docs {
     }),
   )
 
+  /** MMR twin: top-25 shortlist + pairwise candidate cosines as
+    * MATERIALIZED CTEs (the mRMR re-evaluation lesson), then the greedy
+    * pick unrolled as five chained steps — window argmax with the id
+    * tiebreak, max-over-selected from the pair table, NOT EXISTS
+    * against the growing selection. All scores on the 1e-9 grid. */
+  private def mmrSql: String = {
+    val steps = (2 to 5).map { k =>
+      s"""s$k AS (
+         |  SELECT query_id, $k AS rank, neighbor_id, rel, ms, score FROM (
+         |    SELECT c.query_id, c.neighbor_id, c.rel, m.ms,
+         |      round(0.7 * c.rel - 0.3 * m.ms, 9) AS score,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY round(0.7 * c.rel - 0.3 * m.ms, 9) DESC,
+         |        c.neighbor_id) AS rn
+         |    FROM cand c
+         |    JOIN (
+         |      SELECT p.query_id, p.id_a AS neighbor_id, max(p.pcos) AS ms
+         |      FROM pairs p JOIN sel${k - 1} s ON p.query_id = s.query_id
+         |        AND p.id_b = s.neighbor_id
+         |      GROUP BY 1, 2) m
+         |      ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s2
+         |      WHERE s2.query_id = c.query_id
+         |        AND s2.neighbor_id = c.neighbor_id)) t
+         |  WHERE rn = 1),
+         |sel$k AS (SELECT query_id, neighbor_id FROM sel${k - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |       FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, round(cos, 9) AS rel, cv FROM (
+       |    SELECT q.query_id, c0.neighbor_id, c0.cv,
+       |      list_dot_product(qv, cv) /
+       |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |        AS cos,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(qv, cv) /
+       |          (sqrt(list_dot_product(qv, qv)) *
+       |           sqrt(list_dot_product(cv, cv))) DESC, c0.neighbor_id) AS rn
+       |    FROM q, c0 WHERE q.query_id <> c0.neighbor_id) t
+       |  WHERE rn <= 25),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |    round(list_dot_product(a.cv, b.cv) /
+       |      (sqrt(list_dot_product(a.cv, a.cv)) *
+       |       sqrt(list_dot_product(b.cv, b.cv))), 9) AS pcos
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+       |    AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS (
+       |  SELECT query_id, 1 AS rank, neighbor_id, rel,
+       |    CAST(0.0 AS DOUBLE) AS ms, rel AS score FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM cand) t WHERE rn = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps
+       |SELECT query_id, rank, neighbor_id,
+       |  round(rel, 6) + 0.0 AS relevance,
+       |  round(ms, 6) + 0.0 AS max_sim_selected,
+       |  round(score, 6) + 0.0 AS mmr_score
+       |FROM (${(1 to 5).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")}) u
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- DuckDB oracle twins ------------------------------------------------
 
   /** DuckDB rendition of [[Text.strHashSql]] (`div` → `//`). */
@@ -1124,6 +1339,11 @@ object Docs {
   val sql: Map[String, String] = Map(
     "similarity_pq_adc" ->
       pqAdcSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+
+    "similarity_ivf_probe" ->
+      ivfProbeSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+
+    "similarity_mmr_rerank" -> mmrSql,
 
     "text_token_count" -> (tokedSql +
       "SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_computed " +

@@ -51,7 +51,9 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_pq_adc",       // corpus × 16-row codebook × 8-row subspace attach
     "stat_permutation_fdr",    // pool × 100-row replicate frame + 1-row kmax
     "feature_select_mrmr",     // cube-sized frames × 1-row grand total
-    "ts_haar_energy")          // ≤256-bar frame × 8-row dyadic level table
+    "ts_haar_energy",          // ≤256-bar frame × 8-row dyadic level table
+    "similarity_ivf_probe",    // corpus/queries × 16-row sampled-quantizer attach
+    "similarity_mmr_rerank")   // brute-force shortlist baseline (audit posture)
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
