@@ -564,6 +564,137 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** GRID-BLOCKED SPATIAL SELF-JOIN — the ε-radius pair search every
+      * geo/embedding-2D workload runs, in its scale shape: points land
+      * in G×G grid cells, each point fans out to its 3×3 neighborhood
+      * (a bounded 9-way explode — the spatial analog of the LSH band
+      * explode), candidates meet in a CELL-KEYED equi-join, and only
+      * the exact ε-disk filter touches pair rows. Never an all-pairs
+      * distance join: the shuffle key is the cell, skew hits AQE. The
+      * 2-D space here is (value, time) normalized by plan-derived
+      * bounds (broadcast 1-row frame); pairs count once under id order
+      * in the lower-id point's cell. */
+    "join_spatial_grid" -> ((s, d) => {
+      val g = 64
+      val eps = 0.01
+      val pts = Tables.events(s, d)
+        .select(col("event_id").as("id"), col("value"),
+          col("ts_ns").cast("double").as("tn"))
+      val mm = pts.agg(min("value").as("vlo"), max("value").as("vhi"),
+        min("tn").as("tlo"), max("tn").as("thi"))
+      val norm = pts.crossJoin(broadcast(mm))
+        .select(col("id"),
+          ((col("value") - col("vlo")) / (col("vhi") - col("vlo"))).as("x"),
+          ((col("tn") - col("tlo")) / (col("thi") - col("tlo"))).as("y"))
+        .select(col("id"), col("x"), col("y"),
+          least(floor(col("x") * g), lit(g - 1)).cast("long").as("cx"),
+          least(floor(col("y") * g), lit(g - 1)).cast("long").as("cy"))
+      val probes = norm.select(col("id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya"), col("cx").as("ca"), col("cy").as("cb"))
+        .withColumn("o", explode(expr(
+          "array(-1, 0, 1)")))
+        .withColumn("p", explode(expr("array(-1, 0, 1)")))
+        .select(col("id_a"), col("xa"), col("ya"),
+          col("ca"), col("cb"),
+          (col("ca") + col("o")).as("tx"), (col("cb") + col("p")).as("ty"))
+      val pairs = probes.join(norm,
+          probes("tx") === norm("cx") && probes("ty") === norm("cy") &&
+            probes("id_a") < norm("id"))
+        .filter((col("xa") - col("x")) * (col("xa") - col("x")) +
+          (col("ya") - col("y")) * (col("ya") - col("y")) <= eps * eps)
+        .select(col("ca").as("cell_x"), col("cb").as("cell_y"))
+      val counts = norm.groupBy(col("cx").as("cell_x"), col("cy").as("cell_y"))
+        .agg(count(lit(1)).as("n_points"))
+      pairs.groupBy("cell_x", "cell_y").agg(count(lit(1)).as("n_pairs"))
+        .join(counts, Seq("cell_x", "cell_y"))
+        .orderBy(col("n_pairs").desc, col("cell_x"), col("cell_y"))
+        .limit(20)
+        .select("cell_x", "cell_y", "n_points", "n_pairs")
+    }),
+
+    /** NTILE + CUME_DIST + PERCENT_RANK — the remaining SQL analytic
+      * window functions (`window_rank_percentile` covers rank forms):
+      * per-series value quartiles with each quartile's size, value
+      * range, and mean cumulative distribution. Exercises the three
+      * functions through one partitioned window, collapsed to a
+      * k×4-sized audit. */
+    "window_ntile_cume" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("v", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 6).as("v"))
+        .withColumn("q", ntile(4).over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy("event_type", "q")
+        .agg(count(lit(1)).as("n"),
+          round(min("v"), 6).as("min_v"), round(max("v"), 6).as("max_v"),
+          // mean of grid values rides DECIMAL — double-sum order differs
+          // across engines
+          round(sum(round(col("cd"), 9).cast("decimal(28,9)")).cast("double")
+            / count(lit(1)), 6).as("mean_cume_dist"),
+          round(max(round(col("pr"), 9)), 6).as("max_percent_rank"))
+        .orderBy("event_type", "q")
+    }),
+
+    /** CODE-vs-PROSE DETECTION — the corpus filter every LLM pipeline
+      * runs to route code out of (or into) the text mix: symbol density
+      * via `translate` strip-count (dialect-free in both engines — no
+      * regex-flag divergence), digit density, mean token length.
+      * Integer character counts make every ratio a division of exact
+      * operands; the flag decides on the 1e-6 grid. Per-source audit
+      * output. */
+    "text_code_detect" -> ((s, d) => {
+      val toked = Tables.documents(s, d)
+        .withColumn("n_ch", length(col("text")))
+        .withColumn("n_sym",
+          col("n_ch") - length(translate(col("text"), "{}();=<>[]#", "")))
+        .withColumn("n_dig",
+          col("n_ch") - length(translate(col("text"), "0123456789", "")))
+        .withColumn("score",
+          round((col("n_sym") * 3 + col("n_dig")) / col("n_ch").cast("double"), 6))
+        .withColumn("is_code", col("score") >= 0.05)
+      toked.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_code").cast("long")).as("n_code"),
+          round(sum(col("score").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_score"),
+          round(max("score"), 6).as("max_score"))
+        .orderBy("source")
+    }),
+
+    /** ISOTONIC CALIBRATION (PAVA via MLlib `IsotonicRegression`) — the
+      * monotone score→probability map a filtering pipeline fits when
+      * `ml_calibration_bins` says the raw scores are miscalibrated:
+      * P(purchase) as a non-decreasing function of the payload-k
+      * feature, fitted on per-k aggregates (k-sized input — the weights
+      * ARE the bin counts, so the distributed fit sees the whole fact
+      * through one aggregation). Rows-only (pool-adjacent-violators has
+      * no SQL form); R9Spec pins monotonicity, the pooled-mean law
+      * (prediction mass = label mass), and MSE dominance over the raw
+      * rates. */
+    "ml_isotonic_calibration" -> ((s, d) => {
+      import s.implicits._
+      val agg = Tables.events(s, d)
+        .select(expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"),
+          (col("event_type") === "purchase").cast("double").as("y"))
+        .filter(col("k").isNotNull)
+        .groupBy("k")
+        .agg(count(lit(1)).as("w"), avg("y").as("rate"))
+        .orderBy("k")
+      val ir = new org.apache.spark.ml.regression.IsotonicRegression()
+        .setFeaturesCol("f").setLabelCol("rate").setWeightCol("wd")
+      val fitIn = agg.select(col("k").cast("double").as("f"),
+        col("rate"), col("w").cast("double").as("wd"))
+      val model = ir.fit(fitIn)
+      model.transform(fitIn.withColumnRenamed("rate", "raw_rate"))
+        .join(agg.select(col("k"), col("k").cast("double").as("f")), "f")
+        .select(col("k"), col("wd").cast("long").as("n"),
+          round(col("raw_rate"), 6).as("raw_rate"),
+          round(col("prediction"), 6).as("calibrated_rate"))
+        .orderBy("k")
+    }),
+
     /** The REAL streaming twin of `ts_ewma_irregular`
       * (`EventStream.ewmaStream`): flatMapGroupsWithState per series
       * with an O(1) finalized-prefix anchor + watermark-horizon suffix
@@ -944,6 +1075,80 @@ object R9 {
         |    END AS hit_rate
         |FROM pnl GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin,
 
-    "ts_haar_energy" -> haarSql("events", duckDialect)
+    "ts_haar_energy" -> haarSql("events", duckDialect),
+
+    /** The grid-blocked spatial join replayed: identical normalization
+      * (1-row min/max attach), identical cell math, the same 9-way
+      * neighborhood fan-out, exact ε-disk filter on identical doubles. */
+    "join_spatial_grid" ->
+      """WITH pts AS (
+        |  SELECT event_id AS id, value, CAST(epoch_ns(ts) AS DOUBLE) AS tn
+        |  FROM events),
+        |mm AS (SELECT min(value) AS vlo, max(value) AS vhi,
+        |  min(tn) AS tlo, max(tn) AS thi FROM pts),
+        |norm AS (
+        |  SELECT id, x, y,
+        |    CAST(least(floor(x * 64), 63) AS BIGINT) AS cx,
+        |    CAST(least(floor(y * 64), 63) AS BIGINT) AS cy
+        |  FROM (
+        |    SELECT id, (value - vlo) / (vhi - vlo) AS x,
+        |      (tn - tlo) / (thi - tlo) AS y
+        |    FROM pts CROSS JOIN mm) n0),
+        |probes AS (
+        |  SELECT id AS id_a, x AS xa, y AS ya, cx AS ca, cy AS cb,
+        |    cx + o AS tx, cy + p AS ty
+        |  FROM norm,
+        |    (SELECT unnest([-1, 0, 1]) AS o) oo,
+        |    (SELECT unnest([-1, 0, 1]) AS p) pp),
+        |pairs AS (
+        |  SELECT probes.ca AS cell_x, probes.cb AS cell_y
+        |  FROM probes JOIN norm ON probes.tx = norm.cx
+        |    AND probes.ty = norm.cy AND probes.id_a < norm.id
+        |  WHERE (xa - x) * (xa - x) + (ya - y) * (ya - y) <= 0.01 * 0.01),
+        |counts AS (
+        |  SELECT cx AS cell_x, cy AS cell_y, count(*)::BIGINT AS n_points
+        |  FROM norm GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT cell_x, cell_y, count(*)::BIGINT AS n_pairs
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT pc.cell_x, pc.cell_y, counts.n_points, pc.n_pairs
+        |FROM pc JOIN counts ON pc.cell_x = counts.cell_x
+        |  AND pc.cell_y = counts.cell_y
+        |ORDER BY n_pairs DESC, pc.cell_x, pc.cell_y LIMIT 20""".stripMargin,
+
+    "window_ntile_cume" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id, round(value, 6) AS v FROM events),
+        |w AS (
+        |  SELECT event_type, v,
+        |    ntile(4) OVER (PARTITION BY event_type ORDER BY v, event_id) AS q,
+        |    cume_dist() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS cd,
+        |    percent_rank() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS pr
+        |  FROM b)
+        |SELECT event_type, q, count(*)::BIGINT AS n,
+        |  round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+        |  round(CAST(sum(CAST(round(cd, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 6) AS mean_cume_dist,
+        |  round(max(round(pr, 9)), 6) AS max_percent_rank
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin,
+
+    "text_code_detect" ->
+      """WITH s AS (
+        |  SELECT source, length(text) AS n_ch,
+        |    length(text) - length(translate(text, '{}();=<>[]#', '')) AS n_sym,
+        |    length(text) - length(translate(text, '0123456789', '')) AS n_dig
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source,
+        |    round((n_sym * 3 + n_dig) / CAST(n_ch AS DOUBLE), 6) AS score
+        |  FROM s)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_code,
+        |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_score,
+        |  round(max(score), 6) AS max_score
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin
   )
 }

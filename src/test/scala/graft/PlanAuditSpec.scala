@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     "feature_select_mrmr",     // cube-sized frames × 1-row grand total
     "ts_haar_energy",          // ≤256-bar frame × 8-row dyadic level table
     "similarity_ivf_probe",    // corpus/queries × 16-row sampled-quantizer attach
-    "similarity_mmr_rerank")   // brute-force shortlist baseline (audit posture)
+    "similarity_mmr_rerank",   // brute-force shortlist baseline (audit posture)
+    "join_spatial_grid")       // crossJoin(broadcast(1-row min/max bounds))
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

@@ -69,6 +69,33 @@ class R9Spec extends SparkSpec {
     }
   }
 
+  test("isotonic calibration: monotone, mass-preserving, never worse than raw in weighted MSE") {
+    val rows = SparkEntry.queries("ml_isotonic_calibration")(spark, dir)
+      .orderBy("k").collect()
+    assert(rows.length >= 10, "expected one row per payload-k level")
+    val cal = rows.map(_.getAs[Double]("calibrated_rate"))
+    // PAVA's defining property: non-decreasing in the feature
+    cal.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-9, s"calibrated rates must be monotone: ${cal.toSeq}") }
+    // pooled-mean law: weighted prediction mass equals weighted label mass
+    val wts = rows.map(_.getAs[Long]("n").toDouble)
+    val raw = rows.map(_.getAs[Double]("raw_rate"))
+    val massRaw = wts.zip(raw).map { case (w, r) => w * r }.sum
+    val massCal = wts.zip(cal).map { case (w, r) => w * r }.sum
+    assert(math.abs(massRaw - massCal) <= 1e-3 * math.max(1.0, massRaw),
+      s"PAVA must preserve weighted mass: raw=$massRaw cal=$massCal")
+    // the monotone fit is the weighted L2 projection: its weighted MSE
+    // against the raw rates is minimal among monotone fits, in particular
+    // no worse than the best CONSTANT fit
+    val mean = massRaw / wts.sum
+    val mseCal = wts.zip(raw.zip(cal)).map { case (w, (r, c)) =>
+      w * (r - c) * (r - c) }.sum
+    val mseConst = wts.zip(raw).map { case (w, r) =>
+      w * (r - mean) * (r - mean) }.sum
+    assert(mseCal <= mseConst + 1e-9,
+      s"isotonic fit must beat the constant fit: $mseCal vs $mseConst")
+  }
+
   test("permutation FDR: p-values valid, BH rejection set is a prefix of the p-ranking") {
     val rows = SparkEntry.queries("stat_permutation_fdr")(spark, dir)
       .orderBy("p_rank").collect()
