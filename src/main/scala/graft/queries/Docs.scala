@@ -340,6 +340,39 @@ object Docs {
           .cast("long") % 10) === 0,
         numHashes = 16, numBands = 4, threshold = 0.5)),
 
+    /** CONTRASTIVE TRAINING-PAIR MINING — the data-prep step an
+      * embedding model (SimCSE/E5-style) trains on: POSITIVES are the
+      * verified near-dup pairs the LSH pipeline already finds (the
+      * label-free positive source real pipelines use), NEGATIVES are 2
+      * per anchor picked by the house md5 over the doc-rank index —
+      * deterministic "random" negatives both engines replay, with
+      * positive/self collisions rejected by anti-join (documented
+      * sampling-with-rejection; the count may drop below 2·anchors).
+      * The rank index is a global window here; at corpus scale it is
+      * the precomputed dense doc id every training pipeline maintains. */
+    "corpus_contrastive_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val pos = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 16, numBands = 4, threshold = 0.5)
+        .select(col("id_a").as("anchor_id"), col("id_b").as("other_id"))
+      val ranked = docs.select(col("doc_id"),
+        (row_number().over(Window.orderBy("doc_id")) - 1).as("rk"))
+      val negs = pos.select("anchor_id").distinct()
+        .withColumn("j", explode(expr("array(0, 1)")))
+        .withColumn("pick", expr(
+          "CAST(conv(substring(md5(concat(cast(anchor_id AS string), ':', j)), " +
+            "1, 8), 16, 10) AS BIGINT)") % n)
+        .join(ranked, col("pick") === col("rk"))
+        .select(col("anchor_id"), col("doc_id").as("other_id"))
+        .filter(col("anchor_id") =!= col("other_id"))
+        .join(pos, Seq("anchor_id", "other_id"), "left_anti")
+      pos.withColumn("label", lit("pos"))
+        .unionByName(negs.withColumn("label", lit("neg")))
+        .orderBy("anchor_id", "label", "other_id")
+    }),
+
     /** Pairwise near-dups → dedup groups (`Dedup.connectedComponents`,
       * distributed min-label propagation): the output a pipeline actually
       * consumes — keep `doc_id == component`, drop the rest. */
@@ -1472,6 +1505,28 @@ object Docs {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "corpus_contrastive_pairs" -> (lshPairsSql +
+      """, pos AS (SELECT id_a AS anchor_id, id_b AS other_id FROM prs)
+        |, nrk AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+        |  FROM t)
+        |, ncnt AS (SELECT count(*)::BIGINT AS n FROM t)
+        |, anchors AS (SELECT DISTINCT anchor_id FROM pos)
+        |, negs AS (
+        |  SELECT a.anchor_id, r.doc_id AS other_id
+        |  FROM anchors a
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS j) jj
+        |  CROSS JOIN ncnt
+        |  JOIN nrk r ON r.rk = (('0x' || substr(md5(a.anchor_id::VARCHAR
+        |    || ':' || jj.j), 1, 8))::BIGINT % ncnt.n)
+        |  WHERE r.doc_id <> a.anchor_id
+        |    AND NOT EXISTS (SELECT 1 FROM pos p
+        |      WHERE p.anchor_id = a.anchor_id AND p.other_id = r.doc_id))
+        |SELECT anchor_id, other_id, 'pos' AS label FROM pos
+        |UNION ALL
+        |SELECT anchor_id, other_id, 'neg' AS label FROM negs
+        |ORDER BY anchor_id, label, other_id""".stripMargin),
 
     "dedup_incremental_batch" -> (sigSql +
       """, bands AS (

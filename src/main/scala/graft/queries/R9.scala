@@ -564,6 +564,71 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** DETERMINISTIC RANDOM WALKS over the trade graph — the walk
+      * corpus node2vec/DeepWalk embeddings train on, generated the way
+      * a 100 TB graph must: the edge frame carries each neighbor's
+      * per-source INDEX and the source degree (one window pass, cached
+      * pre-partitioned on the join key), and every step is ONE
+      * equi-join — the walk frontier joins its current nodes and picks
+      * neighbor index md5(walk, step, node) % degree. The house md5 is
+      * the RNG (mergeable, replayable — no RNG state, the
+      * `ml_bootstrap_ci` trick on a graph), so the DuckDB twin replays
+      * every walk exactly through a recursive CTE. 64 highest-degree
+      * starts × 4 walks × 6 steps; output is the visit census the
+      * embedding sampler consumes. The walk frame rides the GraphLayout
+      * gate: bounded here, node-scale walk sets flip to the
+      * shuffled-hash join like pagerank's rank vector. */
+    "graph_random_walks" -> ((s, d) => {
+      val steps = 6
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges0 = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val iw = Window.partitionBy("src").orderBy("dst")
+      val edges = edges0
+        .withColumn("idx", row_number().over(iw) - 1)
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .repartition(col("src"))
+        .cache()
+      try {
+        val starts = edges.groupBy("src").agg(max("deg").as("deg"))
+          .orderBy(col("deg").desc, col("src")).limit(64)
+          .select(col("src").as("start"))
+        var walks = starts
+          .crossJoin(broadcast(
+            edges.sparkSession.range(4).select(col("id").as("w"))))
+          .select(concat(col("start"), lit("#"), col("w")).as("walk_id"),
+            col("start").as("cur"))
+          .localCheckpoint()
+        val nWalks = walks.count()
+        var visits = walks.select(col("cur").as("node"),
+          lit(0).as("step"))
+        for (st <- 1 to steps) {
+          val pick = expr(s"CAST(conv(substring(md5(concat(walk_id, ':', " +
+            s"$st, ':', cur)), 1, 8), 16, 10) AS BIGINT)")
+          // every step checkpoints: the walk frame is start-set-sized
+          // (cheap to materialize), each frame is consumed TWICE (next
+          // step + the visit union), and an un-truncated final lineage
+          // would recompute against the by-then-unpersisted edge cache
+          // at action time (the BENCH_TRIAGE_r09 checkpoint lesson)
+          walks = edges
+            .join(graft.operators.GraphLayout.nodeSide(
+                walks.withColumn("h", pick), nWalks),
+              col("src") === col("cur") && col("idx") === col("h") % col("deg"))
+            .select(col("walk_id"), col("dst").as("cur"))
+            .localCheckpoint()
+          visits = visits.unionAll(
+            walks.select(col("cur").as("node"), lit(st).as("step")))
+        }
+        visits.groupBy("node").agg(count(lit(1)).as("n_visits"),
+            countDistinct("step").as("n_steps_seen"))
+          .orderBy(col("n_visits").desc, col("node")).limit(25)
+      } finally { edges.unpersist(); () }
+    }),
+
     /** GRID-BLOCKED SPATIAL SELF-JOIN — the ε-radius pair search every
       * geo/embedding-2D workload runs, in its scale shape: points land
       * in G×G grid cells, each point fans out to its 3×3 neighborhood
@@ -1076,6 +1141,40 @@ object R9 {
         |FROM pnl GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin,
 
     "ts_haar_energy" -> haarSql("events", duckDialect),
+
+    /** Every walk replayed exactly: identical neighbor indexing
+      * (row_number over the dst order), the same md5 pick per step,
+      * recursion over (walk, step). */
+    "graph_random_walks" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e0 AS (SELECT cn AS src, sn AS dst FROM pr
+        |  UNION ALL SELECT sn AS src, cn AS dst FROM pr),
+        |edges AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM e0),
+        |starts AS (
+        |  SELECT src AS start FROM (
+        |    SELECT src, max(deg) AS deg FROM edges GROUP BY src
+        |    ORDER BY deg DESC, src LIMIT 64) t),
+        |wk AS (
+        |  SELECT start || '#' || w AS walk_id, start AS cur
+        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS w) ws),
+        |rec(walk_id, step, cur) AS (
+        |  SELECT walk_id, 0 AS step, cur FROM wk
+        |  UNION ALL
+        |  SELECT r.walk_id, r.step + 1, e.dst
+        |  FROM rec r JOIN edges e ON e.src = r.cur
+        |    AND e.idx = (('0x' || substr(md5(r.walk_id || ':'
+        |      || (r.step + 1) || ':' || r.cur), 1, 8))::BIGINT % e.deg)
+        |  WHERE r.step < 6)
+        |SELECT cur AS node, count(*)::BIGINT AS n_visits,
+        |  count(DISTINCT step)::BIGINT AS n_steps_seen
+        |FROM rec GROUP BY cur
+        |ORDER BY n_visits DESC, node LIMIT 25""".stripMargin,
 
     /** The grid-blocked spatial join replayed: identical normalization
       * (1-row min/max attach), identical cell math, the same 9-way
