@@ -1039,6 +1039,62 @@ object Docs {
       * replicates `list_dot_product`'s sequential fold, so the DuckDB
       * twin's unrolled 5-step selection chain replays the pick
       * bit-exactly. */
+    /** ENERGY-DISTANCE TWO-SAMPLE TEST (Székely & Rizzo) on the
+      * EMBEDDING space — the drift detector the scalar PSI/KS/JS family
+      * cannot be (a distribution can shift in embedding space while
+      * every scalar marginal stays put): E = 2·E‖X−Y‖ − E‖X−X′‖ −
+      * E‖Y−Y′‖ over the label split, zero iff equal distributions.
+      * Pairwise statistics are computed EXACTLY on a BOUNDED sample —
+      * 512 per side by the house md5 bottom-k (mergeable, deterministic;
+      * the `agg_quantile_bottomk` sampler on vectors), so the pair
+      * count is a constant ≤ 3·512² at ANY corpus scale — the sampled
+      * production shape for quadratic statistics, never corpus
+      * all-pairs. Distances via the hash-matched dot machinery; the
+      * ~780k grid-rounded distances sum in DECIMAL. */
+    "drift_energy_distance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 512
+      val e = Tables.embeddings(s, d)
+      val hv = expr("conv(substring(md5(cast(vec_id AS string)), 1, 8), 16, 10)")
+        .cast("long")
+      val rw = Window.partitionBy("grp").orderBy(col("hv"), col("vec_id"))
+      val sampled = e.filter(col("label").isin(0, 1))
+        .select(col("vec_id"), col("label").as("grp"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("hv", hv)
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= cap)
+        .select("vec_id", "grp", "v")
+        .localCheckpoint() // one signature pass; three pair joins read it
+      def dist = round(sqrt(greatest(
+        Similarity.dot(col("a.v"), col("a.v")) -
+          lit(2.0) * Similarity.dot(col("a.v"), col("b.v")) +
+          Similarity.dot(col("b.v"), col("b.v")), lit(0.0))), 9)
+        .cast("decimal(28,9)")
+      def meanDist(ga: Int, gb: Int, strict: Boolean) = {
+        val base = col("a.grp") === ga && col("b.grp") === gb
+        val cond = if (strict) base && col("a.vec_id") < col("b.vec_id")
+                   else base
+        sampled.as("a").join(sampled.as("b"), cond)
+          .agg(count(lit(1)).as("n"), sum(dist).as("s"))
+          .select((col("s").cast("double") / col("n")).as("m"),
+            col("n"))
+          .head()
+      }
+      val xy = meanDist(0, 1, strict = false)
+      val xx = meanDist(0, 0, strict = true)
+      val yy = meanDist(1, 1, strict = true)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val eStat = 2.0 * xy.getDouble(0) - xx.getDouble(0) - yy.getDouble(0)
+      import s.implicits._
+      Seq((xy.getLong(1), xx.getLong(1), yy.getLong(1),
+          r6(xy.getDouble(0)), r6(xx.getDouble(0)), r6(yy.getDouble(0)),
+          r6(eStat)))
+        .toDF("n_xy_pairs", "n_xx_pairs", "n_yy_pairs",
+          "mean_dist_xy", "mean_dist_xx", "mean_dist_yy", "energy_distance")
+    }),
+
     "similarity_mmr_rerank" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1527,6 +1583,45 @@ object Docs {
         |UNION ALL
         |SELECT anchor_id, other_id, 'neg' AS label FROM negs
         |ORDER BY anchor_id, label, other_id""".stripMargin),
+
+    "drift_energy_distance" ->
+      """WITH s0 AS (
+        |  SELECT vec_id, label AS grp, embedding::DOUBLE[] AS v,
+        |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |samp AS MATERIALIZED (
+        |  SELECT vec_id, grp, v FROM (
+        |    SELECT vec_id, grp, v,
+        |      row_number() OVER (PARTITION BY grp ORDER BY hv, vec_id) AS rk
+        |    FROM s0) t WHERE rk <= 512),
+        |dxy AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(round(sqrt(greatest(list_dot_product(a.v, a.v)
+        |      - 2.0 * list_dot_product(a.v, b.v)
+        |      + list_dot_product(b.v, b.v), 0.0)), 9) AS DECIMAL(28,9))) AS s
+        |  FROM samp a JOIN samp b ON a.grp = 0 AND b.grp = 1),
+        |dxx AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(round(sqrt(greatest(list_dot_product(a.v, a.v)
+        |      - 2.0 * list_dot_product(a.v, b.v)
+        |      + list_dot_product(b.v, b.v), 0.0)), 9) AS DECIMAL(28,9))) AS s
+        |  FROM samp a JOIN samp b ON a.grp = 0 AND b.grp = 0
+        |    AND a.vec_id < b.vec_id),
+        |dyy AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(round(sqrt(greatest(list_dot_product(a.v, a.v)
+        |      - 2.0 * list_dot_product(a.v, b.v)
+        |      + list_dot_product(b.v, b.v), 0.0)), 9) AS DECIMAL(28,9))) AS s
+        |  FROM samp a JOIN samp b ON a.grp = 1 AND b.grp = 1
+        |    AND a.vec_id < b.vec_id)
+        |SELECT dxy.n AS n_xy_pairs, dxx.n AS n_xx_pairs, dyy.n AS n_yy_pairs,
+        |  round(CAST(dxy.s AS DOUBLE) / dxy.n, 6) + 0.0 AS mean_dist_xy,
+        |  round(CAST(dxx.s AS DOUBLE) / dxx.n, 6) + 0.0 AS mean_dist_xx,
+        |  round(CAST(dyy.s AS DOUBLE) / dyy.n, 6) + 0.0 AS mean_dist_yy,
+        |  round(2.0 * (CAST(dxy.s AS DOUBLE) / dxy.n)
+        |    - (CAST(dxx.s AS DOUBLE) / dxx.n)
+        |    - (CAST(dyy.s AS DOUBLE) / dyy.n), 6) + 0.0 AS energy_distance
+        |FROM dxy, dxx, dyy""".stripMargin,
 
     "dedup_incremental_batch" -> (sigSql +
       """, bands AS (

@@ -564,6 +564,73 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** LTTB DOWNSAMPLING (Steinarsson's Largest-Triangle-Three-Buckets
+      * — the time-series visualization standard behind Grafana-class
+      * dashboards): each series' bar sequence reduces to 100 points
+      * that preserve visual shape — first/last pinned, the middle 98
+      * buckets each contribute the point maximizing the triangle area
+      * with the PREVIOUSLY selected point and the NEXT bucket's
+      * average. The selection is a per-series sequential scan
+      * (`flatMapGroups`, bounded bar arrays — the DTW posture); areas
+      * are grid-rounded at 1e-9 with an (area desc, position asc)
+      * tiebreak, bucket boundaries are exact integer arithmetic, and
+      * next-bucket means ride exact sums — so the DuckDB RECURSIVE-CTE
+      * twin (window argmax inside the recursive term) replays every
+      * pick bit-exactly. */
+    "ts_lttb_downsample" -> ((s, d) => {
+      import s.implicits._
+      val target = 100
+      def r9d(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .select(col("event_type"), col("bucket"), col("px"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          val pts = it.toArray.sortBy(_._2).map(_._3)
+          val n = pts.length
+          require(n >= target + 2,
+            s"ts_lttb_downsample: series $g has $n bars < ${target + 2}")
+          val mid = target - 2
+          def lo(b: Int) = 2 + ((b - 1).toLong * (n - 2) / mid).toInt
+          def hi(b: Int) = 1 + (b.toLong * (n - 2) / mid).toInt
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Long, Double)]
+          var prevRn = 1
+          out += ((g, 0, 1L, pts(0)))
+          for (b <- 1 to mid) {
+            val (ax, ay) =
+              if (b == mid) (n.toDouble, pts(n - 1))
+              else {
+                val (l, h) = (lo(b + 1), hi(b + 1))
+                val cnt = h - l + 1
+                val rnSum = (l.toLong to h.toLong).sum
+                val ySum = (l to h).map(r => BigDecimal(pts(r - 1))).sum
+                (rnSum.toDouble / cnt, ySum.toDouble / cnt)
+              }
+            val (xp, yp) = (prevRn.toDouble, pts(prevRn - 1))
+            var bestRn = -1
+            var bestArea = -1.0
+            for (r <- lo(b) to hi(b)) {
+              val a = r9d(math.abs((xp - ax) * (pts(r - 1) - yp) -
+                (xp - r.toDouble) * (ay - yp)))
+              if (a > bestArea || (a == bestArea && (bestRn < 0 || r < bestRn))) {
+                bestArea = a; bestRn = r
+              }
+            }
+            out += ((g, b, bestRn.toLong, pts(bestRn - 1)))
+            prevRn = bestRn
+          }
+          out += ((g, mid + 1, n.toLong, pts(n - 1)))
+          out.iterator
+        }
+        .toDF("event_type", "position", "rn", "y")
+        .orderBy("event_type", "position")
+    }),
+
     /** DETERMINISTIC RANDOM WALKS over the trade graph — the walk
       * corpus node2vec/DeepWalk embeddings train on, generated the way
       * a 100 TB graph must: the edge frame carries each neighbor's
@@ -1141,6 +1208,57 @@ object R9 {
         |FROM pnl GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin,
 
     "ts_haar_energy" -> haarSql("events", duckDialect),
+
+    /** The LTTB selection replayed: bucket ranges from the same integer
+      * arithmetic, next-bucket means from exact sums, the per-bucket
+      * argmax a window inside the recursive term with the identical
+      * grid-rounded area and (area desc, rn asc) tiebreak. */
+    "ts_lttb_downsample" ->
+      """WITH RECURSIVE b0 AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |s AS MATERIALIZED (
+        |  SELECT g, px, row_number() OVER (PARTITION BY g ORDER BY bucket) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM b0),
+        |bks AS (SELECT unnest(generate_series(1, 98)) AS b),
+        |rng AS MATERIALIZED (
+        |  SELECT s2.g, bks.b,
+        |    2 + ((bks.b - 1) * (s2.n - 2)) // 98 AS lo,
+        |    1 + (bks.b * (s2.n - 2)) // 98 AS hi
+        |  FROM (SELECT g, max(n) AS n FROM s GROUP BY g) s2 CROSS JOIN bks),
+        |cand AS MATERIALIZED (
+        |  SELECT s.g, rng.b, s.rn, CAST(s.rn AS DOUBLE) AS x, s.px AS y
+        |  FROM s JOIN rng ON s.g = rng.g AND s.rn BETWEEN rng.lo AND rng.hi),
+        |navg AS MATERIALIZED (
+        |  SELECT g, b - 1 AS b, CAST(sum(rn) AS DOUBLE) / count(*) AS ax,
+        |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ay
+        |  FROM cand WHERE b >= 2 GROUP BY g, b
+        |  UNION ALL
+        |  SELECT g, 98 AS b, CAST(max(n) AS DOUBLE) AS ax,
+        |    max(CASE WHEN rn = n THEN px END) AS ay
+        |  FROM s GROUP BY g),
+        |rec(g, b, rn, x, y) AS (
+        |  SELECT g, 0 AS b, rn, CAST(rn AS DOUBLE) AS x, px AS y
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.g, q.b, q.rn, q.x, q.y FROM (
+        |    SELECT c.g, c.b, c.rn, c.x, c.y,
+        |      row_number() OVER (PARTITION BY c.g ORDER BY
+        |        round(abs((r.x - nv.ax) * (c.y - r.y)
+        |          - (r.x - c.x) * (nv.ay - r.y)), 9) DESC,
+        |        c.rn ASC) AS pick
+        |    FROM rec r
+        |    JOIN cand c ON c.g = r.g AND c.b = r.b + 1
+        |    JOIN navg nv ON nv.g = r.g AND nv.b = r.b + 1
+        |    WHERE r.b < 98) q
+        |  WHERE q.pick = 1)
+        |SELECT event_type, position, rn, y FROM (
+        |  SELECT g AS event_type, b AS position, rn, y FROM rec
+        |  UNION ALL
+        |  SELECT g, 99 AS position, rn, px AS y FROM s WHERE rn = n) u
+        |ORDER BY event_type, position""".stripMargin,
 
     /** Every walk replayed exactly: identical neighbor indexing
       * (row_number over the dst order), the same md5 pick per step,
