@@ -564,6 +564,88 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** SAX SYMBOLIZATION (Lin/Keogh Symbolic Aggregate approXimation) —
+      * the discretization that turns series into text so motif/index
+      * machinery applies (the indexing companion to
+      * `ts_matrix_profile`'s exact distances): per series,
+      * NON-OVERLAPPING 24-bar windows z-normalize on their own
+      * DECIMAL-exact moments, PAA-collapse to 6 segment means, and each
+      * segment maps to a 4-letter alphabet through the N(0,1) quartile
+      * breakpoints (±0.6745, 0). Words aggregate to the motif census.
+      * Degenerate σ=0 windows symbolize identically in both engines
+      * (NaN comparisons fall through the same CASE branches). One
+      * keyed aggregation per stage — no window sorts over the fact. */
+    "ts_sax_symbols" -> ((s, d) => {
+      val win = 24; val seg = 4 // 6 segments of 4 bars
+      val wOrd = Window.partitionBy("event_type").orderBy("bucket")
+      val bars = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("rn", row_number().over(wOrd) - 1)
+        .withColumn("w", (col("rn") / win).cast("long"))
+        .withColumn("sg", ((col("rn") % win) / seg).cast("long"))
+      def dec(c: Column) = c.cast("decimal(18,6)")
+      val moments = bars.groupBy("event_type", "w")
+        .agg(count(lit(1)).as("nw"), sum(dec(col("px"))).as("sw"),
+          sum((dec(col("px")) * dec(col("px"))).cast("decimal(30,12)")).as("sw2"))
+        .filter(col("nw") === win)
+        .withColumn("mu", col("sw").cast("double") / col("nw"))
+        .withColumn("sigma", sqrt(greatest(
+          (col("sw2").cast("double") -
+            col("sw").cast("double") * col("sw").cast("double") / col("nw")) /
+            col("nw"), lit(0.0))))
+      val segs = bars.groupBy("event_type", "w", "sg")
+        .agg(sum(dec(col("px"))).as("ss"), count(lit(1)).as("ns"))
+      val sym = segs.join(moments.select("event_type", "w", "mu", "sigma"),
+          Seq("event_type", "w"))
+        .withColumn("z", round(
+          (col("ss").cast("double") / col("ns") - col("mu")) / col("sigma"), 6))
+        .withColumn("c",
+          when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+            .when(col("z") < 0.6745, "c").otherwise("d"))
+      sym.groupBy("event_type", "w")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("sg"),
+          col("c")))), x => x.getField("c")), "").as("word"))
+        .groupBy("event_type", "word")
+        .agg(count(lit(1)).as("n_windows"))
+        .orderBy(col("n_windows").desc, col("event_type"), col("word"))
+        .limit(20)
+    }),
+
+    /** INVERSE-VOLATILITY WEIGHTS — the naive-risk-parity sibling of
+      * `fin_min_variance_portfolio` (the allocation desks actually run
+      * when covariance estimates are too noisy to invert): per-series
+      * annualized vol from DECIMAL-exact return moments, weights ∝ 1/σ
+      * normalized over the complete-series set — one aggregation, no
+      * matrix algebra, fully SQL-replayable where the GMV row stayed
+      * rows-only. */
+    "fin_inverse_vol_weights" -> ((s, d) => {
+      val wOrd = Window.partitionBy("event_type").orderBy("bucket")
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      def dec(c: Column) = c.cast("decimal(18,6)")
+      Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
+        .filter(col("r").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("r"))).as("sr"),
+          sum((dec(col("r")) * dec(col("r"))).cast("decimal(30,12)")).as("sr2"))
+        .withColumn("sigma", sqrt(greatest(
+          (col("sr2").cast("double") -
+            col("sr").cast("double") * col("sr").cast("double") / col("n")) /
+            col("n"), lit(0.0))))
+        .withColumn("inv", round(lit(1.0) / col("sigma"), 9))
+        .withColumn("weight", round(col("inv") /
+          sum(col("inv").cast("decimal(28,9)")).over(all).cast("double"), 6))
+        .select(col("event_type"), col("n"),
+          round(col("sigma"), 6).as("vol"), col("weight"))
+        .orderBy("event_type")
+    }),
+
     /** LTTB DOWNSAMPLING (Steinarsson's Largest-Triangle-Three-Buckets
       * — the time-series visualization standard behind Grafana-class
       * dashboards): each series' bar sequence reduces to 100 points
@@ -1208,6 +1290,76 @@ object R9 {
         |FROM pnl GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin,
 
     "ts_haar_energy" -> haarSql("events", duckDialect),
+
+    /** SAX replayed: same window/segment integer arithmetic, the same
+      * DECIMAL moments, grid-rounded z through the identical CASE
+      * ladder (NaN falls to 'd' in both engines), ordered string_agg
+      * words. */
+    "ts_sax_symbols" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT g, px,
+        |    row_number() OVER (PARTITION BY g ORDER BY bucket) - 1 AS rn
+        |  FROM b),
+        |w AS (SELECT g, px, rn // 24 AS w, (rn % 24) // 4 AS sg FROM rr),
+        |m AS (
+        |  SELECT g, w, count(*)::BIGINT AS nw,
+        |    sum(CAST(px AS DECIMAL(18,6))) AS sw,
+        |    sum(CAST(CAST(px AS DECIMAL(18,6)) * CAST(px AS DECIMAL(18,6))
+        |      AS DECIMAL(30,12))) AS sw2
+        |  FROM w GROUP BY 1, 2 HAVING count(*) = 24),
+        |mm AS (
+        |  SELECT g, w, CAST(sw AS DOUBLE) / nw AS mu,
+        |    sqrt(greatest((CAST(sw2 AS DOUBLE)
+        |      - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / nw) / nw, 0.0))
+        |      AS sigma
+        |  FROM m),
+        |sgm AS (
+        |  SELECT g, w, sg, sum(CAST(px AS DECIMAL(18,6))) AS ss,
+        |    count(*)::BIGINT AS ns
+        |  FROM w GROUP BY 1, 2, 3),
+        |sym AS (
+        |  SELECT g, w, sg,
+        |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |      WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS c
+        |  FROM (
+        |    SELECT sgm.g, sgm.w, sgm.sg,
+        |      round((CAST(ss AS DOUBLE) / ns - mu) / sigma, 6) AS z
+        |    FROM sgm JOIN mm ON sgm.g = mm.g AND sgm.w = mm.w) z0),
+        |words AS (
+        |  SELECT g, w, string_agg(c, '' ORDER BY sg) AS word
+        |  FROM sym GROUP BY 1, 2)
+        |SELECT g AS event_type, word, count(*)::BIGINT AS n_windows
+        |FROM words GROUP BY 1, 2
+        |ORDER BY n_windows DESC, event_type, word LIMIT 20""".stripMargin,
+
+    "fin_inverse_vol_weights" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, round(ln(px / lag(px, 1)
+        |    OVER (PARTITION BY g ORDER BY bucket)), 6) AS r
+        |  FROM b),
+        |a AS (
+        |  SELECT g, count(*)::BIGINT AS n,
+        |    sum(CAST(r AS DECIMAL(18,6))) AS sr,
+        |    sum(CAST(CAST(r AS DECIMAL(18,6)) * CAST(r AS DECIMAL(18,6))
+        |      AS DECIMAL(30,12))) AS sr2
+        |  FROM r WHERE r IS NOT NULL GROUP BY g),
+        |v AS (
+        |  SELECT g, n, sqrt(greatest((CAST(sr2 AS DOUBLE)
+        |    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n) / n, 0.0)) AS sigma
+        |  FROM a),
+        |i AS (SELECT g, n, sigma, round(1.0 / sigma, 9) AS inv FROM v)
+        |SELECT g AS event_type, n, round(sigma, 6) AS vol,
+        |  round(inv / CAST(sum(CAST(inv AS DECIMAL(28,9))) OVER ()
+        |    AS DOUBLE), 6) AS weight
+        |FROM i ORDER BY event_type""".stripMargin,
 
     /** The LTTB selection replayed: bucket ranges from the same integer
       * arithmetic, next-bucket means from exact sums, the per-bucket
