@@ -564,6 +564,63 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** HITS (Kleinberg's hubs-and-authorities) over the DIRECTED
+      * customer→supplier trade graph — the link-analysis sibling
+      * `graph_pagerank` leaves open: customers score as HUBS (they buy
+      * from good suppliers), suppliers as AUTHORITIES (they are bought
+      * by good hubs), by 4 rounds of mutual reinforcement with L1
+      * normalization. Each half-round is ONE equi-join + ONE keyed
+      * aggregation over the cached edge frame; score vectors ride the
+      * GraphLayout broadcast gate like pagerank's ranks; every score
+      * re-rounds to the 1e-9 grid and per-node sums of grid values ride
+      * DECIMAL, so the DuckDB twin's unrolled-iteration CTE chain (the
+      * `graph_pagerank` oracle trick) replays the fixpoint bit-exactly.
+      * Output: top-10 hubs and top-10 authorities. */
+    "graph_hits" -> ((s, d) => {
+      val iters = 4
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .cache()
+      try {
+        val nNodes = edges.select(countDistinct("src")).head().getLong(0)
+        var hubs = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(1.0).as("h"))
+        var auths: DataFrame = null
+        for (i <- 1 to iters) {
+          val aRaw = edges
+            .join(graft.operators.GraphLayout.nodeSide(hubs, nNodes),
+              edges("src") === hubs("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("h").cast("decimal(28,9)")).as("araw"))
+            .localCheckpoint()
+          val aTot = aRaw.agg(sum("araw")).head().getDecimal(0).doubleValue
+          auths = aRaw.select(col("dst").as("node"),
+            round(col("araw").cast("double") / aTot, 9).as("a"))
+            .localCheckpoint()
+          val hRaw = edges
+            .join(graft.operators.GraphLayout.nodeSide(auths, nNodes),
+              edges("dst") === auths("node"))
+            .groupBy(col("src"))
+            .agg(sum(col("a").cast("decimal(28,9)")).as("hraw"))
+            .localCheckpoint()
+          val hTot = hRaw.agg(sum("hraw")).head().getDecimal(0).doubleValue
+          hubs = hRaw.select(col("src").as("node"),
+            round(col("hraw").cast("double") / hTot, 9).as("h"))
+            .localCheckpoint()
+        }
+        val topH = hubs.orderBy(col("h").desc, col("node")).limit(10)
+          .select(lit("hub").as("role"), col("node"), col("h").as("score"))
+        val topA = auths.orderBy(col("a").desc, col("node")).limit(10)
+          .select(lit("authority").as("role"), col("node"),
+            col("a").as("score"))
+        topH.unionAll(topA).orderBy("role", "node")
+      } finally { edges.unpersist(); () }
+    }),
+
     /** SAX SYMBOLIZATION (Lin/Keogh Symbolic Aggregate approXimation) —
       * the discretization that turns series into text so motif/index
       * machinery applies (the indexing companion to
@@ -1079,6 +1136,45 @@ object R9 {
   private val tokedSqlR9 =
     "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
 
+  /** The HITS fixpoint unrolled (the `graph_pagerank` oracle trick):
+    * four rounds × two phases as chained CTEs, per-node sums of grid
+    * scores in DECIMAL, L1 totals as exact DECIMAL sums cast to DOUBLE
+    * for the one rounded division per phase. */
+  private def hitsSql: String = {
+    val iters = 4
+    val rounds = (1 to iters).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}raw AS (
+         |  SELECT e.dst, sum(CAST(p.h AS DECIMAL(28,9))) AS araw
+         |  FROM e JOIN $hPrev p ON e.src = p.node GROUP BY e.dst),
+         |a${i}tot AS (SELECT sum(araw) AS t FROM a${i}raw),
+         |a$i AS (
+         |  SELECT dst AS node,
+         |    round(CAST(araw AS DOUBLE) / CAST(t AS DOUBLE), 9) AS a
+         |  FROM a${i}raw CROSS JOIN a${i}tot),
+         |h${i}raw AS (
+         |  SELECT e.src, sum(CAST(p.a AS DECIMAL(28,9))) AS hraw
+         |  FROM e JOIN a$i p ON e.dst = p.node GROUP BY e.src),
+         |h${i}tot AS (SELECT sum(hraw) AS t FROM h${i}raw),
+         |h$i AS (
+         |  SELECT src AS node,
+         |    round(CAST(hraw AS DOUBLE) / CAST(t AS DOUBLE), 9) AS h
+         |  FROM h${i}raw CROSS JOIN h${i}tot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM e),
+       |$rounds
+       |SELECT role, node, score FROM (
+       |  SELECT 'hub' AS role, node, h AS score,
+       |    row_number() OVER (ORDER BY h DESC, node) AS rk FROM h$iters
+       |  UNION ALL
+       |  SELECT 'authority' AS role, node, a AS score,
+       |    row_number() OVER (ORDER BY a DESC, node) AS rk FROM a$iters) u
+       |WHERE rk <= 10 ORDER BY role, node""".stripMargin
+  }
+
   /** Shared twin for the batch AND streaming irregular EWMA. */
   private val ewmaIrregularSql =
     """WITH RECURSIVE e AS (
@@ -1290,6 +1386,8 @@ object R9 {
         |FROM pnl GROUP BY 1, 2 ORDER BY series_a, series_b""".stripMargin,
 
     "ts_haar_energy" -> haarSql("events", duckDialect),
+
+    "graph_hits" -> hitsSql,
 
     /** SAX replayed: same window/segment integer arithmetic, the same
       * DECIMAL moments, grid-rounded z through the identical CASE
