@@ -564,6 +564,84 @@ object R9 {
     "ts_haar_energy" -> ((s, d) =>
       withEventsView(s, d)(v => s.sql(haarSql(v, sparkDialect)))),
 
+    /** WILCOXON SIGNED-RANK TEST for every series pair — the PAIRED
+      * nonparametric location test the unpaired `stat_mannwhitney_u`
+      * cannot be (pairs share the bucket, so common market shocks
+      * cancel): per pair, bar differences on shared 30-min buckets
+      * (grid-exact), zeros dropped per Wilcoxon, midranks of |d| via
+      * rank + tie-count arithmetic (the Mann–Whitney convention), W⁺ on
+      * an exact DECIMAL sum, tie-corrected normal z, |z| > 1.959964
+      * decided on the 1e-6 grid. One bar self-join + two windowed
+      * passes per pair — never a cross product. */
+    "stat_wilcoxon_signed_rank" -> ((s, d) => {
+      val bars = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+      val a = bars.select(col("event_type").as("ga"), col("bucket"),
+        col("px").as("pa"))
+      val b = bars.select(col("event_type").as("gb"), col("bucket"),
+        col("px").as("pb"))
+      val diffs = a.join(b, Seq("bucket")).filter(col("ga") < col("gb"))
+        .withColumn("dv", round(col("pa") - col("pb"), 6))
+        .filter(col("dv") =!= 0.0)
+        .withColumn("ad", abs(col("dv")))
+      val wr = Window.partitionBy("ga", "gb").orderBy("ad")
+      val wt = Window.partitionBy("ga", "gb", "ad")
+      val ranked = diffs
+        .withColumn("minrk", rank().over(wr))
+        .withColumn("tcnt", count(lit(1)).over(wt))
+        .withColumn("midrank",
+          col("minrk") + (col("tcnt") - 1) / lit(2.0))
+      ranked.groupBy("ga", "gb")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dv") > 0, col("midrank")).otherwise(lit(0.0))
+            .cast("decimal(28,9)")).as("wp"),
+          sum((col("tcnt") * col("tcnt") - 1).cast("decimal(28,9)"))
+            .as("tie3m"))
+        .select(col("ga").as("series_a"), col("gb").as("series_b"), col("n"),
+          col("wp").cast("double").as("w_plus"),
+          round((col("wp").cast("double") -
+              col("n") * (col("n") + 1) / 4.0) /
+            sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0 -
+              col("tie3m").cast("double") / 48.0), 6).as("z"))
+        .withColumn("reject_95", abs(col("z")) > 1.959964)
+        .orderBy("series_a", "series_b")
+    }),
+
+    /** CALENDAR (day-of-week) EFFECTS — the seasonality audit a
+      * trading/ops calendar runs before believing any weekday pattern:
+      * per (series, epoch-weekday) bar-return moments from DECIMAL
+      * sums, with the one-sample t statistic against zero per cell.
+      * Weekday from exact epoch-day arithmetic — no locale/dialect
+      * divergence. */
+    "fin_dow_effects" -> ((s, d) => {
+      val wOrd = Window.partitionBy("event_type").orderBy("bucket")
+      def dec(c: Column) = c.cast("decimal(18,6)")
+      Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(round(avg(col("value")), 6).as("px"))
+        .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
+        .filter(col("r").isNotNull)
+        .withColumn("dow", expr("(bucket div 48) % 7"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum(dec(col("r"))).as("sr"),
+          sum((dec(col("r")) * dec(col("r"))).cast("decimal(30,12)")).as("sr2"))
+        .withColumn("mean_ret",
+          round(col("sr").cast("double") / col("n"), 6) + 0.0)
+        .withColumn("sd", sqrt(greatest(
+          (col("sr2").cast("double") -
+            col("sr").cast("double") * col("sr").cast("double") / col("n")) /
+            (col("n") - 1), lit(0.0))))
+        .withColumn("t_vs_zero", round(
+          (col("sr").cast("double") / col("n")) /
+            (col("sd") / sqrt(col("n").cast("double"))), 6) + 0.0)
+        .select(col("event_type"), col("dow"), col("n"), col("mean_ret"),
+          (round(col("sd"), 6) + 0.0).as("sd_ret"), col("t_vs_zero"))
+        .orderBy("event_type", "dow")
+    }),
+
     /** HITS (Kleinberg's hubs-and-authorities) over the DIRECTED
       * customer→supplier trade graph — the link-analysis sibling
       * `graph_pagerank` leaves open: customers score as HUBS (they buy
@@ -1388,6 +1466,67 @@ object R9 {
     "ts_haar_energy" -> haarSql("events", duckDialect),
 
     "graph_hits" -> hitsSql,
+
+    /** Signed-rank replay: identical midranks (rank + tie counts), the
+      * per-row (t²−1) trick sums to Σ(t³−t) exactly, W⁺ DECIMAL. */
+    "stat_wilcoxon_signed_rank" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.g AS ga, c.g AS gb, round(a.px - c.px, 6) AS dv,
+        |    abs(round(a.px - c.px, 6)) AS ad
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.g < c.g
+        |  WHERE round(a.px - c.px, 6) <> 0),
+        |rk AS (
+        |  SELECT ga, gb, dv,
+        |    rank() OVER (PARTITION BY ga, gb ORDER BY ad) AS minrk,
+        |    count(*) OVER (PARTITION BY ga, gb, ad) AS tcnt
+        |  FROM d),
+        |agg AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS n,
+        |    sum(CAST(CASE WHEN dv > 0 THEN minrk + (tcnt - 1) / 2.0
+        |      ELSE 0.0 END AS DECIMAL(28,9))) AS wp,
+        |    sum(CAST(tcnt * tcnt - 1 AS DECIMAL(28,9))) AS tie3m
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT ga AS series_a, gb AS series_b, n,
+        |  CAST(wp AS DOUBLE) AS w_plus,
+        |  round((CAST(wp AS DOUBLE) - n * (n + 1) / 4.0) /
+        |    sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+        |      - CAST(tie3m AS DOUBLE) / 48.0), 6) AS z,
+        |  abs(round((CAST(wp AS DOUBLE) - n * (n + 1) / 4.0) /
+        |    sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+        |      - CAST(tie3m AS DOUBLE) / 48.0), 6)) > 1.959964 AS reject_95
+        |FROM agg ORDER BY series_a, series_b""".stripMargin,
+
+    "fin_dow_effects" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
+        |    round(avg(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, bucket, round(ln(px / lag(px, 1)
+        |    OVER (PARTITION BY g ORDER BY bucket)), 6) AS r
+        |  FROM b),
+        |a AS (
+        |  SELECT g, (bucket // 48) % 7 AS dow, count(*)::BIGINT AS n,
+        |    sum(CAST(r AS DECIMAL(18,6))) AS sr,
+        |    sum(CAST(CAST(r AS DECIMAL(18,6)) * CAST(r AS DECIMAL(18,6))
+        |      AS DECIMAL(30,12))) AS sr2
+        |  FROM r WHERE r IS NOT NULL GROUP BY 1, 2),
+        |v AS (
+        |  SELECT g, dow, n, sr,
+        |    sqrt(greatest((CAST(sr2 AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n) / (n - 1), 0.0))
+        |      AS sd
+        |  FROM a)
+        |SELECT g AS event_type, dow, n,
+        |  round(CAST(sr AS DOUBLE) / n, 6) + 0.0 AS mean_ret,
+        |  round(sd, 6) + 0.0 AS sd_ret,
+        |  round((CAST(sr AS DOUBLE) / n) / (sd / sqrt(CAST(n AS DOUBLE))), 6)
+        |    + 0.0 AS t_vs_zero
+        |FROM v ORDER BY event_type, dow""".stripMargin,
 
     /** SAX replayed: same window/segment integer arithmetic, the same
       * DECIMAL moments, grid-rounded z through the identical CASE
