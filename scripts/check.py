@@ -8,21 +8,89 @@ matching SQL from oracle_sql.json in DuckDB over the same parquet tables,
 and compares: columns sorted by name, rows sorted by all columns, values
 compared exactly (plus a loose float fallback report so near-misses are
 distinguishable from hard mismatches).
+
+Also records per-query CANONICAL RESULT HASHES for both sides (engine
+dump and DuckDB oracle result, both read through Arrow so types are
+faithful) plus the DuckDB version into <out>/HASHES.json, and
+cross-checks the Python engine-side hash against the Scala one in
+<out>/engine_hashes.json (written by graft.Verify). The canonical form
+is specified in Verify.renderCell's Scaladoc; the two implementations
+must stay byte-identical. This exists because round 9's only red row
+was a driver-vs-local divergence that could not be root-caused from
+artifacts — neither side had recorded what hash it computed.
 """
+import datetime
 import glob
+import hashlib
 import json
 import math
 import struct
 import sys
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+_EPOCH_DAY = datetime.date(1970, 1, 1).toordinal()
+
+
+def render(v) -> str:
+    """Mirror of graft.Verify.renderCell — keep byte-identical."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "7ff8000000000000"  # canonical NaN, like doubleToLongBits
+        return struct.pack(">d", v).hex()
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        td = v - _EPOCH
+        return str(td.days * 86_400_000_000
+                   + td.seconds * 1_000_000 + td.microseconds)
+    if isinstance(v, datetime.date):
+        return str(v.toordinal() - _EPOCH_DAY)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(render(e) for e in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            sorted(f"{render(k)}={render(x)}" for k, x in v.items())) + "}"
+    return str(v)
+
+
+def canonical_hash(tbl) -> str:
+    """tbl: pyarrow.Table. Mirror of graft.Verify.canonicalHash."""
+    cols = sorted(tbl.column_names)
+    pylists = [tbl.column(c).to_pylist() for c in cols]
+    rendered = sorted(
+        "\u0001".join(render(col[i]) for col in pylists)
+        for i in range(tbl.num_rows))
+    content = "\n".join(["\u0001".join(cols)] + rendered)
+    return hashlib.md5(content.encode("utf-8")).hexdigest()
+
+
+def read_dump_arrow(name: str):
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
+    if not files:
+        return None
+    import pyarrow as pa
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -83,37 +151,61 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     with open(f"{OUT}/oracle_sql.json") as fh:
         oracle = json.load(fh)
+    try:
+        with open(f"{OUT}/engine_hashes.json") as fh:
+            scala_hashes = json.load(fh).get("queries", {})
+    except FileNotFoundError:
+        scala_hashes = {}
 
     dumped = {p.rstrip("/").split("/")[-1]
               for p in glob.glob(f"{OUT}/*/")}
-    n_pass = n_fail = 0
+    hashes = {}
+    n_pass = n_fail = n_spec_drift = 0
     for name in sorted(oracle):
         if name not in dumped:
             print(f"MISSING-DUMP {name}")
             n_fail += 1
             continue
-        files = glob.glob(f"{OUT}/{name}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
-            if files else pd.DataFrame()
+        got_tbl = read_dump_arrow(name)
+        got = got_tbl.to_pandas() if got_tbl is not None else pd.DataFrame()
         try:
-            want = con.execute(oracle[name]).df()
+            res = con.execute(oracle[name])
+            want_tbl = res.arrow()
+            want = want_tbl.to_pandas()
         except Exception as e:  # noqa: BLE001
             print(f"ORACLE-ERROR {name}: {e}")
             n_fail += 1
             continue
+        eh = canonical_hash(got_tbl) if got_tbl is not None else None
+        oh = canonical_hash(want_tbl)
+        hashes[name] = {"engine": eh, "oracle": oh}
+        sh = scala_hashes.get(name, {}).get("hash")
+        if sh is not None and eh is not None and sh != eh:
+            # engines may still agree; this means the Scala/Python
+            # canonicalizers drifted — fix the renderer, not the query
+            print(f"HASH-SPEC-MISMATCH {name}: scala={sh} python={eh}")
+            n_spec_drift += 1
         err = compare(name, got, want)
         if err:
-            print(f"FAIL {name}: {err}")
+            print(f"FAIL {name}: {err} [engine={eh} oracle={oh}]")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     rows_only = dumped - set(oracle)
     for name in sorted(rows_only):
-        files = glob.glob(f"{OUT}/{name}/*.parquet")
-        n = sum(len(pd.read_parquet(f)) for f in files)
+        tbl = read_dump_arrow(name)
+        n = tbl.num_rows if tbl is not None else 0
+        if tbl is not None:
+            hashes[name] = {"engine": canonical_hash(tbl), "oracle": None}
         print(f"ROWS-ONLY {name}: {n} rows")
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only")
+    with open(f"{OUT}/HASHES.json", "w") as fh:
+        json.dump({"duckdb_version": duckdb.__version__,
+                   "spec_drift": n_spec_drift,
+                   "queries": hashes}, fh, indent=1, sort_keys=True)
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only, "
+          f"{n_spec_drift} hash-spec drift; hashes → {OUT}/HASHES.json "
+          f"(duckdb {duckdb.__version__})")
     sys.exit(1 if n_fail else 0)
 
 

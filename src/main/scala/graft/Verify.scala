@@ -2,8 +2,66 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also records a CANONICAL PER-QUERY RESULT HASH (engine side) into
+  * `outDir/engine_hashes.json` AND best-effort into the repo worktree
+  * (`VERIFY_HASHES_LATEST.json`), so a driver-vs-local gate divergence
+  * can be root-caused from artifacts: the r9 round shipped exactly one
+  * red row (`stat_permutation_fdr`) that no local reproduction could
+  * explain because neither side's computed hash was recorded anywhere.
+  * `scripts/check.py` implements the SAME canonicalization in Python
+  * (over Arrow values) for both the dump and the DuckDB oracle result,
+  * and cross-checks its engine-side hash against this file — so a
+  * mismatch cleanly separates "the engines disagree" from "the hash
+  * spec drifted". */
 object Verify {
+
+  /** Canonical rendering, mirrored byte-for-byte by scripts/check.py
+    * (`render`/`canonical_hash`): columns sorted by name; each cell →
+    * NULL "\\N"; double/float → 16-hex IEEE-754 bits (NaN canonical,
+    * signed zero preserved — the whole point); boolean lowercase;
+    * decimal `toPlainString` (scale preserved); timestamp → epoch
+    * micros; date → epoch days; binary → lowercase hex; arrays
+    * rendered recursively `[a, b]`. Rows joined by \u0001, sorted as
+    * strings AFTER rendering (avoids cross-language sort-order traps),
+    * md5 over header + rows. */
+  def renderCell(v: Any): String = v match {
+    case null => "\\N"
+    case d: Double => f"${java.lang.Double.doubleToLongBits(d)}%016x"
+    case f: Float => f"${java.lang.Double.doubleToLongBits(f.toDouble)}%016x"
+    case b: Boolean => if (b) "true" else "false"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case t: java.sql.Timestamp =>
+      (t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L).toString
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case s: scala.collection.Seq[_] =>
+      s.map(renderCell).mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(renderCell).mkString("{", ", ", "}")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${renderCell(k)}=${renderCell(x)}" }
+        .sorted.mkString("{", ", ", "}")
+    case other => other.toString
+  }
+
+  def canonicalHash(df: org.apache.spark.sql.DataFrame): (String, Long) = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .collect()
+    val rendered = rows.map(_.toSeq.map(renderCell).mkString("\u0001")).sorted
+    val content = (cols.mkString("\u0001") +: rendered).mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(content.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (hash, rows.length.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names (targeted local checks)
@@ -26,11 +84,16 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val hashes = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // hash what was WRITTEN (the artifact the driver compares),
+          // not the live plan — a re-execution could differ.
+          hashes.put(name, canonicalHash(spark.read.parquet(s"$outDir/$name")))
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -54,6 +117,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val hashJson = {
+      import scala.jdk.CollectionConverters._
+      val entries = hashes.asScala.toSeq.sortBy(_._1).map {
+        case (k, (h, n)) => s"${q(k)}: {${q("hash")}: ${q(h)}, ${q("rows")}: $n}"
+      }.mkString(", ")
+      s"""{${q("spark_version")}: ${q(spark.version)}, ${q("queries")}: {$entries}}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/engine_hashes.json"), hashJson)
+    // Best-effort repo mirror so the DRIVER's own run leaves the
+    // engine-side hashes somewhere auditable (the driver archives
+    // CORRECTNESS but not its temp dump dir). Full runs only — a
+    // targeted subset run must not clobber the full record.
+    if (only.isEmpty) {
+      try Files.writeString(
+        Paths.get("/root/repo/VERIFY_HASHES_LATEST.json"), hashJson)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

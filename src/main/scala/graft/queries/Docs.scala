@@ -669,7 +669,8 @@ object Docs {
       // cache+unpersist pair would evict before the caller's action
       val perDoc = tok.join(lp, "token")
         .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("lp").cast("decimal(18,6)")).cast("double").as("slp"))
         .select(col("doc_id"), col("source"),
           round(exp(-col("slp") / col("n_tok")), 6).as("ppl"))
         .localCheckpoint()
@@ -1805,7 +1806,9 @@ object Docs {
         |  SELECT token, round(ln((c + 0.5) / (n_tot + 0.5 * (v + 1))), 6) AS lp
         |  FROM freq, tot),
         |pd AS (
-        |  SELECT doc_id, source, round(exp(-sum(lp) / count(*)), 6) AS ppl
+        |  SELECT doc_id, source,
+        |    round(exp(-CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*)), 6) AS ppl
         |  FROM tok JOIN lp USING (token) GROUP BY 1, 2),
         |med AS (
         |  SELECT floor(quantile_cont(ppl, 0.5) * 1.5 * 1000000 + 0.5) / 1000000

@@ -120,7 +120,7 @@ object Feat {
   private def spectralEntropySql(events: String, bucket: String,
                                  periodExplode: String): String =
     s"""WITH b AS (
-       |  SELECT event_type AS g, $bucket AS bucket, round(avg(value), 6) AS px
+       |  SELECT event_type AS g, $bucket AS bucket, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
        |  FROM $events GROUP BY 1, 2),
        |st AS (
        |  SELECT g, bucket, CAST(px AS DECIMAL(18,6)) AS pxd,
@@ -185,7 +185,7 @@ object Feat {
   private def reconcileSql(events: String, bucket: String): String =
     s"""WITH b AS (
        |  SELECT event_type AS g, $bucket AS bucket,
-       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS px
+       |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS DECIMAL(18,6)) AS px
        |  FROM $events GROUP BY 1, 2),
        |comp AS (SELECT bucket FROM b GROUP BY bucket
        |  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM $events)),
@@ -256,7 +256,7 @@ object Feat {
     val (sN, sD) = emaTruncSqlPair("z2", "w", 0.3, 40)
     s"""WITH b AS (
        |  SELECT event_type AS g, $bucket AS bucket,
-       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS x
+       |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS DECIMAL(18,6)) AS x
        |  FROM $events GROUP BY 1, 2),
        |st AS (
        |  SELECT g, bucket, x,
@@ -650,7 +650,7 @@ object Feat {
         .filter(col("event_type").isin("purchase", "click"))
         .withColumn("bucket", expr("ts_ns div 3600000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("y"))
+        .agg(Grid.mean6(col("value")).as("y"))
         .withColumn("v", col("y").cast("decimal(18,6)"))
         .withColumn("idx", row_number().over(
           Window.partitionBy("event_type").orderBy("bucket")))
@@ -804,7 +804,7 @@ object Feat {
       val r = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
-        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .groupBy("bucket").agg(Grid.mean6(col("value")).as("px"))
         .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
         .filter(col("r").isNotNull)
         .withColumn("rn", row_number().over(wOrd))
@@ -955,7 +955,7 @@ object Feat {
       Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("roll_med", round(expr("percentile(px, 0.5)").over(w), 6))
         .withColumn("n_in_window", count(lit(1)).over(w))
         .orderBy("event_type", "bucket")
@@ -1067,7 +1067,7 @@ object Feat {
       val r = Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
         .filter(col("r").isNotNull)
         .withColumn("rk", row_number().over(wRnk))
@@ -1109,7 +1109,7 @@ object Feat {
       Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("e_seas",
           round(abs(col("px") - lag(col("px"), 48).over(wOrd)), 6)
             .cast("decimal(18,6)"))
@@ -1217,7 +1217,7 @@ object Feat {
       val bars = Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("y"))
+        .agg(Grid.mean6(col("value")).as("y"))
       val out = bars.select("event_type", "bucket", "y").as[(String, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (g, it) =>
@@ -1358,7 +1358,7 @@ object Feat {
     "ts_matrix_profile" ->
       """WITH b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS bucket,
-        |    round(avg(value), 6) AS y
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS y
         |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2),
         |bi AS (
         |  SELECT g, CAST(y AS DECIMAL(18,6)) AS v,
@@ -1456,7 +1456,7 @@ object Feat {
 
     "ts_block_bootstrap" ->
       """WITH px AS (
-        |  SELECT epoch_ns(ts) // 1800000000000 AS bucket, round(avg(value), 6) AS px
+        |  SELECT epoch_ns(ts) // 1800000000000 AS bucket, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |r0 AS (
         |  SELECT bucket, round(ln(px / lag(px, 1) OVER (ORDER BY bucket)), 6) AS r
@@ -1501,7 +1501,7 @@ object Feat {
     "ts_rolling_median" ->
       """WITH b AS (
         |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, bucket, px,
         |  round(quantile_cont(px, 0.5) OVER w, 6) AS roll_med,
@@ -1541,7 +1541,7 @@ object Feat {
     "fin_var_backtest_kupiec" ->
       """WITH b AS (
         |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |r0 AS (
         |  SELECT event_type, bucket,
@@ -1581,7 +1581,7 @@ object Feat {
     "ml_metric_mase" ->
       """WITH b AS (
         |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |e AS (
         |  SELECT event_type,
@@ -1638,7 +1638,7 @@ object Feat {
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS y
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS y
         |  FROM events GROUP BY 1, 2),
         |s AS (
         |  SELECT g, bucket, y,

@@ -42,12 +42,12 @@ object Fin {
     Tables.events(s, d)
       .withColumn("bucket", expr("ts_ns div 1800000000000L"))
       .groupBy("event_type", "bucket")
-      .agg(round(avg(col("value")), 6).as("px"))
+      .agg(Grid.mean6(col("value")).as("px"))
 
   private val barsSql: String =
     """WITH b AS (
       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
-      |         round(avg(value), 6) AS px
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
   // ---- truncated-EWMA helpers (the `ewma_halflife` convention:
@@ -608,7 +608,9 @@ object Fin {
         .select(col("event_type"), col("bucket"),
           round(log(col("px") / col("prev")), 6).cast("decimal(18,6)").as("r"))
       val market = r.groupBy("bucket")
-        .agg(count(lit(1)).as("k"), round(avg(col("r")), 6).cast("decimal(18,6)").as("rm"))
+        .agg(count(lit(1)).as("k"),
+          round(sum(col("r")).cast("double") / count(col("r")), 6)
+            .cast("decimal(18,6)").as("rm"))
         .filter(col("k") === 5).drop("k")
       r.join(market, Seq("bucket"))
         .groupBy("event_type")
@@ -1093,7 +1095,8 @@ object Fin {
         |        FROM b)
         |  WHERE prev IS NOT NULL AND prev > 0 AND px > 0),
         |mkt AS (
-        |  SELECT bucket, CAST(round(avg(r), 6) AS DECIMAL(18,6)) AS rm
+        |  SELECT bucket, CAST(round(CAST(sum(r) AS DOUBLE) / count(r), 6)
+        |    AS DECIMAL(18,6)) AS rm
         |  FROM lr GROUP BY bucket HAVING count(*) = 5),
         |j AS (SELECT lr.event_type, lr.r, mkt.rm FROM lr JOIN mkt ON lr.bucket = mkt.bucket),
         |g AS (

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-free grouped means for 1e-6-grid inputs — the r9 red-row fix,
+  * generalized (VERDICT r9 "What's wrong" #1b / "Next round" #2).
+  *
+  * A grouped `avg(double)` rides partial sums whose MERGE ORDER is not
+  * deterministic (Spark merges task partials in completion order; DuckDB
+  * has its own parallel order), so `round(avg(x), 6)` can flip at a
+  * .5e-6 boundary BETWEEN RUNS OF THE SAME ENGINE — exactly the
+  * driver-vs-local flake r9 shipped. When the input is already on a
+  * decimal grid (raw `value` is 1e-2; any `round(x, 6)` output is 1e-6),
+  * the DECIMAL(18,6) cast is exact, the DECIMAL sum is
+  * order-independent, and the single double division + round is
+  * deterministic — same value as the double avg away from boundaries,
+  * and a WELL-DEFINED value at them.
+  *
+  * Only for grid inputs: casting a NON-grid double to DECIMAL(18,6)
+  * would round each element (a semantic change and a per-element
+  * cross-engine tie risk). Non-grid grouped avgs (the `ml_metric_*`
+  * family) are documented safe in COVERAGE.md instead: their
+  * order-delta is ~1 ulp of the total, ≈1e-8 flip probability per
+  * site-round, and their outputs feed no comparisons.
+  */
+object Grid {
+
+  /** `round(avg(c), scale)` with the sum carried in DECIMAL(18,6).
+    * `count(c)` (non-nulls) replicates avg's null-skipping exactly. */
+  def mean6(c: Column, scale: Int = 6): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double") / count(c), scale)
+
+  /** SQL twin of [[mean6]] — ONE text for both engines. */
+  def mean6Sql(expr: String, scale: Int = 6): String =
+    s"round(CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) / count($expr), $scale)"
+}

@@ -421,8 +421,8 @@ object Ml {
         .filter(col("event_type").isin("click", "purchase"))
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("bucket")
-        .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
-          round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+        .agg(Grid.mean6(when(col("event_type") === "click", col("value"))).as("a"),
+          Grid.mean6(when(col("event_type") === "purchase", col("value"))).as("b"))
         .filter(col("a").isNotNull && col("b").isNotNull)
         .select(col("bucket"), col("a"), col("b"),
           lag(col("a"), 1).over(w).as("a1"), lag(col("b"), 1).over(w).as("b1"))
@@ -488,8 +488,8 @@ object Ml {
         .filter(col("event_type").isin("click", "purchase"))
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("bucket")
-        .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
-          round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+        .agg(Grid.mean6(when(col("event_type") === "click", col("value"))).as("a"),
+          Grid.mean6(when(col("event_type") === "purchase", col("value"))).as("b"))
         .filter(col("a").isNotNull && col("b").isNotNull)
         .select(col("bucket"), col("a"), col("b"),
           lag(col("a"), 1).over(w).as("a1"), lag(col("b"), 1).over(w).as("b1"))
@@ -546,7 +546,7 @@ object Ml {
       import s.implicits._
       val daily = Tables.events(s, d).filter(col("event_type") === "click")
         .groupBy(Tables.epochDay(col("ts")).cast("long").as("t"))
-        .agg(round(avg(col("value")), 6).as("x"))
+        .agg(Grid.mean6(col("value")).as("x"))
         .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(1)))
       val slopes = (for {
         i <- daily.indices; j <- (i + 1) until daily.length
@@ -582,7 +582,7 @@ object Ml {
       val w = Window.orderBy("bucket")
       val rets = Tables.events(s, d).filter(col("event_type") === "click")
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
-        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .groupBy("bucket").agg(Grid.mean6(col("value")).as("px"))
         .withColumn("lr", log(col("px") / lag(col("px"), 1).over(w)))
         .filter(col("lr").isNotNull)
         .orderBy("bucket").select("lr")
@@ -614,7 +614,7 @@ object Ml {
       val w = Window.orderBy("bucket")
       val rets = Tables.events(s, d).filter(col("event_type") === "click")
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
-        .groupBy("bucket").agg(round(avg(col("value")), 6).as("px"))
+        .groupBy("bucket").agg(Grid.mean6(col("value")).as("px"))
         .withColumn("lr", log(col("px") / lag(col("px"), 1).over(w)))
         .filter(col("lr").isNotNull)
         .orderBy("bucket").select("lr")
@@ -1055,7 +1055,7 @@ object Ml {
               .score(fv.toArray, bc.value, psi) * 1e6) / 1e6)
           }
           .toDF("bucket_id", "score")
-        val stats = scored.agg(round(avg("score"), 6).as("mean"),
+        val stats = scored.agg(Grid.mean6(col("score")).as("mean"),
           round(max("score"), 6).as("mx")).head()
         scored.orderBy(col("score").desc, col("bucket_id").asc).limit(10)
           .withColumn("mean_score", lit(stats.getDouble(0)))
@@ -1850,8 +1850,12 @@ object Ml {
     "ml_granger" ->
       """WITH ser0 AS (
         |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
-        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
         |  FROM events WHERE event_type IN ('click', 'purchase')
         |  GROUP BY 1),
         |ser1 AS (
@@ -1897,8 +1901,12 @@ object Ml {
     "ml_var_forecast" ->
       """WITH ser0 AS (
         |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
-        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
         |  FROM events WHERE event_type IN ('click', 'purchase')
         |  GROUP BY 1),
         |ser1 AS (
@@ -1946,7 +1954,7 @@ object Ml {
     "ml_theilsen" ->
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS t,
-        |    round(avg(value), 6) AS x
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS x
         |  FROM events WHERE event_type = 'click' GROUP BY 1),
         |pairs AS (
         |  SELECT round((d2.x - d1.x) / (d2.t - d1.t), 6) AS slope

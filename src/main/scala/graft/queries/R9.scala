@@ -66,12 +66,23 @@ object R9 {
     * window. Hash relabeling (each pooled bar flips sides with p=1/2) is
     * the binomial approximation of the exact permutation — standard for
     * n in the thousands, and the only form whose replicates need no
-    * global shuffle of labels. p = (1 + #extreme)/(B + 1), decided on
-    * the 1e-6 grid. */
+    * global shuffle of labels. p = (1 + #extreme)/(B + 1).
+    *
+    * Extremity is decided EXACTLY (the r9 red-row lesson): t = sa/ca −
+    * sb/cb over DECIMAL(18,6) bucket means, so |t_r| >= |t_obs| is the
+    * integer-rational comparison |s0·c1 − s1·c0|·(ca·cb) >=
+    * |sa·cb − sb·ca|·(c0·c1) — no `round(double) >= round(double)` at a
+    * boundary the construction makes common (a relabeling that
+    * reproduces/mirrors the observed split gives t_r = ±t_obs). The
+    * bucket means themselves ride DECIMAL sums, never a partial-merge-
+    * order-dependent double avg. Widths: px ≤ 1e3 ⇒ s ≤ 1e3·c on a 1e-6
+    * grid; with c ≤ 1e5 buckets the cross-products fit DECIMAL(38,6)
+    * (Spark) / DECIMAL(37,6) (DuckDB) with 9+ digits of headroom. */
   private def permutationFdrSql(events: String, dl: Dialect): String =
     s"""WITH b AS (
        |  SELECT event_type AS g, ${dl.bucket} AS bucket,
-       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS px
+       |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS DECIMAL(18,6)) AS px
        |  FROM $events GROUP BY 1, 2),
        |types AS (SELECT DISTINCT g FROM b),
        |pairs AS (SELECT a.g AS ga, c.g AS gb FROM types a
@@ -84,18 +95,18 @@ object R9 {
        |    JOIN b ON b.g = p.gb),
        |obs AS (
        |  SELECT ga, gb,
-       |    CAST(sum(CASE WHEN g = ga THEN px END) AS DOUBLE)
-       |      / count(CASE WHEN g = ga THEN 1 END)
-       |    - CAST(sum(CASE WHEN g = gb THEN px END) AS DOUBLE)
-       |      / count(CASE WHEN g = gb THEN 1 END) AS t_obs
+       |    CAST(sum(CASE WHEN g = ga THEN px END) AS DECIMAL(20,6)) AS sa,
+       |    count(CASE WHEN g = ga THEN 1 END) AS ca,
+       |    CAST(sum(CASE WHEN g = gb THEN px END) AS DECIMAL(20,6)) AS sb,
+       |    count(CASE WHEN g = gb THEN 1 END) AS cb
        |  FROM pool GROUP BY 1, 2),
        |reps AS (${dl.reps("99")}),
        |rep AS (
        |  SELECT ga, gb, r,
-       |    CAST(sum(CASE WHEN side = 0 THEN px END) AS DOUBLE)
-       |      / count(CASE WHEN side = 0 THEN 1 END)
-       |    - CAST(sum(CASE WHEN side = 1 THEN px END) AS DOUBLE)
-       |      / count(CASE WHEN side = 1 THEN 1 END) AS t_r
+       |    CAST(sum(CASE WHEN side = 0 THEN px END) AS DECIMAL(20,6)) AS s0,
+       |    count(CASE WHEN side = 0 THEN 1 END) AS c0,
+       |    CAST(sum(CASE WHEN side = 1 THEN px END) AS DECIMAL(20,6)) AS s1,
+       |    count(CASE WHEN side = 1 THEN 1 END) AS c1
        |  FROM (
        |    SELECT pool.ga, pool.gb, reps.r, pool.px,
        |      (CAST(conv(substring(md5(concat(CAST(reps.r AS STRING), ':',
@@ -104,12 +115,19 @@ object R9 {
        |    FROM pool CROSS JOIN reps) t
        |  GROUP BY 1, 2, 3),
        |pv AS (
-       |  SELECT obs.ga, obs.gb, round(obs.t_obs, 6) + 0.0 AS t_obs,
-       |    round(CAST(1 + sum(CASE WHEN round(abs(t_r), 6) >=
-       |        round(abs(t_obs), 6) THEN 1 ELSE 0 END) AS DOUBLE) / 101, 6)
-       |      AS p_value
+       |  SELECT obs.ga, obs.gb,
+       |    round(CAST(obs.sa AS DOUBLE) / obs.ca
+       |      - CAST(obs.sb AS DOUBLE) / obs.cb, 6) + 0.0 AS t_obs,
+       |    round(CAST(1 + sum(CASE WHEN
+       |        CAST(abs(rep.s0 * CAST(rep.c1 AS DECIMAL(10,0))
+       |          - rep.s1 * CAST(rep.c0 AS DECIMAL(10,0))) AS DECIMAL(24,6))
+       |          * CAST(obs.ca * obs.cb AS DECIMAL(13,0))
+       |        >= CAST(abs(obs.sa * CAST(obs.cb AS DECIMAL(10,0))
+       |          - obs.sb * CAST(obs.ca AS DECIMAL(10,0))) AS DECIMAL(24,6))
+       |          * CAST(rep.c0 * rep.c1 AS DECIMAL(13,0))
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / 101, 6) AS p_value
        |  FROM rep JOIN obs ON rep.ga = obs.ga AND rep.gb = obs.gb
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, obs.sa, obs.ca, obs.sb, obs.cb),
        |ranked AS (
        |  SELECT ga, gb, t_obs, p_value,
        |    row_number() OVER (ORDER BY p_value, ga, gb) AS p_rank,
@@ -259,7 +277,7 @@ object R9 {
       .mkString(" UNION ALL ")
     s"""WITH b AS (
        |  SELECT event_type AS g, ${dl.bucket} AS bucket,
-       |    CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS px
+       |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS DECIMAL(18,6)) AS px
        |  FROM $events GROUP BY 1, 2),
        |s AS (
        |  SELECT g, px,
@@ -494,7 +512,7 @@ object R9 {
       val bars = Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
       val a = bars.select(col("event_type").as("ga"), col("bucket"),
         col("px").as("pa"))
       val b = bars.select(col("event_type").as("gb"), col("bucket"),
@@ -506,11 +524,17 @@ object R9 {
         sum(dec(col("pa"))).as("sa"), sum(dec(col("pb"))).as("sb"),
         sum((dec(col("pa")) * dec(col("pb"))).cast("decimal(30,12)")).as("sab"),
         sum((dec(col("pb")) * dec(col("pb"))).cast("decimal(30,12)")).as("sbb"))
-        .withColumn("beta", round(
-          (col("n") * col("sab").cast("double") -
-            col("sa").cast("double") * col("sb").cast("double")) /
-          (col("n") * col("sbb").cast("double") -
-            col("sb").cast("double") * col("sb").cast("double")), 9))
+        // degenerate-pair guard (ADVICE r9): a constant pb zeroes the OLS
+        // denominator; NaN must never reach a cross-engine decision, so
+        // β falls back to 0 (spread = pa) deterministically on both sides
+        .withColumn("bden",
+          col("n") * col("sbb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double"))
+        .withColumn("beta", when(col("bden") === 0.0, lit(0.0)).otherwise(
+          round(
+            (col("n") * col("sab").cast("double") -
+              col("sa").cast("double") * col("sb").cast("double")) /
+            col("bden"), 9)))
       val spreads = paired.join(stats.select("ga", "gb", "beta"), Seq("ga", "gb"))
         .withColumn("spread", round(col("pa") - col("beta") * col("pb"), 6))
       val zstats = spreads.groupBy("ga", "gb").agg(
@@ -524,7 +548,11 @@ object R9 {
             col("ss").cast("double") * col("ss").cast("double") / col("nz")) /
             col("nz"), lit(0.0))))
       spreads.join(zstats.select("ga", "gb", "mu", "sigma"), Seq("ga", "gb"))
-        .withColumn("z", round((col("spread") - col("mu")) / col("sigma"), 6))
+        // σ=0 (constant spread) ⇒ z := 0 ⇒ the machine stays flat — the
+        // Scala NaN-compares-false path and DuckDB's NaN-sorts-greater
+        // CASE would otherwise diverge (ADVICE r9)
+        .withColumn("z", when(col("sigma") === 0.0, lit(0.0)).otherwise(
+          round((col("spread") - col("mu")) / col("sigma"), 6)))
         .select(col("ga"), col("gb"), col("bucket"), col("spread"), col("z"),
           col("mu"), col("sigma"))
         .as[(String, String, Long, Double, Double, Double, Double)]
@@ -577,7 +605,7 @@ object R9 {
       val bars = Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
       val a = bars.select(col("event_type").as("ga"), col("bucket"),
         col("px").as("pa"))
       val b = bars.select(col("event_type").as("gb"), col("bucket"),
@@ -599,12 +627,20 @@ object R9 {
             .cast("decimal(28,9)")).as("wp"),
           sum((col("tcnt") * col("tcnt") - 1).cast("decimal(28,9)"))
             .as("tie3m"))
+        // degenerate guard (ADVICE r9): a zero variance term must yield
+        // z = NULL (and a NULL reject flag) on BOTH sides — NaN/Inf
+        // crossing a cross-engine comparison is the r9 flake class.
+        // (Provably unreachable for n ≥ 1 after the zero-diff drop, but
+        // the guard keeps NaN out of the decision by construction.)
+        .withColumn("varw",
+          col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0 -
+            col("tie3m").cast("double") / 48.0)
         .select(col("ga").as("series_a"), col("gb").as("series_b"), col("n"),
           col("wp").cast("double").as("w_plus"),
-          round((col("wp").cast("double") -
-              col("n") * (col("n") + 1) / 4.0) /
-            sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0 -
-              col("tie3m").cast("double") / 48.0), 6).as("z"))
+          when(col("varw") <= 0.0, lit(null).cast("double")).otherwise(
+            round((col("wp").cast("double") -
+                col("n") * (col("n") + 1) / 4.0) /
+              sqrt(col("varw")), 6)).as("z"))
         .withColumn("reject_95", abs(col("z")) > 1.959964)
         .orderBy("series_a", "series_b")
     }),
@@ -621,7 +657,7 @@ object R9 {
       Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
         .filter(col("r").isNotNull)
         .withColumn("dow", expr("(bucket div 48) % 7"))
@@ -716,7 +752,7 @@ object R9 {
       val bars = Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("rn", row_number().over(wOrd) - 1)
         .withColumn("w", (col("rn") / win).cast("long"))
         .withColumn("sg", ((col("rn") % win) / seg).cast("long"))
@@ -763,7 +799,7 @@ object R9 {
       Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
         .filter(col("r").isNotNull)
         .groupBy("event_type")
@@ -802,7 +838,7 @@ object R9 {
       Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .select(col("event_type"), col("bucket"), col("px"))
         .as[(String, Long, Double)]
         .groupByKey(_._1)
@@ -1143,7 +1179,7 @@ object R9 {
       val bars = Tables.events(s, d)
         .withColumn("bucket", expr("ts_ns div 21600000000000L"))
         .groupBy("event_type", "bucket")
-        .agg(round(avg(col("value")), 6).as("px"))
+        .agg(Grid.mean6(col("value")).as("px"))
         .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
         .filter(col("r").isNotNull)
       val types = bars.select("event_type").distinct()
@@ -1387,7 +1423,7 @@ object R9 {
     "fin_pairs_backtest" ->
       """WITH RECURSIVE b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |p AS (
         |  SELECT a.g AS ga, c.g AS gb, a.bucket AS bucket,
@@ -1404,10 +1440,12 @@ object R9 {
         |  FROM p GROUP BY 1, 2),
         |bt AS (
         |  SELECT ga, gb,
-        |    round((n * CAST(sab AS DOUBLE)
+        |    CASE WHEN (n * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0 THEN 0.0
+        |      ELSE round((n * CAST(sab AS DOUBLE)
         |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
         |      / (n * CAST(sbb AS DOUBLE)
-        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 9) AS beta
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 9) END AS beta
         |  FROM st),
         |sp AS (
         |  SELECT p.ga, p.gb, p.bucket, round(p.pa - bt.beta * p.pb, 6) AS spread
@@ -1426,7 +1464,8 @@ object R9 {
         |  FROM zs),
         |sq AS (
         |  SELECT sp.ga, sp.gb, sp.bucket, sp.spread,
-        |    round((sp.spread - zz.mu) / zz.sigma, 6) AS z,
+        |    CASE WHEN zz.sigma = 0 THEN 0.0
+        |      ELSE round((sp.spread - zz.mu) / zz.sigma, 6) END AS z,
         |    row_number() OVER (PARTITION BY sp.ga, sp.gb ORDER BY sp.bucket)
         |      AS rn
         |  FROM sp JOIN zz ON sp.ga = zz.ga AND sp.gb = zz.gb),
@@ -1472,7 +1511,7 @@ object R9 {
     "stat_wilcoxon_signed_rank" ->
       """WITH b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |d AS (
         |  SELECT a.g AS ga, c.g AS gb, round(a.px - c.px, 6) AS dv,
@@ -1489,21 +1528,23 @@ object R9 {
         |    sum(CAST(CASE WHEN dv > 0 THEN minrk + (tcnt - 1) / 2.0
         |      ELSE 0.0 END AS DECIMAL(28,9))) AS wp,
         |    sum(CAST(tcnt * tcnt - 1 AS DECIMAL(28,9))) AS tie3m
-        |  FROM rk GROUP BY 1, 2)
-        |SELECT ga AS series_a, gb AS series_b, n,
-        |  CAST(wp AS DOUBLE) AS w_plus,
-        |  round((CAST(wp AS DOUBLE) - n * (n + 1) / 4.0) /
-        |    sqrt(n * (n + 1) * (2 * n + 1) / 24.0
-        |      - CAST(tie3m AS DOUBLE) / 48.0), 6) AS z,
-        |  abs(round((CAST(wp AS DOUBLE) - n * (n + 1) / 4.0) /
-        |    sqrt(n * (n + 1) * (2 * n + 1) / 24.0
-        |      - CAST(tie3m AS DOUBLE) / 48.0), 6)) > 1.959964 AS reject_95
-        |FROM agg ORDER BY series_a, series_b""".stripMargin,
+        |  FROM rk GROUP BY 1, 2),
+        |zf AS (
+        |  SELECT ga, gb, n, CAST(wp AS DOUBLE) AS w_plus,
+        |    CASE WHEN (n * (n + 1) * (2 * n + 1) / 24.0
+        |        - CAST(tie3m AS DOUBLE) / 48.0) <= 0 THEN NULL
+        |      ELSE round((CAST(wp AS DOUBLE) - n * (n + 1) / 4.0) /
+        |        sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+        |          - CAST(tie3m AS DOUBLE) / 48.0), 6) END AS z
+        |  FROM agg)
+        |SELECT ga AS series_a, gb AS series_b, n, w_plus, z,
+        |  abs(z) > 1.959964 AS reject_95
+        |FROM zf ORDER BY series_a, series_b""".stripMargin,
 
     "fin_dow_effects" ->
       """WITH b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |r AS (
         |  SELECT g, bucket, round(ln(px / lag(px, 1)
@@ -1535,7 +1576,7 @@ object R9 {
     "ts_sax_symbols" ->
       """WITH b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |rr AS (
         |  SELECT g, px,
@@ -1576,7 +1617,7 @@ object R9 {
     "fin_inverse_vol_weights" ->
       """WITH b AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |r AS (
         |  SELECT g, round(ln(px / lag(px, 1)
@@ -1605,7 +1646,7 @@ object R9 {
     "ts_lttb_downsample" ->
       """WITH RECURSIVE b0 AS (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(value), 6) AS px
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
         |s AS MATERIALIZED (
         |  SELECT g, px, row_number() OVER (PARTITION BY g ORDER BY bucket) AS rn,

@@ -1886,7 +1886,7 @@ object Rel {
     "agg_describe" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       def one(c: String): DataFrame = li.agg(
-        count(col(c)).as("n"), round(avg(col(c)), 4).as("mean"),
+        count(col(c)).as("n"), Grid.mean6(col(c), 4).as("mean"),
         round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
         round(expr(s"percentile($c, 0.25)"), 4).as("p25"),
         round(expr(s"percentile($c, 0.5)"), 4).as("p50"),
@@ -1905,7 +1905,7 @@ object Rel {
     "agg_describe_approx" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       def one(c: String): DataFrame = li.agg(
-        count(col(c)).as("n"), round(avg(col(c)), 4).as("mean"),
+        count(col(c)).as("n"), Grid.mean6(col(c), 4).as("mean"),
         round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
         round(expr(s"approx_percentile($c, 0.25, 10000)"), 4).as("p25"),
         round(expr(s"approx_percentile($c, 0.5, 10000)"), 4).as("p50"),
@@ -2207,7 +2207,7 @@ object Rel {
           round(expr("percentile(l_quantity, 0.25)"), 4).as("q1"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("q2"),
           round(expr("percentile(l_quantity, 0.75)"), 4).as("q3"),
-          round(avg(col("l_quantity")), 4).as("mean"),
+          Grid.mean6(col("l_quantity"), 4).as("mean"),
           min(col("l_quantity")).as("min"), max(col("l_quantity")).as("max"))
         .withColumn("iqr", round(col("q3") - col("q1"), 4))
         .withColumn("lo_fence", round(col("q1") - col("iqr") * 1.5, 4))
@@ -3074,7 +3074,7 @@ object Rel {
 
     "agg_describe" -> {
       def one(c: String) =
-        s"""SELECT '$c' AS column_name, count($c) AS n, round(avg($c), 4) AS mean,
+        s"""SELECT '$c' AS column_name, count($c) AS n, round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 4) AS mean,
            |  round(stddev_samp($c), 4) AS std, min($c) AS min,
            |  round(quantile_cont($c, 0.25), 4) AS p25,
            |  round(quantile_cont($c, 0.5), 4) AS p50,
@@ -3239,7 +3239,8 @@ object Rel {
         |    round(quantile_cont(l_quantity, 0.25), 4) AS q1,
         |    round(quantile_cont(l_quantity, 0.5), 4) AS q2,
         |    round(quantile_cont(l_quantity, 0.75), 4) AS q3,
-        |    round(avg(l_quantity), 4) AS mean,
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(l_quantity), 4) AS mean,
         |    min(l_quantity) AS min, max(l_quantity) AS max
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,

@@ -105,7 +105,7 @@ object Reshape {
         .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"),
           col("value"))
         .groupBy("k")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), Grid.mean6(col("value")).as("avg_value"))
         .orderBy("k")),
 
     /** pandas `cumsum()`/`cummax()`/`expanding().count()` per series —
@@ -168,7 +168,7 @@ object Reshape {
 
     "json_groupby_extracted" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS avg_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
     "ts_cumulative" ->

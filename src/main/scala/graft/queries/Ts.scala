@@ -34,13 +34,13 @@ object Ts {
     Tables.events(s, d)
       .withColumn("bucket", expr("ts_ns div 1800000000000L"))
       .groupBy("event_type", "bucket")
-      .agg(round(avg(col("value")), 6).as("px"))
+      .agg(Grid.mean6(col("value")).as("px"))
 
   /** DuckDB twin of [[indicatorSeries]] (`epoch_ns` ↔ ts_ns contract). */
   private val indicatorSeriesSql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
-      |         round(avg(value), 6) AS px
+      |         ${Grid.mean6Sql("value")} AS px
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
   /** Per-event-type lead horizons — the `target_pairs.lag` analog
@@ -1262,7 +1262,7 @@ object Ts {
         .filter(col("sd") > 0)
         .select(col("bs"), round(col("r") / col("sd"), 6).as("rs"))
       val perSize = perBlock.groupBy("bs")
-        .agg(count(lit(1)).as("n_blocks"), round(avg(col("rs")), 6).as("mean_rs"))
+        .agg(count(lit(1)).as("n_blocks"), Grid.mean6(col("rs")).as("mean_rs"))
         .orderBy("bs")
       import s.implicits._
       val rows = perSize.collect().map(r =>
@@ -1374,10 +1374,14 @@ object Ts {
         .filter(col("event_type").isin("click", "purchase"))
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("bucket")
-        .agg(round(avg(when(col("event_type") === "click", col("value"))), 6).as("a"),
-          round(avg(when(col("event_type") === "purchase", col("value"))), 6).as("b"))
+        .agg(Grid.mean6(when(col("event_type") === "click", col("value"))).as("a"),
+          Grid.mean6(when(col("event_type") === "purchase", col("value"))).as("b"))
         .filter(col("a").isNotNull && col("b").isNotNull)
-      val m = ser.agg(avg(col("a")).as("ma"), avg(col("b")).as("mb")).head()
+      val m = ser.agg(
+        (sum(col("a").cast("decimal(18,6)")).cast("double") / count(col("a")))
+          .as("ma"),
+        (sum(col("b").cast("decimal(18,6)")).cast("double") / count(col("b")))
+          .as("mb")).head()
       val (ma, mb) = (m.getDouble(0), m.getDouble(1))
       val cent = ser.select(col("bucket"), (col("a") - ma).as("ca"),
         (col("b") - mb).as("cb"))
@@ -1446,7 +1450,7 @@ object Ts {
       val bReps = 200
       val daily = Tables.events(s, d).filter(col("event_type") === "click")
         .groupBy(Tables.epochDay(col("ts")).cast("long").as("day"))
-        .agg(round(avg(col("value")), 6).as("x"))
+        .agg(Grid.mean6(col("value")).as("x"))
       val idx = daily.select(row_number().over(Window.orderBy("day")).as("i"),
         col("x"))
       val n = idx.count()
@@ -1456,8 +1460,8 @@ object Ts {
           (pmod(lit(1103515245L) * (col("b") * 100003L + col("j")) + 12345L,
             lit(2147483648L)) % n + 1).cast("int"))
       val means = draws.join(idx, "i")
-        .groupBy("b").agg(round(avg(col("x")), 6).as("m"))
-      val pt = idx.agg(round(avg(col("x")), 6).as("mean")).head().getDouble(0)
+        .groupBy("b").agg(Grid.mean6(col("x")).as("m"))
+      val pt = idx.agg(Grid.mean6(col("x")).as("mean")).head().getDouble(0)
       val ci = means.agg(
         expr("percentile(m, 0.025)").as("lo"),
         expr("percentile(m, 0.975)").as("hi"),
@@ -1621,7 +1625,7 @@ object Ts {
       val w = offs.map(o => o -> math.rint(math.exp(-(o * o) / (2 * h * h)) * 1e6) / 1e6).toMap
       val daily = Tables.events(s, d).filter(col("event_type") === "click")
         .groupBy(Tables.epochDay(col("ts")).cast("long").as("date_id"))
-        .agg(round(avg(col("value")), 6).as("x"))
+        .agg(Grid.mean6(col("value")).as("x"))
       val wCol = offs.tail.foldLeft(when(col("off") === offs.head, lit(w(offs.head)))) {
         (acc, o) => acc.when(col("off") === o, lit(w(o))) }
       val neigh = daily
@@ -2274,7 +2278,9 @@ object Ts {
         |rec(it, state, pi) AS (
         |  SELECT 0, st, round(CAST(1.0 AS DOUBLE) / kk.k, 9) FROM states, kk
         |  UNION ALL
-        |  SELECT it + 1, m.j, round(sum(rec.pi * m.p), 9)
+        |  SELECT it + 1, m.j,
+        |    round(list_reduce(list(rec.pi * m.p ORDER BY m.i),
+        |      (a, b) -> a + b), 9)
         |  FROM rec JOIN m ON rec.state = m.i
         |  WHERE it < 100
         |  GROUP BY it, m.j)
@@ -2633,7 +2639,8 @@ object Ts {
         |  SELECT bs, round(r / sd, 6) AS rs FROM per_block WHERE sd > 0),
         |per_size AS (
         |  SELECT bs, count(*)::BIGINT AS n_blocks,
-        |    round(avg(rs), 6) AS mean_rs
+        |    round(CAST(sum(CAST(rs AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(rs), 6) AS mean_rs
         |  FROM rs GROUP BY bs),
         |reg AS (
         |  SELECT count(*)::DOUBLE AS k, sum(lx) AS sx, sum(ly) AS sy,
@@ -2711,13 +2718,18 @@ object Ts {
         .mkString("\n        |  UNION ALL ")
       s"""WITH ser0 AS (
         |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
-        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
-        |    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'click' THEN value END), 6) AS a,
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'purchase' THEN value END), 6) AS b
         |  FROM events WHERE event_type IN ('click', 'purchase')
         |  GROUP BY 1),
         |ser AS (SELECT bucket, a, b FROM ser0
         |        WHERE a IS NOT NULL AND b IS NOT NULL),
-        |m AS (SELECT avg(a) AS ma, avg(b) AS mb FROM ser),
+        |m AS (SELECT CAST(sum(CAST(a AS DECIMAL(18,6))) AS DOUBLE) / count(a) AS ma,
+        |  CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE) / count(b) AS mb FROM ser),
         |c AS (SELECT bucket, a - ma AS ca, b - mb AS cb FROM ser, m),
         |led AS (
         |  SELECT ca, cb,
@@ -2792,7 +2804,8 @@ object Ts {
     "ml_bootstrap_ci" ->
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS day,
-        |    round(avg(value), 6) AS x
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(value), 6) AS x
         |  FROM events WHERE event_type = 'click' GROUP BY 1),
         |idx AS (SELECT row_number() OVER (ORDER BY day) AS i, x FROM daily),
         |nn AS (SELECT count(*)::BIGINT AS n FROM idx),
@@ -2806,9 +2819,11 @@ object Ts {
         |      AS i
         |  FROM grid, nn),
         |means AS (
-        |  SELECT b, round(avg(x), 6) AS m
+        |  SELECT b, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(x), 6) AS m
         |  FROM draws JOIN idx USING (i) GROUP BY b),
-        |pt AS (SELECT round(avg(x), 6) AS mean FROM idx),
+        |pt AS (SELECT round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+        |  / count(x), 6) AS mean FROM idx),
         |ci AS (
         |  SELECT floor(quantile_cont(m, 0.025) * 1000000 + 0.5) / 1000000 AS lo,
         |    floor(quantile_cont(m, 0.975) * 1000000 + 0.5) / 1000000 AS hi,
@@ -2890,7 +2905,8 @@ object Ts {
     "ml_kernel_smoother" ->
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS date_id,
-        |    round(avg(value), 6) AS x
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(value), 6) AS x
         |  FROM events WHERE event_type = 'click' GROUP BY 1),
         |w AS (
         |  SELECT o, round(exp(-(o * o) / 18.0), 6) AS kw

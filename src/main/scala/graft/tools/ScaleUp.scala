@@ -27,12 +27,20 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts has shipped as TIMESTAMP(NANOS) in some harness
+      // generations (TESTDATA.md); without this conf a plain read fails
+      // on those files. A NANOS ts reads as a raw ns BIGINT and writes
+      // back as BIGINT — which Tables.normalizeEventTs handles (its
+      // LongType branch), so the scaled dataset stays loadable either way.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // getAs[Number]: key columns are BIGINT today, but INT-at-rest
+    // generations must not crash the probe generator
     def keyDelta(t: String, k: String): Long =
-      read(t).agg(max(col(k))).head().getLong(0) + 1L
+      read(t).agg(max(col(k))).head().getAs[Number](0).longValue() + 1L
 
     // canonical key owners → one delta per key space
     val deltas = Map(
