@@ -156,6 +156,60 @@ object Multimodal {
       .toDF()
   }
 
+  /** Typed row for decoded video features (animated-GIF frame census):
+    * container facts a 100 TB video-metadata pass extracts without
+    * touching pixel data beyond the first frame's dimensions. */
+  final case class VideoDecodedRow(media_id: Long, kind: String, n_bytes: Long,
+                                   checksum: Long, width: Int, height: Int,
+                                   n_frames: Int)
+
+  /** REAL video-kind decoder — animated-GIF frame census via the JDK
+    * `ImageIO` GIF reader (ships with the JVM, headless-safe; GIF is the
+    * one multi-frame container the JDK can open without external
+    * codecs). The factory shape matches the seam contract, and here the
+    * amortization is REAL state reuse, not just an SPI scan: ONE
+    * `ImageReader` instance is created per partition and re-`setInput`
+    * per payload (readers are documented reusable across inputs). The
+    * closure parses one payload to (checksum, width, height, nFrames)
+    * with `getNumImages(allowSearch = true)` — the authoritative frame
+    * count. Undecodable bytes fail loudly (the [[imageIoDecoder]]
+    * dead-letter posture). */
+  def gifDecoder(): Array[Byte] => (Long, Int, Int, Int) = {
+    val readers = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+    require(readers.hasNext, "JDK GIF ImageReader missing")
+    val reader = readers.next() // one reader per partition, reused per row
+    bytes => {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        require(n >= 1, s"undecodable GIF payload (${bytes.length} bytes)")
+        (byteChecksum(bytes), reader.getWidth(0), reader.getHeight(0), n)
+      } finally { reader.setInput(null); iis.close() }
+    }
+  }
+
+  /** Video twin of [[decodeFeatures]]: the identical per-partition
+    * factory seam, producing container-level features (dims + frame
+    * count). Narrow, shuffle-free, schema up front. */
+  def decodeVideoFeatures(media: DataFrame,
+                          decoderFactory: () => Array[Byte] => (Long, Int, Int, Int) =
+                            () => gifDecoder()): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        val decode = decoderFactory()
+        it.map { m =>
+          val (sum, w, h, frames) = decode(m.payload)
+          VideoDecodedRow(m.media_id, m.kind, m.payload.length.toLong, sum,
+            w, h, frames)
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic frame-sampling stub: take every `stride`-th byte as a
     * "frame" digest — the Spark-side shape of video frame extraction
     * (explode to one row per sampled frame, narrow, shuffle-free). */

@@ -34,4 +34,22 @@ object Grid {
   /** SQL twin of [[mean6]] — ONE text for both engines. */
   def mean6Sql(expr: String, scale: Int = 6): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) / count($expr), $scale)"
+
+  /** Driver-side 1e-9-grid HALF_UP re-round — the house discipline for
+    * every recursion state a DuckDB twin replays with `round(x, 9)`
+    * (ts_kalman_level / seq_markov_stationary / mRMR precedent: scala
+    * `BigDecimal(x)` goes through the shortest-repr decimal exactly as
+    * both engines' `round` does in practice). */
+  def r9(x: Double, scale: Int = 9): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver-side output rounding to the 1e-6 grid with the signed-zero
+    * guard (`round(x, 6) + 0.0` — the r8 `feature_woe_encode` lesson). */
+  def r6z(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** Driver-side 1e-6 HALF_UP round for strictly-positive quantities
+    * (no signed-zero guard needed). */
+  def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

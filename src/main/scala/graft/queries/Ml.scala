@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Acf, Ensemble, Evaluation, Explain, Garch, GroupedOls, GroupedOlsStats, Hmm, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
+import graft.ml.{Ensemble, Evaluation, Explain, Garch, GroupedOls, GroupedOlsStats, Hmm, HoltWinters, Mlp, Models, ModelingFrame, Pca, Quantile, Sarimax, Svr}
 import graft.operators.TimeSeries
 
 /** MLlib query registry (SURVEY.md §2.9). These are NOT SQL-expressible
@@ -46,6 +46,48 @@ object Ml {
   private def withFineFrame[A](s: SparkSession, d: String)(f: DataFrame => A): A = {
     val frame = ModelingFrame.assembledFine(s, d).coalesce(1).cache()
     try f(frame) finally { frame.unpersist(); () }
+  }
+
+  /** Shared ACF moment pipeline (`ml_acf` / `ml_pacf`): grid-6 daily
+    * click means, grid-6 global mean riding the broadcast 1-row pattern,
+    * DECIMAL-exact centered products — one lead-window pass, one
+    * aggregation; the result is a 1-row (den, num₁..num_K) frame. */
+  private def acfMoments(s: SparkSession, d: String, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d).filter(col("event_type") === "click")
+      .withColumn("date_id", Tables.epochDay(col("ts")))
+      .groupBy("date_id").agg(Grid.mean6(col("value")).as("x"))
+    val mu = daily.agg(Grid.mean6(col("x")).as("mu"))
+    val w = Window.orderBy("date_id")
+    val cent = daily.crossJoin(broadcast(mu))
+      .select(col("date_id"),
+        (col("x").cast("decimal(18,6)") - col("mu").cast("decimal(18,6)")).as("c"))
+    val led = (1 to maxLag).foldLeft(cent)((df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(w)))
+    val aggs = sum((col("c") * col("c")).cast("decimal(30,12)")).as("den") +:
+      (1 to maxLag).map(k =>
+        sum((col("c") * col(s"c$k")).cast("decimal(30,12)")).as(s"num$k"))
+    led.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB twin of [[acfMoments]] — CTE bodies `daily, m, c, l, a`
+    * (caller supplies the `WITH`): same grid-6 means, DECIMAL-exact
+    * centered products, identical column names. */
+  private def acfMomentsSql(maxLag: Int): String = {
+    val leads = (1 to maxLag).map(k =>
+      s"lead(c, $k) OVER (ORDER BY date_id) AS c$k").mkString(",\n        ")
+    val nums = (1 to maxLag)
+      .map(k => s"sum(CAST(c*c$k AS DECIMAL(30,12))) AS num$k").mkString(", ")
+    s"""daily AS (
+       |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS date_id,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS x
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |m AS (SELECT round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 6) AS mu FROM daily),
+       |c AS (SELECT date_id, CAST(x AS DECIMAL(18,6)) - CAST(mu AS DECIMAL(18,6)) AS c FROM daily, m),
+       |l AS (SELECT c,
+       |        $leads
+       |      FROM c),
+       |a AS (SELECT sum(CAST(c*c AS DECIMAL(30,12))) AS den, $nums FROM l)""".stripMargin
   }
 
   val qs: Map[String, Q] = Map(
@@ -354,49 +396,64 @@ object Ml {
       * window pass + one aggregation (the standard biased estimator —
       * full-series denominator). The global mean rides the broadcast
       * 1-row pattern; the unpartitioned lead window rides bounded
-      * calendar-day rows per the repo convention. Oracle replays windows
-      * and sums exactly. */
+      * calendar-day rows per the repo convention. r10: the whole moment
+      * pipeline moved onto the grid discipline (grid-6 daily means and
+      * mean-of-means, DECIMAL-exact centered products) so the numerator/
+      * denominator sums are order-free — the same pipeline now also
+      * feeds `ml_pacf`'s Durbin–Levinson recursion, whose oracle needs
+      * run- and engine-deterministic ACF inputs. Oracle replays windows
+      * and DECIMAL sums exactly. */
     "ml_acf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val maxLag = 10
-      val daily = Tables.events(s, d).filter(col("event_type") === "click")
-        .withColumn("date_id", Tables.epochDay(col("ts")))
-        .groupBy("date_id").agg(avg(col("value")).as("x"))
-      val mu = daily.agg(avg(col("x")).as("mu"))
-      val w = Window.orderBy("date_id")
-      val cent = daily.crossJoin(broadcast(mu))
-        .select(col("date_id"), (col("x") - col("mu")).as("c"))
-      val led = (1 to maxLag).foldLeft(cent)((df, k) =>
-        df.withColumn(s"c$k", lead(col("c"), k).over(w)))
-      val aggs = sum(col("c") * col("c")).as("den") +:
-        (1 to maxLag).map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
-      led.agg(aggs.head, aggs.tail: _*)
+      acfMoments(s, d, maxLag)
         .select(posexplode(array((1 to maxLag).map(k =>
-          round(col(s"num$k") / col("den"), 6)): _*)).as(Seq("idx", "acf")))
+          round(round(col(s"num$k").cast("double") / col("den").cast("double"),
+            9), 6) + lit(0.0)): _*)).as(Seq("idx", "acf")))
         .select((col("idx") + 1).cast("int").as("lag"), col("acf"))
         .orderBy("lag")
     }),
 
     /** `ml_pacf`: the PARTIAL autocorrelation companion (statsmodels
-      * `plot_pacf(method="ywm")`) — Durbin–Levinson on the ACF prefix
-      * (`ml/Acf.scala`), an O(maxLag²) scalar recursion with no SQL
-      * form, run on the driver over the collected day-grain series (the
-      * same driver-sized bound as every `withFrame` fit). Emits the
-      * driver-reference ACF next to the PACF; rows-only — MlSpec pins
-      * the distributed `ml_acf` against this ACF column, and SarimaxSpec
-      * pins Durbin–Levinson against direct Toeplitz Yule–Walker solves
-      * plus the AR(1) lag-1 cutoff. */
+      * `plot_pacf(method="ywm")`) — Durbin–Levinson on the ACF prefix.
+      * r10 flip to a FULL ORACLE row (VERDICT r9 ask #5): the ACF
+      * moments come from the same distributed DECIMAL-exact aggregation
+      * as `ml_acf` (den + num₁..num₁₀ — the shuffle carries 11 scalars,
+      * never rows), the r(k) are fixed on the 1e-9 grid, and the
+      * O(maxLag²) recursion runs on the driver over that aggregate-sized
+      * state with EVERY step re-rounded to the 1e-9 grid HALF_UP — the
+      * `ts_kalman_level`/`seq_markov_stationary` recursive-grid
+      * discipline. The DuckDB twin replays the recursion as a recursive
+      * CTE carrying the φ vector as a LIST, with the inner Σφⱼr_{k−j}
+      * as an index-ORDERED list_reduce fold mirroring the driver's
+      * left-to-right summation exactly (no engine aggregation order can
+      * touch it). SarimaxSpec pins Durbin–Levinson against direct
+      * Toeplitz Yule–Walker solves plus the AR(1) lag-1 cutoff;
+      * `ml/Acf.scala` stays as the spec's plain in-memory reference. */
     "ml_pacf" -> ((s, d) => {
       import s.implicits._
       val maxLag = 10
-      val x = Tables.events(s, d).filter(col("event_type") === "click")
-        .withColumn("date_id", Tables.epochDay(col("ts")))
-        .groupBy("date_id").agg(avg(col("value")).as("x"))
-        .orderBy("date_id").collect().map(_.getDouble(1))
-      val r = Acf.acf(x, maxLag)
-      val p = Acf.pacf(r.take(maxLag + 1))
-      def r6(v: Double) = math.rint(v * 1e6) / 1e6
-      (1 to maxLag).map(k => (k, r6(r(k)), r6(p(k - 1))))
+      val row = acfMoments(s, d, maxLag).head()
+      val den = row.getAs[java.math.BigDecimal](0).doubleValue
+      val r = 0.0 +: (1 to maxLag).map(k =>
+        Grid.r9(row.getAs[java.math.BigDecimal](k).doubleValue / den)).toArray
+      r(0) = 1.0
+      // Durbin–Levinson, every state on the 1e-9 grid; op order mirrors
+      // the oracle CTE exactly (ordered fold, subtract, divide, round)
+      val phi = new Array[Double](maxLag + 1) // 1-indexed current row
+      val pacf = new Array[Double](maxLag + 1)
+      phi(1) = r(1)
+      pacf(1) = r(1)
+      var v = Grid.r9(1.0 - r(1) * r(1))
+      for (k <- 1 until maxLag) {
+        val ssum = (1 to k).map(j => phi(j) * r(k + 1 - j)).reduceLeft(_ + _)
+        val pk = Grid.r9((r(k + 1) - ssum) / v)
+        val next = (1 to k).map(j => Grid.r9(phi(j) - pk * phi(k + 1 - j)))
+        for (j <- 1 to k) phi(j) = next(j - 1)
+        phi(k + 1) = pk
+        pacf(k + 1) = pk
+        v = Grid.r9(v * (1.0 - pk * pk))
+      }
+      (1 to maxLag).map(k => (k, Grid.r6z(r(k)), Grid.r6z(pacf(k))))
         .toDF("lag", "acf", "pacf").orderBy("lag")
     }),
 
@@ -1638,24 +1695,43 @@ object Ml {
     /** Distributed sample ACF — identical window/sum ladder. */
     "ml_acf" -> {
       val maxLag = 10
-      val leads = (1 to maxLag).map(k =>
-        s"lead(c, $k) OVER (ORDER BY date_id) AS c$k").mkString(",\n        ")
-      val nums = (1 to maxLag).map(k => s"sum(c*c$k) AS num$k").mkString(", ")
       val arms = (1 to maxLag).map(k =>
-        s"SELECT $k AS lag, round(num$k/den, 6) AS acf FROM a").mkString("\n  UNION ALL ")
-      s"""WITH daily AS (
-         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS date_id,
-         |         avg(value) AS x
-         |  FROM events WHERE event_type = 'click' GROUP BY 1),
-         |m AS (SELECT avg(x) AS mu FROM daily),
-         |c AS (SELECT date_id, x - mu AS c FROM daily, m),
-         |l AS (SELECT c,
-         |        $leads
-         |      FROM c),
-         |a AS (SELECT sum(c*c) AS den, $nums FROM l)
+        s"SELECT $k AS lag, round(round(CAST(num$k AS DOUBLE)/CAST(den AS DOUBLE), 9), 6) + 0.0 AS acf FROM a")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${acfMomentsSql(maxLag)}
          |SELECT lag, acf FROM (
          |  $arms)
          |ORDER BY lag""".stripMargin
+    },
+
+    /** Durbin–Levinson as a recursive CTE: the φ vector rides a LIST
+      * column, the inner Σφⱼr_{k−j} is an index-ORDERED list_reduce fold
+      * (never an engine-order aggregate), and every state re-rounds to
+      * the 1e-9 grid — the exact arithmetic the driver loop replays. */
+    "ml_pacf" -> {
+      val maxLag = 10
+      val arms = (1 to maxLag).map(k =>
+        s"SELECT $k AS lag, round(CAST(num$k AS DOUBLE)/CAST(den AS DOUBLE), 9) AS acf9 FROM a")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE ${acfMomentsSql(maxLag)},
+         |rv AS (
+         |  $arms),
+         |r AS (SELECT list_prepend(CAST(1.0 AS DOUBLE), list(acf9 ORDER BY lag)) AS rl FROM rv),
+         |dl(k, v, phi) AS (
+         |  SELECT 1, round(1.0 - rl[2]*rl[2], 9), [rl[2]] FROM r
+         |  UNION ALL
+         |  SELECT k + 1,
+         |    round(v * (1.0 - pk*pk), 9),
+         |    list_append(list_transform(generate_series(1, k),
+         |      j -> round(phi[j] - pk*phi[k+1-j], 9)), pk)
+         |  FROM (
+         |    SELECT k, v, phi, rl,
+         |      round((rl[k+2] - list_reduce(list_transform(generate_series(1, k),
+         |        j -> phi[j]*rl[k+2-j]), (a, b) -> a + b)) / v, 9) AS pk
+         |    FROM dl, r) t
+         |  WHERE k < $maxLag)
+         |SELECT k AS lag, round(rl[k+1], 6) + 0.0 AS acf, round(phi[k], 6) + 0.0 AS pacf
+         |FROM dl, r ORDER BY lag""".stripMargin
     },
 
     "ml_gridsearch" -> gridSearchSql,

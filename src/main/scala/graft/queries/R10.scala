@@ -1,0 +1,440 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 wave registry: the grouped (per-series) forecasting ensemble,
+  * the GMV-portfolio optimality audit, and real video-kind decode through
+  * the multimodal seam.
+  *
+  * House conventions throughout: 1e-6-grid inputs, DECIMAL accumulation
+  * for any sum that feeds a division or crosses an aggregation whose
+  * order the engines don't share, `round(x, n) + 0.0` on sign-indefinite
+  * outputs, recursion states re-rounded to a fixed grid HALF_UP with the
+  * oracle replaying the exact op order (index-ORDERED folds, never
+  * engine-order aggregates). */
+object R10 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sqlRuns = new java.util.concurrent.atomic.AtomicLong(0)
+  private def withEventsView[T](s: SparkSession, d: String)(f: String => T): T = {
+    val v = s"events_r10_v${sqlRuns.incrementAndGet()}"
+    try {
+      Tables.events(s, d).createOrReplaceTempView(v)
+      f(v)
+    } finally { s.catalog.dropTempView(v); () }
+  }
+
+  // ---- grouped ensemble (shared SQL template) -----------------------------
+
+  /** PER-SERIES forecasting ensemble — the reference's real serving shape
+    * (`app.py:115-144` fits one ensemble PER selected commodity out of
+    * 424; the flagship `ml_ensemble_weighted` fits ONE global model, so
+    * its cost is invariant to series count — this query is the one that
+    * scales WITH the series dimension the way a 100 TB tenant runs it).
+    *
+    * Per series g: 30-min bars (grid-6 means), AR(2) design (y ~ 1, lag1,
+    * lag2), per-series 80/20 time split, TWO closed-form members fitted
+    * from ONE DECIMAL-exact moment aggregation per series (the shuffle
+    * carries 9 scalars per group, never rows — the `GroupedOls`
+    * sufficient-statistics layout, here solved in SQL so both engines
+    * share the arithmetic):
+    *  - OLS on the CENTERED 2×2 Gram by Cramer (centering sidesteps the
+    *    near-collinear intercept column — the `ml_trend_per_series`
+    *    conditioning lesson; the `stationarity_test_adf` oracle's
+    *    centered-Gram trick);
+    *  - ridge with the scale-adaptive λ = 0.25·(c11+c22) (a quarter of
+    *    the mean Gram diagonal — shrinkage that stays meaningful at any
+    *    px scale) on the same centered system.
+    * Member weights ∝ max(R²_train, 0) (equal split when both vanish —
+    * decided on grid values, never NaN), blend scored on the held-out
+    * 20% with R²/MAE/RMSE/directional-accuracy per series.
+    *
+    * ONE SQL text runs on both engines (dialect substitutes only the
+    * bucket expression, the table ref, and DuckDB's MATERIALIZED hint —
+    * the r9 CTE-re-evaluation lesson); every determinism-bearing sum
+    * rides DECIMAL, every decision input is a grid value. The series key
+    * is a template parameter so the scale probe can run the SAME
+    * machinery over a finer key (series × user bucket) and show cost
+    * growing with series count, not rows-per-series. */
+  def groupedEnsembleSql(events: String, bucket: String, series: String,
+                         mat: String): String = {
+    def d6(e: String) = s"CAST($e AS DECIMAL(18,6))"
+    // DECIMAL-exact Σ a·b over grid-6 operands, surfaced as DOUBLE
+    def sprod(a: String, b: String) =
+      s"CAST(sum(CAST(${d6(a)} * ${d6(b)} AS DECIMAL(30,12))) AS DOUBLE)"
+    def ssum(a: String) = s"CAST(sum(${d6(a)}) AS DOUBLE)"
+    // DECIMAL-exact Σ (a−b)² over grid-6 operands, kept DECIMAL
+    def sq(a: String, b: String) = {
+      val e = s"CAST(${d6(a)} - ${d6(b)} AS DECIMAL(18,6))"
+      s"sum(CAST($e * $e AS DECIMAL(30,12)))"
+    }
+    def sabs(a: String, b: String) =
+      s"sum(abs(CAST(${d6(a)} - ${d6(b)} AS DECIMAL(18,6))))"
+    val po = "round(b0o + b1o * l1 + b2o * l2, 6) + 0.0"
+    val pr = "round(b0r + b1r * l1 + b2r * l2, 6) + 0.0"
+    s"""WITH b AS $mat (
+       |  SELECT $series AS g, $bucket AS bucket, ${Grid.mean6Sql("value")} AS px
+       |  FROM $events GROUP BY 1, 2),
+       |s0 AS (
+       |  SELECT g, bucket, px,
+       |    lag(px, 1) OVER (PARTITION BY g ORDER BY bucket) AS l1,
+       |    lag(px, 2) OVER (PARTITION BY g ORDER BY bucket) AS l2
+       |  FROM b),
+       |f AS $mat (
+       |  SELECT g, bucket, px AS y, l1, l2,
+       |    row_number() OVER (PARTITION BY g ORDER BY bucket) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS cnt
+       |  FROM s0 WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+       |tr AS $mat (SELECT * FROM f WHERE rn <= floor(cnt * 0.8)),
+       |te AS $mat (SELECT * FROM f WHERE rn > floor(cnt * 0.8)),
+       |mo AS (
+       |  SELECT g, count(*) AS n,
+       |    ${ssum("l1")} AS s1, ${ssum("l2")} AS s2, ${ssum("y")} AS sy,
+       |    ${sprod("l1", "l1")} AS s11, ${sprod("l1", "l2")} AS s12,
+       |    ${sprod("l2", "l2")} AS s22,
+       |    ${sprod("l1", "y")} AS s1y, ${sprod("l2", "y")} AS s2y
+       |  FROM tr GROUP BY g),
+       |cg0 AS (
+       |  SELECT g, n, s1, s2, sy,
+       |    s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+       |    s22 - s2 * s2 / n AS c22,
+       |    s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y
+       |  FROM mo),
+       |cg AS (
+       |  SELECT g, n, s1, s2, sy, c11, c12, c22, c1y, c2y,
+       |    round((c11 + c22) * 0.25, 6) AS lam,
+       |    c11 * c22 - c12 * c12 AS deto
+       |  FROM cg0),
+       |co AS (
+       |  SELECT g, n,
+       |    round(sy / n, 6) AS ybar, round(s1 / n, 6) AS m1,
+       |    round(s2 / n, 6) AS m2,
+       |    CASE WHEN deto = 0.0 THEN 0.0
+       |      ELSE round((c1y * c22 - c12 * c2y) / deto, 9) END AS b1o,
+       |    CASE WHEN deto = 0.0 THEN 0.0
+       |      ELSE round((c11 * c2y - c1y * c12) / deto, 9) END AS b2o,
+       |    CASE WHEN (c11 + lam) * (c22 + lam) - c12 * c12 = 0.0 THEN 0.0
+       |      ELSE round((c1y * (c22 + lam) - c12 * c2y)
+       |        / ((c11 + lam) * (c22 + lam) - c12 * c12), 9) END AS b1r,
+       |    CASE WHEN (c11 + lam) * (c22 + lam) - c12 * c12 = 0.0 THEN 0.0
+       |      ELSE round(((c11 + lam) * c2y - c1y * c12)
+       |        / ((c11 + lam) * (c22 + lam) - c12 * c12), 9) END AS b2r
+       |  FROM cg),
+       |cb AS $mat (
+       |  SELECT g, n, ybar,
+       |    round(ybar - b1o * m1 - b2o * m2, 6) AS b0o, b1o, b2o,
+       |    round(ybar - b1r * m1 - b2r * m2, 6) AS b0r, b1r, b2r
+       |  FROM co),
+       |str AS (
+       |  SELECT tr.g, tr.y, cb.ybar, $po AS po, $pr AS pr
+       |  FROM tr JOIN cb ON tr.g = cb.g),
+       |r2tr AS (
+       |  SELECT g,
+       |    CASE WHEN ${sq("y", "ybar")} = 0 THEN 0.0
+       |      ELSE round(1.0 - CAST(${sq("y", "po")} AS DOUBLE)
+       |        / CAST(${sq("y", "ybar")} AS DOUBLE), 6) + 0.0 END AS r2o,
+       |    CASE WHEN ${sq("y", "ybar")} = 0 THEN 0.0
+       |      ELSE round(1.0 - CAST(${sq("y", "pr")} AS DOUBLE)
+       |        / CAST(${sq("y", "ybar")} AS DOUBLE), 6) + 0.0 END AS r2r
+       |  FROM str GROUP BY g),
+       |wt AS (
+       |  SELECT g, r2o, r2r,
+       |    CASE WHEN wo0 + wr0 = 0.0 THEN 0.5 ELSE wo0 END AS wo,
+       |    CASE WHEN wo0 + wr0 = 0.0 THEN 0.5 ELSE wr0 END AS wr
+       |  FROM (
+       |    SELECT g, r2o, r2r,
+       |      CASE WHEN r2o > 0.0 THEN r2o ELSE 0.0 END AS wo0,
+       |      CASE WHEN r2r > 0.0 THEN r2r ELSE 0.0 END AS wr0
+       |    FROM r2tr) t),
+       |tb AS (
+       |  SELECT g, ${Grid.mean6Sql("y")} AS ybar_te FROM te GROUP BY g),
+       |ste AS (
+       |  SELECT te.g, te.y, te.l1, tb.ybar_te,
+       |    round((wt.wo * ($po) + wt.wr * ($pr)) / (wt.wo + wt.wr), 6) + 0.0 AS p
+       |  FROM te JOIN cb ON te.g = cb.g JOIN wt ON te.g = wt.g
+       |    JOIN tb ON te.g = tb.g),
+       |met AS (
+       |  SELECT g, count(*) AS n_test,
+       |    CASE WHEN ${sq("y", "ybar_te")} = 0 THEN 0.0
+       |      ELSE round(1.0 - CAST(${sq("y", "p")} AS DOUBLE)
+       |        / CAST(${sq("y", "ybar_te")} AS DOUBLE), 6) + 0.0 END AS r2_test,
+       |    round(CAST(${sabs("y", "p")} AS DOUBLE) / count(*), 6) AS mae,
+       |    round(sqrt(CAST(${sq("y", "p")} AS DOUBLE) / count(*)), 6) AS rmse,
+       |    round(CAST(sum(CASE WHEN sign(p - l1) = sign(y - l1)
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dir_acc
+       |  FROM ste GROUP BY g)
+       |SELECT met.g AS series, CAST(cb.n AS BIGINT) AS n_train,
+       |  CAST(met.n_test AS BIGINT) AS n_test,
+       |  round(wt.wo / (wt.wo + wt.wr), 6) AS w_ols,
+       |  round(wt.wr / (wt.wo + wt.wr), 6) AS w_ridge,
+       |  wt.r2o AS r2_train_ols, wt.r2r AS r2_train_ridge,
+       |  met.r2_test, met.mae, met.rmse, met.dir_acc
+       |FROM met JOIN cb ON met.g = cb.g JOIN wt ON met.g = wt.g
+       |ORDER BY series""".stripMargin
+  }
+
+  // ---- GMV audit ----------------------------------------------------------
+
+  /** Fixed-iteration GMV solve + optimality audit, shared by the Spark
+    * driver loop and the DuckDB recursive-CTE twin. Everything operates
+    * on grid values with explicit op order so both replays are
+    * bit-identical; see `fin_gmv_audit`'s Scaladoc. */
+  private final val GmvIters = 400
+
+  val qs: Map[String, Q] = Map(
+
+    /** GMV-PORTFOLIO OPTIMALITY AUDIT — the verification half of
+      * `fin_min_variance_portfolio` as a FULL ORACLE row (VERDICT r9 ask
+      * #6). The k×k linear solve itself has no SQL form, so the direct
+      * Gaussian-elimination weights stay rows-only — but a FIXED-
+      * ITERATION solver is replayable by any engine: with
+      * A = I − η·Σbp (η = 1/trace(Σbp) < 1/λmax, so the iteration is a
+      * contraction), y_{t+1} = round(A·y_t + η·1, 12) run a fixed 400
+      * steps from y₀ = η·1 converges to Σbp⁻¹1, and BOTH engines can
+      * replay it exactly: the Spark side is a driver loop over k=5
+      * doubles (aggregate-sized state — the `seq_markov_stationary`
+      * posture), the DuckDB twin a recursive CTE whose per-step Σⱼ A_gj·yⱼ
+      * is an index-ORDERED list_reduce fold mirroring the driver's
+      * left-to-right summation. The audit row then carries the
+      * optimality evidence computed FROM those weights: the gradient
+      * residual Σbp·y − 1 (≈0 ⟺ KKT stationarity of min wᵀΣw s.t.
+      * Σw=1), Σw = 1 by construction of the normalization, and
+      * portfolio-vs-equal-weight variance from the same DECIMAL moments.
+      * Σbp is the return covariance in basis-point² units (×1e8) so
+      * every recursion state sits in a double-representable decimal
+      * range. R9Spec pins agreement with the direct solve. */
+    "fin_gmv_audit" -> ((s, d) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy("event_type").orderBy("bucket")
+      // 6-hour bars (the reconcile completeness-grain lesson)
+      val bars = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 21600000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(Grid.mean6(col("value")).as("px"))
+        .withColumn("r", round(log(col("px") / lag(col("px"), 1).over(wOrd)), 6))
+        .filter(col("r").isNotNull)
+      val types = bars.select("event_type").distinct().as[String].collect().sorted
+      val k = types.length
+      val comp = bars.groupBy("bucket").agg(count(lit(1)).as("m"))
+        .filter(col("m") === k).select("bucket")
+      val rr = bars.join(comp, "bucket")
+        .select(col("event_type"), col("bucket"), col("r").cast("decimal(18,6)").as("r"))
+      val a = rr.select(col("event_type").as("ga"), col("bucket"), col("r").as("ra"))
+      val b = rr.select(col("event_type").as("gb"), col("bucket"), col("r").as("rb"))
+      val mom = a.join(b, "bucket").groupBy("ga", "gb").agg(
+          count(lit(1)).as("n"),
+          sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+          sum((col("ra") * col("rb")).cast("decimal(30,12)")).as("sab"))
+        .collect() // k² = 25 rows — aggregate-sized driver state
+      val nObs = mom.head.getAs[Long]("n")
+      require(nObs > k + 1,
+        s"fin_gmv_audit: only $nObs complete all-series bars — " +
+          s"covariance of $k series needs more observations")
+      val idx = types.zipWithIndex.toMap
+      // Σbp: round((sab − sa·sb/n)/n · 1e8, 6) — op order mirrors the twin
+      val cov = Array.ofDim[Double](k, k)
+      mom.foreach { row =>
+        val (i, j) = (idx(row.getAs[String]("ga")), idx(row.getAs[String]("gb")))
+        val n = row.getAs[Long]("n")
+        val sa = row.getAs[java.math.BigDecimal]("sa").doubleValue
+        val sb = row.getAs[java.math.BigDecimal]("sb").doubleValue
+        val sab = row.getAs[java.math.BigDecimal]("sab").doubleValue
+        // + 0.0 everywhere a sign-indefinite rounded state feeds further
+        // arithmetic: DuckDB round() keeps -0.0, BigDecimal does not
+        cov(i)(j) = Grid.r6((sab - sa * sb / n) / n * 100000000.0) + 0.0
+      }
+      val trace = Grid.r6((0 until k).map(i => cov(i)(i)).reduceLeft(_ + _))
+      val eta = Grid.r9(1.0 / trace, 12)
+      val am = Array.tabulate(k, k) { (i, j) =>
+        Grid.r9((if (i == j) 1.0 else 0.0) - eta * cov(i)(j), 12) + 0.0
+      }
+      var y = Array.fill(k)(eta)
+      for (_ <- 1 to GmvIters) {
+        y = Array.tabulate(k) { g =>
+          Grid.r9((0 until k).map(j => y(j) * am(g)(j)).reduceLeft(_ + _) + eta,
+            12) + 0.0
+        }
+      }
+      val sumy = Grid.r9(y.reduceLeft(_ + _), 12)
+      val w = y.map(v => Grid.r6z(v / sumy))
+      val grad = Array.tabulate(k) { g =>
+        Grid.r6z((0 until k).map(j => cov(g)(j) * y(j)).reduceLeft(_ + _) - 1.0)
+      }
+      val portVar = Grid.r6z(
+        (for (i <- 0 until k; j <- 0 until k) yield w(i) * cov(i)(j) * w(j))
+          .reduceLeft(_ + _))
+      val eqVar = Grid.r6z(
+        (for (i <- 0 until k; j <- 0 until k) yield cov(i)(j))
+          .reduceLeft(_ + _) / (k * k))
+      val ratio = Grid.r6(portVar / eqVar)
+      types.indices.map(i => (types(i), w(i), grad(i), nObs, GmvIters.toLong,
+          portVar, eqVar, ratio))
+        .toDF("series", "weight", "grad_residual", "n_obs", "n_iter",
+          "port_variance_bp", "equal_weight_variance_bp", "variance_ratio")
+        .orderBy("series")
+    }),
+
+    "ml_ensemble_grouped" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(groupedEnsembleSql(v, "ts_ns div 1800000000000", "event_type", ""))
+    }),
+
+    /** REAL video-kind decode through the production seam — the animated-
+      * GIF sibling of `multimodal_decode_png`/`_wav`, closing the
+      * `kind ∈ {image, audio, video}` triple (VERDICT r9 ask #7):
+      * deterministic multi-frame GIFs are ENCODED in-executor (JDK
+      * `ImageIO` sequence writer — genuine GIF87/89a container bytes
+      * with per-frame image descriptors), then parsed back by
+      * `Multimodal.decodeVideoFeatures` with the REAL `gifDecoder`
+      * (frame census via `getNumImages(true)` on a per-partition-reused
+      * `ImageReader`). Self-verifying: decoded (w, h, frames) sit next
+      * to the generation parameters with a `params_match` flag. Bounded
+      * to 64 media rows; rows-only (GIF bytes have no SQL form);
+      * MultimodalSpec pins the seam counters and the round-trip. */
+    "multimodal_decode_gif" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id").limit(64)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val writerFor = () => {
+            val ws = javax.imageio.ImageIO.getImageWritersBySuffix("gif")
+            require(ws.hasNext, "JDK GIF ImageWriter missing")
+            ws.next()
+          }
+          it.map { case (id, nch) =>
+            val w = (8 + id % 16).toInt
+            val h = (8 + nch % 12).toInt
+            val nFrames = (2 + id % 5).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            val writer = writerFor()
+            try {
+              writer.setOutput(ios)
+              writer.prepareWriteSequence(null)
+              var fidx = 0
+              while (fidx < nFrames) {
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    img.setRGB(x, y,
+                      ((id * 31 + fidx * 101 + x * 7 + y * 13) % 0xffffff).toInt)
+                    x += 1
+                  }
+                  y += 1
+                }
+                writer.writeToSequence(
+                  new javax.imageio.IIOImage(img, null, null), null)
+                fidx += 1
+              }
+              writer.endWriteSequence()
+            } finally { writer.dispose(); ios.close() }
+            (id, "video", bos.toByteArray, w, h, nFrames)
+          }
+        }
+        .toDF("media_id", "kind", "payload", "exp_w", "exp_h", "exp_frames")
+        .localCheckpoint() // encode once; decode and the audit join share it
+      graft.operators.Multimodal
+        .decodeVideoFeatures(media)
+        .join(media.select("media_id", "exp_w", "exp_h", "exp_frames"),
+          "media_id")
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_frames"), col("exp_w"), col("exp_h"), col("exp_frames"),
+          (col("width") === col("exp_w") && col("height") === col("exp_h") &&
+            col("n_frames") === col("exp_frames")).as("params_match"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  val sql: Map[String, String] = Map(
+
+    "ml_ensemble_grouped" -> groupedEnsembleSql(
+      "events", "epoch_ns(ts) // 1800000000000", "event_type",
+      "MATERIALIZED"),
+
+    /** The driver loop above, replayed: same grid constants, same
+      * index-ordered folds (list ORDER BY), same per-step 1e-12 grid. */
+    "fin_gmv_audit" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT event_type AS g, epoch_ns(ts) // 21600000000000 AS bucket,
+         |    ${Grid.mean6Sql("value")} AS px
+         |  FROM events GROUP BY 1, 2),
+         |r0 AS (
+         |  SELECT g, bucket,
+         |    round(ln(px / lag(px, 1) OVER (PARTITION BY g ORDER BY bucket)), 6) AS r
+         |  FROM b),
+         |r1 AS (SELECT g, bucket, CAST(r AS DECIMAL(18,6)) AS r
+         |       FROM r0 WHERE r IS NOT NULL),
+         |kk AS (SELECT count(DISTINCT g) AS k FROM r1),
+         |comp AS MATERIALIZED (SELECT bucket FROM r1 GROUP BY bucket
+         |  HAVING count(*) = (SELECT k FROM kk)),
+         |rr AS MATERIALIZED (
+         |  SELECT r1.g, r1.bucket, r1.r FROM r1 JOIN comp USING (bucket)),
+         |mo AS (
+         |  SELECT a.g AS ga, c.g AS gb, count(*) AS n,
+         |    sum(a.r) AS sa, sum(c.r) AS sb,
+         |    sum(CAST(a.r * c.r AS DECIMAL(30,12))) AS sab
+         |  FROM rr a JOIN rr c ON a.bucket = c.bucket
+         |  GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT ga, gb, n,
+         |    round((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / n)
+         |      / n * 100000000.0, 6) + 0.0 AS c
+         |  FROM mo),
+         |trc AS (SELECT round(list_reduce(list(c ORDER BY ga), (x, z) -> x + z), 6)
+         |  AS trace FROM cov WHERE ga = gb),
+         |e AS (SELECT round(1.0 / trace, 12) AS eta FROM trc),
+         |am AS MATERIALIZED (
+         |  SELECT ga, gb,
+         |    round((CASE WHEN ga = gb THEN 1.0 ELSE 0.0 END) - eta * c, 12) + 0.0 AS v
+         |  FROM cov, e),
+         |it(i, g, y) AS (
+         |  SELECT 0, ga, eta FROM (SELECT DISTINCT ga FROM cov), e
+         |  UNION ALL
+         |  SELECT rec.i + 1, am.ga,
+         |    round(list_reduce(list(rec.y * am.v ORDER BY am.gb),
+         |      (x, z) -> x + z) + e.eta, 12) + 0.0
+         |  FROM it rec JOIN am ON am.gb = rec.g, e
+         |  WHERE rec.i < $GmvIters
+         |  GROUP BY rec.i, am.ga, e.eta),
+         |yf AS MATERIALIZED (SELECT g, y FROM it WHERE i = $GmvIters),
+         |sums AS (SELECT round(list_reduce(list(y ORDER BY g), (x, z) -> x + z), 12)
+         |  AS sumy FROM yf),
+         |w AS MATERIALIZED (
+         |  SELECT g, round(y / sumy, 6) + 0.0 AS w FROM yf, sums),
+         |sg AS (
+         |  SELECT cov.ga AS g,
+         |    round(list_reduce(list(cov.c * yf.y ORDER BY cov.gb),
+         |      (x, z) -> x + z) - 1.0, 6) + 0.0 AS grad_residual
+         |  FROM cov JOIN yf ON cov.gb = yf.g GROUP BY cov.ga),
+         |pv AS (
+         |  SELECT round(list_reduce(list(wa.w * cov.c * wb.w
+         |      ORDER BY cov.ga, cov.gb), (x, z) -> x + z), 6) + 0.0
+         |    AS port_variance_bp
+         |  FROM cov JOIN w wa ON cov.ga = wa.g JOIN w wb ON cov.gb = wb.g),
+         |ev AS (
+         |  SELECT round(list_reduce(list(c ORDER BY ga, gb), (x, z) -> x + z)
+         |      / ((SELECT k FROM kk) * (SELECT k FROM kk)), 6) + 0.0
+         |    AS equal_weight_variance_bp
+         |  FROM cov),
+         |nn AS (SELECT max(n) AS n_obs FROM cov)
+         |SELECT w.g AS series, w.w AS weight, sg.grad_residual,
+         |  CAST(nn.n_obs AS BIGINT) AS n_obs,
+         |  CAST($GmvIters AS BIGINT) AS n_iter,
+         |  pv.port_variance_bp, ev.equal_weight_variance_bp,
+         |  round(pv.port_variance_bp / ev.equal_weight_variance_bp, 6)
+         |    AS variance_ratio
+         |FROM w JOIN sg ON w.g = sg.g, pv, ev, nn
+         |ORDER BY series""".stripMargin
+  )
+}

@@ -173,6 +173,67 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gifDecoder parses REAL animated-GIF bytes to frame census through the seam") {
+    // multi-frame GIFs generated in-test via the JDK sequence writer —
+    // the video sibling of the PNG/WAV round-trips above
+    def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w)
+            img.setRGB(x, y, ((f * 101 + x * 7 + y * 13) % 0xffffff))
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "video", gif(12, 9, 3), Row("s", 0L)),
+      Row(2L, "video", gif(5, 7, 1), Row("s", 0L)),
+      Row(3L, "video", gif(20, 4, 6), Row("s", 0L)))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodeVideoFeatures(m).orderBy("media_id").collect()
+    assert(out.map(r => (r.getAs[Int]("width"), r.getAs[Int]("height"),
+      r.getAs[Int]("n_frames"))).toSeq == Seq((12, 9, 3), (5, 7, 1), (20, 4, 6)))
+    out.foreach(r => assert(r.getAs[Long]("checksum") > 0L))
+  }
+
+  test("gifDecoder fails loudly on non-GIF bytes") {
+    import org.apache.spark.sql.Row
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, "video", Array[Byte](1, 2, 3, 4), Row(null, null)))),
+      Multimodal.mediaSchema)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFeatures(bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("multimodal_decode_gif: every generated GIF decodes to its parameters") {
+    val rows = SparkEntry.queries("multimodal_decode_gif")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("params_match"),
+        s"GIF round-trip broke for media ${r.getAs[Long]("media_id")}: " +
+          s"decoded ${r.getAs[Int]("width")}x${r.getAs[Int]("height")}" +
+          s"x${r.getAs[Int]("n_frames")}f vs expected " +
+          s"${r.getAs[Int]("exp_w")}x${r.getAs[Int]("exp_h")}" +
+          s"x${r.getAs[Int]("exp_frames")}")
+      assert(r.getAs[Long]("n_bytes") > 0L)
+    }
+  }
+
   test("sampleFrames: one row per stride step") {
     val out = Multimodal.sampleFrames(media, stride = 4).orderBy("media_id", "frame_idx")
       .collect()

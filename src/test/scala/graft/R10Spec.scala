@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-10 wave (`queries/R10.scala`). The oracle gate
+  * hash-checks `fin_gmv_audit` and `ml_ensemble_grouped`; these tests pin
+  * what the gate cannot see — agreement of the fixed-iteration GMV solve
+  * with the direct Gaussian-elimination solve, and closed-form recovery
+  * of a planted AR(2) by the grouped ensemble. */
+class R10Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("gmv audit: weights sum to 1, gradient residual small, GMV dominates") {
+    val rows = SparkEntry.queries("fin_gmv_audit")(spark, dir)
+      .orderBy("series").collect()
+    assert(rows.length >= 2)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-5, s"weights must sum to 1, got $wsum")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("grad_residual")) < 0.05,
+        s"fixed-iteration solve did not converge: residual " +
+          s"${r.getAs[Double]("grad_residual")} for ${r.getAs[String]("series")}")
+    }
+    val pv = rows.head.getAs[Double]("port_variance_bp")
+    val ev = rows.head.getAs[Double]("equal_weight_variance_bp")
+    assert(pv > 0.0 && pv <= ev + 1e-9,
+      s"GMV variance $pv must not exceed equal-weight variance $ev")
+    assert(rows.head.getAs[Long]("n_iter") == 400L)
+  }
+
+  test("gmv audit: fixed-iteration weights agree with the direct solve") {
+    // the same minimization solved two ways — Gaussian elimination
+    // (fin_min_variance_portfolio) vs the contraction iteration
+    // (fin_gmv_audit); both at sf0.001, per-series agreement
+    val direct = SparkEntry.queries("fin_min_variance_portfolio")(spark, dir)
+      .orderBy("series").collect()
+      .map(r => r.getAs[String]("series") -> r.getAs[Double]("weight")).toMap
+    val iter = SparkEntry.queries("fin_gmv_audit")(spark, dir)
+      .orderBy("series").collect()
+      .map(r => r.getAs[String]("series") -> r.getAs[Double]("weight")).toMap
+    assert(direct.keySet == iter.keySet)
+    direct.foreach { case (g, wd) =>
+      assert(math.abs(wd - iter(g)) < 0.02,
+        s"$g: direct $wd vs iterative ${iter(g)}")
+    }
+  }
+
+  test("grouped ensemble: member weights normalize, error metrics are lawful") {
+    val rows = SparkEntry.queries("ml_ensemble_grouped")(spark, dir).collect()
+    assert(rows.length >= 2, "expected one row per series")
+    rows.foreach { r =>
+      val (wo, wr) = (r.getAs[Double]("w_ols"), r.getAs[Double]("w_ridge"))
+      assert(wo >= 0.0 && wr >= 0.0 && math.abs(wo + wr - 1.0) < 2e-6,
+        s"weights must normalize: $wo + $wr")
+      val (mae, rmse) = (r.getAs[Double]("mae"), r.getAs[Double]("rmse"))
+      assert(mae >= 0.0 && rmse + 1e-9 >= mae,
+        s"RMSE $rmse must dominate MAE $mae")
+      val da = r.getAs[Double]("dir_acc")
+      assert(da >= 0.0 && da <= 1.0)
+      assert(r.getAs[Double]("r2_test") <= 1.0)
+      assert(r.getAs[Long]("n_train") > r.getAs[Long]("n_test"))
+      assert(r.getAs[Long]("n_test") > 0)
+    }
+  }
+
+  test("grouped ensemble: recovers a planted noiseless AR(2) per series") {
+    import spark.implicits._
+    // two series, each y_t = c + a·y_{t-1} + b·y_{t-2} exactly, values on
+    // the 1e-2 grid via rounding — the OLS member must fit near-exactly
+    // and the blend inherit it (test R² ≈ 1, tiny RMSE)
+    // complex AR roots (damped oscillation) + a displaced start so the
+    // training window carries real dynamics instead of a fixed point
+    def series(g: String, c: Double, a: Double, b: Double): Seq[(String, Long, Double)] = {
+      var (y1, y2) = (150.0, 100.0)
+      (0 until 240).map { t =>
+        val y = math.rint((c + a * y1 + b * y2) * 100) / 100
+        y2 = y1; y1 = y
+        (g, t.toLong * 1800000000000L, y)
+      }
+    }
+    val df = (series("s1", 33.0, 1.6, -0.93) ++ series("s2", 30.0, 1.2, -0.5))
+      .toDF("event_type", "ts_ns", "value")
+    df.createOrReplaceTempView("r10_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.groupedEnsembleSql(
+          "r10_planted", "ts_ns div 1800000000000", "event_type", ""))
+        .collect()
+      assert(out.length == 2)
+      out.foreach { r =>
+        assert(r.getAs[Double]("rmse") < 0.5,
+          s"planted AR(2) not recovered: rmse ${r.getAs[Double]("rmse")} " +
+            s"for ${r.getAs[String]("series")}")
+        assert(r.getAs[Double]("r2_train_ols") > 0.9)
+      }
+    } finally { spark.catalog.dropTempView("r10_planted"); () }
+  }
+}
