@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions.broadcast
 object GraphLayout {
 
   /** Max node count for which a node-sized frame may ride the broadcast
-    * path. 2M nodes × ~16 B/row ≈ 32 MB serialized — comfortably inside a
-    * driver/executor broadcast budget; past it, shuffle. */
+    * path. 1M nodes × ~16 B/row ≈ 16 MB serialized — comfortably inside
+    * a driver/executor broadcast budget. The r10 on-data A/B
+    * (BENCH_SCALE_PROBE.md) measured the crossover: below ~1M nodes
+    * every iterative graph query runs faster broadcasting; at ~1.6M the
+    * heaviest per-round consumer (pagerank, 8 full-vector broadcasts)
+    * already inverts to 0.67× on the shuffle path while the others pay
+    * ≤1.2× — so past the measured crossover region the gate errs toward
+    * the mode that survives 10⁸-node graphs. */
   def broadcastNodeLimit: Long =
     sys.props.get("graft.graph.broadcastNodeLimit").map(_.toLong)
-      .getOrElse(2000000L)
+      .getOrElse(1000000L)
 
   /** Whether an `nNodes`-row node frame should broadcast. */
   def useBroadcast(nNodes: Long): Boolean = nNodes <= broadcastNodeLimit

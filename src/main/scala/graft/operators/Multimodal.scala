@@ -210,6 +210,57 @@ object Multimodal {
       .toDF()
   }
 
+  /** Typed row for per-frame video features: one row per decoded frame
+    * — the explode shape of real video feature extraction. */
+  final case class FrameStatRow(media_id: Long, frame_idx: Int, width: Int,
+                                height: Int, n_pixels: Long, mean_luma: Double)
+
+  /** REAL per-frame feature extraction for the video kind: decode EVERY
+    * frame of an animated GIF and emit its mean luminance — the
+    * frame-level feature pass (sampling, shot detection, quality
+    * filtering) a video training-data pipeline runs after the container
+    * census. `flatMap` shape: one input row explodes to `n_frames`
+    * output rows, still narrow and shuffle-free; the `ImageReader` is
+    * created once per partition and re-`setInput` per payload (the
+    * [[gifDecoder]] amortization). Luminance is an exact integer
+    * (R+G+B) pixel sum divided once — deterministic per payload. */
+  def gifFrameStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        val readers = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+        require(readers.hasNext, "JDK GIF ImageReader missing")
+        val reader = readers.next()
+        it.flatMap { m =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              FrameStatRow(m.media_id, f, w, h, w.toLong * h,
+                math.rint(sum.toDouble / (3.0 * w * h) * 1e6) / 1e6)
+            }
+          } finally { reader.setInput(null); iis.close() }
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic frame-sampling stub: take every `stride`-th byte as a
     * "frame" digest — the Spark-side shape of video frame extraction
     * (explode to one row per sampled frame, narrow, shuffle-free). */

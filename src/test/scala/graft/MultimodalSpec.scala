@@ -234,6 +234,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_frame_stats: one row per decoded frame, luminance lawful, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val stats = SparkEntry.queries("multimodal_frame_stats")(spark, dir).collect()
+    val census = SparkEntry.queries("multimodal_decode_gif")(spark, dir)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n_frames")).toMap
+    // one row per frame of every fixture GIF
+    val byMedia = stats.groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length).toMap
+    assert(byMedia == census, "frame-stat rows must match the container census")
+    stats.foreach { r =>
+      val lum = r.getAs[Double]("mean_luma")
+      assert(lum >= 0.0 && lum <= 255.0, s"luminance $lum out of range")
+      assert(r.getAs[Long]("n_pixels") ==
+        r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
+      assert(r.getAs[Int]("frame_idx") >= 0)
+    }
+    // palette quantization is codec-defined but DETERMINISTIC: re-run equal
+    val again = SparkEntry.queries("multimodal_frame_stats")(spark, dir).collect()
+    assert(stats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("sampleFrames: one row per stride step") {
     val out = Multimodal.sampleFrames(media, stride = 4).orderBy("media_id", "frame_idx")
       .collect()

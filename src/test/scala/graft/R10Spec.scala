@@ -64,6 +64,51 @@ class R10Spec extends SparkSpec {
     }
   }
 
+  test("lasso CD: orthonormal design gives the soft-threshold closed form") {
+    // with G = n·I the coordinates decouple and one sweep lands each
+    // β_j on S(ρ_j, λ)/n exactly — the textbook lasso fixed point
+    val n = 100.0
+    val k = 5
+    val gm = Array.tabulate(k, k)((i, j) => if (i == j) n else 0.0)
+    val xty = Array(250.0, -30.0, 5.0, -5.0, 120.0)
+    val lam = 10.0
+    val beta = graft.queries.R10.lassoCd(gm, xty, lam, steps = 60 * k)
+    val expect = xty.map { r =>
+      if (r > lam) (r - lam) / n else if (r < -lam) (r + lam) / n else 0.0
+    }
+    beta.zip(expect).zipWithIndex.foreach { case ((b, e), i) =>
+      assert(math.abs(b - e) < 1e-9, s"coord $i: $b vs $e")
+    }
+    // the correlation-threshold behavior: |xty| <= lam coordinates are 0
+    assert(beta(2) == 0.0 && beta(3) == 0.0)
+  }
+
+  test("ml_lasso_cd: registered query emits the widened lasso schema, lawful") {
+    val rows = SparkEntry.queries("ml_lasso_cd")(spark, dir).collect()
+    assert(rows.length == 6)
+    val byF = rows.map(r => r.getString(0) ->
+      (r.getAs[Double]("coef_std"), r.getAs[Double]("coefficient"))).toMap
+    assert(byF.contains("__intercept"))
+    assert(byF("__intercept")._1 == 0.0)
+    byF.foreach { case (f, (cs, c)) =>
+      assert(!cs.isNaN && !c.isNaN && math.abs(c) < 1e6, s"$f: $cs / $c")
+    }
+  }
+
+  test("label propagation: coarsening trajectory is monotone and node-conserving") {
+    val rows = SparkEntry.queries("graph_label_propagation")(spark, dir)
+      .orderBy("iter").collect()
+    assert(rows.length == 4, "one census row per LPA round")
+    val comm = rows.map(_.getAs[Long]("n_communities")).toSeq
+    val largest = rows.map(_.getAs[Long]("largest_size")).toSeq
+    // sync-LPA with self-loops coarsens on this graph: community count
+    // never increases round-over-round, the giant component only grows
+    comm.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"$comm") }
+    largest.sliding(2).foreach { case Seq(a, b) => assert(b >= a, s"$largest") }
+    rows.foreach(r => assert(r.getAs[Long]("largest_size") >= 1L &&
+      r.getAs[Long]("n_communities") >= 1L))
+  }
+
   test("grouped ensemble: recovers a planted noiseless AR(2) per series") {
     import spark.implicits._
     // two series, each y_t = c + a·y_{t-1} + b·y_{t-2} exactly, values on
