@@ -638,18 +638,31 @@ object Fin {
       * (`operators/Dtw.scala`, Sakoe–Chiba radius = one trading day of
       * bars) — the alignment-tolerant series-similarity measure a
       * commodity desk uses where Pearson/Spearman assume lockstep
-      * timing. Each series collapses to ONE bounded array row (bar
-      * count ≤ span/30 min — metadata-sized, same bound the SARIMAX
-      * driver fits rely on), pairs fan out as executor-side typed-map
-      * tasks: thousands of series ⇒ thousands of independent O(n·r)
-      * tasks, no driver loop, no quadratic shuffle. ROWS-ONLY: the DP
-      * recursion has no SQL form; DtwSpec pins the kernel against the
-      * unbanded O(n·m) reference and the query against per-law
-      * invariants. */
+      * timing. Each series collapses to ONE bounded array row
+      * (metadata-sized, same bound the SARIMAX driver fits rely on),
+      * pairs fan out as executor-side typed-map tasks: thousands of
+      * series ⇒ thousands of independent O(n·r) tasks, no driver loop,
+      * no quadratic shuffle.
+      *
+      * r10 FLIP TO A FULL ORACLE ROW: the banded DP *is* SQL-replayable
+      * via the prefix-min reformulation — within a row,
+      * cur(j) = c_j + min(A_j, cur(j−1)) with A_j = min(prev(j),
+      * prev(j−1)) telescopes to cur(j) = S_j + min_{k≤j}(A_k − S_{k−1})
+      * (S = band prefix sums), turning the sequential in-row scan into
+      * one window sum + one running window min per DP row; the row
+      * recursion rides a recursive CTE. Every quantity is an exact
+      * multiple of 1e-6 bounded far below 2^53, so kernel and
+      * reformulation produce bit-identical doubles in ANY op order.
+      * 6-hour bars, radius = one trading day = 4 bars (the grain that
+      * keeps the twin's band frame small); DtwSpec pins the kernel
+      * against the unbanded reference and the query invariants. */
     "ts_dtw_pairs" -> ((s, d) => {
       import s.implicits._
-      val radius = 48
-      val series = bars(s, d)
+      val radius = 4
+      val series = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 21600000000000L"))
+        .groupBy("event_type", "bucket")
+        .agg(Grid.mean6(col("value")).as("px"))
         .groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("bucket"), col("px")))).as("sp"))
         .select(col("event_type"), expr("transform(sp, e -> e.px)").as("px"))
@@ -662,8 +675,7 @@ object Fin {
           val x = xa.toArray; val y = xb.toArray
           val dist = graft.operators.Dtw.banded(x, y, radius)
           (a, b, x.length.toLong, y.length.toLong, radius.toLong,
-            math.rint(dist * 1e6) / 1e6,
-            math.rint(dist / (x.length + y.length) * 1e6) / 1e6)
+            Grid.r6(dist), Grid.r6(dist / (x.length + y.length)))
         }
         .toDF("type_a", "type_b", "n_a", "n_b", "radius", "dtw_dist", "dtw_norm")
         .orderBy("type_a", "type_b")

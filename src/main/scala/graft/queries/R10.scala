@@ -202,6 +202,92 @@ object R10 {
     beta
   }
 
+  // ---- Huber IRLS (shared SQL template) -----------------------------------
+
+  /** ROBUST REGRESSION BY IRLS as a FULL oracle row — Huber's
+    * M-estimator (click ~ purchase, 6-hour bars) fitted by 4 unrolled
+    * iteratively-reweighted-least-squares steps, ONE SQL text for both
+    * engines: each iteration is one scan computing grid residuals
+    * against the previous coefficients, the robust threshold
+    * δ = 1.345·MAD/0.6745 from the exact interpolated median, Huber
+    * weights w = min(1, δ/|r|) re-gridded to 1e-9, and weighted moments
+    * as per-term-rounded DECIMAL sums (the mRMR term-sum pattern — a
+    * weighted double sum would ride engine merge order). Output: the
+    * per-iteration coefficient trajectory + outlier counts — iteration
+    * 0 IS the OLS fit, so the robustification is visible in the result.
+    * The MLlib huber-loss `ml_huber` stays as the library surface;
+    * R10Spec pins the planted-outlier law on this implementation. */
+  def huberIrlsSql(events: String, bucket: String, median: String): String = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+        .stripMargin
+    val betaExpr =
+      "CASE WHEN sw * swxx - swx * swx = 0.0 THEN 0.0 ELSE " +
+        "round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) END"
+    val iters = (1 to 4).map { i =>
+      val p = i - 1
+      s"""r$i AS (
+         |  SELECT b.bucket, b.x, b.y,
+         |    round(b.y - (c$p.alpha + c$p.beta * b.x), 6) AS r
+         |  FROM b, c$p),
+         |d$i AS (
+         |  SELECT round(1.345 * round($median, 6) / 0.6745, 6) AS delta
+         |  FROM r$i),
+         |w$i AS (
+         |  SELECT r$i.x, r$i.y, r$i.r,
+         |    CASE WHEN abs(r) <= d$i.delta THEN 1.0
+         |         ELSE round(d$i.delta / abs(r), 9) END AS w
+         |  FROM r$i, d$i),
+         |m$i AS (
+         |  SELECT
+         |    ${dsum("w", "sw")}, ${dsum("w * x", "swx")},
+         |    ${dsum("w * y", "swy")}, ${dsum("w * x * x", "swxx")},
+         |    ${dsum("w * x * y", "swxy")},
+         |    CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+         |  FROM w$i),
+         |c$i AS (
+         |  SELECT $i AS iter,
+         |    $betaExpr AS beta,
+         |    round(swy / sw - ($betaExpr) * (swx / sw), 6) AS alpha,
+         |    d$i.delta AS delta, m$i.n_out AS n_outliers
+         |  FROM m$i, d$i)""".stripMargin
+    }.mkString(",\n")
+    val arms = (0 to 4).map(i =>
+      s"SELECT iter, beta, alpha, delta, n_outliers FROM c$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT bucket, x, y FROM (
+       |    SELECT $bucket AS bucket,
+       |      ${mc("purchase")} AS x,
+       |      ${mc("click")} AS y
+       |    FROM $events WHERE event_type IN ('click', 'purchase')
+       |    GROUP BY 1) t
+       |  WHERE x IS NOT NULL AND y IS NOT NULL),
+       |m0 AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS sw,
+       |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS swx,
+       |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS swy,
+       |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS swxx,
+       |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS swxy
+       |  FROM b),
+       |c0 AS (
+       |  SELECT 0 AS iter,
+       |    $betaExpr AS beta,
+       |    round(swy / sw - ($betaExpr) * (swx / sw), 6) AS alpha,
+       |    CAST(0.0 AS DOUBLE) AS delta, CAST(0 AS BIGINT) AS n_outliers
+       |  FROM m0),
+       |$iters
+       |SELECT iter, beta + 0.0 AS beta, alpha + 0.0 AS alpha, delta,
+       |  n_outliers
+       |FROM (
+       |  $arms) u
+       |ORDER BY iter""".stripMargin
+  }
+
   // ---- GMV audit ----------------------------------------------------------
 
   /** Fixed-iteration GMV solve + optimality audit, shared by the Spark
@@ -305,6 +391,11 @@ object R10 {
 
     "ml_ensemble_grouped" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(groupedEnsembleSql(v, "ts_ns div 1800000000000", "event_type", ""))
+    }),
+
+    "ml_huber_irls" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(huberIrlsSql(v, "ts_ns div 21600000000000",
+        "percentile(abs(r), 0.5)"))
     }),
 
     /** LASSO as a FULL ORACLE row — the L1 path the MLlib twins
@@ -459,6 +550,174 @@ object R10 {
             col("n_frames") === col("exp_frames")).as("params_match"))
         .orderBy("media_id")
     }),
+
+    /** LLOYD'S K-MEANS as a FULL ORACLE row — the clustering fixed
+      * point everyone says "has no SQL form" DOES have one once the
+      * iteration count is fixed and every state sits on a grid: k=4
+      * centroids over the (click, purchase) 30-min plane, md5-rank
+      * deterministic seeding (no RNG state — the house replayable
+      * randomness), 10 synchronous Lloyd rounds. Each round is ONE
+      * broadcast of the k-row centroid frame + ONE windowed argmin
+      * (squared distance on the 1e-9 grid, centroid-id tiebreak) + ONE
+      * grid-mean update — fully distributed on the Spark side, a
+      * recursive CTE with a window argmax INSIDE the recursive term on
+      * the DuckDB side (the `ts_lttb_downsample` precedent). A centroid
+      * that loses every point drops out identically on both engines.
+      * Output: final centroids, sizes, and exact-DECIMAL WCSS. The
+      * seeded MLlib `ml_kmeans` stays as the library surface. */
+    "ml_kmeans_lloyd" -> ((s, d) => {
+      val k = 4
+      val iters = 10
+      val pts = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket")
+        .agg(Grid.mean6(when(col("event_type") === "click", col("value"))).as("x"),
+          Grid.mean6(when(col("event_type") === "purchase", col("value"))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .localCheckpoint() // scanned 11×: once per round + the final audit
+      val wSeed = Window.orderBy(md5(col("bucket").cast("string")), col("bucket"))
+      val wAsg = Window.partitionBy("bucket").orderBy(col("d"), col("cid"))
+      def dist(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
+        round((col("x") - cx) * (col("x") - cx) +
+          (col("y") - cy) * (col("y") - cy), 9)
+      var cents = pts
+        .select(row_number().over(wSeed).as("cid"), col("x").as("cx"), col("y").as("cy"))
+        .filter(col("cid") <= k)
+      for (_ <- 1 to iters) {
+        cents = pts.crossJoin(broadcast(cents))
+          .withColumn("d", dist(col("cx"), col("cy")))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .groupBy("cid")
+          .agg(Grid.mean6(col("x")).as("cx"), Grid.mean6(col("y")).as("cy"))
+          .localCheckpoint()
+      }
+      pts.crossJoin(broadcast(cents))
+        .withColumn("d", dist(col("cx"), col("cy")))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .groupBy(col("cid").as("cluster"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n_points"),
+          round(sum(col("d").cast("decimal(28,9)")).cast("double"), 6).as("wcss"))
+        .select("cluster", "n_points", "cx", "cy", "wcss")
+        .orderBy("cluster")
+    }),
+
+    /** PCA BY POWER ITERATION as a FULL ORACLE row — top-2 principal
+      * components of the 5-series 6-hour correlation matrix: R from the
+      * same DECIMAL moment machinery as `ml_lasso_cd`, then 150 power
+      * steps v ← round(Rv/‖Rv‖, 9) (per-step grid re-round, ordered
+      * folds), Rayleigh eigenvalue, first-nonzero-positive sign
+      * convention (decided on grid values), rank-1 deflation on the
+      * 1e-9 grid, and a second recursion for PC2 — the `fin_gmv_audit`
+      * fixed-iteration discipline applied to an eigenproblem. The
+      * eigen-solve `ml_pca` (driver Jacobi over the fine frame) stays
+      * as the general-k surface; R10Spec pins agreement of the two on
+      * the shared correlation structure. */
+    "ml_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 21600000000000L"))
+        .groupBy("bucket")
+        .agg(Grid.mean6(when(col("event_type") === types.head, col("value"))).as(types.head),
+          types.tail.map(t =>
+            Grid.mean6(when(col("event_type") === t, col("value"))).as(t)): _*)
+        .na.drop("any")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      val aggs = types.map(v => sum(dec(col(v))).as(s"s_$v")) ++
+        (for (i <- types.indices; j <- i until types.length) yield
+          sum((dec(col(types(i))) * dec(col(types(j)))).cast("decimal(30,12)"))
+            .as(s"p_${i}_$j"))
+      val row = wide.agg(count(lit(1)).as("n"), aggs: _*).head()
+      val n = row.getAs[Long]("n")
+      def sV(i: Int) = row.getAs[java.math.BigDecimal](s"s_${types(i)}").doubleValue
+      def pV(i: Int, j: Int) = {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        row.getAs[java.math.BigDecimal](s"p_${a}_$b").doubleValue
+      }
+      val k = types.length
+      val sig = Array.tabulate(k)(i =>
+        Grid.r9(math.sqrt((pV(i, i) - sV(i) * sV(i) / n) / n)))
+      require(sig.forall(_ > 0), "ml_pca_power: constant series")
+      val rm = Array.tabulate(k, k)((i, j) =>
+        Grid.r9((pV(i, j) - sV(i) * sV(j) / n) / n / (sig(i) * sig(j))))
+      def power(m: Array[Array[Double]]): Array[Double] = {
+        val v0 = Grid.r9(1.0 / math.sqrt(k.toDouble))
+        var v = Array.fill(k)(v0)
+        for (_ <- 1 to 150) {
+          val w = Array.tabulate(k)(g =>
+            (0 until k).map(j => m(g)(j) * v(j)).reduceLeft(_ + _))
+          val nrm = math.sqrt((0 until k).map(g => w(g) * w(g)).reduceLeft(_ + _))
+          v = Array.tabulate(k)(g => Grid.r9(w(g) / nrm) + 0.0)
+        }
+        // first-nonzero-positive sign convention on grid values
+        val lead = v.find(_ != 0.0).getOrElse(1.0)
+        if (lead < 0) v.map(x => -x + 0.0) else v
+      }
+      def rayleigh(m: Array[Array[Double]], v: Array[Double]): Double =
+        Grid.r9((0 until k).map(g => v(g) *
+          (0 until k).map(j => m(g)(j) * v(j)).reduceLeft(_ + _)).reduceLeft(_ + _))
+      val v1 = power(rm)
+      val l1 = rayleigh(rm, v1)
+      val rm2 = Array.tabulate(k, k)((i, j) =>
+        Grid.r9(rm(i)(j) - l1 * v1(i) * v1(j)) + 0.0)
+      val v2 = power(rm2)
+      val l2 = rayleigh(rm, v2)
+      val tr = Grid.r9((0 until k).map(i => rm(i)(i)).reduceLeft(_ + _))
+      val out = for {
+        (vec, lam, ci) <- Seq((v1, l1, 1), (v2, l2, 2))
+        i <- types.indices
+      } yield (ci, types(i), Grid.r6z(vec(i)), Grid.r6(lam),
+        Grid.r6(lam / tr))
+      out.toDF("component", "feature", "loading", "eigenvalue",
+          "explained_ratio")
+        .orderBy("component", "feature")
+    }),
+
+    /** HOLT–WINTERS FILTERING as a FULL ORACLE row — the additive
+      * triple-exponential recursion at the CANONICAL smoothing point
+      * (α=0.2, β=0.1, γ=0.1, season 48) over the 30-min click series:
+      * textbook init (first-season mean level, season-gap trend,
+      * first-season deviations), then one sequential pass re-rounding
+      * every state to the 1e-9 grid — `ts_kalman_level`'s discipline
+      * with a 48-slot seasonal LIST riding the recursion. One-row
+      * output: final level/trend, 1-step and 1-day forecasts, in-sample
+      * RMSE from one-step-ahead errors. Runs EXECUTOR-side as a single
+      * bounded-series sequential scan (`flatMapGroups` — the
+      * `ts_ewma_irregular` posture, no driver collect); the twin is a
+      * recursive CTE joining the indexed series per step. The FITTED
+      * `ml_holt_winters` (grid-searched smoothing) stays rows-only. */
+    "ml_holt_winters_filter" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).filter(col("event_type") === "click")
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket").agg(Grid.mean6(col("value")).as("yv"))
+        .select(col("bucket"), col("yv")).as[(Long, Double)]
+        .groupByKey(_ => 1)
+        .flatMapGroups { (_, it) =>
+          val st = it.toArray.sortBy(_._1).map(_._2)
+            .foldLeft(graft.operators.HwFilter.empty)(
+              graft.operators.HwFilter.push)
+          Iterator(graft.operators.HwFilter.summary(st))
+        }
+        .toDF("n_obs", "level", "trend", "forecast_1", "forecast_1day", "rmse")
+    }),
+
+    /** REAL STREAMING twin of `ml_holt_winters_filter` — the same
+      * `HwFilter` recursion run incrementally: bucket means seal when
+      * the watermark passes the bucket end (nothing can arrive before
+      * them), sealed buckets advance the O(M) anchor state permanently,
+      * and every emission is a whole-picture SNAPSHOT (the scd2/ewma
+      * contract) recomputed from the anchor over the still-mutable
+      * suffix — so a late event re-means its bucket and re-times every
+      * state after it. Run to completion under AvailableNow the merged
+      * snapshot hash-matches the SAME DuckDB recursive oracle as the
+      * batch scan; multi-batch sealing pinned in StreamingSpec. */
+    "stream_holt_winters" -> ((s, d) =>
+      graft.streaming.EventStream.runHwOnce(s, d,
+        s"stream_hw_v${sqlRuns.incrementAndGet()}")),
 
     /** PER-FRAME video feature extraction through the same seam —
       * `Multimodal.gifFrameStats` decodes EVERY frame of the 64 fixture
@@ -624,6 +883,273 @@ object R10 {
       .stripMargin
   }
 
+  /** Lloyd twin: the 10-round fixpoint as a recursive CTE with the
+    * windowed argmin INSIDE the recursive term (ts_lttb precedent);
+    * md5-rank seeding, grid means, centroid-id tiebreak. */
+  private def kmeansLloydSql: String = {
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)""".stripMargin
+    val d = "round((p.x - rec.cx) * (p.x - rec.cx) + (p.y - rec.cy) * (p.y - rec.cy), 9)"
+    val df = "round((p.x - f.cx) * (p.x - f.cx) + (p.y - f.cy) * (p.y - f.cy), 9)"
+    s"""WITH RECURSIVE pts AS MATERIALIZED (
+       |  SELECT bucket, x, y FROM (
+       |    SELECT epoch_ns(ts) // 1800000000000 AS bucket,
+       |      ${mc("click")} AS x,
+       |      ${mc("purchase")} AS y
+       |    FROM events WHERE event_type IN ('click', 'purchase')
+       |    GROUP BY 1) t
+       |  WHERE x IS NOT NULL AND y IS NOT NULL),
+       |seeds AS (SELECT cid, cx, cy FROM (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(bucket AS VARCHAR)), bucket) AS cid,
+       |    x AS cx, y AS cy FROM pts) t WHERE cid <= 4),
+       |it(i, cid, cx, cy) AS (
+       |  SELECT 0, cid, cx, cy FROM seeds
+       |  UNION ALL
+       |  SELECT i + 1, cid,
+       |    round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 6),
+       |    round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(y), 6)
+       |  FROM (
+       |    SELECT rec.i AS i, rec.cid AS cid, p.x, p.y,
+       |      row_number() OVER (PARTITION BY p.bucket
+       |        ORDER BY $d, rec.cid) AS rn
+       |    FROM it rec, pts p) a
+       |  WHERE rn = 1 AND i < 10
+       |  GROUP BY i, cid),
+       |fin AS (SELECT cid, cx, cy FROM it WHERE i = 10),
+       |asg AS (SELECT * FROM (
+       |  SELECT f.cid, f.cx, f.cy, p.x, p.y,
+       |    $df AS d,
+       |    row_number() OVER (PARTITION BY p.bucket
+       |      ORDER BY $df, f.cid) AS rn
+       |  FROM pts p, fin f) t WHERE rn = 1)
+       |SELECT cid AS cluster, count(*)::BIGINT AS n_points, cx, cy,
+       |  round(CAST(sum(CAST(d AS DECIMAL(28,9))) AS DOUBLE), 6) AS wcss
+       |FROM asg GROUP BY cid, cx, cy ORDER BY cluster""".stripMargin
+  }
+
+  /** Power-iteration twin: moments → grid correlation matrix as a
+    * list-of-lists, two 150-step single-row-state recursions (PC1, then
+    * PC2 on the grid-deflated matrix), first-nonzero-positive sign,
+    * Rayleigh eigenvalues — every fold index-ordered. */
+  private def pcaPowerSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cases = types.map { t =>
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6) AS $t"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val notNull = types.map(v => s"$v IS NOT NULL").mkString(" AND ")
+    val sums = types.zipWithIndex.map { case (v, i) =>
+      s"CAST(sum(CAST($v AS DECIMAL(18,6))) AS DOUBLE) AS s_$i" }.mkString(",\n    ")
+    val prods = (for (i <- types.indices; j <- i until types.length) yield
+      s"CAST(sum(CAST(CAST(${types(i)} AS DECIMAL(18,6)) * CAST(${types(j)} AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS p_${i}_$j")
+      .mkString(",\n    ")
+    val sigs = types.indices.map(i =>
+      s"round(sqrt((p_${i}_$i - s_$i * s_$i / n) / n), 9) AS sig_$i").mkString(",\n    ")
+    def pRef(i: Int, j: Int) = s"p_${math.min(i, j)}_${math.max(i, j)}"
+    val rmRows = (0 until 5).map { i =>
+      (0 until 5).map(j =>
+        s"round((${pRef(i, j)} - s_$i * s_$j / n) / n / (sig_$i * sig_$j), 9)")
+        .mkString("[", ", ", "]")
+    }.mkString("[\n      ", ",\n      ", "]")
+    def pw(name: String, mat: String) =
+      s"""$name(i, v) AS (
+         |  SELECT 0, [v0, v0, v0, v0, v0] FROM r0
+         |  UNION ALL
+         |  SELECT i + 1, list_transform(generate_series(1, 5), g ->
+         |    round(w[g] / nrm, 9) + 0.0)
+         |  FROM (
+         |    SELECT i, w,
+         |      sqrt(list_reduce(list_transform(generate_series(1, 5), g ->
+         |        w[g] * w[g]), (a, b) -> a + b)) AS nrm
+         |    FROM (
+         |      SELECT rec.i AS i,
+         |        list_transform(generate_series(1, 5), g ->
+         |          list_reduce(list_transform(generate_series(1, 5), j ->
+         |            m.rm[g][j] * rec.v[j]), (a, b) -> a + b)) AS w
+         |      FROM $name rec, $mat m) t0) t1
+         |  WHERE i < 150)""".stripMargin
+    def signFix(src: String, out: String) =
+      s"""$out AS (SELECT CASE WHEN v[1] < 0 OR (v[1] = 0 AND (v[2] < 0
+         |    OR (v[2] = 0 AND (v[3] < 0 OR (v[3] = 0 AND (v[4] < 0
+         |    OR (v[4] = 0 AND v[5] < 0))))))) THEN
+         |  list_transform(v, x -> -x + 0.0) ELSE v END AS v FROM $src)""".stripMargin
+    def rayleigh(vsrc: String, out: String) =
+      s"""$out AS (SELECT round(list_reduce(list_transform(generate_series(1, 5), g ->
+         |    s.v[g] * list_reduce(list_transform(generate_series(1, 5), j ->
+         |      m.rm[g][j] * s.v[j]), (a, b) -> a + b)), (a, b) -> a + b), 9) AS lam
+         |  FROM $vsrc s, rmat m)""".stripMargin
+    val nmVals = types.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+    def outArm(c: Int, vsrc: String, lsrc: String) =
+      s"""SELECT $c AS component, nm.f AS feature,
+         |    round(s.v[nm.i], 6) + 0.0 AS loading,
+         |    round(l.lam, 6) AS eigenvalue,
+         |    round(l.lam / t.tr, 6) AS explained_ratio
+         |  FROM $vsrc s, $lsrc l, trc t, (VALUES $nmVals) nm(i, f)""".stripMargin
+    s"""WITH RECURSIVE ser0 AS (
+       |  SELECT epoch_ns(ts) // 21600000000000 AS bucket,
+       |    $cases
+       |  FROM events GROUP BY 1),
+       |ser AS (SELECT * FROM ser0 WHERE $notNull),
+       |mo AS (
+       |  SELECT count(*) AS n,
+       |    $sums,
+       |    $prods
+       |  FROM ser),
+       |sg AS (
+       |  SELECT *,
+       |    $sigs
+       |  FROM mo),
+       |rmat AS (
+       |  SELECT
+       |    $rmRows AS rm
+       |  FROM sg),
+       |r0 AS (SELECT round(1.0 / sqrt(5.0), 9) AS v0 FROM rmat),
+       |${pw("pw1", "rmat")},
+       |vf1 AS (SELECT v FROM pw1 WHERE i = 150),
+       |${signFix("vf1", "sv1")},
+       |${rayleigh("sv1", "l1c")},
+       |rmat2 AS (
+       |  SELECT list_transform(generate_series(1, 5), i ->
+       |    list_transform(generate_series(1, 5), j ->
+       |      round(m.rm[i][j] - l.lam * s.v[i] * s.v[j], 9) + 0.0)) AS rm
+       |  FROM rmat m, l1c l, sv1 s),
+       |${pw("pw2", "rmat2")},
+       |vf2 AS (SELECT v FROM pw2 WHERE i = 150),
+       |${signFix("vf2", "sv2")},
+       |${rayleigh("sv2", "l2c")},
+       |trc AS (SELECT round(list_reduce(list_transform(generate_series(1, 5), g ->
+       |    m.rm[g][g]), (a, b) -> a + b), 9) AS tr FROM rmat m),
+       |outp AS (
+       |  ${outArm(1, "sv1", "l1c")}
+       |  UNION ALL
+       |  ${outArm(2, "sv2", "l2c")})
+       |SELECT component, feature, loading, eigenvalue, explained_ratio
+       |FROM outp ORDER BY component, feature""".stripMargin
+  }
+
+  /** Holt–Winters filter twin: the sequential recursion joining the
+    * indexed series per step, the 48-slot seasonal list sliding through
+    * the state, every update on the 1e-9 grid with signed-zero guards. */
+  private def hwFilterSql: String =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
+       |    ${Grid.mean6Sql("value")} AS yv
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY bucket) AS idx, yv FROM b),
+       |nn AS (SELECT count(*) AS n FROM s),
+       |m1 AS (SELECT round(CAST(sum(CAST(yv AS DECIMAL(18,6))) AS DOUBLE)
+       |  / count(yv), 6) AS v FROM s WHERE idx <= 48),
+       |m2 AS (SELECT round(CAST(sum(CAST(yv AS DECIMAL(18,6))) AS DOUBLE)
+       |  / count(yv), 6) AS v FROM s WHERE idx > 48 AND idx <= 96),
+       |init AS (SELECT m1.v AS l0, round((m2.v - m1.v) / 48, 9) + 0.0 AS b0,
+       |  (SELECT list(round(yv - m1.v, 6) + 0.0 ORDER BY idx)
+       |   FROM s, m1 WHERE idx <= 48) AS s0
+       |  FROM m1, m2),
+       |hw(t, l, b, sl, sse, ne) AS (
+       |  SELECT CAST(48 AS BIGINT), l0, b0, s0, CAST(0.0 AS DOUBLE),
+       |    CAST(0 AS BIGINT) FROM init
+       |  UNION ALL
+       |  SELECT t + 1, nl,
+       |    round(0.1 * (nl - l) + 0.9 * b, 9) + 0.0,
+       |    list_append(sl[2:48], round(0.1 * (yv - nl) + 0.9 * sold, 9) + 0.0),
+       |    sse + (yv - f) * (yv - f),
+       |    ne + 1
+       |  FROM (
+       |    SELECT u.*,
+       |      round(0.2 * (u.yv - u.sold) + 0.8 * (u.l + u.b), 9) + 0.0 AS nl,
+       |      round(u.l + u.b + u.sold, 6) AS f
+       |    FROM (
+       |      SELECT rec.t AS t, rec.l AS l, rec.b AS b, rec.sl AS sl,
+       |        rec.sse AS sse, rec.ne AS ne, sr.yv AS yv, rec.sl[1] AS sold
+       |      FROM hw rec JOIN s sr ON sr.idx = rec.t + 1) u) u2, nn
+       |  WHERE t < nn.n)
+       |SELECT CAST(nn.n AS BIGINT) AS n_obs, round(l, 6) + 0.0 AS level,
+       |  round(b, 6) + 0.0 AS trend,
+       |  round(l + 1 * b + sl[1], 6) + 0.0 AS forecast_1,
+       |  round(l + 48 * b + sl[48], 6) + 0.0 AS forecast_1day,
+       |  round(sqrt(sse / ne), 6) AS rmse
+       |FROM hw, nn WHERE t = nn.n""".stripMargin
+
+  /** Banded-DTW twin — the prefix-min reformulation (see the
+    * `ts_dtw_pairs` Scaladoc in Fin.scala): per DP row,
+    * cur(j) = S_j + min_{k≤j}(A_k − S_{k−1}) where A_k =
+    * min(prev(k), prev(k−1)); the row loop is a recursive CTE whose
+    * step is ONE window sum + ONE running window min over the banded
+    * cell frame (windows inside the recursive term — the lttb
+    * precedent). Band frames carry a LEFT PAD cell (j = lo−1) so the
+    * lag() that reads prev(j−1) sees the previous row's left-edge value
+    * when the band slides; pad cells are excluded from sums, mins, and
+    * output. All values are exact 1e-6 multiples ≪ 2^53, so this equals
+    * the Scala kernel bit-for-bit; 1e18 stands in for +∞ (never
+    * selected — every in-band cell has a finite path). */
+  private def dtwPairsSql: String =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT event_type AS g, epoch_ns(ts) // 21600000000000 AS bucket,
+       |    ${Grid.mean6Sql("value")} AS px
+       |  FROM events GROUP BY 1, 2),
+       |si AS MATERIALIZED (
+       |  SELECT g, row_number() OVER (PARTITION BY g ORDER BY bucket) AS idx, px
+       |  FROM b),
+       |ln AS (SELECT g, count(*) AS n FROM si GROUP BY g),
+       |pr AS MATERIALIZED (
+       |  SELECT a.g AS ga, c.g AS gb, a.n AS na, c.n AS nb,
+       |    greatest(4, abs(a.n - c.n)) AS r
+       |  FROM ln a JOIN ln c ON a.g < c.g),
+       |jdom AS MATERIALIZED (
+       |  SELECT pr.ga, pr.gb, xa.idx AS i, xb.idx AS j,
+       |    abs(xa.px - xb.px) AS c,
+       |    xb.idx >= xa.idx - pr.r AS inband
+       |  FROM pr
+       |  JOIN si xa ON xa.g = pr.ga
+       |  JOIN si xb ON xb.g = pr.gb
+       |    AND xb.idx BETWEEN xa.idx - pr.r - 1 AND xa.idx + pr.r),
+       |dtw(i, ga, gb, j, dp) AS (
+       |  SELECT CAST(1 AS BIGINT), ga, gb, j,
+       |    sum(c) OVER (PARTITION BY ga, gb ORDER BY j
+       |      ROWS UNBOUNDED PRECEDING)
+       |  FROM jdom WHERE i = 1 AND inband
+       |  UNION ALL
+       |  SELECT u.i, u.ga, u.gb, u.j,
+       |    u.s + min(u.am) OVER (PARTITION BY u.ga, u.gb, u.i ORDER BY u.j
+       |      ROWS UNBOUNDED PRECEDING) AS dp
+       |  FROM (
+    -- q holds band cells for EVERY i (the i = prev+1 restriction only
+    -- lands in the outer WHERE via `live`), so every window here MUST
+    -- partition by q.i as well — the prefix sums/mins are per DP row.
+       |    SELECT q.ga, q.gb, q.i, q.j, q.inband,
+       |      sum(CASE WHEN q.inband THEN q.c END) OVER (
+       |        PARTITION BY q.ga, q.gb, q.i ORDER BY q.j
+       |        ROWS UNBOUNDED PRECEDING) AS s,
+       |      CASE WHEN q.inband THEN
+       |        least(coalesce(q.pdp, 1e18),
+       |              coalesce(lag(q.pdp) OVER (
+       |                PARTITION BY q.ga, q.gb, q.i ORDER BY q.j), 1e18))
+       |        - coalesce(sum(CASE WHEN q.inband THEN q.c END) OVER (
+       |            PARTITION BY q.ga, q.gb, q.i ORDER BY q.j
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+       |      END AS am,
+       |      max(CASE WHEN q.pdp IS NOT NULL THEN 1 END) OVER (
+       |        PARTITION BY q.ga, q.gb, q.i) AS live
+       |    FROM (
+       |      SELECT jd.ga, jd.gb, jd.i, jd.j, jd.c, jd.inband, rec.dp AS pdp
+       |      FROM jdom jd LEFT JOIN dtw rec
+       |        ON rec.ga = jd.ga AND rec.gb = jd.gb AND rec.j = jd.j
+       |          AND rec.i = jd.i - 1) q) u
+       |  WHERE u.inband AND u.live = 1)
+       |SELECT dtw.ga AS type_a, dtw.gb AS type_b,
+       |  CAST(pr.na AS BIGINT) AS n_a, CAST(pr.nb AS BIGINT) AS n_b,
+       |  CAST(4 AS BIGINT) AS radius,
+       |  round(dtw.dp, 6) AS dtw_dist,
+       |  round(dtw.dp / (pr.na + pr.nb), 6) AS dtw_norm
+       |FROM dtw JOIN pr ON dtw.ga = pr.ga AND dtw.gb = pr.gb
+       |WHERE dtw.i = pr.na AND dtw.j = pr.nb
+       |ORDER BY type_a, type_b""".stripMargin
+
   /** LPA twin: the 4-round fixpoint unrolled as chained CTEs (the
     * pagerank-oracle trick) — integer counts, lexicographic tiebreak. */
   private def lpaSql: String = {
@@ -660,6 +1186,19 @@ object R10 {
     "ml_lasso_cd" -> lassoCdSql,
 
     "graph_label_propagation" -> lpaSql,
+
+    "ml_kmeans_lloyd" -> kmeansLloydSql,
+
+    "ml_pca_power" -> pcaPowerSql,
+
+    "ml_holt_winters_filter" -> hwFilterSql,
+
+    "stream_holt_winters" -> hwFilterSql,
+
+    "ml_huber_irls" -> huberIrlsSql(
+      "events", "epoch_ns(ts) // 21600000000000", "quantile_cont(abs(r), 0.5)"),
+
+    "ts_dtw_pairs" -> dtwPairsSql,
 
     "ml_ensemble_grouped" -> groupedEnsembleSql(
       "events", "epoch_ns(ts) // 1800000000000", "event_type",

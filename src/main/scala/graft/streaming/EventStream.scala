@@ -871,6 +871,92 @@ object EventStream {
         queryName, OutputMode.Update()))
   }
 
+  // ---- streaming Holt–Winters filter ----------------------------------
+
+  case class HwEvent(ts: java.sql.Timestamp, bucket: Long, v: Double)
+
+  /** Anchor + suffix state: `st` is the HwFilter recursion advanced over
+    * every SEALED bucket (O(M) numbers — permanent, never replayed);
+    * `buf` holds the raw (bucket, value) pairs of buckets the watermark
+    * has not sealed (horizon-bounded). */
+  case class HwBuf(st: graft.operators.HwFilter.St,
+                   buf: Seq[(Long, Double)], version: Long)
+
+  case class HwSnap(n_obs: Long, level: Double, trend: Double,
+                    forecast_1: Double, forecast_1day: Double, rmse: Double,
+                    version: Long)
+
+  /** Streaming Holt–Winters: one state row (single logical series), the
+    * sessionizer's buffered-recompute rule applied at BUCKET grain — a
+    * bucket's mean is immutable once `bucketEnd ≤ watermark` (its mean
+    * is an order-free DECIMAL sum, so intra-bucket arrival order never
+    * matters), sealed means advance the anchor once, and the snapshot
+    * recomputes anchor→suffix per change. Emissions are version-stamped
+    * snapshots; the read side keeps the latest. */
+  def hwStream(events: DataFrame, watermark: String = "1 hour"): Dataset[HwSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bucketUs = 1800000000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("bucket"), col("v"))
+      .as[HwEvent]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[HwBuf, HwSnap](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int, rows: Iterator[HwEvent], state: GroupState[HwBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption
+            .getOrElse(HwBuf(graft.operators.HwFilter.empty, Nil, 0L))
+          val merged = prev.buf ++ rows.map(r => (r.bucket, r.v))
+          val (done, open) = merged.partition {
+            case (b, _) => (b + 1L) * bucketUs <= wmUs
+          }
+          // sealed buckets advance the anchor permanently, in bucket order
+          var st = prev.st
+          done.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, vs) =>
+            st = graft.operators.HwFilter.push(st,
+              graft.operators.HwFilter.mean6(vs.map(_._2)))
+          }
+          // snapshot = anchor extended over the provisional suffix
+          var snap = st
+          open.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, vs) =>
+            snap = graft.operators.HwFilter.push(snap,
+              graft.operators.HwFilter.mean6(vs.map(_._2)))
+          }
+          val v = prev.version + 1
+          state.update(HwBuf(st, open, v))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          if (snap.started) {
+            val (n, l, t, f1, f48, rmse) = graft.operators.HwFilter.summary(snap)
+            Iterator.single(HwSnap(n, l, t, f1, f48, rmse, v))
+          } else Iterator.empty
+      }
+  }
+
+  /** Read side: keep the highest-version snapshot only. */
+  def mergeHwEmissions(emitted: DataFrame): DataFrame = {
+    val latest = emitted.agg(max(col("version")).as("v"))
+    emitted.join(broadcast(latest), col("version") === col("v"))
+      .select("n_obs", "level", "trend", "forecast_1", "forecast_1day", "rmse")
+  }
+
+  /** Harness entry: the REAL streaming Holt–Winters filter run to
+    * completion; wide-watermark convention as [[runEwmaOnce]]. The
+    * merged snapshot matches the batch `ml_holt_winters_filter` oracle
+    * exactly. */
+  def runHwOnce(spark: SparkSession, dir: String, queryName: String,
+                watermark: String = "3650 days"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("ts"), expr("ts_ns div 1800000000000").as("bucket"),
+        col("value").as("v"))
+    mergeHwEmissions(
+      runToMemory(hwStream(events, watermark = watermark).toDF(),
+        queryName, OutputMode.Update()))
+  }
+
   /** Harness entry: the REAL streaming burst detector run to completion;
     * wide-watermark convention as [[runSessionizeOnce]] (micro-batch
     * boundaries must not decide oracle rows; eviction semantics are

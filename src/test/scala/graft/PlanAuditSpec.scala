@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     "ts_haar_energy",          // ≤256-bar frame × 8-row dyadic level table
     "similarity_ivf_probe",    // corpus/queries × 16-row sampled-quantizer attach
     "similarity_mmr_rerank",   // brute-force shortlist baseline (audit posture)
-    "join_spatial_grid")       // crossJoin(broadcast(1-row min/max bounds))
+    "join_spatial_grid",       // crossJoin(broadcast(1-row min/max bounds))
+    "ml_kmeans_lloyd",         // crossJoin(broadcast(k-row centroid frame)) per Lloyd round
+    "ml_huber_irls")           // 1-row coefficient/threshold frames × the bar scan per IRLS step
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

@@ -109,6 +109,81 @@ class R10Spec extends SparkSpec {
       r.getAs[Long]("n_communities") >= 1L))
   }
 
+  test("huber IRLS: planted outliers pull OLS but not the robust fit") {
+    import spark.implicits._
+    // y = 2 + 0.5x exactly, except 4 gross outliers — iteration 0 (OLS)
+    // must be dragged, iteration 4 must sit near the true slope
+    val rows = (0 until 200).flatMap { b =>
+      val x = 100.0 + (b % 50)
+      val y = 2.0 + 0.5 * x + (if (b % 50 == 7 && b < 200 && b % 100 < 50) 300.0 else 0.0)
+      Seq(("purchase", b.toLong * 21600000000000L, x),
+        ("click", b.toLong * 21600000000000L, y))
+    }
+    val df = rows.toDF("event_type", "ts_ns", "value")
+    df.createOrReplaceTempView("r10_huber_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.huberIrlsSql(
+          "r10_huber_planted", "ts_ns div 21600000000000",
+          "percentile(abs(r), 0.5)"))
+        .orderBy("iter").collect()
+      assert(out.length == 5)
+      val b0 = out.head.getAs[Double]("beta")
+      val b4 = out.last.getAs[Double]("beta")
+      assert(math.abs(b4 - 0.5) < math.abs(b0 - 0.5) / 2,
+        s"IRLS must robustify: ols $b0 vs huber $b4")
+      assert(math.abs(b4 - 0.5) < 0.05, s"robust slope $b4 should be ~0.5")
+      assert(out.last.getAs[Long]("n_outliers") > 0L)
+    } finally { spark.catalog.dropTempView("r10_huber_planted"); () }
+  }
+
+  test("kmeans lloyd: partition is exhaustive, centroids finite, WCSS lawful") {
+    val rows = SparkEntry.queries("ml_kmeans_lloyd")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val total = rows.map(_.getAs[Long]("n_points")).sum
+    // every point lands in exactly one cluster (windowed argmin rn=1)
+    import org.apache.spark.sql.functions._
+    val nPts = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket")
+      .agg(sum(when(col("event_type") === "click", 1)).as("c"),
+        sum(when(col("event_type") === "purchase", 1)).as("p"))
+      .filter(col("c").isNotNull && col("p").isNotNull).count()
+    assert(total == nPts, s"partition must cover all $nPts points, got $total")
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("cx").isNaN && !r.getAs[Double]("cy").isNaN)
+      assert(r.getAs[Double]("wcss") >= 0.0)
+    }
+  }
+
+  test("pca power: orthonormal components, ordered positive spectrum") {
+    val rows = SparkEntry.queries("ml_pca_power")(spark, dir)
+      .orderBy("component", "feature").collect()
+    assert(rows.length == 10)
+    val v1 = rows.take(5).map(_.getAs[Double]("loading"))
+    val v2 = rows.drop(5).map(_.getAs[Double]("loading"))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(v1, v1) - 1.0) < 1e-3, s"PC1 norm ${dot(v1, v1)}")
+    assert(math.abs(dot(v2, v2) - 1.0) < 1e-3, s"PC2 norm ${dot(v2, v2)}")
+    assert(math.abs(dot(v1, v2)) < 1e-2, s"PC1·PC2 = ${dot(v1, v2)}")
+    val l1 = rows.head.getAs[Double]("eigenvalue")
+    val l2 = rows.last.getAs[Double]("eigenvalue")
+    assert(l1 >= l2 && l2 > 0.0, s"spectrum $l1, $l2")
+    val e1 = rows.head.getAs[Double]("explained_ratio")
+    val e2 = rows.last.getAs[Double]("explained_ratio")
+    assert(e1 + e2 <= 1.0 + 1e-6 && e1 >= e2)
+  }
+
+  test("holt-winters filter: one finite row with lawful error metrics") {
+    val r = SparkEntry.queries("ml_holt_winters_filter")(spark, dir).head()
+    assert(r.getAs[Long]("n_obs") > 96L)
+    assert(r.getAs[Double]("rmse") >= 0.0)
+    Seq("level", "trend", "forecast_1", "forecast_1day").foreach { c =>
+      assert(!r.getAs[Double](c).isNaN && !r.getAs[Double](c).isInfinite, c)
+    }
+  }
+
   test("grouped ensemble: recovers a planted noiseless AR(2) per series") {
     import spark.implicits._
     // two series, each y_t = c + a·y_{t-1} + b·y_{t-2} exactly, values on

@@ -494,4 +494,63 @@ class StreamingSpec extends SparkSpec {
       assert(finals.sorted == Seq(7L, 8L), s"finals: $finals")
     } finally q.stop()
   }
+
+  test("streaming holt-winters equals the batch filter (availableNow, sf0.001)") {
+    val got = EventStream.runHwOnce(spark, dir, "hw_eq").collect().map(_.toSeq)
+    val want = SparkEntry.queries("ml_holt_winters_filter")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"stream snapshot must equal the batch recursion:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming holt-winters across micro-batches: sealed anchor + late re-mean") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)](
+      49, spark, None)
+    val bucketUs = 1800000000L
+    val t0 = 1700000000000000L // µs, bucket-aligned enough for the test
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_us", "v")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("bucket", expr(s"ts_us div $bucketUs"))
+      .select(col("ts"), col("bucket"), col("v"))
+    val q = EventStream.hwStream(toEvents(mem.toDF()), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hw_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def ts(bucket: Long) = t0 + bucket * bucketUs + 100L
+      def v(i: Long): Double = 100.0 + (i % 48) + (i % 7) * 0.25
+      // batch 1: 100 consecutive buckets (> 2 seasons, so the filter starts)
+      mem.addData((0L until 100L).map(i => (ts(i), v(i))))
+      q.processAllAvailable()
+      // batch 2: a LATE within-watermark event lands in bucket 97 —
+      // its mean must re-form and the snapshot re-time the suffix
+      mem.addData(Seq((ts(97) + 500L, 140.0)))
+      q.processAllAvailable()
+      // batches 3-4: far-future buckets advance the watermark and seal
+      mem.addData(Seq((ts(200), 120.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(400), 121.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("hw_mb")
+      assert(emitted.select("version").distinct.count() >= 3,
+        "each state change must emit a fresh snapshot version")
+      val got = EventStream.mergeHwEmissions(emitted).collect().map(_.toSeq)
+      // driver replay over the FINAL per-bucket means (bucket 97 is the
+      // two-value mean; buckets 200 and 400 extend the series)
+      val means = ((0L until 100L).map(i =>
+          i -> (if (i == 97L) graft.operators.HwFilter.mean6(Seq(v(97), 140.0))
+                else graft.operators.HwFilter.mean6(Seq(v(i))))) ++
+          Seq(200L -> graft.operators.HwFilter.mean6(Seq(120.0)),
+            400L -> graft.operators.HwFilter.mean6(Seq(121.0))))
+        .sortBy(_._1).map(_._2)
+      val st = means.foldLeft(graft.operators.HwFilter.empty)(
+        graft.operators.HwFilter.push)
+      val (n, l, t, f1, f48, rmse) = graft.operators.HwFilter.summary(st)
+      assert(got.toSeq == Seq(Seq(n, l, t, f1, f48, rmse)),
+        s"merged snapshot must equal the full replay:\ngot  ${got.toSeq}\n" +
+          s"want ${Seq(n, l, t, f1, f48, rmse)}")
+    } finally q.stop()
+  }
 }
