@@ -288,6 +288,213 @@ object R10 {
        |ORDER BY iter""".stripMargin
   }
 
+  // ---- logistic regression by Newton-Raphson (shared SQL template) --------
+
+  /** LOGISTIC REGRESSION as a FULL oracle row — the classification
+    * counterpart the registry lacked (`ml_naive_bayes`/`ml_knn_classify`
+    * cover counting/metric classifiers; nothing fit a discriminative
+    * GLM). Binary label y = [purchase mean > its median] over 30-min
+    * buckets, features (click mean, view mean), fitted by 4 unrolled
+    * Newton-Raphson steps — each iteration is ONE scan: gridded logits
+    * z = round(α + β₁x₁ + β₂x₂, 6), probabilities p = round(σ(z), 9),
+    * IRLS weights w = round(p(1−p), 9), then the 3×3 weighted Gram and
+    * gradient as per-term-rounded DECIMAL sums (the `ml_huber_irls`
+    * discipline) and the Newton step solved CLOSED-FORM by Cramer's rule
+    * on 3×3 determinants — fixed expression trees over identical
+    * doubles, so both engines agree bit-for-bit away from libm; the one
+    * libm exposure (exp/ln of a GRIDDED argument, ≤1 ulp apart) is
+    * blunted by the 1e-9 re-grid, the same posture as every ln-based
+    * query (COVERAGE.md decision table). Output: the per-iteration
+    * coefficient trajectory with training accuracy (exact integer) and
+    * log-loss — iteration 0 is the null model, so the fit's progress is
+    * in the result. R10Spec pins the planted-separation law. */
+  def logisticNewtonSql(events: String, bucket: String, median: String,
+                        mat: String): String = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+        .stripMargin
+    // det3 of a row-major 3x3 given as 9 expression strings
+    def det3(m: Seq[String]): String = {
+      val Seq(a, b, c, d, e, f, g, h, i) = m
+      s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+    }
+    val hDet = det3(Seq("sw", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22"))
+    val d0 = det3(Seq("g0", "s1", "s2", "g1", "s11", "s12", "g2", "s12", "s22"))
+    val d1 = det3(Seq("sw", "g0", "s2", "s1", "g1", "s12", "s2", "g2", "s22"))
+    val d2 = det3(Seq("sw", "s1", "g0", "s1", "s11", "g1", "s2", "s12", "g2"))
+    // evaluation pass k scores coefficients c{k-1}; update pass c{k}
+    // applies the Newton step from the same moments
+    val stages = (1 to 5).map { k =>
+      val p = k - 1
+      val upd =
+        if (k == 5) ""
+        else
+          s""",
+             |c$k AS $mat (
+             |  SELECT
+             |    CASE WHEN m$k.det = 0.0 THEN c$p.a
+             |         ELSE round(c$p.a + m$k.dd0 / m$k.det, 9) END AS a,
+             |    CASE WHEN m$k.det = 0.0 THEN c$p.b1
+             |         ELSE round(c$p.b1 + m$k.dd1 / m$k.det, 9) END AS b1,
+             |    CASE WHEN m$k.det = 0.0 THEN c$p.b2
+             |         ELSE round(c$p.b2 + m$k.dd2 / m$k.det, 9) END AS b2
+             |  FROM m$k, c$p)""".stripMargin
+      s"""p$k AS $mat (
+         |  SELECT y, x1, x2, p, round(p * (1.0 - p), 9) AS w
+         |  FROM (
+         |    SELECT bl.y, bl.x1, bl.x2,
+         |      round(1.0 / (1.0 + exp(-round(c.a + c.b1 * bl.x1 + c.b2 * bl.x2, 6))), 9) AS p
+         |    FROM bl, c$p c) pp),
+         |m$k AS $mat (
+         |  SELECT det, dd0, dd1, dd2, n_correct, ll, nn FROM (
+         |    SELECT $hDet AS det, $d0 AS dd0, $d1 AS dd1, $d2 AS dd2,
+         |      n_correct, ll, nn
+         |    FROM (
+         |      SELECT
+         |        ${dsum("w", "sw")}, ${dsum("w * x1", "s1")},
+         |        ${dsum("w * x2", "s2")}, ${dsum("w * x1 * x1", "s11")},
+         |        ${dsum("w * x1 * x2", "s12")}, ${dsum("w * x2 * x2", "s22")},
+         |        ${dsum("y - p", "g0")}, ${dsum("(y - p) * x1", "g1")},
+         |        ${dsum("(y - p) * x2", "g2")},
+         |        CAST(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_correct,
+         |        ${dsum(
+              "-(y * ln(least(greatest(p, 0.000000001), 0.999999999)) " +
+                "+ (1 - y) * ln(least(greatest(1.0 - p, 0.000000001), 0.999999999)))",
+              "ll")},
+         |        count(*) AS nn
+         |      FROM p$k) mm) md)$upd""".stripMargin
+    }.mkString(",\n")
+    val arms = (0 to 4).map { i =>
+      s"""SELECT $i AS iter, c$i.a + 0.0 AS alpha, c$i.b1 + 0.0 AS beta1,
+         |    c$i.b2 + 0.0 AS beta2, m${i + 1}.n_correct AS n_correct,
+         |    round(m${i + 1}.ll / m${i + 1}.nn, 6) AS log_loss
+         |  FROM c$i, m${i + 1}""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH b AS $mat (
+       |  SELECT bucket, x1, x2, p_raw FROM (
+       |    SELECT $bucket AS bucket,
+       |      ${mc("click")} AS x1,
+       |      ${mc("view")} AS x2,
+       |      ${mc("purchase")} AS p_raw
+       |    FROM $events
+       |    WHERE event_type IN ('click', 'view', 'purchase')
+       |    GROUP BY 1) t
+       |  WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND p_raw IS NOT NULL),
+       |med AS (SELECT round($median, 6) AS m FROM b),
+       |bl AS $mat (
+       |  SELECT b.bucket, b.x1, b.x2,
+       |    CASE WHEN b.p_raw > med.m THEN 1 ELSE 0 END AS y
+       |  FROM b, med),
+       |c0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b1,
+       |  CAST(0.0 AS DOUBLE) AS b2),
+       |$stages
+       |SELECT iter, alpha, beta1, beta2, n_correct, log_loss
+       |FROM (
+       |  $arms) u
+       |ORDER BY iter""".stripMargin
+  }
+
+  // ---- gradient-boosted stumps (shared SQL template) ----------------------
+
+  /** GRADIENT BOOSTING as a FULL oracle row — the tree family the
+    * registry could only ship rows-only (`ml_random_forest`/`ml_gbt`
+    * ride seeded MLlib forests): depth-1 regression stumps fitted to
+    * residuals with EXACT argmax splits are fully hash-checkable. Per
+    * boosting round, ONE ordered window pass computes every candidate
+    * split's left/right sufficient statistics (prefix count + prefix
+    * DECIMAL sum over (x, bucket) order — the histogram-split shape that
+    * scales: candidates come from one sort, not one scan per split);
+    * the split score Sl²/nl + Sr²/nr is a fixed expression over
+    * DECIMAL-exact sums (identical doubles both engines — the COVERAGE
+    * doctrine), argmax ties break on the smaller threshold; leaf values
+    * are grid means and the residual update r ← round(r − ν·leaf, 6)
+    * with ν = 0.5. Output: per-round (threshold, leaf values, training
+    * SSE) — SSE is non-increasing by construction, pinned in R10Spec.
+    * The seeded-MLlib `ml_gbt` stays the library surface. */
+  def gbtStumpsSql(events: String, bucket: String, mat: String): String = {
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+        .stripMargin
+    // r lives on the exact 1e-7 grid as DECIMAL(15,7) (leaves are grid-6,
+    // nu = 0.5 makes every increment scale-7): the update NEVER rounds, so
+    // no midpoint ever meets an engine-specific round(). r^2 at scale 14
+    // stays inside DECIMAL(31,14)/sum(38,14) exactly on both engines.
+    def sse(src: String) =
+      "round(CAST(sum(CAST(CAST(r AS DECIMAL(19,7)) * CAST(r AS DECIMAL(19,7))" +
+        s" AS DECIMAL(38,14))) AS DOUBLE), 6) AS sse FROM $src"
+    val iters = (1 to 6).map { i =>
+      val p = i - 1
+      s"""cum$i AS $mat (
+         |  SELECT bucket, x, r,
+         |    count(*) OVER (ORDER BY x, bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cn,
+         |    sum(r) OVER (ORDER BY x, bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cs,
+         |    row_number() OVER (PARTITION BY x ORDER BY bucket DESC) AS lastx
+         |  FROM s$p),
+         |agg$i AS $mat (
+         |  SELECT count(*) AS n, sum(r) AS s,
+         |    max(x) AS mx
+         |  FROM s$p),
+         |best$i AS $mat (
+         |  SELECT x AS thr,
+         |    round(CAST(cs AS DOUBLE) / cn, 6) + 0.0 AS lm,
+         |    round(CAST(s - cs AS DOUBLE) / (n - cn), 6) + 0.0 AS rm
+         |  FROM (
+         |    SELECT c.x, c.cn, c.cs, a.n, a.s,
+         |      row_number() OVER (ORDER BY
+         |        (CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)) / c.cn
+         |          + (CAST(a.s - c.cs AS DOUBLE) * CAST(a.s - c.cs AS DOUBLE))
+         |            / (a.n - c.cn) DESC,
+         |        c.x ASC) AS rk
+         |    FROM cum$i c, agg$i a
+         |    WHERE c.lastx = 1 AND c.x < a.mx) t
+         |  WHERE rk = 1),
+         |s$i AS $mat (
+         |  SELECT s.bucket, s.x,
+         |    CAST(s.r - CAST(CAST((CASE WHEN s.x <= b.thr THEN b.lm
+         |        ELSE b.rm END) AS DECIMAL(18,6)) * CAST(0.5 AS DECIMAL(2,1))
+         |      AS DECIMAL(19,7)) AS DECIMAL(15,7)) AS r
+         |  FROM s$p s, best$i b),
+         |met$i AS $mat (SELECT ${sse(s"s$i")})""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to 6).map(i =>
+      s"SELECT $i AS iter, b.thr AS threshold, b.lm AS left_val, " +
+        s"b.rm AS right_val, m.sse AS train_sse FROM best$i b, met$i m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS $mat (
+       |  SELECT bucket, x, y FROM (
+       |    SELECT $bucket AS bucket,
+       |      ${mc("click")} AS x,
+       |      ${mc("purchase")} AS y
+       |    FROM $events WHERE event_type IN ('click', 'purchase')
+       |    GROUP BY 1) t
+       |  WHERE x IS NOT NULL AND y IS NOT NULL),
+       |f0 AS $mat (
+       |  SELECT round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE)
+       |    / count(*), 6) AS f FROM base),
+       |s0 AS $mat (
+       |  SELECT base.bucket, base.x,
+       |    CAST(CAST(base.y AS DECIMAL(18,6)) - CAST(f0.f AS DECIMAL(18,6))
+       |      AS DECIMAL(15,7)) AS r
+       |  FROM base, f0),
+       |met0 AS $mat (SELECT ${sse("s0")}),
+       |$iters
+       |SELECT iter, threshold, left_val, right_val, train_sse FROM (
+       |  SELECT 0 AS iter, CAST(0.0 AS DOUBLE) AS threshold,
+       |    f0.f AS left_val, f0.f AS right_val, met0.sse AS train_sse
+       |  FROM f0, met0
+       |  UNION ALL $arms) u
+       |ORDER BY iter""".stripMargin
+  }
+
   // ---- GMV audit ----------------------------------------------------------
 
   /** Fixed-iteration GMV solve + optimality audit, shared by the Spark
@@ -397,6 +604,25 @@ object R10 {
       s.sql(huberIrlsSql(v, "ts_ns div 21600000000000",
         "percentile(abs(r), 0.5)"))
     }),
+
+    "ml_logistic_newton" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(logisticNewtonSql(v, "ts_ns div 1800000000000",
+        "percentile(p_raw, 0.5)", ""))
+    }),
+
+    "ml_gbt_stumps" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(gbtStumpsSql(v, "ts_ns div 1800000000000", ""))
+    }),
+
+    /** The watermark-GATED left-outer stream-stream join — see
+      * `EventStream.leftOuterAttribution`: unmatched clicks emit only
+      * when the final watermark proves no future view can match, so the
+      * (narrow) watermark IS the semantics under test and the oracle
+      * computes the final watermark in SQL. */
+    "stream_join_left_outer" -> ((s, d) =>
+      graft.streaming.EventStream.runLeftOuterOnce(s, d,
+          s"stream_ljoin_v${sqlRuns.incrementAndGet()}")
+        .orderBy("user_id")),
 
     /** LASSO as a FULL ORACLE row — the L1 path the MLlib twins
       * (`ml_lasso`/`ml_elasticnet`, OWL-QN, rows-only) cannot hash-check:
@@ -1197,6 +1423,45 @@ object R10 {
 
     "ml_huber_irls" -> huberIrlsSql(
       "events", "epoch_ns(ts) // 21600000000000", "quantile_cont(abs(r), 0.5)"),
+
+    "ml_logistic_newton" -> logisticNewtonSql(
+      "events", "epoch_ns(ts) // 1800000000000", "quantile_cont(p_raw, 0.5)",
+      "MATERIALIZED"),
+
+    "ml_gbt_stumps" -> gbtStumpsSql(
+      "events", "epoch_ns(ts) // 1800000000000", "MATERIALIZED"),
+
+    /** Final watermark = min of the two sides' (max event time − delay);
+      * matched pairs emit eagerly, unmatched clicks only once evicted
+      * (click_ts strictly below the final watermark — the boundary
+      * StreamingSpec pins). */
+    "stream_join_left_outer" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (
+        |  SELECT least((SELECT max(cts) FROM c), (SELECT max(vts) FROM v))
+        |    - 86400000000 AS w),
+        |nm AS (
+        |  SELECT c.user_id, count(*) AS n_matched
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND v.vts BETWEEN c.cts - 21600000000 AND c.cts
+        |  GROUP BY 1),
+        |nu AS (
+        |  SELECT c.user_id, count(*) AS n_unmatched
+        |  FROM c, wm
+        |  WHERE c.cts < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM v WHERE v.user_id = c.user_id
+        |      AND v.vts BETWEEN c.cts - 21600000000 AND c.cts)
+        |  GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(coalesce(nm.n_matched, 0) AS BIGINT) AS n_matched,
+        |  CAST(coalesce(nu.n_unmatched, 0) AS BIGINT) AS n_unmatched
+        |FROM nm FULL OUTER JOIN nu USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "ts_dtw_pairs" -> dtwPairsSql,
 

@@ -289,6 +289,55 @@ object EventStream {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** LEFT OUTER stream-stream join — the watermark-GATED half of the
+    * join surface (`attributionJoin` covers the eager inner half):
+    * a click with no same-user view in the preceding `horizon` emits a
+    * null-extended row ONLY when the watermark passes its state-eviction
+    * point — the engine must prove no future view can ever match before
+    * it may say "unmatched". That makes the result a function of the
+    * FINAL watermark, not of micro-batch layout: matched pairs emit
+    * eagerly (complete set under any file split), and the unmatched set
+    * is exactly the never-matched clicks whose click_ts the final
+    * watermark passed — clicks inside the final watermark window are
+    * (correctly) still pending in state when the run finishes and appear
+    * not at all. Unlike every other `run*Once` entry this one therefore
+    * runs with a REAL (narrow) watermark: the narrowness is the
+    * semantics under test. The final watermark is min(max click_ts,
+    * max view_ts) − delay (each side's watermark node tracks its own
+    * max; the global watermark is their min), which the DuckDB twin
+    * computes in SQL; the strict-< eviction boundary and the
+    * no-data-batch flush that publishes the last advance are pinned in
+    * StreamingSpec via MemoryStream. */
+  def leftOuterAttribution(events: DataFrame, horizon: String = "6 hours",
+                           watermark: String = "1 day"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("click_user") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
+        col("view_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Harness entry: the left-outer attribution join run to completion;
+    * per-user matched-pair and evicted-unmatched-click counts (the
+    * aggregate is batch, over the materialized join output). */
+  def runLeftOuterOnce(spark: SparkSession, dir: String, queryName: String,
+                       horizon: String = "6 hours",
+                       watermark: String = "1 day"): DataFrame =
+    runToMemory(leftOuterAttribution(readEvents(spark, dir), horizon, watermark),
+        queryName, OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(when(col("view_id").isNotNull, 1)).as("n_matched"),
+        count(when(col("view_id").isNull, 1)).as("n_unmatched"))
+
   // ---- stateful sessionization -----------------------------------------
 
   /** `ts` (the watermarked timestamp column) MUST survive the projection

@@ -215,4 +215,81 @@ class R10Spec extends SparkSpec {
       }
     } finally { spark.catalog.dropTempView("r10_planted"); () }
   }
+
+  test("logistic newton: planted separation drives accuracy up, log-loss down") {
+    import spark.implicits._
+    // purchase = 100 exactly when x1 >= 75 (else 10), so the label the
+    // query derives (purchase > median) is x1-separable; x2 is noise
+    val rows = (0 until 200).flatMap { b =>
+      val x1 = 50.0 + (b % 100) * 0.5
+      val x2 = 60.0 + (b % 7)
+      val pv = if (x1 >= 75.0) 100.0 else 10.0
+      Seq(("click", b.toLong * 1800000000000L, x1),
+        ("view", b.toLong * 1800000000000L, x2),
+        ("purchase", b.toLong * 1800000000000L, pv))
+    }
+    val df = rows.toDF("event_type", "ts_ns", "value")
+    df.createOrReplaceTempView("r10_logit_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.logisticNewtonSql(
+          "r10_logit_planted", "ts_ns div 1800000000000",
+          "percentile(p_raw, 0.5)", ""))
+        .orderBy("iter").collect()
+      assert(out.length == 5)
+      val first = out.head; val last = out.last
+      assert(first.getAs[Double]("log_loss") > last.getAs[Double]("log_loss"),
+        "Newton steps must reduce training log-loss on separable data")
+      assert(last.getAs[Double]("beta1") > 0.0,
+        "the separating feature must get a positive weight")
+      assert(last.getAs[Long]("n_correct") >= 190L,
+        s"separable data should classify nearly perfectly, " +
+          s"got ${last.getAs[Long]("n_correct")}/200")
+    } finally { spark.catalog.dropTempView("r10_logit_planted"); () }
+  }
+
+  test("gbt stumps: planted two-cluster target found at the exact threshold, geometric SSE decay") {
+    import spark.implicits._
+    // x in {10, 100}, y constant within cluster: the best stump is the
+    // cluster boundary; with nu = 0.5 and piecewise-constant residuals the
+    // leaf values absorb exactly half the residual each round, so SSE
+    // contracts by 0.25 per iteration until grid rounding bites
+    val rows = (0 until 200).flatMap { b =>
+      val x = if (b % 2 == 0) 10.0 else 100.0
+      val y = if (b % 2 == 0) 5.0 else 50.0
+      Seq(("click", b.toLong * 1800000000000L, x),
+        ("purchase", b.toLong * 1800000000000L, y))
+    }
+    val df = rows.toDF("event_type", "ts_ns", "value")
+    df.createOrReplaceTempView("r10_gbt_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.gbtStumpsSql(
+          "r10_gbt_planted", "ts_ns div 1800000000000", ""))
+        .orderBy("iter").collect()
+      assert(out.length == 7)
+      val sses = out.map(_.getAs[Double]("train_sse"))
+      assert(sses.sliding(2).forall { case Array(a, b) => b <= a + 1e-9 },
+        s"boosting SSE must be non-increasing: ${sses.mkString(",")}")
+      out.drop(1).foreach { r =>
+        assert(r.getAs[Double]("threshold") == 10.0,
+          s"stump must split at the cluster boundary, " +
+            s"got ${r.getAs[Double]("threshold")}")
+      }
+      val ratio = sses(1) / sses(0)
+      assert(math.abs(ratio - 0.25) < 0.01,
+        s"first boosting round should contract SSE by ~0.25, got $ratio")
+    } finally { spark.catalog.dropTempView("r10_gbt_planted"); () }
+  }
+
+  test("gbt stumps on data: SSE strictly decreases and leaves are finite") {
+    val out = SparkEntry.queries("ml_gbt_stumps")(spark, dir)
+      .orderBy("iter").collect()
+    assert(out.length == 7)
+    val sses = out.map(_.getAs[Double]("train_sse"))
+    assert(sses.sliding(2).forall { case Array(a, b) => b <= a },
+      s"SSE must not increase: ${sses.mkString(",")}")
+    out.foreach { r =>
+      assert(!r.getAs[Double]("left_val").isNaN &&
+        !r.getAs[Double]("right_val").isNaN)
+    }
+  }
 }

@@ -553,4 +553,47 @@ class StreamingSpec extends SparkSpec {
           s"want ${Seq(n, l, t, f1, f48, rmse)}")
     } finally q.stop()
   }
+
+  test("left-outer join: matches emit eagerly, nulls only after the watermark evicts") {
+    import spark.implicits._
+    // (event_id, user_id, event_type, ts_us)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)](
+      61, spark, None)
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val t0 = 1700000000000000L // µs
+    val hourUs = 3600000000L
+    val dayUs = 24L * hourUs
+    val q = EventStream.leftOuterAttribution(toEvents(mem.toDF()),
+        horizon = "6 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ljoin_mb")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 clicks with no view; user 2 clicks with a view
+      // 1s earlier — only the user-2 INNER match may appear (eager);
+      // user 1 must still be pending, not declared unmatched
+      mem.addData(Seq((10L, 1L, "click", t0), (20L, 2L, "click", t0),
+        (21L, 2L, "view", t0 - 1000000L)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("ljoin_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      assert(afterB1 == Set((2L, 20L, Some(21L))),
+        s"only the eager inner match may emit before the watermark: $afterB1")
+      // batch 2: far-future click AND view advance BOTH sides' watermarks
+      // past user 1's eviction point (global wm = min(sides) - 1h)
+      mem.addData(Seq((90L, 98L, "click", t0 + 2 * dayUs),
+        (91L, 99L, "view", t0 + 2 * dayUs)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ljoin_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      assert(afterB2.contains((1L, 10L, None)),
+        s"evicted never-matched click must emit a null row: $afterB2")
+      assert(!afterB2.exists(_._2 == 90L),
+        "a click the watermark has not passed must stay pending, " +
+          s"not emit: $afterB2")
+      assert(afterB2.size == 2)
+    } finally q.stop()
+  }
 }
