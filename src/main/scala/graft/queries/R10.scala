@@ -495,6 +495,94 @@ object R10 {
        |ORDER BY iter""".stripMargin
   }
 
+  // ---- log-rank test (shared SQL template) --------------------------------
+
+  /** TWO-GROUP SURVIVAL COMPARISON — the log-rank test, run where the
+    * events table actually has survival structure: SESSION DURATIONS
+    * (the 10-min-gap sessions the `sessionize_*` family defines; ~10k
+    * spells at sf0.01), comparing weekend-started vs weekday-started
+    * sessions. A session is an observed "death" when it closed at least
+    * one gap before the span end; a session still inside the gap at the
+    * end of observation is censored — the right-censoring mechanism
+    * survival analysis exists for (the per-user lifetime frame of
+    * `ml_survival_km` has near-zero churn at test SFs, which would make
+    * the test vacuous). At every distinct duration with pooled deaths,
+    * the hypergeometric O−E and variance terms are rationals of INTEGER
+    * at-risk/death counts (suffix sums via one descending window),
+    * computed as identical doubles both engines, per-term rounded 1e-9
+    * and summed in DECIMAL; χ² = (O−E)²/V with a V=0 guard. Weekday
+    * from exact epoch-day arithmetic (the `fin_dow_effects`
+    * convention). ONE SQL text; dialect supplies the epoch-µs
+    * expression and the integer-division token. */
+  def logrankSql(events: String, epochUs: String, idiv: String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, $epochUs AS ts_us FROM $events),
+       |flagged AS (
+       |  SELECT user_id, ts_us,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts_us,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged),
+       |sgrp AS (
+       |  SELECT user_id, sid, min(ts_us) AS s0, max(ts_us) AS s1
+       |  FROM sess GROUP BY user_id, sid),
+       |bounds AS (SELECT max(s1) AS endus FROM sgrp),
+       |obs AS (
+       |  SELECT (s1 - s0) $idiv 60000000 AS t,
+       |    CASE WHEN b.endus - s1 > 600000000 THEN 1 ELSE 0 END AS e,
+       |    CASE WHEN (s0 $idiv 86400000000 + 4) % 7 IN (0, 6)
+       |      THEN 1 ELSE 0 END AS grp
+       |  FROM sgrp, bounds b),
+       |byt AS (
+       |  SELECT t,
+       |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1,
+       |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a0,
+       |    sum(CASE WHEN grp = 1 AND e = 1 THEN 1 ELSE 0 END) AS d1,
+       |    sum(CASE WHEN grp = 0 AND e = 1 THEN 1 ELSE 0 END) AS d0
+       |  FROM obs GROUP BY t),
+       |rk AS (
+       |  SELECT t, d1, d0,
+       |    sum(a1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n1,
+       |    sum(a0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n0
+       |  FROM byt),
+       |terms AS (
+       |  SELECT
+       |    round(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0), 9) AS e1,
+       |    CASE WHEN n1 + n0 > 1 THEN
+       |      round(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0) * n0 / (n1 + n0)
+       |        * (n1 + n0 - d1 - d0) / (n1 + n0 - 1), 9)
+       |    ELSE 0.0 END AS v1,
+       |    d1, d0
+       |  FROM rk WHERE d1 + d0 > 0),
+       |agg AS (
+       |  SELECT CAST(sum(d1) AS BIGINT) AS events_we,
+       |    CAST(sum(d0) AS BIGINT) AS events_wd,
+       |    CAST(sum(CAST(e1 AS DECIMAL(28,9))) AS DOUBLE) AS exp1,
+       |    CAST(sum(CAST(v1 AS DECIMAL(28,9))) AS DOUBLE) AS var1
+       |  FROM terms),
+       |cnt AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wd,
+       |    CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+       |  FROM obs)
+       |SELECT cnt.n_we AS n_sessions_weekend, cnt.n_wd AS n_sessions_weekday,
+       |  cnt.n_censored, agg.events_we, agg.events_wd,
+       |  round(agg.exp1, 6) AS expected_weekend,
+       |  CASE WHEN agg.var1 = 0.0 THEN 0.0
+       |       ELSE round((agg.events_we - agg.exp1) * (agg.events_we - agg.exp1)
+       |         / agg.var1, 6) END AS chi2,
+       |  CASE WHEN agg.var1 = 0.0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(CASE WHEN (agg.events_we - agg.exp1)
+       |           * (agg.events_we - agg.exp1) / agg.var1
+       |           > 3.841458820694124 THEN 1 ELSE 0 END AS BIGINT)
+       |  END AS reject_95
+       |FROM agg, cnt""".stripMargin
+
   // ---- GMV audit ----------------------------------------------------------
 
   /** Fixed-iteration GMV solve + optimality audit, shared by the Spark
@@ -623,6 +711,90 @@ object R10 {
       graft.streaming.EventStream.runLeftOuterOnce(s, d,
           s"stream_ljoin_v${sqlRuns.incrementAndGet()}")
         .orderBy("user_id")),
+
+    "stat_logrank" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(logrankSql(v, "ts_ns div 1000", "div"))
+    }),
+
+    /** DENSITY CLUSTERING as a FULL oracle row — DBSCAN (Ester et al.
+      * 1996) over the (click, purchase) 30-min plane, composed entirely
+      * from patterns the registry has already certified at scale:
+      * ε-grid CELL candidate generation (the `join_spatial_grid` 3×3
+      * fan-out — every ≤ε pair lands in adjacent ε-sized cells, so the
+      * candidate join is cell-keyed, never quadratic), the EXACT ε-disk
+      * filter only on candidates (identical grid-6 doubles both
+      * engines), core points by integer neighbor count (≥ minPts,
+      * self included), clusters = connected components over core-core
+      * ε-edges via `Dedup.connectedComponents` (distributed min-label
+      * propagation; the oracle replays it as the `dedup_clusters_cc`
+      * transitive-closure recursive CTE), border points adopt the MIN
+      * component among their core neighbors, everything else is noise
+      * (component −1). Output: per-cluster core/border/total counts and
+      * DECIMAL-exact grid centroids, noise row included — at sf0.01
+      * ε=3, minPts=5 yields 22 clusters + 523 noise points. The k-means
+      * rows (`ml_kmeans`/`ml_kmeans_lloyd`) assume convex equal-variance
+      * blobs; this is the arbitrary-shape/noise-tolerant counterpart a
+      * clustering suite needs. */
+    "ml_dbscan_grid" -> ((s, d) => {
+      val eps = 3.0
+      val minPts = 5
+      val pts = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+        .groupBy("bucket")
+        .agg(Grid.mean6(when(col("event_type") === "click", col("value"))).as("x"),
+          Grid.mean6(when(col("event_type") === "purchase", col("value"))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .withColumn("cx", floor(col("x") / eps).cast("long"))
+        .withColumn("cy", floor(col("y") / eps).cast("long"))
+        .localCheckpoint() // scanned by probes, candidates, and the audit
+      val probes = pts
+        .select(col("bucket").as("ab"), col("x").as("xa"), col("y").as("ya"),
+          col("cx").as("ca"), col("cy").as("cya"))
+        .withColumn("o", explode(expr("array(-1L, 0L, 1L)")))
+        .withColumn("p", explode(expr("array(-1L, 0L, 1L)")))
+        .select(col("ab"), col("xa"), col("ya"),
+          (col("ca") + col("o")).as("tx"), (col("cya") + col("p")).as("ty"))
+      val nbrs = probes
+        .join(pts, probes("tx") === pts("cx") && probes("ty") === pts("cy"))
+        .filter((col("xa") - col("x")) * (col("xa") - col("x")) +
+          (col("ya") - col("y")) * (col("ya") - col("y")) <= eps * eps)
+        .select(col("ab"), col("bucket").as("cb"))
+        .localCheckpoint() // reused: core census, core edges, border vote
+      val core = nbrs.groupBy("ab").agg(count(lit(1)).as("nc"))
+        .filter(col("nc") >= minPts)
+        .select(col("ab").as("bucket"))
+        .localCheckpoint()
+      val coreEdges = nbrs
+        .join(core.select(col("bucket").as("ab")), "ab")
+        .join(core.select(col("bucket").as("cb")), "cb")
+        .filter(col("ab") < col("cb"))
+        .select(col("ab").as("a"), col("cb").as("b"))
+      val cc = graft.operators.Dedup.connectedComponents(coreEdges, "a", "b")
+      // an isolated core point (no core neighbor) is its own cluster
+      val coreLab = core
+        .join(cc.withColumnRenamed("id", "bucket"), Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("component"), col("bucket")).as("component"),
+          lit("core").as("role"))
+      val borderLab = nbrs
+        .join(core.select(col("bucket").as("ab")), Seq("ab"), "left_anti")
+        .join(coreLab.select(col("bucket").as("cb"), col("component")), "cb")
+        .groupBy(col("ab").as("bucket"))
+        .agg(min("component").as("component"))
+        .withColumn("role", lit("border"))
+      val labeled = coreLab.unionByName(borderLab)
+      pts.join(labeled, Seq("bucket"), "left")
+        .select(col("x"), col("y"),
+          coalesce(col("component"), lit(-1L)).as("component"),
+          coalesce(col("role"), lit("noise")).as("role"))
+        .groupBy("component")
+        .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+          sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+          count(lit(1)).as("n_points"),
+          Grid.mean6(col("x")).as("ctr_x"), Grid.mean6(col("y")).as("ctr_y"))
+        .orderBy("component")
+    }),
 
     /** LASSO as a FULL ORACLE row — the L1 path the MLlib twins
       * (`ml_lasso`/`ml_elasticnet`, OWL-QN, rows-only) cannot hash-check:
@@ -1462,6 +1634,74 @@ object R10 {
         |  CAST(coalesce(nu.n_unmatched, 0) AS BIGINT) AS n_unmatched
         |FROM nm FULL OUTER JOIN nu USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "stat_logrank" -> logrankSql("events", "epoch_us(ts)", "//"),
+
+    /** DBSCAN twin: the exact ε-disk over an n² candidate join (the
+      * oracle needs correctness, not the cell index), components by the
+      * `dedup_clusters_cc` transitive-closure CTE, border = min core
+      * neighbor's component, noise = −1. */
+    "ml_dbscan_grid" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT bucket,
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'click' THEN value END), 6) AS x,
+        |    round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'purchase' THEN value END), 6) AS y
+        |  FROM (
+        |    SELECT epoch_ns(ts) // 1800000000000 AS bucket, event_type, value
+        |    FROM events WHERE event_type IN ('click', 'purchase')) t
+        |  GROUP BY 1),
+        |p AS MATERIALIZED (
+        |  SELECT bucket, x, y FROM b WHERE x IS NOT NULL AND y IS NOT NULL),
+        |nb AS MATERIALIZED (
+        |  SELECT a.bucket AS ab, c.bucket AS cb
+        |  FROM p a JOIN p c
+        |    ON (a.x - c.x) * (a.x - c.x) + (a.y - c.y) * (a.y - c.y) <= 9.0),
+        |core AS MATERIALIZED (
+        |  SELECT ab AS bucket FROM nb GROUP BY ab HAVING count(*) >= 5),
+        |ce AS MATERIALIZED (
+        |  SELECT nb.ab AS a, nb.cb AS b FROM nb
+        |  JOIN core k1 ON nb.ab = k1.bucket
+        |  JOIN core k2 ON nb.cb = k2.bucket
+        |  WHERE nb.ab < nb.cb),
+        |edges AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS bucket, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |corelab AS MATERIALIZED (
+        |  SELECT k.bucket, coalesce(cc.component, k.bucket) AS component,
+        |    'core' AS role
+        |  FROM core k LEFT JOIN cc ON cc.bucket = k.bucket),
+        |borderlab AS (
+        |  SELECT nb.ab AS bucket, min(cl.component) AS component,
+        |    'border' AS role
+        |  FROM nb JOIN corelab cl ON nb.cb = cl.bucket
+        |  WHERE nb.ab NOT IN (SELECT bucket FROM core)
+        |  GROUP BY nb.ab),
+        |lab AS (
+        |  SELECT bucket, component, role FROM corelab
+        |  UNION ALL SELECT bucket, component, role FROM borderlab)
+        |SELECT component,
+        |  CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_core,
+        |  CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_border,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS ctr_x,
+        |  round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS ctr_y
+        |FROM (
+        |  SELECT p.x, p.y, coalesce(l.component, -1) AS component,
+        |    coalesce(l.role, 'noise') AS role
+        |  FROM p LEFT JOIN lab l ON p.bucket = l.bucket) u
+        |GROUP BY component ORDER BY component""".stripMargin,
 
     "ts_dtw_pairs" -> dtwPairsSql,
 

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_mmr_rerank",   // brute-force shortlist baseline (audit posture)
     "join_spatial_grid",       // crossJoin(broadcast(1-row min/max bounds))
     "ml_kmeans_lloyd",         // crossJoin(broadcast(k-row centroid frame)) per Lloyd round
-    "ml_huber_irls")           // 1-row coefficient/threshold frames × the bar scan per IRLS step
+    "ml_huber_irls",           // 1-row coefficient/threshold frames × the bar scan per IRLS step
+    "ml_logistic_newton",      // 1-row coefficient/moment frames × the bucket scan per Newton step
+    "ml_gbt_stumps",           // 1-row best-split/total frames × the residual scan per round
+    "stat_logrank")            // 1-row span-end/aggregate frames × the session scan
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

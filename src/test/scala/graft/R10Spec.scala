@@ -280,6 +280,90 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_gbt_planted"); () }
   }
 
+  test("dbscan: registered query matches a brute-force driver DBSCAN") {
+    import spark.implicits._
+    val eps = 3.0; val minPts = 5
+    // sf0.01: ~800 points, enough for non-trivial cluster structure
+    // (sf0.001 yields only ~26 joint buckets); brute force is O(n²) driver
+    val bfDir = "/root/testdata/sf0.01"
+    // the same point frame the query builds, collected (test-sized)
+    val pts = graft.Tables.events(spark, bfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy("bucket")
+      .agg(graft.queries.Grid.mean6(when(col("event_type") === "click", col("value"))).as("x"),
+        graft.queries.Grid.mean6(when(col("event_type") === "purchase", col("value"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val n = pts.length
+    assert(n > 100)
+    val nbr = Array.tabulate(n) { i =>
+      (0 until n).filter { j =>
+        val dx = pts(i)._2 - pts(j)._2; val dy = pts(i)._3 - pts(j)._3
+        dx * dx + dy * dy <= eps * eps
+      }
+    }
+    val isCore = (0 until n).map(i => nbr(i).length >= minPts)
+    // union-find over core-core edges
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = { var x = a; while (parent(x) != x) x = parent(x); x }
+    for (i <- 0 until n if isCore(i); j <- nbr(i) if isCore(j)) {
+      val (a, b) = (find(i), find(j))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    // component label = min BUCKET id among member cores (the query's rule)
+    val compOf = scala.collection.mutable.Map[Int, Long]()
+    for (i <- 0 until n if isCore(i)) {
+      val r = find(i)
+      compOf(r) = math.min(compOf.getOrElse(r, Long.MaxValue), pts(i)._1)
+    }
+    val label = (0 until n).map { i =>
+      if (isCore(i)) compOf(find(i))
+      else {
+        val coreN = nbr(i).filter(isCore)
+        if (coreN.nonEmpty) coreN.map(j => compOf(find(j))).min else -1L
+      }
+    }
+    val wantSizes = label.zipWithIndex.groupBy(_._1).map { case (c, m) =>
+      (c, m.size, m.count(p => isCore(p._2)))
+    }.toSet
+    val got = SparkEntry.queries("ml_dbscan_grid")(spark, bfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3).toInt, r.getLong(1).toInt)).toSet
+    assert(got == wantSizes,
+      s"distributed DBSCAN must equal brute force:\ngot  $got\nwant $wantSizes")
+  }
+
+  test("logrank: planted weekend-longer sessions reject decisively") {
+    import spark.implicits._
+    val day = 86400000000000L // ns
+    val satBase = 7002L * day // epoch day ≡ 2 mod 7 → Saturday
+    val monBase = 7004L * day // Monday
+    var eid = 0L
+    val rows = ((0 until 100).flatMap { k =>
+      eid += 2
+      // weekend session: two events 9 min apart (duration 9 min)
+      // 20-min spacing keeps all 100 sessions inside Sat+Sun (33 h span)
+      Seq((1000L + k, eid - 1, satBase + k * 1200000000000L),
+        (1000L + k, eid, satBase + k * 1200000000000L + 540000000000L))
+    } ++ (0 until 100).map { k =>
+      eid += 1
+      // weekday session: a single event (duration 0)
+      (2000L + k, eid, monBase + k * 1200000000000L)
+    } :+ ((9999L, eid + 1, monBase + 30L * day))) // far sentinel: censors itself
+    val df = rows.toDF("user_id", "event_id", "ts_ns")
+    df.createOrReplaceTempView("r10_logrank_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.logrankSql(
+        "r10_logrank_planted", "ts_ns div 1000", "div")).head()
+      assert(out.getAs[Long]("n_sessions_weekend") == 100L)
+      assert(out.getAs[Long]("n_sessions_weekday") == 101L)
+      assert(out.getAs[Long]("n_censored") == 1L)
+      assert(out.getAs[Double]("chi2") > 50.0,
+        s"planted duration gap must be decisive, chi2 ${out.getAs[Double]("chi2")}")
+      assert(out.getAs[Long]("reject_95") == 1L)
+    } finally { spark.catalog.dropTempView("r10_logrank_planted"); () }
+  }
+
   test("gbt stumps on data: SSE strictly decreases and leaves are finite") {
     val out = SparkEntry.queries("ml_gbt_stumps")(spark, dir)
       .orderBy("iter").collect()
