@@ -514,7 +514,12 @@ object R10 {
     * from exact epoch-day arithmetic (the `fin_dow_effects`
     * convention). ONE SQL text; dialect supplies the epoch-µs
     * expression and the integer-division token. */
-  def logrankSql(events: String, epochUs: String, idiv: String): String =
+  /** The session-survival frame both `stat_logrank` and `ml_cox_ph`
+    * consume: 10-min-gap sessions → per-duration arrivals/deaths by
+    * weekend cohort → suffix at-risk counts. Ends with the `rk`
+    * (t, d1, d0, n1, n0) integer frame. */
+  private def sessionRiskSql(events: String, epochUs: String,
+                             idiv: String): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, $epochUs AS ts_us FROM $events),
        |flagged AS (
@@ -548,7 +553,10 @@ object R10 {
        |  SELECT t, d1, d0,
        |    sum(a1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n1,
        |    sum(a0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n0
-       |  FROM byt),
+       |  FROM byt)""".stripMargin
+
+  def logrankSql(events: String, epochUs: String, idiv: String): String =
+    s"""${sessionRiskSql(events, epochUs, idiv)},
        |terms AS (
        |  SELECT
        |    round(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0), 9) AS e1,
@@ -582,6 +590,499 @@ object R10 {
        |           > 3.841458820694124 THEN 1 ELSE 0 END AS BIGINT)
        |  END AS reject_95
        |FROM agg, cnt""".stripMargin
+
+  /** COX PROPORTIONAL HAZARDS as a FULL oracle row — the regression
+    * counterpart of `stat_logrank` on the SAME session-survival frame
+    * (covariate x = weekend start, Breslow tie handling): 4 unrolled
+    * Newton steps on the partial likelihood. With a binary covariate
+    * every risk-set sum collapses onto the integer (n1, n0, d1, d0)
+    * frame — S0 = n0 + n1·e^β, S1 = S2 = n1·e^β — so the score
+    * U(β) = Σ_t [d1 − d·S1/S0] and information I(β) = Σ_t d·(S1/S0)·
+    * (1 − S1/S0) are fixed expressions over identical doubles (e^β of a
+    * GRIDDED argument; per-term 1e-9 rounds + DECIMAL sums; I=0 guard).
+    * Iteration 0's (score, info) ARE the log-rank test's (O−E, V) — the
+    * score-test identity R10Spec pins against `stat_logrank`'s output.
+    * Output: per-iteration β, hazard ratio e^β, score, info, SE(β) —
+    * the final score ≈ 0 is the convergence evidence in the row. */
+  /** Standalone query emitting the (t, d1, d0, n1, n0) risk frame —
+    * the Spark side materializes it ONCE (localCheckpoint + temp view)
+    * before the Newton chain; the twin wraps it as a MATERIALIZED CTE.
+    * Without this, the c-chain's double reference per step would
+    * re-inline the whole session pipeline 2^steps times in BOTH
+    * engines (the r9 CTE-re-evaluation lesson, preempted). */
+  def sessionRiskFrameSql(events: String, epochUs: String,
+                          idiv: String): String =
+    s"""${sessionRiskSql(events, epochUs, idiv)}
+       |SELECT t, d1, d0, n1, n0 FROM rk""".stripMargin
+
+  /** The Newton chain over a pre-materialized risk frame `rkRef`;
+    * `prefix` lets the twin prepend `rk AS MATERIALIZED (…),`. */
+  def coxPhSql(rkRef: String, prefix: String): String = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST($term AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    val stages = (1 to 5).map { k =>
+      val p = k - 1
+      val upd =
+        if (k == 5) ""
+        else
+          s""",
+             |c$k AS (
+             |  SELECT CASE WHEN m$k.info = 0.0 THEN c$p.b
+             |    ELSE round(c$p.b + m$k.score / m$k.info, 9) END AS b
+             |  FROM m$k, c$p)""".stripMargin
+      s"""t$k AS (
+         |  SELECT
+         |    round(d1 - (d1 + d0) * s1 / s0, 9) AS u_t,
+         |    round((d1 + d0) * (s1 / s0) * (1.0 - s1 / s0), 9) AS i_t
+         |  FROM (
+         |    SELECT r.d1, r.d0,
+         |      r.n0 + r.n1 * round(exp(c.b), 9) AS s0,
+         |      r.n1 * round(exp(c.b), 9) AS s1
+         |    FROM $rkRef r, c$p c WHERE r.d1 + r.d0 > 0) q),
+         |m$k AS (
+         |  SELECT ${dsum("u_t", "score")}, ${dsum("i_t", "info")}
+         |  FROM t$k)$upd""".stripMargin
+    }.mkString(",\n")
+    val arms = (0 to 4).map { i =>
+      s"""SELECT $i AS iter, c$i.b + 0.0 AS beta,
+         |    round(exp(c$i.b), 6) AS hazard_ratio,
+         |    round(m${i + 1}.score, 6) + 0.0 AS score,
+         |    round(m${i + 1}.info, 6) AS info,
+         |    CASE WHEN m${i + 1}.info = 0.0 THEN 0.0
+         |         ELSE round(1.0 / sqrt(m${i + 1}.info), 6) END AS se_beta
+         |  FROM c$i, m${i + 1}""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $prefix c0 AS (SELECT CAST(0.0 AS DOUBLE) AS b),
+       |$stages
+       |SELECT iter, beta, hazard_ratio, score, info, se_beta
+       |FROM (
+       |  $arms) u
+       |ORDER BY iter""".stripMargin
+  }
+
+  // ---- Gaussian mixture by EM (shared SQL template) -----------------------
+
+  /** TWO-COMPONENT GAUSSIAN MIXTURE BY EM as a FULL oracle row — the
+    * fixpoint family's last holdout ("EM is not SQL") falls to the same
+    * discipline as Lloyd/Newton/IRLS once iterations are fixed and
+    * states gridded: 1-D mixture over the 30-min click means,
+    * quartile/variance init, 4 unrolled EM steps. E-step:
+    * responsibilities γ₂ = σ(−L) with the log-density ratio L a fixed
+    * expression over gridded states (ln/exp on GRIDDED arguments — the
+    * `ml_logistic_newton` libm posture), rounded 1e-9 and CLAMPED to
+    * [1e-9, 1−1e-9] — the clamp both prevents degenerate empty
+    * components AND keeps the M-step free of previous-state references,
+    * so the CTE chain stays LINEAR (no 2^k re-inline; the r9
+    * CTE-re-evaluation lesson designed out rather than patched).
+    * M-step: weighted moments as per-term-rounded DECIMAL sums, new
+    * (w₂, μ, σ²) on the 1e-6 grid with a variance floor. Per-point
+    * log-likelihood via log-sum-exp. Output: the per-iteration
+    * parameter trajectory with loglik — EM's monotone-ascent law,
+    * pinned in R10Spec on a planted bimodal mixture. The seeded MLlib
+    * `ml_gmm_clusters` stays the library surface. */
+  def gmmEmSql(events: String, bucket: String, pct: String,
+               mat: String): String = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    val ln2pi = "1.8378770664093453"
+    val stages = (1 to 5).map { k =>
+      val p = k - 1
+      val upd =
+        if (k == 5) ""
+        else
+          s""",
+             |c$k AS $mat (
+             |  SELECT
+             |    least(greatest(round(sg / n, 6), 0.000001), 0.999999) AS w2,
+             |    round((sx - sgx) / (n - sg), 6) AS mu1,
+             |    round(sgx / sg, 6) AS mu2,
+             |    greatest(round((sxx - sgx2) / (n - sg)
+             |      - ((sx - sgx) / (n - sg)) * ((sx - sgx) / (n - sg)), 6),
+             |      0.000001) AS v1,
+             |    greatest(round(sgx2 / sg - (sgx / sg) * (sgx / sg), 6),
+             |      0.000001) AS v2
+             |  FROM m$k)""".stripMargin
+      s"""g$k AS $mat (
+         |  SELECT x,
+         |    least(greatest(round(1.0 / (1.0 + exp(el)), 9), 0.000000001),
+         |      0.999999999) AS g2,
+         |    round(CASE WHEN la >= lb
+         |      THEN la + ln(1.0 + exp(lb - la))
+         |      ELSE lb + ln(1.0 + exp(la - lb)) END, 9) AS llt
+         |  FROM (
+         |    SELECT b.x, la, lb, round(la - lb, 9) AS el
+         |    FROM (
+         |      SELECT b.x,
+         |        ln(1.0 - c.w2) - 0.5 * $ln2pi - 0.5 * ln(c.v1)
+         |          - (b.x - c.mu1) * (b.x - c.mu1) / (2.0 * c.v1) AS la,
+         |        ln(c.w2) - 0.5 * $ln2pi - 0.5 * ln(c.v2)
+         |          - (b.x - c.mu2) * (b.x - c.mu2) / (2.0 * c.v2) AS lb
+         |      FROM b, c$p c) b) q),
+         |m$k AS $mat (
+         |  SELECT count(*) AS n,
+         |    ${dsum("g2", "sg")}, ${dsum("g2 * x", "sgx")},
+         |    ${dsum("g2 * x * x", "sgx2")}, ${dsum("llt", "ll")},
+         |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+         |      AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+         |  FROM g$k)$upd""".stripMargin
+    }.mkString(",\n")
+    val arms = (0 to 4).map { i =>
+      s"""SELECT $i AS iter, c$i.w2, c$i.mu1, c$i.mu2, c$i.v1 AS var1,
+         |    c$i.v2 AS var2, round(m${i + 1}.ll / m${i + 1}.n, 6) AS loglik
+         |  FROM c$i, m${i + 1}""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH b AS $mat (
+       |  SELECT bucket, x FROM (
+       |    SELECT $bucket AS bucket,
+       |      round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |        / count(value), 6) AS x
+       |    FROM $events WHERE event_type = 'click'
+       |    GROUP BY 1) t
+       |  WHERE x IS NOT NULL),
+       |c0 AS $mat (
+       |  SELECT CAST(0.5 AS DOUBLE) AS w2,
+       |    round(q1, 6) AS mu1, round(q3, 6) AS mu2,
+       |    greatest(round(vx, 6), 0.000001) AS v1,
+       |    greatest(round(vx, 6), 0.000001) AS v2
+       |  FROM (
+       |    SELECT $pct(x, 0.25) AS q1, $pct(x, 0.75) AS q3,
+       |      CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+       |          AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+       |        - (CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+       |          * (CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+       |        AS vx
+       |    FROM b) i),
+       |$stages
+       |SELECT iter, w2, mu1, mu2, var1, var2, loglik
+       |FROM (
+       |  $arms) u
+       |ORDER BY iter""".stripMargin
+  }
+
+  // ---- Black–Scholes (shared SQL template) --------------------------------
+
+  /** EUROPEAN OPTION PRICING as a FULL oracle row — Black–Scholes on
+    * each series' latest DAILY bar (30-min bucket means are too noisy
+    * to carry a diffusion calibration — per-bar σ≈150 % saturates every
+    * Greek; daily means are the right grain), with volatility
+    * annualized from
+    * the same DECIMAL-exact log-return moments as `ts_risk_profile`
+    * and strikes at 90/100/110 % moneyness. The normal CDF is the
+    * Abramowitz–Stegun 26.2.17 five-term polynomial — an EXPLICIT
+    * approximation choice (|ε| < 7.5e-8, far inside the 1e-6 output
+    * grid) whose fixed expression evaluates identically on both
+    * engines; exp/ln/cos-class libm exposure is the gridded-argument
+    * posture throughout. Output: call/put prices, call delta, the
+    * inputs echoed — put-call parity is an exact identity of the SAME
+    * N() values, pinned in R10Spec. For a commodity-forecasting engine
+    * this is the missing derivatives leg on top of the vol/VaR rows. */
+  def blackScholesSql(events: String, bucket: String): String = {
+    def poly(t: String) =
+      s"$t * (0.319381530 + $t * (-0.356563782 + $t * (1.781477937 + " +
+        s"$t * (-1.821255978 + $t * 1.330274429))))"
+    def ncdf(x: String, tv: String) =
+      s"""CASE WHEN $x >= 0.0
+         |      THEN 1.0 - exp(-$x * $x / 2.0) / 2.5066282746310002 * (${poly(tv)})
+         |      ELSE exp(-$x * $x / 2.0) / 2.5066282746310002 * (${poly(tv)})
+         | END""".stripMargin
+    s"""WITH b AS (
+       |  SELECT event_type AS g, $bucket AS bucket,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(value), 6) AS px
+       |  FROM $events GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT g, round(ln(px / prev), 6) AS r FROM (
+       |    SELECT g, px, lag(px) OVER (PARTITION BY g ORDER BY bucket) AS prev
+       |    FROM b) t
+       |  WHERE prev IS NOT NULL AND prev > 0 AND px > 0),
+       |v AS (
+       |  SELECT g, count(*) AS n,
+       |    CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(CAST(r AS DECIMAL(18,6)) * CAST(r AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS s2
+       |  FROM lr GROUP BY g),
+       |sp AS (
+       |  SELECT v.g, l.s0,
+       |    round(sqrt((v.s2 - v.s1 * v.s1 / v.n) / (v.n - 1))
+       |      * sqrt(365.0), 9) AS sig
+       |  FROM v JOIN (SELECT g, max_by(px, bucket) AS s0 FROM b GROUP BY g) l
+       |    ON v.g = l.g
+       |  WHERE v.n > 2 AND v.s2 - v.s1 * v.s1 / v.n > 0 AND l.s0 > 0),
+       |kk AS (
+       |  SELECT sp.g, sp.s0, sp.sig, m.m, round(m.m * sp.s0, 6) AS k
+       |  FROM sp, (SELECT 0.9 AS m UNION ALL SELECT 1.0
+       |            UNION ALL SELECT 1.1) m),
+    -- T = 30/365 inlined as a double literal: the bare ratio 30.0/365.0
+    -- is DECIMAL division in Spark (scale-6 truncation) but DOUBLE
+    -- division in DuckDB — a 1e-6-level cross-engine drift caught by
+    -- the gate in-wave (the documented bare-literal hazard)
+       |dd AS (
+       |  SELECT g, s0, sig, m, k,
+       |    round((ln(s0 / k) + (0.05 + sig * sig / 2.0) * (0.0821917808219178))
+       |      / (sig * sqrt(0.0821917808219178)), 9) AS d1,
+       |    round((ln(s0 / k) + (0.05 + sig * sig / 2.0) * (0.0821917808219178))
+       |      / (sig * sqrt(0.0821917808219178))
+       |      - sig * sqrt(0.0821917808219178), 9) AS d2
+       |  FROM kk),
+       |nn AS (
+       |  SELECT g, s0, sig, m, k,
+       |    round(${ncdf("d1", "t1")}, 9) AS n1,
+       |    round(${ncdf("d2", "t2")}, 9) AS n2
+       |  FROM (
+       |    SELECT *, 1.0 / (1.0 + 0.2316419 * abs(d1)) AS t1,
+       |      1.0 / (1.0 + 0.2316419 * abs(d2)) AS t2
+       |    FROM dd) q)
+    -- exp(-rT) is a CONSTANT: inlined as a decimal literal so no libm
+    -- call decides the last output digit (caught by the gate in-wave:
+    -- JVM vs C exp() differed by 1 ulp and flipped 4 cells at .5e-6)
+       |SELECT g AS series, m AS moneyness, s0, round(sig, 6) AS sigma_ann, k,
+       |  round(s0 * n1 - k * 0.9958988437642043 * n2, 6) AS call,
+       |  round(k * 0.9958988437642043 * (1.0 - n2)
+       |    - s0 * (1.0 - n1), 6) AS put,
+       |  round(n1, 6) AS delta_call
+       |FROM nn ORDER BY series, moneyness""".stripMargin
+  }
+
+  // ---- deterministic Monte Carlo VaR (shared SQL template) ----------------
+
+  /** MONTE CARLO VALUE-AT-RISK as a FULL oracle row — the simulation
+    * family the registry lacked, shaped the way MC runs at 100 TB:
+    * embarrassingly parallel path generation from DETERMINISTIC
+    * md5-derived streams (the house replayable randomness — no RNG
+    * state, any partitioning, any engine), 20 000 one-week GBM paths
+    * per series on daily bars. Uniforms are exact rationals (md5 → 24-bit mantissa,
+    * +0.5 offset keeps them off 0/1), Box–Muller normals round to the
+    * 1e-6 grid (libm ln/cos act on identical doubles; the grid makes a
+    * 1-ulp disagreement need a ~1e-10 coincidence to matter), losses
+    * re-grid, and VaR/ES are EXACT order statistics (rank 1000/200 of
+    * 20 000, path-id tiebreak — the `ts_risk_profile` no-interpolation
+    * convention) with ES tails summed in DECIMAL. R10Spec pins the MC
+    * estimate against the closed-form lognormal quantile. */
+  def mcVarSql(events: String, bucket: String, pathGen: String,
+               md5i: String => String): String = {
+    def u(tag: String) =
+      s"(${md5i(s"concat(g, ':', CAST(p AS STRING), ':$tag')")} % 16777216" +
+        s" + 0.5) / 16777216.0"
+    s"""WITH b AS (
+       |  SELECT event_type AS g, $bucket AS bucket,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(value), 6) AS px
+       |  FROM $events GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT g, round(ln(px / prev), 6) AS r FROM (
+       |    SELECT g, px, lag(px) OVER (PARTITION BY g ORDER BY bucket) AS prev
+       |    FROM b) t
+       |  WHERE prev IS NOT NULL AND prev > 0 AND px > 0),
+       |st AS (
+       |  SELECT g, count(*) AS n,
+       |    round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9)
+       |      AS mu,
+       |    round(sqrt((CAST(sum(CAST(CAST(r AS DECIMAL(18,6))
+       |        * CAST(r AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE)
+       |      - CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+       |        * CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+       |      / (count(*) - 1)), 9) AS sig
+       |  FROM lr GROUP BY g),
+       |base AS (
+       |  SELECT st.g, l.s0, st.mu, st.sig
+       |  FROM st JOIN (SELECT g, max_by(px, bucket) AS s0 FROM b GROUP BY g) l
+       |    ON st.g = l.g
+       |  WHERE st.sig > 0 AND l.s0 > 0 AND st.n > 2),
+       |paths AS (
+       |  SELECT g, s0, mu, sig, p FROM base, ($pathGen) pt),
+       |sim AS (
+       |  SELECT g, s0, p,
+       |    round(s0 * (1.0 - exp(
+       |      round((mu - sig * sig / 2.0) * 5.0
+       |        + sig * sqrt(5.0)
+       |          * round(sqrt(-2.0 * ln(${u("a")}))
+       |            * cos(6.283185307179586 * (${u("b")})), 6), 6))), 6) AS loss
+       |  FROM paths),
+       |rkd AS (
+       |  SELECT g, s0, loss,
+       |    row_number() OVER (PARTITION BY g ORDER BY loss DESC, p ASC) AS rn
+       |  FROM sim)
+       |SELECT rkd.g AS series, CAST(20000 AS BIGINT) AS n_paths, rkd.s0,
+       |  b.mu AS mu_bar, b.sig AS sigma_bar,
+       |  max(CASE WHEN rn = 1000 THEN loss END) AS var_95,
+       |  round(CAST(sum(CASE WHEN rn <= 1000
+       |    THEN CAST(loss AS DECIMAL(18,6)) END) AS DOUBLE) / 1000, 6) AS es_95,
+       |  max(CASE WHEN rn = 200 THEN loss END) AS var_99,
+       |  round(CAST(sum(CASE WHEN rn <= 200
+       |    THEN CAST(loss AS DECIMAL(18,6)) END) AS DOUBLE) / 200, 6) AS es_99
+       |FROM rkd JOIN base b ON rkd.g = b.g
+       |GROUP BY rkd.g, rkd.s0, b.mu, b.sig
+       |ORDER BY series""".stripMargin
+  }
+
+  /** Min-label connected components over STRING node ids — the
+    * `Dedup.connectedComponents` loop with a type-agnostic convergence
+    * check (count of changed labels instead of the numeric label sum;
+    * one extra keyed join per round, same O(diameter) round count).
+    * Used by the Borůvka merge step, whose component ids are node
+    * strings — a numeric surrogate would either risk hash collisions
+    * (silently merging components) or need a global row_number. */
+  private def ccStrings(pairs: DataFrame): DataFrame = {
+    val adj = pairs.toDF("x", "y")
+      .unionAll(pairs.toDF("y0", "x0").select(col("x0").as("x"), col("y0").as("y")))
+      .cache()
+    var labels = adj.select(col("x").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = if (labels.isEmpty) 0L else 1L
+    var it = 0
+    while (changed > 0 && it < 50) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("y"), col("component").as("nc")), "y")
+        .groupBy("x").agg(min("nc").as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("x").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, "ccStrings did not converge in 50 rounds")
+    adj.unpersist()
+    labels
+  }
+
+  // ---- Borůvka MST oracle (unrolled) --------------------------------------
+
+  /** The DuckDB twin of `graph_mst_boruvka`: Borůvka's rounds unrolled
+    * 12× (2^12 ≫ any component count at gate SF; converged rounds are
+    * idempotent no-ops). Every quantity is an INTEGER or a string —
+    * min-edge selection orders by (weight, a, b), merges close over the
+    * chosen component pairs with a per-round transitive-closure CTE —
+    * so the oracle is exact with no grid discipline needed at all.
+    * Every per-round CTE is MATERIALIZED: l{r} is referenced twice by
+    * e{r+1} (both endpoints), which would otherwise re-inline the whole
+    * prefix 2^rounds times. */
+  private def mstBoruvkaSql: String = {
+    val rounds = (1 to 12).map { r =>
+      val p = r - 1
+      s"""e$r AS MATERIALIZED (
+         |  SELECT we.a, we.b, we.w, la.c AS ca, lb.c AS cb
+         |  FROM we JOIN l$p la ON we.a = la.node
+         |  JOIN l$p lb ON we.b = lb.node
+         |  WHERE la.c <> lb.c),
+         |ch$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, w, ca, cb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY c
+         |      ORDER BY w ASC, a ASC, b ASC) AS rn
+         |    FROM (
+         |      SELECT ca AS c, a, b, w, ca, cb FROM e$r
+         |      UNION ALL SELECT cb, a, b, w, ca, cb FROM e$r) u) t
+         |  WHERE rn = 1),
+         |me$r AS MATERIALIZED (
+         |  SELECT ca AS x, cb AS y FROM ch$r
+         |  UNION ALL SELECT cb, ca FROM ch$r),
+         |reach$r(x, y) AS (
+         |  SELECT x, y FROM me$r
+         |  UNION
+         |  SELECT rr.x, e.y FROM reach$r rr JOIN me$r e ON rr.y = e.x),
+         |mm$r AS MATERIALIZED (
+         |  SELECT x AS oc, least(x, min(y)) AS nc FROM reach$r GROUP BY x),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.node, coalesce(m.nc, l.c) AS c
+         |  FROM l$p l LEFT JOIN mm$r m ON l.c = m.oc)""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to 12).map(r => s"SELECT a, b, w FROM ch$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |we AS MATERIALIZED (SELECT a, b, w FROM p),
+       |nd AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT a AS node FROM we UNION ALL SELECT b FROM we) u),
+       |l0 AS MATERIALIZED (SELECT node, node AS c FROM nd),
+       |$rounds
+       |SELECT a, b, w AS weight FROM (
+       |  $arms) m
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---- SPRT (shared SQL template) -----------------------------------------
+
+  /** WALD'S SEQUENTIAL PROBABILITY RATIO TEST as a FULL oracle row —
+    * the sequential-decision member of the stat family (every other
+    * `stat_*` row is a fixed-sample test; a monitoring pipeline wants
+    * the test that can STOP EARLY). Gaussian known-σ SPRT over the
+    * ordered 30-min click-mean sequence, calibrated on the FIRST HALF
+    * and monitored over the second (the honest train→monitor split):
+    * H0 μ=μ̂ vs H1 μ=μ̂+σ̂ (the one-sigma drift alarm), α=β=0.05 so
+    * the bounds are ±ln 19. The
+    * per-observation LLR is a fixed expression over grid values,
+    * per-term rounded 1e-9 and prefix-summed in DECIMAL through ONE
+    * ordered window (sequential DECIMAL window sums are deterministic —
+    * the `ml_gbt_stumps` cum precedent); first-crossing = integer
+    * argmin over exact comparisons vs the ±2.9444… literal. Output:
+    * decision, crossing bucket, final/extreme LLRs. On stationary data
+    * the expected verdict is accept_h0/continue; R10Spec plants a
+    * shifted suffix that must alarm. */
+  def sprtSql(events: String, bucket: String): String =
+    s"""WITH b AS (
+       |  SELECT bucket, x FROM (
+       |    SELECT $bucket AS bucket,
+       |      round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |        / count(value), 6) AS x
+       |    FROM $events WHERE event_type = 'click'
+       |    GROUP BY 1) t
+       |  WHERE x IS NOT NULL),
+    -- the honest monitoring split: H0 is calibrated on the FIRST HALF
+    -- (training window), the sequential test runs over the second —
+    -- full-sample calibration would make the prefix drift against any
+    -- shifted alternative before the shift even starts
+       |rb AS (
+       |  SELECT bucket, x, row_number() OVER (ORDER BY bucket) AS rn,
+       |    count(*) OVER () AS nn
+       |  FROM b),
+       |mo AS (
+       |  SELECT round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS mu0,
+       |    round(sqrt((CAST(sum(CAST(CAST(x AS DECIMAL(18,6))
+       |        * CAST(x AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE)
+       |      - CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |        * CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+       |      / (count(*) - 1)), 6) AS sig
+       |  FROM rb WHERE rn <= CAST(floor(nn / 2.0) AS BIGINT)),
+       |llr AS (
+       |  SELECT bucket,
+       |    sum(CAST(term AS DECIMAL(28,9))) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (
+       |    SELECT rb.bucket,
+       |      round(sig * (rb.x - (mu0 + sig / 2.0)) / (sig * sig), 9) AS term
+       |    FROM rb, mo
+       |    WHERE mo.sig > 0 AND rb.rn > CAST(floor(rb.nn / 2.0) AS BIGINT)) t),
+       |cr AS (
+       |  SELECT min(CASE WHEN CAST(cum AS DOUBLE) > 2.9444389791664403
+       |      THEN bucket END) AS up,
+       |    min(CASE WHEN CAST(cum AS DOUBLE) < -2.9444389791664403
+       |      THEN bucket END) AS dn,
+       |    count(*) AS n,
+       |    round(CAST(max_by(cum, bucket) AS DOUBLE), 6) AS llr_final,
+       |    round(CAST(max(cum) AS DOUBLE), 6) AS llr_max,
+       |    round(CAST(min(cum) AS DOUBLE), 6) AS llr_min
+       |  FROM llr)
+       |SELECT CAST(n AS BIGINT) AS n_obs,
+       |  CASE
+       |    WHEN up IS NOT NULL AND (dn IS NULL OR up < dn) THEN 'accept_h1'
+       |    WHEN dn IS NOT NULL AND (up IS NULL OR dn <= up) THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision,
+       |  CAST(coalesce(least(up, dn), coalesce(up, dn, -1)) AS BIGINT)
+       |    AS decision_bucket,
+       |  llr_final, llr_max, llr_min,
+       |  round(2.9444389791664403, 6) AS bound_upper
+       |FROM cr""".stripMargin
 
   // ---- GMV audit ----------------------------------------------------------
 
@@ -714,6 +1215,109 @@ object R10 {
 
     "stat_logrank" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(logrankSql(v, "ts_ns div 1000", "div"))
+    }),
+
+    /** Cox PH over the session frame: the risk frame is materialized
+      * ONCE (localCheckpoint + temp view) before the Newton chain — see
+      * `coxPhSql`'s Scaladoc for why inlining it would be 2^steps. */
+    "ml_cox_ph" -> ((s, d) => withEventsView(s, d) { v =>
+      val rkv = s"cox_rk_v${sqlRuns.incrementAndGet()}"
+      val rk = s.sql(sessionRiskFrameSql(v, "ts_ns div 1000", "div"))
+        .localCheckpoint()
+      try {
+        rk.createOrReplaceTempView(rkv)
+        s.sql(coxPhSql(rkv, ""))
+      } finally { s.catalog.dropTempView(rkv); () }
+    }),
+
+    "ml_gmm_em" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(gmmEmSql(v, "ts_ns div 1800000000000", "percentile", ""))
+    }),
+
+    "fin_black_scholes" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(blackScholesSql(v, "ts_ns div 86400000000000"))
+    }),
+
+    "fin_mc_var" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(mcVarSql(v, "ts_ns div 86400000000000",
+        "SELECT explode(sequence(1, 20000)) AS p",
+        e => s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"))
+    }),
+
+    "stat_sprt" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(sprtSql(v, "ts_ns div 1800000000000"))
+    }),
+
+    /** MINIMUM SPANNING FOREST by distributed Borůvka — the graph
+      * suite's first OPTIMIZATION operator (everything else measures or
+      * propagates; this one SOLVES): weighted customer–supplier trade
+      * edges (weight = exact integer cents of traded value), each round every component
+      * picks its cheapest incident edge under the (weight, a, b) total
+      * order — the tie-break makes the MST UNIQUE, so Borůvka here must
+      * equal Prim/Kruskal anywhere — then chosen components merge via
+      * `Dedup.connectedComponents`. ≤ ⌈log₂ n⌉ rounds, each ONE
+      * equi-join + ONE windowed min + one bounded CC — the
+      * vertex-centric MST shape that scales (GraphFrames/Giraph run
+      * exactly this). Everything is integers and strings: the oracle
+      * (12 unrolled Borůvka rounds, per-round closure CTEs) is exact
+      * with NO numeric grid at all. Output: the forest edge list.
+      * R10Spec cross-checks against a driver Kruskal. */
+    "graph_mst_boruvka" -> ((s, d) => {
+      val we = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        // exact integer cents: distinct real-valued weights, no grid
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("w"))
+        .localCheckpoint()
+      val nodes = we.select(col("a").as("node"))
+        .unionAll(we.select(col("b").as("node"))).distinct()
+      var comp = nodes.withColumn("c", col("node")).localCheckpoint()
+      var mst = s.emptyDataFrame
+        .sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType))))
+      val wMin = Window.partitionBy("cpick")
+        .orderBy(col("w").asc, col("a").asc, col("b").asc)
+      var round = 0
+      var done = false
+      while (!done && round < 20) {
+        val e2 = we
+          .join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
+          .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
+          .filter(col("ca") =!= col("cb"))
+          .localCheckpoint()
+        if (e2.isEmpty) done = true
+        else {
+          val cand = e2.select(col("ca").as("cpick"), col("a"), col("b"),
+              col("w"), col("ca"), col("cb"))
+            .unionAll(e2.select(col("cb").as("cpick"), col("a"), col("b"),
+              col("w"), col("ca"), col("cb")))
+          val chosen = cand.withColumn("rn", row_number().over(wMin))
+            .filter(col("rn") === 1)
+            .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+            .distinct()
+            .localCheckpoint()
+          mst = mst.unionAll(chosen.select("a", "b", "w"))
+          val merge = ccStrings(chosen.select(col("ca"), col("cb")).distinct())
+          comp = comp
+            .join(merge.select(col("id").as("c"), col("component")),
+              Seq("c"), "left")
+            .select(col("node"),
+              coalesce(col("component"), col("c")).as("c"))
+            .localCheckpoint()
+          round += 1
+        }
+      }
+      require(done, s"Borůvka did not converge in 20 rounds")
+      mst.select(col("a"), col("b"), col("w").as("weight")).orderBy("a", "b")
     }),
 
     /** DENSITY CLUSTERING as a FULL oracle row — DBSCAN (Ester et al.
@@ -1636,6 +2240,26 @@ object R10 {
         |ORDER BY user_id""".stripMargin,
 
     "stat_logrank" -> logrankSql("events", "epoch_us(ts)", "//"),
+
+    "ml_cox_ph" -> coxPhSql("rk",
+      "rk AS MATERIALIZED (" +
+        sessionRiskFrameSql("events", "epoch_us(ts)", "//") + "),"),
+
+    "ml_gmm_em" -> gmmEmSql(
+      "events", "epoch_ns(ts) // 1800000000000", "quantile_cont",
+      "MATERIALIZED"),
+
+    "fin_black_scholes" -> blackScholesSql(
+      "events", "epoch_ns(ts) // 86400000000000"),
+
+    "fin_mc_var" -> mcVarSql(
+      "events", "epoch_ns(ts) // 86400000000000",
+      "SELECT unnest(generate_series(1, 20000)) AS p",
+      e => s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"),
+
+    "stat_sprt" -> sprtSql("events", "epoch_ns(ts) // 1800000000000"),
+
+    "graph_mst_boruvka" -> mstBoruvkaSql,
 
     /** DBSCAN twin: the exact ε-disk over an n² candidate join (the
       * oracle needs correctness, not the cell index), components by the

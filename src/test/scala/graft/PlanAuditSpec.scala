@@ -59,7 +59,12 @@ class PlanAuditSpec extends SparkSpec {
     "ml_huber_irls",           // 1-row coefficient/threshold frames × the bar scan per IRLS step
     "ml_logistic_newton",      // 1-row coefficient/moment frames × the bucket scan per Newton step
     "ml_gbt_stumps",           // 1-row best-split/total frames × the residual scan per round
-    "stat_logrank")            // 1-row span-end/aggregate frames × the session scan
+    "stat_logrank",            // 1-row span-end/aggregate frames × the session scan
+    "ml_cox_ph",               // 1-row coefficient frame × the 10-row risk frame per Newton step
+    "ml_gmm_em",               // 1-row parameter frame × the bucket scan per EM step
+    "fin_black_scholes",       // 5-row (series, vol) frame × 3-row strike grid
+    "fin_mc_var",              // 5-row parameter frame × the 20k deterministic path index
+    "stat_sprt")               // 1-row calibration frame × the monitored bucket scan
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)

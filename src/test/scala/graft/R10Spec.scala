@@ -364,6 +364,190 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_logrank_planted"); () }
   }
 
+  test("cox ph: iteration-0 score IS the log-rank O−E (score-test identity)") {
+    val lr = SparkEntry.queries("stat_logrank")(spark, dir).head()
+    val oMinusE = lr.getAs[Long]("events_we") - lr.getAs[Double]("expected_weekend")
+    val cox = SparkEntry.queries("ml_cox_ph")(spark, dir)
+      .orderBy("iter").collect()
+    assert(cox.length == 5)
+    assert(math.abs(cox.head.getAs[Double]("score") - oMinusE) < 1e-4,
+      s"Cox score at beta=0 must equal log-rank O−E: " +
+        s"${cox.head.getAs[Double]("score")} vs $oMinusE")
+    // Newton converged: the final score (gradient) is ~0
+    assert(math.abs(cox.last.getAs[Double]("score")) < 0.01)
+    assert(cox.last.getAs[Double]("info") > 0.0)
+    assert(cox.last.getAs[Double]("se_beta") > 0.0)
+  }
+
+  test("cox ph: planted weekend-longer sessions give a hazard ratio well below 1") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val satBase = 7002L * day
+    val monBase = 7004L * day
+    var eid = 0L
+    val rows = ((0 until 100).flatMap { k =>
+      eid += 2
+      Seq((1000L + k, eid - 1, satBase + k * 1200000000000L),
+        (1000L + k, eid, satBase + k * 1200000000000L + 540000000000L))
+    } ++ (0 until 100).map { k =>
+      eid += 1
+      (2000L + k, eid, monBase + k * 1200000000000L)
+    } :+ ((9999L, eid + 1, monBase + 30L * day)))
+    val df = rows.toDF("user_id", "event_id", "ts_ns")
+    df.createOrReplaceTempView("r10_cox_planted")
+    try {
+      val rk = spark.sql(graft.queries.R10.sessionRiskFrameSql(
+        "r10_cox_planted", "ts_ns div 1000", "div")).localCheckpoint()
+      rk.createOrReplaceTempView("r10_cox_rk")
+      try {
+        val out = spark.sql(graft.queries.R10.coxPhSql("r10_cox_rk", ""))
+          .orderBy("iter").collect()
+        val hr = out.last.getAs[Double]("hazard_ratio")
+        assert(hr < 0.5,
+          s"weekend sessions survive 9× longer — hazard ratio $hr must be ≪ 1")
+        assert(out.last.getAs[Double]("beta") < -0.5)
+      } finally { spark.catalog.dropTempView("r10_cox_rk"); () }
+    } finally { spark.catalog.dropTempView("r10_cox_planted"); () }
+  }
+
+  test("gmm em: planted bimodal mixture recovered, loglik monotone") {
+    import spark.implicits._
+    // two tight Gaussians at 20 and 80 (deterministic residue jitter)
+    val rows = (0 until 400).map { b =>
+      val base = if (b % 2 == 0) 20.0 else 80.0
+      ("click", b.toLong * 1800000000000L, base + (b % 7) * 0.5 - 1.5)
+    }
+    val df = rows.toDF("event_type", "ts_ns", "value")
+    df.createOrReplaceTempView("r10_gmm_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.gmmEmSql(
+          "r10_gmm_planted", "ts_ns div 1800000000000", "percentile", ""))
+        .orderBy("iter").collect()
+      assert(out.length == 5)
+      val lls = out.map(_.getAs[Double]("loglik"))
+      assert(lls.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 },
+        s"EM loglik must be non-decreasing: ${lls.mkString(",")}")
+      val last = out.last
+      assert(math.abs(last.getAs[Double]("mu1") - 20.0) < 2.0,
+        s"mu1 ${last.getAs[Double]("mu1")} should find the 20-cluster")
+      assert(math.abs(last.getAs[Double]("mu2") - 80.0) < 2.0,
+        s"mu2 ${last.getAs[Double]("mu2")} should find the 80-cluster")
+      assert(math.abs(last.getAs[Double]("w2") - 0.5) < 0.05)
+    } finally { spark.catalog.dropTempView("r10_gmm_planted"); () }
+  }
+
+  test("gmm em on data: loglik monotone, variances floored positive") {
+    val out = SparkEntry.queries("ml_gmm_em")(spark, dir)
+      .orderBy("iter").collect()
+    assert(out.length == 5)
+    val lls = out.map(_.getAs[Double]("loglik"))
+    assert(lls.sliding(2).forall { case Array(a, b) => b >= a - 1e-6 },
+      s"EM loglik must ascend: ${lls.mkString(",")}")
+    out.foreach { r =>
+      assert(r.getAs[Double]("var1") > 0.0 && r.getAs[Double]("var2") > 0.0)
+      val w2 = r.getAs[Double]("w2")
+      assert(w2 > 0.0 && w2 < 1.0)
+    }
+  }
+
+  test("black-scholes: put-call parity exact, deltas in (0,1), strike monotonicity") {
+    val rows = SparkEntry.queries("fin_black_scholes")(spark, dir)
+      .orderBy("series", "moneyness").collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    val df = 0.9958988437642043
+    rows.foreach { r =>
+      val (s0, k) = (r.getAs[Double]("s0"), r.getAs[Double]("k"))
+      val (c, p) = (r.getAs[Double]("call"), r.getAs[Double]("put"))
+      // C − P = S − K·e^{−rT}: the same N() values cancel exactly
+      assert(math.abs((c - p) - (s0 - k * df)) < 3e-6,
+        s"put-call parity broken: ${r.getAs[String]("series")} " +
+          s"m=${r.getAs[Double]("moneyness")}: ${c - p} vs ${s0 - k * df}")
+      val d = r.getAs[Double]("delta_call")
+      assert(d > 0.0 && d < 1.0, s"degenerate delta $d (vol calibration?)")
+      assert(c >= 0.0 && p >= 0.0)
+    }
+    rows.grouped(3).foreach { g =>
+      assert(g(0).getAs[Double]("call") >= g(1).getAs[Double]("call") &&
+        g(1).getAs[Double]("call") >= g(2).getAs[Double]("call"),
+        "calls must fall as strike rises")
+      assert(g(0).getAs[Double]("put") <= g(1).getAs[Double]("put") &&
+        g(1).getAs[Double]("put") <= g(2).getAs[Double]("put"),
+        "puts must rise with strike")
+    }
+  }
+
+  test("mc var: matches the closed-form lognormal quantile, tail laws hold") {
+    val rows = SparkEntry.queries("fin_mc_var")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s0, mu, sig) = (r.getAs[Double]("s0"), r.getAs[Double]("mu_bar"),
+        r.getAs[Double]("sigma_bar"))
+      val (v95, e95) = (r.getAs[Double]("var_95"), r.getAs[Double]("es_95"))
+      val (v99, e99) = (r.getAs[Double]("var_99"), r.getAs[Double]("es_99"))
+      // closed form: loss quantile of s0·(1 − exp(N(m5, s5²)))
+      val m5 = (mu - sig * sig / 2.0) * 5.0
+      val s5 = sig * math.sqrt(5.0)
+      val want95 = s0 * (1.0 - math.exp(m5 + s5 * -1.6448536269514722))
+      assert(math.abs(v95 - want95) < 0.03 * s0,
+        s"${r.getAs[String]("series")}: MC var95 $v95 vs closed-form $want95")
+      assert(e95 >= v95 && v99 >= v95 && e99 >= v99,
+        s"tail ordering broken: $v95 $e95 $v99 $e99")
+    }
+  }
+
+  test("boruvka mst: equals a driver Kruskal under the same edge order") {
+    // the (weight, a, b) total order makes the MST unique, so the
+    // distributed Borůvka result must equal sequential Kruskal exactly
+    val edges = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(edges.length > 50)
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = scala.collection.mutable.Set[(String, String, Long)]()
+    edges.sortBy(e => (e._3, e._1, e._2)).foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; want += ((a, b, w)) }
+    }
+    val got = SparkEntry.queries("graph_mst_boruvka")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want.toSet,
+      s"MST mismatch: ${got.size} vs ${want.size} edges; " +
+        s"sym-diff ${(got diff want.toSet) ++ (want.toSet diff got)}")
+  }
+
+  test("sprt: lawful extremes on data; a planted shifted suffix alarms") {
+    import spark.implicits._
+    val onData = SparkEntry.queries("stat_sprt")(spark, dir).head()
+    assert(Set("accept_h0", "accept_h1", "continue")
+      .contains(onData.getAs[String]("decision")))
+    assert(onData.getAs[Double]("llr_min") <= onData.getAs[Double]("llr_final") &&
+      onData.getAs[Double]("llr_final") <= onData.getAs[Double]("llr_max"))
+    // planted: the training half (80 buckets) at 50, the monitored half
+    // shifted +2σ-ish from its first bucket — the test must cross up
+    val rows = (0 until 160).map { t =>
+      val v = if (t < 80) 50.0 + (t % 5) else 58.0 + (t % 5)
+      ("click", t.toLong * 1800000000000L, v)
+    }
+    rows.toDF("event_type", "ts_ns", "value")
+      .createOrReplaceTempView("r10_sprt_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.sprtSql(
+        "r10_sprt_planted", "ts_ns div 1800000000000")).head()
+      assert(out.getAs[String]("decision") == "accept_h1",
+        s"shifted suffix must alarm: $out")
+      assert(out.getAs[Long]("decision_bucket") >= 80L,
+        s"alarm must come from the shifted region: $out")
+    } finally { spark.catalog.dropTempView("r10_sprt_planted"); () }
+  }
+
   test("gbt stumps on data: SSE strictly decreases and leaves are finite") {
     val out = SparkEntry.queries("ml_gbt_stumps")(spark, dir)
       .orderBy("iter").collect()
