@@ -416,19 +416,22 @@ object R10 {
     * with ν = 0.5. Output: per-round (threshold, leaf values, training
     * SSE) — SSE is non-increasing by construction, pinned in R10Spec.
     * The seeded-MLlib `ml_gbt` stays the library surface. */
+  private def gbtMc(t: String) =
+    s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+       |        AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+      .stripMargin
+  // r lives on the exact 1e-7 grid as DECIMAL(15,7) (leaves are grid-6,
+  // nu = 0.5 makes every increment scale-7): the update NEVER rounds, so
+  // no midpoint ever meets an engine-specific round(). r^2 at scale 14
+  // stays inside DECIMAL(31,14)/sum(38,14) exactly on both engines.
+  private def gbtSse(src: String) =
+    "round(CAST(sum(CAST(CAST(r AS DECIMAL(19,7)) * CAST(r AS DECIMAL(19,7))" +
+      s" AS DECIMAL(38,14))) AS DOUBLE), 6) AS sse FROM $src"
+
   def gbtStumpsSql(events: String, bucket: String, mat: String): String = {
-    def mc(t: String) =
-      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
-         |        AS DECIMAL(18,6))) AS DOUBLE)
-         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
-        .stripMargin
-    // r lives on the exact 1e-7 grid as DECIMAL(15,7) (leaves are grid-6,
-    // nu = 0.5 makes every increment scale-7): the update NEVER rounds, so
-    // no midpoint ever meets an engine-specific round(). r^2 at scale 14
-    // stays inside DECIMAL(31,14)/sum(38,14) exactly on both engines.
-    def sse(src: String) =
-      "round(CAST(sum(CAST(CAST(r AS DECIMAL(19,7)) * CAST(r AS DECIMAL(19,7))" +
-        s" AS DECIMAL(38,14))) AS DOUBLE), 6) AS sse FROM $src"
+    def mc(t: String) = gbtMc(t)
+    def sse(src: String) = gbtSse(src)
     val iters = (1 to 6).map { i =>
       val p = i - 1
       s"""cum$i AS $mat (
@@ -493,6 +496,100 @@ object R10 {
        |  FROM f0, met0
        |  UNION ALL $arms) u
        |ORDER BY iter""".stripMargin
+  }
+
+  /** Spark-side executor of the SAME boosting arithmetic as
+    * `gbtStumpsSql`, run as a per-round MATERIALIZED loop instead of the
+    * one unrolled text: each round's residual frame is localCheckpoint-ed
+    * and re-exposed as a temp view, so Catalyst plans ONE round at a
+    * time. The single text references each s_i from three sibling CTEs
+    * (cum/agg/step); Spark has no MATERIALIZED hint and re-expands the
+    * chain into a plan tree exponential in rounds (~350 s of planning at
+    * sf0.1 — the round-9 chained-CTE lesson, which DuckDB's
+    * `AS MATERIALIZED` sidesteps on the oracle side). Every expression
+    * below is textually the template's, so the hash gate is unchanged;
+    * only the final 7-row result is collected (aggregate-sized). */
+  def gbtStumpsSpark(s: SparkSession, events: String,
+                     bucket: String): DataFrame = {
+    val tag = s"gbt_v${sqlRuns.incrementAndGet()}"
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    def mkView(n: String, sql: String): String = {
+      val v = s"${tag}_$n"
+      s.sql(sql).localCheckpoint().createOrReplaceTempView(v)
+      views += v
+      v
+    }
+    try {
+      val b = mkView("base",
+        s"""SELECT bucket, x, y FROM (
+           |  SELECT $bucket AS bucket,
+           |    ${gbtMc("click")} AS x,
+           |    ${gbtMc("purchase")} AS y
+           |  FROM $events WHERE event_type IN ('click', 'purchase')
+           |  GROUP BY 1) t
+           |WHERE x IS NOT NULL AND y IS NOT NULL""".stripMargin)
+      val f0v = mkView("f0",
+        s"""SELECT round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE)
+           |  / count(*), 6) AS f FROM $b""".stripMargin)
+      var sv = mkView("s0",
+        s"""SELECT $b.bucket, $b.x,
+           |  CAST(CAST($b.y AS DECIMAL(18,6)) - CAST($f0v.f AS DECIMAL(18,6))
+           |    AS DECIMAL(15,7)) AS r
+           |FROM $b, $f0v""".stripMargin)
+      def sseOf(src: String): Double =
+        s.sql(s"SELECT ${gbtSse(src)}").collect()(0).getDouble(0)
+      val f = s.table(f0v).collect()(0).getDouble(0)
+      val rows = scala.collection.mutable.ArrayBuffer(
+        (0, 0.0, f, f, sseOf(sv)))
+      var i = 1
+      var stop = false
+      while (i <= 6 && !stop) {
+        val bestV = mkView(s"best$i",
+          s"""WITH cum AS (
+             |  SELECT bucket, x, r,
+             |    count(*) OVER (ORDER BY x, bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cn,
+             |    sum(r) OVER (ORDER BY x, bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cs,
+             |    row_number() OVER (PARTITION BY x ORDER BY bucket DESC) AS lastx
+             |  FROM $sv),
+             |agg AS (
+             |  SELECT count(*) AS n, sum(r) AS s,
+             |    max(x) AS mx
+             |  FROM $sv)
+             |SELECT x AS thr,
+             |  round(CAST(cs AS DOUBLE) / cn, 6) + 0.0 AS lm,
+             |  round(CAST(s - cs AS DOUBLE) / (n - cn), 6) + 0.0 AS rm
+             |FROM (
+             |  SELECT c.x, c.cn, c.cs, a.n, a.s,
+             |    row_number() OVER (ORDER BY
+             |      (CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)) / c.cn
+             |        + (CAST(a.s - c.cs AS DOUBLE) * CAST(a.s - c.cs AS DOUBLE))
+             |          / (a.n - c.cn) DESC,
+             |      c.x ASC) AS rk
+             |  FROM cum c, agg a
+             |  WHERE c.lastx = 1 AND c.x < a.mx) t
+             |WHERE rk = 1""".stripMargin)
+        val best = s.table(bestV).collect()
+        if (best.isEmpty) stop = true
+        else {
+          val sNew = mkView(s"s$i",
+            s"""SELECT s.bucket, s.x,
+               |  CAST(s.r - CAST(CAST((CASE WHEN s.x <= b.thr THEN b.lm
+               |      ELSE b.rm END) AS DECIMAL(18,6)) * CAST(0.5 AS DECIMAL(2,1))
+               |    AS DECIMAL(19,7)) AS DECIMAL(15,7)) AS r
+               |FROM $sv s, $bestV b""".stripMargin)
+          rows += ((i, best(0).getDouble(0), best(0).getDouble(1),
+            best(0).getDouble(2), sseOf(sNew)))
+          sv = sNew
+          i += 1
+        }
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("iter", "threshold", "left_val", "right_val", "train_sse")
+        .orderBy("iter")
+    } finally { views.foreach(v => { s.catalog.dropTempView(v); () }) }
   }
 
   // ---- log-rank test (shared SQL template) --------------------------------
@@ -1200,7 +1297,7 @@ object R10 {
     }),
 
     "ml_gbt_stumps" -> ((s, d) => withEventsView(s, d) { v =>
-      s.sql(gbtStumpsSql(v, "ts_ns div 1800000000000", ""))
+      gbtStumpsSpark(s, v, "ts_ns div 1800000000000")
     }),
 
     /** The watermark-GATED left-outer stream-stream join — see
