@@ -76,6 +76,92 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint, e.g. Krawetz 2013) of a decoded image: downsample to a
+    * 9×8 luminance grid, emit one bit per horizontal neighbor
+    * comparison. Downsampling is EXACT integer block averaging over
+    * block-aligned dims (w = 9·bw, h = 8·bh required), NOT Graphics2D
+    * interpolation — the hash must be bit-reproducible across
+    * JVMs/executors or the banded near-dup join is meaningless.
+    * Luminance = (299R + 587G + 114B) / 1000 in integers. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9
+    val gh = 8
+    val bw = img.getWidth / gw
+    val bh = img.getHeight / gh
+    require(bw > 0 && bh > 0 && bw * gw == img.getWidth && bh * gh == img.getHeight,
+      s"dHash64 needs block-aligned dims, got ${img.getWidth}x${img.getHeight}")
+    val gray = Array.ofDim[Long](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        var s = 0L
+        var y = gy * bh
+        while (y < (gy + 1) * bh) {
+          var x = gx * bw
+          while (x < (gx + 1) * bw) {
+            val rgb = img.getRGB(x, y)
+            s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        gray(gy)(gx) = s / (bw.toLong * bh)
+        gx += 1
+      }
+      gy += 1
+    }
+    var h = 0L
+    var yy = 0
+    while (yy < gh) {
+      var xx = 0
+      while (xx < gw - 1) {
+        h = (h << 1) | (if (gray(yy)(xx + 1) > gray(yy)(xx)) 1L else 0L)
+        xx += 1
+      }
+      yy += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash decoder through the same per-partition factory seam
+    * as [[imageIoDecoder]]: real ImageIO decode → [[dHash64]]. Returns
+    * (checksum, width, height, dhash). */
+  def phashDecoder(): Array[Byte] => (Long, Int, Int, Long) = {
+    javax.imageio.ImageIO.getReaderFormatNames()
+    bytes => {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+      (byteChecksum(bytes), img.getWidth, img.getHeight, dHash64(img))
+    }
+  }
+
+  /** Typed row for perceptual-hash features. */
+  final case class PhashRow(media_id: Long, kind: String, n_bytes: Long,
+                            checksum: Long, width: Int, height: Int,
+                            dhash: Long)
+
+  /** Perceptual-hash twin of [[decodeFeatures]]: identical per-partition
+    * factory seam, narrow and shuffle-free, one 64-bit dHash per row. */
+  def decodePhashFeatures(media: DataFrame,
+                          decoderFactory: () => Array[Byte] => (Long, Int, Int, Long) =
+                            () => phashDecoder()): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        val decode = decoderFactory()
+        it.map { m =>
+          val (sum, w, h, dh) = decode(m.payload)
+          PhashRow(m.media_id, m.kind, m.payload.length.toLong, sum, w, h, dh)
+        }
+      }
+      .toDF()
+  }
+
   /** REAL audio decoder: JDK `javax.sound.sampled.AudioSystem` (the WAV/
     * AIFF/AU file readers ship with the JVM — zero external dependencies,
     * headless-safe). Same factory shape as [[imageIoDecoder]]: the SPI

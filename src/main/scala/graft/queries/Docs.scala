@@ -30,6 +30,16 @@ object Docs {
   private val tokedSql =
     "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
 
+  /** The Gopher stop-word set (Rae et al. 2021, App. A1.1) plus the
+    * article "a" (present in every classic stop list, e.g. SMART) — ≥2
+    * distinct members present is the rule. The extension is a corpus
+    * calibration, not a semantic change: the harness vocabulary's only
+    * function words are "the" and "a", so the 8-word set proper matches
+    * at most ONE distinct member and the rule would be constant-false —
+    * the vacuity trap `stat_logrank` documents for per-user lifetimes. */
+  private val GopherStops =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
   private val ANN_PLANES = 8
   private val ANN_DIM = 64
 
@@ -180,6 +190,56 @@ object Docs {
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
           round(least(size(col("toks")) / lit(100.0), lit(1.0))
             * (lit(1.0) - col("stopword_ratio")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    /** GOPHER RULE-SUITE quality filter (Rae et al. 2021, App. A1.1) —
+      * the published heuristic battery an LLM data pipeline runs BEFORE
+      * any model-based scoring (`corpus_quality_classifier` learns FROM
+      * heuristics; this is the rule layer itself as a first-class
+      * operator): word-count bounds [50, 100000], mean word length in
+      * [3, 10], symbol-to-word ratio (# and ellipsis) < 0.1, ≥80 % of
+      * words containing an alphabetic character, and ≥2 distinct Gopher
+      * stop words present. Every DECISION is integer-exact by
+      * cross-multiplication (sum_len ≥ 3·n_words, 10·n_sym < n_words,
+      * 5·n_alpha ≥ 4·n_words — no double ever meets a threshold; the
+      * COVERAGE.md knife-edge doctrine); the reported ratios are
+      * informational grid-6 roundings of exact integer rationals.
+      * Narrow per-doc map — zero shuffles at any corpus scale. */
+    "text_gopher_quality" -> ((s, d) =>
+      toked(s, d)
+        .withColumn("lt", expr("transform(toks, x -> lower(x))"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(toks, 0L, (a, x) -> a + length(x))"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(toks, x -> x rlike '[a-zA-Z]')) AS BIGINT)"))
+        .withColumn("n_sym", expr(
+          "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
+            "CAST((length(text) - length(replace(text, '...', ''))) div 3 " +
+            "AS BIGINT)"))
+        .withColumn("n_stopwords", expr(GopherStops
+          .map(w => s"CAST(array_contains(lt, '$w') AS INT)")
+          .mkString(" + ")))
+        .withColumn("r_word_count",
+          (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+        .withColumn("r_mean_word_len",
+          (col("sum_len") >= col("n_words") * 3 &&
+            col("sum_len") <= col("n_words") * 10).cast("int"))
+        .withColumn("r_symbol_ratio",
+          (col("n_sym") * 10 < col("n_words")).cast("int"))
+        .withColumn("r_alpha_words",
+          (col("n_alpha") * 5 >= col("n_words") * 4).cast("int"))
+        .withColumn("r_stopwords", (col("n_stopwords") >= 2).cast("int"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("sum_len").cast("double") / col("n_words"), 6)
+            .as("mean_word_len"),
+          round(col("n_alpha").cast("double") / col("n_words"), 6)
+            .as("alpha_ratio"),
+          col("n_stopwords"), col("r_word_count"), col("r_mean_word_len"),
+          col("r_symbol_ratio"), col("r_alpha_words"), col("r_stopwords"),
+          (col("r_word_count") === 1 && col("r_mean_word_len") === 1 &&
+            col("r_symbol_ratio") === 1 && col("r_alpha_words") === 1 &&
+            col("r_stopwords") === 1).cast("int").as("keep"))
         .orderBy("doc_id")),
 
     /** MODEL-BASED quality filtering — the classifier-driven corpus
@@ -1221,6 +1281,94 @@ object Docs {
         .orderBy("media_id")
     }),
 
+    /** IMAGE NEAR-DUP DETECTION through the multimodal seam — the
+      * perceptual-hash dedup pass a 100 TB image corpus runs (the visual
+      * sibling of `dedup_minhash_lsh`): real PNG decode →
+      * `Multimodal.dHash64` (9×8 luminance-grid difference hash, exact
+      * integer block averaging so the hash is bit-reproducible across
+      * executors) → 8×8-bit BANDED self-join (Hamming ≤ 6 over 8 bands
+      * pigeonholes ≥1 clean band, so recall is GUARANTEED, and the
+      * candidate join is band-keyed — never quadratic in the corpus) →
+      * exact `bit_count(xor)` Hamming verify on candidates only. The
+      * planted corpus is self-verifying: 16 base patterns × 6 variants
+      * with NESTED block perturbations (any within-group pair differs in
+      * ≤3 grid blocks → ≤6 hash bits), so every same-group pair must
+      * surface and `same_group` rides the output. Bounded to 96 media
+      * rows (the query audits the pipeline shape, not the corpus);
+      * rows-only (PNG bytes have no SQL form); MultimodalSpec pins
+      * recall, the Hamming bound, and determinism. */
+    "multimodal_dedup_phash" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).orderBy("doc_id").limit(96)
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val grp = (id % 16).toInt
+            val variant = ((id / 16) % 6).toInt
+            // 36x32 = 9x8 grid of 4x4 blocks; block luminance from group
+            // identity; variant v inverts the first min(v,3) marker
+            // blocks — NESTED sets, so any two variants of a group
+            // differ in <= 3 blocks (<= 6 dHash bits)
+            val marks = Seq((1, 1), (4, 3), (7, 5)).take(math.min(variant, 3))
+            val img = new java.awt.image.BufferedImage(
+              36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 9) {
+                // multiply-xorshift mix: a LINEAR pattern here makes the
+                // horizontal comparisons (hence the dHash) nearly
+                // group-independent — adjacent-block deltas would be the
+                // constant 7919 mod 256 for EVERY group, so distinct
+                // groups land within a few hash bits of each other
+                // (observed before this mix: 296 cross-group pairs at
+                // Hamming <= 6)
+                val z = (grp.toLong * 1000003L + bx * 101L + by * 31L + 7L) *
+                  2654435761L
+                var g = ((z ^ (z >>> 16)) & 0xffL).toInt
+                if (marks.contains((bx, by))) g = 255 - g
+                val rgb = (g << 16) | (g << 8) | g
+                var y = by * 4
+                while (y < (by + 1) * 4) {
+                  var x = bx * 4
+                  while (x < (bx + 1) * 4) {
+                    img.setRGB(x, y, rgb)
+                    x += 1
+                  }
+                  y += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, grp, "image", bos.toByteArray)
+          }
+        }
+        .toDF("media_id", "grp", "kind", "payload")
+        .localCheckpoint() // encode once; hash pass and group join both read it
+      val hashed = graft.operators.Multimodal.decodePhashFeatures(media)
+        .join(media.select("media_id", "grp"), "media_id")
+      val bands = hashed.select(col("media_id"), col("grp"), col("dhash"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("bkey",
+          expr("shiftrightunsigned(dhash, band * 8) & 255"))
+      bands.as("l").join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+            col("l.media_id") < col("r.media_id"))
+        .select(col("l.media_id").as("a"), col("r.media_id").as("b"),
+          col("l.dhash").as("ha"), col("r.dhash").as("hb"),
+          col("l.grp").as("ga"), col("r.grp").as("gb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+        .filter(col("hamming") <= 6)
+        .select(col("a"), col("b"), col("hamming"),
+          (col("ga") === col("gb")).as("same_group"))
+        .orderBy("a", "b")
+    }),
+
     /** REAL audio decode through the production seam — the WAV sibling
       * of `multimodal_decode_png`: deterministic tiny PCM WAVs are
       * ENCODED in-executor (`AudioSystem.write` of a raw 16-bit PCM
@@ -1438,6 +1586,44 @@ object Docs {
     "text_token_count" -> (tokedSql +
       "SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_computed " +
       "FROM t ORDER BY doc_id"),
+
+    "text_gopher_quality" -> (tokedSql +
+      s""", g AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, x -> lower(x)) AS lt,
+        |    len(toks)::BIGINT AS n_words,
+        |    list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_len,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+        |      AS n_alpha,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT
+        |      + ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+        |      AS n_sym
+        |  FROM t),
+        |g2 AS (
+        |  SELECT *,
+        |    ${GopherStops.map(w => s"list_contains(lt, '$w')::INT")
+                .mkString(" + ")} AS n_stopwords
+        |  FROM g),
+        |g3 AS (
+        |  SELECT *,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+        |      AS r_word_count,
+        |    CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |      THEN 1 ELSE 0 END AS r_mean_word_len,
+        |    CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS r_symbol_ratio,
+        |    CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END
+        |      AS r_alpha_words,
+        |    CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS r_stopwords
+        |  FROM g2)
+        |SELECT doc_id, n_words,
+        |  round(sum_len::DOUBLE / n_words, 6) AS mean_word_len,
+        |  round(n_alpha::DOUBLE / n_words, 6) AS alpha_ratio,
+        |  n_stopwords, r_word_count, r_mean_word_len, r_symbol_ratio,
+        |  r_alpha_words, r_stopwords,
+        |  CASE WHEN r_word_count = 1 AND r_mean_word_len = 1
+        |    AND r_symbol_ratio = 1 AND r_alpha_words = 1 AND r_stopwords = 1
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM g3 ORDER BY doc_id""".stripMargin),
 
     "text_vocab_topk" -> (tokedSql +
       """, tok AS (SELECT unnest(toks) AS token FROM t)

@@ -592,6 +592,110 @@ object R10 {
     } finally { views.foreach(v => { s.catalog.dropTempView(v); () }) }
   }
 
+  // ---- Friedman test (shared SQL template) --------------------------------
+
+  /** FRIEDMAN TEST — the repeated-measures member the nonparametric rank
+    * family lacked (`stat_kruskal_wallis` assumes independent groups;
+    * Friedman BLOCKS by day, so day-level market shocks cancel): daily
+    * grid-6 mean value per event-type series, complete days only,
+    * WITHIN-DAY mean ranks carried as the INTEGER mr2 = 2·rank + ties − 1
+    * (twice the mean rank — ties never leave the integers), per-series
+    * rank sums as BIGINT, and the statistic
+    * χ² = 3·Σ(R2_j²)/(n·k·(k+1)) − 3·n·(k+1) evaluated on identical
+    * doubles from exact integers (the derivation folds the usual
+    * 12/(nk(k+1))·ΣR_j² form onto mr2 = 2R). No tie-variance correction
+    * (mean ranks handle ties; the uncorrected statistic is conservative
+    * — documented). Reject at the df = k−1 = 4 χ² 95 % point; the flag
+    * is NULL unless k = 5 (the literal's precondition — the Kupiec
+    * guard pattern). */
+  def friedmanSql(events: String, day: String): String =
+    s"""WITH px AS (
+       |  SELECT event_type AS series, $day AS day,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS x
+       |  FROM $events GROUP BY 1, 2),
+       |kk AS (SELECT count(DISTINCT series) AS k FROM px),
+       |fd AS (SELECT day FROM px GROUP BY day
+       |  HAVING count(*) = (SELECT k FROM kk)),
+       |v AS (SELECT px.series, px.day, px.x
+       |  FROM px JOIN fd ON px.day = fd.day),
+       |rk AS (
+       |  SELECT series, day,
+       |    2 * rank() OVER (PARTITION BY day ORDER BY x)
+       |      + count(*) OVER (PARTITION BY day, x) - 1 AS mr2
+       |  FROM v),
+       |rs AS (
+       |  SELECT series, CAST(sum(mr2) AS BIGINT) AS r2s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM rk GROUP BY series),
+       |tot AS (
+       |  SELECT CAST(sum(r2s * r2s) AS DOUBLE) AS sr2, max(n) AS n,
+       |    (SELECT k FROM kk) AS k
+       |  FROM rs)
+       |SELECT rs.series, rs.n AS n_days, rs.r2s AS sum_rank2,
+       |  round(CAST(rs.r2s AS DOUBLE) / (2 * rs.n), 6) AS mean_rank,
+       |  round(3.0 * t.sr2 / (t.n * t.k * (t.k + 1))
+       |    - 3.0 * t.n * (t.k + 1), 6) AS chi2,
+       |  CASE WHEN t.k = 5 THEN
+       |    CASE WHEN 3.0 * t.sr2 / (t.n * t.k * (t.k + 1))
+       |      - 3.0 * t.n * (t.k + 1) > 9.487729036781154
+       |      THEN 1 ELSE 0 END
+       |  ELSE NULL END AS reject_95
+       |FROM rs, tot t ORDER BY series""".stripMargin
+
+  // ---- CAPM beta (shared SQL template) -------------------------------------
+
+  /** PER-SERIES CAPM regression vs the equal-weight market — the
+    * index-model decomposition a commodity desk runs on every series
+    * (`ml_factor_loadings` extracts latent PCA factors; this regresses
+    * on the OBSERVABLE market factor): daily grid-6 bars → grid-6 simple
+    * returns (signed-zero-guarded) → market return = grid-6 mean over
+    * complete days → per-series (β, α, R²) from ONE DECIMAL moment
+    * aggregation (per-term DECIMAL(30,12) products — the house
+    * sufficient-statistics layout; identical doubles both engines).
+    * Degenerate-variance series are excluded by an EXACT filter (same
+    * arithmetic both sides). */
+  def capmSql(events: String, day: String): String =
+    s"""WITH px AS (
+       |  SELECT event_type AS series, $day AS day,
+       |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS px
+       |  FROM $events GROUP BY 1, 2),
+       |r0 AS (
+       |  SELECT series, day,
+       |    round((px - lag(px) OVER (PARTITION BY series ORDER BY day))
+       |      / lag(px) OVER (PARTITION BY series ORDER BY day), 6) + 0.0 AS r
+       |  FROM px),
+       |rr AS (SELECT series, day, r FROM r0 WHERE r IS NOT NULL),
+       |fd AS (SELECT day FROM rr GROUP BY day
+       |  HAVING count(*) = (SELECT count(DISTINCT series) FROM rr)),
+       |mkt AS (
+       |  SELECT rr.day,
+       |    round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) + 0.0 AS rm
+       |  FROM rr JOIN fd ON rr.day = fd.day GROUP BY rr.day),
+       |j AS (SELECT rr.series, rr.r, m.rm FROM rr JOIN mkt m ON rr.day = m.day),
+       |mom AS (
+       |  SELECT series, count(*) AS n,
+       |    CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS si,
+       |    CAST(sum(CAST(rm AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+       |    CAST(sum(CAST(CAST(r AS DECIMAL(18,6)) * CAST(rm AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS pim,
+       |    CAST(sum(CAST(CAST(rm AS DECIMAL(18,6)) * CAST(rm AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS pmm,
+       |    CAST(sum(CAST(CAST(r AS DECIMAL(18,6)) * CAST(r AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS pii
+       |  FROM j GROUP BY series)
+       |SELECT series, n AS n_days,
+       |  round((pim - si * sm / n) / (pmm - sm * sm / n), 6) + 0.0 AS beta,
+       |  round(si / n - ((pim - si * sm / n) / (pmm - sm * sm / n))
+       |    * (sm / n), 6) + 0.0 AS alpha,
+       |  round(((pim - si * sm / n) * (pim - si * sm / n))
+       |    / ((pmm - sm * sm / n) * (pii - si * si / n)), 6) AS r2
+       |FROM mom
+       |WHERE (pmm - sm * sm / n) > 0 AND (pii - si * si / n) > 0
+       |ORDER BY series""".stripMargin
+
   // ---- log-rank test (shared SQL template) --------------------------------
 
   /** TWO-GROUP SURVIVAL COMPARISON — the log-rank test, run where the
@@ -1417,6 +1521,58 @@ object R10 {
       mst.select(col("a"), col("b"), col("w").as("weight")).orderBy("a", "b")
     }),
 
+    /** PER-NODE local clustering coefficient (Watts–Strogatz 1998) over
+      * the same ≥2-order co-purchase graph as `graph_triangles` — the
+      * global row reports ONE scalar (3T/wedges); ego-level cohesion
+      * (which nodes sit in tight cliques vs hub-and-spoke stars) needs
+      * the per-node ratio lcc(v) = 2·T(v)/(deg(v)·(deg(v)−1)). Same
+      * degree-ordered compact-forward enumeration (per-node wedge
+      * fan-out O(√m) — hub-safe at 100 TB), but each closed wedge now
+      * keeps its CENTER so the triangle emits all three corners; one
+      * explode + keyed count gives T(v). All counts integer-exact; the
+      * single rounded division is output-only (no decision rides it —
+      * COVERAGE doctrine); ordering on identical doubles with integer
+      * tiebreak. Top-50 by lcc. */
+    "graph_local_clustering" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = b.as("b1").join(b.as("b2"),
+          col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+        .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("pa", "pb")
+      val deg = edges.select(col("pa").as("node"))
+        .unionAll(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("da"))),
+          "pa")
+        .join(broadcast(deg.select(col("node").as("pb"), col("deg").as("db"))),
+          "pb")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val oriented = withDeg.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      val vFirst = col("w1.dv") < col("w2.dv") ||
+        (col("w1.dv") === col("w2.dv") && col("w1.v") < col("w2.v"))
+      val wedges = oriented.as("w1").join(oriented.as("w2"),
+          col("w1.u") === col("w2.u") && vFirst)
+        .select(col("w1.u").as("c"), col("w1.v").as("a"), col("w2.v").as("b"))
+      val perNode = wedges
+        .join(oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+        .select(explode(array(col("c"), col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("lcc", round(
+          lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 6))
+        .orderBy(col("lcc").desc, col("node")).limit(50)
+    }),
+
     /** DENSITY CLUSTERING as a FULL oracle row — DBSCAN (Ester et al.
       * 1996) over the (click, purchase) 30-min plane, composed entirely
       * from patterns the registry has already certified at scale:
@@ -1623,6 +1779,90 @@ object R10 {
             max(col("cnt")).as("largest_size"))
           .orderBy("iter")
       } finally { edges.unpersist(); () }
+    }),
+
+    /** MODULARITY of the 2-round label-propagation partition — the
+      * QUALITY measure community detection is incomplete without
+      * (`graph_label_propagation` reports the coarsening trajectory;
+      * this scores the partition at the informative depth — round 2,
+      * before the dense trade graph collapses to one block):
+      * Q = Σ_c [L_c/m − (D_c/2m)²] computed as the EXACT integer
+      * rational (4·m·L_c − D_c²)/(4·m²) per community — internal-edge
+      * counts by joining the (checkpointed) edge list against the
+      * node-sized label frame on BOTH endpoints (each side rides the
+      * GraphLayout broadcast/shuffle gate), degree sums integer. The one
+      * division is output-only, grid-9 with the signed-zero guard (a
+      * 1-internal-edge community's q_term can round to ±0). Same
+      * propagation discipline as LPA: cached pre-partitioned edges,
+      * per-round checkpoint. */
+    "graph_modularity" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+        .localCheckpoint() // read by m, degrees, and the two-sided label join
+      val nodes = pairs.select(col("cn").as("node"))
+        .unionAll(pairs.select(col("sn").as("node"))).distinct()
+        .localCheckpoint()
+      val n = nodes.count()
+      val m = pairs.count()
+      val useB = graft.operators.GraphLayout.useBroadcast(n)
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+        .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
+        .repartition(if (useB) col("src") else col("dst"))
+        .cache()
+      try {
+        var labels = nodes.select(col("node"), col("node").as("label"))
+        val wArg = Window.partitionBy("src")
+          .orderBy(col("cnt").desc, col("label").asc)
+        for (_ <- 1 to 2) {
+          val counted = edges
+            .join(graft.operators.GraphLayout.nodeSide(labels, n),
+              edges("dst") === labels("node"))
+            .groupBy(col("src"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          labels = counted
+            .withColumn("rn", row_number().over(wArg))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("label"))
+            .localCheckpoint()
+        }
+        val deg = pairs.select(col("cn").as("node"))
+          .unionAll(pairs.select(col("sn").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val la = graft.operators.GraphLayout.nodeSide(
+          labels.select(col("node").as("cn"), col("label").as("lab_a")), n)
+        val lb = graft.operators.GraphLayout.nodeSide(
+          labels.select(col("node").as("sn"), col("label").as("lab_b")), n)
+        val lin = pairs.join(la, "cn").join(lb, "sn")
+          .filter(col("lab_a") === col("lab_b"))
+          .groupBy(col("lab_a")).agg(count(lit(1)).as("internal_edges"))
+          .withColumnRenamed("lab_a", "label")
+        val dsum = labels.join(graft.operators.GraphLayout.nodeSide(deg, n)
+            .withColumnRenamed("node", "dnode"),
+            col("node") === col("dnode"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+        dsum.join(lin, Seq("label"), "left")
+          .select(col("label").as("community"), col("n_nodes"),
+            coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+            col("degree_sum"))
+          .withColumn("q_term", round(
+            (lit(4L) * lit(m) * col("internal_edges")
+              - col("degree_sum") * col("degree_sum")).cast("double")
+              / lit(4L * m * m).cast("double"), 9) + lit(0.0))
+          .orderBy("community")
+      } finally { edges.unpersist(); () }
+    }),
+
+    "stat_friedman" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(friedmanSql(v, "ts_ns div 86400000000000"))
+    }),
+
+    "fin_capm_beta" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(capmSql(v, "ts_ns div 86400000000000"))
     }),
 
     /** REAL video-kind decode through the production seam — the animated-
@@ -2280,9 +2520,59 @@ object R10 {
        |GROUP BY iter ORDER BY iter""".stripMargin
   }
 
+  /** 2-round LPA replay + the exact integer modularity rational per
+    * community. */
+  private def modularitySql: String = {
+    val rounds = (1 to 2).map { i =>
+      s"""l$i AS (SELECT src AS node, label FROM (
+         |  SELECT e.src, l.label,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.label) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nd AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT cn AS node FROM p UNION ALL SELECT sn FROM p) u),
+       |e AS MATERIALIZED (
+       |  SELECT cn AS src, sn AS dst FROM p
+       |  UNION ALL SELECT sn, cn FROM p
+       |  UNION ALL SELECT node, node FROM nd),
+       |l0 AS (SELECT node, node AS label FROM nd),
+       |$rounds,
+       |mm AS (SELECT count(*)::BIGINT AS m FROM p),
+       |degr AS (SELECT node, count(*)::BIGINT AS deg FROM (
+       |  SELECT cn AS node FROM p UNION ALL SELECT sn FROM p) u GROUP BY node),
+       |lin AS (
+       |  SELECT la.label, count(*)::BIGINT AS internal_edges
+       |  FROM p JOIN l2 la ON p.cn = la.node JOIN l2 lb ON p.sn = lb.node
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |ds AS (
+       |  SELECT l2.label, count(*)::BIGINT AS n_nodes,
+       |    CAST(sum(degr.deg) AS BIGINT) AS degree_sum
+       |  FROM l2 JOIN degr ON l2.node = degr.node GROUP BY l2.label)
+       |SELECT ds.label AS community, ds.n_nodes,
+       |  coalesce(lin.internal_edges, 0)::BIGINT AS internal_edges,
+       |  ds.degree_sum,
+       |  round(CAST(4 * mm.m * coalesce(lin.internal_edges, 0)
+       |      - ds.degree_sum * ds.degree_sum AS DOUBLE)
+       |    / CAST(4 * mm.m * mm.m AS DOUBLE), 9) + 0.0 AS q_term
+       |FROM ds LEFT JOIN lin ON ds.label = lin.label, mm
+       |ORDER BY community""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "ml_lasso_cd" -> lassoCdSql,
+
+    "graph_modularity" -> modularitySql,
+
+    "stat_friedman" -> friedmanSql("events", "epoch_ns(ts) // 86400000000000"),
+
+    "fin_capm_beta" -> capmSql("events", "epoch_ns(ts) // 86400000000000"),
 
     "graph_label_propagation" -> lpaSql,
 
@@ -2357,6 +2647,49 @@ object R10 {
     "stat_sprt" -> sprtSql("events", "epoch_ns(ts) // 1800000000000"),
 
     "graph_mst_boruvka" -> mstBoruvkaSql,
+
+    /** Compact-forward replay with the wedge CENTER carried through;
+      * per-node triangle count by a 3-way UNION ALL of the corners. */
+    "graph_local_clustering" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT b1.p AS pa, b2.p AS pb
+        |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT pa AS node FROM edges
+        |    UNION ALL SELECT pb FROM edges)
+        |  GROUP BY node),
+        |oriented AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+        |      THEN pa ELSE pb END AS u,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+        |      THEN pb ELSE pa END AS v,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+        |      THEN d2.deg ELSE d1.deg END AS dv
+        |  FROM edges
+        |  JOIN deg d1 ON edges.pa = d1.node
+        |  JOIN deg d2 ON edges.pb = d2.node),
+        |wedges AS (
+        |  SELECT w1.u AS c, w1.v AS a, w2.v AS b
+        |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+        |   AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))),
+        |tris AS (
+        |  SELECT c, a, b
+        |  FROM wedges JOIN oriented o ON wedges.a = o.u AND wedges.b = o.v),
+        |pernode AS (
+        |  SELECT node, count(*)::BIGINT AS n_tri FROM (
+        |    SELECT c AS node FROM tris
+        |    UNION ALL SELECT a FROM tris
+        |    UNION ALL SELECT b FROM tris) z
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(p.n_tri, 0)::BIGINT AS n_tri,
+        |  round(2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS lcc
+        |FROM deg d LEFT JOIN pernode p ON d.node = p.node
+        |WHERE d.deg >= 2
+        |ORDER BY lcc DESC, d.node LIMIT 50""".stripMargin,
 
     /** DBSCAN twin: the exact ε-disk over an n² candidate join (the
       * oracle needs correctness, not the cell index), components by the

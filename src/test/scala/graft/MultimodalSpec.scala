@@ -102,6 +102,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash64 is deterministic exact block averaging, sensitive to block flips") {
+    def img(f: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val g = f(x, y); im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    val base = img((x, y) => (x * 37 + y * 91) % 256)
+    assert(Multimodal.dHash64(base) == Multimodal.dHash64(
+      img((x, y) => (x * 37 + y * 91) % 256)))
+    // raising one 4x4 block over a FLAT field flips exactly the
+    // comparison entering it (left neighbor) and no other: d == 1; a
+    // raised block can never move more than its two horizontal
+    // comparisons (the <=2-bits-per-block bound the planted corpus'
+    // Hamming budget rides)
+    val flat = img((_, _) => 100)
+    val bumped = img((x, y) => if (x / 4 == 4 && y / 4 == 3) 200 else 100)
+    val d = java.lang.Long.bitCount(
+      Multimodal.dHash64(flat) ^ Multimodal.dHash64(bumped))
+    assert(d == 1, s"one raised block over a flat field moved $d bits")
+    // non-aligned dims fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash64(new java.awt.image.BufferedImage(
+        35, 32, java.awt.image.BufferedImage.TYPE_INT_RGB))
+    }
+  }
+
+  test("multimodal_dedup_phash: full recall on planted variants, zero false pairs") {
+    val rows = SparkEntry.queries("multimodal_dedup_phash")(
+      spark, "/root/testdata/sf0.001").collect()
+    // planted: first 96 doc_ids, group = id % 16, nested perturbations
+    // guarantee Hamming <= 6 within a group; mixed patterns keep groups
+    // ~32 bits apart
+    val expected = (for {
+      a <- 0L until 96L; b <- (a + 1) until 96L if a % 16 == b % 16
+    } yield (a, b)).toSet
+    val got = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got == expected,
+      s"recall/precision broke: missing ${(expected -- got).take(3)}, " +
+        s"spurious ${(got -- expected).take(3)}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("same_group"))
+      assert(r.getAs[Int]("hamming") <= 6)
+    }
+  }
+
   test("wavDecoder parses REAL RIFF bytes to true header facts through the seam") {
     // tiny PCM WAVs generated in-test via the JDK — the audio sibling of
     // the PNG round-trip above

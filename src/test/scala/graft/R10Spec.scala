@@ -548,6 +548,98 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_sprt_planted"); () }
   }
 
+  test("friedman: rank-sum conservation on data; a dominant series rejects") {
+    import spark.implicits._
+    val out = SparkEntry.queries("stat_friedman")(spark, dir).collect()
+    val k = out.length.toLong
+    val n = out.head.getAs[Long]("n_days")
+    // within each complete day the mean ranks sum to k(k+1)/2, so the
+    // mr2 sums conserve exactly: sum over series = n * k * (k+1)
+    assert(out.map(_.getAs[Long]("sum_rank2")).sum == n * k * (k + 1))
+    assert(out.map(_.getAs[Double]("chi2")).distinct.length == 1)
+    // planted: series 'a' strictly highest every day, the rest cycle —
+    // the test must reject decisively
+    val rows = for (day <- 0 until 40; (t, i) <- Seq("a", "b", "c", "d", "e").zipWithIndex)
+      yield (t, day.toLong * 86400000000000L,
+        if (t == "a") 100.0 else 10.0 + ((day + i) % 4))
+    rows.toDF("event_type", "ts_ns", "value")
+      .createOrReplaceTempView("r10_friedman_planted")
+    try {
+      val p = spark.sql(graft.queries.R10.friedmanSql(
+        "r10_friedman_planted", "ts_ns div 86400000000000")).collect()
+      assert(p.forall(_.getAs[Int]("reject_95") == 1),
+        s"dominant series must reject: ${p.mkString(";")}")
+      val aRank = p.find(_.getAs[String]("series") == "a").get
+        .getAs[Double]("mean_rank")
+      assert(aRank == 5.0, s"always-highest series must have mean rank k: $aRank")
+    } finally { spark.catalog.dropTempView("r10_friedman_planted"); () }
+  }
+
+  test("capm: equal-weight market forces mean beta 1 and mean alpha 0") {
+    val out = SparkEntry.queries("fin_capm_beta")(spark, dir).collect()
+    val k = out.length
+    assert(k >= 2)
+    assert(out.map(_.getAs[Long]("n_days")).distinct.length == 1)
+    out.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"R2 out of range: $r")
+    }
+    // the market is the equal-weight mean of the series, so betas
+    // average to 1 and alphas to 0 (up to the 1e-6 grid on returns)
+    assert(math.abs(out.map(_.getAs[Double]("beta")).sum / k - 1.0) < 0.01)
+    assert(math.abs(out.map(_.getAs[Double]("alpha")).sum / k) < 0.01)
+  }
+
+  test("modularity: conservation laws and exact per-community recomputation") {
+    val out = SparkEntry.queries("graph_modularity")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val twoM = out.map(_.getAs[Long]("degree_sum")).sum
+    assert(twoM % 2 == 0)
+    val m = twoM / 2
+    assert(out.map(_.getAs[Long]("internal_edges")).sum <= m)
+    out.foreach { r =>
+      val l = r.getAs[Long]("internal_edges")
+      val dS = r.getAs[Long]("degree_sum")
+      val want = BigDecimal((4L * m * l - dS * dS).toDouble / (4L * m * m).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("q_term") == want, s"q_term mismatch: $r vs $want")
+      assert(l <= dS * (dS - 1) / 2)
+    }
+  }
+
+  test("local clustering coefficient matches a brute-force driver count") {
+    val out = SparkEntry.queries("graph_local_clustering")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // rebuild the >=2-order co-purchase edge set on the driver (bounded
+    // at sf0.001) and count each output node's triangles by adjacency
+    // intersection
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = b.as("b1").join(b.as("b2"),
+        col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+      .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("pa", "pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, c) =>
+      adj(a) = adj(a) + c; adj(c) = adj(c) + a
+    }
+    out.foreach { r =>
+      val node = r.getAs[Long]("node")
+      val deg = r.getAs[Long]("deg")
+      val nTri = r.getAs[Long]("n_tri")
+      val ns = adj(node)
+      assert(ns.size.toLong == deg, s"degree mismatch at $node")
+      val want = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      assert(nTri == want.toLong, s"triangle count mismatch at $node")
+      val lcc = r.getAs[Double]("lcc")
+      assert(math.abs(lcc - 2.0 * want / (deg * (deg - 1.0))) < 1e-6)
+    }
+  }
+
   test("gbt stumps on data: SSE strictly decreases and leaves are finite") {
     val out = SparkEntry.queries("ml_gbt_stumps")(spark, dir)
       .orderBy("iter").collect()

@@ -142,4 +142,42 @@ class TextSpec extends SparkSpec {
         s"topic ${r.getAs[Int]("topic")} mixes vocabularies: $terms")
     }
   }
+
+  test("gopher rules match an independent driver recomputation from raw text") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("text_gopher_quality")(spark, dir).collect()
+    val raw = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == raw.size)
+    val stops = Set("the", "a", "be", "to", "of", "and", "that", "have", "with")
+    var keeps = 0
+    out.foreach { r =>
+      val text = raw(r.getAs[Long]("doc_id"))
+      val toks = text.split(" ", -1)
+      val nW = toks.length.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val nAlpha = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val nSym = text.count(_ == '#').toLong +
+        (text.split("\\.\\.\\.", -1).length - 1).toLong
+      val nStop = toks.map(_.toLowerCase).toSet.count(stops)
+      val flags = Seq(
+        nW >= 50 && nW <= 100000,
+        sumLen >= 3 * nW && sumLen <= 10 * nW,
+        10 * nSym < nW,
+        5 * nAlpha >= 4 * nW,
+        nStop >= 2)
+      assert(r.getAs[Long]("n_words") == nW)
+      assert(r.getAs[Int]("r_word_count") == (if (flags(0)) 1 else 0))
+      assert(r.getAs[Int]("r_mean_word_len") == (if (flags(1)) 1 else 0))
+      assert(r.getAs[Int]("r_symbol_ratio") == (if (flags(2)) 1 else 0))
+      assert(r.getAs[Int]("r_alpha_words") == (if (flags(3)) 1 else 0))
+      assert(r.getAs[Int]("r_stopwords") == (if (flags(4)) 1 else 0))
+      assert(r.getAs[Int]("keep") == (if (flags.forall(identity)) 1 else 0))
+      keeps += r.getAs[Int]("keep")
+    }
+    // the battery must discriminate, not rubber-stamp or reject-all
+    assert(keeps > 0 && keeps < out.length, s"vacuous filter: $keeps kept")
+  }
 }
