@@ -209,6 +209,37 @@ object Corpus {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    /** TEMPERATURE-BASED mixture weights (Conneau & Lample 2019; the
+      * multilingual-pretraining sampling rule every major LM corpus
+      * uses): p_s ∝ n_s^τ at τ = 0.7 flattens the source distribution —
+      * high-resource languages are downsampled, low-resource upsampled
+      * (the harness corpus has the real skew on the LANG axis: en ~44 %
+      * vs fr ~13 % — the source axis is uniform by construction and
+      * would make the operator vacuous).
+      * n^τ = exp(0.7·ln n) on INTEGER counts, re-gridded 1e-6 (the
+      * text_entropy libm class: no decision rides it), weights summed in
+      * DECIMAL (tiny frame, but aggregation order must not matter);
+      * totals attached by an unpartitioned window over the
+      * |sources|-bounded frame (no cross join, plan-audit clean).
+      * Output: per-source natural share, temperature share, and the
+      * upsample factor a sampler applies. */
+    "corpus_temperature_mix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt", round(exp(lit(0.7) * log(col("n_docs"))), 6))
+        .withColumn("nn", sum(col("n_docs")).over(w))
+        .withColumn("ww", sum(col("wt").cast("decimal(18,6)")).over(w))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("nn"), 6)
+            .as("natural_share"),
+          round(col("wt") / col("ww").cast("double"), 6)
+            .as("temperature_share"))
+        .withColumn("upsample_factor",
+          round(col("temperature_share") / col("natural_share"), 6))
+        .orderBy("lang")
+    }),
+
     /** Multi-granularity corpus profile in ONE pass: (lang, source),
       * per-lang subtotals, grand total via rollup — no union of three
       * aggregations. */
@@ -445,6 +476,27 @@ object Corpus {
          |WHERE rk <= (CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 20
          |             ELSE 10 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+        |  GROUP BY lang),
+        |wts AS (
+        |  SELECT lang, n_docs,
+        |    round(exp(0.7 * ln(n_docs)), 6) AS wt FROM c),
+        |tot AS (
+        |  SELECT lang, n_docs, wt,
+        |    sum(n_docs) OVER () AS nn,
+        |    sum(CAST(wt AS DECIMAL(18,6))) OVER () AS ww
+        |  FROM wts),
+        |shares AS (
+        |  SELECT lang, n_docs,
+        |    round(CAST(n_docs AS DOUBLE) / nn, 6) AS natural_share,
+        |    round(wt / CAST(ww AS DOUBLE), 6) AS temperature_share
+        |  FROM tot)
+        |SELECT lang, n_docs, natural_share, temperature_share,
+        |  round(temperature_share / natural_share, 6) AS upsample_factor
+        |FROM shares ORDER BY lang""".stripMargin,
 
     "agg_rollup_profile" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

@@ -511,6 +511,27 @@ object Feat {
           count(lit(1)).as("n_features"), sum("cnt").as("n_rows"))
         .orderBy("bucket")),
 
+    /** FRESHNESS SLA — the per-stream staleness census a pipeline's
+      * on-call reads first (is any source LAGGING the watermark?):
+      * per event type, last-arrival timestamp, total volume, the lag
+      * behind the GLOBAL watermark (max ts over all types) in integer
+      * minutes, and a 30-minute SLA flag — every value and every
+      * decision pure INTEGER ns arithmetic (no clock, no double). The
+      * watermark attaches via an unpartitioned window over the
+      * |event-types|-bounded frame. */
+    "dq_freshness_sla" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(col("ts_ns")).as("last_ts_ns"),
+          count(lit(1)).as("n_events"))
+        .withColumn("wm_ns",
+          max(col("last_ts_ns")).over(Window.partitionBy(lit(1))))
+        .select(col("event_type"), col("n_events"), col("last_ts_ns"),
+          expr("(wm_ns - last_ts_ns) div 60000000000").as("lag_minutes"),
+          (col("wm_ns") - col("last_ts_ns") <= 1800000000000L).cast("int")
+            .as("fresh_30m"))
+        .orderBy("event_type")),
+
     /** SNAPSHOT DRIFT AUDIT — the before/after profile diff a pipeline
       * runs when a new data drop lands (this repo lived the failure mode
       * it guards: the harness regenerated `/root/testdata` mid-round-7
@@ -1275,6 +1296,18 @@ object Feat {
         |SELECT bucket, sum(sign * cnt)::BIGINT AS signed_count,
         |  count(*)::BIGINT AS n_features, sum(cnt)::BIGINT AS n_rows
         |FROM hashed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "dq_freshness_sla" ->
+      """WITH a AS (
+        |  SELECT event_type, max(epoch_ns(ts)) AS last_ts_ns,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT *, max(last_ts_ns) OVER () AS wm_ns FROM a)
+        |SELECT event_type, n_events, last_ts_ns,
+        |  (wm_ns - last_ts_ns) // 60000000000 AS lag_minutes,
+        |  CASE WHEN wm_ns - last_ts_ns <= 1800000000000 THEN 1 ELSE 0 END
+        |    AS fresh_30m
+        |FROM b ORDER BY event_type""".stripMargin,
 
     "dq_schema_drift" ->
       """WITH ev AS (

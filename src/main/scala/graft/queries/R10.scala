@@ -592,6 +592,96 @@ object R10 {
     } finally { views.foreach(v => { s.catalog.dropTempView(v); () }) }
   }
 
+  // ---- online SGD (executor fold + recursive-CTE twin) ---------------------
+
+  /** ONLINE LEARNING as a FULL oracle row — single-pass SGD on the
+    * standardized (view → click) stream, the incremental-model family
+    * the registry lacked (every other `ml_*` row fits in batch; a
+    * production scorer often learns online as data lands). Two phases
+    * share ONE arithmetic both engines:
+    *  1. standardization moments (DECIMAL sums → grid-6 mean/σ — the
+    *     `ml_scaler` discipline; SGD on raw bucket means diverges at
+    *     these magnitudes);
+    *  2. the sequential pass in bucket order: pred = round(w0+w1·zx, 9),
+    *     err = round(pred − zy, 9)+0, w ← round(w − 0.05·err·(1, zx), 9)
+    *     +0 — every state re-gridded 1e-9 HALF_UP (the `ts_kalman_level`
+    *     recursion discipline), SSE accumulated in the SAME fixed order
+    *     on both sides (sequential fold ≡ recursive CTE, so a double
+    *     accumulator is order-safe — the `HwFilter` precedent).
+    * Engine: one executor-side `flatMapGroups` fold over the bounded
+    * bucket series (no driver collect); twin: recursive CTE joining the
+    * indexed series per step. R10Spec plants a perfectly-correlated
+    * stream (w1 → 1, w0 → 0) and pins one-pass loss improvement. */
+  def sgdZSql(events: String, day: String, mat: String): String =
+    s"""px AS $mat (
+       |  SELECT $day AS bucket,
+       |    round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+       |        AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(CASE WHEN event_type = 'view' THEN value END), 6) AS x,
+       |    round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+       |        AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(CASE WHEN event_type = 'click' THEN value END), 6) AS y
+       |  FROM $events WHERE event_type IN ('view', 'click')
+       |  GROUP BY 1),
+       |b AS $mat (SELECT bucket, x, y FROM px
+       |  WHERE x IS NOT NULL AND y IS NOT NULL),
+       |mom AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS pxx,
+       |    CAST(sum(CAST(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS pyy
+       |  FROM b),
+       |stz AS (
+       |  SELECT n, round(sx / n, 6) AS mx, round(sy / n, 6) AS my,
+       |    round(sqrt((pxx - sx * sx / n) / n), 6) AS sdx,
+       |    round(sqrt((pyy - sy * sy / n) / n), 6) AS sdy
+       |  FROM mom),
+       |z AS $mat (
+       |  SELECT row_number() OVER (ORDER BY bucket) AS i,
+       |    round((x - stz.mx) / stz.sdx, 6) + 0.0 AS zx,
+       |    round((y - stz.my) / stz.sdy, 6) + 0.0 AS zy
+       |  FROM b, stz)""".stripMargin
+
+  /** The sequential SGD pass — ONE arithmetic for the executor fold and
+    * (replicated by the recursive CTE) the oracle. Input: (i, zx, zy)
+    * in any order; the fold sorts by i. */
+  def sgdFold(rows: Array[(Long, Double, Double)])
+      : (Long, Double, Double, Double) = {
+    val sorted = rows.sortBy(_._1)
+    var w0 = 0.0
+    var w1 = 0.0
+    var sse = 0.0
+    sorted.foreach { case (_, zx, zy) =>
+      val pred = Grid.r9(w0 + w1 * zx)
+      val err = Grid.r9(pred - zy) + 0.0
+      w0 = Grid.r9(w0 - 0.05 * err) + 0.0
+      w1 = Grid.r9(w1 - 0.05 * err * zx) + 0.0
+      sse += err * err
+    }
+    (sorted.length.toLong, w0, w1, Grid.r6(math.sqrt(sse / sorted.length)))
+  }
+
+  /** DuckDB twin: the same standardization CTEs + the SGD recursion. */
+  def sgdOnlineSql(events: String, day: String): String = {
+    val err = "(round(round(r.w0 + r.w1 * z.zx, 9) - z.zy, 9) + 0.0)"
+    s"""WITH RECURSIVE ${sgdZSql(events, day, "MATERIALIZED")},
+       |r AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS w0,
+       |    CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS sse
+       |  UNION ALL
+       |  SELECT z.i,
+       |    round(r.w0 - 0.05 * $err, 9) + 0.0,
+       |    round(r.w1 - 0.05 * $err * z.zx, 9) + 0.0,
+       |    r.sse + $err * $err
+       |  FROM r JOIN z ON z.i = r.i + 1)
+       |SELECT r.i AS n_steps, r.w0, r.w1,
+       |  round(sqrt(r.sse / r.i), 6) AS rmse
+       |FROM r, stz WHERE r.i = stz.n""".stripMargin
+  }
+
   // ---- Friedman test (shared SQL template) --------------------------------
 
   /** FRIEDMAN TEST — the repeated-measures member the nonparametric rank
@@ -1865,6 +1955,16 @@ object R10 {
       s.sql(capmSql(v, "ts_ns div 86400000000000"))
     }),
 
+    "ml_sgd_online" -> ((s, d) => withEventsView(s, d) { v =>
+      import s.implicits._
+      s.sql("WITH " + sgdZSql(v, "ts_ns div 1800000000000", "") +
+          "\nSELECT i, zx, zy FROM z")
+        .as[(Long, Double, Double)]
+        .groupByKey(_ => 1)
+        .flatMapGroups((_, it) => Iterator(sgdFold(it.toArray)))
+        .toDF("n_steps", "w0", "w1", "rmse")
+    }),
+
     /** REAL video-kind decode through the production seam — the animated-
       * GIF sibling of `multimodal_decode_png`/`_wav`, closing the
       * `kind ∈ {image, audio, video}` triple (VERDICT r9 ask #7):
@@ -2573,6 +2673,9 @@ object R10 {
     "stat_friedman" -> friedmanSql("events", "epoch_ns(ts) // 86400000000000"),
 
     "fin_capm_beta" -> capmSql("events", "epoch_ns(ts) // 86400000000000"),
+
+    "ml_sgd_online" ->
+      sgdOnlineSql("events", "epoch_ns(ts) // 1800000000000"),
 
     "graph_label_propagation" -> lpaSql,
 

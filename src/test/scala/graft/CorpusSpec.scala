@@ -152,4 +152,23 @@ class CorpusSpec extends SparkSpec {
     val self = p.map(x => x * math.log(x / x) / 2 * 2).sum
     assert(math.abs(self) < 1e-12)
   }
+
+  test("temperature mix flattens the lang distribution, shares conserve") {
+    val out = SparkEntry.queries("corpus_temperature_mix")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length >= 2)
+    assert(math.abs(out.map(_.getAs[Double]("natural_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getAs[Double]("temperature_share")).sum - 1.0) < 1e-4)
+    val byN = out.sortBy(_.getAs[Long]("n_docs"))
+    // temperature preserves the ordering but compresses the range:
+    // the smallest lang is upsampled, the largest downsampled
+    assert(byN.head.getAs[Double]("upsample_factor") > 1.0)
+    assert(byN.last.getAs[Double]("upsample_factor") < 1.0)
+    val nat = byN.map(_.getAs[Double]("natural_share"))
+    val tmp = byN.map(_.getAs[Double]("temperature_share"))
+    assert(tmp.last / tmp.head < nat.last / nat.head,
+      "temperature must compress the share range")
+    assert(tmp.sliding(2).forall { case Array(a, b) => a <= b },
+      "temperature must preserve the size ordering")
+  }
 }

@@ -696,4 +696,17 @@ class FeatSpec extends SparkSpec {
       assert(approx(r.getAs[Double]("jaccard"), math.rint(jac * 1e6) / 1e6, 1e-6))
     }
   }
+
+  test("freshness SLA: integer lags vs the recomputed watermark, flags exact") {
+    val out = SparkEntry.queries("dq_freshness_sla")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val wm = out.map(_.getAs[Long]("last_ts_ns")).max
+    assert(out.count(_.getAs[Long]("lag_minutes") == 0L) >= 1)
+    out.foreach { r =>
+      val lag = wm - r.getAs[Long]("last_ts_ns")
+      assert(r.getAs[Long]("lag_minutes") == lag / 60000000000L)
+      assert(r.getAs[Int]("fresh_30m") ==
+        (if (lag <= 1800000000000L) 1 else 0))
+    }
+  }
 }

@@ -548,6 +548,39 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_sprt_planted"); () }
   }
 
+  test("online SGD: one pass on a perfectly correlated stream recovers slope 1") {
+    import spark.implicits._
+    val onData = SparkEntry.queries("ml_sgd_online")(spark, dir).head()
+    assert(onData.getAs[Long]("n_steps") > 10) // sf0.001 has ~23 buckets
+    assert(onData.getAs[Double]("rmse") > 0.0)
+    // planted: click = 2*view + 5 per bucket, so the standardized pair is
+    // identical and SGD must drive w1 -> 1, w0 -> 0
+    val rows = (0 until 400).flatMap { t =>
+      val p = 50.0 + (t * 7 % 13) + 0.5 * (t % 4)
+      Seq(("view", t.toLong * 1800000000000L, p),
+        ("click", t.toLong * 1800000000000L, 2.0 * p + 5.0))
+    }
+    rows.toDF("event_type", "ts_ns", "value")
+      .createOrReplaceTempView("r10_sgd_planted")
+    try {
+      val z = spark.sql("WITH " + graft.queries.R10.sgdZSql(
+          "r10_sgd_planted", "ts_ns div 1800000000000", "") +
+          "\nSELECT i, zx, zy FROM z").collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getDouble(1),
+          r.getDouble(2)))
+      // the standardized pair agrees up to the grid-6 rounding of the
+      // mean/sigma statistics under the affine map
+      z.foreach { case (_, zx, zy) =>
+        assert(math.abs(zx - zy) < 1e-4, s"z mismatch $zx $zy")
+      }
+      val (n, w0, w1, rmse) = graft.queries.R10.sgdFold(z)
+      assert(n == 400L)
+      assert(math.abs(w1 - 1.0) < 0.1, s"slope must converge to 1: $w1")
+      assert(math.abs(w0) < 0.1, s"intercept near 0: $w0")
+      assert(rmse < 0.35, s"loss must shrink: $rmse")
+    } finally { spark.catalog.dropTempView("r10_sgd_planted"); () }
+  }
+
   test("friedman: rank-sum conservation on data; a dominant series rejects") {
     import spark.implicits._
     val out = SparkEntry.queries("stat_friedman")(spark, dir).collect()
