@@ -645,24 +645,12 @@ object R10 {
        |    round((y - stz.my) / stz.sdy, 6) + 0.0 AS zy
        |  FROM b, stz)""".stripMargin
 
-  /** The sequential SGD pass — ONE arithmetic for the executor fold and
-    * (replicated by the recursive CTE) the oracle. Input: (i, zx, zy)
-    * in any order; the fold sorts by i. */
+  /** The sequential SGD pass — ONE arithmetic for the executor fold,
+    * the streaming twin, and (replicated by the recursive CTE) the
+    * oracle; lives in `operators.SgdOnline`. */
   def sgdFold(rows: Array[(Long, Double, Double)])
-      : (Long, Double, Double, Double) = {
-    val sorted = rows.sortBy(_._1)
-    var w0 = 0.0
-    var w1 = 0.0
-    var sse = 0.0
-    sorted.foreach { case (_, zx, zy) =>
-      val pred = Grid.r9(w0 + w1 * zx)
-      val err = Grid.r9(pred - zy) + 0.0
-      w0 = Grid.r9(w0 - 0.05 * err) + 0.0
-      w1 = Grid.r9(w1 - 0.05 * err * zx) + 0.0
-      sse += err * err
-    }
-    (sorted.length.toLong, w0, w1, Grid.r6(math.sqrt(sse / sorted.length)))
-  }
+      : (Long, Double, Double, Double) =
+    graft.operators.SgdOnline.fold(rows)
 
   /** DuckDB twin: the same standardization CTEs + the SGD recursion. */
   def sgdOnlineSql(events: String, day: String): String = {
@@ -1955,6 +1943,16 @@ object R10 {
       s.sql(capmSql(v, "ts_ns div 86400000000000"))
     }),
 
+    /** REAL STREAMING twin of `ml_sgd_online` — see
+      * `EventStream.sgdStream`: per-bucket exact scaled-6 sums in
+      * state (order-free, late-data-safe), FULL re-standardize + re-fit
+      * per micro-batch (global scaler stats make a finalized-prefix
+      * anchor impossible — documented there), final snapshot
+      * hash-matches the SAME recursive oracle as the batch scan. */
+    "stream_sgd_online" -> ((s, d) =>
+      graft.streaming.EventStream.runSgdOnce(s, d,
+        s"stream_sgd_v${sqlRuns.incrementAndGet()}")),
+
     "ml_sgd_online" -> ((s, d) => withEventsView(s, d) { v =>
       import s.implicits._
       s.sql("WITH " + sgdZSql(v, "ts_ns div 1800000000000", "") +
@@ -2675,6 +2673,9 @@ object R10 {
     "fin_capm_beta" -> capmSql("events", "epoch_ns(ts) // 86400000000000"),
 
     "ml_sgd_online" ->
+      sgdOnlineSql("events", "epoch_ns(ts) // 1800000000000"),
+
+    "stream_sgd_online" ->
       sgdOnlineSql("events", "epoch_ns(ts) // 1800000000000"),
 
     "graph_label_propagation" -> lpaSql,

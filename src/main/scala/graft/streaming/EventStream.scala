@@ -1006,6 +1006,90 @@ object EventStream {
         queryName, OutputMode.Update()))
   }
 
+  // ---- streaming online SGD --------------------------------------------
+
+  case class SgdEvent(ts: java.sql.Timestamp, bucket: Long, isX: Boolean,
+                      v: Double)
+
+  /** Per-bucket EXACT scaled-6 sums and counts for both series — the
+    * bucket mean is order-free, so arrival order (and late data) never
+    * matters; the map is bounded by the series' bucket count (time-span
+    * bounded, the same bound the batch bar frame has). */
+  case class SgdBucket(sx6: Long, cx: Long, sy6: Long, cy: Long)
+
+  case class SgdBuf(buckets: Map[Long, SgdBucket], version: Long)
+
+  case class SgdSnap(n_steps: Long, w0: Double, w1: Double, rmse: Double,
+                     version: Long)
+
+  /** Streaming online SGD — the learner re-fit as data lands: every
+    * micro-batch updates the per-bucket sums and re-runs
+    * standardization + the sequential pass over the whole bar frame
+    * (`SgdOnline.fromBars` — the SAME arithmetic as the batch scan and
+    * the recursive-CTE oracle). FULL recompute per emission, by
+    * NECESSITY, not convenience: the model standardizes features over
+    * the complete series, so one new bucket moves every z — there is no
+    * finalized-prefix anchor (contrast `hwStream`/`ewmaStream`). A
+    * production learner freezes scaler statistics to get O(1) updates —
+    * this twin's job is to prove the stream converges to the batch
+    * answer bit for bit. */
+  def sgdStream(events: DataFrame,
+                watermark: String = "1 hour"): Dataset[SgdSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("bucket"), col("isX"), col("v"))
+      .as[SgdEvent]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[SgdBuf, SgdSnap](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[SgdEvent], state: GroupState[SgdBuf]) =>
+          val prev = state.getOption.getOrElse(SgdBuf(Map.empty, 0L))
+          var m = prev.buckets
+          rows.foreach { r =>
+            val b = m.getOrElse(r.bucket, SgdBucket(0L, 0L, 0L, 0L))
+            val s6 = graft.operators.SgdOnline.scaled6(r.v)
+            m += (r.bucket -> (if (r.isX)
+              b.copy(sx6 = b.sx6 + s6, cx = b.cx + 1)
+            else b.copy(sy6 = b.sy6 + s6, cy = b.cy + 1)))
+          }
+          val v = prev.version + 1
+          state.update(SgdBuf(m, v))
+          val bars = m.toSeq.collect {
+            case (bk, sb) if sb.cx > 0 && sb.cy > 0 =>
+              (bk, graft.operators.SgdOnline.mean6(sb.sx6, sb.cx),
+                graft.operators.SgdOnline.mean6(sb.sy6, sb.cy))
+          }
+          graft.operators.SgdOnline.fromBars(bars) match {
+            case Some((n, w0, w1, rmse)) =>
+              Iterator.single(SgdSnap(n, w0, w1, rmse, v))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** Read side: keep the highest-version snapshot only. */
+  def mergeSgdEmissions(emitted: DataFrame): DataFrame = {
+    val latest = emitted.agg(max(col("version")).as("vv"))
+    emitted.join(broadcast(latest), col("version") === col("vv"))
+      .select("n_steps", "w0", "w1", "rmse")
+  }
+
+  /** Harness entry: the REAL streaming online-SGD learner run to
+    * completion; wide-watermark convention as [[runHwOnce]]. The merged
+    * snapshot matches the batch `ml_sgd_online` oracle exactly. */
+  def runSgdOnce(spark: SparkSession, dir: String, queryName: String,
+                 watermark: String = "3650 days"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("ts"), expr("ts_ns div 1800000000000").as("bucket"),
+        (col("event_type") === "view").as("isX"), col("value").as("v"))
+    mergeSgdEmissions(
+      runToMemory(sgdStream(events, watermark = watermark).toDF(),
+        queryName, OutputMode.Update()))
+  }
+
   /** Harness entry: the REAL streaming burst detector run to completion;
     * wide-watermark convention as [[runSessionizeOnce]] (micro-batch
     * boundaries must not decide oracle rows; eviction semantics are

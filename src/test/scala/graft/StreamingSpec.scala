@@ -554,6 +554,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming online SGD equals the batch scan (availableNow, sf0.001)") {
+    val got = EventStream.runSgdOnce(spark, dir, "sgd_eq").collect().map(_.toSeq)
+    val want = SparkEntry.queries("ml_sgd_online")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"stream snapshot must equal the batch pass:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming SGD across micro-batches: late data re-standardizes everything") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Boolean, Double)](
+      51, spark, None)
+    val bucketUs = 1800000000L
+    val t0 = 1700000000000000L
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_us", "isX", "v")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("bucket", expr(s"ts_us div $bucketUs"))
+      .select(col("ts"), col("bucket"), col("isX"), col("v"))
+    val q = EventStream.sgdStream(toEvents(mem.toDF()), watermark = "1 hour")
+      .writeStream.format("memory").queryName("sgd_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def ts(bucket: Long) = t0 + bucket * bucketUs + 100L
+      def x(i: Long): Double = 50.0 + (i * 7 % 13)
+      def y(i: Long): Double = 2.0 * x(i) + 5.0 + (i % 3) * 0.25
+      // batch 1: 60 buckets of (view, click) pairs
+      mem.addData((0L until 60L).flatMap(i =>
+        Seq((ts(i), true, x(i)), (ts(i), false, y(i)))))
+      q.processAllAvailable()
+      // batch 2: a LATE second view in bucket 10 re-means that bucket —
+      // which moves the global mean/sigma, hence EVERY z and the fit
+      mem.addData(Seq((ts(10) + 500L, true, 90.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("sgd_mb")
+      assert(emitted.select("version").distinct.count() >= 2,
+        "each state change must emit a fresh snapshot version")
+      val got = EventStream.mergeSgdEmissions(emitted).collect().map(_.toSeq)
+      // driver replay over the FINAL bars (bucket 10's x is a two-value
+      // exact mean)
+      def m6(vs: Seq[Double]) = {
+        val s6 = vs.map(graft.operators.SgdOnline.scaled6).sum
+        graft.operators.SgdOnline.mean6(s6, vs.length.toLong)
+      }
+      val bars = (0L until 60L).map(i =>
+        (i, if (i == 10L) m6(Seq(x(10), 90.0)) else m6(Seq(x(i))),
+          m6(Seq(y(i)))))
+      val Some((n, w0, w1, rmse)) =
+        graft.operators.SgdOnline.fromBars(bars): @unchecked
+      assert(got.toSeq == Seq(Seq(n, w0, w1, rmse)),
+        s"merged snapshot must equal the full replay:\ngot  ${got.toSeq}\n" +
+          s"want ${Seq(n, w0, w1, rmse)}")
+      // the planted affine relation still dominates: slope near 1
+      assert(math.abs(w1 - 1.0) < 0.25, s"slope must head to 1: $w1")
+    } finally q.stop()
+  }
+
   test("left-outer join: matches emit eagerly, nulls only after the watermark evicts") {
     import spark.implicits._
     // (event_id, user_id, event_type, ts_us)
