@@ -93,6 +93,46 @@ object Fin {
   /** Annualization factor for 30-minute bars (48 bars/day × 365). */
   private val BARS_PER_YEAR = 48.0 * 365.0
 
+  /** Engine body of `stat_seasonal_mann_kendall`, parameterized on the
+    * events frame so FinSpec can run it over a planted series. */
+  def seasonalMk(ev: DataFrame): DataFrame = {
+
+      val b = ev
+        .withColumn("day", expr("ts_ns div 86400000000000L"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Grid.mean6(col("value")).as("px"))
+        .withColumn("season", expr("day % 7"))
+      val pairs = b.as("b1").join(b.as("b2"),
+          col("b1.event_type") === col("b2.event_type") &&
+            col("b1.season") === col("b2.season") &&
+            col("b1.day") < col("b2.day"))
+        .groupBy(col("b1.event_type").as("event_type"))
+        .agg(sum(when(col("b2.px") > col("b1.px"), 1L)
+          .when(col("b2.px") < col("b1.px"), -1L).otherwise(0L)).as("s_stat"))
+      val varS = b.groupBy(col("event_type"), col("season"), col("px"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type", "season")
+        .agg(sum(col("t")).as("ns"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("tie_corr"))
+        .groupBy("event_type")
+        .agg(sum(col("ns")).as("n"), count(lit(1)).as("n_seasons"),
+          sum(col("ns") * (col("ns") - 1) * (lit(2) * col("ns") + 5)
+            - col("tie_corr")).as("var_num"))
+      pairs.join(varS, Seq("event_type"))
+        .withColumn("var_s", col("var_num") / lit(18.0))
+        .withColumn("z", round(
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 4))
+        .select(col("event_type"), col("n"), col("n_seasons"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"), col("z"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy("event_type")
+  }
+
   val qs: Map[String, Q] = Map(
 
     /** Maximum drawdown per series: running peak (cumulative max
@@ -593,6 +633,54 @@ object Fin {
         .orderBy("event_type")
     }),
 
+    /** SEASONAL MANN–KENDALL (Hirsch & Slack 1984) — the trend test run
+      * the way environmental/commodity monitoring actually runs it:
+      * `stat_mann_kendall` pools ALL pairs, so a strong weekly cycle
+      * reads as noise (or worse, fake trend); the seasonal variant
+      * compares each DAILY bar only against the SAME weekday, S = Σ_s
+      * S_s with the per-season tie-corrected variance summed. The
+      * within-season pair join is (series, season)-keyed and
+      * week-count-bounded per season — never a fact-scale product. All
+      * counts integer-exact; the variance numerator stays integer until
+      * ONE /18.0; z on the 1e-4 grid (the MK convention). */
+    "stat_seasonal_mann_kendall" -> ((s, d) =>
+      seasonalMk(Tables.events(s, d))),
+
+    /** OMEGA RATIO at threshold 0 (Keating & Shadwick 2002) — the
+      * gain/loss functional that uses the WHOLE return distribution
+      * where Sharpe compresses it to two moments: Ω = Σ r⁺ / Σ r⁻ over
+      * daily grid-6 simple returns, both sums EXACT DECIMAL (the sign
+      * split decides on grid doubles — exact), the one division output-
+      * only, NULL when a series never loses (degenerate guard on an
+      * integer count). */
+    "fin_omega_ratio" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("day")
+      val r = Tables.events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000L"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Grid.mean6(col("value")).as("px"))
+        .withColumn("prev", lag(col("px"), 1).over(sw))
+        .filter(col("prev").isNotNull && col("prev") > 0)
+        .select(col("event_type"),
+          (round((col("px") - col("prev")) / col("prev"), 6) + lit(0.0))
+            .as("r"))
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("r") < 0, 1L).otherwise(0L)).as("n_down"),
+          sum(when(col("r") > 0, col("r").cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).as("gain"),
+          sum(when(col("r") < 0, -col("r").cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).as("loss"))
+        .select(col("event_type"), col("n_days"), col("n_up"), col("n_down"),
+          round(col("gain").cast("double"), 6).as("gain_sum"),
+          round(col("loss").cast("double"), 6).as("loss_sum"),
+          when(col("n_down") > 0,
+            round(col("gain").cast("double") / col("loss").cast("double"), 6))
+            .otherwise(lit(null).cast("double")).as("omega"))
+        .orderBy("event_type")
+    }),
+
     /** CAPM-style factor loadings: each series' 30-minute log return
       * regressed on the equal-weight market return (the mean of all
       * five series' returns per bucket, complete buckets only — the
@@ -1067,6 +1155,79 @@ object Fin {
            |  round(mdd, 6) AS max_drawdown
            |FROM j ORDER BY event_type""".stripMargin
     },
+
+    "stat_seasonal_mann_kendall" ->
+      """WITH db AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |sb AS (SELECT event_type, day, day % 7 AS season, px FROM db),
+        |pr AS (
+        |  SELECT b1.event_type AS event_type,
+        |    sum(CASE WHEN b2.px > b1.px THEN 1
+        |             WHEN b2.px < b1.px THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        |  FROM sb b1 JOIN sb b2 ON b1.event_type = b2.event_type
+        |    AND b1.season = b2.season AND b1.day < b2.day
+        |  GROUP BY 1),
+        |tg AS (
+        |  SELECT event_type, season, px, count(*)::BIGINT AS t
+        |  FROM sb GROUP BY event_type, season, px),
+        |ps AS (
+        |  SELECT event_type, season, sum(t)::BIGINT AS ns,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_corr
+        |  FROM tg GROUP BY event_type, season),
+        |nt AS (
+        |  SELECT event_type, sum(ns)::BIGINT AS n,
+        |    count(*)::BIGINT AS n_seasons,
+        |    sum(ns * (ns - 1) * (2 * ns + 5) - tie_corr)::BIGINT AS var_num
+        |  FROM ps GROUP BY event_type),
+        |v AS (
+        |  SELECT pr.event_type, nt.n, nt.n_seasons, pr.s_stat,
+        |    var_num / 18.0 AS var_s
+        |  FROM pr JOIN nt ON pr.event_type = nt.event_type),
+        |z AS (
+        |  SELECT *,
+        |    round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |               WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |               ELSE 0.0 END, 4) AS z
+        |  FROM v)
+        |SELECT event_type, n, n_seasons, s_stat, round(var_s, 6) AS var_s, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "fin_omega_ratio" ->
+      """WITH db AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (
+        |  SELECT event_type,
+        |    round((px - lag(px) OVER (PARTITION BY event_type ORDER BY day))
+        |      / lag(px) OVER (PARTITION BY event_type ORDER BY day), 6)
+        |      + 0.0 AS r
+        |  FROM db
+        |  QUALIFY lag(px) OVER (PARTITION BY event_type ORDER BY day)
+        |    IS NOT NULL
+        |    AND lag(px) OVER (PARTITION BY event_type ORDER BY day) > 0),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+        |    sum(CASE WHEN r < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+        |    sum(CASE WHEN r > 0 THEN CAST(r AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS gain,
+        |    sum(CASE WHEN r < 0 THEN CAST(-r AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS loss
+        |  FROM r0 GROUP BY event_type)
+        |SELECT event_type, n_days, n_up, n_down,
+        |  round(CAST(gain AS DOUBLE), 6) AS gain_sum,
+        |  round(CAST(loss AS DOUBLE), 6) AS loss_sum,
+        |  CASE WHEN n_down > 0
+        |    THEN round(CAST(gain AS DOUBLE) / CAST(loss AS DOUBLE), 6)
+        |    ELSE NULL END AS omega
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "stat_mann_kendall" -> (barsSql +
       """, pr AS (

@@ -409,4 +409,54 @@ class FinSpec extends SparkSpec {
       s"adf_t ${got.getAs[Double]("adf_t")} vs $t")
     assert(got.getAs[Boolean]("cointegrated") == (got.getAs[Double]("adf_t") < -3.34))
   }
+
+  test("seasonal MK: planted within-weekday trend is maximal S and rejects") {
+    import spark.implicits._
+    // 28 days: value = week index + a big weekday offset — within each
+    // weekday the series strictly increases, so every within-season pair
+    // contributes +1 and S hits its maximum 7 * C(4,2) = 42
+    val ev = (0 until 28).map { d =>
+      ("click", d.toLong * 86400000000000L, (d / 7).toDouble + 10.0 * (d % 7))
+    }.toDF("event_type", "ts_ns", "value")
+    val out = graft.queries.Fin.seasonalMk(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("s_stat") == 42L, s"max S: $r")
+    assert(r.getAs[Long]("n") == 28L && r.getAs[Long]("n_seasons") == 7L)
+    // var = 7 * 4*3*13/18 = 60.666667; z = 41/sqrt(var) ~ 5.26
+    assert(r.getAs[String]("trend") == "increasing", s"must reject: $r")
+    assert(r.getAs[Double]("z") > 5.0)
+  }
+
+  test("seasonal MK on data: z/trend consistent, S bounded by pair count") {
+    val out = SparkEntry.queries("stat_seasonal_mann_kendall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val z = r.getAs[Double]("z")
+      val trend = r.getAs[String]("trend")
+      assert(trend == (if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"))
+      assert(math.abs(r.getAs[Long]("s_stat")) <=
+        r.getAs[Long]("n") * (r.getAs[Long]("n") - 1) / 2)
+    }
+  }
+
+  test("omega ratio: recomputable from its own exact sums, sign-consistent") {
+    val out = SparkEntry.queries("fin_omega_ratio")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[Double]("gain_sum")
+      val l = r.getAs[Double]("loss_sum")
+      assert(r.getAs[Long]("n_up") + r.getAs[Long]("n_down") <=
+        r.getAs[Long]("n_days"))
+      if (r.getAs[Long]("n_down") > 0) {
+        val want = BigDecimal(g / l)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("omega") == want, s"omega recompute: $r")
+        assert((r.getAs[Double]("omega") > 1.0) == (g > l))
+      }
+    }
+  }
 }
