@@ -64,7 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     "ml_gmm_em",               // 1-row parameter frame × the bucket scan per EM step
     "fin_black_scholes",       // 5-row (series, vol) frame × 3-row strike grid
     "fin_mc_var",              // 5-row parameter frame × the 20k deterministic path index
-    "stat_sprt")               // 1-row calibration frame × the monitored bucket scan
+    "stat_sprt",               // 1-row calibration frame × the monitored bucket scan
+    "stat_friedman",           // per-series rank sums × 1-row (sr2, n, k) total frame
+    "ml_sgd_online")           // bar frame × 1-row standardization-stats frame
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
