@@ -670,6 +670,150 @@ object R10 {
        |FROM r, stz WHERE r.i = stz.n""".stripMargin
   }
 
+  // ---- Page–Hinkley test (shared SQL template) -----------------------------
+
+  /** PAGE–HINKLEY drift detector (Page 1954; the SELF-STARTING member
+    * of the change family — `ml_changepoint_cusum` needs a calibrated
+    * (μ, σ) and `stat_sprt` a trained H₀; PH tracks its own RUNNING
+    * mean, so it can run from the first sample of a stream it knows
+    * nothing about): over per-series grid-6 simple RETURNS (natural
+    * ~0 mean — raw price levels would swamp any δ), the one-sided
+    * statistics U_t = Σ(r_s − r̄_s − δ) and D_t = Σ(r̄_s − r_s − δ) ride
+    * EXACT DECIMAL cumulative sums of grid-9 terms, PH = U − min U via
+    * a DECIMAL running min, and the alarm decision PH > λ is a pure
+    * DECIMAL comparison — the whole decision path is exact (the
+    * COVERAGE doctrine's strongest class). δ and λ are ADAPTIVE to the
+    * series' own return scale — δ = 0.5σ̂_r, λ = 8σ̂_r (a fixed absolute
+    * λ is data-brittle: the first cut at λ = 0.05 alarmed EVERY series
+    * at its second return — a threshold the noise crosses instantly is
+    * as vacuous as one nothing crosses). Windows partitioned per
+    * series — bounded, scale-clean. */
+  def pageHinkleySql(events: String, bucket: String): String =
+    s"""WITH px AS (
+       |  SELECT event_type AS series, $bucket AS b,
+       |    ${Grid.mean6Sql("value")} AS x
+       |  FROM $events GROUP BY 1, 2),
+       |r0 AS (
+       |  SELECT series, b,
+       |    round((x - lag(x) OVER (PARTITION BY series ORDER BY b))
+       |      / lag(x) OVER (PARTITION BY series ORDER BY b), 6) + 0.0 AS r
+       |  FROM px),
+       |rr AS (SELECT series, b, r FROM r0 WHERE r IS NOT NULL),
+       |tol AS (
+       |  SELECT series,
+       |    round(0.5 * sqrt((prr - sr * sr / n) / n), 6) AS delta,
+       |    CAST(round(8 * sqrt((prr - sr * sr / n) / n), 6)
+       |      AS DECIMAL(19,9)) AS lambda
+       |  FROM (
+       |    SELECT series, count(*) AS n,
+       |      CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+       |      -- DECIMAL(24,6) operands: near-zero bucket means make some
+       |      -- 30-min returns ~1e3, and DuckDB's DECIMAL(18)x(18) int64
+       |      -- fast path overflows on their squares (daily-return
+       |      -- queries never see this)
+       |      CAST(sum(CAST(CAST(r AS DECIMAL(24,6))
+       |        * CAST(r AS DECIMAL(24,6)) AS DECIMAL(38,12))) AS DOUBLE)
+       |        AS prr
+       |    FROM rr GROUP BY series) m),
+       |c AS (
+       |  SELECT series, b, r,
+       |    CAST(sum(CAST(r AS DECIMAL(18,6))) OVER (PARTITION BY series
+       |      ORDER BY b ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cs,
+       |    row_number() OVER (PARTITION BY series ORDER BY b) AS i
+       |  FROM rr),
+       |t AS (
+       |  SELECT c.series, c.b, c.i,
+       |    CAST(round(c.r - c.cs / c.i - tol.delta, 9) AS DECIMAL(19,9)) AS tu,
+       |    CAST(round(c.cs / c.i - c.r - tol.delta, 9) AS DECIMAL(19,9)) AS td
+       |  FROM c JOIN tol ON c.series = tol.series),
+       |u AS (
+       |  SELECT series, b, i,
+       |    sum(tu) OVER (PARTITION BY series ORDER BY b
+       |      ROWS UNBOUNDED PRECEDING) AS uu,
+       |    sum(td) OVER (PARTITION BY series ORDER BY b
+       |      ROWS UNBOUNDED PRECEDING) AS dd
+       |  FROM t),
+       |ph AS (
+       |  SELECT series, b, i,
+       |    uu - min(uu) OVER (PARTITION BY series ORDER BY b
+       |      ROWS UNBOUNDED PRECEDING) AS phu,
+       |    dd - min(dd) OVER (PARTITION BY series ORDER BY b
+       |      ROWS UNBOUNDED PRECEDING) AS phd
+       |  FROM u),
+       |s AS (
+       |  SELECT ph.series, max(ph.i) AS n_returns,
+       |    round(CAST(max(ph.phu) AS DOUBLE), 9) AS ph_max_up,
+       |    round(CAST(max(ph.phd) AS DOUBLE), 9) AS ph_max_down,
+       |    round(CAST(max(tol.lambda) AS DOUBLE), 6) AS lambda,
+       |    min(CASE WHEN ph.phu > tol.lambda THEN ph.b END)
+       |      AS alarm_up_bucket,
+       |    min(CASE WHEN ph.phd > tol.lambda THEN ph.b END)
+       |      AS alarm_down_bucket
+       |  FROM ph JOIN tol ON ph.series = tol.series
+       |  GROUP BY ph.series)
+       |SELECT series, n_returns, ph_max_up, ph_max_down, lambda,
+       |  alarm_up_bucket, alarm_down_bucket,
+       |  CASE WHEN alarm_up_bucket IS NOT NULL
+       |    OR alarm_down_bucket IS NOT NULL THEN 1 ELSE 0 END AS alarmed
+       |FROM s ORDER BY series""".stripMargin
+
+  // ---- sample entropy (shared SQL template) ---------------------------------
+
+  /** SAMPLE ENTROPY (Richman & Moorman 2000, m = 2, r = 0.2σ) — the
+    * series-complexity measure the spectral/Hurst rows approximate from
+    * frequency space, computed from template matches: B = pairs of
+    * length-2 templates within Chebyshev distance r, A = the subset
+    * still within r at length 3, SampEn = −ln(A/B). The pair join is
+    * series-keyed and bar-count-bounded per series (the matrix-profile
+    * posture — at 100 TB this runs per bounded series, never across
+    * the fact table). A/B are INTEGERS (comparisons on identical
+    * grid-6-derived doubles); the single ln is output-only with
+    * integer-count NULL guards. */
+  def sampleEntropySql(events: String, bucket: String): String =
+    s"""WITH px AS (
+       |  SELECT event_type AS series, $bucket AS b,
+       |    ${Grid.mean6Sql("value")} AS x
+       |  FROM $events GROUP BY 1, 2),
+       |mom AS (
+       |  SELECT series, count(*) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+       |      AS DECIMAL(30,12))) AS DOUBLE) AS pxx
+       |  FROM px GROUP BY series),
+       |tol AS (
+       |  SELECT series, n,
+       |    round(0.2 * sqrt((pxx - sx * sx / n) / n), 6) AS r
+       |  FROM mom),
+       |tpl AS (
+       |  SELECT series, b,
+       |    row_number() OVER (PARTITION BY series ORDER BY b) AS i,
+       |    x,
+       |    lead(x, 1) OVER (PARTITION BY series ORDER BY b) AS x1,
+       |    lead(x, 2) OVER (PARTITION BY series ORDER BY b) AS x2
+       |  FROM px),
+       |pairs AS (
+       |  SELECT a.series,
+       |    CASE WHEN abs(a.x - z.x) <= t.r AND abs(a.x1 - z.x1) <= t.r
+       |      THEN 1 ELSE 0 END AS mb,
+       |    CASE WHEN abs(a.x - z.x) <= t.r AND abs(a.x1 - z.x1) <= t.r
+       |      AND abs(a.x2 - z.x2) <= t.r THEN 1 ELSE 0 END AS ma
+       |  FROM tpl a
+       |  JOIN tpl z ON a.series = z.series AND a.i < z.i
+       |  JOIN tol t ON a.series = t.series
+       |  WHERE a.x2 IS NOT NULL AND z.x2 IS NOT NULL),
+       |cnt AS (
+       |  SELECT series, CAST(sum(mb) AS BIGINT) AS b_count,
+       |    CAST(sum(ma) AS BIGINT) AS a_count
+       |  FROM pairs GROUP BY series)
+       |SELECT t.series, t.n AS n_bars, t.r AS tolerance,
+       |  c.b_count, c.a_count,
+       |  CASE WHEN c.a_count > 0 AND c.b_count > 0
+       |    THEN round(-ln(CAST(c.a_count AS DOUBLE)
+       |      / CAST(c.b_count AS DOUBLE)), 6)
+       |    ELSE NULL END AS sampen
+       |FROM tol t JOIN cnt c ON t.series = c.series
+       |ORDER BY t.series""".stripMargin
+
   // ---- Friedman test (shared SQL template) --------------------------------
 
   /** FRIEDMAN TEST — the repeated-measures member the nonparametric rank
@@ -1939,6 +2083,14 @@ object R10 {
       s.sql(friedmanSql(v, "ts_ns div 86400000000000"))
     }),
 
+    "stat_page_hinkley" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(pageHinkleySql(v, "ts_ns div 1800000000000"))
+    }),
+
+    "ts_sample_entropy" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(sampleEntropySql(v, "ts_ns div 1800000000000"))
+    }),
+
     "fin_capm_beta" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(capmSql(v, "ts_ns div 86400000000000"))
     }),
@@ -2669,6 +2821,12 @@ object R10 {
     "graph_modularity" -> modularitySql,
 
     "stat_friedman" -> friedmanSql("events", "epoch_ns(ts) // 86400000000000"),
+
+    "stat_page_hinkley" ->
+      pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
+
+    "ts_sample_entropy" ->
+      sampleEntropySql("events", "epoch_ns(ts) // 1800000000000"),
 
     "fin_capm_beta" -> capmSql("events", "epoch_ns(ts) // 86400000000000"),
 

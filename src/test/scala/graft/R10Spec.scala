@@ -581,6 +581,56 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_sgd_planted"); () }
   }
 
+  test("page-hinkley: quiet series stays silent, a sustained shift alarms upward") {
+    import spark.implicits._
+    // quiet: periodic +/-2% wiggle around 100; shifted: same for 200
+    // buckets then a sustained +1.5% drift
+    val rows = (0 until 400).flatMap { t =>
+      val quiet = 100.0 + 2.0 * (t % 5)
+      val shifted = if (t < 200) 100.0 + 2.0 * (t % 5)
+        else (100.0 + 2.0 * (t % 5)) * math.pow(1.05, (t - 199).toDouble)
+      Seq(("quiet", t.toLong * 1800000000000L, quiet),
+        ("shifted", t.toLong * 1800000000000L, shifted))
+    }
+    rows.toDF("event_type", "ts_ns", "value")
+      .createOrReplaceTempView("r10_ph_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.pageHinkleySql(
+        "r10_ph_planted", "ts_ns div 1800000000000")).collect()
+        .map(r => r.getAs[String]("series") -> r).toMap
+      assert(out("quiet").getAs[Int]("alarmed") == 0,
+        s"periodic noise must not alarm: ${out("quiet")}")
+      val sh = out("shifted")
+      assert(sh.getAs[Long]("alarm_up_bucket") >= 200L,
+        s"the up-alarm must come from the shifted region: $sh")
+      assert(sh.getAs[Int]("alarmed") == 1)
+    } finally { spark.catalog.dropTempView("r10_ph_planted"); () }
+  }
+
+  test("sample entropy: a regular ramp scores lower than an irregular series") {
+    import spark.implicits._
+    val rows = (0 until 200).flatMap { t =>
+      Seq(("regular", t.toLong * 1800000000000L, 100.0 + (t % 10)),
+        ("irregular", t.toLong * 1800000000000L,
+          100.0 + (((t * 2654435761L) >> 7) % 13).toDouble))
+    }
+    rows.toDF("event_type", "ts_ns", "value")
+      .createOrReplaceTempView("r10_sampen_planted")
+    try {
+      val out = spark.sql(graft.queries.R10.sampleEntropySql(
+        "r10_sampen_planted", "ts_ns div 1800000000000")).collect()
+        .map(r => r.getAs[String]("series") -> r).toMap
+      val reg = out("regular")
+      val irr = out("irregular")
+      assert(reg.getAs[Long]("a_count") <= reg.getAs[Long]("b_count"))
+      // the periodic ramp is perfectly predictable: every matching
+      // 2-template extends (A = B), so SampEn is exactly 0
+      assert(reg.getAs[Double]("sampen") == 0.0, s"ramp: $reg")
+      assert(irr.getAs[Double]("sampen") > 0.3,
+        s"aperiodic series must score higher: $reg vs $irr")
+    } finally { spark.catalog.dropTempView("r10_sampen_planted"); () }
+  }
+
   test("friedman: rank-sum conservation on data; a dominant series rejects") {
     import spark.implicits._
     val out = SparkEntry.queries("stat_friedman")(spark, dir).collect()
