@@ -380,6 +380,45 @@ object Docs {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    /** DEDUP-THRESHOLD CALIBRATION SWEEP — the decision every dedup
+      * pipeline has to make and usually makes blind (how aggressive is
+      * τ?): over the (lang, source)-blocked exact-Jaccard pair frame,
+      * report for τ ∈ {0.5 … 0.9} the duplicate-pair count and the
+      * documents a keep-lowest-id policy would remove (a doc is removed
+      * iff it duplicates ANY lower id at τ — distinct id_b). Every
+      * τ-decision is INTEGER cross-multiplication (10·|∩| ≥ τ₁₀·|∪|) —
+      * no double ever meets a threshold. The blocked all-pairs frame is
+      * the calibration AUDIT (the `dedup_lsh_recall_audit` posture, run
+      * on a blocked sample); the production candidate path stays the
+      * prefix-filtered/banded joins. */
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val nDocs = Tables.documents(s, d).count()
+      val dt = toked(s, d).select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(col("toks")).as("dtoks"))
+      dt.as("a").join(dt.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          size(array_intersect(col("a.dtoks"), col("b.dtoks")))
+            .cast("long").as("ni"),
+          (size(col("a.dtoks")) + size(col("b.dtoks"))
+            - size(array_intersect(col("a.dtoks"), col("b.dtoks"))))
+            .cast("long").as("nu"))
+        .withColumn("tau10", explode(array(Seq(5, 6, 7, 8, 9).map(lit): _*)))
+        .withColumn("dup",
+          (col("ni") * 10 >= col("tau10") * col("nu")).cast("int"))
+        .groupBy("tau10")
+        .agg(count(lit(1)).as("n_cand_pairs"),
+          sum(col("dup")).cast("long").as("n_dup_pairs"),
+          countDistinct(when(col("dup") === 1, col("id_b")))
+            .as("n_docs_removed"))
+        .select((col("tau10").cast("double") / 10).as("threshold"),
+          col("n_cand_pairs"), col("n_dup_pairs"), col("n_docs_removed"),
+          (lit(nDocs) - col("n_docs_removed")).as("n_docs_kept"))
+        .orderBy("threshold")
+    }),
+
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           numHashes = 16, numBands = 4, threshold = 0.5)
@@ -1748,6 +1787,33 @@ object Docs {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "dedup_threshold_sweep" -> (tokedSql +
+      """, dt AS (
+        |  SELECT doc_id, lang, source, list_distinct(toks) AS dtoks FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.dtoks, b.dtoks))::BIGINT AS ni,
+        |    (len(a.dtoks) + len(b.dtoks)
+        |      - len(list_intersect(a.dtoks, b.dtoks)))::BIGINT AS nu
+        |  FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id),
+        |sw AS (SELECT unnest([5, 6, 7, 8, 9]) AS tau10),
+        |fl AS (
+        |  SELECT sw.tau10, p.id_a, p.id_b,
+        |    CASE WHEN p.ni * 10 >= sw.tau10 * p.nu THEN 1 ELSE 0 END AS dup
+        |  FROM pairs p CROSS JOIN sw),
+        |agg AS (
+        |  SELECT tau10, count(*)::BIGINT AS n_cand_pairs,
+        |    CAST(sum(dup) AS BIGINT) AS n_dup_pairs,
+        |    count(DISTINCT CASE WHEN dup = 1 THEN id_b END)::BIGINT
+        |      AS n_docs_removed
+        |  FROM fl GROUP BY tau10)
+        |SELECT CAST(tau10 AS DOUBLE) / 10 AS threshold,
+        |  n_cand_pairs, n_dup_pairs, n_docs_removed,
+        |  (SELECT count(*) FROM documents)::BIGINT - n_docs_removed
+        |    AS n_docs_kept
+        |FROM agg ORDER BY threshold""".stripMargin),
 
     "corpus_contrastive_pairs" -> (lshPairsSql +
       """, pos AS (SELECT id_a AS anchor_id, id_b AS other_id FROM prs)

@@ -646,6 +646,39 @@ object Fin {
     "stat_seasonal_mann_kendall" -> ((s, d) =>
       seasonalMk(Tables.events(s, d))),
 
+    /** HODGES–LEHMANN location estimator per series — the robust
+      * location the rank family implies but never states
+      * (`stat_wilcoxon_signed_rank` TESTS location; HL is the matching
+      * ESTIMATE: the median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j —
+      * ~30 % breakdown, ~96 % Gaussian efficiency, vs the median's 50 %
+      * / 64 %). Walsh averages of grid-6 daily bars are identical
+      * doubles both engines; the median is an EXACT order statistic —
+      * rank ⌈N/2⌉ under the total order (w, i, j) (the house
+      * no-interpolation convention; even N takes the lower middle,
+      * documented). The pair frame is series-keyed and day-count-
+      * bounded. */
+    "stat_hodges_lehmann" -> ((s, d) => {
+      val db = Tables.events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000L"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Grid.mean6(col("value")).as("px"))
+      val walsh = db.as("a").join(db.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") <= col("b.day"))
+        .select(col("a.event_type").as("series"),
+          ((col("a.px") + col("b.px")) / 2).as("w"),
+          col("a.day").as("da"), col("b.day").as("db"))
+      val byW = Window.partitionBy("series")
+        .orderBy(col("w").asc, col("da").asc, col("db").asc)
+      walsh
+        .withColumn("rn", row_number().over(byW))
+        .withColumn("nw", count(lit(1)).over(Window.partitionBy("series")))
+        .filter(col("rn") === expr("(nw + 1) div 2"))
+        .select(col("series"), col("nw").as("n_walsh"),
+          round(col("w"), 6).as("hl_estimate"))
+        .orderBy("series")
+    }),
+
     /** OMEGA RATIO at threshold 0 (Keating & Shadwick 2002) — the
       * gain/loss functional that uses the WHOLE return distribution
       * where Sharpe compresses it to two moments: Ω = Σ r⁺ / Σ r⁻ over
@@ -1196,6 +1229,26 @@ object Fin {
         |  CASE WHEN z > 1.96 THEN 'increasing'
         |       WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
         |FROM z ORDER BY event_type""".stripMargin,
+
+    "stat_hodges_lehmann" ->
+      """WITH db AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(value), 6) AS px
+        |  FROM events GROUP BY 1, 2),
+        |walsh AS (
+        |  SELECT a.event_type AS series, (a.px + b.px) / 2 AS w,
+        |    a.day AS da, b.day AS db
+        |  FROM db a JOIN db b ON a.event_type = b.event_type
+        |    AND a.day <= b.day),
+        |rk AS (
+        |  SELECT series, w,
+        |    row_number() OVER (PARTITION BY series ORDER BY w, da, db) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS nw
+        |  FROM walsh)
+        |SELECT series, nw::BIGINT AS n_walsh, round(w, 6) AS hl_estimate
+        |FROM rk WHERE rn = (nw + 1) // 2
+        |ORDER BY series""".stripMargin,
 
     "fin_omega_ratio" ->
       """WITH db AS (

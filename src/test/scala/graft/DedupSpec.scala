@@ -204,4 +204,24 @@ class DedupSpec extends SparkSpec {
     assert(top.getAs[Double]("expected_recall") > 0.9)
     assert(top.getAs[Double]("recall") >= top.getAs[Double]("expected_recall") - 0.25)
   }
+
+  test("threshold sweep: monotone in tau, conservation, constant candidates") {
+    val out = SparkEntry.queries("dedup_threshold_sweep")(
+      spark, "/root/testdata/sf0.001").collect().sortBy(_.getAs[Double]("threshold"))
+    assert(out.length == 5)
+    val cand = out.map(_.getAs[Long]("n_cand_pairs")).distinct
+    assert(cand.length == 1, "candidate frame must not depend on tau")
+    val dups = out.map(_.getAs[Long]("n_dup_pairs"))
+    val rem = out.map(_.getAs[Long]("n_docs_removed"))
+    dups.sliding(2).foreach { case Array(a, b) => assert(b <= a, s"${dups.toSeq}") }
+    rem.sliding(2).foreach { case Array(a, b) => assert(b <= a, s"${rem.toSeq}") }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_pairs") <= r.getAs[Long]("n_cand_pairs"))
+      assert(r.getAs[Long]("n_docs_removed") <= r.getAs[Long]("n_dup_pairs") ||
+        r.getAs[Long]("n_dup_pairs") == 0)
+      assert(r.getAs[Long]("n_docs_kept") + r.getAs[Long]("n_docs_removed") == 500L)
+    }
+    // the sweep must discriminate on this corpus, not plateau
+    assert(rem.head > rem.last, s"sweep is flat: ${rem.toSeq}")
+  }
 }

@@ -459,4 +459,31 @@ class FinSpec extends SparkSpec {
       }
     }
   }
+
+  test("hodges-lehmann equals a driver walsh-median replay, bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("stat_hodges_lehmann")(spark, dir).collect()
+      .map(r => r.getAs[String]("series") ->
+        (r.getAs[Long]("n_walsh"), r.getAs[Double]("hl_estimate"))).toMap
+    // rebuild the daily bars with the registry arithmetic and replay
+    val bars = Tables.events(spark, dir)
+      .withColumn("day", expr("ts_ns div 86400000000000L"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.queries.Grid.mean6(col("value")).as("px"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    bars.foreach { case (series, rows) =>
+      val b = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val walsh = for {
+        i <- b.indices; j <- i until b.length
+      } yield ((b(i)._2 + b(j)._2) / 2, b(i)._1, b(j)._1)
+      val sorted = walsh.sortBy(t => (t._1, t._2, t._3))
+      val n = sorted.length
+      val hl = BigDecimal(sorted((n + 1) / 2 - 1)._1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(series)._1 == n.toLong, s"$series n_walsh")
+      assert(out(series)._2 == hl, s"$series: ${out(series)._2} vs $hl")
+    }
+  }
 }
