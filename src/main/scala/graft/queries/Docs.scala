@@ -356,6 +356,54 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    /** ZIPF-LAW FIT over the corpus vocabulary — the rank–frequency
+      * sanity check every corpus report carries (a natural-language
+      * corpus fits ln f ≈ a − s·ln r with s ≈ 1; a synthetic or
+      * template-heavy corpus shows up immediately as a flat or kinked
+      * slope): vocabulary counts are INTEGERS, ranks are row_numbers
+      * under the exact (count DESC, token) total order, ln of integers
+      * re-gridded 1e-9 (the libm-safe class — no decision rides any
+      * output), OLS slope/intercept/R² from one DECIMAL moment
+      * aggregation over the vocabulary-bounded (top-1000) frame. */
+    "text_zipf_fit" -> ((s, d) => {
+      val vocab = toked(s, d)
+        .select(explode(col("toks")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val ranked = vocab
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("token").asc)))
+        .filter(col("rk") <= 1000)
+        .select(round(log(col("rk")), 9).as("lx"),
+          round(log(col("c")), 9).as("ly"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("lx").cast("decimal(18,9)")).cast("double").as("sx"),
+          sum(col("ly").cast("decimal(18,9)")).cast("double").as("sy"),
+          sum((col("lx").cast("decimal(18,9)") *
+            col("lx").cast("decimal(18,9)")).cast("decimal(38,18)"))
+            .cast("double").as("sxx"),
+          sum((col("lx").cast("decimal(18,9)") *
+            col("ly").cast("decimal(18,9)")).cast("decimal(38,18)"))
+            .cast("double").as("sxy"),
+          sum((col("ly").cast("decimal(18,9)") *
+            col("ly").cast("decimal(18,9)")).cast("decimal(38,18)"))
+            .cast("double").as("syy"))
+        .select(col("n").as("n_vocab"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"),
+          round(col("sy") / col("n") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+              * (col("sx") / col("n")), 6).as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r2"))
+    }),
+
     "doc_fingerprint" -> ((s, d) =>
       toked(s, d)
         .withColumn("th", Text.tokenHashes(col("text")))
@@ -1787,6 +1835,39 @@ object Docs {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "text_zipf_fit" -> (tokedSql +
+      """, vocab AS (
+        |  SELECT token, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(toks) AS token FROM t) u
+        |  WHERE length(token) > 0 GROUP BY token),
+        |ranked AS (
+        |  SELECT round(ln(rk), 9) AS lx, round(ln(c), 9) AS ly FROM (
+        |    SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+        |    FROM vocab) r
+        |  WHERE rk <= 1000),
+        |mom AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(lx AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ly AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+        |    -- DECIMAL(24,9) operands: ln values have unscaled ~7e9 at
+        |    -- scale 9, whose squares overflow DuckDB's int64 DECIMAL(18)
+        |    -- product path (the stat_page_hinkley lesson); (24,9) rides
+        |    -- int128 and stays exact
+        |    CAST(sum(CAST(CAST(lx AS DECIMAL(24,9)) * CAST(lx AS DECIMAL(24,9))
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(lx AS DECIMAL(24,9)) * CAST(ly AS DECIMAL(24,9))
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(ly AS DECIMAL(24,9)) * CAST(ly AS DECIMAL(24,9))
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |  FROM ranked)
+        |SELECT n AS n_vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |    * (sx / n), 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM mom""".stripMargin),
 
     "dedup_threshold_sweep" -> (tokedSql +
       """, dt AS (

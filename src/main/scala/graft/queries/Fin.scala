@@ -646,6 +646,41 @@ object Fin {
     "stat_seasonal_mann_kendall" -> ((s, d) =>
       seasonalMk(Tables.events(s, d))),
 
+    /** DRAWDOWN DURATION per series — `ts_drawdown` reports the DEPTH
+      * of the worst trough; risk desks care at least as much about TIME
+      * underwater (a shallow two-year drawdown ends careers; a deep
+      * two-day one doesn't). Underwater = px < running peak (grid
+      * doubles, exact compare), spells by gaps-and-islands (an integer
+      * running sum of spell starts), per series: underwater bar count,
+      * spell count, and the longest spell with its start bucket
+      * (earliest on ties — integer rank pick). All counts and picks
+      * integer-exact; windows partitioned per series. */
+    "ts_drawdown_duration" -> ((s, d) => {
+      val sw = Window.partitionBy("event_type").orderBy("bucket")
+      val cum = sw.rowsBetween(Window.unboundedPreceding, 0)
+      val uw = bars(s, d)
+        .withColumn("peak", max(col("px")).over(cum))
+        .withColumn("under", (col("px") < col("peak")).cast("int"))
+        .withColumn("start",
+          (col("under") === 1 &&
+            coalesce(lag(col("under"), 1).over(sw), lit(0)) === 0).cast("int"))
+        .withColumn("spell",
+          sum(col("start")).over(sw.rowsBetween(Window.unboundedPreceding, 0)))
+      val spells = uw.filter(col("under") === 1)
+        .groupBy(col("event_type"), col("spell"))
+        .agg(count(lit(1)).as("len"), min(col("bucket")).as("s0"))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("len").desc, col("s0").asc)
+      spells
+        .withColumn("rn", row_number().over(pick))
+        .groupBy("event_type")
+        .agg(sum(col("len")).as("n_underwater_bars"),
+          count(lit(1)).as("n_spells"),
+          max(when(col("rn") === 1, col("len"))).as("max_spell_bars"),
+          max(when(col("rn") === 1, col("s0"))).as("max_spell_start"))
+        .orderBy("event_type")
+    }),
+
     /** HODGES–LEHMANN location estimator per series — the robust
       * location the rank family implies but never states
       * (`stat_wilcoxon_signed_rank` TESTS location; HL is the matching
@@ -1229,6 +1264,37 @@ object Fin {
         |  CASE WHEN z > 1.96 THEN 'increasing'
         |       WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
         |FROM z ORDER BY event_type""".stripMargin,
+
+    "ts_drawdown_duration" -> (barsSql +
+      """, uw AS (
+        |  SELECT event_type, bucket, px,
+        |    max(px) OVER w AS peak,
+        |    CASE WHEN px < max(px) OVER w THEN 1 ELSE 0 END AS under
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING)),
+        |st AS (
+        |  SELECT *, CASE WHEN under = 1 AND coalesce(lag(under) OVER
+        |    (PARTITION BY event_type ORDER BY bucket), 0) = 0
+        |    THEN 1 ELSE 0 END AS start
+        |  FROM uw),
+        |sp AS (
+        |  SELECT *, sum(start) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS spell
+        |  FROM st),
+        |spells AS (
+        |  SELECT event_type, spell, count(*)::BIGINT AS len,
+        |    min(bucket) AS s0
+        |  FROM sp WHERE under = 1 GROUP BY event_type, spell),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY len DESC, s0) AS rn
+        |  FROM spells)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS n_underwater_bars,
+        |  count(*)::BIGINT AS n_spells,
+        |  max(CASE WHEN rn = 1 THEN len END)::BIGINT AS max_spell_bars,
+        |  max(CASE WHEN rn = 1 THEN s0 END) AS max_spell_start
+        |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "stat_hodges_lehmann" ->
       """WITH db AS (

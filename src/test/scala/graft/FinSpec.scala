@@ -486,4 +486,39 @@ class FinSpec extends SparkSpec {
       assert(out(series)._2 == hl, s"$series: ${out(series)._2} vs $hl")
     }
   }
+
+  test("drawdown duration equals a driver gaps-and-islands replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ts_drawdown_duration")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val bars = Tables.events(spark, dir)
+      .withColumn("bucket", expr("ts_ns div 1800000000000L"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(graft.queries.Grid.mean6(col("value")).as("px"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    bars.foreach { case (series, rows) =>
+      val b = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      var peak = Double.MinValue
+      var spells = List.empty[(Long, Long)] // (start bucket, len)
+      var cur: Option[(Long, Long)] = None
+      b.foreach { case (bk, px) =>
+        peak = math.max(peak, px)
+        if (px < peak) cur = cur match {
+          case Some((s0, l)) => Some((s0, l + 1))
+          case None => Some((bk, 1L))
+        } else {
+          cur.foreach(c => spells ::= c)
+          cur = None
+        }
+      }
+      cur.foreach(c => spells ::= c)
+      val r = out(series)
+      assert(r.getAs[Long]("n_spells") == spells.length.toLong, s"$series spells")
+      assert(r.getAs[Long]("n_underwater_bars") == spells.map(_._2).sum)
+      val best = spells.sortBy(s => (-s._2, s._1)).head
+      assert(r.getAs[Long]("max_spell_bars") == best._2, s"$series len")
+      assert(r.getAs[Long]("max_spell_start") == best._1, s"$series start")
+    }
+  }
 }

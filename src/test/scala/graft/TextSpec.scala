@@ -180,4 +180,36 @@ class TextSpec extends SparkSpec {
     // the battery must discriminate, not rubber-stamp or reject-all
     assert(keeps > 0 && keeps < out.length, s"vacuous filter: $keeps kept")
   }
+
+  test("zipf fit equals a driver OLS replay over the exact vocab ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("text_zipf_fit")(spark, dir).head()
+    val vocab = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(col("toks")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = vocab.sortBy { case (t, c) => (-c, t) }.take(1000).zipWithIndex
+      .map { case ((_, c), i) =>
+        (r9(math.log(i + 1.0)), r9(math.log(c.toDouble))) }
+    val n = pts.length
+    def bd(x: Double) = BigDecimal(x)
+    val sx = pts.map(p => bd(p._1)).sum.toDouble
+    val sy = pts.map(p => bd(p._2)).sum.toDouble
+    val sxx = pts.map(p => bd(p._1) * bd(p._1)).sum.toDouble
+    val sxy = pts.map(p => bd(p._1) * bd(p._2)).sum.toDouble
+    val slope = r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    assert(out.getAs[Long]("n_vocab") == n.toLong)
+    assert(out.getAs[Double]("zipf_slope") == slope,
+      s"slope ${out.getAs[Double]("zipf_slope")} vs $slope")
+    // the synthetic near-uniform vocabulary is NOT Zipfian, and the fit
+    // must say so (a real corpus sits near -1 with high R2)
+    assert(out.getAs[Double]("zipf_slope") > -0.6)
+    assert(out.getAs[Double]("r2") < 0.5)
+  }
 }
