@@ -22,17 +22,21 @@ import org.apache.spark.sql.functions.broadcast
 object GraphLayout {
 
   /** Max node count for which a node-sized frame may ride the broadcast
-    * path. 1M nodes × ~16 B/row ≈ 16 MB serialized — comfortably inside
-    * a driver/executor broadcast budget. The r10 on-data A/B
-    * (BENCH_SCALE_PROBE.md) measured the crossover: below ~1M nodes
-    * every iterative graph query runs faster broadcasting; at ~1.6M the
-    * heaviest per-round consumer (pagerank, 8 full-vector broadcasts)
-    * already inverts to 0.67× on the shuffle path while the others pay
-    * ≤1.2× — so past the measured crossover region the gate errs toward
-    * the mode that survives 10⁸-node graphs. */
+    * path. The r10 on-data A/Bs (BENCH_SCALE_PROBE.md probes A and E;
+    * trade-graph node counts 16k / 160k / 480k — probe A's text
+    * mislabeled these 10× high, corrected in probe E) measured the
+    * crossover: at 16k nodes broadcast wins everywhere (shuffle pays
+    * 1.0–1.35×); at 160k the heaviest per-round consumer (pagerank,
+    * 8 full-vector broadcasts) already inverts to 0.67× on the shuffle
+    * path; at 480k NOTHING favors broadcast (pagerank 0.53×, HITS
+    * 0.93×, modularity 0.98×). 150k sits between the measured points:
+    * small graphs keep the cheap broadcast, the vector-iterating
+    * family flips before its inversion, and the gate errs toward the
+    * mode that survives 10⁸-node graphs. Tunable per deploy via the
+    * system property. */
   def broadcastNodeLimit: Long =
     sys.props.get("graft.graph.broadcastNodeLimit").map(_.toLong)
-      .getOrElse(1000000L)
+      .getOrElse(150000L)
 
   /** Whether an `nNodes`-row node frame should broadcast. */
   def useBroadcast(nNodes: Long): Boolean = nNodes <= broadcastNodeLimit
