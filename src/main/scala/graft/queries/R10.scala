@@ -2087,6 +2087,15 @@ object R10 {
       s.sql(pageHinkleySql(v, "ts_ns div 1800000000000"))
     }),
 
+    /** REAL STREAMING twin of `stat_page_hinkley` — see
+      * `EventStream.phStream`: the drift detector run as a per-series
+      * keyed stream, full re-calibrate + re-fold per micro-batch (the
+      * adaptive δ/λ ride the global return σ), final snapshots
+      * hash-matching the same oracle. */
+    "stream_page_hinkley" -> ((s, d) =>
+      graft.streaming.EventStream.runPhOnce(s, d,
+        s"stream_ph_v${sqlRuns.incrementAndGet()}")),
+
     "ts_sample_entropy" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(sampleEntropySql(v, "ts_ns div 1800000000000"))
     }),
@@ -2823,6 +2832,9 @@ object R10 {
     "stat_friedman" -> friedmanSql("events", "epoch_ns(ts) // 86400000000000"),
 
     "stat_page_hinkley" ->
+      pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
+
+    "stream_page_hinkley" ->
       pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
 
     "ts_sample_entropy" ->

@@ -1090,6 +1090,87 @@ object EventStream {
         queryName, OutputMode.Update()))
   }
 
+  // ---- streaming Page–Hinkley drift detector -----------------------------
+
+  case class PhEvent(ts: java.sql.Timestamp, series: String, bucket: Long,
+                     v: Double)
+
+  case class PhBuf(buckets: Map[Long, (Long, Long)], version: Long)
+
+  case class PhSnap(series: String, n_returns: Long, ph_max_up: Double,
+                    ph_max_down: Double, lambda: Double,
+                    alarm_up_bucket: Option[Long],
+                    alarm_down_bucket: Option[Long], alarmed: Int,
+                    version: Long)
+
+  /** Streaming Page–Hinkley — THE drift detector of the online-learning
+    * literature (River/MOA ship exactly this test), run as a real
+    * per-series keyed stream: per-bucket exact scaled-6 sums in state
+    * (order-free means — late data re-means its bucket and can never
+    * depend on arrival order), each micro-batch re-derives returns,
+    * the adaptive (δ, λ), and the full PH pass via
+    * `PageHinkley.fromBars`. Full recompute per emission by necessity
+    * — δ/λ calibrate on the series' GLOBAL return σ, so every new
+    * bucket moves the thresholds (the `sgdStream` posture; the classic
+    * fixed-(δ, λ) PH would anchor O(1), but then the detector is
+    * `ml_changepoint_cusum` wearing a different name). Final snapshot
+    * hash-matches the SAME oracle as the batch `stat_page_hinkley`. */
+  def phStream(events: DataFrame,
+               watermark: String = "1 hour"): Dataset[PhSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("series"), col("bucket"), col("v"))
+      .as[PhEvent]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[PhBuf, PhSnap](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[PhEvent], state: GroupState[PhBuf]) =>
+          val prev = state.getOption.getOrElse(PhBuf(Map.empty, 0L))
+          var m = prev.buckets
+          rows.foreach { r =>
+            val (s6, c) = m.getOrElse(r.bucket, (0L, 0L))
+            m += (r.bucket ->
+              (s6 + graft.operators.SgdOnline.scaled6(r.v), c + 1))
+          }
+          val v = prev.version + 1
+          state.update(PhBuf(m, v))
+          val bars = m.toSeq.map { case (b, (s6, c)) =>
+            (b, graft.operators.SgdOnline.mean6(s6, c))
+          }
+          graft.operators.PageHinkley.fromBars(bars) match {
+            case Some((n, pu, pd, lam, au, ad, al)) =>
+              Iterator.single(PhSnap(series, n, pu, pd, lam, au, ad, al, v))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** Read side: keep each series' highest-version snapshot. */
+  def mergePhEmissions(emitted: DataFrame): DataFrame = {
+    val latest = emitted.groupBy(col("series").as("g"))
+      .agg(max(col("version")).as("vv"))
+    emitted.join(broadcast(latest),
+        col("series") === col("g") && col("version") === col("vv"))
+      .select("series", "n_returns", "ph_max_up", "ph_max_down", "lambda",
+        "alarm_up_bucket", "alarm_down_bucket", "alarmed")
+  }
+
+  /** Harness entry: the REAL streaming Page–Hinkley monitor run to
+    * completion; wide-watermark convention as [[runSgdOnce]]. The merged
+    * snapshots match the batch `stat_page_hinkley` oracle exactly. */
+  def runPhOnce(spark: SparkSession, dir: String, queryName: String,
+                watermark: String = "3650 days"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .select(col("ts"), col("event_type").as("series"),
+        expr("ts_ns div 1800000000000").as("bucket"), col("value").as("v"))
+    mergePhEmissions(
+      runToMemory(phStream(events, watermark = watermark).toDF(),
+        queryName, OutputMode.Update()))
+      .orderBy("series")
+  }
+
   /** Harness entry: the REAL streaming burst detector run to completion;
     * wide-watermark convention as [[runSessionizeOnce]] (micro-batch
     * boundaries must not decide oracle rows; eviction semantics are

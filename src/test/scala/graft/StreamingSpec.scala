@@ -612,6 +612,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming page-hinkley equals the batch detector (availableNow, sf0.001)") {
+    val got = EventStream.runPhOnce(spark, dir, "ph_eq").collect().map(_.toSeq)
+    val want = SparkEntry.queries("stat_page_hinkley")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"stream snapshots must equal the batch rows:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming page-hinkley across micro-batches: a drift arriving later alarms") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)](
+      53, spark, None)
+    val bucketUs = 1800000000L
+    val t0 = 1700000000000000L
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("series", "ts_us", "v")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("bucket", expr("ts_us div " + bucketUs))
+      .select(col("ts"), col("series"), col("bucket"), col("v"))
+    val q = EventStream.phStream(toEvents(mem.toDF()), watermark = "1 hour")
+      .writeStream.format("memory").queryName("ph_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def ts(b: Long) = t0 + b * bucketUs + 100L
+      def quiet(t: Long) = 100.0 + 2.0 * (t % 5)
+      // batch 1: 200 quiet buckets — the detector must stay silent
+      mem.addData((0L until 200L).map(t => ("click", ts(t), quiet(t))))
+      q.processAllAvailable()
+      val mid = EventStream.mergePhEmissions(spark.table("ph_mb")).head()
+      assert(mid.getAs[Int]("alarmed") == 0, s"quiet prefix must not alarm: $mid")
+      // batch 2: 200 more buckets with a sustained +5%/bucket drift
+      mem.addData((200L until 400L).map(t =>
+        ("click", ts(t), quiet(t) * math.pow(1.05, (t - 199).toDouble))))
+      q.processAllAvailable()
+      val fin = EventStream.mergePhEmissions(spark.table("ph_mb")).head()
+      assert(fin.getAs[Int]("alarmed") == 1, s"the drift must alarm: $fin")
+      val baseBucket = ts(0) / bucketUs
+      assert(fin.getAs[Long]("alarm_up_bucket") >= baseBucket + 200L,
+        s"the up-alarm must come from the drifted region: $fin")
+      // the final snapshot equals a full driver replay over all bars
+      // (ABSOLUTE buckets — the stream keys state by ts div bucketUs)
+      val bars = (0L until 400L).map { t =>
+        val v = if (t < 200) quiet(t)
+          else quiet(t) * math.pow(1.05, (t - 199).toDouble)
+        (ts(t) / bucketUs, graft.operators.SgdOnline.mean6(
+          graft.operators.SgdOnline.scaled6(v), 1L))
+      }
+      val Some((n, pu, pd, lam, au, ad, al)) =
+        graft.operators.PageHinkley.fromBars(bars): @unchecked
+      assert(fin.getAs[Long]("n_returns") == n)
+      assert(fin.getAs[Double]("ph_max_up") == pu)
+      assert(fin.getAs[Double]("lambda") == lam)
+      assert(Option(fin.getAs[Any]("alarm_up_bucket")).map(
+        _.asInstanceOf[Long]) == au)
+      assert(al == 1 && pd >= 0.0 && ad.forall(_ >= 0L))
+    } finally q.stop()
+  }
+
   test("left-outer join: matches emit eagerly, nulls only after the watermark evicts") {
     import spark.implicits._
     // (event_id, user_id, event_type, ts_us)
