@@ -18,6 +18,19 @@ is specified in Verify.renderCell's Scaladoc; the two implementations
 must stay byte-identical. This exists because round 9's only red row
 was a driver-vs-local divergence that could not be root-caused from
 artifacts — neither side had recorded what hash it computed.
+
+The verdict is HASH-STRICT (r10 lesson: stat_permutation_fdr shipped red
+twice because the old verdict only float-compared values, so a
+DECIMAL-vs-DOUBLE output-type divergence rendered "0.010000" vs the
+double hex and failed the driver while passing here): PASS now requires
+engine_hash == oracle_hash IN ADDITION to the cell compare, and an
+output-dtype gate compares the two arrow schemas per column so a type
+divergence names the offending column directly. Type classes that
+render identically in the canonical form are allowlisted (any integer
+width vs any integer width; decimals of equal scale; string vs
+large_string); DECIMAL-vs-DOUBLE and any other render-visible class
+mismatch fails — even on 0-row results, where the hash alone is blind
+to types.
 """
 import datetime
 import glob
@@ -124,6 +137,55 @@ def cell_eq(a, b) -> bool:
     return str(a) == str(b)
 
 
+def _type_class(t) -> str:
+    """Collapse an arrow type to its canonical-render equivalence class.
+
+    Two types in the same class render byte-identically through
+    render(), so a class mismatch is exactly the set of divergences the
+    driver's hash gate can see (or, for 0-row results, the ones it
+    cannot see but that still mark a dialect-typing bug).
+    """
+    import pyarrow.types as pt
+    if pt.is_null(t):
+        return "null"  # all-NULL column; renders \\N regardless of type
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float64" if t.bit_width == 64 else f"float{t.bit_width}"
+    if pt.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{_type_class(t.value_type)}>"
+    if pt.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def schema_diff(got_tbl, want_tbl):
+    """Per-column type-class diff (engine vs oracle), [] when clean."""
+    gt = {f.name: f.type for f in got_tbl.schema}
+    wt = {f.name: f.type for f in want_tbl.schema}
+    diffs = []
+    for c in sorted(set(gt) | set(wt)):
+        if c not in gt or c not in wt:
+            diffs.append(f"{c}: engine={gt.get(c)} oracle={wt.get(c)} (absent)")
+            continue
+        gc, wc = _type_class(gt[c]), _type_class(wt[c])
+        if gc != wc and "null" not in (gc, wc):
+            diffs.append(f"{c}: engine={gt[c]}[{gc}] oracle={wt[c]}[{wc}]")
+    return diffs
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
     got, want = canon(got), canon(want)
     if list(got.columns) != list(want.columns):
@@ -186,6 +248,18 @@ def main():
             print(f"HASH-SPEC-MISMATCH {name}: scala={sh} python={eh}")
             n_spec_drift += 1
         err = compare(name, got, want)
+        if err is None and got_tbl is not None:
+            # Hash-strict verdict: the driver compares canonical hashes,
+            # so a value-equal-but-type-divergent output (DECIMAL vs
+            # DOUBLE renders "0.010000" vs double hex) must fail HERE too.
+            tdiff = schema_diff(got_tbl, want_tbl)
+            if eh != oh:
+                err = ("HASH engine != oracle; schema diff: "
+                       + ("; ".join(tdiff) if tdiff
+                          else "none — value-render or row-set divergence"))
+            elif tdiff:
+                # hash can be blind to types on 0-row / all-NULL outputs
+                err = "TYPE-MISMATCH (hash-blind): " + "; ".join(tdiff)
         if err:
             print(f"FAIL {name}: {err} [engine={eh} oracle={oh}]")
             n_fail += 1

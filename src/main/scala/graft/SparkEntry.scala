@@ -28,4 +28,18 @@ object SparkEntry {
       graft.queries.Ml.sql ++ graft.queries.Pipe.sqlAll ++ graft.queries.Corpus.sql ++
       graft.queries.Reshape.sql ++ graft.queries.Fin.sql ++ graft.queries.Feat.sql ++
       graft.queries.R9.sql ++ graft.queries.R10.sql
+
+  /** Rows-only entries whose output hash is deterministic per host but
+    * NOT across hosts: seeded MLlib training (KMeans‖ init, online-VB
+    * LDA, IVF's Lloyd quantizer) reduces floats in partition/thread
+    * order, which a host change can legally permute. The r10 driver
+    * re-run changed exactly these three engine hashes vs the builder's
+    * committed run. Verify stamps them `"determinism": "same-host"` in
+    * the hash artifacts so the stability claim carries its scope; the
+    * CROSS-host deterministic guarantee for these families lives in the
+    * hash-checked twins (`ml_kmeans_lloyd`, `similarity_ivf_probe`,
+    * `ml_gmm_em`). None has a DuckDB oracle, so the driver gate is
+    * unaffected either way. */
+  def sameHostDeterministic(name: String): Boolean =
+    Set("ml_kmeans", "ml_lda_topics", "similarity_ivf").contains(name)
 }

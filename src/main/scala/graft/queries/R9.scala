@@ -137,7 +137,7 @@ object R9 {
        |  SELECT coalesce(max(CASE WHEN p_value * m <= p_rank * 0.1
        |    THEN p_rank END), 0) AS km FROM ranked)
        |SELECT ga AS series_a, gb AS series_b, t_obs, p_value,
-       |  p_rank, round(p_rank * 0.1 / m, 6) AS bh_threshold,
+       |  p_rank, round(CAST(p_rank * 0.1 AS DOUBLE) / m, 6) AS bh_threshold,
        |  p_rank <= kmax.km AS reject_fdr10
        |FROM ranked CROSS JOIN kmax
        |ORDER BY p_rank""".stripMargin
@@ -1355,7 +1355,7 @@ object R9 {
         |      FROM est JOIN exact ON est.event_type = exact.event_type),
         |ql AS (SELECT unnest(generate_series(1, 5)) AS i)
         |SELECT event_type, n_total, n_sample,
-        |  [0.1, 0.25, 0.5, 0.75, 0.9][i] AS q,
+        |  CAST([0.1, 0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS q,
         |  round(est[i], 6) + 0.0 AS est_q,
         |  round(ex[i], 6) + 0.0 AS exact_q,
         |  round(abs(est[i] - ex[i]), 6) AS abs_err

@@ -68,6 +68,46 @@ object Ts {
       |  WHERE lagv IS NOT NULL)
       |""".stripMargin
 
+  /** Shared by `drift_psi` and its streaming twin `stream_drift_psi`
+    * (`EventStream.runPsiOnce`): the gridded value frame, the span
+    * midpoint, and the reference half's exact decile cuts (percentile on
+    * the 1e-6 grid so both engines cut identically). */
+  def psiProfile(s: SparkSession, d: String): (DataFrame, Long, Seq[Double]) = {
+    val ev = Tables.events(s, d)
+      .select(expr("unix_micros(ts)").as("t"), round(col("value"), 6).as("v"))
+    val b = ev.agg(min("t"), max("t")).head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val qs = (1 to 9).map(_ / 10.0)
+    val cuts = ev.filter(col("t") < mid).agg(
+      expr(s"percentile(v, array(${qs.mkString(",")}))").as("c")).head()
+      .getSeq[Double](0).map(c => math.rint(c * 1e6) / 1e6)
+    (ev, mid, cuts)
+  }
+
+  /** Decile binning over `v` — fold from the largest cut so the
+    * ascending `v <= c` test wins over every later one (when-chains take
+    * the FIRST match). */
+  def psiBin(cuts: Seq[Double]): Column =
+    cuts.zipWithIndex.reverse.foldLeft(lit(10)) { case (acc, (c, i)) =>
+      when(col("v") <= lit(c), lit(i + 1)).otherwise(acc) }
+
+  /** The Laplace-smoothing/term expressions over per-bin
+    * (bin, n_ref, n_cur) counts — expression-identical to the pre-r11
+    * inline form, so the batch hash is pinned and the streaming twin
+    * hash-matches the SAME oracle. */
+  def psiAssemble(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("n_ref") + 0.5) / (col("tr") + 5.0), 6).as("p_ref"),
+        round((col("n_cur") + 0.5) / (col("tc") + 5.0), 6).as("p_cur"),
+        round(((col("n_ref") + 0.5) / (col("tr") + 5.0) -
+               (col("n_cur") + 0.5) / (col("tc") + 5.0)) *
+          log(((col("n_ref") + 0.5) / (col("tr") + 5.0)) /
+              ((col("n_cur") + 0.5) / (col("tc") + 5.0))), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
   val qs: Map[String, Q] = Map(
     /** Calendar resampling (`TimeSeries.resampleOhlc`): weekly OHLC bars
       * per event_type — one keyed aggregation, open/close via min_by/
@@ -537,36 +577,13 @@ object Ts {
       * count over the fact; the 10-row result carries the per-bin audit
       * (the alerting consumer sums the terms). */
     "drift_psi" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(expr("unix_micros(ts)").as("t"), round(col("value"), 6).as("v"))
-      val b = ev.agg(min("t"), max("t")).head()
-      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
-      val refHalf = ev.filter(col("t") < mid)
-      val qs = (1 to 9).map(_ / 10.0)
-      val cuts = refHalf.agg(
-        expr(s"percentile(v, array(${qs.mkString(",")}))").as("c")).head()
-        .getSeq[Double](0).map(c => math.rint(c * 1e6) / 1e6)
-      // fold from the largest cut so the ascending `v <= c1` test wins
-      // over every later one (when-chains take the FIRST match)
-      val binFirstMatch = cuts.zipWithIndex.reverse
-        .foldLeft(lit(10)) { case (acc, (c, i)) =>
-          when(col("v") <= lit(c), lit(i + 1)).otherwise(acc) }
-      val counts = ev
+      val (ev, mid, cuts) = psiProfile(s, d)
+      psiAssemble(ev
         .withColumn("half", when(col("t") < mid, "ref").otherwise("cur"))
-        .withColumn("bin", binFirstMatch)
+        .withColumn("bin", psiBin(cuts))
         .groupBy("bin")
         .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
-          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
-      val tot = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("bin"), col("n_ref"), col("n_cur"),
-          round((col("n_ref") + 0.5) / (col("tr") + 5.0), 6).as("p_ref"),
-          round((col("n_cur") + 0.5) / (col("tc") + 5.0), 6).as("p_cur"),
-          round(((col("n_ref") + 0.5) / (col("tr") + 5.0) -
-                 (col("n_cur") + 0.5) / (col("tc") + 5.0)) *
-            log(((col("n_ref") + 0.5) / (col("tr") + 5.0)) /
-                ((col("n_cur") + 0.5) / (col("tc") + 5.0))), 6).as("psi_term"))
-        .orderBy("bin")
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur")))
     }),
 
     /** Two-sample Kolmogorov–Smirnov distance between the click and
@@ -2333,7 +2350,7 @@ object Ts {
         |SELECT k AS k_groups, nn AS n,
         |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS w_stat,
         |  (k - 1)::BIGINT AS df_between, (nn - k)::BIGINT AS df_within,
-        |  2.372 AS crit_95,
+        |  CAST(2.372 AS DOUBLE) AS crit_95,
         |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) > 2.372 AS reject_95
         |FROM fin""".stripMargin,
 
@@ -2490,7 +2507,8 @@ object Ts {
         |      / (($nTot)::DOUBLE * ($nTot) * ($nTot) - ($nTot)) AS corr
         |  FROM ag)
         |SELECT n, 5::BIGINT AS k_groups, round(h, 6) AS h_stat,
-        |  round(h / corr, 6) AS h_corrected, 9.487729 AS crit_95,
+        |  round(h / corr, 6) AS h_corrected,
+        |  CAST(9.487729 AS DOUBLE) AS crit_95,
         |  round(h / corr, 6) > 9.487729 AS reject_95
         |FROM st""".stripMargin
     },
@@ -2578,7 +2596,8 @@ object Ts {
         |  SELECT n, round(skew, 6) AS skewness, round(ek, 6) AS excess_kurtosis,
         |    round(n / 6.0 * (skew*skew + ek*ek/4.0), 6) AS jb_stat
         |  FROM sk)
-        |SELECT n, skewness, excess_kurtosis, jb_stat, 5.991465 AS crit_95,
+        |SELECT n, skewness, excess_kurtosis, jb_stat,
+        |  CAST(5.991465 AS DOUBLE) AS crit_95,
         |  jb_stat > 5.991465 AS reject_normal_95
         |FROM jb""".stripMargin),
 
@@ -2898,7 +2917,8 @@ object Ts {
         |    round(n * (n + 2.0) * sum(r * r / (n - k)) OVER (ORDER BY k
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS q
         |  FROM a)
-        |SELECT k::INT AS lag, r AS acf, q AS q_stat, crit AS crit_95,
+        |SELECT k::INT AS lag, r AS acf, q AS q_stat,
+        |  CAST(crit AS DOUBLE) AS crit_95,
         |  q > crit AS reject_95
         |FROM q ORDER BY lag""".stripMargin),
 

@@ -1195,4 +1195,52 @@ object EventStream {
       runToMemory(burstStream(events, windowUs, k, watermark).toDF(),
         queryName, OutputMode.Update()))
   }
+
+  /** REAL STREAMING twin of `drift_psi` (r11) — the production
+    * monitoring posture: the REFERENCE profile (span midpoint, decile
+    * cuts, per-bin reference counts) is FROZEN batch-side — the
+    * deploy-time training snapshot a monitor ships with; nobody
+    * re-derives reference deciles per micro-batch in production. The
+    * CURRENT half arrives as a stream and its per-bin counts accumulate
+    * as a streaming aggregate in Update mode. State is O(bins) = 10
+    * longs per monitor; counts are order-free, so arrival order and
+    * late data CANNOT change the final snapshot (the HW/EWMA anchor
+    * problem does not arise — contrast `sgdStream`'s documented
+    * full-recompute-by-necessity). Each Update emission carries the
+    * monotone cumulative count, so the final value per bin is the max
+    * across emissions. Final assembly replays the batch smoothing/term
+    * expressions (`Ts.psiAssemble`) → hash-matches the SAME `drift_psi`
+    * oracle. */
+  /** The streaming current-half per-bin counter (state = 10 longs; the
+    * Update-mode aggregate a production monitor binds to a real sink). */
+  def psiCounts(cur: DataFrame, cuts: Seq[Double]): DataFrame =
+    cur.withColumn("bin", graft.queries.Ts.psiBin(cuts))
+      .groupBy("bin").agg(count(lit(1)).as("n_cur"))
+
+  /** Update-mode emissions carry the monotone cumulative count per bin,
+    * so the final snapshot is max-per-bin across emissions. */
+  def mergePsiEmissions(emitted: DataFrame): DataFrame =
+    emitted.groupBy("bin").agg(max("n_cur").as("n_cur"))
+
+  def runPsiOnce(spark: SparkSession, dir: String,
+                 queryName: String): DataFrame = {
+    val (ev, mid, cuts) = graft.queries.Ts.psiProfile(spark, dir)
+    val refCounts = ev.filter(col("t") < mid)
+      .withColumn("bin", graft.queries.Ts.psiBin(cuts))
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    val cur = psiCounts(readEvents(spark, dir)
+      .select(expr("unix_micros(ts)").as("t"),
+        round(col("value"), 6).as("v"))
+      .filter(col("t") >= mid), cuts)
+    val curFinal = mergePsiEmissions(
+      runToMemory(cur, queryName, OutputMode.Update()))
+    // full outer: a bin can be empty in either half (never both — a row
+    // put it in the count frame); zero-fill mirrors the batch twin's
+    // sum-of-indicators over the union frame
+    graft.queries.Ts.psiAssemble(
+      refCounts.join(curFinal, Seq("bin"), "full_outer")
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
 }

@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "ml_acf",                  // crossJoin(broadcast(1-row global mean))
     "ml_changepoint_cusum",    // crossJoin(broadcast(1-row mu/sigma/n))
     "drift_psi",               // crossJoin(broadcast(1-row ref/cur totals))
+    "stream_drift_psi",        // same psiAssemble crossJoin as drift_psi
     "stat_chi2_independence",  // crossJoin(broadcast(1-row grand total))
     "mba_frequent_pairs",      // crossJoin(broadcast(1-row basket count))
     "ml_naive_bayes",          // crossJoin(broadcast(k-row param frame + 1-row total))
@@ -53,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "feature_select_mrmr",     // cube-sized frames × 1-row grand total
     "ts_haar_energy",          // ≤256-bar frame × 8-row dyadic level table
     "similarity_ivf_probe",    // corpus/queries × 16-row sampled-quantizer attach
+    "similarity_ivf_incremental", // resident/new × 16-row quantizer attach + 1-row corpus total
     "similarity_mmr_rerank",   // brute-force shortlist baseline (audit posture)
     "join_spatial_grid",       // crossJoin(broadcast(1-row min/max bounds))
     "ml_kmeans_lloyd",         // crossJoin(broadcast(k-row centroid frame)) per Lloyd round

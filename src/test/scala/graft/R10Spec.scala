@@ -133,6 +133,24 @@ class R10Spec extends SparkSpec {
         s"IRLS must robustify: ols $b0 vs huber $b4")
       assert(math.abs(b4 - 0.5) < 0.05, s"robust slope $b4 should be ~0.5")
       assert(out.last.getAs[Long]("n_outliers") > 0L)
+      // the registered entry is the driver-side replay (r11: 6 s of
+      // Catalyst planning → 1.1 s); it must be BIT-identical to the
+      // monolithic template on the planted frame, column by column
+      val replay = graft.queries.R10.huberIrlsSpark(spark,
+          "r10_huber_planted", "ts_ns div 21600000000000",
+          "percentile(abs(r), 0.5)")
+        .orderBy("iter").collect()
+      assert(replay.length == out.length)
+      replay.zip(out).foreach { case (a, b) =>
+        assert(a.getAs[Int]("iter") == b.getAs[Int]("iter"))
+        Seq("beta", "alpha", "delta").foreach { c =>
+          assert(java.lang.Double.doubleToLongBits(a.getAs[Double](c)) ==
+            java.lang.Double.doubleToLongBits(b.getAs[Double](c)),
+            s"replay drift at iter ${a.getAs[Int]("iter")} col $c: " +
+              s"${a.getAs[Double](c)} vs ${b.getAs[Double](c)}")
+        }
+        assert(a.getAs[Long]("n_outliers") == b.getAs[Long]("n_outliers"))
+      }
     } finally { spark.catalog.dropTempView("r10_huber_planted"); () }
   }
 

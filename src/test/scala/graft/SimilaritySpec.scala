@@ -217,6 +217,51 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean PQ recall@5 $mean below the 8x16 codebook floor")
   }
 
+  test("ivf incremental: admission conserves the corpus and assigns argmin lists") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("similarity_ivf_incremental")(spark, dir)
+      .collect()
+    assert(rows.length == 16, "one audit row per posting list")
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def isNew(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10 == 0
+    }
+    val (newIds, resIds) = all.map(_._1).partition(isNew)
+    // conservation: every corpus vector lands in exactly one list,
+    // split exactly along the house md5 admission boundary
+    assert(rows.map(_.getAs[Long]("n_old")).sum == resIds.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_added")).sum == newIds.length.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_old") + r.getAs[Long]("n_added"))
+      // the flag is the integer 1.25x-imbalance trigger, and NULL mean
+      // distance appears exactly on zero-admission lists
+      assert(r.getAs[Boolean]("needs_split") ==
+        (4 * r.getAs[Long]("n_total") * 16 > 5 * all.length))
+      assert(r.isNullAt(r.fieldIndex("mean_add_dist")) ==
+        (r.getAs[Long]("n_added") == 0L))
+    }
+    // brute-force the admission itself: per-list added counts must match
+    // nearest-existing-centroid assignment of exactly the new batch
+    val centroids = resIds.sorted.take(16).zipWithIndex
+      .map { case (id, c) => c -> all.toMap.apply(id) }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expectAdds = newIds
+      .map(id => centroids.minBy { case (c, ce) => (d2(all.toMap.apply(id), ce), c) }._1)
+      .groupBy(identity).map { case (c, v) => c.toLong -> v.length.toLong }
+    val gotAdds = rows.map(r =>
+      r.getAs[Int]("list_id").toLong -> r.getAs[Long]("n_added"))
+      .filter(_._2 > 0L).toMap
+    assert(gotAdds == expectAdds,
+      s"admission assignment drifted: got $gotAdds want $expectAdds")
+  }
+
   test("ml_kmeans query: seeded determinism, size conservation, purity bounds") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("ml_kmeans")(spark, dir).collect()

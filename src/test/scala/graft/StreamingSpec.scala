@@ -612,6 +612,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI equals the batch drift_psi (availableNow, sf0.001)") {
+    val got = EventStream.runPsiOnce(spark, dir, "psi_eq").collect().map(_.toSeq)
+    val want = SparkEntry.queries("drift_psi")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"frozen-reference stream PSI must equal the batch pass:\n" +
+        s"got  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming PSI across micro-batches: late rows only raise bin counts") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double](
+      53, spark, None)
+    val cuts = (1 to 9).map(_ * 10.0) // bins at 10,20,…,90
+    val q = EventStream.psiCounts(mem.toDF().toDF("v"), cuts)
+      .writeStream.format("memory").queryName("psi_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(Seq(5.0, 15.0, 15.0, 95.0))
+      q.processAllAvailable()
+      // "late" arrivals for already-emitted bins: counts are order-free
+      // state, so the final snapshot must be the plain total per bin
+      mem.addData(Seq(15.0, 5.0, 45.0))
+      q.processAllAvailable()
+      val merged = EventStream.mergePsiEmissions(spark.table("psi_mb"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(merged == Map(1 -> 2L, 2 -> 3L, 5 -> 1L, 10 -> 1L),
+        s"merged counts must equal the full totals: $merged")
+    } finally q.stop()
+  }
+
   test("streaming page-hinkley equals the batch detector (availableNow, sf0.001)") {
     val got = EventStream.runPhOnce(spark, dir, "ph_eq").collect().map(_.toSeq)
     val want = SparkEntry.queries("stat_page_hinkley")(spark, dir)
