@@ -26,9 +26,16 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/tmp/graft_bench.json")
     val only: Option[Set[String]] =
       args.headOption.filter(_.nonEmpty).map(_.split(",").map(_.trim).toSet)
+    // Shuffle width defaults to the thread count (right at the gate's
+    // sf0.1 size) but is env-tunable: scale probes at 30-100x data need
+    // MORE partitions than threads so each hash-agg partition still fits
+    // its task's share of execution memory — the spill-aware sizing a
+    // real deployment does via spark.sql.shuffle.partitions.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -173,6 +173,58 @@ object Docs {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SLICE-LEVEL QUANTIZATION-ERROR DRIFT AUDIT (`similarity_pq_drift`,
+    * r11): the PQ observability pass a deployed vector index runs —
+    * reconstruction error is the re-train trigger for a codebook, and
+    * it degrades SLICE-FIRST (a new content cohort quantizes worse long
+    * before the global mean moves). Per (subspace, label-cohort): the
+    * cohort's mean quantization error (min squared distance to the
+    * subspace's 16 codewords — the SAME sampled codebook as
+    * [[pqAdcSql]], so the audit measures the index that actually
+    * serves) against the subspace's global mean, with a `drift_flag`
+    * at the 1.25× point decided as `4·slice > 5·global` on identical
+    * grid-6 doubles (the dbscan class — both engines compare the same
+    * deriveds). QE per (vector, subspace) is an exact min over
+    * identical 8-term double chains; means ride grid-9 DECIMAL sums.
+    * 8×10 = 80 rows; cost = corpus × (16·8) bounded codebook attach —
+    * never corpus², the [[pqAdcSql]] encode shape. */
+  private def pqDriftSql(emb: String, ix: (String, String) => String): String = {
+    val m = 8; val ksub = 16
+    def dist8(a: String, b: String): String =
+      (1 to m).map { j =>
+        val i = s"sv * 8 + $j"
+        val t = s"(CAST(${ix(a, i)} AS DOUBLE) - CAST(${ix(b, i)} AS DOUBLE))"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    val subRows = (0 until m).map(v => s"SELECT $v AS sv").mkString(" UNION ALL ")
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ve, label FROM $emb),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM $emb
+       |        ORDER BY vec_id LIMIT $ksub) s0),
+       |sub AS ($subRows),
+       |qe AS (
+       |  SELECT corpus.vec_id, corpus.label, sub.sv,
+       |    min(${dist8("ve", "ce")}) AS qe
+       |  FROM corpus CROSS JOIN samp CROSS JOIN sub
+       |  GROUP BY 1, 2, 3),
+       |per_slice AS (
+       |  SELECT sv, label, count(*) AS n_slice,
+       |    sum(CAST(round(qe, 9) AS DECIMAL(28,9))) AS s_qe
+       |  FROM qe GROUP BY 1, 2),
+       |per_sv AS (
+       |  SELECT sv, CAST(sum(n_slice) AS BIGINT) AS n_all,
+       |    CAST(sum(s_qe) AS DECIMAL(38,9)) AS s_all
+       |  FROM per_slice GROUP BY 1)
+       |SELECT ps.sv AS subspace, ps.label, ps.n_slice,
+       |  round(CAST(ps.s_qe AS DOUBLE) / ps.n_slice, 6) AS mean_qe_slice,
+       |  round(CAST(pv.s_all AS DOUBLE) / pv.n_all, 6) AS mean_qe_all,
+       |  4 * round(CAST(ps.s_qe AS DOUBLE) / ps.n_slice, 6)
+       |    > 5 * round(CAST(pv.s_all AS DOUBLE) / pv.n_all, 6) AS drift_flag
+       |FROM per_slice ps JOIN per_sv pv ON ps.sv = pv.sv
+       |ORDER BY subspace, label""".stripMargin
+  }
+
   /** INCREMENTAL IVF INDEX MAINTENANCE (`similarity_ivf_incremental`,
     * r11 — the ANN analog of `dedup_incremental_batch`, the depth item
     * the r10 verdict named): the index already EXISTS — coarse quantizer
@@ -1260,6 +1312,13 @@ object Docs {
         s.sql(ivfIncrementalSql(v, (e, i) => s"element_at($e, $i)",
           id => s"CAST(conv(substring(md5(CAST($id AS STRING)), 1, 8), 16, 10) AS BIGINT)")))),
 
+    /** The PQ OBSERVABILITY row (`pqDriftSql` — one shared template):
+      * per-(subspace, label-cohort) quantization error vs the global
+      * mean under the serving codebook, drift at the 1.25× point. */
+    "similarity_pq_drift" -> ((s, d) =>
+      withEmbView(s, d)(v =>
+        s.sql(pqDriftSql(v, (e, i) => s"element_at($e, $i)")))),
+
     /** MMR RERANKING (Carbonell & Goldstein 1998) — the diversification
       * pass between retrieval and serving: from each query's exact
       * cosine top-25 shortlist (brute-force here, the documented
@@ -1757,6 +1816,9 @@ object Docs {
     "similarity_ivf_incremental" ->
       ivfIncrementalSql("embeddings", (e, i) => s"list_extract($e, $i)",
         id => s"('0x' || substr(md5($id::VARCHAR), 1, 8))::BIGINT"),
+
+    "similarity_pq_drift" ->
+      pqDriftSql("embeddings", (e, i) => s"list_extract($e, $i)"),
 
     "similarity_mmr_rerank" -> mmrSql,
 

@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkSpec {
     "ml_anomaly_mahalanobis",  // 1-row moment/inverse frame × user features
     "ml_hierarchical_reconcile", // 1-row train-total frame × per-series shares
     "similarity_pq_adc",       // corpus × 16-row codebook × 8-row subspace attach
+    "similarity_pq_drift",     // same corpus × 16×8 codebook attach (QE audit)
     "stat_permutation_fdr",    // pool × 100-row replicate frame + 1-row kmax
     "feature_select_mrmr",     // cube-sized frames × 1-row grand total
     "ts_haar_energy",          // ≤256-bar frame × 8-row dyadic level table

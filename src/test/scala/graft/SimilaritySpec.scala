@@ -262,6 +262,42 @@ class SimilaritySpec extends SparkSpec {
       s"admission assignment drifted: got $gotAdds want $expectAdds")
   }
 
+  test("pq drift: per-slice QE means brute-force-match and the flag is the 1.25x point") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("similarity_pq_drift")(spark, dir).collect()
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val nLabels = all.map(_._3).distinct.length
+    assert(rows.length == 8 * nLabels, "one row per (subspace, label cohort)")
+    // the serving codebook = first 16 vectors by vec_id (the pqAdcSql sample)
+    val cb = all.sortBy(_._1).take(16).map(_._2)
+    def qe(v: Array[Double], sv: Int): Double =
+      cb.map { ce =>
+        (0 until 8).map { j =>
+          val d = v(sv * 8 + j) - ce(sv * 8 + j); d * d
+        }.sum
+      }.min
+    // brute-force the per-slice mean over grid-9 rounded QEs (the query's sum path)
+    def g9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def g6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val sv = r.getAs[Int]("subspace"); val lab = r.getAs[Int]("label")
+      val cohort = all.filter(_._3 == lab)
+      assert(r.getAs[Long]("n_slice") == cohort.length.toLong)
+      val want = g6(cohort.map(t => g9(qe(t._2, sv))).sum / cohort.length)
+      val got = r.getAs[Double]("mean_qe_slice")
+      assert(math.abs(got - want) < 2e-6, s"slice ($sv,$lab): $got vs $want")
+      // the flag is the integer-scaled 1.25x comparison on the emitted grid-6 pair
+      assert(r.getAs[Boolean]("drift_flag") ==
+        (4 * got > 5 * r.getAs[Double]("mean_qe_all")))
+    }
+    // global mean per subspace must be the cohort-weighted mean of the slices
+    rows.groupBy(_.getAs[Int]("subspace")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Double]("mean_qe_all")).distinct.length == 1)
+    }
+  }
+
   test("ml_kmeans query: seeded determinism, size conservation, purity bounds") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("ml_kmeans")(spark, dir).collect()
