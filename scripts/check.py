@@ -206,11 +206,28 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
     return None
 
 
-def main():
+def fresh_con():
     con = duckdb.connect()
+    # 16 threads, not the machine's 32: each DuckDB worker thread brings
+    # its own allocator arenas, and this process's binding constraint is
+    # vm.max_map_count (see the recycle comment in main), not CPU
+    con.execute("SET threads TO 16")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def n_maps() -> int:
+    try:
+        with open("/proc/self/maps") as fh:
+            return sum(1 for _ in fh)
+    except OSError:
+        return -1
+
+
+def main():
+    con = fresh_con()
     with open(f"{OUT}/oracle_sql.json") as fh:
         oracle = json.load(fh)
     try:
@@ -223,11 +240,32 @@ def main():
               for p in glob.glob(f"{OUT}/*/")}
     hashes = {}
     n_pass = n_fail = n_spec_drift = 0
+    n_run = 0
     for name in sorted(oracle):
         if name not in dumped:
             print(f"MISSING-DUMP {name}")
             n_fail += 1
             continue
+        # Recycle the DuckDB connection every 25 oracles: hundreds of
+        # MATERIALIZED-heavy replays on one connection fragment memory
+        # MAPPINGS (not memory — RSS stays ~1 GB) until the process hits
+        # vm.max_map_count (65530), at which point mmap failures surface
+        # as spurious "Out of Memory" oracle errors and finally a
+        # segfault. Measured: maps plateau ~47k mid-run and spiked to
+        # 65k+ at ~400 oracles. A fresh connection releases its maps;
+        # gc + arrow-pool release drop the pyarrow side's share.
+        n_run += 1
+        if n_run % 25 == 0:
+            con.close()
+            import gc
+            gc.collect()
+            try:
+                import pyarrow as pa
+                pa.default_memory_pool().release_unused()
+            except Exception:  # noqa: BLE001
+                pass
+            con = fresh_con()
+            print(f"[maps] {n_maps()} after {n_run} oracles", flush=True)
         got_tbl = read_dump_arrow(name)
         got = got_tbl.to_pandas() if got_tbl is not None else pd.DataFrame()
         try:

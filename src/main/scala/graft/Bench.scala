@@ -58,7 +58,18 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val t = (System.nanoTime() - t0) / 1e9
+      // Release per-query persisted state AFTER the clock stops: queries
+      // cache/localCheckpoint intermediates for their own lifetime, and a
+      // long single-JVM suite otherwise accumulates every query's blocks —
+      // measured at the 100x probe: graph_modularity ran 363 s mid-suite
+      // vs 124 s in a fresh JVM purely from earlier queries' leaked blocks
+      // crowding the unified memory pool (and the pressure contributed to
+      // the original AGGREGATE_OUT_OF_MEMORY). Production equivalent: each
+      // job runs in its own executors; the sweep restores that isolation.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      (name, t, err)
     }
     // JSON escape incl. ALL control chars (exception messages are
     // routinely multi-line); Locale.ROOT so a comma-decimal JVM locale

@@ -42,6 +42,87 @@ object Corpus {
   private val QUOTAS = Map("src0" -> 30, "src1" -> 20)
   private val DEFAULT_QUOTA = 10
 
+  /** TOKEN-BUDGET MIX PLAN (`corpus_token_budget_plan`, r11) — the
+    * data-constrained-scaling solve every pretraining run does before
+    * sampling weights mean anything: given a token budget B (here 4× the
+    * corpus — the Muennighoff et al. 2023 "repeat up to ~4 epochs"
+    * regime), per-source availability (whitespace tokens — the spaces+1
+    * length arithmetic, no array materialized), a quality weight (the
+    * source's ENGLISH token volume — the in-language upweighting an
+    * English-model mix applies), and a hard per-source cap of 4 epochs,
+    * allocate B by WATER-FILLING: alloc_s = min(cap_s, λ·w_s) with λ
+    * chosen so allocations sum to B. Closed form over the saturation
+    * order r_s = cap_s/w_s ascending (identical single-division doubles
+    * both engines order it; a source saturates exactly when
+    * `(B − prefix_cap)·w_s ≥ cap_s·suffix_w` — INTEGER cross-
+    * multiplication, no λ ever materialized for a decision; at sf-scale
+    * the products sit far inside BIGINT — a >10⁹-token corpus moves the
+    * cross-mult to DECIMAL(38,0), noted here deliberately). Unsaturated
+    * allocations and epoch counts are output-only grid-6 doubles. One
+    * |sources|-row frame after a single corpus scan; the windowed
+    * prefix/suffix sums ride the bounded source frame. Budget
+    * calibration (the Gopher/temperature-mix lesson — verified on
+    * data): B = 4×total equals the SUM of the caps exactly, so the
+    * water reaches every rim and the flag is constant-True (audits
+    * nothing — caught in-wave); at B = 3×total the λ water level lands
+    * at ≈ 6.9 epochs-per-en-token against saturation points 4/en_share
+    * ∈ [6.2, 14.8], so the high-en-share sources saturate at 4 epochs
+    * and the rest split the remainder — both branches populated. */
+  private def tokenBudgetSql(docs: String): String = {
+    val ntok = "length(text) - length(replace(text, ' ', '')) + 1"
+    s"""WITH per_doc AS (
+       |  SELECT source, lang, CAST($ntok AS BIGINT) AS n_tok FROM $docs),
+       |per_source AS (
+       |  SELECT source,
+       |    CAST(sum(n_tok) AS BIGINT) AS avail_tokens,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN n_tok ELSE 0 END) AS BIGINT)
+       |      AS en_tokens
+       |  FROM per_doc GROUP BY 1),
+       |budget AS (
+       |  SELECT CAST(3 * sum(avail_tokens) AS BIGINT) AS b FROM per_source),
+       |ordered AS (
+       |  SELECT source, avail_tokens, en_tokens,
+       |    4 * avail_tokens AS cap_tokens,
+       |    row_number() OVER (ORDER BY
+       |      CASE WHEN en_tokens = 0 THEN 1 ELSE 0 END,
+       |      CASE WHEN en_tokens = 0 THEN CAST(0 AS DOUBLE)
+       |           ELSE CAST(4 * avail_tokens AS DOUBLE) / en_tokens END,
+       |      source) AS rn
+       |  FROM per_source),
+       |pre AS (
+       |  SELECT ordered.*,
+       |    coalesce(sum(cap_tokens) OVER (ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pc,
+       |    sum(en_tokens) OVER (ORDER BY rn
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sw
+       |  FROM ordered),
+       |dec AS (
+       |  SELECT pre.*, budget.b,
+       |    en_tokens > 0 AND (budget.b - pc) * en_tokens >= cap_tokens * sw
+       |      AS saturated
+       |  FROM pre CROSS JOIN budget),
+       |lam AS (
+       |  SELECT
+       |    CAST(max(b) - coalesce(sum(CASE WHEN saturated THEN cap_tokens END),
+       |      0) AS BIGINT) AS lnum,
+       |    CAST(coalesce(sum(CASE WHEN NOT saturated THEN en_tokens END), 0)
+       |      AS BIGINT) AS lden
+       |  FROM dec)
+       |SELECT dec.source, dec.avail_tokens, dec.en_tokens, dec.cap_tokens,
+       |  dec.saturated,
+       |  CASE WHEN dec.saturated THEN CAST(dec.cap_tokens AS DOUBLE)
+       |       WHEN dec.en_tokens = 0 OR lam.lden = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(CAST(lam.lnum AS DOUBLE) * dec.en_tokens / lam.lden, 6)
+       |  END AS alloc_tokens,
+       |  CASE WHEN dec.saturated THEN CAST(4 AS DOUBLE)
+       |       WHEN dec.en_tokens = 0 OR lam.lden = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(CAST(lam.lnum AS DOUBLE) * dec.en_tokens / lam.lden
+       |              / dec.avail_tokens, 6)
+       |  END AS epochs
+       |FROM dec CROSS JOIN lam
+       |ORDER BY source""".stripMargin
+  }
+
   // Identical weight ladder on both engines: α = 0.5 ⇒ weights 2^−i,
   // exactly representable in binary AND in their decimal renderings.
   private val EWMA_DEPTH = 8
@@ -238,6 +319,14 @@ object Corpus {
         .withColumn("upsample_factor",
           round(col("temperature_share") / col("natural_share"), 6))
         .orderBy("lang")
+    }),
+
+    /** TOKEN-BUDGET MIX PLAN (`tokenBudgetSql` — one shared template):
+      * the water-filling allocation under per-source epoch caps, every
+      * saturation decision integer cross-multiplied. */
+    "corpus_token_budget_plan" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_budget_docs")
+      s.sql(tokenBudgetSql("graft_budget_docs"))
     }),
 
     /** Multi-granularity corpus profile in ONE pass: (lang, source),
@@ -476,6 +565,8 @@ object Corpus {
          |WHERE rk <= (CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 20
          |             ELSE 10 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_token_budget_plan" -> tokenBudgetSql("documents"),
 
     "corpus_temperature_mix" ->
       """WITH c AS (

@@ -225,6 +225,157 @@ object Docs {
        |ORDER BY subspace, label""".stripMargin
   }
 
+  /** IVF nprobe OPERATING-POINT SWEEP (`similarity_recall_curve`, r11 —
+    * the ANN analog of `dedup_threshold_sweep`): the recall-vs-cost
+    * curve the nprobe choice needs, computed blind in most deployments.
+    * Ground truth = exact cosine top-10 per audit query (the
+    * [[ivfProbeSql]] query sample, `vec_id % 50 = 0` — the brute-force
+    * half is BOUNDED by the fixed audit sample, so cost is corpus ×
+    * n_queries, linear in the corpus). Each truth pair reduces to one
+    * integer — `probe_pos`, the rank of its neighbor's posting list in
+    * the query's probe order (same sampled quantizer/assignment as the
+    * serving [[ivfProbeSql]], so the curve audits the index that
+    * actually serves) — and the whole nprobe ∈ {1,2,4,8,16} sweep is
+    * then `probe_pos <= nprobe` counts: EVERY decision integer. The
+    * cost axis is the exact candidate-row count at each nprobe
+    * (posting-list sizes × probe membership, again integers); recall
+    * and scan_frac divisions are output-only grid-6 (int/int promotes
+    * to DOUBLE in both engines). nprobe=16 anchors recall = 1. */
+  private def recallCurveSql(emb: String, ix: (String, String) => String): String = {
+    val dim = 64; val nlist = 16; val k = 10
+    def dist64(a: String, b: String): String =
+      (1 to dim).map { j =>
+        val t = s"(CAST(${ix(a, j.toString)} AS DOUBLE) - CAST(${ix(b, j.toString)} AS DOUBLE))"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    def dot64(a: String, b: String): String =
+      (1 to dim).map(j =>
+        s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    val sweepRows = Seq(1, 2, 4, 8, 16).map(p => s"SELECT $p AS nprobe")
+      .mkString(" UNION ALL ")
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+       |  WHERE vec_id % 50 = 0),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM $emb
+       |        ORDER BY vec_id LIMIT $nlist) s0),
+       |assign AS (
+       |  SELECT vec_id, c AS list_id FROM (
+       |    SELECT corpus.vec_id, samp.c,
+       |      row_number() OVER (PARTITION BY corpus.vec_id
+       |        ORDER BY ${dist64("ve", "ce")} ASC, samp.c ASC) AS rn
+       |    FROM corpus CROSS JOIN samp) r WHERE rn = 1),
+       |list_sizes AS (
+       |  SELECT list_id, count(*) AS sz FROM assign GROUP BY 1),
+       |probes AS (
+       |  SELECT q.query_id, samp.c AS list_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dist64("qe", "ce")} ASC, samp.c ASC) AS probe_pos
+       |  FROM q CROSS JOIN samp),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dot64("qe", "ve")} /
+       |          (sqrt(${dot64("qe", "qe")}) * sqrt(${dot64("ve", "ve")})) DESC,
+       |          corpus.vec_id ASC) AS rank
+       |    FROM q CROSS JOIN corpus
+       |    WHERE corpus.vec_id <> q.query_id) t WHERE rank <= $k),
+       |truth_depth AS (
+       |  SELECT truth.query_id, truth.neighbor_id, probes.probe_pos
+       |  FROM truth
+       |  JOIN assign ON assign.vec_id = truth.neighbor_id
+       |  JOIN probes ON probes.query_id = truth.query_id
+       |           AND probes.list_id = assign.list_id),
+       |scan_cost AS (
+       |  SELECT sw.nprobe, CAST(sum(ls.sz) AS BIGINT) AS cand_rows
+       |  FROM ($sweepRows) sw
+       |  JOIN probes ON probes.probe_pos <= sw.nprobe
+       |  JOIN list_sizes ls ON ls.list_id = probes.list_id
+       |  GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_corpus
+       |  FROM truth),
+       |hits AS (
+       |  SELECT sw.nprobe,
+       |    CAST(sum(CASE WHEN td.probe_pos <= sw.nprobe THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM ($sweepRows) sw CROSS JOIN truth_depth td
+       |  GROUP BY 1)
+       |SELECT hits.nprobe, hits.n_hit, totals.n_truth,
+       |  round(hits.n_hit / totals.n_truth, 6) AS recall,
+       |  scan_cost.cand_rows,
+       |  round(scan_cost.cand_rows / (totals.n_queries * totals.n_corpus), 6)
+       |    AS scan_frac
+       |FROM hits JOIN scan_cost ON scan_cost.nprobe = hits.nprobe
+       |CROSS JOIN totals
+       |ORDER BY hits.nprobe""".stripMargin
+  }
+
+  /** EMBEDDING DIMENSION-TRUNCATION RECALL AUDIT
+    * (`embedding_truncation_recall`, r11): the Matryoshka-serving
+    * question — how much recall does serving the first d dims keep? —
+    * answered as an operating-point curve like [[recallCurveSql]].
+    * Kusupati et al. 2022 (MRL) made prefix-truncation the standard
+    * cheap-serving knob; this audit measures it on the ACTUAL corpus:
+    * per d ∈ {8,16,32,64}, the exact cosine top-10 under the first d
+    * dims vs the full-dim exact top-10 ground truth, both on the same
+    * bounded audit query sample (`vec_id % 50 = 0`). Rankings decide on
+    * identical left-associated double chains with id tiebreaks (the
+    * [[ivfProbeSql]] class); the only emitted non-integers are the
+    * output-only grid-6 recall divisions. d=64 anchors recall = 1.
+    * Cost: 4 × corpus × n_queries — linear in the corpus on the fixed
+    * audit sample. */
+  private def truncationRecallSql(emb: String, ix: (String, String) => String): String = {
+    val k = 10
+    def dotD(a: String, b: String, d: Int): String =
+      (1 to d).map(j =>
+        s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    def truncCte(d: Int): String =
+      s"""trunc_$d AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotD("qe", "ve", d)} /
+         |          (sqrt(${dotD("qe", "qe", d)}) * sqrt(${dotD("ve", "ve", d)})) DESC,
+         |          corpus.vec_id ASC) AS rank
+         |    FROM q CROSS JOIN corpus
+         |    WHERE corpus.vec_id <> q.query_id) t WHERE rank <= $k)""".stripMargin
+    def hitRow(d: Int): String =
+      s"""SELECT $d AS dims,
+         |  CAST((SELECT count(*) FROM truth
+         |        JOIN trunc_$d tr ON tr.query_id = truth.query_id
+         |                        AND tr.neighbor_id = truth.neighbor_id)
+         |    AS BIGINT) AS n_hit""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+       |  WHERE vec_id % 50 = 0),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dotD("qe", "ve", 64)} /
+       |          (sqrt(${dotD("qe", "qe", 64)}) * sqrt(${dotD("ve", "ve", 64)})) DESC,
+       |          corpus.vec_id ASC) AS rank
+       |    FROM q CROSS JOIN corpus
+       |    WHERE corpus.vec_id <> q.query_id) t WHERE rank <= $k),
+       |${Seq(8, 16, 32).map(truncCte).mkString(",\n")},
+       |totals AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |hit_rows AS (
+       |  ${Seq(8, 16, 32).map(hitRow).mkString("\n  UNION ALL\n  ")}
+       |  UNION ALL
+       |  SELECT 64 AS dims, (SELECT n_truth FROM totals) AS n_hit)
+       |SELECT hit_rows.dims, hit_rows.n_hit, totals.n_truth,
+       |  round(hit_rows.n_hit / totals.n_truth, 6) AS recall
+       |FROM hit_rows CROSS JOIN totals
+       |ORDER BY dims""".stripMargin
+  }
+
   /** INCREMENTAL IVF INDEX MAINTENANCE (`similarity_ivf_incremental`,
     * r11 — the ANN analog of `dedup_incremental_batch`, the depth item
     * the r10 verdict named): the index already EXISTS — coarse quantizer
@@ -1319,6 +1470,21 @@ object Docs {
       withEmbView(s, d)(v =>
         s.sql(pqDriftSql(v, (e, i) => s"element_at($e, $i)")))),
 
+    /** The nprobe OPERATING-POINT CURVE (`recallCurveSql` — one shared
+      * template): recall@10 vs exact-scan fraction at nprobe ∈
+      * {1,2,4,8,16} over the serving IVF layout, every decision an
+      * integer `probe_pos <= nprobe` count. */
+    "similarity_recall_curve" -> ((s, d) =>
+      withEmbView(s, d)(v =>
+        s.sql(recallCurveSql(v, (e, i) => s"element_at($e, $i)")))),
+
+    /** The MATRYOSHKA-SERVING AUDIT (`truncationRecallSql` — one shared
+      * template): recall@10 of prefix-d cosine vs the full-dim ground
+      * truth at d ∈ {8,16,32,64} on the bounded audit query sample. */
+    "embedding_truncation_recall" -> ((s, d) =>
+      withEmbView(s, d)(v =>
+        s.sql(truncationRecallSql(v, (e, i) => s"element_at($e, $i)")))),
+
     /** MMR RERANKING (Carbonell & Goldstein 1998) — the diversification
       * pass between retrieval and serving: from each query's exact
       * cosine top-25 shortlist (brute-force here, the documented
@@ -1819,6 +1985,12 @@ object Docs {
 
     "similarity_pq_drift" ->
       pqDriftSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+
+    "similarity_recall_curve" ->
+      recallCurveSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+
+    "embedding_truncation_recall" ->
+      truncationRecallSql("embeddings", (e, i) => s"list_extract($e, $i)"),
 
     "similarity_mmr_rerank" -> mmrSql,
 

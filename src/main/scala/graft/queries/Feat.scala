@@ -31,6 +31,21 @@ object Feat {
     * carries (same extraction as `json_extract_field`). */
   private def kCol = get_json_object(col("props"), "$.k").cast("long")
 
+  /** Final assembly shared by `dq_freshness_sla` and its streaming twin
+    * `stream_freshness_sla`: from a per-type (event_type, last_ts_ns,
+    * n_events) frame, attach the global watermark and the integer
+    * lag/SLA columns. Kept here so the stream's final snapshot runs the
+    * byte-identical expressions the batch oracle hash-checks. */
+  def freshnessAssemble(perType: DataFrame): DataFrame =
+    perType
+      .withColumn("wm_ns",
+        max(col("last_ts_ns")).over(Window.partitionBy(lit(1))))
+      .select(col("event_type"), col("n_events"), col("last_ts_ns"),
+        expr("(wm_ns - last_ts_ns) div 60000000000").as("lag_minutes"),
+        (col("wm_ns") - col("last_ts_ns") <= 1800000000000L).cast("int")
+          .as("fresh_30m"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------------
   // ln(x!) as a SHARED SQL expression: exact lookup for x ≤ 20, then the
   // Stirling–de Moivre series (error < 1e-13 relative for x ≥ 21 — far
@@ -520,17 +535,11 @@ object Feat {
       * watermark attaches via an unpartitioned window over the
       * |event-types|-bounded frame. */
     "dq_freshness_sla" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(max(col("ts_ns")).as("last_ts_ns"),
-          count(lit(1)).as("n_events"))
-        .withColumn("wm_ns",
-          max(col("last_ts_ns")).over(Window.partitionBy(lit(1))))
-        .select(col("event_type"), col("n_events"), col("last_ts_ns"),
-          expr("(wm_ns - last_ts_ns) div 60000000000").as("lag_minutes"),
-          (col("wm_ns") - col("last_ts_ns") <= 1800000000000L).cast("int")
-            .as("fresh_30m"))
-        .orderBy("event_type")),
+      Feat.freshnessAssemble(
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(max(col("ts_ns")).as("last_ts_ns"),
+            count(lit(1)).as("n_events")))),
 
     /** SNAPSHOT DRIFT AUDIT — the before/after profile diff a pipeline
       * runs when a new data drop lands (this repo lived the failure mode

@@ -415,8 +415,14 @@ object R10 {
     * coefficient trajectory with training accuracy (exact integer) and
     * log-loss — iteration 0 is the null model, so the fit's progress is
     * in the result. R10Spec pins the planted-separation law. */
-  def logisticNewtonSql(events: String, bucket: String, median: String,
-                        mat: String): String = {
+  /** The fit chain shared by `ml_logistic_newton` (trajectory tail) and
+    * `ml_threshold_sweep` (confusion-matrix tail): everything from the
+    * bucket frame through the 4 Newton steps and the final scoring pass
+    * `p5` (per-row y and p under the converged coefficients). One text,
+    * two queries — the sweep audits the SAME model the trajectory row
+    * hash-checks. */
+  private[graft] def logisticPrefix(events: String, bucket: String,
+                                    median: String, mat: String): String = {
     def dsum(term: String, name: String) =
       s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
     def mc(t: String) =
@@ -476,12 +482,6 @@ object R10 {
          |        count(*) AS nn
          |      FROM p$k) mm) md)$upd""".stripMargin
     }.mkString(",\n")
-    val arms = (0 to 4).map { i =>
-      s"""SELECT $i AS iter, c$i.a + 0.0 AS alpha, c$i.b1 + 0.0 AS beta1,
-         |    c$i.b2 + 0.0 AS beta2, m${i + 1}.n_correct AS n_correct,
-         |    round(m${i + 1}.ll / m${i + 1}.nn, 6) AS log_loss
-         |  FROM c$i, m${i + 1}""".stripMargin
-    }.mkString("\n  UNION ALL ")
     s"""WITH b AS $mat (
        |  SELECT bucket, x1, x2, p_raw FROM (
        |    SELECT $bucket AS bucket,
@@ -499,11 +499,127 @@ object R10 {
        |  FROM b, med),
        |c0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b1,
        |  CAST(0.0 AS DOUBLE) AS b2),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  def logisticNewtonSql(events: String, bucket: String, median: String,
+                        mat: String): String = {
+    val arms = (0 to 4).map { i =>
+      s"""SELECT $i AS iter, c$i.a + 0.0 AS alpha, c$i.b1 + 0.0 AS beta1,
+         |    c$i.b2 + 0.0 AS beta2, m${i + 1}.n_correct AS n_correct,
+         |    round(m${i + 1}.ll / m${i + 1}.nn, 6) AS log_loss
+         |  FROM c$i, m${i + 1}""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""${logisticPrefix(events, bucket, median, mat)}
        |SELECT iter, alpha, beta1, beta2, n_correct, log_loss
        |FROM (
        |  $arms) u
        |ORDER BY iter""".stripMargin
+  }
+
+  /** CLASSIFICATION THRESHOLD OPERATING SWEEP (`ml_threshold_sweep`,
+    * r11 — the deployment decision the trajectory row leaves open): a
+    * fitted classifier ships with a THRESHOLD, and the τ choice is an
+    * operating-point trade a confusion sweep makes visible — the
+    * classification analog of `dedup_threshold_sweep` / the ANN
+    * `similarity_recall_curve`. Reuses [[logisticPrefix]] verbatim (the
+    * sweep audits the SAME converged model `ml_logistic_newton`
+    * hash-checks; scores p are grid-9 per-row probabilities under the
+    * final coefficients). Thresholds are the score DECILES, not a fixed
+    * 0.1-grid — calibration verified on data (the Gopher lesson): the
+    * weakly-separable harness fit concentrates p in (0.39, 0.60), so a
+    * fixed grid yields 7 degenerate rows out of 9; decile thresholds
+    * put ~10 % of the frame between consecutive operating points BY
+    * CONSTRUCTION, at any SF and any model. The nine `percentile(p,
+    * i/10)` aggregates ride the same (higher−pos)·lk + (pos−lower)·hk
+    * interpolation both engines (the `ml_huber_irls` median class, here
+    * over identical grid-9 doubles); each τ is re-gridded 1e-6 before
+    * ANY comparison, so TP/FP/FN/TN are EXACT integer counts over
+    * identical double compares, and precision/recall/F1 are output-only
+    * grid-6 divisions with NULLIF zero guards. 9 rows; cost = one
+    * 9-row sweep attach over the already-model-sized score frame. */
+  /** The sweep tail over an already-scored (y, p) frame `src` — shared
+    * text for both consumers: the DuckDB single query reads the
+    * MATERIALIZED `p5` CTE twice for free; the Spark entry materializes
+    * the scored frame ONCE (localCheckpoint, the `gbtStumpsSpark`
+    * precedent) because a twice-consumed CTE re-expands the whole
+    * Newton chain in Catalyst — measured 15.6 s vs ~5 s. */
+  private def sweepBody(src: String, qfun: String): String = {
+    val qcols = (1 to 9)
+      .map(i => s"round($qfun(p, CAST($i AS DOUBLE) / 10), 6) AS q$i")
+      .mkString(",\n       ")
+    val arms = (1 to 9).map(i => s"SELECT $i AS i, q$i AS tau FROM qs")
+      .mkString("\n  UNION ALL ")
+    s"""qs AS (
+       |  SELECT $qcols
+       |  FROM $src),
+       |tsw AS (
+       |  $arms),
+       |conf AS (
+       |  SELECT tsw.i, tsw.tau,
+       |    CAST(sum(CASE WHEN sc.p >= tsw.tau AND sc.y = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN sc.p >= tsw.tau AND sc.y = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN sc.p < tsw.tau AND sc.y = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN sc.p < tsw.tau AND sc.y = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM tsw CROSS JOIN $src sc GROUP BY tsw.i, tsw.tau)
+       |SELECT i AS decile, tau + 0.0 AS threshold, tp, fp, fn, tn,
+       |  round(tp / NULLIF(tp + fp, 0), 6) AS prec,
+       |  round(tp / NULLIF(tp + fn, 0), 6) AS recall,
+       |  round(2 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+       |FROM conf ORDER BY decile""".stripMargin
+  }
+
+  def thresholdSweepSql(events: String, bucket: String, median: String,
+                        qfun: String, mat: String): String =
+    s"""${logisticPrefix(events, bucket, median, mat)},
+       |${sweepBody("p5", qfun)}""".stripMargin
+
+  /** EXACT AUC-ROC (`ml_auc_roc`, r11): the threshold-free companion of
+    * [[thresholdSweepSql]] — the single number a model report leads
+    * with, computed EXACTLY via the Mann–Whitney rank identity
+    * AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) over the same converged logistic
+    * scores. Ties (grid-9 scores CAN collide) take average ranks; the
+    * whole statistic stays INTEGER by carrying 2·R₁ = Σ(2·rank_min +
+    * ties − 1) — no half ever materializes, the `stat_mannwhitney_u`
+    * discipline applied to model scores. The one window is an
+    * unpartitioned rank over the model-sized score frame (bounded —
+    * the huber class); AUC and Gini are output-only grid-6 divisions
+    * of exact integers. Single consumer of `p5`, so one shared text
+    * serves both engines (no re-expansion — contrast the sweep). */
+  def aucRocSql(events: String, bucket: String, median: String,
+                mat: String): String =
+    s"""${logisticPrefix(events, bucket, median, mat)},
+       |ranked AS (
+       |  SELECT y,
+       |    rank() OVER (ORDER BY p ASC) AS rmin,
+       |    count(*) OVER (PARTITION BY p) AS tie_n
+       |  FROM p5),
+       |ag AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN 2 * rmin + tie_n - 1 ELSE 0 END)
+       |      AS BIGINT) AS r2,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |  FROM ranked)
+       |SELECT n_pos, n_neg,
+       |  r2 - n_pos * (n_pos + 1) AS u2,
+       |  round((r2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg), 6) AS auc,
+       |  round((r2 - n_pos * (n_pos + 1)) / (n_pos * n_neg) - 1, 6) AS gini
+       |FROM ag""".stripMargin
+
+  /** Spark execution path: score once through [[logisticPrefix]],
+    * localCheckpoint the model-sized (y, p) frame, sweep over the view. */
+  def thresholdSweepSpark(s: SparkSession, events: String, bucket: String,
+                          median: String, view: String): DataFrame = {
+    val scored = s.sql(
+        logisticPrefix(events, bucket, median, "") + "\nSELECT y, p FROM p5")
+      .localCheckpoint()
+    scored.createOrReplaceTempView(view)
+    s.sql(s"WITH ${sweepBody(view, "percentile")}")
   }
 
   // ---- gradient-boosted stumps (shared SQL template) ----------------------
@@ -1729,6 +1845,22 @@ object R10 {
         "percentile(p_raw, 0.5)", ""))
     }),
 
+    /** The τ OPERATING SWEEP over the same converged logistic model —
+      * see `thresholdSweepSql`: per-threshold exact confusion counts +
+      * output-only precision/recall/F1. */
+    "ml_threshold_sweep" -> ((s, d) => withEventsView(s, d) { v =>
+      thresholdSweepSpark(s, v, "ts_ns div 1800000000000",
+        "percentile(p_raw, 0.5)", s"sweep_sc_v${sqlRuns.incrementAndGet()}")
+    }),
+
+    /** EXACT Mann–Whitney AUC over the same converged logistic scores —
+      * see `aucRocSql`: 2·R₁ integer rank carry, ties averaged,
+      * AUC/Gini output-only. */
+    "ml_auc_roc" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(aucRocSql(v, "ts_ns div 1800000000000",
+        "percentile(p_raw, 0.5)", ""))
+    }),
+
     "ml_gbt_stumps" -> ((s, d) => withEventsView(s, d) { v =>
       gbtStumpsSpark(s, v, "ts_ns div 1800000000000")
     }),
@@ -2211,6 +2343,23 @@ object R10 {
     "stream_drift_psi" -> ((s, d) =>
       graft.streaming.EventStream.runPsiOnce(s, d,
         s"stream_psi_v${sqlRuns.incrementAndGet()}")),
+
+    /** CONTINUOUS EXPECTATIONS GATE — see
+      * `EventStream.runDqExpectationsOnce`: six data-quality rules as
+      * order-free Update-mode rule counters + dropDuplicates-state
+      * uniqueness over the live stream, long-form (rule, n_violations,
+      * passed) snapshot hash-matched against the DuckDB oracle. */
+    "stream_dq_expectations" -> ((s, d) =>
+      graft.streaming.EventStream.runDqExpectationsOnce(s, d,
+        s"stream_dqx_v${sqlRuns.incrementAndGet()}")),
+
+    /** STREAMING FRESHNESS CENSUS — see `EventStream.runFreshnessOnce`:
+      * per-type order-free max/count state, final snapshot through the
+      * SAME `Feat.freshnessAssemble` → hash-matches the batch
+      * `dq_freshness_sla` oracle. */
+    "stream_freshness_sla" -> ((s, d) =>
+      graft.streaming.EventStream.runFreshnessOnce(s, d,
+        s"stream_fresh_v${sqlRuns.incrementAndGet()}")),
 
     "ts_sample_entropy" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(sampleEntropySql(v, "ts_ns div 1800000000000"))
@@ -2952,6 +3101,35 @@ object R10 {
 
     "stream_drift_psi" -> graft.queries.Ts.sql("drift_psi"),
 
+    "stream_freshness_sla" -> graft.queries.Feat.sql("dq_freshness_sla"),
+
+    "stream_dq_expectations" ->
+      s"""WITH base AS (
+         |  SELECT e.*, c.c_custkey FROM events e
+         |  LEFT JOIN customer c ON e.user_id = c.c_custkey),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v_nullvalue,
+         |    CAST(sum(CASE WHEN event_type IN ('click', 'view', 'purchase')
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS v_type,
+         |    CAST(sum(CASE WHEN value IS NULL OR value <= 250 THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS v_value,
+         |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v_fk,
+         |    CAST(sum(CASE WHEN epoch_us(ts) BETWEEN 1577836800000000
+         |      AND 1893456000000000 THEN 0 ELSE 1 END) AS BIGINT) AS v_ts
+         |  FROM base)
+         |SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+         |  SELECT 'accepted_type_serving' AS rule, v_type AS n_violations FROM agg
+         |  UNION ALL SELECT 'fk_user_in_customer', v_fk FROM agg
+         |  UNION ALL SELECT 'not_null_value', v_nullvalue FROM agg
+         |  UNION ALL SELECT 'ts_calendar_bounds', v_ts FROM agg
+         |  UNION ALL SELECT 'unique_event_id', n - n_distinct FROM agg
+         |  UNION ALL SELECT 'value_le_250', v_value FROM agg) t
+         |ORDER BY rule""".stripMargin,
+
     "stream_page_hinkley" ->
       pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
 
@@ -2980,6 +3158,14 @@ object R10 {
       "events", "epoch_ns(ts) // 21600000000000", "quantile_cont(abs(r), 0.5)"),
 
     "ml_logistic_newton" -> logisticNewtonSql(
+      "events", "epoch_ns(ts) // 1800000000000", "quantile_cont(p_raw, 0.5)",
+      "MATERIALIZED"),
+
+    "ml_threshold_sweep" -> thresholdSweepSql(
+      "events", "epoch_ns(ts) // 1800000000000", "quantile_cont(p_raw, 0.5)",
+      "quantile_cont", "MATERIALIZED"),
+
+    "ml_auc_roc" -> aucRocSql(
       "events", "epoch_ns(ts) // 1800000000000", "quantile_cont(p_raw, 0.5)",
       "MATERIALIZED"),
 

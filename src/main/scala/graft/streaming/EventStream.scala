@@ -1243,4 +1243,93 @@ object EventStream {
           coalesce(col("n_ref"), lit(0L)).as("n_ref"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur")))
   }
+
+  /** STREAMING FRESHNESS SLA (`stream_freshness_sla`, r11 — 20th live
+    * streaming entry): the staleness census run where it belongs — ON
+    * the stream, where a lagging source is caught while it lags, not in
+    * the nightly batch after the damage. Per event type, `max(ts_ns)`
+    * and the event count accumulate as a KEYED Update-mode streaming
+    * aggregate: state = 2 longs per type (O(types), sharded), and both
+    * max and count are order-free — arrival order and late data CANNOT
+    * move the final snapshot, the `stream_drift_psi` posture. Update
+    * emissions are monotone per key, so the final value per type is the
+    * max across emissions. The snapshot then runs the SAME
+    * `Feat.freshnessAssemble` expressions as the batch census →
+    * hash-matches the SAME `dq_freshness_sla` oracle (integer ns lag
+    * arithmetic, 30-minute SLA flag). */
+  def runFreshnessOnce(spark: SparkSession, dir: String,
+                       queryName: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val perType = readEvents(spark, dir, maxFilesPerTrigger)
+      .groupBy("event_type")
+      .agg(max(col("ts_ns")).as("last_ts_ns"), count(lit(1)).as("n_events"))
+    val fin = runToMemory(perType, queryName, OutputMode.Update())
+      .groupBy("event_type")
+      .agg(max("last_ts_ns").as("last_ts_ns"), max("n_events").as("n_events"))
+    graft.queries.Feat.freshnessAssemble(fin)
+  }
+
+  /** CONTINUOUS DATA-QUALITY EXPECTATIONS (`stream_dq_expectations`,
+    * r11 — 19th live streaming entry): the dbt-test / expectations gate
+    * (`dq_expectations`' posture) run the way streaming pipelines
+    * actually enforce it — rules evaluated ON INGEST, not in a nightly
+    * batch. Five conditional-count rules plus the referential check
+    * ride ONE Update-mode global streaming aggregate over the
+    * stream-static broadcast left-join against the customer dim (state
+    * = 7 longs; every rule count is a nonneg-increment sum, so
+    * emissions are monotone and the final value per column is the max
+    * across emissions — arrival order and late data CANNOT move the
+    * snapshot). Uniqueness is the one rule that needs more than a
+    * counter: `dropDuplicates` state (the documented `stream_dedup_docs`
+    * budget — O(keys), sharded) emits each event_id once in Append
+    * mode, and the distinct count is the sink's row count. Final
+    * assembly is the same long-form `(rule, n_violations, passed)`
+    * contract as the batch gate, hash-matched against a DuckDB oracle
+    * over the same parquet. Rule set calibrated on harness data so the
+    * audit DISCRIMINATES: `accepted_type_serving` and `value_le_250`
+    * fire (~40 % and ~0.6 % violation rates), the four structural rules
+    * pass — a gate that can never fail audits nothing, and one that
+    * always fails gates nothing. */
+  def runDqExpectationsOnce(spark: SparkSession, dir: String,
+                            queryName: String,
+                            custDir: Option[String] = None,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsLo = 1577836800000000L // 2020-01-01 UTC, µs
+    val tsHi = 1893456000000000L // 2030-01-01 UTC, µs
+    val cust = graft.Tables.customer(spark, custDir.getOrElse(dir))
+      .select(col("c_custkey"))
+    val ev = readEvents(spark, dir, maxFilesPerTrigger)
+    val ruleSums = ev
+      .join(broadcast(cust), ev("user_id") === cust("c_custkey"), "left_outer")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_nullvalue"),
+        sum(when(col("event_type").isin("click", "view", "purchase"), 0L)
+          .otherwise(1L)).as("v_type"),
+        sum(when(col("value").isNull || col("value") <= 250.0, 0L)
+          .otherwise(1L)).as("v_value"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(expr("unix_micros(ts)").between(tsLo, tsHi), 0L)
+          .otherwise(1L)).as("v_ts"))
+    val rulesFinal = runToMemory(ruleSums, queryName + "_rules",
+        OutputMode.Update())
+      .agg(max("n").as("n"), max("v_nullvalue").as("v_nullvalue"),
+        max("v_type").as("v_type"), max("v_value").as("v_value"),
+        max("v_fk").as("v_fk"), max("v_ts").as("v_ts"))
+    val nDistinct = runToMemory(
+        ev.select(col("event_id")).dropDuplicates("event_id"),
+        queryName + "_uniq", OutputMode.Append())
+      .agg(count(lit(1)).as("n_distinct"))
+    rulesFinal.crossJoin(nDistinct)
+      .select(expr(
+        """stack(6,
+          |  'accepted_type_serving', v_type,
+          |  'fk_user_in_customer',   v_fk,
+          |  'not_null_value',        v_nullvalue,
+          |  'ts_calendar_bounds',    v_ts,
+          |  'unique_event_id',       n - n_distinct,
+          |  'value_le_250',          v_value) AS (rule, n_violations)""".stripMargin))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
 }

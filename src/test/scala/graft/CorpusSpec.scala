@@ -171,4 +171,64 @@ class CorpusSpec extends SparkSpec {
     assert(tmp.sliding(2).forall { case Array(a, b) => a <= b },
       "temperature must preserve the size ordering")
   }
+
+  test("token budget plan: water-filling replay, conservation, caps, prefix saturation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("corpus_token_budget_plan")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    // replay the water-filling on the driver from the raw integers
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+          .as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("avail"),
+        sum(when(col("lang") === "en", col("n_tok")).otherwise(0L)).as("en"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = 3L * per.map(_._2).sum
+    // saturation order r = cap/w ascending, then the SQL's POSITIONAL
+    // prefix/suffix cross-multiplication rule, mirrored exactly
+    val ordered = per.filter(_._3 > 0)
+      .sortBy { case (s, a, e) => (4.0 * a / e, s) }
+    val caps = ordered.map(t => 4L * t._2)
+    val pcs = caps.scanLeft(0L)(_ + _)
+    val sws = ordered.map(_._3).scanRight(0L)(_ + _)
+    val sat = ordered.zipWithIndex.map { case ((s, _, e), k) =>
+      s -> ((b - pcs(k)) * e >= caps(k) * sws(k))
+    }.toMap
+    // water-filling correctness requires the saturated set to be a PREFIX
+    val flags = ordered.map { case (s, _, _) => sat(s) }
+    assert(flags.zip(flags.tail).forall { case (x, y) => x || !y },
+      s"saturation must be a prefix of the r-order: ${flags.toSeq}")
+    val lnum = b - ordered.zipWithIndex
+      .collect { case ((s, _, _), k) if sat(s) => caps(k) }.sum
+    val lden = ordered.collect { case (s, _, e) if !sat(s) => e }.sum
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      val a = r.getAs[Long]("avail_tokens")
+      val e = r.getAs[Long]("en_tokens")
+      assert(r.getAs[Boolean]("saturated") == sat.getOrElse(s, false),
+        s"$s saturation drifted")
+      val want =
+        if (sat.getOrElse(s, false)) 4.0 * a
+        else if (e == 0L || lden == 0L) 0.0
+        else BigDecimal(lnum.toDouble * e / lden)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("alloc_tokens") - want) < 1e-6,
+        s"$s alloc: got ${r.getAs[Double]("alloc_tokens")} want $want")
+      // hard cap: nobody exceeds 4 epochs
+      assert(r.getAs[Double]("epochs") <= 4.0 + 1e-9)
+    }
+    // conservation: allocations exhaust the budget (grid-6 rounding slack)
+    val total = out.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(total - b.toDouble) < 1e-3 * b,
+      s"allocations must exhaust the budget: $total vs $b")
+    // the plan must DISCRIMINATE: both branches populated
+    assert(out.exists(_.getAs[Boolean]("saturated")),
+      "no source saturates: the cap audits nothing")
+    assert(out.exists(!_.getAs[Boolean]("saturated")),
+      "every source saturates: the water level audits nothing")
+  }
 }

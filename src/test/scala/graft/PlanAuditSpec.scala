@@ -51,6 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "ml_hierarchical_reconcile", // 1-row train-total frame × per-series shares
     "similarity_pq_adc",       // corpus × 16-row codebook × 8-row subspace attach
     "similarity_pq_drift",     // same corpus × 16×8 codebook attach (QE audit)
+    "similarity_recall_curve", // bounded audit-query × corpus truth + 5-row sweep
+    "embedding_truncation_recall", // same bounded truth shape × 4 dim prefixes
     "stat_permutation_fdr",    // pool × 100-row replicate frame + 1-row kmax
     "feature_select_mrmr",     // cube-sized frames × 1-row grand total
     "ts_haar_energy",          // ≤256-bar frame × 8-row dyadic level table
@@ -61,6 +63,10 @@ class PlanAuditSpec extends SparkSpec {
     "ml_kmeans_lloyd",         // crossJoin(broadcast(k-row centroid frame)) per Lloyd round
     "ml_huber_irls",           // 1-row coefficient/threshold frames × the bar scan per IRLS step
     "ml_logistic_newton",      // 1-row coefficient/moment frames × the bucket scan per Newton step
+    "ml_threshold_sweep",      // same chain + 9-row sweep × the model-sized score frame
+    "corpus_token_budget_plan", // |sources|-row frame × 1-row budget/lambda attaches
+    "stream_dq_expectations",  // 1-row rule-sum snapshot × 1-row distinct count
+    "ml_auc_roc",              // same logistic chain's 1-row attaches
     "ml_gbt_stumps",           // 1-row best-split/total frames × the residual scan per round
     "stat_logrank",            // 1-row span-end/aggregate frames × the session scan
     "ml_cox_ph",               // 1-row coefficient frame × the 10-row risk frame per Newton step

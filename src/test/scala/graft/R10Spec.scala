@@ -265,6 +265,92 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_logit_planted"); () }
   }
 
+  test("threshold sweep: full decile replay from the model's own scores, real-data discrimination") {
+    // REAL harness data: the decile thresholds exist exactly so the sweep
+    // discriminates on the weakly-separable real fit (p in (0.39, 0.60)).
+    // sf0.01, not sf0.001: 30-min buckets with all three event types are
+    // near-empty at the smallest SF and the model frame vanishes
+    val dir = "/root/testdata/sf0.01"
+    val sweep = SparkEntry.queries("ml_threshold_sweep")(spark, dir)
+      .orderBy("decile").collect()
+    assert(sweep.length == 9)
+    // pull the scored frame through the SAME prefix the sweep uses
+    graft.Tables.events(spark, dir).createOrReplaceTempView("r10_sweep_ev")
+    try {
+      val scored = spark.sql(
+          graft.queries.R10.logisticPrefix("r10_sweep_ev",
+            "ts_ns div 1800000000000", "percentile(p_raw, 0.5)", "") +
+            "\nSELECT y, p FROM p5")
+        .collect().map(r => (r.getAs[Int]("y"), r.getAs[Double]("p")))
+      val n = scored.length
+      val ps = scored.map(_._2).sorted
+      def g6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Spark percentile interpolation: pos = (n-1)q, lk*(hi-pos)+hk*(pos-lo)
+      def decile(i: Int): Double = {
+        val pos = (n - 1) * (i.toDouble / 10)
+        val lo = pos.toInt; val hi = math.min(lo + 1, n - 1)
+        g6(ps(lo) * (hi - pos) + ps(hi) * (pos - lo) +
+          (if (lo == hi) ps(lo) else 0.0))
+      }
+      sweep.foreach { r =>
+        val i = r.getAs[Int]("decile")
+        val tau = decile(i)
+        assert(math.abs(r.getAs[Double]("threshold") - tau) < 1e-12,
+          s"decile $i threshold: got ${r.getAs[Double]("threshold")} want $tau")
+        val tp = scored.count { case (y, p) => p >= tau && y == 1 }
+        val fp = scored.count { case (y, p) => p >= tau && y == 0 }
+        assert(r.getAs[Long]("tp") == tp.toLong, s"decile $i tp")
+        assert(r.getAs[Long]("fp") == fp.toLong, s"decile $i fp")
+        assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+          r.getAs[Long]("fn") + r.getAs[Long]("tn") == n.toLong)
+      }
+      // monotone: raising tau can only shrink the predicted-positive set
+      val pps = sweep.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+      assert(pps.zip(pps.tail).forall { case (a, b) => a >= b })
+      // decile thresholds DISCRIMINATE by construction: ~10% of the frame
+      // sits between consecutive operating points
+      assert(pps.distinct.length >= 5,
+        s"decile sweep must spread the operating points: ${pps.toSeq}")
+    } finally { spark.catalog.dropTempView("r10_sweep_ev"); () }
+  }
+
+  test("auc roc: exact Mann-Whitney replay from the model's own scores") {
+    val dir = "/root/testdata/sf0.01"
+    val row = SparkEntry.queries("ml_auc_roc")(spark, dir).collect()
+    assert(row.length == 1)
+    graft.Tables.events(spark, dir).createOrReplaceTempView("r10_auc_ev")
+    try {
+      val scored = spark.sql(
+          graft.queries.R10.logisticPrefix("r10_auc_ev",
+            "ts_ns div 1800000000000", "percentile(p_raw, 0.5)", "") +
+            "\nSELECT y, p FROM p5")
+        .collect().map(r => (r.getAs[Int]("y"), r.getAs[Double]("p")))
+      val sorted = scored.sortBy(_._2)
+      // average ranks with ties, carried as 2x to stay integer
+      val tieCount = scored.groupBy(_._2).map { case (p, g) => p -> g.length }
+      var r2 = 0L
+      sorted.zipWithIndex.foreach { case ((y, p), idx0) =>
+        if (y == 1) {
+          val rmin = sorted.indexWhere(_._2 == p) + 1
+          r2 += 2L * rmin + tieCount(p) - 1
+        }
+      }
+      val nPos = scored.count(_._1 == 1).toLong
+      val nNeg = scored.count(_._1 == 0).toLong
+      val u2 = r2 - nPos * (nPos + 1)
+      val r = row.head
+      assert(r.getAs[Long]("n_pos") == nPos && r.getAs[Long]("n_neg") == nNeg)
+      assert(r.getAs[Long]("u2") == u2,
+        s"2U statistic: got ${r.getAs[Long]("u2")} want $u2")
+      val auc = r.getAs[Double]("auc")
+      assert(math.abs(auc - u2.toDouble / (2 * nPos * nNeg)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 2e-6)
+      // the fit beats coin-flip on its own training data
+      assert(auc > 0.5, s"training AUC must exceed 0.5: $auc")
+    } finally { spark.catalog.dropTempView("r10_auc_ev"); () }
+  }
+
   test("gbt stumps: planted two-cluster target found at the exact threshold, geometric SSE decay") {
     import spark.implicits._
     // x in {10, 100}, y constant within cluster: the best stump is the

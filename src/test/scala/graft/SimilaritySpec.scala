@@ -298,6 +298,84 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recall curve: probe depths brute-force-match, recall monotone, nprobe=16 is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("similarity_recall_curve")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8, 16))
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val byId = all.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val centroids = all.map(_._1).sorted.take(16).zipWithIndex
+      .map { case (id, c) => c -> byId(id) }
+    def nearestLists(v: Array[Double]): Seq[Int] =
+      centroids.sortBy { case (c, ce) => (d2(v, ce), c) }.map(_._1).toSeq
+    val assignOf = all.map { case (id, v) => id -> nearestLists(v).head }.toMap
+    val queries = all.map(_._1).filter(_ % 50 == 0)
+    // brute-force each truth pair's probe depth, then re-derive the sweep
+    val depths = queries.flatMap { qid =>
+      val probeOrder = nearestLists(byId(qid)).zipWithIndex
+        .map { case (c, i) => c -> (i + 1) }.toMap
+      val truth = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(byId(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      truth.map(nid => probeOrder(assignOf(nid)))
+    }
+    val listSizes = assignOf.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    rows.foreach { r =>
+      val p = r.getAs[Int]("nprobe")
+      assert(r.getAs[Long]("n_truth") == depths.length.toLong)
+      assert(r.getAs[Long]("n_hit") == depths.count(_ <= p).toLong,
+        s"nprobe=$p hits: got ${r.getAs[Long]("n_hit")} want ${depths.count(_ <= p)}")
+      val wantScan = queries.map { qid =>
+        nearestLists(byId(qid)).take(p).map(listSizes.getOrElse(_, 0)).sum
+      }.sum
+      assert(r.getAs[Long]("cand_rows") == wantScan.toLong,
+        s"nprobe=$p scan cost: got ${r.getAs[Long]("cand_rows")} want $wantScan")
+    }
+    // operating-point laws: recall monotone in nprobe, exact at full probe
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last == 1.0, "probing all 16 lists must be exact")
+  }
+
+  test("truncation recall: prefix-d rankings brute-force-match, d=64 anchors 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("embedding_truncation_recall")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("dims"))
+    assert(rows.map(_.getAs[Int]("dims")).toSeq == Seq(8, 16, 32, 64))
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val byId = all.toMap
+    def cosD(a: Array[Double], b: Array[Double], d: Int) = {
+      val dot = (0 until d).map(j => a(j) * b(j)).sum
+      dot / (math.sqrt((0 until d).map(j => a(j) * a(j)).sum) *
+        math.sqrt((0 until d).map(j => b(j) * b(j)).sum))
+    }
+    val queries = all.map(_._1).filter(_ % 50 == 0)
+    def topK(qid: Long, d: Int): Set[Long] =
+      all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosD(byId(qid), v, d)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dims")
+      val wantHits = queries.map(q => (topK(q, 64) intersect topK(q, d)).size).sum
+      assert(r.getAs[Long]("n_hit") == wantHits.toLong,
+        s"d=$d: got ${r.getAs[Long]("n_hit")} want $wantHits")
+      assert(r.getAs[Long]("n_truth") == queries.length * 10L)
+    }
+    assert(rows.last.getAs[Double]("recall") == 1.0,
+      "full-dim prefix IS the ground truth")
+  }
+
   test("ml_kmeans query: seeded determinism, size conservation, purity bounds") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("ml_kmeans")(spark, dir).collect()

@@ -745,4 +745,94 @@ class StreamingSpec extends SparkSpec {
       assert(afterB2.size == 2)
     } finally q.stop()
   }
+
+  test("streaming expectations gate: snapshot matches batch rules, discriminates") {
+    val got = EventStream.runDqExpectationsOnce(spark, dir, "dqx_eq").collect()
+    assert(got.length == 6)
+    // recompute every rule batch-side from the same tables
+    val ev = Tables.events(spark, dir)
+    val custKeys = Tables.customer(spark, dir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val rows = ev.select("event_id", "user_id", "event_type", "value", "ts")
+      .withColumn("t_us", expr("unix_micros(ts)")).collect()
+    val want = Map(
+      "accepted_type_serving" -> rows.count(r =>
+        !Set("click", "view", "purchase")(r.getAs[String]("event_type"))),
+      "fk_user_in_customer" -> rows.count(r =>
+        !custKeys(r.getAs[Long]("user_id"))),
+      "not_null_value" -> rows.count(_.isNullAt(3)),
+      "ts_calendar_bounds" -> rows.count { r =>
+        val t = r.getAs[Long]("t_us")
+        t < 1577836800000000L || t > 1893456000000000L },
+      "unique_event_id" ->
+        (rows.length - rows.map(_.getAs[Long]("event_id")).distinct.length),
+      "value_le_250" -> rows.count(r =>
+        !r.isNullAt(3) && r.getAs[Double]("value") > 250.0))
+    got.foreach { r =>
+      val rule = r.getAs[String]("rule")
+      assert(r.getAs[Long]("n_violations") == want(rule).toLong,
+        s"$rule: got ${r.getAs[Long]("n_violations")} want ${want(rule)}")
+      assert(r.getAs[Boolean]("passed") == (want(rule) == 0))
+    }
+    // the gate must DISCRIMINATE: some rule fires, some rule passes
+    assert(got.exists(_.getAs[Long]("n_violations") > 0L),
+      "a gate that cannot fail audits nothing")
+    assert(got.exists(_.getAs[Long]("n_violations") == 0L),
+      "a gate that always fails gates nothing")
+  }
+
+  test("streaming freshness census equals the batch dq_freshness_sla (availableNow)") {
+    val got = EventStream.runFreshnessOnce(spark, dir, "fresh_eq")
+      .collect().map(_.toSeq)
+    val want = SparkEntry.queries("dq_freshness_sla")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"stream snapshot must equal the batch census:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming freshness across scrambled micro-batches: max/count state is order-free") {
+    val src = java.nio.file.Files.createTempDirectory("fresh_src").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // file 2 carries the LATEST events, delivered in the MIDDLE batch
+    ev.filter(col("event_id") % 3 === 0).coalesce(1).write.parquet(s"$src/f0")
+    ev.filter(col("event_id") % 3 === 2).coalesce(1).write.parquet(s"$src/f1")
+    ev.filter(col("event_id") % 3 === 1).coalesce(1).write.parquet(s"$src/f2")
+    val files = new java.io.File(src).listFiles().flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")))
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Path.of(src, s"events_$i.parquet")) }
+    val got = EventStream.runFreshnessOnce(spark, src, "fresh_mb",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val want = EventStream.runFreshnessOnce(spark, dir, "fresh_sb")
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"scrambled arrival moved the snapshot:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming expectations gate: multi-batch scrambled arrival equals single-batch") {
+    // same split discipline as the CDC test: 3 files, ts order scrambled
+    // across them — rule counters are order-free sums and uniqueness is
+    // dedup state, so the snapshot must not move
+    val src = java.nio.file.Files.createTempDirectory("dqx_src").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.filter(col("event_id") % 3 === 0).coalesce(1).write.parquet(s"$src/f0")
+    ev.filter(col("event_id") % 3 === 2).coalesce(1).write.parquet(s"$src/f1")
+    ev.filter(col("event_id") % 3 === 1).coalesce(1).write.parquet(s"$src/f2")
+    val files = new java.io.File(src).listFiles().flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")))
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Path.of(src, s"events_$i.parquet")) }
+    val got = EventStream.runDqExpectationsOnce(spark, src, "dqx_mb",
+        custDir = Some(dir), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val want = EventStream.runDqExpectationsOnce(spark, dir, "dqx_sb")
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"scrambled multi-batch snapshot drifted:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+  }
 }
