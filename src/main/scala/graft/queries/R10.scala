@@ -578,6 +578,99 @@ object R10 {
     s"""${logisticPrefix(events, bucket, median, mat)},
        |${sweepBody("p5", qfun)}""".stripMargin
 
+  /** LEARNING CURVE (`ml_learning_curve`, r11): the "do we need more
+    * data" audit — held-out error as a function of TRAINING-SET SIZE,
+    * the plot every data-acquisition decision reads (still climbing at
+    * 100 % ⇒ buy more data; flat since 40 % ⇒ the model is capacity-
+    * bound, more rows are wasted spend). The modeling frame is the
+    * logistic family's 30-min bucket frame with the CONTINUOUS target
+    * (purchase mean); an md5 fold marks ~20 % of buckets as the FIXED
+    * test set; the remaining buckets order by md5 hex (deterministic
+    * pseudo-random both engines) and fraction f ∈ {1..10} trains on the
+    * prefix decided by INTEGER cross-multiplication `10·rn ≤ f·n` — no
+    * percentage ever computed. Per fraction, one ridge (λ = 1, intercept
+    * unpenalized) via per-term-rounded DECIMAL Gram sums and the
+    * closed-form 3×3 Cramer solve (the `logisticPrefix` discipline);
+    * held-out RMSE from grid-6 predictions through DECIMAL residual
+    * sums, the single sqrt IEEE-exact. Cost: a 10-row fraction attach
+    * over the bucket-grain frame (grows with time span, not event
+    * volume — the `ml_ensemble_weighted` posture). 10 rows out. */
+  def learningCurveSql(events: String, bucket: String,
+                       hash: String => String, mstr: String => String,
+                       mat: String): String = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+        .stripMargin
+    def det3(m: Seq[String]): String = {
+      val Seq(a, b, c, d, e, f, g, h, i) = m
+      s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+    }
+    // ridge normal matrix: intercept row unpenalized, +1 on the
+    // feature diagonal (double + integer literal — no decimal literal)
+    val hDet = det3(Seq("sw", "s1", "s2",
+      "s1", "(s11 + 1)", "s12", "s2", "s12", "(s22 + 1)"))
+    val d0 = det3(Seq("sy", "s1", "s2",
+      "s1y", "(s11 + 1)", "s12", "s2y", "s12", "(s22 + 1)"))
+    val d1 = det3(Seq("sw", "sy", "s2",
+      "s1", "s1y", "s12", "s2", "s2y", "(s22 + 1)"))
+    val d2 = det3(Seq("sw", "s1", "sy",
+      "s1", "(s11 + 1)", "s1y", "s2", "s12", "s2y"))
+    val fracs = (1 to 10).map(f => s"SELECT $f AS f").mkString(" UNION ALL ")
+    s"""WITH b AS $mat (
+       |  SELECT bucket, x1, x2, y FROM (
+       |    SELECT $bucket AS bucket,
+       |      ${mc("click")} AS x1,
+       |      ${mc("view")} AS x2,
+       |      ${mc("purchase")} AS y
+       |    FROM $events
+       |    WHERE event_type IN ('click', 'view', 'purchase')
+       |    GROUP BY 1) t
+       |  WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL),
+       |tst AS $mat (
+       |  SELECT bucket, x1, x2, y FROM b WHERE ${hash("bucket")} % 5 = 0),
+       |trn AS $mat (
+       |  SELECT bucket, x1, x2, y,
+       |    row_number() OVER (ORDER BY ${mstr("bucket")}, bucket) AS rn
+       |  FROM b WHERE ${hash("bucket")} % 5 <> 0),
+       |tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trn),
+       |fr AS ($fracs),
+       |members AS (
+       |  SELECT fr.f, trn.x1, trn.x2, trn.y
+       |  FROM fr CROSS JOIN tn JOIN trn ON 10 * trn.rn <= fr.f * tn.n),
+       |grams AS (
+       |  SELECT f, CAST(count(*) AS BIGINT) AS n_train,
+       |    CAST(count(*) AS DOUBLE) AS sw,
+       |    ${dsum("x1", "s1")}, ${dsum("x2", "s2")}, ${dsum("y", "sy")},
+       |    ${dsum("x1 * x1", "s11")}, ${dsum("x1 * x2", "s12")},
+       |    ${dsum("x2 * x2", "s22")},
+       |    ${dsum("x1 * y", "s1y")}, ${dsum("x2 * y", "s2y")}
+       |  FROM members GROUP BY f),
+       |coefs AS (
+       |  SELECT f, n_train,
+       |    CASE WHEN det = 0.0 THEN NULL ELSE round(dd0 / det, 9) END AS a,
+       |    CASE WHEN det = 0.0 THEN NULL ELSE round(dd1 / det, 9) END AS b1,
+       |    CASE WHEN det = 0.0 THEN NULL ELSE round(dd2 / det, 9) END AS b2
+       |  FROM (
+       |    SELECT f, n_train, $hDet AS det, $d0 AS dd0, $d1 AS dd1,
+       |      $d2 AS dd2
+       |    FROM grams) g),
+       |errs AS (
+       |  SELECT coefs.f, coefs.n_train, coefs.a, coefs.b1, coefs.b2,
+       |    ${dsum("(tst.y - round(coefs.a + coefs.b1 * tst.x1 + coefs.b2 * tst.x2, 6)) * " +
+          "(tst.y - round(coefs.a + coefs.b1 * tst.x1 + coefs.b2 * tst.x2, 6))", "sse")},
+       |    CAST(count(*) AS BIGINT) AS n_test
+       |  FROM coefs CROSS JOIN tst
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT f AS fraction, n_train, n_test, a AS alpha, b1 AS beta1,
+       |  b2 AS beta2,
+       |  round(sqrt(sse / n_test), 6) AS rmse_test
+       |FROM errs ORDER BY fraction""".stripMargin
+  }
+
   /** EXACT AUC-ROC (`ml_auc_roc`, r11): the threshold-free companion of
     * [[thresholdSweepSql]] — the single number a model report leads
     * with, computed EXACTLY via the Mann–Whitney rank identity
@@ -1859,6 +1952,15 @@ object R10 {
     "ml_auc_roc" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(aucRocSql(v, "ts_ns div 1800000000000",
         "percentile(p_raw, 0.5)", ""))
+    }),
+
+    /** Held-out error vs training-set size — see `learningCurveSql`:
+      * md5-ordered training prefixes decided by integer
+      * cross-multiplication, per-fraction DECIMAL-exact ridge. */
+    "ml_learning_curve" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(learningCurveSql(v, "ts_ns div 1800000000000",
+        k => s"CAST(conv(substring(md5(CAST($k AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+        k => s"md5(CAST($k AS STRING))", ""))
     }),
 
     "ml_gbt_stumps" -> ((s, d) => withEventsView(s, d) { v =>
@@ -3168,6 +3270,11 @@ object R10 {
     "ml_auc_roc" -> aucRocSql(
       "events", "epoch_ns(ts) // 1800000000000", "quantile_cont(p_raw, 0.5)",
       "MATERIALIZED"),
+
+    "ml_learning_curve" -> learningCurveSql(
+      "events", "epoch_ns(ts) // 1800000000000",
+      k => s"('0x' || substr(md5($k::VARCHAR), 1, 8))::BIGINT",
+      k => s"md5($k::VARCHAR)", "MATERIALIZED"),
 
     "ml_gbt_stumps" -> gbtStumpsSql(
       "events", "epoch_ns(ts) // 1800000000000", "MATERIALIZED"),

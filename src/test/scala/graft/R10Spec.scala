@@ -351,6 +351,86 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_auc_ev"); () }
   }
 
+  test("learning curve: prefix sizes exact, f=10 ridge replays bit-for-bit, more data helps") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("ml_learning_curve")(spark, dir)
+      .orderBy("fraction").collect()
+    assert(rows.length == 10)
+    // rebuild the modeling frame + fold exactly as the template does
+    val ev = graft.Tables.events(spark, dir)
+    ev.createOrReplaceTempView("r10_lc_ev")
+    try {
+      val b = spark.sql(
+        """SELECT bucket, x1, x2, y FROM (
+          |  SELECT ts_ns div 1800000000000 AS bucket,
+          |    round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+          |        AS DECIMAL(18,6))) AS DOUBLE)
+          |      / count(CASE WHEN event_type = 'click' THEN value END), 6) AS x1,
+          |    round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+          |        AS DECIMAL(18,6))) AS DOUBLE)
+          |      / count(CASE WHEN event_type = 'view' THEN value END), 6) AS x2,
+          |    round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+          |        AS DECIMAL(18,6))) AS DOUBLE)
+          |      / count(CASE WHEN event_type = 'purchase' THEN value END), 6) AS y
+          |  FROM r10_lc_ev
+          |  WHERE event_type IN ('click', 'view', 'purchase')
+          |  GROUP BY 1) t
+          |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      def md5hex(k: Long): String = java.security.MessageDigest
+        .getInstance("MD5").digest(k.toString.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      def fold(k: Long): Long =
+        java.lang.Long.parseLong(md5hex(k).take(8), 16) % 5
+      val tst = b.filter(t => fold(t._1) == 0)
+      val trn = b.filter(t => fold(t._1) != 0)
+        .sortBy(t => (md5hex(t._1), t._1))
+      val n = trn.length.toLong
+      rows.foreach { r =>
+        val f = r.getAs[Int]("fraction")
+        // the integer prefix rule, replayed
+        val want = trn.zipWithIndex.count { case (_, i) => 10L * (i + 1) <= f * n }
+        assert(r.getAs[Long]("n_train") == want.toLong, s"f=$f size")
+        assert(r.getAs[Long]("n_test") == tst.length.toLong)
+      }
+      // exact BigDecimal replay of the f=10 ridge + held-out RMSE
+      def d9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      def rnd(x: Double, s: Int) =
+        BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val g = trn.foldLeft(Map.empty[String, BigDecimal].withDefaultValue(BigDecimal(0))) {
+        case (m, (_, x1, x2, y)) =>
+          m + ("s1" -> (m("s1") + d9(x1))) + ("s2" -> (m("s2") + d9(x2))) +
+            ("sy" -> (m("sy") + d9(y))) + ("s11" -> (m("s11") + d9(x1 * x1))) +
+            ("s12" -> (m("s12") + d9(x1 * x2))) + ("s22" -> (m("s22") + d9(x2 * x2))) +
+            ("s1y" -> (m("s1y") + d9(x1 * y))) + ("s2y" -> (m("s2y") + d9(x2 * y)))
+      }
+      val (sw, s1, s2, sy) = (n.toDouble, g("s1").toDouble, g("s2").toDouble, g("sy").toDouble)
+      val (s11, s12, s22) = (g("s11").toDouble + 1, g("s12").toDouble, g("s22").toDouble + 1)
+      val (s1y, s2y) = (g("s1y").toDouble, g("s2y").toDouble)
+      def det3(m: Seq[Double]) = {
+        val Seq(a, bb, c, d, e, ff, gg, h, i) = m
+        a * (e * i - ff * h) - bb * (d * i - ff * gg) + c * (d * h - e * gg)
+      }
+      val det = det3(Seq(sw, s1, s2, s1, s11, s12, s2, s12, s22))
+      val a = rnd(det3(Seq(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)) / det, 9)
+      val b1 = rnd(det3(Seq(sw, sy, s2, s1, s1y, s12, s2, s2y, s22)) / det, 9)
+      val b2 = rnd(det3(Seq(sw, s1, sy, s1, s11, s1y, s2, s12, s2y)) / det, 9)
+      val last = rows.last
+      assert(last.getAs[Double]("alpha") == a, s"alpha ${last.getAs[Double]("alpha")} vs $a")
+      assert(last.getAs[Double]("beta1") == b1)
+      assert(last.getAs[Double]("beta2") == b2)
+      val sse = tst.foldLeft(BigDecimal(0)) { case (acc, (_, x1, x2, y)) =>
+        val e = y - rnd(a + b1 * x1 + b2 * x2, 6); acc + d9(e * e)
+      }
+      val rmse = rnd(math.sqrt(sse.toDouble / tst.length), 6)
+      assert(last.getAs[Double]("rmse_test") == rmse,
+        s"rmse ${last.getAs[Double]("rmse_test")} vs $rmse")
+      // the curve's reason to exist: the first fit is WORSE than the last
+      assert(rows.head.getAs[Double]("rmse_test") > last.getAs[Double]("rmse_test"),
+        "held-out error must improve from 10% to 100% of the data")
+    } finally { spark.catalog.dropTempView("r10_lc_ev"); () }
+  }
+
   test("gbt stumps: planted two-cluster target found at the exact threshold, geometric SSE decay") {
     import spark.implicits._
     // x in {10, 100}, y constant within cluster: the best stump is the
