@@ -308,6 +308,58 @@ object Feat {
   /** The per-invocation temp-view front door (same discipline as
     * `Rel.sqlFrontDoor`, private there). */
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
+  /** DAILY VOLUME ANOMALY CENSUS (`dq_volume_anomaly`, r11): the
+    * monitoring question `dq_freshness_sla` doesn't answer — a source
+    * can be FRESH yet silently half-empty (an upstream filter deployed
+    * wrong) or doubled (a replay). Robust center/scale: per-day event
+    * counts (integers) against the median ± 3·MAD band — median and MAD
+    * as EXACT order statistics carried at 2× and 4× so no half or
+    * quarter ever materializes (med2 = sum of the two middle counts;
+    * dev2 = |2n − med2| integer; mad4 = sum of the two middle dev2s),
+    * and the anomaly decision is pure INTEGER cross-multiplication
+    * `2·dev2 > 3·mad4` ⟺ |n − med| > 3·MAD. Day key is the integer ns
+    * day index (no DATE rendering divergence). Output medians/MADs are
+    * output-only grid-6 doubles. One aggregation + two bounded
+    * |days|-frame windows; flags fire 2/30 at sf0.01 (discriminating,
+    * verified in-wave). */
+  private def volumeAnomalySql(events: String, day: String,
+                               idiv: String => String): String = {
+    s"""WITH days AS (
+       |  SELECT $day AS day, CAST(count(*) AS BIGINT) AS n
+       |  FROM $events GROUP BY 1),
+       |st AS (
+       |  SELECT day, n,
+       |    row_number() OVER (ORDER BY n ASC, day ASC) AS rn,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM days) AS nn
+       |  FROM days),
+       |med AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN rn = ${idiv("nn + 1")} THEN n ELSE 0 END)
+       |      + sum(CASE WHEN rn = ${idiv("nn + 2")} THEN n ELSE 0 END)
+       |      AS BIGINT) AS med2
+       |  FROM st),
+       |devs AS (
+       |  SELECT st.day, st.n, st.nn, abs(2 * st.n - med.med2) AS dev2,
+       |    med.med2
+       |  FROM st CROSS JOIN med),
+       |dst AS (
+       |  SELECT devs.*,
+       |    row_number() OVER (ORDER BY dev2 ASC, day ASC) AS drn
+       |  FROM devs),
+       |mad AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN drn = ${idiv("nn + 1")} THEN dev2 ELSE 0 END)
+       |      + sum(CASE WHEN drn = ${idiv("nn + 2")} THEN dev2 ELSE 0 END)
+       |      AS BIGINT) AS mad4
+       |  FROM dst)
+       |SELECT dst.day, dst.n AS n_events,
+       |  round(CAST(dst.med2 AS DOUBLE) / 2, 6) AS median_volume,
+       |  round(CAST(mad.mad4 AS DOUBLE) / 4, 6) AS mad_volume,
+       |  2 * dst.dev2 > 3 * mad.mad4 AS anomaly
+       |FROM dst CROSS JOIN mad
+       |ORDER BY day""".stripMargin
+  }
+
   private def withTableView[T](s: SparkSession, d: String, table: String)(
       f: String => T): T = {
     val v = s"${table}_feat_v${runs.incrementAndGet()}"
@@ -540,6 +592,19 @@ object Feat {
           .groupBy("event_type")
           .agg(max(col("ts_ns")).as("last_ts_ns"),
             count(lit(1)).as("n_events")))),
+
+    /** The robust volume band — see `volumeAnomalySql` (one shared
+      * template): per-day counts vs median ± 3·MAD with every decision
+      * integer cross-multiplied. The view must carry the NORMALIZED
+      * `ts_ns` (Feat's plain view helper loads raw parquet without it). */
+    "dq_volume_anomaly" -> ((s, d) => {
+      val v = s"events_vol_v${runs.incrementAndGet()}"
+      try {
+        Tables.events(s, d).createOrReplaceTempView(v)
+        s.sql(volumeAnomalySql(v, "ts_ns div 86400000000000",
+          e => s"($e) div 2"))
+      } finally { s.catalog.dropTempView(v); () }
+    }),
 
     /** SNAPSHOT DRIFT AUDIT — the before/after profile diff a pipeline
       * runs when a new data drop lands (this repo lived the failure mode
@@ -1305,6 +1370,10 @@ object Feat {
         |SELECT bucket, sum(sign * cnt)::BIGINT AS signed_count,
         |  count(*)::BIGINT AS n_features, sum(cnt)::BIGINT AS n_rows
         |FROM hashed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "dq_volume_anomaly" -> volumeAnomalySql(
+      "events", "epoch_ns(ts) // 86400000000000",
+      e => s"($e) // 2"),
 
     "dq_freshness_sla" ->
       """WITH a AS (

@@ -671,6 +671,86 @@ object R10 {
        |FROM errs ORDER BY fraction""".stripMargin
   }
 
+  /** RESIDUAL DIAGNOSTICS (`ml_residual_diagnostics`, r11): the test a
+    * regression on TIME-ordered data must pass before its standard
+    * errors mean anything — Durbin–Watson (1950) for serial
+    * correlation in the residuals. Same bucket frame and DECIMAL-Gram
+    * ridge as [[learningCurveSql]] but fitted on ALL buckets; residuals
+    * e_t = y − grid-6 prediction re-gridded 1e-6; DW = Σ(e_t−e_{t−1})²
+    * / Σe_t² and the lag-1 autocorrelation r₁ = Σe_t·e_{t−1} / Σe_t²
+    * both ride per-term-rounded DECIMAL sums over the ORDER-exact lag
+    * window (single bounded bucket-grain series — the huber class).
+    * The conventional coarse flag `dw < 1` (strong positive serial
+    * correlation) compares the same grid-6 double against an integer
+    * literal — identical both engines; the exact dL/dU tables are
+    * n,k-indexed lookups a caller applies to the emitted statistic.
+    * One row out. */
+  def residualDiagnosticsSql(events: String, bucket: String,
+                             mat: String): String = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+        .stripMargin
+    def det3(m: Seq[String]): String = {
+      val Seq(a, b, c, d, e, f, g, h, i) = m
+      s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+    }
+    val hDet = det3(Seq("sw", "s1", "s2",
+      "s1", "(s11 + 1)", "s12", "s2", "s12", "(s22 + 1)"))
+    val d0 = det3(Seq("sy", "s1", "s2",
+      "s1y", "(s11 + 1)", "s12", "s2y", "s12", "(s22 + 1)"))
+    val d1 = det3(Seq("sw", "sy", "s2",
+      "s1", "s1y", "s12", "s2", "s2y", "(s22 + 1)"))
+    val d2 = det3(Seq("sw", "s1", "sy",
+      "s1", "(s11 + 1)", "s1y", "s2", "s12", "s2y"))
+    s"""WITH b AS $mat (
+       |  SELECT bucket, x1, x2, y FROM (
+       |    SELECT $bucket AS bucket,
+       |      ${mc("click")} AS x1,
+       |      ${mc("view")} AS x2,
+       |      ${mc("purchase")} AS y
+       |    FROM $events
+       |    WHERE event_type IN ('click', 'view', 'purchase')
+       |    GROUP BY 1) t
+       |  WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL),
+       |g AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS sw,
+       |    ${dsum("x1", "s1")}, ${dsum("x2", "s2")}, ${dsum("y", "sy")},
+       |    ${dsum("x1 * x1", "s11")}, ${dsum("x1 * x2", "s12")},
+       |    ${dsum("x2 * x2", "s22")},
+       |    ${dsum("x1 * y", "s1y")}, ${dsum("x2 * y", "s2y")}
+       |  FROM b),
+       |c AS (
+       |  SELECT
+       |    CASE WHEN det = 0.0 THEN NULL ELSE round(dd0 / det, 9) END AS a,
+       |    CASE WHEN det = 0.0 THEN NULL ELSE round(dd1 / det, 9) END AS b1,
+       |    CASE WHEN det = 0.0 THEN NULL ELSE round(dd2 / det, 9) END AS b2
+       |  FROM (
+       |    SELECT $hDet AS det, $d0 AS dd0, $d1 AS dd1, $d2 AS dd2
+       |    FROM g) gg),
+       |resid AS (
+       |  SELECT b.bucket,
+       |    round(b.y - round(c.a + c.b1 * b.x1 + c.b2 * b.x2, 6), 6) AS e
+       |  FROM b CROSS JOIN c),
+       |lagd AS (
+       |  SELECT bucket, e, lag(e) OVER (ORDER BY bucket) AS ep
+       |  FROM resid),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_obs,
+       |    ${dsum("e * e", "see")},
+       |    ${dsum("CASE WHEN ep IS NULL THEN 0 ELSE (e - ep) * (e - ep) END", "sdd")},
+       |    ${dsum("CASE WHEN ep IS NULL THEN 0 ELSE e * ep END", "sce")}
+       |  FROM lagd)
+       |SELECT n_obs,
+       |  round(sdd / see, 6) AS dw_stat,
+       |  round(sce / see, 6) AS rho1,
+       |  round(sdd / see, 6) < 1 AS positive_autocorr
+       |FROM sums""".stripMargin
+  }
+
   /** EXACT AUC-ROC (`ml_auc_roc`, r11): the threshold-free companion of
     * [[thresholdSweepSql]] — the single number a model report leads
     * with, computed EXACTLY via the Mann–Whitney rank identity
@@ -1961,6 +2041,12 @@ object R10 {
       s.sql(learningCurveSql(v, "ts_ns div 1800000000000",
         k => s"CAST(conv(substring(md5(CAST($k AS STRING)), 1, 8), 16, 10) AS BIGINT)",
         k => s"md5(CAST($k AS STRING))", ""))
+    }),
+
+    /** Durbin–Watson + lag-1 residual autocorrelation over the
+      * full-data ridge — see `residualDiagnosticsSql`. */
+    "ml_residual_diagnostics" -> ((s, d) => withEventsView(s, d) { v =>
+      s.sql(residualDiagnosticsSql(v, "ts_ns div 1800000000000", ""))
     }),
 
     "ml_gbt_stumps" -> ((s, d) => withEventsView(s, d) { v =>
@@ -3275,6 +3361,9 @@ object R10 {
       "events", "epoch_ns(ts) // 1800000000000",
       k => s"('0x' || substr(md5($k::VARCHAR), 1, 8))::BIGINT",
       k => s"md5($k::VARCHAR)", "MATERIALIZED"),
+
+    "ml_residual_diagnostics" -> residualDiagnosticsSql(
+      "events", "epoch_ns(ts) // 1800000000000", "MATERIALIZED"),
 
     "ml_gbt_stumps" -> gbtStumpsSql(
       "events", "epoch_ns(ts) // 1800000000000", "MATERIALIZED"),

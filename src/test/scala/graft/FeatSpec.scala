@@ -709,4 +709,34 @@ class FeatSpec extends SparkSpec {
         (if (lag <= 1800000000000L) 1 else 0))
     }
   }
+
+  test("volume anomaly: exact median/MAD replay, integer flag rule, discriminates") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("dq_volume_anomaly")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("day"))
+    // replay from the raw per-day counts
+    val counts = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == counts.size)
+    def med2Of(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val nn = s.length
+      s((nn + 1) / 2 - 1) + s((nn + 2) / 2 - 1)
+    }
+    val med2 = med2Of(counts.values.toSeq)
+    val mad4 = med2Of(counts.values.map(n => math.abs(2 * n - med2)).toSeq)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(n == counts(r.getAs[Long]("day")))
+      assert(r.getAs[Double]("median_volume") == med2.toDouble / 2)
+      assert(r.getAs[Double]("mad_volume") == mad4.toDouble / 4)
+      assert(r.getAs[Boolean]("anomaly") ==
+        (2 * math.abs(2 * n - med2) > 3 * mad4), s"day ${r.getAs[Long]("day")}")
+    }
+    // the band must DISCRIMINATE on harness data
+    assert(rows.exists(_.getAs[Boolean]("anomaly")),
+      "a band no day ever leaves audits nothing")
+    assert(rows.exists(!_.getAs[Boolean]("anomaly")))
+  }
 }

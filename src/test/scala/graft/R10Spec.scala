@@ -431,6 +431,38 @@ class R10Spec extends SparkSpec {
     } finally { spark.catalog.dropTempView("r10_lc_ev"); () }
   }
 
+  test("residual diagnostics: DW identity on real data, planted autocorrelation fires the flag") {
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("ml_residual_diagnostics")(spark, dir)
+      .collect().head
+    val dw = r.getAs[Double]("dw_stat"); val rho1 = r.getAs[Double]("rho1")
+    assert(r.getAs[Long]("n_obs") > 100L)
+    // the Durbin-Watson identity DW = 2(1 - rho1) up to the boundary terms
+    assert(math.abs(dw - 2 * (1 - rho1)) < 0.05, s"dw=$dw rho1=$rho1")
+    assert(!r.getAs[Boolean]("positive_autocorr"),
+      "real bucket means carry no strong serial correlation")
+    // planted: y quadratic in time while the features are flat-ish, so the
+    // linear fit leaves a smooth (strongly autocorrelated) residual arc
+    import spark.implicits._
+    val rows = (0 until 300).flatMap { b =>
+      val t = b.toDouble
+      Seq(("click", b.toLong * 1800000000000L, 50.0 + (b % 3)),
+        ("view", b.toLong * 1800000000000L, 60.0 + (b % 2)),
+        ("purchase", b.toLong * 1800000000000L, 0.01 * (t - 150.0) * (t - 150.0)))
+    }
+    rows.toDF("event_type", "ts_ns", "value")
+      .createOrReplaceTempView("r10_dw_planted")
+    try {
+      val p = spark.sql(graft.queries.R10.residualDiagnosticsSql(
+          "r10_dw_planted", "ts_ns div 1800000000000", "")).collect().head
+      assert(p.getAs[Double]("dw_stat") < 1.0,
+        s"quadratic residual arc must show DW << 2: ${p.getAs[Double]("dw_stat")}")
+      assert(p.getAs[Boolean]("positive_autocorr"),
+        "the coarse flag must fire on the planted arc")
+      assert(p.getAs[Double]("rho1") > 0.5)
+    } finally { spark.catalog.dropTempView("r10_dw_planted"); () }
+  }
+
   test("gbt stumps: planted two-cluster target found at the exact threshold, geometric SSE decay") {
     import spark.implicits._
     // x in {10, 100}, y constant within cluster: the best stump is the
