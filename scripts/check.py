@@ -171,6 +171,20 @@ def _type_class(t) -> str:
     return str(t)
 
 
+def _class_compat(a: str, b: str) -> bool:
+    """True when the two type classes render byte-identically.
+
+    "null" (an all-NULL column/element type) is compatible with anything
+    at ANY nesting depth: list<null> vs list<int> both render every
+    element as \\N, exactly like the top-level null exemption.
+    """
+    if a == b or "null" in (a, b):
+        return True
+    if a.startswith("list<") and b.startswith("list<"):
+        return _class_compat(a[5:-1], b[5:-1])
+    return False
+
+
 def schema_diff(got_tbl, want_tbl):
     """Per-column type-class diff (engine vs oracle), [] when clean."""
     gt = {f.name: f.type for f in got_tbl.schema}
@@ -181,7 +195,7 @@ def schema_diff(got_tbl, want_tbl):
             diffs.append(f"{c}: engine={gt.get(c)} oracle={wt.get(c)} (absent)")
             continue
         gc, wc = _type_class(gt[c]), _type_class(wt[c])
-        if gc != wc and "null" not in (gc, wc):
+        if not _class_compat(gc, wc):
             diffs.append(f"{c}: engine={gt[c]}[{gc}] oracle={wt[c]}[{wc}]")
     return diffs
 
@@ -227,6 +241,12 @@ def n_maps() -> int:
 
 
 def main():
+    import os
+    # GRAFT_CHECK_NO_RECYCLE=1 reproduces the driver harness's posture:
+    # one long-lived connection for the whole run, no gc/arrow release.
+    # Use it to prove the allocation-heavy oracles survive a map-starved
+    # process (vm.max_map_count exhaustion — see the recycle comment).
+    no_recycle = os.environ.get("GRAFT_CHECK_NO_RECYCLE", "") == "1"
     con = fresh_con()
     with open(f"{OUT}/oracle_sql.json") as fh:
         oracle = json.load(fh)
@@ -239,6 +259,7 @@ def main():
     dumped = {p.rstrip("/").split("/")[-1]
               for p in glob.glob(f"{OUT}/*/")}
     hashes = {}
+    mem_cost = {}  # name -> (maps_delta, duckdb_peak_bytes) telltale
     n_pass = n_fail = n_spec_drift = 0
     n_run = 0
     for name in sorted(oracle):
@@ -255,7 +276,7 @@ def main():
         # 65k+ at ~400 oracles. A fresh connection releases its maps;
         # gc + arrow-pool release drop the pyarrow side's share.
         n_run += 1
-        if n_run % 25 == 0:
+        if n_run % 25 == 0 and not no_recycle:
             con.close()
             import gc
             gc.collect()
@@ -267,7 +288,15 @@ def main():
             con = fresh_con()
             print(f"[maps] {n_maps()} after {n_run} oracles", flush=True)
         got_tbl = read_dump_arrow(name)
-        got = got_tbl.to_pandas() if got_tbl is not None else pd.DataFrame()
+        if got_tbl is None:
+            # A dump dir with no readable parquet is a FAILED engine dump,
+            # not a 0-row result — without this, the entry would "pass"
+            # against a 0-row oracle with neither hash nor schema checked.
+            print(f"FAIL {name}: MISSING-ENGINE-PARQUET (dump dir empty/unreadable)")
+            n_fail += 1
+            continue
+        got = got_tbl.to_pandas()
+        maps_before = n_maps()
         try:
             res = con.execute(oracle[name])
             want_tbl = res.arrow()
@@ -276,6 +305,19 @@ def main():
             print(f"ORACLE-ERROR {name}: {e}")
             n_fail += 1
             continue
+        finally:
+            # Allocation telltale: mappings this oracle left behind (the
+            # resource the driver's single-connection run exhausts) plus
+            # DuckDB's residual tracked bytes. Ranked at the end so
+            # "allocation-heavy oracle" is a measured, regression-checked
+            # property rather than a post-mortem discovery.
+            try:
+                resid = con.execute(
+                    "SELECT coalesce(sum(memory_usage_bytes),0) "
+                    "FROM duckdb_memory()").fetchone()[0]
+            except Exception:  # noqa: BLE001
+                resid = -1
+            mem_cost[name] = (n_maps() - maps_before, int(resid))
         eh = canonical_hash(got_tbl) if got_tbl is not None else None
         oh = canonical_hash(want_tbl)
         hashes[name] = {"engine": eh, "oracle": oh}
@@ -311,9 +353,19 @@ def main():
         if tbl is not None:
             hashes[name] = {"engine": canonical_hash(tbl), "oracle": None}
         print(f"ROWS-ONLY {name}: {n} rows")
+    if mem_cost:
+        # Ranked allocation telltale: top decile by maps-delta. An oracle
+        # near the top here is the one that dies first in a map-starved
+        # (single-connection, no-recycle) run — keep the heavy list short.
+        ranked = sorted(mem_cost.items(), key=lambda kv: -kv[1][0])
+        top = ranked[:max(10, len(ranked) // 10)]
+        print("\n[alloc] top decile by maps-delta (maps, duckdb residual bytes):")
+        for nm, (md, rb) in top:
+            print(f"[alloc]   {md:6d}  {rb:12d}  {nm}")
     with open(f"{OUT}/HASHES.json", "w") as fh:
         json.dump({"duckdb_version": duckdb.__version__,
                    "spec_drift": n_spec_drift,
+                   "oracle_maps_delta": {k: v[0] for k, v in mem_cost.items()},
                    "queries": hashes}, fh, indent=1, sort_keys=True)
     print(f"\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only, "
           f"{n_spec_drift} hash-spec drift; hashes → {OUT}/HASHES.json "

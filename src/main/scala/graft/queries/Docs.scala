@@ -27,8 +27,11 @@ object Docs {
       .withColumn("toks", split(col("text"), " "))
 
   /** DuckDB twin of `toks` (string_split, same single-space contract). */
+  // t is MATERIALIZED: several oracle texts read it 2-3x and DuckDB 1.0
+  // re-tokenizes the whole corpus per reference otherwise (part of the
+  // r11 driver map-exhaustion class; results identical)
   private val tokedSql =
-    "WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
+    "WITH t AS MATERIALIZED (SELECT *, string_split(text, ' ') AS toks FROM documents)\n"
 
   /** The Gopher stop-word set (Rae et al. 2021, App. A1.1) plus the
     * article "a" (present in every classic stop list, e.g. SMART) — ≥2
@@ -66,7 +69,8 @@ object Docs {
     * (identical trees both engines); the cross-subspace ADC sum rides
     * DECIMAL on the 1e-9 grid so the 8-row aggregation is exact under
     * any order. */
-  private def pqAdcSql(emb: String, ix: (String, String) => String): String = {
+  private def pqAdcSql(emb: String, ix: (String, String) => String,
+                       mat: String = ""): String = {
     val m = 8; val ksub = 16
     def dist8(a: String, b: String): String =
       (1 to m).map { j =>
@@ -75,29 +79,29 @@ object Docs {
         s"$t * $t"
       }.mkString("(", " + ", ")")
     val subRows = (0 until m).map(v => s"SELECT $v AS sv").mkString(" UNION ALL ")
-    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+    s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS $mat(SELECT vec_id AS query_id, embedding AS qe FROM $emb
        |  WHERE vec_id % 50 = 0),
-       |samp AS (
+       |samp AS $mat(
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM $emb
        |        ORDER BY vec_id LIMIT $ksub) s0),
-       |sub AS ($subRows),
-       |cand AS (
+       |sub AS $mat($subRows),
+       |cand AS $mat(
        |  SELECT corpus.vec_id AS vec_id, sub.sv AS sv, samp.c AS c,
        |    ${dist8("ve", "ce")} AS dist
        |  FROM corpus CROSS JOIN samp CROSS JOIN sub),
-       |encd AS (
+       |encd AS $mat(
        |  SELECT vec_id, sv, c FROM (
        |    SELECT vec_id, sv, c,
        |      row_number() OVER (PARTITION BY vec_id, sv
        |        ORDER BY dist ASC, c ASC) AS rn
        |    FROM cand) r WHERE rn = 1),
-       |qtd AS (
+       |qtd AS $mat(
        |  SELECT q.query_id AS query_id, sub.sv AS sv, samp.c AS c,
        |    CAST(round(${dist8("qe", "ce")}, 9) AS DECIMAL(28,9)) AS td
        |  FROM q CROSS JOIN samp CROSS JOIN sub),
-       |adc AS (
+       |adc AS $mat(
        |  SELECT qtd.query_id AS query_id, encd.vec_id AS neighbor_id,
        |    sum(qtd.td) AS approx
        |  FROM encd JOIN qtd ON encd.sv = qtd.sv AND encd.c = qtd.c
@@ -124,7 +128,8 @@ object Docs {
     * engines; ranking ties break on ids. The plan IS the production IVF
     * shape: candidates come from a LIST-keyed equi-join (≈ nprobe/nlist
     * of the corpus per query), never corpus × queries. */
-  private def ivfProbeSql(emb: String, ix: (String, String) => String): String = {
+  private def ivfProbeSql(emb: String, ix: (String, String) => String,
+                          mat: String = ""): String = {
     val dim = 64; val nlist = 16; val nprobe = 4
     def dist64(a: String, b: String): String =
       (1 to dim).map { j =>
@@ -135,29 +140,29 @@ object Docs {
       (1 to dim).map(j =>
         s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
         .mkString("(", " + ", ")")
-    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+    s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS $mat(SELECT vec_id AS query_id, embedding AS qe FROM $emb
        |  WHERE vec_id % 50 = 0),
-       |samp AS (
+       |samp AS $mat(
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM $emb
        |        ORDER BY vec_id LIMIT $nlist) s0),
-       |assign AS (
+       |assign AS $mat(
        |  SELECT vec_id, c AS list_id FROM (
        |    SELECT corpus.vec_id, samp.c,
        |      row_number() OVER (PARTITION BY corpus.vec_id
        |        ORDER BY ${dist64("ve", "ce")} ASC, samp.c ASC) AS rn
        |    FROM corpus CROSS JOIN samp) r WHERE rn = 1),
-       |probes AS (
+       |probes AS $mat(
        |  SELECT query_id, c AS list_id FROM (
        |    SELECT q.query_id, samp.c,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY ${dist64("qe", "ce")} ASC, samp.c ASC) AS rn
        |    FROM q CROSS JOIN samp) r WHERE rn <= $nprobe),
-       |cand AS (
+       |cand AS $mat(
        |  SELECT probes.query_id, assign.vec_id AS neighbor_id
        |  FROM probes JOIN assign ON probes.list_id = assign.list_id),
-       |scored AS (
+       |scored AS $mat(
        |  SELECT cand.query_id, cand.neighbor_id,
        |    ${dot64("qe", "ve")} /
        |      (sqrt(${dot64("qe", "qe")}) * sqrt(${dot64("ve", "ve")})) AS cos
@@ -241,7 +246,8 @@ object Docs {
     * (posting-list sizes × probe membership, again integers); recall
     * and scan_frac divisions are output-only grid-6 (int/int promotes
     * to DOUBLE in both engines). nprobe=16 anchors recall = 1. */
-  private def recallCurveSql(emb: String, ix: (String, String) => String): String = {
+  private def recallCurveSql(emb: String, ix: (String, String) => String,
+                             mat: String = ""): String = {
     val dim = 64; val nlist = 16; val k = 10
     def dist64(a: String, b: String): String =
       (1 to dim).map { j =>
@@ -254,27 +260,27 @@ object Docs {
         .mkString("(", " + ", ")")
     val sweepRows = Seq(1, 2, 4, 8, 16).map(p => s"SELECT $p AS nprobe")
       .mkString(" UNION ALL ")
-    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+    s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS $mat(SELECT vec_id AS query_id, embedding AS qe FROM $emb
        |  WHERE vec_id % 50 = 0),
-       |samp AS (
+       |samp AS $mat(
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM $emb
        |        ORDER BY vec_id LIMIT $nlist) s0),
-       |assign AS (
+       |assign AS $mat(
        |  SELECT vec_id, c AS list_id FROM (
        |    SELECT corpus.vec_id, samp.c,
        |      row_number() OVER (PARTITION BY corpus.vec_id
        |        ORDER BY ${dist64("ve", "ce")} ASC, samp.c ASC) AS rn
        |    FROM corpus CROSS JOIN samp) r WHERE rn = 1),
-       |list_sizes AS (
+       |list_sizes AS $mat(
        |  SELECT list_id, count(*) AS sz FROM assign GROUP BY 1),
-       |probes AS (
+       |probes AS $mat(
        |  SELECT q.query_id, samp.c AS list_id,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY ${dist64("qe", "ce")} ASC, samp.c ASC) AS probe_pos
        |  FROM q CROSS JOIN samp),
-       |truth AS (
+       |truth AS $mat(
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.query_id
@@ -283,24 +289,24 @@ object Docs {
        |          corpus.vec_id ASC) AS rank
        |    FROM q CROSS JOIN corpus
        |    WHERE corpus.vec_id <> q.query_id) t WHERE rank <= $k),
-       |truth_depth AS (
+       |truth_depth AS $mat(
        |  SELECT truth.query_id, truth.neighbor_id, probes.probe_pos
        |  FROM truth
        |  JOIN assign ON assign.vec_id = truth.neighbor_id
        |  JOIN probes ON probes.query_id = truth.query_id
        |           AND probes.list_id = assign.list_id),
-       |scan_cost AS (
+       |scan_cost AS $mat(
        |  SELECT sw.nprobe, CAST(sum(ls.sz) AS BIGINT) AS cand_rows
        |  FROM ($sweepRows) sw
        |  JOIN probes ON probes.probe_pos <= sw.nprobe
        |  JOIN list_sizes ls ON ls.list_id = probes.list_id
        |  GROUP BY 1),
-       |totals AS (
+       |totals AS $mat(
        |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
        |    (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
        |    (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_corpus
        |  FROM truth),
-       |hits AS (
+       |hits AS $mat(
        |  SELECT sw.nprobe,
        |    CAST(sum(CASE WHEN td.probe_pos <= sw.nprobe THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_hit
@@ -330,14 +336,15 @@ object Docs {
     * output-only grid-6 recall divisions. d=64 anchors recall = 1.
     * Cost: 4 × corpus × n_queries — linear in the corpus on the fixed
     * audit sample. */
-  private def truncationRecallSql(emb: String, ix: (String, String) => String): String = {
+  private def truncationRecallSql(emb: String, ix: (String, String) => String,
+                                  mat: String = ""): String = {
     val k = 10
     def dotD(a: String, b: String, d: Int): String =
       (1 to d).map(j =>
         s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
         .mkString("(", " + ", ")")
     def truncCte(d: Int): String =
-      s"""trunc_$d AS (
+      s"""trunc_$d AS $mat(
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.query_id
@@ -352,10 +359,10 @@ object Docs {
          |        JOIN trunc_$d tr ON tr.query_id = truth.query_id
          |                        AND tr.neighbor_id = truth.neighbor_id)
          |    AS BIGINT) AS n_hit""".stripMargin
-    s"""WITH corpus AS (SELECT vec_id, embedding AS ve FROM $emb),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM $emb
+    s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve FROM $emb),
+       |q AS $mat(SELECT vec_id AS query_id, embedding AS qe FROM $emb
        |  WHERE vec_id % 50 = 0),
-       |truth AS (
+       |truth AS $mat(
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.query_id
@@ -365,8 +372,8 @@ object Docs {
        |    FROM q CROSS JOIN corpus
        |    WHERE corpus.vec_id <> q.query_id) t WHERE rank <= $k),
        |${Seq(8, 16, 32).map(truncCte).mkString(",\n")},
-       |totals AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-       |hit_rows AS (
+       |totals AS $mat(SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |hit_rows AS $mat(
        |  ${Seq(8, 16, 32).map(hitRow).mkString("\n  UNION ALL\n  ")}
        |  UNION ALL
        |  SELECT 64 AS dims, (SELECT n_truth FROM totals) AS n_hit)
@@ -1828,7 +1835,7 @@ object Docs {
     * against the growing selection. All scores on the 1e-9 grid. */
   private def mmrSql: String = {
     val steps = (2 to 5).map { k =>
-      s"""s$k AS (
+      s"""s$k AS MATERIALIZED (
          |  SELECT query_id, $k AS rank, neighbor_id, rel, ms, score FROM (
          |    SELECT c.query_id, c.neighbor_id, c.rel, m.ms,
          |      round(0.7 * c.rel - 0.3 * m.ms, 9) AS score,
@@ -1846,12 +1853,12 @@ object Docs {
          |      WHERE s2.query_id = c.query_id
          |        AND s2.neighbor_id = c.neighbor_id)) t
          |  WHERE rn = 1),
-         |sel$k AS (SELECT query_id, neighbor_id FROM sel${k - 1}
+         |sel$k AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel${k - 1}
          |  UNION ALL SELECT query_id, neighbor_id FROM s$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        |           FROM embeddings WHERE vec_id % 50 = 0),
-       |c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |c0 AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
        |       FROM embeddings),
        |cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, round(cos, 9) AS rel, cv FROM (
@@ -1872,14 +1879,14 @@ object Docs {
        |       sqrt(list_dot_product(b.cv, b.cv))), 9) AS pcos
        |  FROM cand a JOIN cand b ON a.query_id = b.query_id
        |    AND a.neighbor_id <> b.neighbor_id),
-       |s1 AS (
+       |s1 AS MATERIALIZED (
        |  SELECT query_id, 1 AS rank, neighbor_id, rel,
        |    CAST(0.0 AS DOUBLE) AS ms, rel AS score FROM (
        |    SELECT query_id, neighbor_id, rel,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY rel DESC, neighbor_id) AS rn
        |    FROM cand) t WHERE rn = 1),
-       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1),
        |$steps
        |SELECT query_id, rank, neighbor_id,
        |  round(rel, 6) + 0.0 AS relevance,
@@ -1912,13 +1919,13 @@ object Docs {
         |      i -> concat_ws(' ', toks[i], toks[least(i + 1, len(toks))],
         |                     toks[least(i + 2, len(toks))])),
         |    s -> """.stripMargin + duckHash("s") + """) AS shl FROM t)
-        |, sh AS (SELECT doc_id, list_distinct(shl) AS shl FROM sh0)
+        |, sh AS MATERIALIZED (SELECT doc_id, list_distinct(shl) AS shl FROM sh0)
         |""".stripMargin
 
   /** MinHash signatures as (doc_id, i, m) long form. */
   private val sigSql = shSql +
     """, shu AS (SELECT doc_id, unnest(shl) AS h FROM sh)
-      |, sig AS (
+      |, sig AS MATERIALIZED (
       |  SELECT doc_id, i, min(((2 * i + 1) * h + 7919 * i) % 1000000007) AS m
       |  FROM shu, (SELECT unnest(generate_series(0, 15)) AS i) g
       |  GROUP BY doc_id, i)
@@ -1946,14 +1953,14 @@ object Docs {
     * jaccard)` — shared by the pair query and the connected-components
     * clustering oracle. */
   private val lshPairsSql = sigSql +
-    """, bands AS (
+    """, bands AS MATERIALIZED (
       |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
       |  FROM sig GROUP BY doc_id, i // 4)
       |, cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-      |, prs AS (
+      |, prs AS MATERIALIZED (
       |  SELECT id_a, id_b,
       |    len(list_intersect(x.shl, y.shl))::DOUBLE /
       |    (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) AS jaccard
@@ -1974,10 +1981,12 @@ object Docs {
 
   val sql: Map[String, String] = Map(
     "similarity_pq_adc" ->
-      pqAdcSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+      pqAdcSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        "MATERIALIZED "),
 
     "similarity_ivf_probe" ->
-      ivfProbeSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+      ivfProbeSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        "MATERIALIZED "),
 
     "similarity_ivf_incremental" ->
       ivfIncrementalSql("embeddings", (e, i) => s"list_extract($e, $i)",
@@ -1987,10 +1996,12 @@ object Docs {
       pqDriftSql("embeddings", (e, i) => s"list_extract($e, $i)"),
 
     "similarity_recall_curve" ->
-      recallCurveSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+      recallCurveSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        "MATERIALIZED "),
 
     "embedding_truncation_recall" ->
-      truncationRecallSql("embeddings", (e, i) => s"list_extract($e, $i)"),
+      truncationRecallSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        "MATERIALIZED "),
 
     "similarity_mmr_rerank" -> mmrSql,
 
@@ -2088,7 +2099,7 @@ object Docs {
         |FROM ded GROUP BY source ORDER BY source""".stripMargin),
 
     "text_tfidf_topk" -> (tokedSql +
-      """, tfc AS (
+      """, tfc AS MATERIALIZED (
         |  SELECT doc_id, token, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY 1, 2),
         |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
@@ -2221,11 +2232,11 @@ object Docs {
         |FROM agg ORDER BY threshold""".stripMargin),
 
     "corpus_contrastive_pairs" -> (lshPairsSql +
-      """, pos AS (SELECT id_a AS anchor_id, id_b AS other_id FROM prs)
+      """, pos AS MATERIALIZED (SELECT id_a AS anchor_id, id_b AS other_id FROM prs)
         |, nrk AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
         |  FROM t)
-        |, ncnt AS (SELECT count(*)::BIGINT AS n FROM t)
+        |, ncnt AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM t)
         |, anchors AS (SELECT DISTINCT anchor_id FROM pos)
         |, negs AS (
         |  SELECT a.anchor_id, r.doc_id AS other_id
@@ -2354,7 +2365,7 @@ object Docs {
       * (fine at oracle scale; the engine side is the distributed
       * min-label propagation in `Dedup.connectedComponents`). */
     "dedup_clusters_cc" -> ("WITH RECURSIVE " + lshPairsSql.stripPrefix("WITH ") +
-      """, edges AS (
+      """, edges AS MATERIALIZED (
         |  SELECT id_a AS a, id_b AS b FROM prs
         |  UNION SELECT id_b, id_a FROM prs)
         |, reach(a, b) AS (
@@ -2365,7 +2376,7 @@ object Docs {
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
 
     "dedup_corpus_kept" -> ("WITH RECURSIVE " + lshPairsSql.stripPrefix("WITH ") +
-      """, edges AS (
+      """, edges AS MATERIALIZED (
         |  SELECT id_a AS a, id_b AS b FROM prs
         |  UNION SELECT id_b, id_a FROM prs)
         |, reach(a, b) AS (

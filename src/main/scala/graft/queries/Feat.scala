@@ -84,9 +84,15 @@ object Feat {
     * cells, then the enumeration is MARGIN-sized (min(r1,c1)+1 rows —
     * ~20k at sf0.1) and every per-table term is a narrow map; nothing
     * quadratic, nothing driver-side. */
-  private def fisherSql(events: String, kx: String, enumFrom: String): String = {
+  private def fisherSql(events: String, kx: String, enumFrom: String,
+                        mat: String = ""): String = {
+    // `mat` ("MATERIALIZED " on DuckDB, "" on Spark): `lp` is consumed
+    // THREE times (obs/mx/terms) and each plain-CTE re-expansion
+    // re-evaluates the whole enumeration with its nine ln-factorial
+    // CASE ladders; `cells` is consumed twice. Allocation-lean oracle
+    // texts keep the driver's single-connection replay alive (r11).
     val lf = lnFactSql _
-    s"""WITH cells AS (
+    s"""WITH cells AS $mat(
        |  SELECT CAST(sum(CASE WHEN pos AND lowk THEN 1 ELSE 0 END) AS BIGINT) AS a,
        |         CAST(sum(CASE WHEN pos AND NOT lowk THEN 1 ELSE 0 END) AS BIGINT) AS b,
        |         CAST(sum(CASE WHEN NOT pos AND lowk THEN 1 ELSE 0 END) AS BIGINT) AS c,
@@ -100,7 +106,7 @@ object Feat {
        |enum AS (
        |  SELECT m.a, m.r1, m.r2, m.c1, m.c2, m.n, x
        |  $enumFrom),
-       |lp AS (
+       |lp AS $mat(
        |  SELECT x, a,
        |    ${lf("r1")} + ${lf("r2")} + ${lf("c1")} + ${lf("c2")} - ${lf("n")}
        |      - ${lf("x")} - ${lf("(r1 - x)")} - ${lf("(c1 - x)")}
@@ -197,36 +203,41 @@ object Feat {
     * (forecast the parts and add, or forecast the whole and split) a
     * forecasting deployment over any hierarchy must answer. Grid
     * absolute errors summed in DECIMAL. */
-  private def reconcileSql(events: String, bucket: String): String =
-    s"""WITH b AS (
+  private def reconcileSql(events: String, bucket: String,
+                           mat: String = ""): String =
+    // `mat` ("MATERIALIZED " on DuckDB, "" on Spark): b/sb/tt/tr/test/
+    // ttest all have 2+ consumers — DuckDB 1.0 re-expands plain CTEs
+    // per reference (133 MB -> 22 MB materialized, identical result;
+    // the r11 map-exhaustion class)
+    s"""WITH b AS $mat(
        |  SELECT event_type AS g, $bucket AS bucket,
        |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS DECIMAL(18,6)) AS px
        |  FROM $events GROUP BY 1, 2),
-       |comp AS (SELECT bucket FROM b GROUP BY bucket
+       |comp AS $mat(SELECT bucket FROM b GROUP BY bucket
        |  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM $events)),
-       |sb AS (
+       |sb AS $mat(
        |  SELECT g, b.bucket AS bucket, px,
        |    row_number() OVER (PARTITION BY g ORDER BY b.bucket) AS rn,
        |    count(*) OVER (PARTITION BY g) AS n
        |  FROM b JOIN comp ON b.bucket = comp.bucket),
-       |tt AS (
+       |tt AS $mat(
        |  SELECT bucket, tot,
        |    row_number() OVER (ORDER BY bucket) AS rn, count(*) OVER () AS n
        |  FROM (SELECT bucket, sum(px) AS tot FROM sb GROUP BY bucket) t0),
-       |tr AS (SELECT g, sum(px) AS sp FROM sb WHERE rn <= n - 12 GROUP BY g),
-       |trt AS (SELECT sum(sp) AS stt FROM tr),
-       |share AS (
+       |tr AS $mat(SELECT g, sum(px) AS sp FROM sb WHERE rn <= n - 12 GROUP BY g),
+       |trt AS $mat(SELECT sum(sp) AS stt FROM tr),
+       |share AS $mat(
        |  SELECT g, CAST(sp AS DOUBLE) / CAST(stt AS DOUBLE) AS sh FROM tr, trt),
-       |test AS (
+       |test AS $mat(
        |  SELECT cur.g AS g, cur.bucket AS bucket, cur.px AS actual,
        |    prev.px AS f_naive
        |  FROM sb cur JOIN sb prev ON cur.g = prev.g AND prev.rn = cur.rn - 4
        |  WHERE cur.rn > cur.n - 12),
-       |ttest AS (
+       |ttest AS $mat(
        |  SELECT cur.bucket AS bucket, cur.tot AS actual_tot, prev.tot AS f_direct
        |  FROM tt cur JOIN tt prev ON prev.rn = cur.rn - 4
        |  WHERE cur.rn > cur.n - 12),
-       |bu AS (SELECT bucket, sum(f_naive) AS f_bu FROM test GROUP BY bucket),
+       |bu AS $mat(SELECT bucket, sum(f_naive) AS f_bu FROM test GROUP BY bucket),
        |toterr AS (
        |  SELECT 'total' AS level, 'bottom_up' AS method,
        |    round(CAST(sum(CAST(round(abs(CAST(f_bu AS DOUBLE)
@@ -1436,15 +1447,15 @@ object Feat {
         |FROM h ORDER BY degree""".stripMargin,
 
     "graph_common_neighbors" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |edges AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
         |  SELECT b1.p AS pa, b2.p AS pb
         |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |und AS (
+        |und AS MATERIALIZED (
         |  SELECT pa AS src, pb AS dst FROM edges
         |  UNION ALL SELECT pb, pa FROM edges),
-        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
+        |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
         |cand AS (
         |  SELECT e1.dst AS u, e2.dst AS v, count(*)::BIGINT AS common
         |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
@@ -1464,7 +1475,8 @@ object Feat {
       "CAST(json_extract(props, '$.k') AS BIGINT)",
       """FROM marg m, unnest(generate_series(
         |    CAST(greatest(0, c1 - r2) AS BIGINT),
-        |    CAST(least(r1, c1) AS BIGINT))) AS ex(x)""".stripMargin),
+        |    CAST(least(r1, c1) AS BIGINT))) AS ex(x)""".stripMargin,
+      "MATERIALIZED "),
 
     "ts_matrix_profile" ->
       """WITH b AS (
@@ -1708,15 +1720,15 @@ object Feat {
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "graph_assortativity" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |edges AS (
+      """WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
         |  SELECT b1.p AS pa, b2.p AS pb
         |  FROM bk b1 JOIN bk b2 ON b1.o = b2.o AND b1.p < b2.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |und AS (
+        |und AS MATERIALIZED (
         |  SELECT pa AS src, pb AS dst FROM edges
         |  UNION ALL SELECT pb, pa FROM edges),
-        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
+        |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
         |j AS (
         |  SELECT du.deg AS du, dv.deg AS dv
         |  FROM und JOIN deg du ON und.src = du.src
@@ -1744,7 +1756,7 @@ object Feat {
       "FROM cent, unnest(generate_series(2, 96)) AS pe(p)"),
 
     "ml_hierarchical_reconcile" -> reconcileSql("events",
-      "(epoch_ns(ts) // 21600000000000)"),
+      "(epoch_ns(ts) // 21600000000000)", "MATERIALIZED "),
 
     "ts_kalman_level" ->
       """WITH RECURSIVE b AS (

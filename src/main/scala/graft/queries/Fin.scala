@@ -45,7 +45,12 @@ object Fin {
       .agg(Grid.mean6(col("value")).as("px"))
 
   private val barsSql: String =
-    """WITH b AS (
+    // MATERIALIZED: several consumers reference `b` 2–4× (the
+    // mann-kendall self-join reads it twice alone) and DuckDB 1.0
+    // re-evaluates a plain CTE per reference — allocation-lean oracle
+    // texts keep the driver's single-connection replay off the
+    // vm.max_map_count ceiling (r11 post-mortem)
+    """WITH b AS MATERIALIZED (
       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket,
       |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
       |  FROM events GROUP BY 1, 2)""".stripMargin
@@ -1055,7 +1060,7 @@ object Fin {
         |FROM g ORDER BY nation""".stripMargin,
 
     "stat_tail_dependence" -> (barsSql +
-      """, lr AS (
+      """, lr AS MATERIALIZED (
         |  SELECT event_type, bucket, round(ln(px / prev), 6) AS r
         |  FROM (SELECT event_type, bucket, px,
         |          lag(px, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS prev

@@ -228,32 +228,40 @@ object R10 {
     "CASE WHEN sw * swxx - swx * swx = 0.0 THEN 0.0 ELSE " +
       "round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) END"
 
-  def huberIrlsSql(events: String, bucket: String, median: String): String = {
+  def huberIrlsSql(events: String, bucket: String, median: String,
+                   mat: String = ""): String = {
+    // `mat` ("MATERIALIZED " on DuckDB, "" on Spark — R10Spec replays
+    // this text through spark.sql for the bit-equality pin): every
+    // per-iteration CTE has 2+ consumers (r_i feeds d_i+w_i; d_i feeds
+    // w_i+c_i; c_i feeds the next round twice plus the final union), so
+    // DuckDB 1.0's per-reference re-expansion costs 682 MB / 0.9 s vs
+    // 10 MB / 0.03 s materialized (identical result) — the r11
+    // map-exhaustion class.
     def dsum(term: String, name: String) = huberDsum(term, name)
     def mc(t: String) = huberMc(t)
     val betaExpr = huberBetaExpr
     val iters = (1 to 4).map { i =>
       val p = i - 1
-      s"""r$i AS (
+      s"""r$i AS $mat(
          |  SELECT b.bucket, b.x, b.y,
          |    round(b.y - (c$p.alpha + c$p.beta * b.x), 6) AS r
          |  FROM b, c$p),
-         |d$i AS (
+         |d$i AS $mat(
          |  SELECT round(1.345 * round($median, 6) / 0.6745, 6) AS delta
          |  FROM r$i),
-         |w$i AS (
+         |w$i AS $mat(
          |  SELECT r$i.x, r$i.y, r$i.r,
          |    CASE WHEN abs(r) <= d$i.delta THEN 1.0
          |         ELSE round(d$i.delta / abs(r), 9) END AS w
          |  FROM r$i, d$i),
-         |m$i AS (
+         |m$i AS $mat(
          |  SELECT
          |    ${dsum("w", "sw")}, ${dsum("w * x", "swx")},
          |    ${dsum("w * y", "swy")}, ${dsum("w * x * x", "swxx")},
          |    ${dsum("w * x * y", "swxy")},
          |    CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
          |  FROM w$i),
-         |c$i AS (
+         |c$i AS $mat(
          |  SELECT $i AS iter,
          |    $betaExpr AS beta,
          |    round(swy / sw - ($betaExpr) * (swx / sw), 6) AS alpha,
@@ -263,7 +271,7 @@ object R10 {
     val arms = (0 to 4).map(i =>
       s"SELECT iter, beta, alpha, delta, n_outliers FROM c$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH b AS (
+    s"""WITH b AS $mat(
        |  SELECT bucket, x, y FROM (
        |    SELECT $bucket AS bucket,
        |      ${mc("purchase")} AS x,
@@ -271,14 +279,14 @@ object R10 {
        |    FROM $events WHERE event_type IN ('click', 'purchase')
        |    GROUP BY 1) t
        |  WHERE x IS NOT NULL AND y IS NOT NULL),
-       |m0 AS (
+       |m0 AS $mat(
        |  SELECT CAST(count(*) AS DOUBLE) AS sw,
        |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS swx,
        |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS swy,
        |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS swxx,
        |    CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS swxy
        |  FROM b),
-       |c0 AS (
+       |c0 AS $mat(
        |  SELECT 0 AS iter,
        |    $betaExpr AS beta,
        |    round(swy / sw - ($betaExpr) * (swx / sw), 6) AS alpha,
@@ -345,6 +353,15 @@ object R10 {
          |WHERE x IS NOT NULL AND y IS NOT NULL""".stripMargin)
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     val n = base.length
+    // An empty modeling frame means the input table itself is empty or
+    // has no click/purchase buckets — the SQL template this replay
+    // replaced would emit a NULL-laden trajectory there, but silently
+    // fabricating that shape driver-side risks drifting from it; fail
+    // loudly instead (median50 below would otherwise throw an opaque
+    // ArrayIndexOutOfBounds on sortedVals(0)).
+    require(n > 0,
+      "ml_huber_irls: empty modeling frame (no complete click/purchase " +
+        "buckets) — cannot replay the IRLS trajectory")
     // c0 — the OLS seed: plain DECIMAL(18,6) sums, exact scale-12 squares
     def beta(sw: Double, swx: Double, swy: Double, swxx: Double,
              swxy: Double): Double =
@@ -785,14 +802,29 @@ object R10 {
        |FROM ag""".stripMargin
 
   /** Spark execution path: score once through [[logisticPrefix]],
-    * localCheckpoint the model-sized (y, p) frame, sweep over the view. */
+    * localCheckpoint the model-sized (y, p) frame, sweep over the view.
+    * The decile-sized sweep result is collected EAGERLY so the temp
+    * view and the checkpointed frame can be released in `finally` — a
+    * long-lived session invoking this repeatedly must not accumulate
+    * catalog entries or persisted blocks (the gbtStumpsSpark
+    * discipline; the Bench unpersist sweep exists for strays, not as
+    * license to leak). */
   def thresholdSweepSpark(s: SparkSession, events: String, bucket: String,
                           median: String, view: String): DataFrame = {
     val scored = s.sql(
         logisticPrefix(events, bucket, median, "") + "\nSELECT y, p FROM p5")
       .localCheckpoint()
-    scored.createOrReplaceTempView(view)
-    s.sql(s"WITH ${sweepBody(view, "percentile")}")
+    try {
+      scored.createOrReplaceTempView(view)
+      val out = s.sql(s"WITH ${sweepBody(view, "percentile")}")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      s.catalog.dropTempView(view)
+      scored.unpersist()
+      ()
+    }
   }
 
   // ---- gradient-boosted stumps (shared SQL template) ----------------------
@@ -1084,7 +1116,13 @@ object R10 {
     * at its second return — a threshold the noise crosses instantly is
     * as vacuous as one nothing crosses). Windows partitioned per
     * series — bounded, scale-clean. */
-  def pageHinkleySql(events: String, bucket: String): String =
+  def pageHinkleySql(events: String, bucket: String, mat: String = ""): String =
+    // `mat` marks the MULTI-CONSUMER CTEs (rr feeds tol+c; tol feeds
+    // t+s) "MATERIALIZED " on the DuckDB side — without it DuckDB 1.0
+    // re-expands the whole upstream chain per consumer, and the burst
+    // contributes to the map-count exhaustion that killed the driver
+    // harness's single-connection replay in r11. Spark passes "" (no
+    // such hint in its parser).
     s"""WITH px AS (
        |  SELECT event_type AS series, $bucket AS b,
        |    ${Grid.mean6Sql("value")} AS x
@@ -1094,8 +1132,8 @@ object R10 {
        |    round((x - lag(x) OVER (PARTITION BY series ORDER BY b))
        |      / lag(x) OVER (PARTITION BY series ORDER BY b), 6) + 0.0 AS r
        |  FROM px),
-       |rr AS (SELECT series, b, r FROM r0 WHERE r IS NOT NULL),
-       |tol AS (
+       |rr AS $mat(SELECT series, b, r FROM r0 WHERE r IS NOT NULL),
+       |tol AS $mat(
        |  SELECT series,
        |    round(0.5 * sqrt((prr - sr * sr / n) / n), 6) AS delta,
        |    CAST(round(8 * sqrt((prr - sr * sr / n) / n), 6)
@@ -1338,7 +1376,10 @@ object R10 {
     * weekend cohort → suffix at-risk counts. Ends with the `rk`
     * (t, d1, d0, n1, n0) integer frame. */
   private def sessionRiskSql(events: String, epochUs: String,
-                             idiv: String): String =
+                             idiv: String, mat: String = ""): String =
+    // `mat`: sgrp feeds bounds+obs and obs feeds byt+cnt, so the DuckDB
+    // side materializes both (else the whole session-window chain is
+    // re-evaluated per consumer — part of the r11 map-exhaustion class)
     s"""WITH e AS (
        |  SELECT user_id, event_id, $epochUs AS ts_us FROM $events),
        |flagged AS (
@@ -1351,11 +1392,11 @@ object R10 {
        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
        |      ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM flagged),
-       |sgrp AS (
+       |sgrp AS $mat(
        |  SELECT user_id, sid, min(ts_us) AS s0, max(ts_us) AS s1
        |  FROM sess GROUP BY user_id, sid),
        |bounds AS (SELECT max(s1) AS endus FROM sgrp),
-       |obs AS (
+       |obs AS $mat(
        |  SELECT (s1 - s0) $idiv 60000000 AS t,
        |    CASE WHEN b.endus - s1 > 600000000 THEN 1 ELSE 0 END AS e,
        |    CASE WHEN (s0 $idiv 86400000000 + 4) % 7 IN (0, 6)
@@ -1374,8 +1415,9 @@ object R10 {
        |    sum(a0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n0
        |  FROM byt)""".stripMargin
 
-  def logrankSql(events: String, epochUs: String, idiv: String): String =
-    s"""${sessionRiskSql(events, epochUs, idiv)},
+  def logrankSql(events: String, epochUs: String, idiv: String,
+                 mat: String = ""): String =
+    s"""${sessionRiskSql(events, epochUs, idiv, mat)},
        |terms AS (
        |  SELECT
        |    round(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0), 9) AS e1,
@@ -1430,8 +1472,8 @@ object R10 {
     * re-inline the whole session pipeline 2^steps times in BOTH
     * engines (the r9 CTE-re-evaluation lesson, preempted). */
   def sessionRiskFrameSql(events: String, epochUs: String,
-                          idiv: String): String =
-    s"""${sessionRiskSql(events, epochUs, idiv)}
+                          idiv: String, mat: String = ""): String =
+    s"""${sessionRiskSql(events, epochUs, idiv, mat)}
        |SELECT t, d1, d0, n1, n0 FROM rk""".stripMargin
 
   /** The Newton chain over a pre-materialized risk frame `rkRef`;
@@ -2532,6 +2574,17 @@ object R10 {
       graft.streaming.EventStream.runPsiOnce(s, d,
         s"stream_psi_v${sqlRuns.incrementAndGet()}")),
 
+    /** REAL STREAMING twin of `drift_ks` — see `EventStream.runKsOnce`:
+      * frozen batch-side reference value counts (the deployed click
+      * snapshot), streamed-side per-gridded-value counts as an
+      * order-free Update-mode keyed aggregate (state O(distinct
+      * values) — the honest cost of an exact sample-level ECDF), final
+      * snapshot through the SAME `Ts.ksAssemble` → hash-matches the
+      * SAME `drift_ks` oracle. */
+    "stream_drift_ks" -> ((s, d) =>
+      graft.streaming.EventStream.runKsOnce(s, d,
+        s"stream_ks_v${sqlRuns.incrementAndGet()}")),
+
     /** CONTINUOUS EXPECTATIONS GATE — see
       * `EventStream.runDqExpectationsOnce`: six data-quality rules as
       * order-free Update-mode rule counters + dropDuplicates-state
@@ -3205,7 +3258,7 @@ object R10 {
     * pagerank-oracle trick) — integer counts, lexicographic tiebreak. */
   private def lpaSql: String = {
     val rounds = (1 to 4).map { i =>
-      s"""l$i AS (SELECT src AS node, label FROM (
+      s"""l$i AS MATERIALIZED (SELECT src AS node, label FROM (
          |  SELECT e.src, l.label,
          |    row_number() OVER (PARTITION BY e.src
          |      ORDER BY count(*) DESC, l.label) AS rn
@@ -3236,7 +3289,7 @@ object R10 {
     * community. */
   private def modularitySql: String = {
     val rounds = (1 to 2).map { i =>
-      s"""l$i AS (SELECT src AS node, label FROM (
+      s"""l$i AS MATERIALIZED (SELECT src AS node, label FROM (
          |  SELECT e.src, l.label,
          |    row_number() OVER (PARTITION BY e.src
          |      ORDER BY count(*) DESC, l.label) AS rn
@@ -3255,14 +3308,14 @@ object R10 {
        |  UNION ALL SELECT node, node FROM nd),
        |l0 AS (SELECT node, node AS label FROM nd),
        |$rounds,
-       |mm AS (SELECT count(*)::BIGINT AS m FROM p),
-       |degr AS (SELECT node, count(*)::BIGINT AS deg FROM (
+       |mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM p),
+       |degr AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
        |  SELECT cn AS node FROM p UNION ALL SELECT sn FROM p) u GROUP BY node),
-       |lin AS (
+       |lin AS MATERIALIZED (
        |  SELECT la.label, count(*)::BIGINT AS internal_edges
        |  FROM p JOIN l2 la ON p.cn = la.node JOIN l2 lb ON p.sn = lb.node
        |  WHERE la.label = lb.label GROUP BY la.label),
-       |ds AS (
+       |ds AS MATERIALIZED (
        |  SELECT l2.label, count(*)::BIGINT AS n_nodes,
        |    CAST(sum(degr.deg) AS BIGINT) AS degree_sum
        |  FROM l2 JOIN degr ON l2.node = degr.node GROUP BY l2.label)
@@ -3285,9 +3338,12 @@ object R10 {
     "stat_friedman" -> friedmanSql("events", "epoch_ns(ts) // 86400000000000"),
 
     "stat_page_hinkley" ->
-      pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
+      pageHinkleySql("events", "epoch_ns(ts) // 1800000000000",
+        "MATERIALIZED "),
 
     "stream_drift_psi" -> graft.queries.Ts.sql("drift_psi"),
+
+    "stream_drift_ks" -> graft.queries.Ts.sql("drift_ks"),
 
     "stream_freshness_sla" -> graft.queries.Feat.sql("dq_freshness_sla"),
 
@@ -3319,7 +3375,8 @@ object R10 {
          |ORDER BY rule""".stripMargin,
 
     "stream_page_hinkley" ->
-      pageHinkleySql("events", "epoch_ns(ts) // 1800000000000"),
+      pageHinkleySql("events", "epoch_ns(ts) // 1800000000000",
+        "MATERIALIZED "),
 
     "ts_sample_entropy" ->
       sampleEntropySql("events", "epoch_ns(ts) // 1800000000000"),
@@ -3343,7 +3400,8 @@ object R10 {
     "stream_holt_winters" -> hwFilterSql,
 
     "ml_huber_irls" -> huberIrlsSql(
-      "events", "epoch_ns(ts) // 21600000000000", "quantile_cont(abs(r), 0.5)"),
+      "events", "epoch_ns(ts) // 21600000000000", "quantile_cont(abs(r), 0.5)",
+      "MATERIALIZED "),
 
     "ml_logistic_newton" -> logisticNewtonSql(
       "events", "epoch_ns(ts) // 1800000000000", "quantile_cont(p_raw, 0.5)",
@@ -3400,11 +3458,13 @@ object R10 {
         |FROM nm FULL OUTER JOIN nu USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
-    "stat_logrank" -> logrankSql("events", "epoch_us(ts)", "//"),
+    "stat_logrank" -> logrankSql("events", "epoch_us(ts)", "//",
+      "MATERIALIZED "),
 
     "ml_cox_ph" -> coxPhSql("rk",
       "rk AS MATERIALIZED (" +
-        sessionRiskFrameSql("events", "epoch_us(ts)", "//") + "),"),
+        sessionRiskFrameSql("events", "epoch_us(ts)", "//",
+          "MATERIALIZED ") + "),"),
 
     "ml_gmm_em" -> gmmEmSql(
       "events", "epoch_ns(ts) // 1800000000000", "quantile_cont",
@@ -3425,17 +3485,17 @@ object R10 {
     /** Compact-forward replay with the wedge CENTER carried through;
       * per-node triangle count by a 3-way UNION ALL of the corners. */
     "graph_local_clustering" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |edges AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
         |  SELECT b1.p AS pa, b2.p AS pb
         |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT pa AS node FROM edges
         |    UNION ALL SELECT pb FROM edges)
         |  GROUP BY node),
-        |oriented AS (
+        |oriented AS MATERIALIZED (
         |  SELECT
         |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
         |      THEN pa ELSE pb END AS u,
@@ -3446,11 +3506,11 @@ object R10 {
         |  FROM edges
         |  JOIN deg d1 ON edges.pa = d1.node
         |  JOIN deg d2 ON edges.pb = d2.node),
-        |wedges AS (
+        |wedges AS MATERIALIZED (
         |  SELECT w1.u AS c, w1.v AS a, w2.v AS b
         |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
         |   AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))),
-        |tris AS (
+        |tris AS MATERIALIZED (
         |  SELECT c, a, b
         |  FROM wedges JOIN oriented o ON wedges.a = o.u AND wedges.b = o.v),
         |pernode AS (

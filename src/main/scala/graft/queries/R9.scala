@@ -78,30 +78,37 @@ object R9 {
     * order-dependent double avg. Widths: px ≤ 1e3 ⇒ s ≤ 1e3·c on a 1e-6
     * grid; with c ≤ 1e5 buckets the cross-products fit DECIMAL(38,6)
     * (Spark) / DECIMAL(37,6) (DuckDB) with 9+ digits of headroom. */
-  private def permutationFdrSql(events: String, dl: Dialect): String =
-    s"""WITH b AS (
+  /** `mat` ("MATERIALIZED " on DuckDB, "" on Spark): b/types/pairs/
+    * pool/obs/reps/rep/ranked all have ≥2 consumers, and DuckDB 1.0
+    * re-expands a plain CTE per reference — the 99-replicate pool
+    * chain re-evaluated per consumer was one of the allocation bursts
+    * behind the r11 driver map-count exhaustion (188 MB → 17 MB
+    * materialized, identical result). */
+  private def permutationFdrSql(events: String, dl: Dialect,
+                                mat: String = ""): String =
+    s"""WITH b AS $mat(
        |  SELECT event_type AS g, ${dl.bucket} AS bucket,
        |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
        |      / count(*), 6) AS DECIMAL(18,6)) AS px
        |  FROM $events GROUP BY 1, 2),
-       |types AS (SELECT DISTINCT g FROM b),
-       |pairs AS (SELECT a.g AS ga, c.g AS gb FROM types a
+       |types AS $mat(SELECT DISTINCT g FROM b),
+       |pairs AS $mat(SELECT a.g AS ga, c.g AS gb FROM types a
        |  JOIN types c ON a.g < c.g),
-       |pool AS (
+       |pool AS $mat(
        |  SELECT p.ga, p.gb, b.g, b.bucket, b.px FROM pairs p
        |    JOIN b ON b.g = p.ga
        |  UNION ALL
        |  SELECT p.ga, p.gb, b.g, b.bucket, b.px FROM pairs p
        |    JOIN b ON b.g = p.gb),
-       |obs AS (
+       |obs AS $mat(
        |  SELECT ga, gb,
        |    CAST(sum(CASE WHEN g = ga THEN px END) AS DECIMAL(20,6)) AS sa,
        |    count(CASE WHEN g = ga THEN 1 END) AS ca,
        |    CAST(sum(CASE WHEN g = gb THEN px END) AS DECIMAL(20,6)) AS sb,
        |    count(CASE WHEN g = gb THEN 1 END) AS cb
        |  FROM pool GROUP BY 1, 2),
-       |reps AS (${dl.reps("99")}),
-       |rep AS (
+       |reps AS $mat(${dl.reps("99")}),
+       |rep AS $mat(
        |  SELECT ga, gb, r,
        |    CAST(sum(CASE WHEN side = 0 THEN px END) AS DECIMAL(20,6)) AS s0,
        |    count(CASE WHEN side = 0 THEN 1 END) AS c0,
@@ -128,12 +135,12 @@ object R9 {
        |      THEN 1 ELSE 0 END) AS DOUBLE) / 101, 6) AS p_value
        |  FROM rep JOIN obs ON rep.ga = obs.ga AND rep.gb = obs.gb
        |  GROUP BY 1, 2, obs.sa, obs.ca, obs.sb, obs.cb),
-       |ranked AS (
+       |ranked AS $mat(
        |  SELECT ga, gb, t_obs, p_value,
        |    row_number() OVER (ORDER BY p_value, ga, gb) AS p_rank,
        |    count(*) OVER () AS m
        |  FROM pv),
-       |kmax AS (
+       |kmax AS $mat(
        |  SELECT coalesce(max(CASE WHEN p_value * m <= p_rank * 0.1
        |    THEN p_rank END), 0) AS km FROM ranked)
        |SELECT ga AS series_a, gb AS series_b, t_obs, p_value,
@@ -146,7 +153,7 @@ object R9 {
     * which DuckDB spells differently — so the permutation template is
     * split at ONLY that expression. */
   private def permutationFdrSqlDuck(events: String, dl: Dialect): String =
-    permutationFdrSql(events, dl).replace(
+    permutationFdrSql(events, dl, "MATERIALIZED ").replace(
       """(CAST(conv(substring(md5(concat(CAST(reps.r AS STRING), ':',
         |        pool.g, ':', CAST(pool.bucket AS STRING))), 1, 8), 16, 10)
         |        AS BIGINT) % 2) AS side""".stripMargin,
@@ -176,8 +183,16 @@ object R9 {
     * view on the Spark side, a MATERIALIZED CTE on the DuckDB side,
     * because BOTH engines re-evaluate a plain CTE per reference and
     * this section references the cube ~16 times). Returns the text
-    * AFTER the `WITH` keyword. */
-  private def mrmrMiSql(cube: String): String = {
+    * AFTER the `WITH` keyword. `mat` is the CTE-materialization hint
+    * for the DERIVED CTEs (rel/red are each consumed up to 5× by the
+    * greedy tail): "MATERIALIZED " on DuckDB — without it the oracle
+    * re-expands the whole MI chain per consumer (measured 2.7 GB peak /
+    * 5.3 s; with it 53 MB / 0.07 s, identical result — and the 2.7 GB
+    * burst was one of the allocation spikes that killed the driver
+    * harness's map-starved single-connection replay in r11) — and ""
+    * on Spark, whose parser has no such hint (the cube view is a
+    * localCheckpoint there, and rel/red are each read once). */
+  private def mrmrMiSql(cube: String, mat: String = ""): String = {
     val feats = mrmrFeats
     val fy = feats.map(f =>
       s"SELECT '$f' AS f, $f AS lv, y, sum(c) AS c FROM $cube GROUP BY 2, 3")
@@ -188,10 +203,10 @@ object R9 {
         s"${feats(i)} AS la, ${feats(j)} AS lb, sum(c) AS c " +
         s"FROM $cube GROUP BY 3, 4")
       .mkString("\n  UNION ALL\n  ")
-    s"""nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM $cube),
-       |fy AS (
+    s"""nt AS $mat(SELECT CAST(sum(c) AS DOUBLE) AS n FROM $cube),
+       |fy AS $mat(
        |  $fy),
-       |rel AS (
+       |rel AS $mat(
        |  SELECT f,
        |    CAST(sum(CAST(round((c / nt.n) * ln(c * nt.n / (cx * cy)), 9)
        |      AS DECIMAL(28,9))) AS DOUBLE) AS mi
@@ -201,9 +216,9 @@ object R9 {
        |      sum(c) OVER (PARTITION BY f, y) AS cy
        |    FROM fy) t CROSS JOIN nt
        |  GROUP BY f),
-       |pr AS (
+       |pr AS $mat(
        |  $prs),
-       |red0 AS (
+       |red0 AS $mat(
        |  SELECT fa, fb,
        |    CAST(sum(CAST(round((c / nt.n) * ln(c * nt.n / (ca * cb)), 9)
        |      AS DECIMAL(28,9))) AS DOUBLE) AS mi
@@ -213,7 +228,7 @@ object R9 {
        |      sum(c) OVER (PARTITION BY fa, fb, lb) AS cb
        |    FROM pr) t CROSS JOIN nt
        |  GROUP BY fa, fb),
-       |red AS (SELECT fa, fb, mi FROM red0
+       |red AS $mat(SELECT fa, fb, mi FROM red0
        |  UNION ALL SELECT fb AS fa, fa AS fb, mi FROM red0)""".stripMargin
   }
 
@@ -224,8 +239,12 @@ object R9 {
     * blow-up even over a tiny materialized cube). */
   private def mrmrStepsSql: String = {
     val feats = mrmrFeats
+    // every sN/selN below is MATERIALIZED: each selN is consumed by
+    // s(N+1) twice plus sel(N+1), so a plain CTE re-expands the whole
+    // prior-step chain per consumer (the multi-consumer explosion —
+    // same class as the Spark-side ~2⁵ blow-up documented above)
     val steps = (2 to feats.length).map { k =>
-      s"""s$k AS (
+      s"""s$k AS MATERIALIZED (
          |  SELECT $k AS step, f, relevance, redundancy, score FROM (
          |    SELECT r.f, r.mi AS relevance, rd.ar AS redundancy,
          |      round(r.mi - rd.ar, 9) AS score,
@@ -239,17 +258,17 @@ object R9 {
          |      GROUP BY red.fa) rd ON rd.f = r.f
          |    WHERE r.f NOT IN (SELECT f FROM sel${k - 1})) t
          |  WHERE rn = 1),
-         |sel$k AS (SELECT f FROM sel${k - 1} UNION ALL SELECT f FROM s$k)"""
+         |sel$k AS MATERIALIZED (SELECT f FROM sel${k - 1} UNION ALL SELECT f FROM s$k)"""
         .stripMargin
     }.mkString(",\n")
     val unionAll = (1 to feats.length).map(k => s"SELECT * FROM s$k")
       .mkString(" UNION ALL ")
-    s"""s1 AS (
+    s"""s1 AS MATERIALIZED (
        |  SELECT 1 AS step, f, mi AS relevance, CAST(0.0 AS DOUBLE)
        |    AS redundancy, mi AS score
        |  FROM (SELECT f, mi, row_number() OVER (ORDER BY mi DESC, f) AS rn
        |        FROM rel) t WHERE rn = 1),
-       |sel1 AS (SELECT f FROM s1),
+       |sel1 AS MATERIALIZED (SELECT f FROM s1),
        |$steps
        |SELECT step, f AS feature,
        |  round(relevance, 6) + 0.0 AS relevance,
@@ -337,7 +356,7 @@ object R9 {
        |mrmr_cube AS MATERIALIZED (
        |  SELECT f_hour, f_k, f_val, f_user, f_dow, y, count(*) AS c
        |  FROM fw GROUP BY 1, 2, 3, 4, 5, 6),
-       |${mrmrMiSql("mrmr_cube")},
+       |${mrmrMiSql("mrmr_cube", "MATERIALIZED ")},
        |$mrmrStepsSql""".stripMargin
 
   // ---- queries ------------------------------------------------------------
@@ -1258,19 +1277,24 @@ object R9 {
     val iters = 4
     val rounds = (1 to iters).map { i =>
       val hPrev = if (i == 1) "h0" else s"h${i - 1}"
-      s"""a${i}raw AS (
+      // every per-round CTE is MATERIALIZED: a{i}raw/h{i}raw each have
+      // two consumers (tot + normalize), so plain CTEs re-expand the
+      // whole prior-round chain per reference — 2^rounds evaluation,
+      // measured 4.8 GB / 9.7 s vs 71 MB / 0.08 s materialized
+      // (identical result; part of the r11 driver map-exhaustion class)
+      s"""a${i}raw AS MATERIALIZED (
          |  SELECT e.dst, sum(CAST(p.h AS DECIMAL(28,9))) AS araw
          |  FROM e JOIN $hPrev p ON e.src = p.node GROUP BY e.dst),
-         |a${i}tot AS (SELECT sum(araw) AS t FROM a${i}raw),
-         |a$i AS (
+         |a${i}tot AS MATERIALIZED (SELECT sum(araw) AS t FROM a${i}raw),
+         |a$i AS MATERIALIZED (
          |  SELECT dst AS node,
          |    round(CAST(araw AS DOUBLE) / CAST(t AS DOUBLE), 9) AS a
          |  FROM a${i}raw CROSS JOIN a${i}tot),
-         |h${i}raw AS (
+         |h${i}raw AS MATERIALIZED (
          |  SELECT e.src, sum(CAST(p.a AS DECIMAL(28,9))) AS hraw
          |  FROM e JOIN a$i p ON e.dst = p.node GROUP BY e.src),
-         |h${i}tot AS (SELECT sum(hraw) AS t FROM h${i}raw),
-         |h$i AS (
+         |h${i}tot AS MATERIALIZED (SELECT sum(hraw) AS t FROM h${i}raw),
+         |h$i AS MATERIALIZED (
          |  SELECT src AS node,
          |    round(CAST(hraw AS DOUBLE) / CAST(t AS DOUBLE), 9) AS h
          |  FROM h${i}raw CROSS JOIN h${i}tot)""".stripMargin
@@ -1421,11 +1445,11 @@ object R9 {
       * RECURSIVE CTE over rn (all pairs advance in parallel), PnL and
       * trade counts from lag windows over the recursion's output. */
     "fin_pairs_backtest" ->
-      """WITH RECURSIVE b AS (
+      """WITH RECURSIVE b AS MATERIALIZED (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
         |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.g AS ga, c.g AS gb, a.bucket AS bucket,
         |    a.px AS pa, c.px AS pb
         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.g < c.g),
@@ -1438,7 +1462,7 @@ object R9 {
         |    sum(CAST(CAST(pb AS DECIMAL(18,6)) * CAST(pb AS DECIMAL(18,6))
         |      AS DECIMAL(30,12))) AS sbb
         |  FROM p GROUP BY 1, 2),
-        |bt AS (
+        |bt AS MATERIALIZED (
         |  SELECT ga, gb,
         |    CASE WHEN (n * CAST(sbb AS DOUBLE)
         |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) = 0 THEN 0.0
@@ -1447,7 +1471,7 @@ object R9 {
         |      / (n * CAST(sbb AS DOUBLE)
         |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 9) END AS beta
         |  FROM st),
-        |sp AS (
+        |sp AS MATERIALIZED (
         |  SELECT p.ga, p.gb, p.bucket, round(p.pa - bt.beta * p.pb, 6) AS spread
         |  FROM p JOIN bt ON p.ga = bt.ga AND p.gb = bt.gb),
         |zs AS (
@@ -1456,20 +1480,20 @@ object R9 {
         |    sum(CAST(CAST(spread AS DECIMAL(18,6))
         |      * CAST(spread AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS ss2
         |  FROM sp GROUP BY 1, 2),
-        |zz AS (
+        |zz AS MATERIALIZED (
         |  SELECT ga, gb, CAST(ss AS DOUBLE) / nz AS mu,
         |    sqrt(greatest((CAST(ss2 AS DOUBLE)
         |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nz) / nz, 0.0))
         |      AS sigma
         |  FROM zs),
-        |sq AS (
+        |sq AS MATERIALIZED (
         |  SELECT sp.ga, sp.gb, sp.bucket, sp.spread,
         |    CASE WHEN zz.sigma = 0 THEN 0.0
         |      ELSE round((sp.spread - zz.mu) / zz.sigma, 6) END AS z,
         |    row_number() OVER (PARTITION BY sp.ga, sp.gb ORDER BY sp.bucket)
         |      AS rn
         |  FROM sp JOIN zz ON sp.ga = zz.ga AND sp.gb = zz.gb),
-        |k AS (
+        |k AS MATERIALIZED (
         |  SELECT ga, gb, rn, spread,
         |    CASE WHEN abs(z) < 0.25 THEN 0 WHEN z > 1.0 THEN -1
         |      WHEN z < -1.0 THEN 1 ELSE 0 END AS pos
@@ -1509,7 +1533,7 @@ object R9 {
     /** Signed-rank replay: identical midranks (rank + tie counts), the
       * per-row (t²−1) trick sums to Σ(t³−t) exactly, W⁺ DECIMAL. */
     "stat_wilcoxon_signed_rank" ->
-      """WITH b AS (
+      """WITH b AS MATERIALIZED (
         |  SELECT event_type AS g, epoch_ns(ts) // 1800000000000 AS bucket,
         |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
         |  FROM events GROUP BY 1, 2),
@@ -1694,12 +1718,12 @@ object R9 {
       * (row_number over the dst order), the same md5 pick per step,
       * recursion over (walk, step). */
     "graph_random_walks" ->
-      """WITH RECURSIVE pr AS (
+      """WITH RECURSIVE pr AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e0 AS (SELECT cn AS src, sn AS dst FROM pr
         |  UNION ALL SELECT sn AS src, cn AS dst FROM pr),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT src, dst,
         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
         |    count(*) OVER (PARTITION BY src) AS deg

@@ -337,8 +337,11 @@ object Rel {
     * next to the lineitem scan that builds it — at 100 TB that scan is
     * the whole cost and it happens once, feeding both the outer join
     * and the decorrelated min. */
-  private def q2Sql(t: String => String): String =
-    s"""WITH offer AS (
+  private def q2Sql(t: String => String, mat: String = ""): String =
+    // `mat`: `offer` is consumed twice (outer join + the decorrelated
+    // min) — the DuckDB twin materializes it so the lineitem group-by
+    // runs once; Spark has no hint and handles reuse in the plan
+    s"""WITH offer AS $mat(
        |  SELECT l_partkey AS pk, l_suppkey AS sk,
        |    min(round(CAST(l_extendedprice AS DOUBLE)
        |      / CAST(l_quantity AS DOUBLE), 6)) AS unit_cost
@@ -623,7 +626,8 @@ object Rel {
       * over a derived supplier↔part catalog (`q2Sql`). */
     "sql_q2_min_cost_supplier" -> ((s, d) =>
       sqlFrontDoor(s, d,
-        Seq("lineitem", "part", "supplier", "nation", "region"))(q2Sql)),
+        Seq("lineitem", "part", "supplier", "nation", "region"))(
+        t => q2Sql(t))),
 
     /** TPC-H Q4 through the front door — correlated EXISTS planned as a
       * left-semi join (`q4Sql`). */
@@ -2324,7 +2328,7 @@ object Rel {
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
     "graph_pagerank" -> {
       val iterCtes = (1 to 8).map { i =>
-        s"""r$i AS (
+        s"""r$i AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |    round(0.15 / nn.n + 0.85 * sum(r.rank / d.deg), 9) AS rank
            |  FROM edges e
@@ -2332,15 +2336,15 @@ object Rel {
            |  JOIN r${i - 1} r ON e.src = r.node, nn
            |  GROUP BY e.dst, nn.n)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT cn AS src, sn AS dst FROM pairs
          |  UNION ALL SELECT sn AS src, cn AS dst FROM pairs),
-         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
-         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
-         |r0 AS (SELECT src AS node, round(1.0 / n, 9) AS rank FROM deg, nn),
+         |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM deg),
+         |r0 AS MATERIALIZED (SELECT src AS node, round(1.0 / n, 9) AS rank FROM deg, nn),
          |$iterCtes
          |SELECT node, round(rank, 9) AS rank FROM r8
          |ORDER BY rank DESC, node LIMIT 25""".stripMargin
@@ -2349,17 +2353,17 @@ object Rel {
     /** Degree-ordered compact-forward replay — identical orientation,
       * wedge, and closing joins; all counts integer-exact. */
     "graph_triangles" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |edges AS (
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
         |  SELECT b1.p AS pa, b2.p AS pb
         |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT pa AS node FROM edges
         |    UNION ALL SELECT pb FROM edges)
         |  GROUP BY node),
-        |oriented AS (
+        |oriented AS MATERIALIZED (
         |  SELECT
         |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
         |      THEN pa ELSE pb END AS u,
@@ -2370,7 +2374,7 @@ object Rel {
         |  FROM edges
         |  JOIN deg d1 ON edges.pa = d1.node
         |  JOIN deg d2 ON edges.pb = d2.node),
-        |wedges AS (
+        |wedges AS MATERIALIZED (
         |  SELECT w1.v AS u, w2.v AS v
         |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
         |   AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))),
@@ -2498,7 +2502,7 @@ object Rel {
     "sql_q8_market_share" -> q8Sql(identity),
     "sql_q10_returned_items" -> q10Sql(identity),
     "sql_q19_discount_revenue" -> q19Sql(identity),
-    "sql_q2_min_cost_supplier" -> q2Sql(identity),
+    "sql_q2_min_cost_supplier" -> q2Sql(identity, "MATERIALIZED "),
     "sql_q4_priority_check" -> q4Sql(identity),
     "sql_q9_product_profit" -> q9Sql(identity),
     "sql_q11_important_stock" -> q11Sql(identity),

@@ -108,6 +108,31 @@ object Ts {
       .orderBy("bin")
   }
 
+  /** The KS tail shared by `drift_ks` and its streaming twin
+    * `stream_drift_ks` (`EventStream.runKsOnce`) — expression-identical
+    * to the pre-r12 inline form, so the batch hash is pinned and the
+    * twin hash-matches the SAME oracle. Input: per-distinct-value
+    * counts (v, c1, c2) over the pooled sample; output: the 1-row
+    * (d_stat, n_click, n_purchase, crit_95, reject_95) report. */
+  def ksAssemble(s: SparkSession, pts: DataFrame): DataFrame = {
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = pts
+      .withColumn("r1", sum("c1").over(w))
+      .withColumn("r2", sum("c2").over(w))
+    val n = cdf.agg(max("r1").as("n1"), max("r2").as("n2")).head()
+    val (n1, n2) = (n.getLong(0), n.getLong(1))
+    val dRow = cdf
+      .select(abs(col("r1").cast("double") / n1 -
+        col("r2").cast("double") / n2).as("diff"))
+      .agg(max("diff")).head()
+    val dStat = dRow.getDouble(0)
+    val crit = 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
+    import s.implicits._
+    Seq((math.rint(dStat * 1e6) / 1e6, n1, n2,
+        math.rint(crit * 1e6) / 1e6, dStat > crit))
+      .toDF("d_stat", "n_click", "n_purchase", "crit_95", "reject_95")
+  }
+
   val qs: Map[String, Q] = Map(
     /** Calendar resampling (`TimeSeries.resampleOhlc`): weekly OHLC bars
       * per event_type — one keyed aggregation, open/close via min_by/
@@ -600,22 +625,7 @@ object Ts {
       val pts = ev.groupBy("v")
         .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("c1"),
           sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-      val cdf = pts
-        .withColumn("r1", sum("c1").over(w))
-        .withColumn("r2", sum("c2").over(w))
-      val n = cdf.agg(max("r1").as("n1"), max("r2").as("n2")).head()
-      val (n1, n2) = (n.getLong(0), n.getLong(1))
-      val dRow = cdf
-        .select(abs(col("r1").cast("double") / n1 -
-          col("r2").cast("double") / n2).as("diff"))
-        .agg(max("diff")).head()
-      val dStat = dRow.getDouble(0)
-      val crit = 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
-      import s.implicits._
-      Seq((math.rint(dStat * 1e6) / 1e6, n1, n2,
-          math.rint(crit * 1e6) / 1e6, dStat > crit))
-        .toDF("d_stat", "n_click", "n_purchase", "crit_95", "reject_95")
+      ksAssemble(s, pts)
     }),
 
     /** Mutual information between event_type and the value DECILE (the
@@ -2279,19 +2289,19 @@ object Ts {
         |    lead(event_type, 1) OVER (PARTITION BY user_id
         |      ORDER BY t, event_id) AS tt
         |  FROM e),
-        |tr AS (
+        |tr AS MATERIALIZED (
         |  SELECT f, tt, count(*)::BIGINT AS n
         |  FROM l WHERE tt IS NOT NULL GROUP BY 1, 2),
-        |states AS (SELECT DISTINCT st FROM (
+        |states AS MATERIALIZED (SELECT DISTINCT st FROM (
         |  SELECT f AS st FROM tr UNION ALL SELECT tt FROM tr) u),
-        |rowt AS (SELECT f, sum(n)::BIGINT AS rt FROM tr GROUP BY f),
-        |m AS (
+        |rowt AS MATERIALIZED (SELECT f, sum(n)::BIGINT AS rt FROM tr GROUP BY f),
+        |m AS MATERIALIZED (
         |  SELECT tr.f AS i, tr.tt AS j, CAST(tr.n AS DOUBLE) / rowt.rt AS p
         |  FROM tr JOIN rowt ON tr.f = rowt.f
         |  UNION ALL
         |  SELECT st, st, CAST(1.0 AS DOUBLE) FROM states
         |  WHERE st NOT IN (SELECT f FROM tr)),
-        |kk AS (SELECT count(*)::BIGINT AS k FROM states),
+        |kk AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM states),
         |rec(it, state, pi) AS (
         |  SELECT 0, st, round(CAST(1.0 AS DOUBLE) / kk.k, 9) FROM states, kk
         |  UNION ALL
@@ -2885,7 +2895,7 @@ object Ts {
       """, dx AS (
         |  SELECT bucket, round(px - lag(px) OVER (ORDER BY bucket), 6) AS dx
         |  FROM b WHERE event_type = 'click'),
-        |d2 AS (SELECT bucket, dx FROM dx WHERE dx IS NOT NULL),
+        |d2 AS MATERIALIZED (SELECT bucket, dx FROM dx WHERE dx IS NOT NULL),
         |m AS (SELECT avg(dx) AS mu FROM d2),
         |c AS (SELECT bucket, dx - mu AS c FROM d2, m),
         |led AS (

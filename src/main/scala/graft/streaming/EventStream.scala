@@ -1244,6 +1244,53 @@ object EventStream {
           coalesce(col("n_cur"), lit(0L)).as("n_cur")))
   }
 
+  /** REAL STREAMING twin of `drift_ks` (r12 — the `stream_drift_psi`
+    * pattern applied to the KS monitor): the REFERENCE sample's
+    * per-distinct-value counts (the click distribution — the
+    * deploy-time snapshot a covariate-shift monitor ships with) are
+    * FROZEN batch-side; the COMPARISON sample (purchase values)
+    * arrives as a stream whose per-gridded-value counts accumulate as
+    * a keyed Update-mode streaming aggregate. Counts are order-free,
+    * so arrival order and late data CANNOT change the final snapshot.
+    * State is O(distinct gridded values) of the streamed side — the
+    * honest cost of an EXACT sample-level KS (the ECDF needs every
+    * pooled support point; PSI's O(10) state is what you buy by fixing
+    * bins up front — a production monitor that needs bounded state
+    * quantizes first and runs exactly this plan over the coarser
+    * grid). Update emissions carry the monotone cumulative count per
+    * value, so the final count per value is the max across emissions.
+    * Final assembly replays the batch CDF/max-gap expressions
+    * (`Ts.ksAssemble`) → hash-matches the SAME `drift_ks` oracle. */
+  def ksCounts(cur: DataFrame): DataFrame =
+    cur.groupBy("v").agg(count(lit(1)).as("c2"))
+
+  /** Update-mode emissions carry the monotone cumulative count per
+    * value, so the final snapshot is max-per-value across emissions. */
+  def mergeKsEmissions(emitted: DataFrame): DataFrame =
+    emitted.groupBy("v").agg(max("c2").as("c2"))
+
+  def runKsOnce(spark: SparkSession, dir: String,
+                queryName: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ref = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(round(col("value"), 6).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c1"))
+    val cur = ksCounts(readEvents(spark, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value"), 6).as("v")))
+    val curFinal = mergeKsEmissions(
+      runToMemory(cur, queryName, OutputMode.Update()))
+    // full outer: a pooled support point can be absent from either
+    // sample (never both — a row put it in a count frame); zero-fill
+    // mirrors the batch twin's sum-of-indicators over the union frame
+    graft.queries.Ts.ksAssemble(spark,
+      ref.join(curFinal, Seq("v"), "full_outer")
+        .select(col("v"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2")))
+  }
+
   /** STREAMING FRESHNESS SLA (`stream_freshness_sla`, r11 — 20th live
     * streaming entry): the staleness census run where it belongs — ON
     * the stream, where a lagging source is caught while it lags, not in

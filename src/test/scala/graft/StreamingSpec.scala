@@ -644,6 +644,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KS equals the batch drift_ks (availableNow, sf0.001)") {
+    val got = EventStream.runKsOnce(spark, dir, "ks_eq").collect().map(_.toSeq)
+    val want = SparkEntry.queries("drift_ks")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"frozen-reference stream KS must equal the batch pass:\n" +
+        s"got  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming KS across micro-batches: late rows only raise value counts") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double](
+      53, spark, None)
+    val q = EventStream.ksCounts(mem.toDF().toDF("v"))
+      .writeStream.format("memory").queryName("ks_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(Seq(1.5, 2.5, 2.5, 9.5))
+      q.processAllAvailable()
+      // "late" arrivals for already-emitted values: counts are order-free
+      // state, so the final snapshot must be the plain total per value
+      mem.addData(Seq(2.5, 1.5, 4.5))
+      q.processAllAvailable()
+      val merged = EventStream.mergeKsEmissions(spark.table("ks_mb"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      assert(merged == Map(1.5 -> 2L, 2.5 -> 3L, 4.5 -> 1L, 9.5 -> 1L),
+        s"merged counts must equal the full totals: $merged")
+    } finally q.stop()
+  }
+
   test("streaming page-hinkley equals the batch detector (availableNow, sf0.001)") {
     val got = EventStream.runPhOnce(spark, dir, "ph_eq").collect().map(_.toSeq)
     val want = SparkEntry.queries("stat_page_hinkley")(spark, dir)
