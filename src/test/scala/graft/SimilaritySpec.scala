@@ -376,6 +376,86 @@ class SimilaritySpec extends SparkSpec {
       "full-dim prefix IS the ground truth")
   }
 
+  test("nsw beam: brute-force replay of graph build + 4-hop beam; recall flag exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("similarity_nsw_beam")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("in_exact_top10")))
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val byId = all.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val centroids = all.map(_._1).sorted.take(16).zipWithIndex
+      .map { case (id, c) => c -> byId(id) }
+    // 2-nearest-list assignment -> overlapping blocks -> per-src top-6
+    val assign2 = all.map { case (id, v) =>
+      id -> centroids.sortBy { case (c, ce) => (d2(v, ce), c) }
+        .take(2).map(_._1).toSet
+    }.toMap
+    val graph = all.map(_._1).map { src =>
+      val mates = all.map(_._1).filter(o =>
+        o != src && (assign2(src) intersect assign2(o)).nonEmpty)
+      src -> mates.map(o => (o, cos(byId(src), byId(o))))
+        .sortBy { case (o, c) => (-c, o) }.take(6).map(_._1).toSet
+    }.toMap
+    val entry = all.map(_._1).min
+    val queries = all.map(_._1).filter(_ % 50 == 0)
+    def beamSearch(qid: Long): Seq[Long] = {
+      var beam = Set(entry)
+      for (_ <- 1 to 4) {
+        val cand = beam ++ beam.flatMap(graph)
+        beam = cand.toSeq.map(n => (n, cos(byId(qid), byId(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(8).map(_._1).toSet
+      }
+      beam.toSeq.filter(_ != qid).map(n => (n, cos(byId(qid), byId(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+    }
+    def exactTop10(qid: Long): Set[Long] =
+      all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(byId(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    queries.foreach { q =>
+      val want = beamSearch(q)
+      val got = rows.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(got == want, s"query $q beam: got $got want $want")
+      val flags = rows.filter(_._1 == q).sortBy(_._2).map(_._4).toSeq
+      val wantFlags = want.map(n => if (exactTop10(q)(n)) 1L else 0L)
+      assert(flags == wantFlags, s"query $q recall flags: $flags vs $wantFlags")
+    }
+    // the audit discriminates: across all queries both flag values occur
+    val allFlags = rows.map(_._4).toSet
+    assert(allFlags == Set(0L, 1L),
+      s"in_exact_top10 must discriminate at this SF: $allFlags")
+  }
+
+  test("pq retrain: Lloyd half-step never raises QE; unflagged rows unchanged") {
+    // sf0.01, not sf0.001: the drift trigger discriminates at the gate SF
+    // (1 of 8 subspaces flagged); the smaller corpus never trips it
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("similarity_pq_retrain")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("retrained"),
+        r.getAs[Double]("qe_before"), r.getAs[Double]("qe_after")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until 8).toSeq, "one row per subspace")
+    rows.foreach { case (sv, flag, before, after) =>
+      if (flag == 0L)
+        assert(after == before, s"sv=$sv unflagged must keep QE: $after vs $before")
+      else
+        // fixed assignments + mean codewords minimize squared distance;
+        // the only slack is the grid-6 codeword rounding
+        assert(after <= before + 1e-5,
+          s"sv=$sv Lloyd half-step raised QE: $before -> $after")
+    }
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L),
+      s"retrain flag must discriminate at this SF: ${rows.map(_._2).toSeq}")
+  }
+
   test("ml_kmeans query: seeded determinism, size conservation, purity bounds") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("ml_kmeans")(spark, dir).collect()
