@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     "ml_hierarchical_reconcile", // 1-row train-total frame × per-series shares
     "similarity_pq_adc",       // corpus × 16-row codebook × 8-row subspace attach
     "similarity_pq_drift",     // same corpus × 16×8 codebook attach (QE audit)
+    "similarity_pq_retrain",   // same corpus × 16×8 codebook attach + 8-row dims frame (Lloyd half-step)
     "similarity_recall_curve", // bounded audit-query × corpus truth + 5-row sweep
     "embedding_truncation_recall", // same bounded truth shape × 4 dim prefixes
     "stat_permutation_fdr",    // pool × 100-row replicate frame + 1-row kmax
