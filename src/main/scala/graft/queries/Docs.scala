@@ -512,17 +512,26 @@ object Docs {
     * ends as `SELECT src, dst`. Shared by the oracle monolith (as its
     * CTE prefix) and the Spark path (as a standalone checkpointed
     * frame). */
+  /** `nlist` gates the graph-build cost: the blocked pair frame is
+    * Σ|block|² ≈ nlist·(2n/nlist)² = 4n²/nlist, so a FIXED nlist is
+    * corpus²-class. The Spark path grows it as √n past the test scale
+    * (`Similarity.nlistForCorpus` — block size 2√n, build cost
+    * 4n^1.5, the standard blocked-NSW compromise); 16 below 2k vectors
+    * keeps blocks comfortably above the M=6 neighborhood AND pins the
+    * oracle hash at the gate SFs (the GraphLayout broadcast-gate
+    * pattern: scale posture in the code, test-scale constant in the
+    * hash-checked text). */
   private def nswGraphSql(emb: String, ix: (String, String) => String,
                           dotF: (String, String) => String,
                           castArr: String => String,
-                          mat: String = ""): String = {
+                          mat: String = "", nlist: Int = 16): String = {
     val dist64 = nswDist64(ix) _
     s"""WITH corpus AS $mat(SELECT vec_id, ${castArr("embedding")} AS ve FROM $emb),
        |samp AS $mat(
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
        |    ${castArr("embedding")} AS ce
        |  FROM (SELECT vec_id, embedding FROM $emb
-       |        ORDER BY vec_id LIMIT 16) s0),
+       |        ORDER BY vec_id LIMIT $nlist) s0),
        |assign2 AS $mat(
        |  SELECT vec_id, c AS list_id FROM (
        |    SELECT corpus.vec_id, samp.c,
@@ -661,7 +670,10 @@ object Docs {
     }
     try {
       val emb = mkView("emb", Tables.embeddings(s, d))
-      val g = mkView("graph", s.sql(nswGraphSql(emb, ix, dotF, castArr)))
+      val n = s.table(emb).count()
+      val nlist = if (n <= 2000) 16 else graft.operators.Similarity.nlistForCorpus(n)
+      val g = mkView("graph",
+        s.sql(nswGraphSql(emb, ix, dotF, castArr, "", nlist)))
       val entry = s.sql(s"SELECT min(vec_id) AS v FROM $emb").head().getLong(0)
       var beam = mkView("beam0",
         s.sql(s"SELECT vec_id AS query_id, CAST($entry AS BIGINT) AS node " +
