@@ -333,16 +333,17 @@ object Feat {
     * output-only grid-6 doubles. One aggregation + two bounded
     * |days|-frame windows; flags fire 2/30 at sf0.01 (discriminating,
     * verified in-wave). */
-  private def volumeAnomalySql(events: String, day: String,
-                               idiv: String => String): String = {
-    s"""WITH days AS (
-       |  SELECT $day AS day, CAST(count(*) AS BIGINT) AS n
-       |  FROM $events GROUP BY 1),
-       |st AS (
+  /** The median±3·MAD assembly over a per-day count frame `daysRef` —
+    * split out (r12) so the streaming twin `stream_volume_anomaly`
+    * can run the SAME expressions over its Update-mode count snapshot;
+    * the batch text below is byte-identical to the pre-split form, so
+    * the hash is pinned. */
+  def volumeAssembleSql(daysRef: String, idiv: String => String): String =
+    s"""st AS (
        |  SELECT day, n,
        |    row_number() OVER (ORDER BY n ASC, day ASC) AS rn,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM days) AS nn
-       |  FROM days),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM $daysRef) AS nn
+       |  FROM $daysRef),
        |med AS (
        |  SELECT
        |    CAST(sum(CASE WHEN rn = ${idiv("nn + 1")} THEN n ELSE 0 END)
@@ -369,7 +370,13 @@ object Feat {
        |  2 * dst.dev2 > 3 * mad.mad4 AS anomaly
        |FROM dst CROSS JOIN mad
        |ORDER BY day""".stripMargin
-  }
+
+  private def volumeAnomalySql(events: String, day: String,
+                               idiv: String => String): String =
+    s"""WITH days AS (
+       |  SELECT $day AS day, CAST(count(*) AS BIGINT) AS n
+       |  FROM $events GROUP BY 1),
+       |${volumeAssembleSql("days", idiv)}""".stripMargin
 
   private def withTableView[T](s: SparkSession, d: String, table: String)(
       f: String => T): T = {

@@ -2585,6 +2585,14 @@ object R10 {
       graft.streaming.EventStream.runKsOnce(s, d,
         s"stream_ks_v${sqlRuns.incrementAndGet()}")),
 
+    /** STREAMING VOLUME CENSUS — see `EventStream.runVolumeOnce`:
+      * per-day order-free Update-mode counts, final snapshot through
+      * the SAME `Feat.volumeAssembleSql` median±3·MAD integer assembly
+      * → hash-matches the SAME `dq_volume_anomaly` oracle. */
+    "stream_volume_anomaly" -> ((s, d) =>
+      graft.streaming.EventStream.runVolumeOnce(s, d,
+        s"stream_vol_v${sqlRuns.incrementAndGet()}")),
+
     /** CONTINUOUS EXPECTATIONS GATE — see
       * `EventStream.runDqExpectationsOnce`: six data-quality rules as
       * order-free Update-mode rule counters + dropDuplicates-state
@@ -3344,6 +3352,8 @@ object R10 {
     "stream_drift_psi" -> graft.queries.Ts.sql("drift_psi"),
 
     "stream_drift_ks" -> graft.queries.Ts.sql("drift_ks"),
+
+    "stream_volume_anomaly" -> graft.queries.Feat.sql("dq_volume_anomaly"),
 
     "stream_freshness_sla" -> graft.queries.Feat.sql("dq_freshness_sla"),
 

@@ -1316,6 +1316,44 @@ object EventStream {
     graft.queries.Feat.freshnessAssemble(fin)
   }
 
+  /** STREAMING VOLUME-ANOMALY CENSUS (`stream_volume_anomaly`, r12 —
+    * 22nd live streaming entry): the monitoring hole `stream_freshness_sla`
+    * can't see, watched where it opens — a source can be FRESH yet
+    * silently half-empty (a bad upstream filter deploy) or doubled (a
+    * replay), and the operator catching that on ingest pages before the
+    * nightly batch does. Per-day event counts accumulate as a KEYED
+    * Update-mode streaming aggregate (state = 1 long per day in the
+    * retention window; counts are order-free, so arrival order and late
+    * data CANNOT move the final snapshot — the `stream_drift_psi`
+    * posture; emissions are monotone per key, merge = max-per-day). The
+    * snapshot then runs the SAME median ± 3·MAD integer assembly as the
+    * batch census (`Feat.volumeAssembleSql` — med2/dev2/mad4 exact
+    * order statistics, anomaly by integer cross-multiplication) →
+    * hash-matches the SAME `dq_volume_anomaly` oracle. */
+  def volumeCounts(ev: DataFrame): DataFrame =
+    ev.groupBy("day").agg(count(lit(1)).as("n"))
+
+  /** Update-mode emissions carry the monotone cumulative count per day,
+    * so the final snapshot is max-per-day across emissions. */
+  def mergeVolumeEmissions(emitted: DataFrame): DataFrame =
+    emitted.groupBy("day").agg(max("n").as("n"))
+
+  def runVolumeOnce(spark: SparkSession, dir: String,
+                    queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val cur = volumeCounts(readEvents(spark, dir, maxFilesPerTrigger)
+      .select(expr("ts_ns div 86400000000000").as("day")))
+    val fin = mergeVolumeEmissions(
+      runToMemory(cur, queryName, OutputMode.Update()))
+      .select(col("day"), col("n").cast("long").as("n"))
+    val v = s"${queryName}_days"
+    try {
+      fin.createOrReplaceTempView(v)
+      spark.sql("WITH " + graft.queries.Feat.volumeAssembleSql(
+        v, e => s"($e) div 2"))
+    } finally { spark.catalog.dropTempView(v); () }
+  }
+
   /** CONTINUOUS DATA-QUALITY EXPECTATIONS (`stream_dq_expectations`,
     * r11 — 19th live streaming entry): the dbt-test / expectations gate
     * (`dq_expectations`' posture) run the way streaming pipelines

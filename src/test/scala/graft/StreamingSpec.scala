@@ -675,6 +675,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming volume census equals the batch dq_volume_anomaly (availableNow, sf0.001)") {
+    val got = EventStream.runVolumeOnce(spark, dir, "vol_eq").collect().map(_.toSeq)
+    val want = SparkEntry.queries("dq_volume_anomaly")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"stream volume census must equal the batch pass:\n" +
+        s"got  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming volume census across micro-batches: late rows only raise day counts") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](
+      53, spark, None)
+    val q = EventStream.volumeCounts(mem.toDF().toDF("day"))
+      .writeStream.format("memory").queryName("vol_mb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(Seq(1L, 1L, 2L, 3L))
+      q.processAllAvailable()
+      // "late" arrivals for already-emitted days: counts are order-free
+      // state, so the final snapshot must be the plain total per day
+      mem.addData(Seq(2L, 1L, 4L))
+      q.processAllAvailable()
+      val merged = EventStream.mergeVolumeEmissions(spark.table("vol_mb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L),
+        s"merged counts must equal the full totals: $merged")
+    } finally q.stop()
+  }
+
   test("streaming page-hinkley equals the batch detector (availableNow, sf0.001)") {
     val got = EventStream.runPhOnce(spark, dir, "ph_eq").collect().map(_.toSeq)
     val want = SparkEntry.queries("stat_page_hinkley")(spark, dir)
