@@ -71,6 +71,7 @@ class PlanAuditSpec extends SparkSpec {
     "ml_learning_curve",       // 10-row fraction × bucket frame + 1-row count attach
     "ml_residual_diagnostics", // 1-row coefficient frame × the bucket frame
     "dq_volume_anomaly",       // |days|-frame × 1-row median/MAD attaches
+    "stream_volume_anomaly",   // same volumeAssembleSql 1-row med/MAD attaches
     "ml_gbt_stumps",           // 1-row best-split/total frames × the residual scan per round
     "stat_logrank",            // 1-row span-end/aggregate frames × the session scan
     "ml_cox_ph",               // 1-row coefficient frame × the 10-row risk frame per Newton step
