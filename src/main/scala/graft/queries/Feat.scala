@@ -31,6 +31,31 @@ object Feat {
     * carries (same extraction as `json_extract_field`). */
   private def kCol = get_json_object(col("props"), "$.k").cast("long")
 
+  /** The (day, user_id, event_type, v, k) frame `dq_schema_drift` and
+    * its streaming twin profile (r12 split — expressions unchanged). */
+  def schemaDriftFrame(ev0: DataFrame): DataFrame =
+    ev0.select(Tables.epochDay(col("ts")).cast("long").as("day"),
+      col("user_id"), col("event_type"),
+      round(col("value"), 6).cast("decimal(18,6)").as("v"), kCol.as("k"))
+
+  /** The long-form (metric, before, after, rel_delta) assembly over a
+    * 1-row profile frame — shared by the batch census and the
+    * streaming twin so the two hashes cannot drift. */
+  def schemaDriftAssemble(prof: DataFrame): DataFrame =
+    prof.select(expr(
+      """stack(5,
+        |  'n_rows', CAST(rows_b AS DOUBLE), CAST(rows_a AS DOUBLE),
+        |  'n_users', CAST(users_b AS DOUBLE), CAST(users_a AS DOUBLE),
+        |  'n_event_types', CAST(types_b AS DOUBLE), CAST(types_a AS DOUBLE),
+        |  'avg_value', round(CAST(sv_b AS DOUBLE) / rows_b, 6),
+        |              round(CAST(sv_a AS DOUBLE) / rows_a, 6),
+        |  'avg_k', round(CAST(sk_b AS DOUBLE) / rows_b, 6),
+        |          round(CAST(sk_a AS DOUBLE) / rows_a, 6)
+        |) AS (metric, before, after)""".stripMargin))
+      .select(col("metric"), col("before"), col("after"),
+        round((col("after") - col("before")) / col("before"), 6).as("rel_delta"))
+      .orderBy("metric")
+
   /** Final assembly shared by `dq_freshness_sla` and its streaming twin
     * `stream_freshness_sla`: from a per-type (event_type, last_ts_ns,
     * n_events) frame, attach the global watermark and the integer
@@ -636,10 +661,7 @@ object Feat {
       * unpivot of the single profile row. `drift_psi`/`drift_ks` are the
       * distribution-shape siblings; this is the schema-level census. */
     "dq_schema_drift" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(Tables.epochDay(col("ts")).cast("long").as("day"),
-          col("user_id"), col("event_type"),
-          round(col("value"), 6).cast("decimal(18,6)").as("v"), kCol.as("k"))
+      val ev = schemaDriftFrame(Tables.events(s, d))
       val mid = ev.agg(((min("day") + max("day") + 1) / 2).cast("long").as("mid"))
       val early = col("day") < col("mid")
       val prof = ev.crossJoin(broadcast(mid))
@@ -654,19 +676,7 @@ object Feat {
           sum(when(!early, col("v"))).as("sv_a"),
           sum(when(early, col("k")).otherwise(0L)).as("sk_b"),
           sum(when(!early, col("k")).otherwise(0L)).as("sk_a"))
-      prof.select(expr(
-        """stack(5,
-          |  'n_rows', CAST(rows_b AS DOUBLE), CAST(rows_a AS DOUBLE),
-          |  'n_users', CAST(users_b AS DOUBLE), CAST(users_a AS DOUBLE),
-          |  'n_event_types', CAST(types_b AS DOUBLE), CAST(types_a AS DOUBLE),
-          |  'avg_value', round(CAST(sv_b AS DOUBLE) / rows_b, 6),
-          |              round(CAST(sv_a AS DOUBLE) / rows_a, 6),
-          |  'avg_k', round(CAST(sk_b AS DOUBLE) / rows_b, 6),
-          |          round(CAST(sk_a AS DOUBLE) / rows_a, 6)
-          |) AS (metric, before, after)""".stripMargin))
-        .select(col("metric"), col("before"), col("after"),
-          round((col("after") - col("before")) / col("before"), 6).as("rel_delta"))
-        .orderBy("metric")
+      schemaDriftAssemble(prof)
     }),
 
     /** DEGREE DISTRIBUTION of the co-purchase graph (same support-≥2

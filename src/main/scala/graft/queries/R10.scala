@@ -2585,6 +2585,16 @@ object R10 {
       graft.streaming.EventStream.runKsOnce(s, d,
         s"stream_ks_v${sqlRuns.incrementAndGet()}")),
 
+    /** STREAMING SCHEMA-DRIFT CENSUS — see
+      * `EventStream.runSchemaDriftOnce`: frozen batch-side before
+      * profile, streamed after half (one Update aggregate + two
+      * dropDuplicates distinct streams), final snapshot through the
+      * SAME `Feat.schemaDriftAssemble` → hash-matches the SAME
+      * `dq_schema_drift` oracle. */
+    "stream_schema_drift" -> ((s, d) =>
+      graft.streaming.EventStream.runSchemaDriftOnce(s, d,
+        s"stream_sd_v${sqlRuns.incrementAndGet()}")),
+
     /** STREAMING VOLUME CENSUS — see `EventStream.runVolumeOnce`:
       * per-day order-free Update-mode counts, final snapshot through
       * the SAME `Feat.volumeAssembleSql` median±3·MAD integer assembly
@@ -3354,6 +3364,8 @@ object R10 {
     "stream_drift_ks" -> graft.queries.Ts.sql("drift_ks"),
 
     "stream_volume_anomaly" -> graft.queries.Feat.sql("dq_volume_anomaly"),
+
+    "stream_schema_drift" -> graft.queries.Feat.sql("dq_schema_drift"),
 
     "stream_freshness_sla" -> graft.queries.Feat.sql("dq_freshness_sla"),
 

@@ -1354,6 +1354,57 @@ object EventStream {
     } finally { spark.catalog.dropTempView(v); () }
   }
 
+  /** STREAMING SCHEMA-DRIFT CENSUS (`stream_schema_drift`, r12 — 23rd
+    * live streaming entry): the before/after profile diff
+    * `dq_schema_drift` runs on a landed drop, run the way a deploy
+    * actually watches it — the BEFORE profile (rows, distinct
+    * users/types, value/k means up to the frozen midpoint day) is the
+    * deploy-time snapshot computed batch-side; the AFTER half arrives
+    * as a stream. Three state surfaces, each the cheapest exact form:
+    * (a) rows/Σv/Σk as ONE global Update-mode aggregate — rows is
+    * monotone, so the final snapshot is the emission with max rows_a
+    * (sums ride the same row: no order assumption on v/k signs);
+    * (b)/(c) distinct users and types via `dropDuplicates` state
+    * emitting each key once in Append mode (the
+    * `stream_dq_expectations` uniqueness budget — O(users)+O(types),
+    * sharded), counted at the sink. Final assembly is the SAME
+    * `Feat.schemaDriftAssemble` stack/rel_delta expressions →
+    * hash-matches the SAME `dq_schema_drift` oracle. */
+  def runSchemaDriftOnce(spark: SparkSession, dir: String,
+                         queryName: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val evB = graft.queries.Feat.schemaDriftFrame(
+      graft.Tables.events(spark, dir))
+    val mid = evB.agg(((min("day") + max("day") + 1) / 2).cast("long")
+      .as("mid")).head().getLong(0)
+    val before = evB.filter(col("day") < mid).agg(
+      count(lit(1)).as("rows_b"),
+      countDistinct(col("user_id")).as("users_b"),
+      countDistinct(col("event_type")).as("types_b"),
+      sum(col("v")).as("sv_b"),
+      sum(col("k")).as("sk_b"))
+    def evS() = graft.queries.Feat.schemaDriftFrame(
+      readEvents(spark, dir, maxFilesPerTrigger)).filter(col("day") >= mid)
+    val emissions = runToMemory(evS().agg(
+        count(lit(1)).as("rows_a"),
+        sum(col("v")).as("sv_a"),
+        sum(col("k")).as("sk_a")),
+      s"${queryName}_agg", OutputMode.Update()).collect()
+    val fin = emissions.maxBy(_.getAs[Long]("rows_a"))
+    val usersA = runToMemory(
+      evS().select(col("user_id")).dropDuplicates("user_id"),
+      s"${queryName}_u", OutputMode.Append()).count()
+    val typesA = runToMemory(
+      evS().select(col("event_type")).dropDuplicates("event_type"),
+      s"${queryName}_t", OutputMode.Append()).count()
+    graft.queries.Feat.schemaDriftAssemble(before
+      .withColumn("rows_a", lit(fin.getAs[Long]("rows_a")))
+      .withColumn("users_a", lit(usersA))
+      .withColumn("types_a", lit(typesA))
+      .withColumn("sv_a", lit(fin.getAs[java.math.BigDecimal]("sv_a")))
+      .withColumn("sk_a", lit(fin.getAs[Long]("sk_a"))))
+  }
+
   /** CONTINUOUS DATA-QUALITY EXPECTATIONS (`stream_dq_expectations`,
     * r11 — 19th live streaming entry): the dbt-test / expectations gate
     * (`dq_expectations`' posture) run the way streaming pipelines

@@ -706,6 +706,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming schema-drift census equals the batch dq_schema_drift (availableNow, sf0.001)") {
+    val got = EventStream.runSchemaDriftOnce(spark, dir, "sd_eq")
+      .collect().map(_.toSeq)
+    val want = SparkEntry.queries("dq_schema_drift")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"stream schema census must equal the batch pass:\n" +
+        s"got  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("streaming schema-drift across micro-batches: scrambled arrival cannot move the snapshot") {
+    // 3-file scrambled arrival: maxFilesPerTrigger=1 forces multiple
+    // micro-batches over the same sf dir; order-free state (monotone
+    // count-carried snapshot + dropDuplicates keys) must land on the
+    // single-batch result exactly
+    val got = EventStream.runSchemaDriftOnce(spark, dir, "sd_mb",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val want = SparkEntry.queries("dq_schema_drift")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      s"multi-batch snapshot must equal the batch pass:\n" +
+        s"got  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
   test("streaming page-hinkley equals the batch detector (availableNow, sf0.001)") {
     val got = EventStream.runPhOnce(spark, dir, "ph_eq").collect().map(_.toSeq)
     val want = SparkEntry.queries("stat_page_hinkley")(spark, dir)
