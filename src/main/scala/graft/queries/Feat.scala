@@ -722,15 +722,21 @@ object Feat {
         .select("pa", "pb")
       val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      // node-sized degree frame → GraphLayout gate, never an unconditional
+      // broadcast (VERDICT r12 #2); checkpoint row count = node census
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nNodes = deg.count()
       val cand = und.as("e1").join(und.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .groupBy(col("e1.dst").as("u"), col("e2.dst").as("v"))
         .agg(count(lit(1)).as("common"))
         .join(edges, col("u") === col("pa") && col("v") === col("pb"), "left_anti")
       cand
-        .join(broadcast(deg.select(col("src").as("u"), col("deg").as("deg_u"))), "u")
-        .join(broadcast(deg.select(col("src").as("v"), col("deg").as("deg_v"))), "v")
+        .join(graft.operators.GraphLayout.nodeSide(
+          deg.select(col("src").as("u"), col("deg").as("deg_u")), nNodes), "u")
+        .join(graft.operators.GraphLayout.nodeSide(
+          deg.select(col("src").as("v"), col("deg").as("deg_v")), nNodes), "v")
         .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
           round(col("common") / (col("deg_u") + col("deg_v") - col("common")), 6)
             .as("jaccard"))
@@ -1268,10 +1274,16 @@ object Feat {
         .select("pa", "pb")
       val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      // node-sized degree frame → GraphLayout gate, never an unconditional
+      // broadcast (VERDICT r12 #2); checkpoint row count = node census
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nNodes = deg.count()
       und
-        .join(broadcast(deg.select(col("src"), col("deg").as("du"))), "src")
-        .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("dv"))), "dst")
+        .join(graft.operators.GraphLayout.nodeSide(
+          deg.select(col("src"), col("deg").as("du")), nNodes), "src")
+        .join(graft.operators.GraphLayout.nodeSide(
+          deg.select(col("src").as("dst"), col("deg").as("dv")), nNodes), "dst")
         .agg(count(lit(1)).as("m"), sum("du").as("su"), sum("dv").as("sv"),
           sum(col("du") * col("dv")).as("suv"),
           sum(col("du") * col("du")).as("suu"),

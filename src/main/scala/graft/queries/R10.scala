@@ -2232,14 +2232,20 @@ object R10 {
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
         .select("pa", "pb")
+      // the degree frame is NODE-sized: at the 100 TB design point an
+      // unconditional broadcast is an executor OOM, so it rides the same
+      // measured GraphLayout gate as the iterative family (the checkpoint
+      // row count IS the node census — no extra pass)
       val deg = edges.select(col("pa").as("node"))
         .unionAll(edges.select(col("pb").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nNodes = deg.count()
       val withDeg = edges
-        .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("da"))),
-          "pa")
-        .join(broadcast(deg.select(col("node").as("pb"), col("deg").as("db"))),
-          "pb")
+        .join(graft.operators.GraphLayout.nodeSide(
+          deg.select(col("node").as("pa"), col("deg").as("da")), nNodes), "pa")
+        .join(graft.operators.GraphLayout.nodeSide(
+          deg.select(col("node").as("pb"), col("deg").as("db")), nNodes), "pb")
       val aFirst = col("da") < col("db") ||
         (col("da") === col("db") && col("pa") < col("pb"))
       val oriented = withDeg.select(

@@ -265,6 +265,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("one-shot degree attaches ride the GraphLayout gate (VERDICT r12 #2)") {
+    // graph_local_clustering / graph_common_neighbors / graph_assortativity
+    // attach a NODE-sized degree frame to an edge-sized frame. r12 shipped
+    // these as unconditional broadcast(deg) — an executor OOM at the 10⁸-node
+    // design point. They now ride GraphLayout.nodeSide like the iterative
+    // family: broadcast under the measured node gate, shuffled-hash past it,
+    // results identical either way.
+    val qs = Seq("graph_local_clustering", "graph_common_neighbors",
+      "graph_assortativity")
+    def executed(q: String): (String, Seq[String]) = {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val rows = df.collect().map(_.toString).toSeq
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    val under = qs.map(q => q -> executed(q)).toMap
+    for ((q, (p, _)) <- under)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q should broadcast the node-sized degree frame under the gate:\n$p")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sys.props("graft.graph.broadcastNodeLimit") = "0"
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      for (q <- qs) {
+        val (p, rows) = executed(q)
+        assert(p.contains("ShuffledHashJoin"),
+          s"$q must plan a shuffled-hash degree join past the gate:\n$p")
+        assert(rows == under(q)._2,
+          s"$q results must not depend on the degree-join mode")
+      }
+    } finally {
+      sys.props.remove("graft.graph.broadcastNodeLimit")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("containment dedup candidates come from a shingle-keyed equi-join") {
     val p = plans("dedup_containment")
     assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[sh".r
