@@ -289,11 +289,29 @@ def main():
             print(f"[maps] {n_maps()} after {n_run} oracles", flush=True)
         got_tbl = read_dump_arrow(name)
         if got_tbl is None:
-            # A dump dir with no readable parquet is a FAILED engine dump,
-            # not a 0-row result — without this, the entry would "pass"
-            # against a 0-row oracle with neither hash nor schema checked.
-            print(f"FAIL {name}: MISSING-ENGINE-PARQUET (dump dir empty/unreadable)")
-            n_fail += 1
+            # No part files. Distinguish a 0-partition write (Spark emits
+            # only _SUCCESS for an empty-RDD frame: a legitimate 0-row
+            # result with unknown schema — checkable rows-only against
+            # the oracle) from a truly failed/unreadable dump, which must
+            # never "pass" against a 0-row oracle unchecked.
+            if os.path.exists(f"{OUT}/{name}/_SUCCESS"):
+                try:
+                    want_n = len(con.execute(oracle[name]).arrow())
+                except Exception as e:  # noqa: BLE001
+                    print(f"ORACLE-ERROR {name}: {e}")
+                    n_fail += 1
+                    continue
+                if want_n == 0:
+                    print(f"PASS {name}: EMPTY-ENGINE-DUMP (0-partition write; "
+                          f"rows-only check vs 0-row oracle, schema unchecked)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: EMPTY-ENGINE-DUMP but oracle has "
+                          f"{want_n} rows")
+                    n_fail += 1
+            else:
+                print(f"FAIL {name}: MISSING-ENGINE-PARQUET (dump dir empty/unreadable)")
+                n_fail += 1
             continue
         got = got_tbl.to_pandas()
         maps_before = n_maps()

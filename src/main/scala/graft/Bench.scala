@@ -52,6 +52,21 @@ object Bench {
       SparkEntry.queries.get(n).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => })
     }
+    // The MLlib tree trainer is engine machinery too: without this, its
+    // JIT (findBestSplits/DTStatsAggregator/NodeIdCache) lands on
+    // whichever tree key runs first alphabetically (~5 s measured on
+    // ml_ensemble_weighted, BENCH_TRIAGE_r13.md). A 64-row synthetic
+    // fit touches no SparkEntry data or cache keys.
+    try {
+      System.err.println("[bench] warmup tree-trainer")
+      import spark.implicits._
+      val tiny = graft.ml.Models.assemble(
+        (1 to 64).map(i => (i.toDouble, i * 2.0, math.sin(i.toDouble)))
+          .toDF("a", "b", "y"), Seq("a", "b")).coalesce(1).cache()
+      tiny.count()
+      graft.ml.Models.randomForest("y", numTrees = 10, maxDepth = 6).fit(tiny)
+      tiny.unpersist(); ()
+    } catch { case _: Throwable => }
     val results = ordered.map { case (name, fn) =>
       System.err.println(s"[bench] run $name")
       val t0 = System.nanoTime()

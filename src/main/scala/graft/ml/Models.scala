@@ -142,7 +142,15 @@ object Models {
     * dramatically relative to sklearn. maxDepth=30 is MLlib's ceiling
     * (≈ unbounded at reference-scale n), featureSubsetStrategy="all"
     * matches sklearn's default, maxBins=128 narrows the split-candidate
-    * discretization gap (sklearn uses exact splits). */
+    * discretization gap (sklearn uses exact splits).
+    *
+    * cacheNodeIds=true is a pure optimization (the trained trees are
+    * bit-identical — checksum-verified): rows keep their node id in a
+    * cached RDD instead of re-routing through the partially-built trees
+    * every level, which both skips the per-row predictImpl traversal and
+    * stops the growing tree topology from riding each iteration's
+    * closure through the Java serializer (the profiled 40 % of fit wall
+    * time on the fine frame — BENCH_TRIAGE_r13.md). */
   def randomForest(label: String, numTrees: Int = 100, seed: Long = 42,
                    maxDepth: Int = 30, maxBins: Int = 128): RandomForestRegressor =
     new RandomForestRegressor()
@@ -150,8 +158,11 @@ object Models {
       .setNumTrees(numTrees).setSeed(seed)
       .setMaxDepth(maxDepth).setMaxBins(maxBins)
       .setFeatureSubsetStrategy("all")
+      .setCacheNodeIds(true)
 
-  /** `ml_gbt` (stands in for GradientBoosting/XGB/LGBM, `slide20.xml`). */
+  /** `ml_gbt` (stands in for GradientBoosting/XGB/LGBM, `slide20.xml`).
+    * cacheNodeIds measured a wash here (depth-5 trees route cheaply;
+    * checksum-identical either way) — left at the default. */
   def gbt(label: String, maxIter: Int = 50, seed: Long = 42): GBTRegressor =
     new GBTRegressor()
       .setFeaturesCol(FeaturesCol).setLabelCol(label)

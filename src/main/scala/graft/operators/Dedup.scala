@@ -187,21 +187,61 @@ object Dedup {
   def incrementalLshDedup(df: DataFrame, idCol: String, textCol: String,
                           newFlag: Column, numHashes: Int, numBands: Int,
                           threshold: Double): DataFrame = {
-    require(numHashes % numBands == 0, "numHashes must divide into bands")
-    val rows = numHashes / numBands
-    val withSig = fanOut(df)
+    val withSig = lshSignatures(df, idCol, textCol, numHashes)
       .withColumn("__new", newFlag)
+      .localCheckpoint()
+    val banded = bandExplode(withSig, idCol, numHashes, numBands,
+      carry = Seq("__new"))
+    admitAgainst(banded.filter(col("__new")).drop("__new"),
+      banded.filter(!col("__new")).drop("__new"),
+      withSig.filter(col("__new")).select(col(idCol)), idCol, threshold)
+      .orderBy(idCol)
+  }
+
+  /** The house "new tonight" split (~10 % of docs): md5 of the id's
+    * first 8 hex digits mod 10 — deterministic, so the batch entry, the
+    * streaming twin, and the DuckDB oracle all mark the same docs. */
+  def nightlyNewFlag(idCol: String): Column =
+    (expr(s"conv(substring(md5(cast($idCol AS string)), 1, 8), 16, 10)")
+      .cast("long") % 10) === 0
+
+  /** (input cols…, __sh, __sig): the shingle/MinHash signature ladder
+    * shared by the batch admission and its streaming foreachBatch twin
+    * (`EventStream.runDedupAdmissionOnce`) — ONE definition so the two
+    * paths cannot drift. */
+  def lshSignatures(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int): DataFrame =
+    fanOut(df)
       .withColumn("__sh", array_distinct(Text.shingleHashes(col(textCol))))
       .withColumn("__sig", Text.minhashSignature(col("__sh"), numHashes))
-      .localCheckpoint()
-    val banded = withSig.select(
-      col(idCol), col("__new"), col("__sh"),
-      explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
-        s"b -> struct(b AS band, slice(__sig, b * $rows + 1, $rows) AS chunk))")).as("bk"))
-      .select(col(idCol), col("__new"), col("__sh"),
-        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val cand = banded.filter(col("__new")).as("a")
-      .join(banded.filter(!col("__new")).as("b"),
+
+  /** Band-explode a signature frame → (id, carry…, __sh, band, chunk):
+    * one row per (doc, band) keyed by the band's signature slice — the
+    * LSH bucket key of the asymmetric admission join. */
+  def bandExplode(sig: DataFrame, idCol: String, numHashes: Int,
+                  numBands: Int, carry: Seq[String] = Nil): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    sig.select(Seq(col(idCol)) ++ carry.map(col) ++ Seq(col("__sh"),
+        explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
+          s"b -> struct(b AS band, slice(__sig, b * $rows + 1, $rows) AS chunk))"))
+          .as("bk")): _*)
+      .select(Seq(col(idCol)) ++ carry.map(col) ++ Seq(col("__sh"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk")): _*)
+  }
+
+  /** The asymmetric admission core: band-bucket join of NEW docs against
+    * the CORPUS signature table, exact-Jaccard verify, best match per
+    * new doc under (jaccard desc, corpus id) — one row per new doc,
+    * matched or clean. A doc's row depends only on (itself × corpus), so
+    * any partition of the new side into batches unions to the same
+    * result — the property the streaming twin's micro-batch split
+    * invariance rides on. */
+  def admitAgainst(newBanded: DataFrame, corpusBanded: DataFrame,
+                   newIds: DataFrame, idCol: String,
+                   threshold: Double): DataFrame = {
+    val cand = newBanded.as("a")
+      .join(corpusBanded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
       .select(col(s"a.$idCol").as("id_new"), col(s"b.$idCol").as("id_corpus"),
         col("a.__sh").as("sh_a"), col("b.__sh").as("sh_b"))
@@ -217,11 +257,10 @@ object Dedup {
       .filter(col("rk") === 1)
       .select(col("id_new").as(idCol), col("id_corpus").as("dup_of"),
         round(col("jaccard"), 6).as("jaccard"))
-    withSig.filter(col("__new")).select(col(idCol))
+    newIds
       .join(best, Seq(idCol), "left")
       .select(col(idCol), col("dup_of").isNotNull.as("is_duplicate"),
         col("dup_of"), col("jaccard"))
-      .orderBy(idCol)
   }
 
   /** SimHash signatures: (id, simhash long). Near-dup candidates are rows

@@ -521,10 +521,18 @@ object Docs {
     * oracle hash at the gate SFs (the GraphLayout broadcast-gate
     * pattern: scale posture in the code, test-scale constant in the
     * hash-checked text). */
+  /** The oracle's static SQL pins this list count; the Spark path may
+    * only take the adaptive `nlistForCorpus` branch past
+    * [[NswOracleMaxN]] vectors. One shared constant pair so a testdata
+    * regeneration cannot silently fork engine vs oracle (ADVICE r12):
+    * the gate and the pinned text move together or not at all. */
+  private[queries] val NswOracleNlist = 16
+  private[queries] val NswOracleMaxN = 2000L
+
   private def nswGraphSql(emb: String, ix: (String, String) => String,
                           dotF: (String, String) => String,
                           castArr: String => String,
-                          mat: String = "", nlist: Int = 16): String = {
+                          mat: String = "", nlist: Int = NswOracleNlist): String = {
     val dist64 = nswDist64(ix) _
     s"""WITH corpus AS $mat(SELECT vec_id, ${castArr("embedding")} AS ve FROM $emb),
        |samp AS $mat(
@@ -558,29 +566,42 @@ object Docs {
   }
 
   /** One beam hop over table refs: candidates = beam ∪ neighbors(beam),
-    * keep ef=8 by cos(query, node) with id tiebreaks. The SAME text the
-    * oracle monolith unrolls — the Spark path runs it per hop over a
-    * checkpointed previous beam (a plain CTE chain re-expands the whole
+    * keep ef=8 by cos(query, node) with id tiebreaks. The SAME template
+    * serves both consumers (ADVICE r12 — no post-hoc text surgery):
+    * `asCtes = None` emits the standalone form the Spark hop loop runs
+    * per checkpointed beam (a plain CTE chain re-expands the whole
     * graph build 2^hops times in Spark: measured 62.5 s at sf0.1 vs
-    * ~4 s looped — the gbtStumpsSpark/ml_threshold_sweep precedent). */
+    * ~4 s looped — the gbtStumpsSpark/ml_threshold_sweep precedent);
+    * `asCtes = Some((candName, beamName))` emits the named-CTE pair the
+    * oracle monolith chains. */
   private def nswHopSql(prevRef: String, graphRef: String, emb: String,
                         dotF: (String, String) => String,
-                        castArr: String => String): String =
-    s"""WITH cand AS (
-       |  SELECT query_id, node FROM $prevRef
-       |  UNION
-       |  SELECT p.query_id, g.dst AS node
-       |  FROM $prevRef p JOIN $graphRef g ON g.src = p.node)
-       |SELECT query_id, node FROM (
-       |  SELECT c.query_id, c.node,
-       |    row_number() OVER (PARTITION BY c.query_id
-       |      ORDER BY ${nswCosQN(dotF)} DESC, c.node ASC) AS rn
-       |  FROM cand c
-       |  JOIN (SELECT vec_id AS query_id, ${castArr("embedding")} AS qe FROM $emb
-       |        WHERE vec_id % 50 = 0) q ON q.query_id = c.query_id
-       |  JOIN (SELECT vec_id, ${castArr("embedding")} AS ve FROM $emb) corpus
-       |    ON corpus.vec_id = c.node) r
-       |WHERE rn <= 8""".stripMargin
+                        castArr: String => String,
+                        asCtes: Option[(String, String)] = None,
+                        mat: String = ""): String = {
+    val candBody =
+      s"""  SELECT query_id, node FROM $prevRef
+         |  UNION
+         |  SELECT p.query_id, g.dst AS node
+         |  FROM $prevRef p JOIN $graphRef g ON g.src = p.node""".stripMargin
+    def keepEf(candRef: String): String =
+      s"""SELECT query_id, node FROM (
+         |  SELECT c.query_id, c.node,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY ${nswCosQN(dotF)} DESC, c.node ASC) AS rn
+         |  FROM $candRef c
+         |  JOIN (SELECT vec_id AS query_id, ${castArr("embedding")} AS qe FROM $emb
+         |        WHERE vec_id % 50 = 0) q ON q.query_id = c.query_id
+         |  JOIN (SELECT vec_id, ${castArr("embedding")} AS ve FROM $emb) corpus
+         |    ON corpus.vec_id = c.node) r
+         |WHERE rn <= 8""".stripMargin
+    asCtes match {
+      case None =>
+        s"WITH cand AS (\n$candBody)\n${keepEf("cand")}"
+      case Some((candName, beamName)) =>
+        s"$candName AS $mat(\n$candBody),\n$beamName AS $mat(\n${keepEf(candName)})"
+    }
+  }
 
   /** Final top-5 + the `in_exact_top10` audit flag over a beam ref. */
   private def nswFinalSql(beamRef: String, emb: String,
@@ -628,12 +649,8 @@ object Docs {
     val graphPrefix = nswGraphSql(emb, ix, dotF, castArr, mat)
       .replace("\nSELECT src, dst FROM g0", "")
     val hopCtes = (1 to 4).map { h =>
-      nswHopSql(s"beam${h - 1}", "g0", emb, dotF, castArr)
-        .replace("WITH cand AS (", s"cand$h AS $mat(")
-        .replace("SELECT query_id, node FROM (\n  SELECT c.query_id",
-          s",\nbeam$h AS $mat(\n  SELECT query_id, node FROM (\n  SELECT c.query_id")
-        .replace(s"FROM cand c", s"FROM cand$h c")
-        .replace("WHERE rn <= 8", "WHERE rn <= 8)")
+      nswHopSql(s"beam${h - 1}", "g0", emb, dotF, castArr,
+        asCtes = Some((s"cand$h", s"beam$h")), mat = mat)
     }.mkString(",\n")
     val fin = nswFinalSql("beam4", emb, dotF, castArr, mat)
       .replace("WITH truth AS", "truth AS")
@@ -1093,9 +1110,19 @@ object Docs {
       * ladder. */
     "dedup_incremental_batch" -> ((s, d) =>
       Dedup.incrementalLshDedup(Tables.documents(s, d), "doc_id", "text",
-        newFlag = (expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
-          .cast("long") % 10) === 0,
+        newFlag = Dedup.nightlyNewFlag("doc_id"),
         numHashes = 16, numBands = 4, threshold = 0.5)),
+
+    /** The SAME nightly admission run LIVE (`EventStream
+      * .runDedupAdmissionOnce`): corpus signature state batch-side (the
+      * lake's precomputed signature table), new docs as a stream, one
+      * asymmetric band join per micro-batch — emissions union to the
+      * batch twin's rows under ANY file split (each doc's decision is
+      * doc × corpus only), so it hash-matches the SAME oracle. */
+    "stream_dedup_incremental" -> ((s, d) =>
+      graft.streaming.EventStream.runDedupAdmissionOnce(s, d,
+        graft.sources.Scratch.dir("stream_dedup_inc", d,
+          s"run${sqlRuns.incrementAndGet()}"))),
 
     /** CONTRASTIVE TRAINING-PAIR MINING — the data-prep step an
       * embedding model (SimCSE/E5-style) trains on: POSITIVES are the
@@ -2287,6 +2314,45 @@ object Docs {
       |, sims AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)
       |""".stripMargin
 
+  /** Nightly-admission oracle — banded signature asymmetric join of the
+    * md5-marked new docs against the corpus, best verified match per new
+    * doc. Shared verbatim by `dedup_incremental_batch` and its streaming
+    * twin `stream_dedup_incremental` (split-invariant by construction). */
+  private val incrementalAdmissionSql = sigSql +
+  """, bands AS (
+    |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
+    |  FROM sig GROUP BY doc_id, i // 4)
+    |, nw AS (
+    |  SELECT doc_id,
+    |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+    |      % 10 = 0 THEN 1 ELSE 0 END AS is_new
+    |  FROM t)
+    |, cand AS (
+    |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+    |  FROM bands a JOIN nw na ON a.doc_id = na.doc_id AND na.is_new = 1
+    |  JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+    |  JOIN nw nb ON b.doc_id = nb.doc_id AND nb.is_new = 0)
+    |, prs AS (
+    |  SELECT id_new, id_corpus,
+    |    len(list_intersect(x.shl, y.shl))::DOUBLE /
+    |    (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
+    |      AS jaccard
+    |  FROM cand JOIN sh x ON x.doc_id = id_new
+    |    JOIN sh y ON y.doc_id = id_corpus
+    |  WHERE len(list_intersect(x.shl, y.shl))::DOUBLE /
+    |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
+    |      >= 0.5)
+    |, best AS (
+    |  SELECT id_new, id_corpus, jaccard FROM (
+    |    SELECT id_new, id_corpus, jaccard,
+    |      row_number() OVER (PARTITION BY id_new
+    |        ORDER BY jaccard DESC, id_corpus) AS rk
+    |    FROM prs) rt WHERE rk = 1)
+    |SELECT n.doc_id, best.id_corpus IS NOT NULL AS is_duplicate,
+    |  best.id_corpus AS dup_of, round(best.jaccard, 6) AS jaccard
+    |FROM nw n LEFT JOIN best ON n.doc_id = best.id_new
+    |WHERE n.is_new = 1 ORDER BY n.doc_id""".stripMargin
+
   /** MinHash-LSH near-dup pairs as a reusable CTE `prs(id_a, id_b,
     * jaccard)` — shared by the pair query and the connected-components
     * clustering oracle. */
@@ -2640,40 +2706,11 @@ object Docs {
         |    - (CAST(dyy.s AS DOUBLE) / dyy.n), 6) + 0.0 AS energy_distance
         |FROM dxy, dxx, dyy""".stripMargin,
 
-    "dedup_incremental_batch" -> (sigSql +
-      """, bands AS (
-        |  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS chunk
-        |  FROM sig GROUP BY doc_id, i // 4)
-        |, nw AS (
-        |  SELECT doc_id,
-        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-        |      % 10 = 0 THEN 1 ELSE 0 END AS is_new
-        |  FROM t)
-        |, cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
-        |  FROM bands a JOIN nw na ON a.doc_id = na.doc_id AND na.is_new = 1
-        |  JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
-        |  JOIN nw nb ON b.doc_id = nb.doc_id AND nb.is_new = 0)
-        |, prs AS (
-        |  SELECT id_new, id_corpus,
-        |    len(list_intersect(x.shl, y.shl))::DOUBLE /
-        |    (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
-        |      AS jaccard
-        |  FROM cand JOIN sh x ON x.doc_id = id_new
-        |    JOIN sh y ON y.doc_id = id_corpus
-        |  WHERE len(list_intersect(x.shl, y.shl))::DOUBLE /
-        |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)))
-        |      >= 0.5)
-        |, best AS (
-        |  SELECT id_new, id_corpus, jaccard FROM (
-        |    SELECT id_new, id_corpus, jaccard,
-        |      row_number() OVER (PARTITION BY id_new
-        |        ORDER BY jaccard DESC, id_corpus) AS rk
-        |    FROM prs) rt WHERE rk = 1)
-        |SELECT n.doc_id, best.id_corpus IS NOT NULL AS is_duplicate,
-        |  best.id_corpus AS dup_of, round(best.jaccard, 6) AS jaccard
-        |FROM nw n LEFT JOIN best ON n.doc_id = best.id_new
-        |WHERE n.is_new = 1 ORDER BY n.doc_id""".stripMargin),
+    "dedup_incremental_batch" -> incrementalAdmissionSql,
+
+    /** Same oracle text: the stream's unioned emissions must equal the
+      * batch admission rows exactly (split-invariance by construction). */
+    "stream_dedup_incremental" -> incrementalAdmissionSql,
 
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM prs ORDER BY id_a, id_b"),

@@ -1793,19 +1793,33 @@ object R10 {
     var changed = if (labels.isEmpty) 0L else 1L
     var it = 0
     while (changed > 0 && it < 50) {
+      // min-label propagation PLUS pointer jumping: each round a node
+      // takes min(own, min neighbor label, label-of-its-label). The
+      // shortcut term doubles the distance the component minimum has
+      // travelled per round, so chains — Borůvka's worst merge shape —
+      // close in O(log diameter) rounds instead of O(diameter)
+      // (Shiloach–Vishkin 1982 shortcutting; same fixpoint, the
+      // component-min label, so results are bit-identical to the plain
+      // propagation this replaces). Labels only ever decrease and only
+      // to ids inside the component, so the fixpoint check is exact.
       val nbrMin = adj
         .join(labels.select(col("id").as("y"), col("component").as("nc")), "y")
         .groupBy("x").agg(min("nc").as("nmin"))
+      val hop = labels.select(col("component").as("hid"), col("id"))
+        .join(labels.select(col("id").as("hid"), col("component").as("hc")), "hid")
+        .select(col("id"), col("hc"))
       val next = labels
         .join(nbrMin.select(col("x").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+        .join(hop, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
+          least(col("component"),
+            least(coalesce(col("nmin"), col("component")),
+              coalesce(col("hc"), col("component")))).as("component"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      // the old label rides the checkpointed frame — the change count is
+      // a scan of materialized rows, not another keyed join
+      changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select("id", "component")
       it += 1
     }
     require(changed == 0, "ccStrings did not converge in 50 rounds")

@@ -694,6 +694,75 @@ object EventStream {
     spark.read.parquet(s"$scratch/v${lastVersion.get()}")
   }
 
+  // ---- streaming dedup admission (LSH against corpus signature state) --
+
+  /** `documents.parquet` physical schema for the stream source (the file
+    * stream source needs a declared schema). */
+  def documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of a documents directory. */
+  def readDocuments(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(s"$dir/documents*.parquet")
+  }
+
+  /** STREAMING DEDUP ADMISSION (`stream_dedup_incremental`) — the
+    * `dedup_incremental_batch` nightly shape run LIVE, in the
+    * `runIncrementalUpsertOnce` posture: the admitted corpus's banded
+    * MinHash signature table is deploy-time state (computed batch-side
+    * and checkpointed once — at 100 TB, a precomputed signature table
+    * read from the lake), the md5-marked "new" documents arrive as a
+    * stream, and each micro-batch runs the ASYMMETRIC band join of just
+    * its new docs against that state (`Dedup.admitAgainst` — the same
+    * code the batch twin runs), appending one admission row per doc to
+    * the result sink. A doc's decision depends only on (itself ×
+    * corpus), so the union of emissions is micro-batch-split-invariant
+    * (StreamingSpec pins the 3-file scrambled split) and hash-matches
+    * the SAME DuckDB oracle as the batch twin. State cost: the corpus
+    * signature table is O(corpus) ONCE, never per batch; per-batch work
+    * is O(|batch| · bucket-collision rate). */
+  def runDedupAdmissionOnce(spark: SparkSession, dir: String,
+                            scratch: String,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Dedup
+    val (numHashes, numBands, threshold) = (16, 4, 0.5)
+    val newFlag = Dedup.nightlyNewFlag("doc_id")
+    val corpusBanded = Dedup.bandExplode(
+      Dedup.lshSignatures(
+        graft.Tables.documents(spark, dir).filter(!newFlag),
+        "doc_id", "text", numHashes),
+      "doc_id", numHashes, numBands).localCheckpoint()
+    val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val q = readDocuments(spark, dir, maxFilesPerTrigger)
+        .filter(newFlag)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val newBanded = Dedup.bandExplode(
+            Dedup.lshSignatures(batch.toDF(), "doc_id", "text", numHashes),
+            "doc_id", numHashes, numBands)
+          Dedup.admitAgainst(newBanded, corpusBanded,
+              batch.select(col("doc_id")), "doc_id", threshold)
+            .write.mode("append").parquet(s"$scratch/admissions")
+          wroteAny.set(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(wroteAny.get(),
+        s"dedup admission produced no micro-batches — no input matched under $dir")
+      spark.read.parquet(s"$scratch/admissions")
+        .select("doc_id", "is_duplicate", "dup_of", "jaccard")
+        .orderBy("doc_id")
+    } finally { corpusBanded.unpersist(); () }
+  }
+
   // ---- streaming CEP burst detection ----------------------------------
 
   case class BurstEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
@@ -1390,6 +1459,11 @@ object EventStream {
         sum(col("v")).as("sv_a"),
         sum(col("k")).as("sk_a")),
       s"${queryName}_agg", OutputMode.Update()).collect()
+    // an empty events glob at cold start runs no micro-batch at all —
+    // fail with the cause, not maxBy's bare UnsupportedOperationException
+    require(emissions.nonEmpty,
+      s"$queryName: the streamed after-half produced no emission " +
+        s"(no micro-batch ran — empty events source under $dir?)")
     val fin = emissions.maxBy(_.getAs[Long]("rows_a"))
     val usersA = runToMemory(
       evS().select(col("user_id")).dropDuplicates("user_id"),

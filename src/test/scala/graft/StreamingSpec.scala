@@ -922,4 +922,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"scrambled multi-batch snapshot drifted:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
   }
+
+  test("streaming dedup admission: 3-file scrambled split equals the batch twin") {
+    // split documents by doc_id residue, scrambled across files, into a
+    // DIRECTORY named documents.parquet so the batch corpus read and the
+    // stream glob both resolve the same corpus
+    val src = java.nio.file.Files.createTempDirectory("dedup_src").toString
+    val scratch = java.nio.file.Files.createTempDirectory("dedup_state").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tgt = s"$src/documents.parquet"
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(tgt)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(tgt)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(tgt)
+    val got = EventStream.runDedupAdmissionOnce(spark, src, scratch,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val want = graft.operators.Dedup.incrementalLshDedup(
+        Tables.documents(spark, dir), "doc_id", "text",
+        newFlag = graft.operators.Dedup.nightlyNewFlag("doc_id"),
+        numHashes = 16, numBands = 4, threshold = 0.5)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty, "no new docs marked at this SF — test data drifted")
+    assert(got.toSeq == want.toSeq,
+      s"split admission drifted from the batch twin:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
+    // the multi-batch path must actually have run: one appended part
+    // file per micro-batch
+    assert(new java.io.File(s"$scratch/admissions").listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 3)
+  }
 }
