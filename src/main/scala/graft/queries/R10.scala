@@ -1784,6 +1784,47 @@ object R10 {
     * Used by the Borůvka merge step, whose component ids are node
     * strings — a numeric surrogate would either risk hash collisions
     * (silently merging components) or need a global row_number. */
+  /** Close Borůvka's per-round merge pairs into (id, component=min label).
+    *
+    * Every chosen edge merges exactly two CURRENT components, so `pairs`
+    * is component-sized — it halves every round and is ≤ one row per
+    * live component. Under the measured `GraphLayout` gate that is
+    * broadcast-class data, so it is collected and closed with a
+    * path-compressed min-label union-find in one job (replacing the
+    * distributed fixpoint's ~4 jobs × O(log diameter) rounds); past the
+    * gate (the 10⁸-node first rounds of a 100 TB graph) the distributed
+    * pointer-jumped [[ccStrings]] runs instead. Both produce the same
+    * fixpoint — each id maps to the lexicographic MIN label of its merged
+    * group (ASCII labels, so Scala's String order matches Spark's
+    * UTF8String order) — so the result is bit-identical either way.
+    * Returns the map and its row count (the downstream relabel join rides
+    * the same gate). */
+  private def boruvkaMerge(s: SparkSession, pairs: DataFrame): (DataFrame, Long) = {
+    val n = pairs.count()
+    if (n > graft.operators.GraphLayout.broadcastNodeLimit) {
+      val cc = ccStrings(pairs).localCheckpoint()
+      (cc, cc.count())
+    } else {
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val x = row.getString(0); val y = row.getString(1)
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+      }
+      val ids = parent.keySet.toSet ++ parent.valuesIterator
+      import s.implicits._
+      val out = ids.toSeq.map(id => (id, find(id)))
+      (out.toDF("id", "component"), out.size.toLong)
+    }
+  }
+
   private def ccStrings(pairs: DataFrame): DataFrame = {
     val adj = pairs.toDF("x", "y")
       .unionAll(pairs.toDF("y0", "x0").select(col("x0").as("x"), col("y0").as("y")))
@@ -2177,9 +2218,14 @@ object R10 {
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
           .cast("long").as("w"))
         .localCheckpoint()
-      val nodes = we.select(col("a").as("node"))
-        .unionAll(we.select(col("b").as("node"))).distinct()
-      var comp = nodes.withColumn("c", col("node")).localCheckpoint()
+      // The MST output needs only ORIGINAL endpoints, so no node→component
+      // map is ever maintained: current component labels ride the edge
+      // frame itself, which SHRINKS every round as intra-component edges
+      // drop (labels only merge, so a dropped edge can never come back).
+      // This replaces the old per-round relabel of the FULL original edge
+      // set through two node-sized joins + a node-sized map update.
+      var edges = we.select(col("a"), col("b"), col("w"),
+        col("a").as("ca"), col("b").as("cb")).localCheckpoint()
       var mst = s.emptyDataFrame
         .sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -2195,16 +2241,11 @@ object R10 {
       var round = 0
       var done = false
       while (!done && round < 20) {
-        val e2 = we
-          .join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
-          .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
-          .filter(col("ca") =!= col("cb"))
-          .localCheckpoint()
-        if (e2.isEmpty) done = true
+        if (edges.isEmpty) done = true
         else {
-          val cand = e2.select(col("ca").as("cpick"), col("a"), col("b"),
+          val cand = edges.select(col("ca").as("cpick"), col("a"), col("b"),
               col("w"), col("ca"), col("cb"))
-            .unionAll(e2.select(col("cb").as("cpick"), col("a"), col("b"),
+            .unionAll(edges.select(col("cb").as("cpick"), col("a"), col("b"),
               col("w"), col("ca"), col("cb")))
           val chosen = cand.withColumn("rn", row_number().over(wMin))
             .filter(col("rn") === 1)
@@ -2212,12 +2253,21 @@ object R10 {
             .distinct()
             .localCheckpoint()
           mst = mst.unionAll(chosen.select("a", "b", "w"))
-          val merge = ccStrings(chosen.select(col("ca"), col("cb")).distinct())
-          comp = comp
-            .join(merge.select(col("id").as("c"), col("component")),
-              Seq("c"), "left")
-            .select(col("node"),
-              coalesce(col("component"), col("c")).as("c"))
+          // merge map is COMPONENT-sized (≤ one chosen pair per live
+          // component) — gated driver union-find / distributed CC
+          val (merge, nMerge) =
+            boruvkaMerge(s, chosen.select(col("ca"), col("cb")).distinct())
+          edges = edges
+            .join(graft.operators.GraphLayout.nodeSide(
+              merge.select(col("id").as("ca"), col("component").as("na")),
+              nMerge), Seq("ca"), "left")
+            .join(graft.operators.GraphLayout.nodeSide(
+              merge.select(col("id").as("cb"), col("component").as("nb")),
+              nMerge), Seq("cb"), "left")
+            .select(col("a"), col("b"), col("w"),
+              coalesce(col("na"), col("ca")).as("ca"),
+              coalesce(col("nb"), col("cb")).as("cb"))
+            .filter(col("ca") =!= col("cb"))
             .localCheckpoint()
           round += 1
         }

@@ -739,6 +739,23 @@ class R10Spec extends SparkSpec {
         s"sym-diff ${(got diff want.toSet) ++ (want.toSet diff got)}")
   }
 
+  test("boruvka mst: distributed merge path (past the gate) is bit-identical") {
+    // the per-round merge map rides the GraphLayout gate: driver
+    // union-find under it, distributed pointer-jumped ccStrings past it.
+    // Forcing the limit to 1 exercises the distributed path end-to-end;
+    // both modes must close each round's merge pairs to the same
+    // min-label fixpoint, so the MST must match exactly.
+    val gated = SparkEntry.queries("graph_mst_boruvka")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    System.setProperty("graft.graph.broadcastNodeLimit", "1")
+    try {
+      val dist = SparkEntry.queries("graph_mst_boruvka")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(dist == gated,
+        s"merge-mode divergence: ${dist.size} vs ${gated.size} edges")
+    } finally System.clearProperty("graft.graph.broadcastNodeLimit")
+  }
+
   test("sprt: lawful extremes on data; a planted shifted suffix alarms") {
     import spark.implicits._
     val onData = SparkEntry.queries("stat_sprt")(spark, dir).head()
