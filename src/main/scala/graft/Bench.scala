@@ -55,16 +55,21 @@ object Bench {
     // The MLlib tree trainer is engine machinery too: without this, its
     // JIT (findBestSplits/DTStatsAggregator/NodeIdCache) lands on
     // whichever tree key runs first alphabetically (~5 s measured on
-    // ml_ensemble_weighted, BENCH_TRIAGE_r13.md). A 64-row synthetic
-    // fit touches no SparkEntry data or cache keys.
+    // ml_ensemble_weighted, BENCH_TRIAGE_r13.md). The synthetic fit is
+    // shaped to reach the SAME hot paths the fine-frame forest runs —
+    // multi-level node groups, cached node ids, 100-tree bagged stats —
+    // because C2 only compiles what it has seen (r13 profile: a
+    // 10-tree/depth-6 warmup left the first depth-12/100-tree fit
+    // paying ~3 s of residual JIT across its first two invocations).
+    // Touches no SparkEntry data or cache keys.
     try {
       System.err.println("[bench] warmup tree-trainer")
       import spark.implicits._
       val tiny = graft.ml.Models.assemble(
-        (1 to 64).map(i => (i.toDouble, i * 2.0, math.sin(i.toDouble)))
+        (1 to 256).map(i => (i.toDouble, i * 2.0, math.sin(i.toDouble)))
           .toDF("a", "b", "y"), Seq("a", "b")).coalesce(1).cache()
       tiny.count()
-      graft.ml.Models.randomForest("y", numTrees = 10, maxDepth = 6).fit(tiny)
+      graft.ml.Models.randomForest("y", numTrees = 100, maxDepth = 12).fit(tiny)
       tiny.unpersist(); ()
     } catch { case _: Throwable => }
     val results = ordered.map { case (name, fn) =>
