@@ -128,18 +128,28 @@ object Docs {
     * engines; ranking ties break on ids. The plan IS the production IVF
     * shape: candidates come from a LIST-keyed equi-join (≈ nprobe/nlist
     * of the corpus per query), never corpus × queries. */
+  /** The IVF expression fragments, shared by the monolithic
+    * [[ivfProbeSql]] template AND the streaming serving pieces
+    * ([[ivfSampSql]]/[[ivfAssignSql]]/[[ivfServeSql]]) so the live path
+    * cannot drift from the hash-checked one (the `nswBeamSql` lesson:
+    * ONE source for every expression tree). */
+  private[queries] val IvfNlist = 16
+  private[queries] val IvfNprobe = 4
+  private def ivfDist64(ix: (String, String) => String)(a: String, b: String): String =
+    (1 to 64).map { j =>
+      val t = s"(CAST(${ix(a, j.toString)} AS DOUBLE) - CAST(${ix(b, j.toString)} AS DOUBLE))"
+      s"$t * $t"
+    }.mkString("(", " + ", ")")
+  private def ivfDot64(ix: (String, String) => String)(a: String, b: String): String =
+    (1 to 64).map(j =>
+      s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
   private def ivfProbeSql(emb: String, ix: (String, String) => String,
                           mat: String = ""): String = {
-    val dim = 64; val nlist = 16; val nprobe = 4
-    def dist64(a: String, b: String): String =
-      (1 to dim).map { j =>
-        val t = s"(CAST(${ix(a, j.toString)} AS DOUBLE) - CAST(${ix(b, j.toString)} AS DOUBLE))"
-        s"$t * $t"
-      }.mkString("(", " + ", ")")
-    def dot64(a: String, b: String): String =
-      (1 to dim).map(j =>
-        s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
-        .mkString("(", " + ", ")")
+    val nlist = IvfNlist; val nprobe = IvfNprobe
+    def dist64(a: String, b: String): String = ivfDist64(ix)(a, b)
+    def dot64(a: String, b: String): String = ivfDot64(ix)(a, b)
     s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve FROM $emb),
        |q AS $mat(SELECT vec_id AS query_id, embedding AS qe FROM $emb
        |  WHERE vec_id % 50 = 0),
@@ -176,6 +186,65 @@ object Docs {
        |    round(cos, 6) + 0.0 AS cos
        |  FROM scored) t WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- streaming IVF serving pieces (`stream_ann_serving`) ---------------
+  // The same quantizer/probe/score EXPRESSIONS as [[ivfProbeSql]], split at
+  // the production seam: samp + assign are the deploy-time INDEX (computed
+  // batch-side once, checkpointed), the per-micro-batch text serves only
+  // that batch's queries against them. Every distance/dot/rank expression
+  // comes from the shared builders above, so engine values are identical
+  // to the monolith's and the entry hash-matches the SAME DuckDB oracle.
+
+  /** The 16-row sampled coarse quantizer over the corpus view. */
+  private[graft] def ivfSampSql(emb: String): String =
+    s"""SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |FROM (SELECT vec_id, embedding FROM $emb
+       |      ORDER BY vec_id LIMIT $IvfNlist) s0""".stripMargin
+
+  /** Corpus → list assignment (argmin over the quantizer attach). */
+  private[graft] def ivfAssignSql(emb: String, samp: String,
+                                  ix: (String, String) => String): String =
+    s"""SELECT vec_id, c AS list_id FROM (
+       |  SELECT corpus.vec_id, samp.c,
+       |    row_number() OVER (PARTITION BY corpus.vec_id
+       |      ORDER BY ${ivfDist64(ix)("ve", "ce")} ASC, samp.c ASC) AS rn
+       |  FROM (SELECT vec_id, embedding AS ve FROM $emb) corpus
+       |  CROSS JOIN $samp samp) r WHERE rn = 1""".stripMargin
+
+  /** One micro-batch of query serving: probe nprobe lists, list-keyed
+    * candidate join, exact-cosine top-5. No trailing ORDER BY — emissions
+    * append to a sink and the final read sorts. */
+  private[graft] def ivfServeSql(qView: String, sampView: String,
+                                 assignView: String, corpusView: String,
+                                 ix: (String, String) => String): String = {
+    def dist64(a: String, b: String): String = ivfDist64(ix)(a, b)
+    def dot64(a: String, b: String): String = ivfDot64(ix)(a, b)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM $qView),
+       |probes AS (
+       |  SELECT query_id, c AS list_id FROM (
+       |    SELECT q.query_id, samp.c,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dist64("qe", "ce")} ASC, samp.c ASC) AS rn
+       |    FROM q CROSS JOIN $sampView samp) r WHERE rn <= $IvfNprobe),
+       |cand AS (
+       |  SELECT probes.query_id, assign.vec_id AS neighbor_id
+       |  FROM probes JOIN $assignView assign
+       |    ON probes.list_id = assign.list_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${dot64("qe", "ve")} /
+       |      (sqrt(${dot64("qe", "qe")}) * sqrt(${dot64("ve", "ve")})) AS cos
+       |  FROM cand
+       |  JOIN q ON q.query_id = cand.query_id
+       |  JOIN (SELECT vec_id, embedding AS ve FROM $corpusView) corpus
+       |    ON corpus.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       |    round(cos, 6) + 0.0 AS cos
+       |  FROM scored) t WHERE rank <= 5""".stripMargin
   }
 
   /** SLICE-LEVEL QUANTIZATION-ERROR DRIFT AUDIT (`similarity_pq_drift`,
@@ -1122,6 +1191,11 @@ object Docs {
     "stream_dedup_incremental" -> ((s, d) =>
       graft.streaming.EventStream.runDedupAdmissionOnce(s, d,
         graft.sources.Scratch.dir("stream_dedup_inc", d,
+          s"run${sqlRuns.incrementAndGet()}"))),
+
+    "stream_ann_serving" -> ((s, d) =>
+      graft.streaming.EventStream.runAnnServingOnce(s, d,
+        graft.sources.Scratch.dir("stream_ann_serving", d,
           s"run${sqlRuns.incrementAndGet()}"))),
 
     /** CONTRASTIVE TRAINING-PAIR MINING — the data-prep step an
@@ -2389,6 +2463,12 @@ object Docs {
         "MATERIALIZED "),
 
     "similarity_ivf_probe" ->
+      ivfProbeSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        "MATERIALIZED "),
+
+    // the live serving twin hash-matches the SAME monolithic oracle —
+    // its per-micro-batch emissions are split-invariant by construction
+    "stream_ann_serving" ->
       ivfProbeSql("embeddings", (e, i) => s"list_extract($e, $i)",
         "MATERIALIZED "),
 

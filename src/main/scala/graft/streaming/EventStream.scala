@@ -763,6 +763,94 @@ object EventStream {
     } finally { corpusBanded.unpersist(); () }
   }
 
+  // ---- streaming ANN serving (IVF index as deploy-time state) ----------
+
+  /** `embeddings.parquet` physical schema for the stream source. */
+  def embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming scan of an embeddings directory. */
+  def readEmbeddings(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(embeddingsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(s"$dir/embeddings*.parquet")
+  }
+
+  private val annRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** STREAMING ANN SERVING (`stream_ann_serving`, 24th live entry) — the
+    * `similarity_ivf_probe` serving scan run the way a deployed vector
+    * index actually runs it: the INDEX (16-row sampled coarse quantizer +
+    * corpus→list assignment) is deploy-time state computed batch-side
+    * once and checkpointed — at 100 TB, an index build job's output read
+    * from the lake — while the QUERIES arrive as a stream; each
+    * micro-batch probes its queries' nprobe=4 nearest lists, joins
+    * candidates LIST-keyed against the assignment state (≈ nprobe/nlist
+    * of the corpus per query, never corpus × queries), re-ranks by exact
+    * cosine, and appends its top-5 rows to the result sink. A query's
+    * result depends only on (itself × index), so the union of emissions
+    * is micro-batch-split-invariant (StreamingSpec pins the 3-file
+    * scrambled split) and hash-matches the SAME DuckDB oracle as the
+    * batch twin. Every distance/dot/rank expression comes from the same
+    * builders as the monolithic template (`Docs.ivfServeSql`), so the
+    * two paths cannot drift. State cost: O(corpus) once for the
+    * assignment table + 16 quantizer rows; per-batch work is
+    * O(|batch| · corpus/nlist · nprobe). */
+  def runAnnServingOnce(spark: SparkSession, dir: String,
+                        scratch: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tag = s"ann_serve_v${annRuns.incrementAndGet()}"
+    val ix = (e: String, i: String) => s"element_at($e, $i)"
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mkView(n: String, df: DataFrame): String = {
+      val v = s"${tag}_$n"
+      val cp = df.localCheckpoint()
+      frames += cp
+      cp.createOrReplaceTempView(v)
+      views += v
+      v
+    }
+    try {
+      val corpus = mkView("corpus", graft.Tables.embeddings(spark, dir))
+      val samp = mkView("samp",
+        spark.sql(graft.queries.Docs.ivfSampSql(corpus)))
+      val assign = mkView("assign",
+        spark.sql(graft.queries.Docs.ivfAssignSql(corpus, samp, ix)))
+      val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = readEmbeddings(spark, dir, maxFilesPerTrigger)
+        .filter(col("vec_id") % 50 === 0)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          // the batch frame is bound to the stream's cloned session — the
+          // query view must register there, and the serve SQL must run
+          // there (the clone carries the index views, copied at .start())
+          val bs = batch.sparkSession
+          val qv = s"${tag}_q$bid"
+          batch.createOrReplaceTempView(qv)
+          try bs.sql(graft.queries.Docs.ivfServeSql(qv, samp, assign, corpus, ix))
+            .write.mode("append").parquet(s"$scratch/served")
+          finally { bs.catalog.dropTempView(qv); () }
+          wroteAny.set(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(wroteAny.get(),
+        s"ANN serving produced no micro-batches — no input matched under $dir")
+      spark.read.parquet(s"$scratch/served")
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    } finally {
+      views.foreach(v => { spark.catalog.dropTempView(v); () })
+      frames.foreach(f => { f.unpersist(); () })
+    }
+  }
+
   // ---- streaming CEP burst detection ----------------------------------
 
   case class BurstEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)

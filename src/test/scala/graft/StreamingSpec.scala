@@ -950,4 +950,31 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$scratch/admissions").listFiles()
       .count(_.getName.endsWith(".parquet")) >= 3)
   }
+
+  test("streaming ANN serving: 3-file scrambled split equals the batch probe scan") {
+    // split embeddings by vec_id residue, scrambled across files, into a
+    // DIRECTORY named embeddings.parquet so the batch index build and the
+    // stream glob both resolve the same corpus
+    val src = java.nio.file.Files.createTempDirectory("ann_src").toString
+    val scratch = java.nio.file.Files.createTempDirectory("ann_sink").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tgt = s"$src/embeddings.parquet"
+    emb.filter(col("vec_id") % 3 === 1).coalesce(1).write.mode("append").parquet(tgt)
+    emb.filter(col("vec_id") % 3 === 0).coalesce(1).write.mode("append").parquet(tgt)
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1).write.mode("append").parquet(tgt)
+    val got = EventStream.runAnnServingOnce(spark, src, scratch,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    // batch twin on the SAME scrambled corpus: the monolithic probe-scan
+    // entry (quantizer + assignment + probe + exact re-rank in one text)
+    val want = graft.SparkEntry.queries("similarity_ivf_probe")(spark, src)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty, "no queries at this SF — test data drifted")
+    assert(got.toSeq == want.toSeq,
+      s"live serving drifted from the batch probe scan: " +
+        s"${got.length} vs ${want.length} rows")
+    // the multi-batch path must actually have run
+    assert(new java.io.File(s"$scratch/served").listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 2)
+  }
 }
