@@ -133,7 +133,7 @@ object Docs {
     * ([[ivfSampSql]]/[[ivfAssignSql]]/[[ivfServeSql]]) so the live path
     * cannot drift from the hash-checked one (the `nswBeamSql` lesson:
     * ONE source for every expression tree). */
-  private[queries] val IvfNlist = 16
+  private[graft] val IvfNlist = 16
   private[queries] val IvfNprobe = 4
   private def ivfDist64(ix: (String, String) => String)(a: String, b: String): String =
     (1 to 64).map { j =>
@@ -196,11 +196,15 @@ object Docs {
   // comes from the shared builders above, so engine values are identical
   // to the monolith's and the entry hash-matches the SAME DuckDB oracle.
 
-  /** The 16-row sampled coarse quantizer over the corpus view. */
-  private[graft] def ivfSampSql(emb: String): String =
+  /** The sampled coarse quantizer over the corpus view. `nlist`
+    * defaults to the oracle's pinned 16; the streaming runner may only
+    * pass the adaptive `Similarity.nlistForCorpus` value past
+    * [[NswOracleMaxN]] vectors (the same shared-constant gate as
+    * `nswBeamSpark`, so a testdata regen cannot fork engine vs oracle). */
+  private[graft] def ivfSampSql(emb: String, nlist: Int = IvfNlist): String =
     s"""SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |FROM (SELECT vec_id, embedding FROM $emb
-       |      ORDER BY vec_id LIMIT $IvfNlist) s0""".stripMargin
+       |      ORDER BY vec_id LIMIT $nlist) s0""".stripMargin
 
   /** Corpus → list assignment (argmin over the quantizer attach). */
   private[graft] def ivfAssignSql(emb: String, samp: String,
@@ -596,7 +600,7 @@ object Docs {
     * regeneration cannot silently fork engine vs oracle (ADVICE r12):
     * the gate and the pinned text move together or not at all. */
   private[queries] val NswOracleNlist = 16
-  private[queries] val NswOracleMaxN = 2000L
+  private[graft] val NswOracleMaxN = 2000L
 
   private def nswGraphSql(emb: String, ix: (String, String) => String,
                           dotF: (String, String) => String,

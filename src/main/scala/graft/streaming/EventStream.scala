@@ -816,8 +816,15 @@ object EventStream {
     }
     try {
       val corpus = mkView("corpus", graft.Tables.embeddings(spark, dir))
+      // the oracle's pinned nlist=16 below the shared gate; √n lists past
+      // it (the nswBeamSpark posture) so serve-join candidates stay
+      // ≈ nprobe·n/√n per query instead of nprobe·n/16
+      val n = spark.table(corpus).count()
+      val nlist =
+        if (n <= graft.queries.Docs.NswOracleMaxN) graft.queries.Docs.IvfNlist
+        else graft.operators.Similarity.nlistForCorpus(n)
       val samp = mkView("samp",
-        spark.sql(graft.queries.Docs.ivfSampSql(corpus)))
+        spark.sql(graft.queries.Docs.ivfSampSql(corpus, nlist)))
       val assign = mkView("assign",
         spark.sql(graft.queries.Docs.ivfAssignSql(corpus, samp, ix)))
       val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
