@@ -1799,9 +1799,23 @@ object R10 {
     * UTF8String order) — so the result is bit-identical either way.
     * Returns the map and its row count (the downstream relabel join rides
     * the same gate). */
+  /** Max merge-pair count the driver union-find may collect. This is a
+    * DRIVER-MEMORY budget, not the executor-broadcast budget
+    * `GraphLayout.broadcastNodeLimit` gates: a collected pair is two
+    * short strings (~50 B), so the 2M default is ~100 MB on a driver
+    * sized for a 100 TB job — a 150k limit was sending the 10×-probe's
+    * first round (160k pairs) through the distributed fixpoint for no
+    * reason (measured 63.2 → 61.5 s at 10×: small there, but the gap
+    * widens with rounds that straddle the limit). Past the limit — the
+    * 10⁸-node first rounds of the design-point graph — the distributed
+    * path still runs. Tunable per deploy. */
+  private def mstMergeDriverLimit: Long =
+    sys.props.get("graft.graph.mstMergeDriverLimit").map(_.toLong)
+      .getOrElse(2000000L)
+
   private def boruvkaMerge(s: SparkSession, pairs: DataFrame): (DataFrame, Long) = {
     val n = pairs.count()
-    if (n > graft.operators.GraphLayout.broadcastNodeLimit) {
+    if (n > mstMergeDriverLimit) {
       val cc = ccStrings(pairs).localCheckpoint()
       (cc, cc.count())
     } else {

@@ -747,13 +747,19 @@ class R10Spec extends SparkSpec {
     // min-label fixpoint, so the MST must match exactly.
     val gated = SparkEntry.queries("graph_mst_boruvka")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // force BOTH scale paths: the distributed ccStrings merge (its own
+    // driver-collect budget) and the shuffle-hinted relabel joins
+    System.setProperty("graft.graph.mstMergeDriverLimit", "1")
     System.setProperty("graft.graph.broadcastNodeLimit", "1")
     try {
       val dist = SparkEntry.queries("graph_mst_boruvka")(spark, dir).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       assert(dist == gated,
         s"merge-mode divergence: ${dist.size} vs ${gated.size} edges")
-    } finally System.clearProperty("graft.graph.broadcastNodeLimit")
+    } finally {
+      System.clearProperty("graft.graph.mstMergeDriverLimit")
+      System.clearProperty("graft.graph.broadcastNodeLimit")
+    }
   }
 
   test("sprt: lawful extremes on data; a planted shifted suffix alarms") {
