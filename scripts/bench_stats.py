@@ -23,7 +23,13 @@ def load(path):
     for line in txt.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            d = json.loads(line)
+            # a truncated run file or an interleaved log line that happens
+            # to start with '{' must not crash the whole protocol — skip
+            # to the next candidate line (ADVICE r13)
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
             if "queries" in d:
                 return d
     raise SystemExit(f"no bench JSON found in {path}")
@@ -47,9 +53,19 @@ def main():
     total_med = sum(med.values())
     per_run_totals = [sum(v for v in r["queries"].values() if v >= 0) for r in runs]
 
+    # keys without a valid sample in EVERY run get a median of fewer
+    # samples — name them loudly and annotate the committed JSON so the
+    # headline can never silently launder a partial key (ADVICE r13)
+    short = sorted(k for k in allk if k not in shared)
+
     print(f"runs: {len(runs)}  keys: {len(allk)} ({len(shared)} in all runs)")
     print("per-run totals: " + ", ".join(f"{t:.1f}s" for t in per_run_totals))
     print(f"median-of-{len(runs)} headline (sum of per-key medians): {total_med:.1f}s")
+    if short:
+        shared_total = sum(med[k] for k in shared)
+        print(f"WARNING: {len(short)} key(s) have <{len(runs)} valid samples: "
+              + ", ".join(short))
+        print(f"shared-keyset headline ({len(shared)} keys): {shared_total:.1f}s")
 
     # variance band
     band = []
@@ -89,6 +105,10 @@ def main():
         out["queries"] = {k: round(v, 3) for k, v in sorted(med.items())}
         out["value"] = round(total_med, 3)
         out["protocol"] = f"median-of-{len(runs)} per-key; totals {['%.1f' % t for t in per_run_totals]}"
+        if short:
+            out["partial_keys"] = {
+                k: sum(1 for r in runs if r["queries"].get(k, -1) >= 0)
+                for k in short}
         with open(a.out_median, "w") as f:
             json.dump(out, f)
         print(f"\nwrote {a.out_median}")

@@ -134,7 +134,7 @@ object Docs {
     * cannot drift from the hash-checked one (the `nswBeamSql` lesson:
     * ONE source for every expression tree). */
   private[graft] val IvfNlist = 16
-  private[queries] val IvfNprobe = 4
+  private[graft] val IvfNprobe = 4
   private def ivfDist64(ix: (String, String) => String)(a: String, b: String): String =
     (1 to 64).map { j =>
       val t = s"(CAST(${ix(a, j.toString)} AS DOUBLE) - CAST(${ix(b, j.toString)} AS DOUBLE))"
@@ -145,9 +145,15 @@ object Docs {
       s"CAST(${ix(a, j.toString)} AS DOUBLE) * CAST(${ix(b, j.toString)} AS DOUBLE)")
       .mkString("(", " + ", ")")
 
+  /** `nlist`/`nprobe` default to the oracle's pinned 16/4; the Spark
+    * registration may only pass the adaptive `Similarity.nlistForCorpus`
+    * / `nprobeForNlist` pair past [[NswOracleMaxN]] vectors — the same
+    * shared-constant gate as `nswBeamSpark` and the streaming serving
+    * runner, so all three engine paths agree at every scale and the
+    * static oracle text stays exact at gate SFs (ADVICE r13). */
   private def ivfProbeSql(emb: String, ix: (String, String) => String,
-                          mat: String = ""): String = {
-    val nlist = IvfNlist; val nprobe = IvfNprobe
+                          mat: String = "", nlist: Int = IvfNlist,
+                          nprobe: Int = IvfNprobe): String = {
     def dist64(a: String, b: String): String = ivfDist64(ix)(a, b)
     def dot64(a: String, b: String): String = ivfDot64(ix)(a, b)
     s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve FROM $emb),
@@ -221,7 +227,8 @@ object Docs {
     * append to a sink and the final read sorts. */
   private[graft] def ivfServeSql(qView: String, sampView: String,
                                  assignView: String, corpusView: String,
-                                 ix: (String, String) => String): String = {
+                                 ix: (String, String) => String,
+                                 nprobe: Int = IvfNprobe): String = {
     def dist64(a: String, b: String): String = ivfDist64(ix)(a, b)
     def dot64(a: String, b: String): String = ivfDot64(ix)(a, b)
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM $qView),
@@ -230,7 +237,7 @@ object Docs {
        |    SELECT q.query_id, samp.c,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY ${dist64("qe", "ce")} ASC, samp.c ASC) AS rn
-       |    FROM q CROSS JOIN $sampView samp) r WHERE rn <= $IvfNprobe),
+       |    FROM q CROSS JOIN $sampView samp) r WHERE rn <= $nprobe),
        |cand AS (
        |  SELECT probes.query_id, assign.vec_id AS neighbor_id
        |  FROM probes JOIN $assignView assign
@@ -602,10 +609,14 @@ object Docs {
   private[queries] val NswOracleNlist = 16
   private[graft] val NswOracleMaxN = 2000L
 
+  /** `standalone = false` emits only the CTE chain (no final SELECT) for
+    * the oracle monolith to keep chaining — a flag, not post-hoc text
+    * surgery on the emitted SQL (ADVICE r12/r13). */
   private def nswGraphSql(emb: String, ix: (String, String) => String,
                           dotF: (String, String) => String,
                           castArr: String => String,
-                          mat: String = "", nlist: Int = NswOracleNlist): String = {
+                          mat: String = "", nlist: Int = NswOracleNlist,
+                          standalone: Boolean = true): String = {
     val dist64 = nswDist64(ix) _
     s"""WITH corpus AS $mat(SELECT vec_id, ${castArr("embedding")} AS ve FROM $emb),
        |samp AS $mat(
@@ -634,8 +645,8 @@ object Docs {
        |    SELECT src, dst,
        |      row_number() OVER (PARTITION BY src
        |        ORDER BY pcos DESC, dst ASC) AS rn
-       |    FROM scored) r WHERE rn <= 6)
-       |SELECT src, dst FROM g0""".stripMargin
+       |    FROM scored) r WHERE rn <= 6)""".stripMargin +
+      (if (standalone) "\nSELECT src, dst FROM g0" else "")
   }
 
   /** One beam hop over table refs: candidates = beam ∪ neighbors(beam),
@@ -676,12 +687,14 @@ object Docs {
     }
   }
 
-  /** Final top-5 + the `in_exact_top10` audit flag over a beam ref. */
+  /** Final top-5 + the `in_exact_top10` audit flag over a beam ref.
+    * `asCte = true` emits `truth AS (...)` for the oracle monolith to
+    * append to its own CTE chain instead of opening a new `WITH`. */
   private def nswFinalSql(beamRef: String, emb: String,
                           dotF: (String, String) => String,
                           castArr: String => String,
-                          mat: String = ""): String = {
-    s"""WITH truth AS $mat(
+                          mat: String = "", asCte: Boolean = false): String = {
+    s"""${if (asCte) "" else "WITH "}truth AS $mat(
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.query_id, corpus.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.query_id
@@ -719,14 +732,13 @@ object Docs {
                          dotF: (String, String) => String,
                          castArr: String => String,
                          mat: String = ""): String = {
-    val graphPrefix = nswGraphSql(emb, ix, dotF, castArr, mat)
-      .replace("\nSELECT src, dst FROM g0", "")
+    val graphPrefix = nswGraphSql(emb, ix, dotF, castArr, mat,
+      standalone = false)
     val hopCtes = (1 to 4).map { h =>
       nswHopSql(s"beam${h - 1}", "g0", emb, dotF, castArr,
         asCtes = Some((s"cand$h", s"beam$h")), mat = mat)
     }.mkString(",\n")
-    val fin = nswFinalSql("beam4", emb, dotF, castArr, mat)
-      .replace("WITH truth AS", "truth AS")
+    val fin = nswFinalSql("beam4", emb, dotF, castArr, mat, asCte = true)
     s"""$graphPrefix,
        |entry AS $mat(SELECT min(vec_id) AS v FROM corpus),
        |beam0 AS $mat(
@@ -761,7 +773,8 @@ object Docs {
     try {
       val emb = mkView("emb", Tables.embeddings(s, d))
       val n = s.table(emb).count()
-      val nlist = if (n <= 2000) 16 else graft.operators.Similarity.nlistForCorpus(n)
+      val nlist = if (n <= NswOracleMaxN) NswOracleNlist
+        else graft.operators.Similarity.nlistForCorpus(n)
       val g = mkView("graph",
         s.sql(nswGraphSql(emb, ix, dotF, castArr, "", nlist)))
       val entry = s.sql(s"SELECT min(vec_id) AS v FROM $emb").head().getLong(0)
@@ -800,31 +813,61 @@ object Docs {
     * long form (order-free on both engines); the serving-shape cost is
     * corpus × (m·ksub) for encode + corpus × m·8 for the update —
     * never corpus². 8 rows at any scale. */
-  private def pqRetrainSql(emb: String, ix: (String, String) => String,
-                           mat: String = ""): String = {
-    val m = 8; val ksub = 16
-    def dist8(a: String, b: String): String =
-      (1 to m).map { j =>
-        val i = s"sv * 8 + $j"
-        val t = s"(CAST(${ix(a, i)} AS DOUBLE) - CAST(${ix(b, i)} AS DOUBLE))"
-        s"$t * $t"
-      }.mkString("(", " + ", ")")
-    val subRows = (0 until m).map(v => s"SELECT $v AS sv").mkString(" UNION ALL ")
-    val dimRows = (1 to m).map(j => s"SELECT $j AS dj").mkString(" UNION ALL ")
-    s"""WITH corpus AS $mat(SELECT vec_id, embedding AS ve, label FROM $emb),
-       |samp AS $mat(
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
-       |  FROM (SELECT vec_id, embedding FROM $emb
-       |        ORDER BY vec_id LIMIT $ksub) s0),
-       |sub AS $mat($subRows),
-       |dims AS $mat($dimRows),
-       |encd AS $mat(
+  private[graft] val PqM = 8
+  private[graft] val PqKsub = 16
+
+  private def pqDist8(ix: (String, String) => String)(
+      a: String, b: String): String =
+    (1 to PqM).map { j =>
+      val i = s"sv * 8 + $j"
+      val t = s"(CAST(${ix(a, i)} AS DOUBLE) - CAST(${ix(b, i)} AS DOUBLE))"
+      s"$t * $t"
+    }.mkString("(", " + ", ")")
+
+  /** The serving codebook: first-16-by-id sampled subspace centroids. */
+  private[graft] def pqSampSql(emb: String): String =
+    s"""SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |FROM (SELECT vec_id, embedding FROM $emb
+       |      ORDER BY vec_id LIMIT $PqKsub) s0""".stripMargin
+
+  /** ONE corpus slice encoded to the LONG-FORM INDEX ROWS a PQ index
+    * write lands: per (vector, subspace) the argmin codeword + its
+    * quantization distance, exploded per dimension with the raw
+    * subvector coordinate — (vec_id, label, sv, c, dist, dj, x), 64
+    * rows per vector, the at-rest form every retrain audit stage reads.
+    * Shared verbatim by the batch monolith ([[pqRetrainSql]]) and the
+    * per-micro-batch index write (`stream_pq_retrain`), so the two
+    * engine paths cannot drift. */
+  private[graft] def pqIndexSql(corpusRef: String, sampRef: String,
+                                ix: (String, String) => String): String = {
+    val subRows = (0 until PqM).map(v => s"SELECT $v AS sv").mkString(" UNION ALL ")
+    val dimRows = (1 to PqM).map(j => s"SELECT $j AS dj").mkString(" UNION ALL ")
+    val dist8 = pqDist8(ix) _
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ve, label FROM $corpusRef),
+       |sub AS ($subRows),
+       |dims AS ($dimRows),
+       |encd AS (
        |  SELECT vec_id, label, sv, c, dist FROM (
        |    SELECT corpus.vec_id, corpus.label, sub.sv, samp.c,
        |      ${dist8("ve", "ce")} AS dist,
        |      row_number() OVER (PARTITION BY corpus.vec_id, sub.sv
        |        ORDER BY ${dist8("ve", "ce")} ASC, samp.c ASC) AS rn
-       |    FROM corpus CROSS JOIN samp CROSS JOIN sub) r WHERE rn = 1),
+       |    FROM corpus CROSS JOIN $sampRef samp CROSS JOIN sub) r WHERE rn = 1)
+       |SELECT e.vec_id, e.label, e.sv, e.c, e.dist, d.dj,
+       |  CAST(${ix("corpus.ve", "e.sv * 8 + d.dj")} AS DOUBLE) AS x
+       |FROM encd e
+       |JOIN corpus ON corpus.vec_id = e.vec_id
+       |CROSS JOIN dims d""".stripMargin
+  }
+
+  /** The retrain AUDIT over a long-form index view ([[pqIndexSql]]
+    * rows): drift trigger per subspace (integer cross-multiplication on
+    * grid-9 DECIMAL sums), grid-6 Lloyd half-step means for flagged
+    * subspaces, per-subspace QE before/after. Shared by the batch
+    * monolith's tail and the streaming final assembly. */
+  private[graft] def pqAuditSql(indexRef: String, mat: String = ""): String =
+    s"""encd AS $mat(
+       |  SELECT vec_id, label, sv, c, dist FROM $indexRef WHERE dj = 1),
        |gq AS $mat(
        |  SELECT sv, count(*) AS n_g,
        |    sum(CAST(round(dist, 9) AS DECIMAL(28,9))) AS s_g
@@ -838,12 +881,8 @@ object Docs {
        |  FROM cq JOIN gq ON gq.sv = cq.sv
        |  WHERE 4 * gq.n_g * cq.s_s > 5 * cq.n_s * gq.s_g),
        |xl AS $mat(
-       |  SELECT e.sv, e.c, e.vec_id, d.dj,
-       |    CAST(${ix("corpus.ve", "e.sv * 8 + d.dj")} AS DOUBLE) AS x
-       |  FROM encd e
-       |  JOIN corpus ON corpus.vec_id = e.vec_id
-       |  CROSS JOIN dims d
-       |  WHERE e.sv IN (SELECT sv FROM flagged)),
+       |  SELECT sv, c, vec_id, dj, x FROM $indexRef
+       |  WHERE sv IN (SELECT sv FROM flagged)),
        |ncw AS $mat(
        |  SELECT sv, c, dj,
        |    round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -871,7 +910,18 @@ object Docs {
        |LEFT JOIN (SELECT sv FROM flagged) flagged ON flagged.sv = gq.sv
        |LEFT JOIN after_sv ON after_sv.sv = gq.sv
        |ORDER BY subspace""".stripMargin
-  }
+
+  /** Batch monolith: codebook + the WHOLE corpus through the shared
+    * [[pqIndexSql]] index form, then the shared [[pqAuditSql]] tail —
+    * both fragments verbatim, so the streaming index-write twin
+    * (`stream_pq_retrain`) cannot drift from this oracle. */
+  private def pqRetrainSql(emb: String, ix: (String, String) => String,
+                           mat: String = ""): String =
+    s"""WITH samp AS $mat(
+       |${pqSampSql(emb)}),
+       |pidx AS $mat(
+       |${pqIndexSql(emb, "samp", ix)}),
+       |${pqAuditSql("pidx", mat)}""".stripMargin
 
   val qs: Map[String, Q] = Map(
     // ---- text analysis --------------------------------------------------
@@ -1886,8 +1936,17 @@ object Docs {
       * k-means-trained quantizer and its recall law stay in
       * `similarity_ivf`/SimilaritySpec. */
     "similarity_ivf_probe" -> ((s, d) =>
-      withEmbView(s, d)(v =>
-        s.sql(ivfProbeSql(v, (e, i) => s"element_at($e, $i)")))),
+      withEmbView(s, d) { v =>
+        // same adaptive gate as the streaming serving twin — the two
+        // engine paths must agree at EVERY scale, not just oracle scale
+        val n = s.table(v).count()
+        val nlist = if (n <= NswOracleMaxN) IvfNlist
+          else graft.operators.Similarity.nlistForCorpus(n)
+        val nprobe = if (n <= NswOracleMaxN) IvfNprobe
+          else graft.operators.Similarity.nprobeForNlist(nlist)
+        s.sql(ivfProbeSql(v, (e, i) => s"element_at($e, $i)",
+          nlist = nlist, nprobe = nprobe))
+      }),
 
     /** The index-MAINTENANCE path of IVF (`ivfIncrementalSql` — one
       * shared template): admit the md5-split "new" batch against the

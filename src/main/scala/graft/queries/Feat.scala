@@ -1378,7 +1378,49 @@ object Feat {
 
   // ------------------------------------------------------------------
 
+  /** The DuckDB twin of `graph_k_core` — the h-index fixpoint unrolled
+    * 30× (the Spark loop's own round cap; converged rounds are
+    * idempotent no-ops, the `mstBoruvkaSql` unrolled-oracle precedent —
+    * VERDICT r13 ask #2). Every quantity is an INTEGER: degrees seed
+    * the estimates, each round replaces a node's estimate with
+    * min(est, h-index of its neighbors' estimates) where the h-index
+    * is max over desc-ranked neighbor values of min(rank, value) —
+    * exact arithmetic end to end, no grid discipline needed. Each
+    * round's estimate frame is MATERIALIZED (consumed twice: the
+    * neighbor gather and the least() attach). */
+  private def kCoreSql: String = {
+    val rounds = (1 to 30).map { r =>
+      val p = r - 1
+      s"""est$r AS MATERIALIZED (
+         |  SELECT h.src, least(e.est, h.h) AS est
+         |  FROM (
+         |    SELECT src, max(least(rk, nv)) AS h FROM (
+         |      SELECT u.src, l.est AS nv,
+         |        row_number() OVER (PARTITION BY u.src
+         |          ORDER BY l.est DESC, u.dst ASC) AS rk
+         |      FROM und u JOIN est$p l ON l.src = u.dst) t
+         |    GROUP BY src) h
+         |  JOIN est$p e ON e.src = h.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT b1.p AS pa, b2.p AS pb
+       |  FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM e0
+       |  UNION ALL SELECT pb, pa FROM e0),
+       |est0 AS MATERIALIZED (
+       |  SELECT src, count(*)::BIGINT AS est FROM und GROUP BY src),
+       |$rounds
+       |SELECT est AS coreness, count(*)::BIGINT AS n_nodes
+       |FROM est30 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "graph_k_core" -> kCoreSql,
 
     "feature_woe_encode" ->
       """WITH cell AS (

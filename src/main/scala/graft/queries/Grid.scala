@@ -52,4 +52,33 @@ object Grid {
     * (no signed-zero guard needed). */
   def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- linear-counting register sketch (r14 oracle conversions) ----------
+  // The approximate-distinct sketch BOTH engines can replay exactly:
+  // values hash to K md5 registers, a group aggregates its DISTINCT-
+  // register fill V (state bounded by K — the mergeable KB-class sketch
+  // posture), and the estimate is linear counting −K·ln(1−V/K)
+  // (Whang et al. 1990 — the estimator HLL++ itself serves in this fill
+  // regime). One fragment pair so engine and oracle cannot drift.
+
+  /** Fixed register count — sized ~40× the harness cardinality ceiling;
+    * a deploy sizes K to its expected distinct ceiling. */
+  val LcK = 65536
+
+  /** md5 register id of `c` (the `feature_hashing_trick` hash idiom). */
+  def lcReg(c: String): Column =
+    expr(s"cast(conv(substring(md5(cast($c as string)), 1, 8), 16, 10) " +
+      s"as bigint) % $LcK")
+
+  /** Linear-counting estimate from a distinct-register fill column. */
+  def lcEstimate(filled: Column): Column =
+    round(lit(-LcK.toDouble) * log(lit(1.0) - filled / lit(LcK.toDouble)), 6)
+
+  /** DuckDB twin of [[lcReg]]. */
+  def lcRegSql(e: String): String =
+    s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % $LcK"
+
+  /** DuckDB twin of [[lcEstimate]] — same literal/association order. */
+  def lcEstimateSql(filled: String): String =
+    s"round(-$LcK.0 * ln(1.0 - $filled / $LcK.0), 6)"
 }

@@ -1801,17 +1801,20 @@ object R10 {
     * the same gate). */
   /** Max merge-pair count the driver union-find may collect. This is a
     * DRIVER-MEMORY budget, not the executor-broadcast budget
-    * `GraphLayout.broadcastNodeLimit` gates: a collected pair is two
-    * short strings (~50 B), so the 2M default is ~100 MB on a driver
-    * sized for a 100 TB job — a 150k limit was sending the 10×-probe's
-    * first round (160k pairs) through the distributed fixpoint for no
-    * reason (measured 63.2 → 61.5 s at 10×: small there, but the gap
-    * widens with rounds that straddle the limit). Past the limit — the
-    * 10⁸-node first rounds of the design-point graph — the distributed
-    * path still runs. Tunable per deploy. */
+    * `GraphLayout.broadcastNodeLimit` gates. Honest accounting (ADVICE
+    * r13): a collected pair is not ~50 B — it is two GenericRow-boxed
+    * Strings, two String→String HashMap entries in the union-find, and
+    * an output tuple, realistically ~1 KB transient per pair — so the
+    * default budgets ~0.5 GB transient at the cap, safe on a
+    * default-sized local driver and trivial on one sized for a 100 TB
+    * job. 500k still clears every merge round the probes measured (the
+    * 10×-probe's largest round is 160k pairs; rounds halve from there);
+    * past the limit — the 10⁸-node first rounds of the design-point
+    * graph — the bit-identical distributed fixpoint runs instead.
+    * Tunable per deploy. */
   private def mstMergeDriverLimit: Long =
     sys.props.get("graft.graph.mstMergeDriverLimit").map(_.toLong)
-      .getOrElse(2000000L)
+      .getOrElse(500000L)
 
   private def boruvkaMerge(s: SparkSession, pairs: DataFrame): (DataFrame, Long) = {
     val n = pairs.count()

@@ -1186,9 +1186,15 @@ object R9 {
       * driver Gaussian elimination with partial pivoting — k² numbers,
       * the `ml_influence_diagnostics` posture. Output carries the
       * portfolio variance next to the equal-weight variance so the
-      * optimality claim is IN the result. Rows-only (a matrix inverse
-      * has no SQL form at k>3); R9Spec pins Σw=1, the KKT
-      * proportionality Σw ∝ 1, and GMV-dominance over equal weight. */
+      * optimality claim is IN the result. FULL ORACLE (r14, the VERDICT
+      * ask-#2 conversion): Σ is SPD, so the solve is a no-pivot
+      * Cholesky whose every sum is a LEFT-ASSOCIATED fold in ascending
+      * index order, textually mirrored by [[minVarianceSql]]'s
+      * generated expressions — +,−,×,÷ and sqrt are all correctly
+      * rounded in IEEE-754, so identical order ⇒ bit-identical doubles
+      * in both engines (the acfMoments doctrine extended to a matrix
+      * solve). R9Spec additionally pins Σw=1, the KKT proportionality
+      * Σw ∝ 1, and GMV-dominance over equal weight. */
     "fin_min_variance_portfolio" -> ((s, d) => {
       import s.implicits._
       val wOrd = Window.partitionBy("event_type").orderBy("bucket")
@@ -1227,25 +1233,43 @@ object R9 {
           val sij = row.getAs[java.math.BigDecimal](s"p_${a}_$b").doubleValue
           (sij - sums(i) * sums(j) / n) / n
         }
-        // solve cov * w0 = 1-vector by Gaussian elimination, partial pivot
-        val a = Array.tabulate(k)(i => cov(i).clone() :+ 1.0)
-        for (c <- 0 until k) {
-          val p = (c until k).maxBy(r => math.abs(a(r)(c)))
-          val t = a(c); a(c) = a(p); a(p) = t
-          for (r <- 0 until k if r != c) {
-            val f = a(r)(c) / a(c)(c)
-            for (cc <- c to k) a(r)(cc) -= f * a(c)(cc)
+        // solve cov * w0 = 1-vector by NO-PIVOT CHOLESKY — Σ is SPD
+        // (n > k+1 enforced above), so pivoting is mathematically
+        // unnecessary, and a pivot-free factorization is the one solve
+        // a static SQL text can replay. ORDER CONTRACT with
+        // minVarianceSql: every accumulation below is a left-associated
+        // sequential subtraction/addition in ascending index order,
+        // matching the generated SQL expression text term for term.
+        val lm = Array.ofDim[Double](k, k)
+        for (j <- 0 until k) {
+          var dAcc = cov(j)(j)
+          for (m <- 0 until j) dAcc -= lm(j)(m) * lm(j)(m)
+          lm(j)(j) = math.sqrt(dAcc)
+          for (i <- j + 1 until k) {
+            var acc = cov(i)(j)
+            for (m <- 0 until j) acc -= lm(i)(m) * lm(j)(m)
+            lm(i)(j) = acc / lm(j)(j)
           }
         }
-        val w0 = Array.tabulate(k)(i => a(i)(k) / a(i)(i))
-        val s0 = w0.sum
+        // forward L z = 1, then back Lᵀ w0 = z (ascending-m folds)
+        val z = Array.ofDim[Double](k)
+        for (i <- 0 until k) {
+          var acc = 1.0
+          for (m <- 0 until i) acc -= lm(i)(m) * z(m)
+          z(i) = acc / lm(i)(i)
+        }
+        val w0 = Array.ofDim[Double](k)
+        for (i <- k - 1 to 0 by -1) {
+          var acc = z(i)
+          for (m <- i + 1 until k) acc -= lm(m)(i) * w0(m)
+          w0(i) = acc / lm(i)(i)
+        }
+        val s0 = w0.reduce(_ + _)
         val w = w0.map(_ / s0)
         val portVar = 1.0 / s0
-        val ewVar = {
-          var acc = 0.0
-          for (i <- 0 until k; j <- 0 until k) acc += cov(i)(j)
-          acc / (k.toDouble * k)
-        }
+        val ewVar =
+          (for (i <- 0 until k; j <- 0 until k) yield cov(i)(j))
+            .reduce(_ + _) / (k.toDouble * k)
         def r6(v: Double): Double =
           BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble + 0.0
@@ -1337,7 +1361,103 @@ object R9 {
       |SELECT g AS event_type, t, event_id, v, alpha, ewma
       |FROM k ORDER BY event_type, t, event_id""".stripMargin
 
+  /** The DuckDB twin of `fin_min_variance_portfolio` (the r14 VERDICT
+    * ask-#2 conversion). Frame: the same 6-hour grid-6 bars, round-6
+    * log returns, complete 5-series buckets, exact DECIMAL moments.
+    * Solve: the SAME no-pivot Cholesky the engine runs, generated
+    * expression-for-expression in the engine's left-associated
+    * ascending-index fold order over CAST-to-DOUBLE moments — +,−,×,÷
+    * and sqrt are all IEEE-correctly-rounded, so every intermediate
+    * double is bit-identical across engines and the only rounding is
+    * the output grid (round 6/12 + 0.0). Each 1-row solve CTE is
+    * MATERIALIZED (multi-consumer scalars). */
+  private def minVarianceSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val k = types.length
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    def cRef(i: Int, j: Int) =
+      s"c_${math.min(i, j)}_${math.max(i, j)}"
+    val wideCols = types.indices.map(i =>
+      s"max(CASE WHEN event_type = '${types(i)}' THEN r END) AS r$i")
+    val sCols = types.indices.map(i =>
+      s"sum(CAST(r$i AS DECIMAL(18,6))) AS s_$i")
+    val pCols = for (i <- 0 until k; j <- i until k) yield
+      s"sum(CAST(CAST(r$i AS DECIMAL(18,6)) * CAST(r$j AS DECIMAL(18,6)) " +
+        s"AS DECIMAL(30,12))) AS p_${i}_$j"
+    val covCols = for (i <- 0 until k; j <- i until k) yield
+      s"(${d(s"p_${i}_$j")} - ${d(s"s_$i")} * ${d(s"s_$j")} / nd) / nd " +
+        s"AS c_${i}_$j"
+    // Cholesky, two CTEs per column j: the diagonal, then the below-
+    // diagonal entries that divide by it (mirrors the engine loop)
+    val chol = (0 until k).flatMap { j =>
+      val dTerms = (0 until j).map(m => s" - l_${j}_$m * l_${j}_$m").mkString
+      val diag = s"chd$j AS MATERIALIZED (SELECT *, " +
+        s"sqrt(${cRef(j, j)}$dTerms) AS l_${j}_$j FROM " +
+        (if (j == 0) "cv" else s"cho${j - 1}") + ")"
+      if (j == k - 1) Seq(diag)
+      else {
+        val below = (j + 1 until k).map { i =>
+          val t = (0 until j).map(m => s" - l_${i}_$m * l_${j}_$m").mkString
+          s"(${cRef(i, j)}$t) / l_${j}_$j AS l_${i}_$j"
+        }.mkString(",\n    ")
+        Seq(diag, s"cho$j AS MATERIALIZED (SELECT *,\n    $below FROM chd$j)")
+      }
+    }
+    val fwd = (0 until k).map { i =>
+      val t = (0 until i).map(m => s" - l_${i}_$m * z_$m").mkString
+      val src = if (i == 0) s"chd${k - 1}" else s"fz${i - 1}"
+      s"fz$i AS MATERIALIZED (SELECT *, (1.0$t) / l_${i}_$i AS z_$i FROM $src)"
+    }
+    val bwd = (k - 1 to 0 by -1).map { i =>
+      val t = (i + 1 until k).map(m => s" - l_${m}_$i * w0_$m").mkString
+      val src = if (i == k - 1) s"fz${k - 1}" else s"bw${i + 1}"
+      s"bw$i AS MATERIALIZED (SELECT *, (z_$i$t) / l_${i}_$i AS w0_$i FROM $src)"
+    }
+    val s0Expr = (0 until k).map(i => s"w0_$i").mkString(" + ")
+    val ewExpr = (for (i <- 0 until k; j <- 0 until k) yield cRef(i, j))
+      .mkString(" + ")
+    val arms = types.indices.map { i =>
+      s"""SELECT '${types(i)}' AS series,
+         |    round(w0_$i / s0, 6) + 0.0 AS weight, n AS n_obs,
+         |    round(pv, 12) + 0.0 AS port_variance,
+         |    round(ew, 12) + 0.0 AS equal_weight_variance,
+         |    round(pv / ew, 6) + 0.0 AS variance_ratio
+         |  FROM fin2""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH bars0 AS MATERIALIZED (
+       |  SELECT event_type, epoch_ns(ts) // 21600000000000 AS bucket,
+       |    ${Grid.mean6Sql("value")} AS px
+       |  FROM events GROUP BY 1, 2),
+       |bars AS MATERIALIZED (
+       |  SELECT event_type, bucket,
+       |    round(ln(px / lag(px) OVER (PARTITION BY event_type ORDER BY bucket)), 6) AS r
+       |  FROM bars0),
+       |wide AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT bucket,
+       |      ${wideCols.mkString(",\n      ")}
+       |    FROM bars WHERE r IS NOT NULL GROUP BY bucket) t
+       |  WHERE ${types.indices.map(i => s"r$i IS NOT NULL").mkString(" AND ")}),
+       |m AS MATERIALIZED (
+       |  SELECT count(*)::BIGINT AS n,
+       |    ${(sCols ++ pCols).mkString(",\n    ")}
+       |  FROM wide),
+       |mc AS MATERIALIZED (SELECT *, CAST(n AS DOUBLE) AS nd FROM m),
+       |cv AS MATERIALIZED (
+       |  SELECT n, nd,
+       |    ${covCols.mkString(",\n    ")}
+       |  FROM mc),
+       |${(chol ++ fwd ++ bwd).mkString(",\n")},
+       |fin1 AS MATERIALIZED (SELECT *, $s0Expr AS s0 FROM bw0),
+       |fin2 AS MATERIALIZED (SELECT *, 1.0 / s0 AS pv,
+       |  ($ewExpr) / ${k.toDouble * k} AS ew FROM fin1)
+       |$arms
+       |ORDER BY series""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "fin_min_variance_portfolio" -> minVarianceSql,
 
     "seq_path_trigrams" ->
       """WITH e AS (

@@ -1932,16 +1932,21 @@ object Rel {
             ("max_value", max(col("value")), max(_))))
         .orderBy("event_type")),
 
-    /** Sketch-distinct profiling (`approx_count_distinct` = HLL++): the
-      * scale path for distinct-cardinality profiling — one pass, fixed
-      * ~KB of mergeable sketch state per group, map-side combine —
-      * where exact `countDistinct` shuffles every distinct value.
-      * Rows-only (the sketch estimate is implementation-defined);
-      * RelationalSpec bounds its error against the exact count. */
+    /** Sketch-distinct profiling: the scale path for distinct-
+      * cardinality profiling — one pass, bounded mergeable register
+      * state per group, map-side combine — where exact `countDistinct`
+      * shuffles every distinct value. FULL ORACLE (r14, VERDICT ask #2
+      * — replacing the impl-defined `approx_count_distinct` HLL++ with
+      * the explicit `Grid.lcReg`/`lcEstimate` linear-counting register
+      * sketch both engines replay exactly); RelationalSpec bounds its
+      * error against the exact count. */
     "agg_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
+        .withColumn("reg", Grid.lcReg("user_id"))
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_approx"))
+        .agg(countDistinct(col("reg")).as("registers_filled"))
+        .select(col("event_type"), col("registers_filled"),
+          Grid.lcEstimate(col("registers_filled")).as("nd_users_lc"))
         .orderBy("event_type")),
 
     /** EXACT distinct counting at scale via the bitmap aggregates — the
@@ -2072,12 +2077,19 @@ object Rel {
 
     /** The SKETCH path of `agg_rolling_distinct_users` — at 100 TB the
       * exact rolling count-distinct shuffles every (user, window) pair;
-      * the HLL++ variant keeps per-window state at KB-size and
-      * mergeable (rsd 2%), which is how a production metrics store
-      * actually serves rolling MAU. Same contribution explode, sketch
-      * aggregation instead of exact. Rows-only (sketch estimates are
-      * impl-defined); RelationalSpec pins the per-day relative error
-      * against the exact twin. */
+      * a register sketch keeps per-window state BOUNDED (≤ K register
+      * ids) and mergeable, which is how a production metrics store
+      * actually serves rolling MAU. Same contribution explode; users
+      * hash to K = 65536 md5 registers and each window aggregates its
+      * DISTINCT-register fill plus the LINEAR-COUNTING estimate
+      * −K·ln(1−V/K) (Whang et al. 1990 — the estimator HLL++ itself
+      * serves in exactly this fill regime; a deploy sizes K to the
+      * expected cardinality ceiling). FULL ORACLE (r14, VERDICT ask #2
+      * — replacing the impl-defined `approx_count_distinct` sketch):
+      * the register hash is the shared md5 idiom and the estimate one
+      * shared ln expression, so DuckDB replays it exactly;
+      * RelationalSpec pins the estimate's relative error against the
+      * exact twin. */
     "agg_rolling_distinct_hll" -> ((s, d) => {
       val presence = Tables.events(s, d)
         .select(col("user_id"), Tables.epochDay(col("ts")).cast("long").as("day"))
@@ -2087,8 +2099,11 @@ object Rel {
         .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
         .crossJoin(broadcast(bounds))
         .filter(col("wday") <= col("max_day"))
+        .withColumn("reg", Grid.lcReg("user_id"))
         .groupBy(col("wday").as("day"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("mau7_approx"))
+        .agg(countDistinct(col("reg")).as("registers_filled"))
+        .select(col("day"), col("registers_filled"),
+          Grid.lcEstimate(col("registers_filled")).as("mau7_lc"))
         .orderBy("day")
     }),
 
@@ -3125,6 +3140,33 @@ object Rel {
         |SELECT mau.day, coalesce(dau.dau, 0)::BIGINT AS dau, mau.mau7
         |FROM mau LEFT JOIN dau ON mau.day = dau.day
         |ORDER BY mau.day""".stripMargin,
+
+    /** The register-sketch twin: same contribution explode, users
+      * hashed through the shared `Grid.lcRegSql` registers,
+      * per-window distinct-register fill + the shared
+      * `Grid.lcEstimateSql` linear-counting estimate. */
+    "agg_rolling_distinct_hll" ->
+      s"""WITH p AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM p),
+        |contrib AS (
+        |  SELECT ${Grid.lcRegSql("user_id")} AS reg,
+        |    unnest(generate_series(p.day, p.day + 6)) AS wday
+        |  FROM p)
+        |SELECT wday AS day, count(DISTINCT reg)::BIGINT AS registers_filled,
+        |  ${Grid.lcEstimateSql("count(DISTINCT reg)")} AS mau7_lc
+        |FROM contrib, mx WHERE wday <= max_day GROUP BY wday
+        |ORDER BY day""".stripMargin,
+
+    /** The per-type register-sketch twin of the distinct profile. */
+    "agg_approx_distinct" ->
+      s"""WITH r AS (
+        |  SELECT event_type, ${Grid.lcRegSql("user_id")} AS reg FROM events)
+        |SELECT event_type, count(DISTINCT reg)::BIGINT AS registers_filled,
+        |  ${Grid.lcEstimateSql("count(DISTINCT reg)")} AS nd_users_lc
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dq_expectations" ->
       """WITH scan AS (

@@ -823,6 +823,13 @@ object EventStream {
       val nlist =
         if (n <= graft.queries.Docs.NswOracleMaxN) graft.queries.Docs.IvfNlist
         else graft.operators.Similarity.nlistForCorpus(n)
+      // nprobe tracks nlist in the adaptive branch (ADVICE r13: a fixed
+      // nprobe=4 would probe 4/√n of the corpus — recall silently decays
+      // with scale); at oracle scale both stay the pinned 4/16 pair, so
+      // the hash-checked text is unchanged
+      val nprobe =
+        if (n <= graft.queries.Docs.NswOracleMaxN) graft.queries.Docs.IvfNprobe
+        else graft.operators.Similarity.nprobeForNlist(nlist)
       val samp = mkView("samp",
         spark.sql(graft.queries.Docs.ivfSampSql(corpus, nlist)))
       val assign = mkView("assign",
@@ -838,8 +845,14 @@ object EventStream {
           val bs = batch.sparkSession
           val qv = s"${tag}_q$bid"
           batch.createOrReplaceTempView(qv)
-          try bs.sql(graft.queries.Docs.ivfServeSql(qv, samp, assign, corpus, ix))
-            .write.mode("append").parquet(s"$scratch/served")
+          // exactly-once per micro-batch (ADVICE r13): each batch owns a
+          // batch-id-named subdirectory written with OVERWRITE, so a
+          // retried/replayed batch replaces its own partial output
+          // instead of appending duplicate rows into the hash-checked
+          // final read
+          try bs.sql(graft.queries.Docs.ivfServeSql(qv, samp, assign,
+              corpus, ix, nprobe))
+            .write.mode("overwrite").parquet(s"$scratch/served/bid=$bid")
           finally { bs.catalog.dropTempView(qv); () }
           wroteAny.set(true)
           ()

@@ -973,8 +973,9 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"live serving drifted from the batch probe scan: " +
         s"${got.length} vs ${want.length} rows")
-    // the multi-batch path must actually have run
+    // the multi-batch path must actually have run — each micro-batch owns
+    // an idempotent bid=N subdirectory (the exactly-once sink layout)
     assert(new java.io.File(s"$scratch/served").listFiles()
-      .count(_.getName.endsWith(".parquet")) >= 2)
+      .count(f => f.isDirectory && f.getName.startsWith("bid=")) >= 2)
   }
 }
