@@ -1252,6 +1252,15 @@ object Docs {
         graft.sources.Scratch.dir("stream_ann_serving", d,
           s"run${sqlRuns.incrementAndGet()}"))),
 
+    /** The PQ index WRITE path run live (`EventStream.runPqRetrainOnce`):
+      * deploy-time codebook state, per-micro-batch encode into the
+      * idempotent index sink, retrain audit over the landed index —
+      * split-invariant, hash-matches the batch twin's oracle. */
+    "stream_pq_retrain" -> ((s, d) =>
+      graft.streaming.EventStream.runPqRetrainOnce(s, d,
+        graft.sources.Scratch.dir("stream_pq_retrain", d,
+          s"run${sqlRuns.incrementAndGet()}"))),
+
     /** CONTRASTIVE TRAINING-PAIR MINING — the data-prep step an
       * embedding model (SimCSE/E5-style) trains on: POSITIVES are the
       * verified near-dup pairs the LSH pipeline already finds (the
@@ -2553,6 +2562,13 @@ object Docs {
         "MATERIALIZED "),
 
     "similarity_pq_retrain" ->
+      pqRetrainSql("embeddings", (e, i) => s"list_extract($e, $i)",
+        "MATERIALIZED "),
+
+    // the live index-write twin hash-matches the SAME monolithic oracle
+    // — its per-micro-batch index rows are split-invariant and the
+    // audit runs once over the landed index
+    "stream_pq_retrain" ->
       pqRetrainSql("embeddings", (e, i) => s"list_extract($e, $i)",
         "MATERIALIZED "),
 

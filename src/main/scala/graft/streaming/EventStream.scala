@@ -871,6 +871,78 @@ object EventStream {
     }
   }
 
+  private val pqRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** STREAMING PQ INDEX WRITE + RETRAIN AUDIT (`stream_pq_retrain`,
+    * r14 — the VERDICT ask-#5 index-MAINTENANCE twin, completing the
+    * serve/write pair `stream_ann_serving` opened): the
+    * `similarity_pq_retrain` pipeline run the way a deployed PQ index
+    * actually ingests — the CODEBOOK (16-row sampled subspace
+    * centroids) is deploy-time state computed batch-side once and
+    * checkpointed, while the CORPUS arrives as a stream; each
+    * micro-batch encodes ITS vectors against the fixed codebook
+    * (argmin codeword + quantization distance + raw subvector
+    * coordinates — `Docs.pqIndexSql`, the long-form rows a PQ index
+    * stores at rest) and lands them in an idempotent batch-id-named
+    * sink directory (the exactly-once layout). A vector's index rows
+    * depend only on (itself × codebook), so the union of emissions is
+    * micro-batch-split-invariant. The RETRAIN AUDIT — drift trigger by
+    * integer cross-multiplication on grid-9 DECIMAL sums, grid-6 Lloyd
+    * half-step for flagged subspaces, per-subspace QE before/after —
+    * is `Docs.pqAuditSql` run ONCE over the landed index (index
+    * maintenance reads the index, not the stream), so the result
+    * hash-matches the SAME DuckDB oracle as the batch twin. Streaming
+    * state: ZERO (stateless encode — the `stream_dedup_incremental`
+    * posture); the sink is the index itself, corpus × 64 rows. */
+  def runPqRetrainOnce(spark: SparkSession, dir: String,
+                       scratch: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tag = s"pq_retrain_v${pqRuns.incrementAndGet()}"
+    val ix = (e: String, i: String) => s"element_at($e, $i)"
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mkView(n: String, df: DataFrame): String = {
+      val v = s"${tag}_$n"
+      val cp = df.localCheckpoint()
+      frames += cp
+      cp.createOrReplaceTempView(v)
+      views += v
+      v
+    }
+    try {
+      val corpus = mkView("corpus", graft.Tables.embeddings(spark, dir))
+      val samp = mkView("samp",
+        spark.sql(graft.queries.Docs.pqSampSql(corpus)))
+      val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = readEmbeddings(spark, dir, maxFilesPerTrigger)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val bs = batch.sparkSession
+          val qv = s"${tag}_q$bid"
+          batch.createOrReplaceTempView(qv)
+          try bs.sql(graft.queries.Docs.pqIndexSql(qv, samp, ix))
+            .write.mode("overwrite").parquet(s"$scratch/index/bid=$bid")
+          finally { bs.catalog.dropTempView(qv); () }
+          wroteAny.set(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(wroteAny.get(),
+        s"PQ index write produced no micro-batches — no input under $dir")
+      val idx = mkView("pidx", spark.read.parquet(s"$scratch/index")
+        .select("vec_id", "label", "sv", "c", "dist", "dj", "x"))
+      // eager: the audit must materialize BEFORE the finally drops the
+      // views its plan references
+      spark.sql(s"WITH ${graft.queries.Docs.pqAuditSql(idx)}")
+        .localCheckpoint(eager = true)
+    } finally {
+      views.foreach(v => { spark.catalog.dropTempView(v); () })
+      frames.foreach(f => { f.unpersist(); () })
+    }
+  }
+
   // ---- streaming CEP burst detection ----------------------------------
 
   case class BurstEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)

@@ -978,4 +978,25 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$scratch/served").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bid=")) >= 2)
   }
+
+  test("streaming PQ index write: 3-file scrambled split equals the batch retrain") {
+    val src = java.nio.file.Files.createTempDirectory("pq_src").toString
+    val scratch = java.nio.file.Files.createTempDirectory("pq_sink").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tgt = s"$src/embeddings.parquet"
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1).write.mode("append").parquet(tgt)
+    emb.filter(col("vec_id") % 3 === 0).coalesce(1).write.mode("append").parquet(tgt)
+    emb.filter(col("vec_id") % 3 === 1).coalesce(1).write.mode("append").parquet(tgt)
+    val got = EventStream.runPqRetrainOnce(spark, src, scratch,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq)
+    val want = graft.SparkEntry.queries("similarity_pq_retrain")(spark, src)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.length == 8, "8 subspace audit rows expected")
+    assert(got.toSeq == want.toSeq,
+      "live index write + audit drifted from the batch retrain monolith")
+    // multi-batch evidence: idempotent per-batch index subdirectories
+    assert(new java.io.File(s"$scratch/index").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bid=")) >= 2)
+  }
 }
