@@ -72,6 +72,15 @@ object Bench {
       graft.ml.Models.randomForest("y", numTrees = 100, maxDepth = 12).fit(tiny)
       tiny.unpersist(); ()
     } catch { case _: Throwable => }
+    // the driver-forest path (r14) has its own hot loops (Grower, the
+    // Poisson bootstrap, the closed-form solve) — one synthetic fit
+    // compiles them before the first ensemble key
+    try {
+      System.err.println("[bench] warmup driver-forest")
+      val rows = (1 to 256).map(i =>
+        (Array(i.toDouble, i * 2.0), math.sin(i.toDouble))).toArray
+      graft.ml.Forest.fit(rows, numTrees = 100, maxDepth = 12); ()
+    } catch { case _: Throwable => }
     val results = ordered.map { case (name, fn) =>
       System.err.println(s"[bench] run $name")
       val t0 = System.nanoTime()

@@ -32,13 +32,28 @@ object Reference {
       // distinct cache entry from ml_ensemble_weighted's 30-minute frame)
       val fitted = Ensemble.fittedCached(spark, dir, ModelingFrame.Target, assembled)
 
-      // default input = latest feature row (`app.py:242` last_row_lookup);
-      // one chained-transform action scores all members at once
+      // default input = latest feature row (`app.py:242` last_row_lookup)
       val xInput = assembled.orderBy(desc("date_id")).limit(1)
-      val predRow = fitted.withMemberPredictions(xInput)
-        .select(fitted.members.map(m => col(s"yhat_${m.name}")): _*).head()
-      val pointPred = fitted.members.zipWithIndex
-        .map { case (m, i) => m.weight * predRow.getDouble(i) }.sum
+      val localPreds = {
+        // driver-path fit: one head() fetches the feature vector and all
+        // members predict on the driver (bit-identical to the column/map
+        // scoring — Ensemble.Scorer.predictLocal), no per-member job
+        val x = xInput.select(col(Models.FeaturesCol)).head()
+          .getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+        fitted.members.map(m => m.scorer.predictLocal(x))
+      }
+      val pointPred =
+        if (localPreds.forall(_.isDefined))
+          fitted.members.zip(localPreds)
+            .map { case (m, p) => m.weight * p.get }.sum
+        else {
+          // MLlib-backed members (past the driver gate): one chained-
+          // transform action scores all members at once
+          val predRow = fitted.withMemberPredictions(xInput)
+            .select(fitted.members.map(m => col(s"yhat_${m.name}")): _*).head()
+          fitted.members.zipWithIndex
+            .map { case (m, i) => m.weight * predRow.getDouble(i) }.sum
+        }
       val avgR2 = fitted.members.map(_.r2).sum / fitted.members.size
       val avgMae = fitted.members.map(_.mae).sum / fitted.members.size
 

@@ -122,10 +122,15 @@ object Ml {
         // instead of training 100 trees twice per session
         val f = Ensemble.fittedCached(s, d, ModelingFrame.Target, train,
           grain = "fine30m", rfMaxDepth = ModelingFrame.FineRfMaxDepth)
-        val m = f.members.find(_.name == "rf").get.model
-          .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
-        round6(Models.featureImportances(m, ModelingFrame.EventTypes)
-            .toDF("feature", "importance"), Seq("importance"))
+        val imps = f.members.find(_.name == "rf").get.scorer match {
+          case Ensemble.ForestScorer(m) =>
+            ModelingFrame.EventTypes.zip(m.importances.toSeq)
+          case Ensemble.MlScorer(m) =>
+            Models.featureImportances(
+              m.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel],
+              ModelingFrame.EventTypes)
+        }
+        round6(imps.toDF("feature", "importance"), Seq("importance"))
           .orderBy("feature")
       }
     }),
