@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Media-fixture row multiplier (probe knob, r14): the decode/phash
+    * fixtures are self-verifying bounded corpora (64/96 media rows) so
+    * verify hashes stay pinned; the scale probe multiplies the image
+    * COUNT through this env var without touching the pinned default —
+    * the only honest way to measure the decode family's growth, since
+    * the fixture bound otherwise hides it. */
+  def mediaScale: Int =
+    sys.env.get("SPARK_GRAFT_MEDIA_SCALE").map(_.toInt).getOrElse(1)
+
   /** Canonical media-table schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -2162,7 +2162,8 @@ object Docs {
       import s.implicits._
       val media = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id").limit(64)
+        .orderBy("doc_id")
+        .limit(64 * graft.operators.Multimodal.mediaScale)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.map { case (id, nch) =>
@@ -2216,7 +2217,8 @@ object Docs {
     "multimodal_dedup_phash" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d)
-        .select(col("doc_id")).orderBy("doc_id").limit(96)
+        .select(col("doc_id")).orderBy("doc_id")
+        .limit(96 * graft.operators.Multimodal.mediaScale)
         .as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -2299,7 +2301,8 @@ object Docs {
       import s.implicits._
       val media = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id").limit(64)
+        .orderBy("doc_id")
+        .limit(64 * graft.operators.Multimodal.mediaScale)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.map { case (id, nch) =>

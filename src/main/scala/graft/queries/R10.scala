@@ -2950,7 +2950,8 @@ object R10 {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"))
-      .orderBy("doc_id").limit(64)
+      .orderBy("doc_id")
+      .limit(64 * graft.operators.Multimodal.mediaScale)
       .as[(Long, Long)]
       .mapPartitions { it =>
         val writerFor = () => {
