@@ -67,7 +67,13 @@ object ModelingFrame {
       .withColumn("bucket_id", expr(s"ts_ns div ${BucketNs}L"))
       .groupBy("bucket_id")
       .pivot("event_type", EventTypes)
-      .agg(avg(col("value")))
+      // grid-6 means, not avg(double) (r14): a grouped double avg rides
+      // partial sums whose merge order is engine- and run-specific (the
+      // Grid.scala doctrine), which made every fine-frame model output
+      // only same-host-reproducible and blocked any future DuckDB twin
+      // of a fine-frame fit. `value` is 1e-2-grid, so the DECIMAL cast
+      // is exact and this is the same mean, deterministically rounded.
+      .agg(graft.queries.Grid.mean6(col("value")))
 
   /** [[fine]] + gap repair + next-bucket target. Sparse SFs leave some
     * (bucket, type) cells empty (sf0.001 averages ~0.7 events per cell);
