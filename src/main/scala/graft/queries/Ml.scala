@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1045,9 +1045,11 @@ object Ml {
       * with the inverse inlined as literals (the
       * `corpus_quality_classifier` serving posture: model-sized driver
       * state, narrow scoring map, no shuffle). Top-10 by Cook's D with
-      * the 4/n flag. Rows-only (a matrix inverse has no SQL form);
-      * MlSpec pins hat-matrix laws (Σh = p, h ∈ (0,1]) and a
-      * driver-side replay of the top row. */
+      * the 4/n flag. FULL ORACLE (r14 — unblocked by the grid-6 fine
+      * frame): shared-order Cholesky + forward-substitution leverage,
+      * generated identically in [[influenceSql]]; MlSpec additionally
+      * pins hat-matrix laws (Σh = p, h ∈ (0,1]) and a driver-side
+      * replay of the top row. */
     "ml_influence_diagnostics" -> ((s, d) => {
       val feats = ModelingFrame.EventTypes
       val df0 = ModelingFrame.buildFine(s, d)
@@ -1062,28 +1064,66 @@ object Ml {
         count(lit(1)).as("n")
       val r = df0.agg(prodAggs.head, prodAggs.tail: _*).head()
       val n = r.getAs[Long]("n")
-      val xtx = breeze.linalg.DenseMatrix.tabulate(p, p) { (i, j) =>
+      val xtx = Array.tabulate(p, p) { (i, j) =>
         val (a, b) = (math.min(i, j), math.max(i, j))
         r.getAs[java.math.BigDecimal](s"xx_${a}_$b").doubleValue()
       }
-      val xty = breeze.linalg.DenseVector.tabulate(p)(i =>
+      val xty = Array.tabulate(p)(i =>
         r.getAs[java.math.BigDecimal](s"xy_$i").doubleValue())
-      val ainv = breeze.linalg.inv(xtx)
-      val beta = ainv * xty
+      // FULL ORACLE (r14, unblocked by the grid-6 fine frame): the
+      // LAPACK inverse is replaced by the shared-order no-pivot
+      // Cholesky of the fin_min_variance_portfolio doctrine — XᵀX is
+      // SPD, every fold below is left-associated ascending-index, and
+      // influenceSql GENERATES the identical expression tree, so every
+      // double is bit-identical across engines. Leverage comes from the
+      // factor directly: h = ‖L⁻¹x‖² (no explicit inverse).
+      val lm = Array.ofDim[Double](p, p)
+      for (j <- 0 until p) {
+        var dAcc = xtx(j)(j)
+        for (m <- 0 until j) dAcc -= lm(j)(m) * lm(j)(m)
+        lm(j)(j) = math.sqrt(dAcc)
+        for (i <- j + 1 until p) {
+          var acc = xtx(i)(j)
+          for (m <- 0 until j) acc -= lm(i)(m) * lm(j)(m)
+          lm(i)(j) = acc / lm(j)(j)
+        }
+      }
+      val zv = Array.ofDim[Double](p)
+      for (i <- 0 until p) {
+        var acc = xty(i)
+        for (m <- 0 until i) acc -= lm(i)(m) * zv(m)
+        zv(i) = acc / lm(i)(i)
+      }
+      val beta = Array.ofDim[Double](p)
+      for (i <- p - 1 to 0 by -1) {
+        var acc = zv(i)
+        for (m <- i + 1 until p) acc -= lm(m)(i) * beta(m)
+        beta(i) = acc / lm(i)(i)
+      }
+      val betaDotXty = {
+        var acc = beta(0) * xty(0)
+        for (i <- 1 until p) acc += beta(i) * xty(i)
+        acc
+      }
       val s2 = (r.getAs[java.math.BigDecimal]("yy").doubleValue() -
-        (beta dot xty)) / (n - p)
-      // codegen'd scoring columns: inverse + coefficients as literals
-      val hatCol = (for (i <- 0 until p; j <- 0 until p) yield
-        lit(ainv(i, j)) * xcols(i) * xcols(j)).reduce(_ + _)
+        betaDotXty) / (n - p)
+      // forward substitution as nested codegen'd columns: v = L⁻¹x
+      val v = Array.ofDim[Column](p)
+      for (i <- 0 until p) {
+        var e: Column = xcols(i)
+        for (m <- 0 until i) e = e - lit(lm(i)(m)) * v(m)
+        v(i) = e / lit(lm(i)(i))
+      }
+      val hatCol = v.map(c => c * c).reduce(_ + _)
       val predCol = (0 until p).map(i => lit(beta(i)) * xcols(i)).reduce(_ + _)
       df0
         .withColumn("h", hatCol)
         .withColumn("resid", col("y") - predCol)
         .withColumn("cook", (col("resid") * col("resid") * col("h")) /
-          (lit(p) * lit(s2) * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+          (lit(p.toDouble) * lit(s2) * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
         .select(col("bucket_id"), round(col("resid"), 6).as("resid"),
           round(col("h"), 6).as("leverage"), round(col("cook"), 6).as("cooks_d"),
-          (round(col("cook"), 6) > math.rint(4.0 / n * 1e6) / 1e6).as("influential"))
+          (round(col("cook"), 6) > Grid.r6(4.0 / n)).as("influential"))
         .orderBy(col("cooks_d").desc, col("bucket_id").asc).limit(10)
     }),
 
@@ -1684,7 +1724,118 @@ object Ml {
          |ORDER BY model""".stripMargin
   }
 
+  /** The DuckDB twin of `ml_influence_diagnostics` (r14 — unblocked by
+    * the grid-6 fine frame). Frame: the buildFine replay (grid-6 pivot
+    * means, ffill/bfill via IGNORE-NULLS windows, next-bucket target,
+    * dense-row filter). Solve: the SAME shared-order no-pivot Cholesky
+    * the engine runs (the `minVarianceSql` doctrine — every fold
+    * left-associated ascending-index over CAST-to-DOUBLE DECIMAL
+    * moments, so every double is bit-identical), leverage as the
+    * forward-substitution norm ‖L⁻¹x‖² with the identical nested
+    * expression shape, Cook's distance and the 4/n flag on the same
+    * rounded grid. */
+  private def influenceSql: String = {
+    val types = ModelingFrame.EventTypes
+    val k = types.length + 1 // intercept column first, as the engine's xcols
+    def xRef(i: Int) = if (i == 0) "1.0" else types(i - 1)
+    def aRef(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
+    val px = types.map(t => s"max(CASE WHEN event_type = '$t' THEN m END) AS $t")
+    val fill = types.map(t =>
+      s"coalesce(last_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        s"first_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
+        s"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS $t")
+    val xxCols = for (i <- 0 until k; j <- i until k) yield
+      s"sum(CAST(${xRef(i)} * ${xRef(j)} AS DECIMAL(38,10))) AS xx_${i}_$j"
+    val xyCols = (0 until k).map(i =>
+      s"sum(CAST(${xRef(i)} * y AS DECIMAL(38,10))) AS xy_$i")
+    val aCols = (for (i <- 0 until k; j <- i until k) yield
+      s"CAST(xx_${i}_$j AS DOUBLE) AS a_${i}_$j") ++
+      (0 until k).map(i => s"CAST(xy_$i AS DOUBLE) AS xyd_$i") :+
+      "CAST(yy AS DOUBLE) AS yyd"
+    val chol = (0 until k).flatMap { j =>
+      val dTerms = (0 until j).map(m => s" - l_${j}_$m * l_${j}_$m").mkString
+      val diag = s"chd$j AS MATERIALIZED (SELECT *, " +
+        s"sqrt(${aRef(j, j)}$dTerms) AS l_${j}_$j FROM " +
+        (if (j == 0) "cv" else s"cho${j - 1}") + ")"
+      if (j == k - 1) Seq(diag)
+      else {
+        val below = (j + 1 until k).map { i =>
+          val t = (0 until j).map(m => s" - l_${i}_$m * l_${j}_$m").mkString
+          s"(${aRef(i, j)}$t) / l_${j}_$j AS l_${i}_$j"
+        }.mkString(",\n    ")
+        Seq(diag, s"cho$j AS MATERIALIZED (SELECT *,\n    $below FROM chd$j)")
+      }
+    }
+    val fwd = (0 until k).map { i =>
+      val t = (0 until i).map(m => s" - l_${i}_$m * z_$m").mkString
+      val src = if (i == 0) s"chd${k - 1}" else s"fz${i - 1}"
+      s"fz$i AS MATERIALIZED (SELECT *, (xyd_$i$t) / l_${i}_$i AS z_$i FROM $src)"
+    }
+    val bwd = (k - 1 to 0 by -1).map { i =>
+      val t = (i + 1 until k).map(m => s" - l_${m}_$i * b_$m").mkString
+      val src = if (i == k - 1) s"fz${k - 1}" else s"bw${i + 1}"
+      s"bw$i AS MATERIALIZED (SELECT *, (z_$i$t) / l_${i}_$i AS b_$i FROM $src)"
+    }
+    val bdot = (0 until k).map(i => s"b_$i * xyd_$i").mkString(" + ")
+    // per-row forward substitution, same nested shape as the engine's
+    // Column build: v_i = (x_i − Σ_{m<i} l_im·v_m)/l_ii, h = Σ v_i²
+    val vCols = (0 until k).map { i =>
+      val t = (0 until i).map(m => s" - l_${i}_$m * v_$m").mkString
+      s"(${xRef(i)}$t) / l_${i}_$i AS v_$i"
+    }.mkString(",\n    ")
+    val hExpr = (0 until k).map(i => s"v_$i * v_$i").mkString(" + ")
+    val predExpr = (0 until k).map(i => s"b_$i * ${xRef(i)}").mkString(" + ")
+    s"""WITH f0 AS MATERIALIZED (
+       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket_id,
+       |    ${graft.queries.Grid.mean6Sql("value")} AS m
+       |  FROM events GROUP BY 1, 2),
+       |fp AS MATERIALIZED (
+       |  SELECT bucket_id, ${px.mkString(",\n    ")}
+       |  FROM f0 GROUP BY bucket_id),
+       |ff AS MATERIALIZED (
+       |  SELECT bucket_id, ${fill.mkString(",\n    ")}
+       |  FROM fp),
+       |fr AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, lead(click) OVER (ORDER BY bucket_id) AS y FROM ff) t
+       |  WHERE y IS NOT NULL
+       |    AND ${types.map(t => s"$t IS NOT NULL").mkString(" AND ")}),
+       |m AS MATERIALIZED (
+       |  SELECT count(*)::BIGINT AS n,
+       |    ${(xxCols ++ xyCols).mkString(",\n    ")},
+       |    sum(CAST(y * y AS DECIMAL(38,10))) AS yy
+       |  FROM fr),
+       |cv AS MATERIALIZED (
+       |  SELECT n, ${aCols.mkString(",\n    ")}
+       |  FROM m),
+       |${(chol ++ fwd ++ bwd).mkString(",\n")},
+       |sol AS MATERIALIZED (
+       |  SELECT *, (yyd - ($bdot)) / (n - $k) AS s2 FROM bw0),
+       |sc AS MATERIALIZED (
+       |  SELECT fr.bucket_id, fr.y,
+       |    $vCols,
+       |    $predExpr AS pred,
+       |    sol.s2 AS s2, sol.n AS n
+       |  FROM fr CROSS JOIN sol),
+       |sc2 AS MATERIALIZED (
+       |  SELECT bucket_id, $hExpr AS h, y - pred AS resid, s2, n FROM sc),
+       |sc3 AS MATERIALIZED (
+       |  SELECT bucket_id, resid, h,
+       |    (resid * resid * h) /
+       |      ($k.0 * s2 * (1.0 - h) * (1.0 - h)) AS cook,
+       |    n
+       |  FROM sc2)
+       |SELECT bucket_id, round(resid, 6) AS resid,
+       |  round(h, 6) AS leverage, round(cook, 6) AS cooks_d,
+       |  round(cook, 6) > round(4.0 / n, 6) AS influential
+       |FROM sc3
+       |ORDER BY cooks_d DESC, bucket_id ASC LIMIT 10""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "ml_influence_diagnostics" -> influenceSql,
     "ml_ridge" -> coefSql(1.0),
 
     "ml_sarima" -> sarimaSql,
