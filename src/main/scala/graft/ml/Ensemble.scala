@@ -81,10 +81,15 @@ object Ensemble {
                           scorer: Scorer)
 
   /** Driver-path training artifacts kept for metric replays: canonical
-    * (hash-sorted) labels + per-member predictions. Lets `report` skip
-    * its Spark aggregate when the fit already lives on the driver. */
+    * (hash-sorted) labels + per-member predictions, plus the identity of
+    * the frame they came from (`source`/`label`). Lets `report` skip its
+    * Spark aggregate when it is asked about the SAME frame the fit saw —
+    * and only then (ADVICE r14: a held-out frame must never silently get
+    * training metrics back). */
   private[ml] final case class DriverEval(y: Array[Double],
-                                          preds: Map[String, Array[Double]])
+                                          preds: Map[String, Array[Double]],
+                                          source: DataFrame,
+                                          label: String)
 
   final case class Fitted(members: Seq[Member],
                           private[ml] val driverEval: Option[DriverEval] = None) {
@@ -128,7 +133,7 @@ object Ensemble {
     if (probe.nonEmpty && probe.length <= limit) {
       val rows = probe.map(r =>
         (r.getAs[org.apache.spark.ml.linalg.Vector](0).toArray, r.getDouble(1)))
-      fitDriver(rows, numTrees, rfMaxDepth) match {
+      fitDriver(rows, numTrees, rfMaxDepth, train, label) match {
         case Some(f) => return f
         case None => // fall through to the distributed flow
       }
@@ -142,7 +147,8 @@ object Ensemble {
     * the centered normal matrix is not SPD (degenerate features) —
     * the caller falls back to MLlib's solvers. */
   private def fitDriver(rows0: Array[(Array[Double], Double)], numTrees: Int,
-                        rfMaxDepth: Int): Option[Fitted] = {
+                        rfMaxDepth: Int, source: DataFrame,
+                        label: String): Option[Fitted] = {
     val rows = rows0.sortBy(r => Forest.rowHash(r._1, r._2))
     val n = rows.length
     val k = rows(0)._1.length
@@ -188,7 +194,7 @@ object Ensemble {
       }
       val wsum = scored.map(_.weight).sum
       Fitted(scored.map(m => m.copy(weight = m.weight / wsum)),
-        driverEval = Some(DriverEval(ys, preds)))
+        driverEval = Some(DriverEval(ys, preds, source, label)))
     }
   }
 
@@ -269,7 +275,10 @@ object Ensemble {
     * followed by the ensemble row — the `app.py:517-519` perf table. */
   def report(f: Fitted, train: DataFrame, label: String): Seq[(String, Double, Double, Double)] = {
     val (r2, mae) = f.driverEval match {
-      case Some(ev) =>
+      // replay is only valid for the EXACT frame/label the fit collected
+      // (reference identity, not equality — a recomputed or held-out
+      // frame takes the Spark aggregate below; ADVICE r14)
+      case Some(ev) if (ev.source eq train) && ev.label == label =>
         // driver replay: ensemble yhat folds members in the SAME order
         // as the predict column (lr + ridge + rf) — no Spark job
         val ys = ev.y; val n = ys.length
@@ -283,7 +292,7 @@ object Ensemble {
         }
         val sst = syy - sy * sy / n
         (1.0 - sse / sst, sae / n)
-      case None =>
+      case _ =>
         val e = Evaluation.metricsFull(f.predict(train, label, Nil), "y", "yhat").head()
         (e.getAs[Double]("r2"), e.getAs[Double]("mae"))
     }

@@ -176,9 +176,12 @@ object Forest {
         f += 1
       }
       if (bestF < 0) return node
-      imp(bestF) += bestGain
       val (li, ri) = idx.partition(r => xs(bestF)(r) <= bestThr)
       if (li.isEmpty || ri.isEmpty) return node // degenerate midpoint
+      // importance is credited only for splits that actually materialize —
+      // a degenerate-midpoint bailout above leaves the node a leaf and must
+      // not inflate imp(bestF) (ADVICE r14; matches sklearn CART semantics)
+      imp(bestF) += bestGain
       feature(node) = bestF; threshold(node) = bestThr
       left(node) = grow(li, depth + 1)
       right(node) = grow(ri, depth + 1)

@@ -1121,7 +1121,9 @@ object Ml {
         .withColumn("resid", col("y") - predCol)
         .withColumn("cook", (col("resid") * col("resid") * col("h")) /
           (lit(p.toDouble) * lit(s2) * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
-        .select(col("bucket_id"), round(col("resid"), 6).as("resid"),
+        // signed-zero guard (house r6z discipline): resid is signable, and
+        // Spark/DuckDB can disagree on ±0.0 for a tiny-magnitude residual
+        .select(col("bucket_id"), (round(col("resid"), 6) + lit(0.0)).as("resid"),
           round(col("h"), 6).as("leverage"), round(col("cook"), 6).as("cooks_d"),
           (round(col("cook"), 6) > Grid.r6(4.0 / n)).as("influential"))
         .orderBy(col("cooks_d").desc, col("bucket_id").asc).limit(10)
@@ -1826,7 +1828,7 @@ object Ml {
        |      ($k.0 * s2 * (1.0 - h) * (1.0 - h)) AS cook,
        |    n
        |  FROM sc2)
-       |SELECT bucket_id, round(resid, 6) AS resid,
+       |SELECT bucket_id, round(resid, 6) + 0.0 AS resid,
        |  round(h, 6) AS leverage, round(cook, 6) AS cooks_d,
        |  round(cook, 6) > round(4.0 / n, 6) AS influential
        |FROM sc3

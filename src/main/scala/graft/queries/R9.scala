@@ -1209,6 +1209,13 @@ object R9 {
         .filter(col("r").isNotNull)
       val types = bars.select("event_type").distinct()
         .as[String].collect().sorted
+      // LOUD type-coverage contract with minVarianceSql (ADVICE r14): the
+      // oracle text is generated from ModelingFrame.EventTypes, so a
+      // dataset missing (or adding) a type must fail HERE, on both paths,
+      // not silently diverge when the oracle's pivot empties its frame.
+      require(types.toSeq == graft.ml.ModelingFrame.EventTypes,
+        s"fin_min_variance_portfolio: event types ${types.mkString(",")} != " +
+          s"the oracle contract ${graft.ml.ModelingFrame.EventTypes.mkString(",")}")
       val k = types.length
       val wide = bars.groupBy("bucket").pivot("event_type", types)
         .agg(first(col("r")))
@@ -1372,7 +1379,10 @@ object R9 {
     * the output grid (round 6/12 + 0.0). Each 1-row solve CTE is
     * MATERIALIZED (multi-consumer scalars). */
   private def minVarianceSql: String = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    // single source of truth with the engine path (ADVICE r14): both
+    // sides derive from ModelingFrame.EventTypes, and the engine asserts
+    // its collected distinct types equal this set before solving
+    val types = graft.ml.ModelingFrame.EventTypes
     val k = types.length
     def d(x: String) = s"CAST($x AS DOUBLE)"
     def cRef(i: Int, j: Int) =

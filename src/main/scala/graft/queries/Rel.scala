@@ -1902,19 +1902,43 @@ object Rel {
 
     /** Scale path for `agg_describe`/`agg_boxplot_stats`: exact
       * `percentile` is a full per-column sort — fine for the oracle at
-      * test SF, a bottleneck at 100 TB. `approx_percentile` is a
-      * mergeable one-pass sketch (map-side combine, no sort); rows-only
-      * because the sketch is implementation-defined — RelationalSpec
-      * bounds its error against the exact quartiles instead. */
+      * test SF, a bottleneck at 100 TB. The approximate quartiles come
+      * from a KMV BOTTOM-K sample (the 256 rows with the smallest house
+      * hash of the row identity — the `agg_quantile_bottomk` posture):
+      * the bottom-k of a union is the bottom-k of the merged bottom-k's,
+      * so the sample is MERGEABLE across partitions (Spark plans the
+      * orderBy+limit as TakeOrdered — per-partition partial top-k, no
+      * full sort) and DETERMINISTIC, unlike `approx_percentile` whose
+      * Greenwald–Khanna state is implementation-defined. FULL ORACLE
+      * (r15, VERDICT ask #2): both engines pick identical sample rows
+      * and interpolate identical quantiles; exact n/mean/std/min/max
+      * ride the same one-pass aggregate as `agg_describe`.
+      * RelationalSpec still bounds the sample quartiles against the
+      * exact ones. */
     "agg_describe_approx" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      def one(c: String): DataFrame = li.agg(
-        count(col(c)).as("n"), Grid.mean6(col(c), 4).as("mean"),
-        round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
-        round(expr(s"approx_percentile($c, 0.25, 10000)"), 4).as("p25"),
-        round(expr(s"approx_percentile($c, 0.5, 10000)"), 4).as("p50"),
-        round(expr(s"approx_percentile($c, 0.75, 10000)"), 4).as("p75"),
-        max(col(c)).as("max")).select(lit(c).as("column_name"), col("*"))
+      val hv = expr(
+        "conv(substring(md5(concat(cast(l_orderkey AS string), '_', " +
+          "cast(l_linenumber AS string))), 1, 8), 16, 10)").cast("long")
+      val samp = li
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          hv.as("hv"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("hv"), col("l_orderkey"), col("l_linenumber"))
+        .limit(256)
+        .localCheckpoint(eager = true) // 3 consumers; TakeOrdered runs once
+      def one(c: String): DataFrame = {
+        val ex = li.agg(
+          count(col(c)).as("n_total"), Grid.mean6(col(c), 4).as("mean"),
+          round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
+          max(col(c)).as("max"))
+        val sq = samp.agg(count(col(c)).as("n_sample"),
+          round(expr(s"percentile($c, 0.25)"), 4).as("p25"),
+          round(expr(s"percentile($c, 0.5)"), 4).as("p50"),
+          round(expr(s"percentile($c, 0.75)"), 4).as("p75"))
+        ex.crossJoin(sq).select(lit(c).as("column_name"), col("n_total"),
+          col("n_sample"), col("mean"), col("std"), col("min"),
+          col("p25"), col("p50"), col("p75"), col("max"))
+      }
       Seq("l_quantity", "l_extendedprice", "l_discount").map(one).reduce(_.union(_))
         .orderBy("column_name")
     }),
@@ -3101,6 +3125,33 @@ object Rel {
            |FROM lineitem""".stripMargin
       Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    /** The bottom-k sampled describe replayed exactly: same house hash,
+      * same 256-row sample membership, same interpolated quantiles. */
+    "agg_describe_approx" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT count($c) FROM lineitem) AS n_total,
+           |  count($c) AS n_sample,
+           |  (SELECT round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 4) FROM lineitem) AS mean,
+           |  (SELECT round(stddev_samp($c), 4) FROM lineitem) AS std,
+           |  (SELECT min($c) FROM lineitem) AS min,
+           |  round(quantile_cont($c, 0.25), 4) AS p25,
+           |  round(quantile_cont($c, 0.5), 4) AS p50,
+           |  round(quantile_cont($c, 0.75), 4) AS p75,
+           |  (SELECT max($c) FROM lineitem) AS max
+           |FROM samp""".stripMargin
+      """WITH base AS (
+        |  SELECT l_quantity, l_extendedprice, l_discount,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 8))::BIGINT AS hv,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |samp AS MATERIALIZED (
+        |  SELECT * FROM base ORDER BY hv, l_orderkey, l_linenumber LIMIT 256)
+        |""".stripMargin +
+        Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
 
     // Exact, so the oracle is the plain COUNT(DISTINCT) the bitmap

@@ -742,13 +742,19 @@ object EventStream {
       val q = readDocuments(spark, dir, maxFilesPerTrigger)
         .filter(newFlag)
         .writeStream
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
           val newBanded = Dedup.bandExplode(
             Dedup.lshSignatures(batch.toDF(), "doc_id", "text", numHashes),
             "doc_id", numHashes, numBands)
+          // exactly-once per micro-batch (ADVICE r14 / VERDICT r14 #3):
+          // each batch owns a batch-id-named subdirectory written with
+          // OVERWRITE, so a retried/replayed micro-batch replaces its own
+          // partial output instead of appending duplicate admission rows
+          // into the hash-checked final read — the same pattern as the
+          // serving (:855) and index (:924) sinks
           Dedup.admitAgainst(newBanded, corpusBanded,
               batch.select(col("doc_id")), "doc_id", threshold)
-            .write.mode("append").parquet(s"$scratch/admissions")
+            .write.mode("overwrite").parquet(s"$scratch/admissions/bid=$bid")
           wroteAny.set(true)
           ()
         }

@@ -945,10 +945,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "no new docs marked at this SF — test data drifted")
     assert(got.toSeq == want.toSeq,
       s"split admission drifted from the batch twin:\ngot  ${got.toSeq}\nwant ${want.toSeq}")
-    // the multi-batch path must actually have run: one appended part
-    // file per micro-batch
-    assert(new java.io.File(s"$scratch/admissions").listFiles()
-      .count(_.getName.endsWith(".parquet")) >= 3)
+    // the multi-batch path must actually have run — each micro-batch owns
+    // an idempotent bid=N subdirectory (the exactly-once sink layout the
+    // serving/index sinks already use; VERDICT r14 #3)
+    val bidDirs = new java.io.File(s"$scratch/admissions").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bid="))
+    assert(bidDirs.length >= 3, s"expected >=3 bid= dirs, got ${bidDirs.length}")
+
+    // RETRY IDEMPOTENCE: a retried micro-batch re-executes its foreachBatch
+    // body — the batch output is deterministic (band join over the same
+    // corpus and the same input file), so the retry writes the SAME frame
+    // with OVERWRITE into the batch's own bid= dir. Replay one batch and
+    // assert the hash-checked final read does not move (under the old
+    // append sink this exact replay duplicated every admission row).
+    val bid0 = bidDirs.minBy(_.getName)
+    val replayFrame = spark.read.parquet(bid0.getPath)
+      .select("doc_id", "is_duplicate", "dup_of", "jaccard")
+      .localCheckpoint() // materialize before overwriting the source path
+    replayFrame.write.mode("overwrite").parquet(bid0.getPath)
+    val after = spark.read.parquet(s"$scratch/admissions")
+      .select("doc_id", "is_duplicate", "dup_of", "jaccard")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(after.toSeq == want.toSeq,
+      s"retried micro-batch changed the final read: ${after.length} vs ${want.length} rows")
   }
 
   test("streaming ANN serving: 3-file scrambled split equals the batch probe scan") {
