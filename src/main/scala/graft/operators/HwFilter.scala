@@ -67,6 +67,42 @@ object HwFilter {
       }
     }
 
+  /** One grid-rounded step at ARBITRARY (α, β, γ) — the `ml_holt_winters`
+    * grid-search recursion (r15 full-oracle conversion). Identical to
+    * [[step]] except the smoothing constants are parameters and the
+    * complements are COMPUTED as `1 - a` (matching the oracle's
+    * `(1 - a)` text) rather than literal 0.8/0.9 — at a general grid
+    * point there is no exact-literal complement to hardcode. */
+  def stepParam(st: St, y: Double, a: Double, b: Double, g: Double): St = {
+    val sOld = st.seas.head
+    val f = Grid.r9(st.level + st.trend + sOld, 6)
+    val e = y - f
+    val lPrev = st.level
+    val nl = Grid.r9(a * (y - sOld) + (1 - a) * (lPrev + st.trend)) + 0.0
+    val nt = Grid.r9(b * (nl - lPrev) + (1 - b) * st.trend) + 0.0
+    val ns = Grid.r9(g * (y - nl) + (1 - g) * sOld) + 0.0
+    St(st.warm, st.started, nl, nt, st.seas.tail :+ ns,
+      st.sse + e * e, st.nErr + 1, st.nObs)
+  }
+
+  /** Whole-series pass at (α, β, γ): the same textbook init as [[push]]
+    * (first-season mean level, season-gap trend, first-season
+    * deviations), then the parameterized recursion over t = M..n−1 —
+    * ONE arithmetic with the `ml_holt_winters` oracle's per-grid-point
+    * recursive CTE. */
+  def runParam(ys: Array[Double], a: Double, b: Double, g: Double): St = {
+    require(ys.length > 2 * M, s"Holt–Winters needs > ${2 * M} buckets")
+    val m1 = mean6(ys.take(M).toSeq)
+    val m2 = mean6(ys.slice(M, 2 * M).toSeq)
+    var st = St(Vector.empty, started = true, m1,
+      Grid.r9((m2 - m1) / M) + 0.0,
+      ys.take(M).toVector.map(v => Grid.r9(v - m1, 6) + 0.0),
+      0.0, 0L, ys.length.toLong)
+    var t = M
+    while (t < ys.length) { st = stepParam(st, ys(t), a, b, g); t += 1 }
+    st
+  }
+
   /** The one-row summary the oracle checks: final level/trend, 1-step
     * and 1-day forecasts, one-step-ahead RMSE. Call only when started. */
   def summary(st: St): (Long, Double, Double, Double, Double, Double) = {

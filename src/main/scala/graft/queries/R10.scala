@@ -3285,6 +3285,63 @@ object R10 {
        |  round(sqrt(sse / ne), 6) AS rmse
        |FROM hw, nn WHERE t = nn.n""".stripMargin
 
+  /** The GRID-SEARCHED Holt–Winters twin (`ml_holt_winters`, r15): the
+    * same init and recursion as [[hwFilterSql]] generalized to carry the
+    * 48-point (α, β, γ) grid as an extra recursion dimension — all 48
+    * passes advance together, one series join per step; the winner is
+    * the deterministic (sse, α, β, γ) minimum. Complements are written
+    * `(1 - a)` to match `HwFilter.stepParam`'s computed complements. */
+  private def hwGridSql: String = {
+    val pts = for {
+      a <- Seq(0.1, 0.3, 0.5, 0.8)
+      b <- Seq(0.01, 0.1, 0.3)
+      g <- Seq(0.05, 0.1, 0.3, 0.5)
+    } yield s"(CAST($a AS DOUBLE), CAST($b AS DOUBLE), CAST($g AS DOUBLE))"
+    s"""WITH RECURSIVE b AS (
+       |  SELECT epoch_ns(ts) // 1800000000000 AS bucket,
+       |    ${Grid.mean6Sql("value")} AS yv
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY bucket) AS idx, yv FROM b),
+       |nn AS (SELECT count(*) AS n FROM s),
+       |m1 AS (SELECT round(CAST(sum(CAST(yv AS DECIMAL(18,6))) AS DOUBLE)
+       |  / count(yv), 6) AS v FROM s WHERE idx <= 48),
+       |m2 AS (SELECT round(CAST(sum(CAST(yv AS DECIMAL(18,6))) AS DOUBLE)
+       |  / count(yv), 6) AS v FROM s WHERE idx > 48 AND idx <= 96),
+       |init AS (SELECT m1.v AS l0, round((m2.v - m1.v) / 48, 9) + 0.0 AS b0,
+       |  (SELECT list(round(yv - m1.v, 6) + 0.0 ORDER BY idx)
+       |   FROM s, m1 WHERE idx <= 48) AS s0
+       |  FROM m1, m2),
+       |grid(a, bb, gg) AS (VALUES ${pts.mkString(",\n    ")}),
+       |hw(a, bb, gg, t, l, b, sl, sse, ne) AS (
+       |  SELECT g.a, g.bb, g.gg, CAST(48 AS BIGINT), l0, b0, s0,
+       |    CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT) FROM init, grid g
+       |  UNION ALL
+       |  SELECT a, bb, gg, t + 1, nl,
+       |    round(bb * (nl - l) + (1 - bb) * b, 9) + 0.0,
+       |    list_append(sl[2:48], round(gg * (yv - nl) + (1 - gg) * sold, 9) + 0.0),
+       |    sse + (yv - f) * (yv - f),
+       |    ne + 1
+       |  FROM (
+       |    SELECT u.*,
+       |      round(u.a * (u.yv - u.sold) + (1 - u.a) * (u.l + u.b), 9) + 0.0 AS nl,
+       |      round(u.l + u.b + u.sold, 6) AS f
+       |    FROM (
+       |      SELECT rec.a AS a, rec.bb AS bb, rec.gg AS gg, rec.t AS t,
+       |        rec.l AS l, rec.b AS b, rec.sl AS sl,
+       |        rec.sse AS sse, rec.ne AS ne, sr.yv AS yv, rec.sl[1] AS sold
+       |      FROM hw rec JOIN s sr ON sr.idx = rec.t + 1) u) u2, nn
+       |  WHERE t < nn.n),
+       |win AS (SELECT hw.* FROM hw, nn WHERE t = nn.n
+       |  ORDER BY sse, a, bb, gg LIMIT 1)
+       |SELECT a AS alpha, bb AS beta, gg AS gamma, 48 AS season,
+       |  CAST(nn.n AS BIGINT) AS n_obs,
+       |  round(sqrt(sse / ne), 6) AS rmse,
+       |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+       |  round(l + 1 * b + sl[1], 6) + 0.0 AS forecast_1,
+       |  round(l + 48 * b + sl[48], 6) + 0.0 AS forecast_1day
+       |FROM win, nn""".stripMargin
+  }
+
   /** Banded-DTW twin — the prefix-min reformulation (see the
     * `ts_dtw_pairs` Scaladoc in Fin.scala): per DP row,
     * cur(j) = S_j + min_{k≤j}(A_k − S_{k−1}) where A_k =
@@ -3506,6 +3563,8 @@ object R10 {
     "ml_pca_power" -> pcaPowerSql,
 
     "ml_holt_winters_filter" -> hwFilterSql,
+
+    "ml_holt_winters" -> hwGridSql,
 
     "stream_holt_winters" -> hwFilterSql,
 
