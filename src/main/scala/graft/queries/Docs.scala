@@ -1009,45 +1009,116 @@ object Docs {
     /** CALIBRATION audit of the corpus quality classifier — the check a
       * filtering pipeline runs before trusting scores as probabilities
       * (a miscalibrated filter silently shifts the kept-corpus mixture):
-      * same fit as `corpus_quality_classifier`, then the WHOLE corpus is
-      * bucketed into ten fixed-width score bins and each bin compares
-      * mean predicted probability against the empirical positive rate —
-      * the reliability-diagram table, with each bin's weighted ECE
-      * contribution. Scoring is the same codegen'd sigmoid column
-      * (weights inlined as literals); the audit is one aggregation.
-      * Rows-only: the IRLS fit has no SQL closed form; the bin laws are
-      * pinned in SimilaritySpec. */
+      * a ridge-logistic fit on the deterministic 80% doc split predicts
+      * the median-thresholded quality heuristic from token-statistics
+      * features, then the WHOLE corpus is bucketed into ten fixed-width
+      * score bins and each bin compares mean predicted probability
+      * against the empirical positive rate — the reliability-diagram
+      * table, with each bin's weighted ECE contribution. FULL ORACLE
+      * (r15, VERDICT ask #2 — the conversion that retires the "IRLS has
+      * no SQL form" excuse): the fit is a FIXED 4-step Newton/IRLS solve
+      * from β = 0 with the ridge 2λ = 0.02·n_train on the coefficients —
+      * per step, per-row probabilities grid-round to 1e-6 (the ONLY
+      * cross-engine divergence point: libm exp; everything downstream of
+      * identical doubles is deterministic), moment terms grid-round to
+      * 1e-9 and accumulate as EXACT DECIMAL(14,9) sums (order-free,
+      * map-side combinable — the 100 TB posture; scaled sums stay under
+      * 2^53 through ~10⁶ docs), and the 4×4 normal solve replays the
+      * minVariance no-pivot Cholesky ORDER CONTRACT expression for
+      * expression in [[calibrationSql]]. Each Newton step is ONE
+      * distributed aggregate; the driver holds only the 4-vector β.
+      * SimilaritySpec pins the bin laws. */
     "ml_calibration_bins" -> ((s, d) => {
-      val feats = Seq("x_len", "x_stop", "x_mtl")
       val base = toked(s, d).select(
           col("doc_id"),
-          least(size(col("toks")) / lit(100.0), lit(1.0)).as("x_len"),
-          Text.stopwordRatio("toks").as("x_stop"),
-          Text.meanTokenLen("toks").as("x_mtl"))
-        .withColumn("quality", col("x_len") * (lit(1.0) - col("x_stop")))
+          round(least(size(col("toks")) / lit(100.0), lit(1.0)), 6).as("x1"),
+          round(Text.stopwordRatio("toks"), 6).as("x2"),
+          round(Text.meanTokenLen("toks"), 6).as("x3"),
+          (least(size(col("toks")) / lit(100.0), lit(1.0))
+            * (lit(1.0) - Text.stopwordRatio("toks"))).as("quality"))
         .cache()
       try {
         val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
-        val labeled = base.withColumn("label", (col("quality") > thr).cast("double"))
-        val train = Models.assemble(labeled.filter(col("doc_id") % 5 < 4), feats)
-        val m = new org.apache.spark.ml.classification.LogisticRegression()
-          .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
-          .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100).setTol(1e-4)
-          .fit(train)
-        val w = m.coefficients.toArray
-        val z = feats.zip(w.toSeq).map { case (c, wi) => col(c) * lit(wi) }
-          .reduce(_ + _) + lit(m.intercept)
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val labeled = base
+          .withColumn("y", (col("quality") > lit(thr)).cast("long"))
+        val train = labeled.filter(col("doc_id") % 5 < 4)
+          .localCheckpoint(eager = true) // 4 Newton scans + the count
+        val nTrain = train.count()
+        val lam2 = 0.02 * nTrain // 2λ, λ = 0.01·n (mean-loss regParam 0.01)
+        // β = (x1, x2, x3, intercept); z folds left-associated in this
+        // order — the oracle's expression text term for term
+        def zOf(b: Array[Double]): Column =
+          ((lit(b(0)) * col("x1") + lit(b(1)) * col("x2"))
+            + lit(b(2)) * col("x3")) + lit(b(3))
+        def p6Of(b: Array[Double]): Column =
+          round(lit(1.0) / (lit(1.0) + exp(-zOf(b))), 6)
+        val xcols: Seq[Column] = Seq(col("x1"), col("x2"), col("x3"), lit(1.0))
+        var beta = Array(0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to 4) {
+          val p6 = p6Of(beta)
+          val w6 = round(p6 * (lit(1.0) - p6), 6)
+          val u = col("y").cast("double") - p6
+          val hAggs = for (i <- 0 until 4; j <- i until 4) yield
+            sum(round(xcols(i) * xcols(j) * w6, 9).cast("decimal(14,9)"))
+              .as(s"h_${i}_$j")
+          val gAggs = (0 until 4).map(i =>
+            sum(round(xcols(i) * u, 9).cast("decimal(14,9)")).as(s"g_$i"))
+          val m = train.agg((hAggs ++ gAggs).head, (hAggs ++ gAggs).tail: _*)
+            .head()
+          val h = Array.ofDim[Double](4, 4)
+          val g = Array.ofDim[Double](4)
+          for (i <- 0 until 4; j <- i until 4) {
+            val v = m.getAs[java.math.BigDecimal](s"h_${i}_$j").doubleValue
+            h(i)(j) = v; h(j)(i) = v
+          }
+          for (i <- 0 until 4) g(i) = m.getAs[java.math.BigDecimal](s"g_$i").doubleValue
+          // ridge on the coefficients only, never the intercept
+          for (i <- 0 until 3) {
+            h(i)(i) = h(i)(i) + lam2
+            g(i) = g(i) - lam2 * beta(i)
+          }
+          // 4×4 no-pivot Cholesky; every fold below is a left-associated
+          // sequential subtraction in ascending index order — the
+          // calibrationSql order contract (the minVariance discipline)
+          val lm = Array.ofDim[Double](4, 4)
+          for (j <- 0 until 4) {
+            var dAcc = h(j)(j)
+            for (mi <- 0 until j) dAcc -= lm(j)(mi) * lm(j)(mi)
+            lm(j)(j) = math.sqrt(dAcc)
+            for (i <- j + 1 until 4) {
+              var acc = h(i)(j)
+              for (mi <- 0 until j) acc -= lm(i)(mi) * lm(j)(mi)
+              lm(i)(j) = acc / lm(j)(j)
+            }
+          }
+          val zv = Array.ofDim[Double](4)
+          for (i <- 0 until 4) {
+            var acc = g(i)
+            for (mi <- 0 until i) acc -= lm(i)(mi) * zv(mi)
+            zv(i) = acc / lm(i)(i)
+          }
+          val dl = Array.ofDim[Double](4)
+          for (i <- 3 to 0 by -1) {
+            var acc = zv(i)
+            for (mi <- i + 1 until 4) acc -= lm(mi)(i) * dl(mi)
+            dl(i) = acc / lm(i)(i)
+          }
+          beta = Array.tabulate(4)(i => beta(i) + dl(i))
+        }
         val nTot = labeled.count()
         labeled
-          .withColumn("p", p)
-          .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+          .withColumn("p6", p6Of(beta))
+          .withColumn("bin", least(floor(col("p6") * 10), lit(9)).cast("int"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"),
-            round(avg(col("p")), 6).as("mean_p"),
-            round(avg(col("label")), 6).as("frac_pos"),
-            round(abs(avg(col("p")) - avg(col("label"))) *
-              (count(lit(1)) / lit(nTot.toDouble)), 6).as("ece_term"))
+            sum(col("p6").cast("decimal(8,6)")).as("sp"),
+            sum(col("y")).as("sy"))
+          .select(col("bin"), col("n"),
+            round(col("sp").cast("double") / col("n"), 6).as("mean_p"),
+            round(col("sy").cast("double") / col("n"), 6).as("frac_pos"),
+            round(abs(col("sp").cast("double") / col("n")
+                - col("sy").cast("double") / col("n"))
+              * (col("n") / lit(nTot.toDouble)), 6).as("ece_term"))
           .orderBy("bin")
           .localCheckpoint(eager = true)
       } finally { base.unpersist(); () }
@@ -2532,7 +2603,127 @@ object Docs {
       s"(CASE WHEN list_dot_product($vecExpr, $p) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** The DuckDB twin of `ml_calibration_bins` (the r15 VERDICT ask-#2
+    * conversion): the SAME fixed 4-step Newton/IRLS — per step, score
+    * the train split with the previous β (p grid-rounds to 1e-6, the
+    * only libm-divergence point), accumulate the 10+4 moment sums as
+    * exact DECIMAL(14,9) of 1e-9-gridded terms, assemble the ridged
+    * 4×4 normal system, and solve it by the SAME no-pivot Cholesky the
+    * engine runs — generated expression-for-expression in the engine's
+    * left-associated ascending-index fold order (the minVariance order
+    * contract). β threads through 1-row CTEs bt0..bt4; the final SELECT
+    * is the reliability-diagram aggregation over the whole corpus. */
+  private def calibrationSql: String = {
+    def x(i: Int) = i match {
+      case 0 => "x1"; case 1 => "x2"; case 2 => "x3"
+      case _ => "CAST(1.0 AS DOUBLE)"
+    }
+    def zExpr(b: String) =
+      s"((($b.b0 * x1 + $b.b1 * x2) + $b.b2 * x3) + $b.b3)"
+    def aRef(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
+    def iter(t: Int): String = {
+      val prev = s"bt${t - 1}"
+      val hCols = (for (i <- 0 until 4; j <- i until 4) yield
+        s"sum(CAST(round(${x(i)} * ${x(j)} * w6, 9) AS DECIMAL(14,9))) AS h_${i}_$j")
+        .mkString(",\n    ")
+      val gCols = (0 until 4).map(i =>
+        s"sum(CAST(round(${x(i)} * u, 9) AS DECIMAL(14,9))) AS g_$i")
+        .mkString(",\n    ")
+      val aCols = (for (i <- 0 until 4; j <- i until 4) yield {
+        val ridge = if (i == j && i < 3) " + tn.lam2" else ""
+        s"CAST(h_${i}_$j AS DOUBLE)$ridge AS a_${i}_$j"
+      }).mkString(",\n    ")
+      val rCols = (0 until 4).map { i =>
+        val ridge = if (i < 3) s" - tn.lam2 * b.b$i" else ""
+        s"CAST(g_$i AS DOUBLE)$ridge AS r_$i"
+      }.mkString(",\n    ")
+      val chol = (0 until 4).flatMap { j =>
+        val dT = (0 until j).map(m => s" - l_${j}_$m * l_${j}_$m").mkString
+        val src = if (j == 0) s"a$t" else s"c${t}o${j - 1}"
+        val diag =
+          s"c${t}d$j AS MATERIALIZED (SELECT *, sqrt(${aRef(j, j)}$dT) AS l_${j}_$j FROM $src)"
+        if (j == 3) Seq(diag)
+        else {
+          val below = (j + 1 until 4).map { i =>
+            val tr = (0 until j).map(m => s" - l_${i}_$m * l_${j}_$m").mkString
+            s"(${aRef(i, j)}$tr) / l_${j}_$j AS l_${i}_$j"
+          }.mkString(",\n    ")
+          Seq(diag, s"c${t}o$j AS MATERIALIZED (SELECT *,\n    $below FROM c${t}d$j)")
+        }
+      }
+      val fwd = (0 until 4).map { i =>
+        val tr = (0 until i).map(m => s" - l_${i}_$m * z_$m").mkString
+        val src = if (i == 0) s"c${t}d3" else s"f$t${i - 1}"
+        s"f$t$i AS MATERIALIZED (SELECT *, (r_$i$tr) / l_${i}_$i AS z_$i FROM $src)"
+      }
+      val bwd = (3 to 0 by -1).map { i =>
+        val tr = (i + 1 until 4).map(m => s" - l_${m}_$i * w0_$m").mkString
+        val src = if (i == 3) s"f${t}3" else s"w$t${i + 1}"
+        s"w$t$i AS MATERIALIZED (SELECT *, (z_$i$tr) / l_${i}_$i AS w0_$i FROM $src)"
+      }
+      s"""sc$t AS (
+         |  SELECT tr.y, tr.x1, tr.x2, tr.x3,
+         |    round(1.0 / (1.0 + exp(-${zExpr("b")})), 6) AS p6
+         |  FROM tr, $prev b),
+         |mw$t AS (
+         |  SELECT *, round(p6 * (1.0 - p6), 6) AS w6, y - p6 AS u FROM sc$t),
+         |mo$t AS (
+         |  SELECT
+         |    $hCols,
+         |    $gCols
+         |  FROM mw$t),
+         |a$t AS MATERIALIZED (
+         |  SELECT
+         |    $aCols,
+         |    $rCols,
+         |    b.b0 AS b0, b.b1 AS b1, b.b2 AS b2, b.b3 AS b3
+         |  FROM mo$t, tn, $prev b),
+         |${(chol ++ fwd ++ bwd).mkString(",\n")},
+         |bt$t AS MATERIALIZED (
+         |  SELECT b0 + w0_0 AS b0, b1 + w0_1 AS b1, b2 + w0_2 AS b2,
+         |    b3 + w0_3 AS b3
+         |  FROM w${t}0)""".stripMargin
+    }
+    tokedSql +
+      s""", f AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    round(least(len(toks) / 100.0, 1.0), 6) AS x1,
+         |    round(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE / len(toks), 6) AS x2,
+         |    round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)::DOUBLE / len(toks), 6) AS x3,
+         |    least(len(toks) / 100.0, 1.0)
+         |      * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE / len(toks)) AS quality
+         |  FROM t),
+         |lb AS MATERIALIZED (
+         |  SELECT doc_id, x1, x2, x3,
+         |    CASE WHEN quality > (SELECT quantile_cont(quality, 0.5) FROM f)
+         |      THEN 1 ELSE 0 END AS y
+         |  FROM f),
+         |tr AS MATERIALIZED (SELECT * FROM lb WHERE doc_id % 5 < 4),
+         |tn AS MATERIALIZED (
+         |  SELECT count(*) AS n, CAST(0.02 AS DOUBLE) * count(*) AS lam2 FROM tr),
+         |bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+         |  CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3),
+         |${(1 to 4).map(iter).mkString(",\n")},
+         |scf AS (
+         |  SELECT lb.y,
+         |    round(1.0 / (1.0 + exp(-${zExpr("b")})), 6) AS p6
+         |  FROM lb, bt4 b),
+         |nt AS (SELECT count(*) AS n FROM lb)
+         |SELECT CAST(least(floor(p6 * 10), 9) AS INT) AS bin,
+         |  count(*) AS n,
+         |  round(CAST(sum(CAST(p6 AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6) AS mean_p,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+         |  round(abs(CAST(sum(CAST(p6 AS DECIMAL(8,6))) AS DOUBLE) / count(*)
+         |      - CAST(sum(y) AS DOUBLE) / count(*))
+         |    * (count(*) / CAST(nt.n AS DOUBLE)), 6) AS ece_term
+         |FROM scf, nt
+         |GROUP BY 1, nt.n
+         |ORDER BY bin""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "ml_calibration_bins" -> calibrationSql,
     "similarity_pq_adc" ->
       pqAdcSql("embeddings", (e, i) => s"list_extract($e, $i)",
         "MATERIALIZED "),
