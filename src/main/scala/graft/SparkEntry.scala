@@ -42,4 +42,18 @@ object SparkEntry {
     * unaffected either way. */
   def sameHostDeterministic(name: String): Boolean =
     Set("ml_kmeans", "ml_lda_topics", "similarity_ivf").contains(name)
+
+  /** Rows-only entries whose engine hash is deterministic across ANY
+    * physical layout, not merely per host (r15, VERDICT r14 ask #4):
+    * the ensemble family's forest is content-seeded (`graft.ml.Forest`:
+    * splitmix64(seed, tree, row-content-hash) bootstrap multiplicities
+    * over hash-canonicalized rows), so repartitioning or reordering the
+    * training frame cannot move a bit — ForestSpec pins 1-vs-7-partition
+    * and shuffled-row bit-equality end to end, and GoldenParitySpec pins
+    * the quality band on the reference CSV. Verify stamps these
+    * `"determinism": "cross-layout"` so the guarantee is visible in the
+    * gate artifacts. */
+  def crossLayoutDeterministic(name: String): Boolean =
+    Set("ml_ensemble_weighted", "serving_signal", "ml_random_forest")
+      .contains(name)
 }

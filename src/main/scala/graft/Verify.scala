@@ -133,8 +133,12 @@ object Verify {
       import scala.jdk.CollectionConverters._
       val entries = hashes.asScala.toSeq.sortBy(_._1).map {
         case (k, (h, n)) =>
-          val scope = if (SparkEntry.sameHostDeterministic(k))
-            s""", ${q("determinism")}: ${q("same-host")}""" else ""
+          val scope =
+            if (SparkEntry.sameHostDeterministic(k))
+              s""", ${q("determinism")}: ${q("same-host")}"""
+            else if (SparkEntry.crossLayoutDeterministic(k))
+              s""", ${q("determinism")}: ${q("cross-layout")}"""
+            else ""
           s"${q(k)}: {${q("hash")}: ${q(h)}, ${q("rows")}: $n$scope}"
       }.mkString(", ")
       s"""{${q("spark_version")}: ${q(spark.version)}, ${q("queries")}: {$entries}}"""
