@@ -931,36 +931,70 @@ object Ml {
       }
     }),
 
-    /** `ml_isotonic`: distributed ISOTONIC regression (monotone
-      * least-squares — the calibration primitive: probability/score
-      * calibration, monotone dose-response, shape-constrained trend).
-      * MLlib's implementation IS the scale story: pool-adjacent-violators
-      * runs per partition in parallel, and only the already-pooled
-      * (point, weight) summaries — monotone blocks, not rows — meet for
-      * the final driver-side pass, so the fit survives any row count
-      * while the model itself stays boundary-sized. Fit: next-bucket
-      * click target as a monotone function of the current click mean
-      * over the 30-minute modeling frame (`ModelingFrame.buildFine`);
-      * output mirrors `ml_gbt`'s train-metrics row plus
-      * the learned boundary count. Rows-only: PAVA has no SQL closed
-      * form; MlSpec pins exact equality with a reference driver-side
-      * PAVA on a violation-planted fixture plus the monotone
+    /** `ml_isotonic`: ISOTONIC regression (monotone least-squares — the
+      * calibration primitive: probability/score calibration, monotone
+      * dose-response, shape-constrained trend). Fit: next-bucket click
+      * target as a monotone function of the current click mean over the
+      * 30-minute modeling frame. FULL ORACLE (r15): the PAVA solution is
+      * computed through its MINIMAX characterization
+      * ŷᵢ = max_{j≤i} min_{l≥i} Avg(j..l) — the `ml_isotonic_calibration`
+      * conversion's form, here at the O(k²) pair frame (k = distinct
+      * grid-6 click values, calendar-bounded ≤ ~1.4k at any SF, so the
+      * ~1M-row pair join is aggregate-scale): exact BIGINT/DECIMAL
+      * prefix sums, one double division per block average, a suffix-min
+      * window per left start, a max per point — both engines replay
+      * every double bit for bit. Metrics fold as exact-decimal sums of
+      * 1e-9-gridded residual terms. MlSpec keeps the exact-PAVA fixture
+      * law (the minimax form IS PAVA's optimum) and the monotone
       * postcondition. */
     "ml_isotonic" -> ((s, d) => {
       import s.implicits._
-      withFineFrame(s, d) { train =>
-        val m = new org.apache.spark.ml.regression.IsotonicRegression()
-          .setFeaturesCol("click").setLabelCol(ModelingFrame.Target)
-          .setPredictionCol("yhat").fit(train)
-        val pred = m.transform(train)
-          .select(col(ModelingFrame.Target).as("y"), col("yhat"))
-        val r = Evaluation.metricsFull(pred, "y", "yhat").head()
-        def r6(v: Double) = math.rint(v * 1e6) / 1e6
-        Seq((r.getAs[Long]("n"), m.boundaries.size,
-            r6(r.getAs[Double]("mae")), r6(r.getAs[Double]("rmse")),
-            r6(r.getAs[Double]("r2"))))
-          .toDF("n", "n_boundaries", "mae", "rmse", "r2")
-      }
+      import org.apache.spark.sql.expressions.Window
+      val base = ModelingFrame.buildFine(s, d)
+        .select(col("click").as("x"), col(ModelingFrame.Target).as("y"))
+        .localCheckpoint(eager = true) // pts + the scoring join
+      val pts = base.groupBy("x").agg(count(lit(1)).as("w"),
+        sum(col("y").cast("decimal(18,6)")).as("sy"))
+      val cw = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts
+        .withColumn("cw", sum("w").over(cw))
+        .withColumn("cs", sum("sy").over(cw))
+        .localCheckpoint(eager = true) // two self-join consumers
+      val ji = cum.select(col("x").as("jx"),
+        (col("cw") - col("w")).as("wp"), (col("cs") - col("sy")).as("sp"))
+      val li = cum.select(col("x").as("lx"), col("cw").as("wl"), col("cs").as("sl"))
+      val pair = ji.join(li, col("jx") <= col("lx"))
+        .withColumn("av",
+          (col("sl") - col("sp")).cast("double") /
+            (col("wl") - col("wp")).cast("double"))
+      val wMin = Window.partitionBy("jx").orderBy(col("lx").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fit = pair.withColumn("mn", min("av").over(wMin))
+        .groupBy(col("lx").as("x")).agg(max("mn").as("yhat"))
+        .localCheckpoint(eager = true) // block count + the scoring join
+      val wx = Window.orderBy("x")
+      val nBlocks = fit.withColumn("prev", lag("yhat", 1).over(wx))
+        .agg(sum(when(col("prev").isNull || col("prev") =!= col("yhat"), 1L)
+          .otherwise(0L)).as("nb")).head().getLong(0)
+      val e = col("y") - col("yhat")
+      val r = base.join(fit, "x").agg(
+        count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(18,6)")).as("sy"),
+        sum((col("y").cast("decimal(18,6)") * col("y").cast("decimal(18,6)"))
+          .cast("decimal(30,12)")).as("syy"),
+        sum(round(abs(e), 9).cast("decimal(18,9)")).as("sae"),
+        sum(round(e * e, 9).cast("decimal(18,9)")).as("sse")).head()
+      val n = r.getAs[Long]("n").toDouble
+      val sy = r.getAs[java.math.BigDecimal]("sy").doubleValue
+      val syy = r.getAs[java.math.BigDecimal]("syy").doubleValue
+      val sae = r.getAs[java.math.BigDecimal]("sae").doubleValue
+      val sse = r.getAs[java.math.BigDecimal]("sse").doubleValue
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r.getAs[Long]("n"), nBlocks, r6(sae / n), r6(math.sqrt(sse / n)),
+          r6(1.0 - sse / (syy - sy * sy / n)) + 0.0))
+        .toDF("n", "n_blocks", "mae", "rmse", "r2")
     }),
 
     /** `ml_shap` (de-excluded): exact closed-form linear SHAP over the
@@ -1270,47 +1304,79 @@ object Ml {
 
     /** POISSON GLM (log link) on per-(user, day) event counts — the
       * count-data member of the GLM family next to the registry's
-      * logistic (`corpus_quality_classifier`) and OLS surfaces, fitted
-      * by MLlib's distributed IRLS (`GeneralizedLinearRegression`,
-      * family=poisson): rate ~ day-of-week, the demand-seasonality
-      * regression a forecasting desk runs on arrival counts. The count
-      * frame is one keyed aggregation; each IRLS iteration is one
-      * treeAggregate over it — nothing driver-sized but the K×K normal
-      * equations. Output long-form: per-term coefficient and rate
-      * ratio, then deviance/AIC and the mean-balance pair (Σ fitted ≡
-      * Σ observed — the log-link score equation MlSpec pins as the
-      * IRLS-stationarity law). Rows-only: IRLS has no SQL closed
-      * form. */
+      * logistic (`ml_calibration_bins`) and OLS surfaces: rate ~
+      * day-of-week, the demand-seasonality regression a forecasting desk
+      * runs on arrival counts. FULL ORACLE (r15): the one-hot
+      * day-of-week design is SATURATED, so the Poisson MLE has a closed
+      * form — μ̂ₖ = the per-dow mean count (exact BIGINT/BIGINT
+      * division), intercept = ln μ̂₁, coefficients = ln μ̂ₖ − ln μ̂₁ —
+      * which is BOTH the exact optimum MLlib's IRLS only approaches at
+      * tolerance AND the better scale story (ONE keyed aggregation, no
+      * iterations). Deviance/AIC fold over the (y, dow) CONTINGENCY
+      * (counts are small integers — the sufficient statistics are
+      * ≤ |y-range|·7 cells at any SF) as exact DECIMAL sums of
+      * 1e-9-gridded terms; ln-factorial is the explicit ascending
+      * left-associated fold both engines replay. dow derives from the
+      * epoch day ((day+4) % 7 + 1 — Spark's 1=Sunday convention, but
+      * engine-portable arithmetic instead of `dayofweek`). Output
+      * long-form: per-term coefficient and rate ratio, then
+      * deviance/AIC and the mean-balance pair (Σ fitted ≡ Σ observed —
+      * the log-link score equation MlSpec pins). */
     "ml_poisson_glm" -> ((s, d) => {
       import s.implicits._
       val counts = Tables.events(s, d)
-        .select(col("user_id"), Tables.epochDay(col("ts")).as("day"),
-          dayofweek(col("ts")).as("dow"))
+        .select(col("user_id"), Tables.epochDay(col("ts")).as("day"))
+        .withColumn("dow", expr("CAST((day + 4) % 7 + 1 AS INT)"))
         .groupBy("user_id", "day", "dow")
-        .agg(count(lit(1)).cast("double").as("y"))
-      val feats = (2 to 7).map(k => s"dow_$k")
-      val design = feats.foldLeft(counts) { case (df, f) =>
-        df.withColumn(f, (col("dow") === f.drop(4).toInt).cast("double"))
+        .agg(count(lit(1)).as("y"))
+      val cont = counts.groupBy("dow", "y").agg(count(lit(1)).as("c"))
+        .collect() // (y, dow) contingency: ≤ |y-range|·7 cells at any SF
+      val perDow = cont.groupBy(_.getAs[Int]("dow")).map { case (k, rows) =>
+        val nk = rows.map(_.getAs[Long]("c")).sum
+        val sk = rows.map(r => r.getAs[Long]("c") * r.getAs[Long]("y")).sum
+        k -> (nk, sk)
       }
-      val train = Models.assemble(design, feats)
-      val m = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
-        .setFamily("poisson").setLink("log")
-        .setFeaturesCol(Models.FeaturesCol).setLabelCol("y")
-        .setMaxIter(50).setTol(1e-8)
-        .fit(train)
-      val s2 = m.summary
-      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
-      val meanObs = train.agg(avg("y")).head().getDouble(0)
-      val meanFit = m.transform(train).agg(avg(Models.PredictionCol)).head().getDouble(0)
-      val coefRows = ("intercept" +: feats).zip(m.intercept +: m.coefficients.toArray.toSeq)
-        .map { case (t, c) => (t, r6(c), Some(r6(math.exp(c)))) }
+      val dows = perDow.keys.toSeq.sorted
+      require(dows == (1 to 7), s"ml_poisson_glm: dows $dows != 1..7")
+      val mu = perDow.map { case (k, (nk, sk)) => k -> sk.toDouble / nk }
+      val nTot = perDow.values.map(_._1).sum
+      val sTot = perDow.values.map(_._2).sum
+      def r9bd(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      // deviance & log-lik terms over the contingency: each term is a
+      // function of identical doubles in both engines, gridded to 1e-9
+      // and summed exactly (order-free) — ln-factorial is the ascending
+      // left-associated fold from 0.0, the oracle's list_reduce text
+      def lfact(y: Long): Double =
+        (2L to y).foldLeft(0.0)((a, i) => a + math.log(i.toDouble))
+      val dev = 2.0 * cont.map { r =>
+        val y = r.getAs[Long]("y").toDouble
+        val m = mu(r.getAs[Int]("dow"))
+        r9bd(y * math.log(y / m) - (y - m)) * r.getAs[Long]("c")
+      }.foldLeft(BigDecimal(0))(_ + _).toDouble
+      val ll = cont.map { r =>
+        val y = r.getAs[Long]("y")
+        val m = mu(r.getAs[Int]("dow"))
+        r9bd(y * math.log(m) - m - lfact(y)) * r.getAs[Long]("c")
+      }.foldLeft(BigDecimal(0))(_ + _).toDouble
+      val aic = 2.0 * 7 - 2.0 * ll
+      val meanFit = perDow.toSeq.map { case (k, (nk, _)) =>
+        r9bd(nk * mu(k))
+      }.foldLeft(BigDecimal(0))(_ + _).toDouble / nTot
+      val coefRows = (1 to 7).map { k =>
+        val cf = if (k == 1) math.log(mu(1)) else math.log(mu(k)) - math.log(mu(1))
+        val term = if (k == 1) "intercept" else s"dow_$k"
+        (term, r6(cf), Some(r6(math.exp(cf))))
+      }
       val sumRows = Seq(
-        ("deviance", r6(s2.deviance), None),
-        ("aic", r6(s2.aic), None),
-        ("n_obs", s2.numInstances.toDouble, None),
-        ("mean_observed", r6(meanObs), None),
+        ("deviance", r6(dev), None),
+        ("aic", r6(aic), None),
+        ("n_obs", nTot.toDouble, None),
+        ("mean_observed", r6(sTot.toDouble / nTot), None),
         ("mean_fitted", r6(meanFit), None))
       (coefRows ++ sumRows).toDF("term", "estimate", "rate_ratio")
+        .orderBy("term")
     }),
 
     /** `ml_quantile_regression`: linear τ-quantile regression (Koenker &
@@ -1850,7 +1916,137 @@ object Ml {
        |ORDER BY cooks_d DESC, bucket_id ASC LIMIT 10""".stripMargin
   }
 
+  /** DuckDB twin of `ml_isotonic` (r15): the same grid-6 fine frame as
+    * [[influenceSql]] (f0/fp/ff/fr), then the minimax isotonic fit at
+    * the O(k²) pair frame and the exact-decimal metric fold — every
+    * block average one double division of exact prefix-sum differences,
+    * every residual term 1e-9-gridded before the order-free DECIMAL
+    * sum. */
+  private def isotonicSql: String = {
+    val types = ModelingFrame.EventTypes
+    val px = types.map(t => s"max(CASE WHEN event_type = '$t' THEN m END) AS $t")
+    val fill = types.map(t =>
+      s"coalesce(last_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        s"first_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
+        s"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS $t")
+    s"""WITH f0 AS MATERIALIZED (
+       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket_id,
+       |    ${graft.queries.Grid.mean6Sql("value")} AS m
+       |  FROM events GROUP BY 1, 2),
+       |fp AS MATERIALIZED (
+       |  SELECT bucket_id, ${px.mkString(",\n    ")}
+       |  FROM f0 GROUP BY bucket_id),
+       |ff AS MATERIALIZED (
+       |  SELECT bucket_id, ${fill.mkString(",\n    ")}
+       |  FROM fp),
+       |fr AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, lead(click) OVER (ORDER BY bucket_id) AS y FROM ff) t
+       |  WHERE y IS NOT NULL
+       |    AND ${types.map(t => s"$t IS NOT NULL").mkString(" AND ")}),
+       |pts AS MATERIALIZED (
+       |  SELECT click AS x, count(*)::BIGINT AS w,
+       |    sum(CAST(y AS DECIMAL(18,6))) AS sy
+       |  FROM fr GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT x, w, sy,
+       |    sum(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw,
+       |    sum(sy) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cs
+       |  FROM pts),
+       |pair AS MATERIALIZED (
+       |  SELECT j.x AS jx, l.x AS lx,
+       |    CAST(l.cs - (j.cs - j.sy) AS DOUBLE)
+       |      / CAST(l.cw - (j.cw - j.w) AS DOUBLE) AS av
+       |  FROM cum j JOIN cum l ON j.x <= l.x),
+       |mn AS MATERIALIZED (
+       |  SELECT jx, lx,
+       |    min(av) OVER (PARTITION BY jx ORDER BY lx DESC
+       |      ROWS UNBOUNDED PRECEDING) AS mn
+       |  FROM pair),
+       |fit AS MATERIALIZED (SELECT lx AS x, max(mn) AS yhat FROM mn GROUP BY 1),
+       |blocks AS (
+       |  SELECT sum(CASE WHEN prev IS NULL OR prev <> yhat THEN 1 ELSE 0 END)::BIGINT AS nb
+       |  FROM (SELECT yhat, lag(yhat) OVER (ORDER BY x) AS prev FROM fit)),
+       |sc AS (SELECT fr.y, fit.yhat FROM fr JOIN fit ON fit.x = fr.click),
+       |mm AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS syd,
+       |    CAST(sum(CAST(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS syyd,
+       |    CAST(sum(CAST(round(abs(y - yhat), 9) AS DECIMAL(18,9))) AS DOUBLE) AS saed,
+       |    CAST(sum(CAST(round((y - yhat) * (y - yhat), 9) AS DECIMAL(18,9))) AS DOUBLE) AS ssed
+       |  FROM sc)
+       |SELECT n, blocks.nb AS n_blocks,
+       |  round(saed / n, 6) AS mae,
+       |  round(sqrt(ssed / n), 6) AS rmse,
+       |  round(1.0 - ssed / (syyd - syd * syd / n), 6) + 0.0 AS r2
+       |FROM mm, blocks""".stripMargin
+  }
+
+  /** DuckDB twin of `ml_poisson_glm` (r15): the saturated one-hot
+    * closed form — per-dow mean counts are exact BIGINT divisions,
+    * coefficients are ln-ratios of identical doubles, deviance/AIC fold
+    * over the (y, dow) contingency as exact DECIMAL sums of
+    * 1e-9-gridded terms, ln-factorial is the ascending left-associated
+    * `list_reduce` fold the engine's `foldLeft` mirrors. */
+  private def poissonSql: String =
+    """WITH cnt AS MATERIALIZED (
+      |  SELECT user_id, day, CAST((day + 4) % 7 + 1 AS INT) AS dow,
+      |    count(*)::BIGINT AS y
+      |  FROM (SELECT user_id,
+      |          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |        FROM events)
+      |  GROUP BY 1, 2, 3),
+      |ct AS MATERIALIZED (
+      |  SELECT dow, y, count(*)::BIGINT AS c FROM cnt GROUP BY 1, 2),
+      |pd AS MATERIALIZED (
+      |  SELECT dow, sum(c)::BIGINT AS nk, sum(c * y)::BIGINT AS sk,
+      |    CAST(sum(c * y)::BIGINT AS DOUBLE) / sum(c)::BIGINT AS mu
+      |  FROM ct GROUP BY dow),
+      |tot AS (SELECT sum(nk)::BIGINT AS nt, sum(sk)::BIGINT AS st FROM pd),
+      |m1 AS (SELECT mu AS mu1 FROM pd WHERE dow = 1),
+      |dv AS (
+      |  SELECT CAST(sum(CAST(round(y * ln(y / pd.mu) - (y - pd.mu), 9)
+      |    AS DECIMAL(18,9)) * c) AS DOUBLE) AS devh
+      |  FROM ct JOIN pd USING (dow)),
+      |llc AS (
+      |  SELECT CAST(sum(CAST(round(y * ln(mu) - mu - lf, 9)
+      |    AS DECIMAL(18,9)) * c) AS DOUBLE) AS llh
+      |  FROM (
+      |    SELECT ct.y, ct.c, pd.mu,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(2, ct.y), i -> ln(i))),
+      |        (a, b) -> a + b) AS lf
+      |    FROM ct JOIN pd USING (dow)) q),
+      |mf AS (
+      |  SELECT CAST(sum(CAST(round(nk * mu, 9) AS DECIMAL(18,9))) AS DOUBLE) AS mfh
+      |  FROM pd),
+      |co AS (
+      |  SELECT dow,
+      |    CASE WHEN dow = 1 THEN ln(mu) ELSE ln(mu) - ln(m1.mu1) END AS cf
+      |  FROM pd, m1)
+      |SELECT * FROM (
+      |  SELECT CASE WHEN dow = 1 THEN 'intercept' ELSE 'dow_' || dow END AS term,
+      |    round(cf, 6) + 0.0 AS estimate,
+      |    round(exp(cf), 6) + 0.0 AS rate_ratio
+      |  FROM co
+      |  UNION ALL
+      |  SELECT 'deviance', round(2.0 * devh, 6) + 0.0, NULL FROM dv
+      |  UNION ALL
+      |  SELECT 'aic', round(14.0 - 2.0 * llh, 6) + 0.0, NULL FROM llc
+      |  UNION ALL
+      |  SELECT 'n_obs', CAST(nt AS DOUBLE), NULL FROM tot
+      |  UNION ALL
+      |  SELECT 'mean_observed', round(CAST(st AS DOUBLE) / nt, 6) + 0.0, NULL FROM tot
+      |  UNION ALL
+      |  SELECT 'mean_fitted', round(mfh / nt, 6) + 0.0, NULL FROM mf, tot)
+      |ORDER BY term""".stripMargin
+
   val sql: Map[String, String] = Map(
+
+    "ml_isotonic" -> isotonicSql,
+
+    "ml_poisson_glm" -> poissonSql,
 
     "ml_influence_diagnostics" -> influenceSql,
     "ml_ridge" -> coefSql(1.0),
