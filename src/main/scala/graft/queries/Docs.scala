@@ -26,6 +26,106 @@ object Docs {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
 
+  /** Shared featurized corpus frame for the quality-classifier family
+    * (`corpus_quality_classifier` / `ml_calibration_bins`): fit features
+    * round to the 1e-6 grid (exact DECIMAL moments downstream); the
+    * quality heuristic keeps the raw ratios (the `text_quality_score`
+    * form, whose oracle replay is established). */
+  private def qualityFeatures(s: SparkSession, d: String): DataFrame =
+    toked(s, d).select(
+      col("doc_id"), col("source"),
+      round(least(size(col("toks")) / lit(100.0), lit(1.0)), 6).as("x1"),
+      round(Text.stopwordRatio("toks"), 6).as("x2"),
+      round(Text.meanTokenLen("toks"), 6).as("x3"),
+      (least(size(col("toks")) / lit(100.0), lit(1.0))
+        * (lit(1.0) - Text.stopwordRatio("toks"))).as("quality"))
+
+  /** β = (x1, x2, x3, intercept); z folds left-associated in this order —
+    * the oracle's expression text term for term. */
+  private def newtonZ(b: Array[Double]): Column =
+    ((lit(b(0)) * col("x1") + lit(b(1)) * col("x2"))
+      + lit(b(2)) * col("x3")) + lit(b(3))
+
+  private def newtonP6(b: Array[Double]): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-newtonZ(b))), 6)
+
+  /** The FIXED 4-step Newton/IRLS ridge-logistic fit shared by
+    * `corpus_quality_classifier` and `ml_calibration_bins` (r15 full
+    * oracle): median-threshold label, deterministic 80% doc split,
+    * 2λ = 0.02·n_train on the coefficients. Per step, per-row
+    * probabilities grid-round to 1e-6 (the ONLY cross-engine divergence
+    * point: libm exp — everything downstream of identical doubles is
+    * deterministic), moment terms grid-round to 1e-9 and accumulate as
+    * EXACT DECIMAL(14,9) sums (order-free, map-side combinable — the
+    * 100 TB posture; scaled sums stay under 2^53 through ~10⁶ docs),
+    * and the 4×4 ridged normal solve replays the minVariance no-pivot
+    * Cholesky ORDER CONTRACT expression for expression in
+    * [[newtonItersSql]]. Each Newton step is ONE distributed aggregate;
+    * the driver holds only the 4-vector β. Returns (labeled frame,
+    * fitted β). */
+  private def newtonLogisticFit(base: DataFrame): (DataFrame, Array[Double]) = {
+    val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
+    val labeled = base.withColumn("y", (col("quality") > lit(thr)).cast("long"))
+    val train = labeled.filter(col("doc_id") % 5 < 4)
+      .localCheckpoint(eager = true) // 4 Newton scans + the count
+    val nTrain = train.count()
+    val lam2 = 0.02 * nTrain // 2λ, λ = 0.01·n (mean-loss regParam 0.01)
+    val xcols: Seq[Column] = Seq(col("x1"), col("x2"), col("x3"), lit(1.0))
+    var beta = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 4) {
+      val p6 = newtonP6(beta)
+      val w6 = round(p6 * (lit(1.0) - p6), 6)
+      val u = col("y").cast("double") - p6
+      val hAggs = for (i <- 0 until 4; j <- i until 4) yield
+        sum(round(xcols(i) * xcols(j) * w6, 9).cast("decimal(14,9)"))
+          .as(s"h_${i}_$j")
+      val gAggs = (0 until 4).map(i =>
+        sum(round(xcols(i) * u, 9).cast("decimal(14,9)")).as(s"g_$i"))
+      val m = train.agg((hAggs ++ gAggs).head, (hAggs ++ gAggs).tail: _*)
+        .head()
+      val h = Array.ofDim[Double](4, 4)
+      val g = Array.ofDim[Double](4)
+      for (i <- 0 until 4; j <- i until 4) {
+        val v = m.getAs[java.math.BigDecimal](s"h_${i}_$j").doubleValue
+        h(i)(j) = v; h(j)(i) = v
+      }
+      for (i <- 0 until 4) g(i) = m.getAs[java.math.BigDecimal](s"g_$i").doubleValue
+      // ridge on the coefficients only, never the intercept
+      for (i <- 0 until 3) {
+        h(i)(i) = h(i)(i) + lam2
+        g(i) = g(i) - lam2 * beta(i)
+      }
+      // 4×4 no-pivot Cholesky; every fold below is a left-associated
+      // sequential subtraction in ascending index order — the
+      // newtonItersSql order contract (the minVariance discipline)
+      val lm = Array.ofDim[Double](4, 4)
+      for (j <- 0 until 4) {
+        var dAcc = h(j)(j)
+        for (mi <- 0 until j) dAcc -= lm(j)(mi) * lm(j)(mi)
+        lm(j)(j) = math.sqrt(dAcc)
+        for (i <- j + 1 until 4) {
+          var acc = h(i)(j)
+          for (mi <- 0 until j) acc -= lm(i)(mi) * lm(j)(mi)
+          lm(i)(j) = acc / lm(j)(j)
+        }
+      }
+      val zv = Array.ofDim[Double](4)
+      for (i <- 0 until 4) {
+        var acc = g(i)
+        for (mi <- 0 until i) acc -= lm(i)(mi) * zv(mi)
+        zv(i) = acc / lm(i)(i)
+      }
+      val dl = Array.ofDim[Double](4)
+      for (i <- 3 to 0 by -1) {
+        var acc = zv(i)
+        for (mi <- i + 1 until 4) acc -= lm(mi)(i) * dl(mi)
+        dl(i) = acc / lm(i)(i)
+      }
+      beta = Array.tabulate(4)(i => beta(i) + dl(i))
+    }
+    (labeled, beta)
+  }
+
   /** DuckDB twin of `toks` (string_split, same single-space contract). */
   // t is MATERIALIZED: several oracle texts read it 2-3x and DuckDB 1.0
   // re-tokenizes the whole corpus per reference otherwise (part of the
@@ -992,20 +1092,6 @@ object Docs {
             col("r_stopwords") === 1).cast("int").as("keep"))
         .orderBy("doc_id")),
 
-    /** MODEL-BASED quality filtering — the classifier-driven corpus
-      * filter of an LLM data pipeline (heuristic rules label a slice,
-      * a model generalizes them, the model scores the full corpus):
-      * logistic regression (L2, MLlib — the one IRLS surface in the
-      * registry) trained on a deterministic 80% doc split to predict the
-      * median-thresholded quality heuristic from token-statistics
-      * features, then the WHOLE corpus scored by the fitted model as a
-      * pure codegen'd sigmoid COLUMN (weights inlined as literals — at
-      * serving scale there is no MLlib transform, no UDF, no shuffle;
-      * the narrow scoring map is the 100 TB posture). Output: per-source
-      * keep rates under model vs heuristic and their agreement —
-      * long-form, bounded by |sources|. Rows-only (IRLS has no SQL
-      * closed form); MlSpec pins separable-data recovery and
-      * sigmoid-expression ≡ MLlib probability. */
     /** CALIBRATION audit of the corpus quality classifier — the check a
       * filtering pipeline runs before trusting scores as probabilities
       * (a miscalibrated filter silently shifts the kept-corpus mixture):
@@ -1029,85 +1115,12 @@ object Docs {
       * distributed aggregate; the driver holds only the 4-vector β.
       * SimilaritySpec pins the bin laws. */
     "ml_calibration_bins" -> ((s, d) => {
-      val base = toked(s, d).select(
-          col("doc_id"),
-          round(least(size(col("toks")) / lit(100.0), lit(1.0)), 6).as("x1"),
-          round(Text.stopwordRatio("toks"), 6).as("x2"),
-          round(Text.meanTokenLen("toks"), 6).as("x3"),
-          (least(size(col("toks")) / lit(100.0), lit(1.0))
-            * (lit(1.0) - Text.stopwordRatio("toks"))).as("quality"))
-        .cache()
+      val base = qualityFeatures(s, d).cache()
       try {
-        val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
-        val labeled = base
-          .withColumn("y", (col("quality") > lit(thr)).cast("long"))
-        val train = labeled.filter(col("doc_id") % 5 < 4)
-          .localCheckpoint(eager = true) // 4 Newton scans + the count
-        val nTrain = train.count()
-        val lam2 = 0.02 * nTrain // 2λ, λ = 0.01·n (mean-loss regParam 0.01)
-        // β = (x1, x2, x3, intercept); z folds left-associated in this
-        // order — the oracle's expression text term for term
-        def zOf(b: Array[Double]): Column =
-          ((lit(b(0)) * col("x1") + lit(b(1)) * col("x2"))
-            + lit(b(2)) * col("x3")) + lit(b(3))
-        def p6Of(b: Array[Double]): Column =
-          round(lit(1.0) / (lit(1.0) + exp(-zOf(b))), 6)
-        val xcols: Seq[Column] = Seq(col("x1"), col("x2"), col("x3"), lit(1.0))
-        var beta = Array(0.0, 0.0, 0.0, 0.0)
-        for (_ <- 1 to 4) {
-          val p6 = p6Of(beta)
-          val w6 = round(p6 * (lit(1.0) - p6), 6)
-          val u = col("y").cast("double") - p6
-          val hAggs = for (i <- 0 until 4; j <- i until 4) yield
-            sum(round(xcols(i) * xcols(j) * w6, 9).cast("decimal(14,9)"))
-              .as(s"h_${i}_$j")
-          val gAggs = (0 until 4).map(i =>
-            sum(round(xcols(i) * u, 9).cast("decimal(14,9)")).as(s"g_$i"))
-          val m = train.agg((hAggs ++ gAggs).head, (hAggs ++ gAggs).tail: _*)
-            .head()
-          val h = Array.ofDim[Double](4, 4)
-          val g = Array.ofDim[Double](4)
-          for (i <- 0 until 4; j <- i until 4) {
-            val v = m.getAs[java.math.BigDecimal](s"h_${i}_$j").doubleValue
-            h(i)(j) = v; h(j)(i) = v
-          }
-          for (i <- 0 until 4) g(i) = m.getAs[java.math.BigDecimal](s"g_$i").doubleValue
-          // ridge on the coefficients only, never the intercept
-          for (i <- 0 until 3) {
-            h(i)(i) = h(i)(i) + lam2
-            g(i) = g(i) - lam2 * beta(i)
-          }
-          // 4×4 no-pivot Cholesky; every fold below is a left-associated
-          // sequential subtraction in ascending index order — the
-          // calibrationSql order contract (the minVariance discipline)
-          val lm = Array.ofDim[Double](4, 4)
-          for (j <- 0 until 4) {
-            var dAcc = h(j)(j)
-            for (mi <- 0 until j) dAcc -= lm(j)(mi) * lm(j)(mi)
-            lm(j)(j) = math.sqrt(dAcc)
-            for (i <- j + 1 until 4) {
-              var acc = h(i)(j)
-              for (mi <- 0 until j) acc -= lm(i)(mi) * lm(j)(mi)
-              lm(i)(j) = acc / lm(j)(j)
-            }
-          }
-          val zv = Array.ofDim[Double](4)
-          for (i <- 0 until 4) {
-            var acc = g(i)
-            for (mi <- 0 until i) acc -= lm(i)(mi) * zv(mi)
-            zv(i) = acc / lm(i)(i)
-          }
-          val dl = Array.ofDim[Double](4)
-          for (i <- 3 to 0 by -1) {
-            var acc = zv(i)
-            for (mi <- i + 1 until 4) acc -= lm(mi)(i) * dl(mi)
-            dl(i) = acc / lm(i)(i)
-          }
-          beta = Array.tabulate(4)(i => beta(i) + dl(i))
-        }
+        val (labeled, beta) = newtonLogisticFit(base)
         val nTot = labeled.count()
         labeled
-          .withColumn("p6", p6Of(beta))
+          .withColumn("p6", newtonP6(beta))
           .withColumn("bin", least(floor(col("p6") * 10), lit(9)).cast("int"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"),
@@ -1124,42 +1137,38 @@ object Docs {
       } finally { base.unpersist(); () }
     }),
 
+    /** MODEL-BASED quality filtering — the classifier-driven corpus
+      * filter of an LLM data pipeline (heuristic rules label a slice, a
+      * model generalizes them, the model scores the full corpus): the
+      * shared [[newtonLogisticFit]] ridge-logistic fit on the
+      * deterministic 80% doc split, then the WHOLE corpus scored by the
+      * fitted model as a pure codegen'd sigmoid COLUMN (β inlined as
+      * literals — at serving scale there is no model transform, no UDF,
+      * no shuffle; the narrow scoring map is the 100 TB posture).
+      * Output: per-source keep rates under model vs heuristic and their
+      * agreement. FULL ORACLE (r15): the fit is the same fixed 4-step
+      * Newton chain as `ml_calibration_bins`, replayed in
+      * [[classifierSql]] through the shared [[newtonItersSql]] CTEs. */
     "corpus_quality_classifier" -> ((s, d) => {
-      val feats = Seq("x_len", "x_stop", "x_mtl")
-      // cache the featurized frame: the threshold pass, every IRLS
-      // iteration, and the scoring pass would otherwise each re-tokenize
-      // the full corpus (the tokenize lambdas dominate the whole query)
-      val base = toked(s, d).select(
-          col("doc_id"), col("source"),
-          least(size(col("toks")) / lit(100.0), lit(1.0)).as("x_len"),
-          Text.stopwordRatio("toks").as("x_stop"),
-          Text.meanTokenLen("toks").as("x_mtl"))
-        .withColumn("quality", col("x_len") * (lit(1.0) - col("x_stop")))
-        .cache()
+      // cache the featurized frame: the threshold pass, every Newton
+      // step, and the scoring pass would otherwise each re-tokenize the
+      // full corpus (the tokenize lambdas dominate the whole query)
+      val base = qualityFeatures(s, d).cache()
       try {
-        // median threshold (one aggregate scalar): both classes present at
-        // every SF, unlike a fixed cut on an unknown distribution
-        val thr = base.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
-        val labeled = base.withColumn("label", (col("quality") > thr).cast("double"))
-        val train = Models.assemble(labeled.filter(col("doc_id") % 5 < 4), feats)
-        // tol 1e-4 (sklearn LogisticRegression's own tol): every extra
-        // IRLS iteration is one scheduled job on the tiny labeled frame
-        val m = new org.apache.spark.ml.classification.LogisticRegression()
-          .setFeaturesCol(Models.FeaturesCol).setLabelCol("label")
-          .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100).setTol(1e-4)
-          .fit(train)
-        val w = m.coefficients.toArray
-        val z = feats.zip(w.toSeq).map { case (c, wi) => col(c) * lit(wi) }
-          .reduce(_ + _) + lit(m.intercept)
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val (labeled, beta) = newtonLogisticFit(base)
         labeled
-          .withColumn("keep_model", (p >= 0.5).cast("int"))
-          .withColumn("keep_heur", col("label").cast("int"))
+          .withColumn("p6", newtonP6(beta))
+          .withColumn("km", (col("p6") >= 0.5).cast("long"))
           .groupBy("source").agg(
             count(lit(1)).as("n_docs"),
-            round(avg(col("keep_model")), 6).as("keep_rate_model"),
-            round(avg(col("keep_heur")), 6).as("keep_rate_heur"),
-            round(avg((col("keep_model") === col("keep_heur")).cast("double")), 6)
+            sum(col("km")).as("skm"), sum(col("y")).as("sy"),
+            sum((col("km") === col("y")).cast("long")).as("sag"))
+          .select(col("source"), col("n_docs"),
+            round(col("skm").cast("double") / col("n_docs"), 6)
+              .as("keep_rate_model"),
+            round(col("sy").cast("double") / col("n_docs"), 6)
+              .as("keep_rate_heur"),
+            round(col("sag").cast("double") / col("n_docs"), 6)
               .as("agreement"))
           .orderBy("source")
           .localCheckpoint(eager = true)
@@ -2613,13 +2622,43 @@ object Docs {
     * left-associated ascending-index fold order (the minVariance order
     * contract). β threads through 1-row CTEs bt0..bt4; the final SELECT
     * is the reliability-diagram aggregation over the whole corpus. */
-  private def calibrationSql: String = {
-    def x(i: Int) = i match {
-      case 0 => "x1"; case 1 => "x2"; case 2 => "x3"
-      case _ => "CAST(1.0 AS DOUBLE)"
-    }
-    def zExpr(b: String) =
-      s"((($b.b0 * x1 + $b.b1 * x2) + $b.b2 * x3) + $b.b3)"
+  private def newtonX(i: Int) = i match {
+    case 0 => "x1"; case 1 => "x2"; case 2 => "x3"
+    case _ => "CAST(1.0 AS DOUBLE)"
+  }
+
+  private def newtonZSql(b: String) =
+    s"((($b.b0 * x1 + $b.b1 * x2) + $b.b2 * x3) + $b.b3)"
+
+  /** Shared head CTEs of the Newton-logistic twins: featurized corpus
+    * `f` (with source), labeled `lb`, train split `tr`, ridge scalar
+    * `tn`, zero seed `bt0`. */
+  private def newtonHeadSql: String =
+    tokedSql +
+      s""", f AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    round(least(len(toks) / 100.0, 1.0), 6) AS x1,
+         |    round(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE / len(toks), 6) AS x2,
+         |    round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)::DOUBLE / len(toks), 6) AS x3,
+         |    least(len(toks) / 100.0, 1.0)
+         |      * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE / len(toks)) AS quality
+         |  FROM t),
+         |lb AS MATERIALIZED (
+         |  SELECT doc_id, source, x1, x2, x3,
+         |    CASE WHEN quality > (SELECT quantile_cont(quality, 0.5) FROM f)
+         |      THEN 1 ELSE 0 END AS y
+         |  FROM f),
+         |tr AS MATERIALIZED (SELECT * FROM lb WHERE doc_id % 5 < 4),
+         |tn AS MATERIALIZED (
+         |  SELECT count(*) AS n, CAST(0.02 AS DOUBLE) * count(*) AS lam2 FROM tr),
+         |bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+         |  CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3)""".stripMargin
+
+  /** The four Newton-step CTE chains (the `newtonLogisticFit` ORDER
+    * CONTRACT, expression for expression). */
+  private def newtonItersSql: String = {
+    def x(i: Int) = newtonX(i)
+    def zExpr(b: String) = newtonZSql(b)
     def aRef(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
     def iter(t: Int): String = {
       val prev = s"bt${t - 1}"
@@ -2684,29 +2723,16 @@ object Docs {
          |    b3 + w0_3 AS b3
          |  FROM w${t}0)""".stripMargin
     }
-    tokedSql +
-      s""", f AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    round(least(len(toks) / 100.0, 1.0), 6) AS x1,
-         |    round(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE / len(toks), 6) AS x2,
-         |    round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)::DOUBLE / len(toks), 6) AS x3,
-         |    least(len(toks) / 100.0, 1.0)
-         |      * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE / len(toks)) AS quality
-         |  FROM t),
-         |lb AS MATERIALIZED (
-         |  SELECT doc_id, x1, x2, x3,
-         |    CASE WHEN quality > (SELECT quantile_cont(quality, 0.5) FROM f)
-         |      THEN 1 ELSE 0 END AS y
-         |  FROM f),
-         |tr AS MATERIALIZED (SELECT * FROM lb WHERE doc_id % 5 < 4),
-         |tn AS MATERIALIZED (
-         |  SELECT count(*) AS n, CAST(0.02 AS DOUBLE) * count(*) AS lam2 FROM tr),
-         |bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
-         |  CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3),
-         |${(1 to 4).map(iter).mkString(",\n")},
+    (1 to 4).map(iter).mkString(",\n")
+  }
+
+  private def calibrationSql: String =
+    newtonHeadSql +
+      s""",
+         |$newtonItersSql,
          |scf AS (
          |  SELECT lb.y,
-         |    round(1.0 / (1.0 + exp(-${zExpr("b")})), 6) AS p6
+         |    round(1.0 / (1.0 + exp(-${newtonZSql("b")})), 6) AS p6
          |  FROM lb, bt4 b),
          |nt AS (SELECT count(*) AS n FROM lb)
          |SELECT CAST(least(floor(p6 * 10), 9) AS INT) AS bin,
@@ -2719,11 +2745,34 @@ object Docs {
          |FROM scf, nt
          |GROUP BY 1, nt.n
          |ORDER BY bin""".stripMargin
-  }
+
+  /** DuckDB twin of `corpus_quality_classifier` (r15): the shared
+    * Newton chain, then the per-source keep-rate/agreement aggregate
+    * over the whole scored corpus. */
+  private def classifierSql: String =
+    newtonHeadSql +
+      s""",
+         |$newtonItersSql,
+         |scf AS (
+         |  SELECT lb.source, lb.y,
+         |    round(1.0 / (1.0 + exp(-${newtonZSql("b")})), 6) AS p6
+         |  FROM lb, bt4 b),
+         |sck AS (
+         |  SELECT source, y, CASE WHEN p6 >= 0.5 THEN 1 ELSE 0 END AS km
+         |  FROM scf)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  round(CAST(sum(km) AS DOUBLE) / count(*), 6) AS keep_rate_model,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS keep_rate_heur,
+         |  round(CAST(sum(CASE WHEN km = y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement
+         |FROM sck
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
 
   val sql: Map[String, String] = Map(
 
     "ml_calibration_bins" -> calibrationSql,
+
+    "corpus_quality_classifier" -> classifierSql,
     "similarity_pq_adc" ->
       pqAdcSql("embeddings", (e, i) => s"list_extract($e, $i)",
         "MATERIALIZED "),
