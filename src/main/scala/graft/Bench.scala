@@ -81,6 +81,25 @@ object Bench {
         (Array(i.toDouble, i * 2.0), math.sin(i.toDouble))).toArray
       graft.ml.Forest.fit(rows, numTrees = 100, maxDepth = 12); ()
     } catch { case _: Throwable => }
+    // breeze's OWL-QN optimizer is engine machinery too: until r15 its
+    // JIT warmed for free on the then-MLlib logistic quality classifier
+    // (alphabetically before every ml_* key); the closed-form Newton
+    // conversion removed that accidental warmup and the first OWL-QN
+    // user (ml_elasticnet) inherited ~1.2 s of one-time JIT (r15 triple:
+    // 1.05 → 2.2 s on code-untouched keys). Same class as the
+    // tree-trainer warmup above — engine-wide, touches no SparkEntry
+    // data or cache keys.
+    try {
+      System.err.println("[bench] warmup owlqn")
+      import spark.implicits._
+      val tiny = graft.ml.Models.assemble(
+        (1 to 256).map(i => (i.toDouble, math.cos(i.toDouble), math.sin(i * 0.7)))
+          .toDF("a", "b", "y"), Seq("a", "b")).coalesce(1).cache()
+      tiny.count()
+      graft.ml.Models.elasticNet("y", alpha = 0.1, l1Ratio = 0.5, yStdPop = 1.0)
+        .fit(tiny)
+      tiny.unpersist(); ()
+    } catch { case _: Throwable => }
     val results = ordered.map { case (name, fn) =>
       System.err.println(s"[bench] run $name")
       val t0 = System.nanoTime()

@@ -949,36 +949,50 @@ object Ml {
       * postcondition. */
     "ml_isotonic" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val base = ModelingFrame.buildFine(s, d)
         .select(col("click").as("x"), col(ModelingFrame.Target).as("y"))
         .localCheckpoint(eager = true) // pts + the scoring join
+      // per-distinct-x sufficient statistics: k ≤ ~1.4k at any SF
+      // (calendar-bounded), so the fit itself is aggregate-sized driver
+      // work (the `ml_pacf` bound) — the O(k²) minimax loop below runs
+      // in milliseconds where the equivalent pair-join plan paid ~2 s of
+      // shuffle/window scheduling for the same bit-identical doubles
       val pts = base.groupBy("x").agg(count(lit(1)).as("w"),
-        sum(col("y").cast("decimal(18,6)")).as("sy"))
-      val cw = Window.orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = pts
-        .withColumn("cw", sum("w").over(cw))
-        .withColumn("cs", sum("sy").over(cw))
-        .localCheckpoint(eager = true) // two self-join consumers
-      val ji = cum.select(col("x").as("jx"),
-        (col("cw") - col("w")).as("wp"), (col("cs") - col("sy")).as("sp"))
-      val li = cum.select(col("x").as("lx"), col("cw").as("wl"), col("cs").as("sl"))
-      val pair = ji.join(li, col("jx") <= col("lx"))
-        .withColumn("av",
-          (col("sl") - col("sp")).cast("double") /
-            (col("wl") - col("wp")).cast("double"))
-      val wMin = Window.partitionBy("jx").orderBy(col("lx").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fit = pair.withColumn("mn", min("av").over(wMin))
-        .groupBy(col("lx").as("x")).agg(max("mn").as("yhat"))
-        .localCheckpoint(eager = true) // block count + the scoring join
-      val wx = Window.orderBy("x")
-      val nBlocks = fit.withColumn("prev", lag("yhat", 1).over(wx))
-        .agg(sum(when(col("prev").isNull || col("prev") =!= col("yhat"), 1L)
-          .otherwise(0L)).as("nb")).head().getLong(0)
+          sum(col("y").cast("decimal(18,6)")).as("sy"))
+        .orderBy("x").collect()
+      val k = pts.length
+      val xs = pts.map(_.getAs[Double]("x"))
+      val cw = pts.map(_.getAs[Long]("w")).scanLeft(0L)(_ + _).tail
+      val cs = pts.map(_.getAs[java.math.BigDecimal]("sy"))
+        .scanLeft(java.math.BigDecimal.ZERO)(_ add _).tail
+      // block average over [j, l]: one double division of exact
+      // prefix-sum differences — the EXACT arithmetic of the oracle's
+      // pair CTE (CAST(l.cs − (j.cs − j.sy) AS DOUBLE) / …)
+      def avg(j: Int, l: Int): Double = {
+        val sd = if (j == 0) cs(l) else cs(l).subtract(cs(j - 1))
+        val wd = if (j == 0) cw(l) else cw(l) - cw(j - 1)
+        sd.doubleValue / wd
+      }
+      // minimax ŷᵢ = max_{j≤i} min_{l≥i} avg(j..l): per left start j,
+      // one suffix-min sweep — min/max over the same doubles the oracle
+      // window computes, so the fit is bit-identical
+      val yhat = Array.fill(k)(Double.NegativeInfinity)
+      var j = 0
+      while (j < k) {
+        var mn = Double.PositiveInfinity
+        var l = k - 1
+        while (l >= j) {
+          val a = avg(j, l)
+          if (a < mn) mn = a
+          if (mn > yhat(l)) yhat(l) = mn
+          l -= 1
+        }
+        j += 1
+      }
+      val nBlocks = 1L + (1 until k).count(i => yhat(i) != yhat(i - 1))
+      val fit = xs.zip(yhat).toSeq.toDF("x", "yhat")
       val e = col("y") - col("yhat")
-      val r = base.join(fit, "x").agg(
+      val r = base.join(broadcast(fit), "x").agg(
         count(lit(1)).as("n"),
         sum(col("y").cast("decimal(18,6)")).as("sy"),
         sum((col("y").cast("decimal(18,6)") * col("y").cast("decimal(18,6)"))

@@ -1917,29 +1917,38 @@ object Rel {
       * exact ones. */
     "agg_describe_approx" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val hv = expr(
         "conv(substring(md5(concat(cast(l_orderkey AS string), '_', " +
           "cast(l_linenumber AS string))), 1, 8), 16, 10)").cast("long")
       val samp = li
-        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-          hv.as("hv"), col("l_orderkey"), col("l_linenumber"))
+        .select(cols.map(col) ++ Seq(hv.as("hv"),
+          col("l_orderkey"), col("l_linenumber")): _*)
         .orderBy(col("hv"), col("l_orderkey"), col("l_linenumber"))
         .limit(256)
-        .localCheckpoint(eager = true) // 3 consumers; TakeOrdered runs once
-      def one(c: String): DataFrame = {
-        val ex = li.agg(
-          count(col(c)).as("n_total"), Grid.mean6(col(c), 4).as("mean"),
-          round(stddev_samp(col(c)), 4).as("std"), min(col(c)).as("min"),
-          max(col(c)).as("max"))
-        val sq = samp.agg(count(col(c)).as("n_sample"),
-          round(expr(s"percentile($c, 0.25)"), 4).as("p25"),
-          round(expr(s"percentile($c, 0.5)"), 4).as("p50"),
-          round(expr(s"percentile($c, 0.75)"), 4).as("p75"))
-        ex.crossJoin(sq).select(lit(c).as("column_name"), col("n_total"),
-          col("n_sample"), col("mean"), col("std"), col("min"),
-          col("p25"), col("p50"), col("p75"), col("max"))
-      }
-      Seq("l_quantity", "l_extendedprice", "l_discount").map(one).reduce(_.union(_))
+      // ONE full-table pass carries every column's exact stats (the
+      // whole point of the sketch path is not to rescan per column),
+      // ONE 256-row aggregate carries every column's sample quantiles;
+      // the long-form reshape is 3 selects off the joined 1-row frame
+      val exAggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nt_$c"), Grid.mean6(col(c), 4).as(s"mean_$c"),
+        round(stddev_samp(col(c)), 4).as(s"std_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val sqAggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"ns_$c"),
+        round(expr(s"percentile($c, 0.25)"), 4).as(s"p25_$c"),
+        round(expr(s"percentile($c, 0.5)"), 4).as(s"p50_$c"),
+        round(expr(s"percentile($c, 0.75)"), 4).as(s"p75_$c")))
+      val ex = li.agg(exAggs.head, exAggs.tail: _*)
+      val sq = samp.agg(sqAggs.head, sqAggs.tail: _*)
+      val one = ex.crossJoin(sq).localCheckpoint(eager = true) // 3 reshape reads
+      cols.map(c => one.select(lit(c).as("column_name"),
+          col(s"nt_$c").as("n_total"), col(s"ns_$c").as("n_sample"),
+          col(s"mean_$c").as("mean"), col(s"std_$c").as("std"),
+          col(s"min_$c").as("min"), col(s"p25_$c").as("p25"),
+          col(s"p50_$c").as("p50"), col(s"p75_$c").as("p75"),
+          col(s"max_$c").as("max")))
+        .reduce(_.union(_))
         .orderBy("column_name")
     }),
 

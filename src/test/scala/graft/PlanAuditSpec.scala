@@ -82,8 +82,7 @@ class PlanAuditSpec extends SparkSpec {
     "stat_friedman",           // per-series rank sums × 1-row (sr2, n, k) total frame
     "ml_sgd_online",           // bar frame × 1-row standardization-stats frame
     "agg_describe_approx",     // 1-row exact-stats frame × 1-row sample-quantile frame
-    "ml_isotonic_calibration", // minimax range joins over the k≤100 per-bin aggregate
-    "ml_isotonic")             // same minimax form over the ≤1.4k distinct-click aggregate
+    "ml_isotonic_calibration") // minimax range joins over the k≤100 per-bin aggregate
 
   private lazy val plans: Map[String, String] = {
     graft.plans.GraftExtensions.register(spark)
