@@ -174,37 +174,101 @@ object Ml {
     /** HUBER robust regression on the 30-minute frame — the
       * outlier-tolerant member of the linear family (OLS's L2 loss
       * hands a single fat-tailed bar unbounded leverage; Huber's
-      * ε-switch caps it at linear): MLlib `LinearRegression` with
-      * loss="huber", ε = 1.35 (the 95%-Gaussian-efficiency textbook
-      * value), L-BFGS distributed. Output: per-feature coefficients
-      * next to the OLS fit's on the SAME frame, plus each model's MAE —
-      * the robustness comparison a desk actually reads. Rows-only (an
-      * M-estimator has no SQL closed form); MlSpec pins the
-      * planted-outlier law: contaminating 2% of rows moves the Huber
-      * slope far less than the OLS slope. */
+      * c-switch caps it at linear). FULL ORACLE (r15): the textbook
+      * FIXED-SCALE IRLS M-estimator — OLS start (the influence-oracle
+      * closed form: exact DECIMAL moments + shared-order no-pivot
+      * Cholesky), robust scale c = 1.35·(median|r_OLS|/0.6745) (the
+      * MAD-consistency constant), then FOUR weighted-least-squares
+      * steps with the Huber weights w = min(1, c/|r|) — w is CONTINUOUS
+      * at the switch, so the one discrete-looking branch carries no
+      * knife-edge. Every step is ONE distributed moment aggregate; the
+      * oracle replays the whole chain (OLS solve → scale → 4 weighted
+      * solves) expression for expression in [[huberSql]]. Output:
+      * per-feature coefficients next to the OLS fit's on the SAME
+      * frame, plus each model's MAE — the robustness comparison a desk
+      * actually reads. MlSpec keeps the planted-outlier law. */
     "ml_huber" -> ((s, d) => {
       import s.implicits._
-      withFineFrame(s, d) { train =>
-        val huber = new org.apache.spark.ml.regression.LinearRegression()
-          .setFeaturesCol(Models.FeaturesCol).setLabelCol(ModelingFrame.Target)
-          .setLoss("huber").setEpsilon(1.35)
-          .setRegParam(0.0).setMaxIter(100).setTol(1e-8)
-          .fit(train)
-        val olsM = Models.ols(ModelingFrame.Target).fit(train)
-        def mae(m: org.apache.spark.ml.regression.LinearRegressionModel) =
-          m.transform(train)
-            .select(avg(abs(col(ModelingFrame.Target) - col(Models.PredictionCol))))
-            .head().getDouble(0)
-        val (hc, hi) = Models.coefficients(huber, ModelingFrame.EventTypes)
-        val (oc, oi) = Models.coefficients(olsM, ModelingFrame.EventTypes)
-        val hMap = (hc :+ (("__intercept", hi))).toMap
-        val oMap = (oc :+ (("__intercept", oi))).toMap
-        def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
-        val coefRows = hMap.keys.toSeq.sorted.map(k =>
-          (k, r6(hMap(k)), r6(oMap(k))))
-        val metricRows = Seq(("__mae", r6(mae(huber)), r6(mae(olsM))))
-        (coefRows ++ metricRows).toDF("feature", "huber", "ols").orderBy("feature")
+      val feats = ModelingFrame.EventTypes
+      val df0 = ModelingFrame.buildFine(s, d)
+        .select(col(ModelingFrame.Target).as("y") +: feats.map(col): _*)
+        .localCheckpoint(eager = true) // 1 OLS + 1 median + 4 IRLS + 1 mae pass
+      val xcols = lit(1.0) +: feats.map(col)
+      val p = xcols.size
+      // shared-order no-pivot Cholesky solve of A β = g (the
+      // influence/minVariance fold contract, generated identically in
+      // huberSql's chain CTEs)
+      def solve(a: Array[Array[Double]], g: Array[Double]): Array[Double] = {
+        val lm = Array.ofDim[Double](p, p)
+        for (j <- 0 until p) {
+          var dAcc = a(j)(j)
+          for (m <- 0 until j) dAcc -= lm(j)(m) * lm(j)(m)
+          lm(j)(j) = math.sqrt(dAcc)
+          for (i <- j + 1 until p) {
+            var acc = a(i)(j)
+            for (m <- 0 until j) acc -= lm(i)(m) * lm(j)(m)
+            lm(i)(j) = acc / lm(j)(j)
+          }
+        }
+        val zv = Array.ofDim[Double](p)
+        for (i <- 0 until p) {
+          var acc = g(i)
+          for (m <- 0 until i) acc -= lm(i)(m) * zv(m)
+          zv(i) = acc / lm(i)(i)
+        }
+        val beta = Array.ofDim[Double](p)
+        for (i <- p - 1 to 0 by -1) {
+          var acc = zv(i)
+          for (m <- i + 1 until p) acc -= lm(m)(i) * beta(m)
+          beta(i) = acc / lm(i)(i)
+        }
+        beta
       }
+      def readMat(row: org.apache.spark.sql.Row, pre: String): Array[Array[Double]] =
+        Array.tabulate(p, p) { (i, j) =>
+          val (a, b) = (math.min(i, j), math.max(i, j))
+          row.getAs[java.math.BigDecimal](s"${pre}_${a}_$b").doubleValue()
+        }
+      def readVec(row: org.apache.spark.sql.Row, pre: String): Array[Double] =
+        Array.tabulate(p)(i => row.getAs[java.math.BigDecimal](s"${pre}_$i").doubleValue())
+      def pred(b: Array[Double]): Column =
+        (0 until p).map(i => lit(b(i)) * xcols(i)).reduce(_ + _)
+      // OLS start — the influence-oracle moment forms
+      val olsAggs = (for (i <- 0 until p; j <- i until p) yield
+          sum((xcols(i) * xcols(j)).cast("decimal(38,10)")).as(s"xx_${i}_$j")) ++
+        (0 until p).map(i =>
+          sum((xcols(i) * col("y")).cast("decimal(38,10)")).as(s"xy_$i"))
+      val r0 = df0.agg(olsAggs.head, olsAggs.tail: _*).head()
+      val bOls = solve(readMat(r0, "xx"), readVec(r0, "xy"))
+      // robust scale from the OLS residuals (MAD-consistent)
+      val s0 = df0.select(abs(col("y") - pred(bOls)).as("ar"))
+        .agg(expr("percentile(ar, 0.5)")).head().getDouble(0)
+      val c = 1.35 * (s0 / 0.6745)
+      var b = bOls
+      for (_ <- 1 to 4) {
+        val rr = col("y") - pred(b)
+        val w = when(abs(rr) <= lit(c), lit(1.0)).otherwise(lit(c) / abs(rr))
+        val aggs = (for (i <- 0 until p; j <- i until p) yield
+            sum((xcols(i) * xcols(j) * w).cast("decimal(38,10)")).as(s"a_${i}_$j")) ++
+          (0 until p).map(i =>
+            sum((xcols(i) * col("y") * w).cast("decimal(38,10)")).as(s"g_$i"))
+        val rw = df0.agg(aggs.head, aggs.tail: _*).head()
+        b = solve(readMat(rw, "a"), readVec(rw, "g"))
+      }
+      val mAgg = df0.agg(count(lit(1)).as("n"),
+        sum(round(abs(col("y") - pred(b)), 9).cast("decimal(22,9)")).as("sah"),
+        sum(round(abs(col("y") - pred(bOls)), 9).cast("decimal(22,9)")).as("sao"))
+        .head()
+      val n = mAgg.getAs[Long]("n").toDouble
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val names = "__intercept" +: feats
+      val rows = names.zipWithIndex.map { case (nm, i) =>
+        (nm, r6(b(i)), r6(bOls(i)))
+      } :+ (("__mae",
+        r6(mAgg.getAs[java.math.BigDecimal]("sah").doubleValue / n),
+        r6(mAgg.getAs[java.math.BigDecimal]("sao").doubleValue / n)))
+      rows.toDF("feature", "huber", "ols").orderBy("feature")
     }),
 
     "ml_lasso" -> ((s, d) => {
@@ -2056,9 +2120,143 @@ object Ml {
       |  SELECT 'mean_fitted', round(mfh / nt, 6) + 0.0, NULL FROM mf, tot)
       |ORDER BY term""".stripMargin
 
+  /** DuckDB twin of `ml_huber` (r15): the same grid-6 fine frame, the
+    * OLS start through the influence-oracle moment/Cholesky chain, the
+    * MAD-consistent scale as one quantile, then FOUR weighted-solve
+    * chains — every fold left-associated ascending-index, the Huber
+    * weight a CASE whose two branches are continuous at the switch. */
+  private def huberSql: String = {
+    val types = ModelingFrame.EventTypes
+    val p = types.length + 1
+    def xRef(i: Int) = if (i == 0) "1.0" else types(i - 1)
+    val px = types.map(t => s"max(CASE WHEN event_type = '$t' THEN m END) AS $t")
+    val fill = types.map(t =>
+      s"coalesce(last_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        s"first_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
+        s"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS $t")
+    // Cholesky chain generator: from src (a_i_j upper-tri + r_i), emit
+    // diag/below/forward/backward CTEs; the solution lands in <pfx>w0
+    // as b_0..b_{p-1}
+    def chol(pfx: String, src: String): String = {
+      def aRef(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
+      val chain = (0 until p).flatMap { j =>
+        val dT = (0 until j).map(m => s" - l_${j}_$m * l_${j}_$m").mkString
+        val s0 = if (j == 0) src else s"${pfx}o${j - 1}"
+        val diag = s"${pfx}d$j AS MATERIALIZED (SELECT *, " +
+          s"sqrt(${aRef(j, j)}$dT) AS l_${j}_$j FROM $s0)"
+        if (j == p - 1) Seq(diag)
+        else {
+          val below = (j + 1 until p).map { i =>
+            val t = (0 until j).map(m => s" - l_${i}_$m * l_${j}_$m").mkString
+            s"(${aRef(i, j)}$t) / l_${j}_$j AS l_${i}_$j"
+          }.mkString(",\n    ")
+          Seq(diag, s"${pfx}o$j AS MATERIALIZED (SELECT *,\n    $below FROM ${pfx}d$j)")
+        }
+      }
+      val fwd = (0 until p).map { i =>
+        val t = (0 until i).map(m => s" - l_${i}_$m * z_$m").mkString
+        val s0 = if (i == 0) s"${pfx}d${p - 1}" else s"${pfx}f${i - 1}"
+        s"${pfx}f$i AS MATERIALIZED (SELECT *, (r_$i$t) / l_${i}_$i AS z_$i FROM $s0)"
+      }
+      val bwd = (p - 1 to 0 by -1).map { i =>
+        val t = (i + 1 until p).map(m => s" - l_${m}_$i * b_$m").mkString
+        val s0 = if (i == p - 1) s"${pfx}f${p - 1}" else s"${pfx}w${i + 1}"
+        s"${pfx}w$i AS MATERIALIZED (SELECT *, (z_$i$t) / l_${i}_$i AS b_$i FROM $s0)"
+      }
+      (chain ++ fwd ++ bwd).mkString(",\n")
+    }
+    def predExpr(alias: String) =
+      (0 until p).map(i => s"$alias.b_$i * ${xRef(i)}").mkString(" + ")
+    val olsXX = (for (i <- 0 until p; j <- i until p) yield
+      s"sum(CAST(${xRef(i)} * ${xRef(j)} AS DECIMAL(38,10))) AS xx_${i}_$j")
+      .mkString(",\n    ")
+    val olsXY = (0 until p).map(i =>
+      s"sum(CAST(${xRef(i)} * y AS DECIMAL(38,10))) AS xy_$i").mkString(",\n    ")
+    val olsA = ((for (i <- 0 until p; j <- i until p) yield
+      s"CAST(xx_${i}_$j AS DOUBLE) AS a_${i}_$j") ++
+      (0 until p).map(i => s"CAST(xy_$i AS DOUBLE) AS r_$i")).mkString(",\n    ")
+    def iterMoments(t: Int, prev: String): String = {
+      val aa = (for (i <- 0 until p; j <- i until p) yield
+        s"sum(CAST(${xRef(i)} * ${xRef(j)} * w AS DECIMAL(38,10))) AS a_${i}_$j")
+        .mkString(",\n    ")
+      val gg = (0 until p).map(i =>
+        s"sum(CAST(${xRef(i)} * y * w AS DECIMAL(38,10))) AS g_$i")
+        .mkString(",\n    ")
+      val aCast = ((for (i <- 0 until p; j <- i until p) yield
+        s"CAST(a_${i}_$j AS DOUBLE) AS a_${i}_$j") ++
+        (0 until p).map(i => s"CAST(g_$i AS DOUBLE) AS r_$i")).mkString(",\n    ")
+      s"""hm$t AS (
+         |  SELECT
+         |    $aa,
+         |    $gg
+         |  FROM (
+         |    SELECT fr.*,
+         |      CASE WHEN abs(y - (${predExpr("sp")})) <= cc.c THEN 1.0
+         |        ELSE cc.c / abs(y - (${predExpr("sp")})) END AS w
+         |    FROM fr, $prev sp, cc) q),
+         |ha$t AS MATERIALIZED (
+         |  SELECT
+         |    $aCast
+         |  FROM hm$t),
+         |${chol(s"h$t", s"ha$t")},
+         |hs$t AS MATERIALIZED (
+         |  SELECT ${(0 until p).map(i => s"b_$i").mkString(", ")} FROM h${t}w0)""".stripMargin
+    }
+    val coefSel = (0 until p).map { i =>
+      val nm = if (i == 0) "__intercept" else types(i - 1)
+      s"SELECT '$nm' AS feature, round(hb.b_$i, 6) + 0.0 AS huber, " +
+        s"round(ob.b_$i, 6) + 0.0 AS ols FROM solH hb, sol0 ob"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH f0 AS MATERIALIZED (
+       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket_id,
+       |    ${graft.queries.Grid.mean6Sql("value")} AS m
+       |  FROM events GROUP BY 1, 2),
+       |fp AS MATERIALIZED (
+       |  SELECT bucket_id, ${px.mkString(",\n    ")}
+       |  FROM f0 GROUP BY bucket_id),
+       |ff AS MATERIALIZED (
+       |  SELECT bucket_id, ${fill.mkString(",\n    ")}
+       |  FROM fp),
+       |fr AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, lead(click) OVER (ORDER BY bucket_id) AS y FROM ff) t
+       |  WHERE y IS NOT NULL
+       |    AND ${types.map(t => s"$t IS NOT NULL").mkString(" AND ")}),
+       |m0 AS (
+       |  SELECT
+       |    $olsXX,
+       |    $olsXY
+       |  FROM fr),
+       |a0 AS MATERIALIZED (
+       |  SELECT
+       |    $olsA
+       |  FROM m0),
+       |${chol("s0", "a0")},
+       |sol0 AS MATERIALIZED (SELECT ${(0 until p).map(i => s"b_$i").mkString(", ")} FROM s0w0),
+       |cc AS MATERIALIZED (
+       |  SELECT 1.35 * (quantile_cont(abs(y - (${predExpr("sp")})), 0.5) / 0.6745) AS c
+       |  FROM fr, sol0 sp),
+       |${(1 to 4).map(t => iterMoments(t, if (t == 1) "sol0" else s"hs${t - 1}"))
+          .mkString(",\n")},
+       |solH AS MATERIALIZED (SELECT * FROM hs4),
+       |mm AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(round(abs(y - (${predExpr("hb")})), 9) AS DECIMAL(22,9))) AS DOUBLE) AS sah,
+       |    CAST(sum(CAST(round(abs(y - (${predExpr("ob")})), 9) AS DECIMAL(22,9))) AS DOUBLE) AS sao
+       |  FROM fr, solH hb, sol0 ob)
+       |SELECT * FROM (
+       |  $coefSel
+       |  UNION ALL
+       |  SELECT '__mae', round(sah / n, 6) + 0.0, round(sao / n, 6) + 0.0 FROM mm)
+       |ORDER BY feature""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "ml_isotonic" -> isotonicSql,
+
+    "ml_huber" -> huberSql,
 
     "ml_poisson_glm" -> poissonSql,
 
