@@ -560,15 +560,20 @@ object Fin {
         .orderBy("event_type")
     }),
 
-    /** PELT optimal changepoint segmentation per series
-      * (`operators/Pelt.scala`) — the retrospective mean-shift
-      * partition next to `ml_changepoint_cusum`'s sequential alarm.
-      * Penalty = 2σ̂²·ln n (BIC form) with σ̂ from the MAD of first
-      * differences (robust to the changes being sought). Executor-side
-      * per-series tasks on bounded bar arrays (the `ts_dtw_pairs`
-      * fan-out shape). Rows-only: an optimal-partition DP has no SQL
-      * form; PeltSpec pins pruned ≡ exhaustive and planted-shift
-      * recovery. */
+    /** PELT-optimal changepoint segmentation per series — the
+      * retrospective mean-shift partition next to
+      * `ml_changepoint_cusum`'s sequential alarm. Penalty = 2σ̂²·ln n
+      * (BIC form) with σ̂ from the MAD of first differences (robust to
+      * the changes being sought). FULL ORACLE (r15): the query runs the
+      * UNPRUNED O(n²) optimal-partition DP (identical optimum — PELT
+      * pruning is a speedup, `PeltSpec` pins pruned ≡ exhaustive; the
+      * exhaustive sweep also fixes the tie order: ascending s,
+      * first-wins) over EXACT DECIMAL prefix sums of the grid-6 bars —
+      * every segment cost is a correctly-rounded double of exact
+      * differences, so the DuckDB twin's list-carrying recursive CTE
+      * ([[peltSql]]) replays every f-value, argmin, and boundary bit
+      * for bit. Executor-side per-series tasks on bounded bar arrays
+      * (the `ts_dtw_pairs` fan-out shape); n is calendar-bounded. */
     "ml_changepoint_pelt" -> ((s, d) => {
       import s.implicits._
       bars(s, d)
@@ -581,18 +586,58 @@ object Fin {
         .flatMap { case (tpe, bks, pxs) =>
           val x = pxs.toArray
           val n = x.length
+          // exact decimal prefixes (px is grid-6, px² exact 12dp):
+          // costs become correctly-rounded doubles of exact differences
+          // — identical across engines regardless of association
+          val s1 = new Array[java.math.BigDecimal](n + 1)
+          val s2 = new Array[java.math.BigDecimal](n + 1)
+          s1(0) = java.math.BigDecimal.ZERO
+          s2(0) = java.math.BigDecimal.ZERO
+          var i0 = 0
+          while (i0 < n) {
+            val b = java.math.BigDecimal.valueOf(x(i0))
+            s1(i0 + 1) = s1(i0).add(b)
+            s2(i0 + 1) = s2(i0).add(b.multiply(b))
+            i0 += 1
+          }
+          def cost(i: Int, j: Int): Double = {
+            val sd = s1(j).subtract(s1(i)).doubleValue
+            val qd = s2(j).subtract(s2(i)).doubleValue
+            qd - sd * sd / (j - i)
+          }
           val diffs = x.sliding(2).collect { case Array(a, b) => math.abs(b - a) }
             .toArray.sorted
           val mad = if (diffs.isEmpty) 0.0 else diffs(diffs.length / 2)
           val sigma = math.max(1.4826 * mad / math.sqrt(2.0), 1e-9)
           val penalty = 2.0 * sigma * sigma * math.log(n.toDouble)
-          val cps = graft.operators.Pelt.segment(x, penalty)
-          val bounds = (0 +: cps.toSeq) :+ n
+          // exhaustive DP, ascending-s first-wins argmin (the oracle's
+          // list_position tie order)
+          val f = new Array[Double](n + 1)
+          val prev = new Array[Int](n + 1)
+          f(0) = -penalty
+          var t = 1
+          while (t <= n) {
+            var best = Double.PositiveInfinity; var bestS = 0
+            var s0 = 0
+            while (s0 < t) {
+              val v = f(s0) + cost(s0, t) + penalty
+              if (v < best) { best = v; bestS = s0 }
+              s0 += 1
+            }
+            f(t) = best; prev(t) = bestS
+            t += 1
+          }
+          var cps = List.empty[Int]
+          var cur = n
+          while (cur > 0) { val p = prev(cur); if (p > 0) cps = p :: cps; cur = p }
+          val bounds = (0 +: cps) :+ n
+          def r6z(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble + 0.0
           bounds.sliding(2).zipWithIndex.collect {
             case (Seq(a, b), i) =>
-              val mean = x.slice(a, b).sum / (b - a)
-              (tpe, i.toLong, bks(a), bks(b - 1), (b - a).toLong,
-                math.rint(mean * 1e6) / 1e6)
+              val mean = s1(b).subtract(s1(a)).doubleValue / (b - a)
+              (tpe, i.toLong, bks(a), bks(b - 1), (b - a).toLong, r6z(mean))
           }
         }
         .toDF("event_type", "seg_idx", "start_bucket", "end_bucket", "n_bars",
@@ -894,7 +939,100 @@ object Fin {
     })
   )
 
+  /** DuckDB twin of `ml_changepoint_pelt` (r15): per-series exact
+    * DECIMAL prefix lists, the BIC penalty from the sorted
+    * first-difference MAD, the O(n²) optimal-partition DP as ONE
+    * recursive CTE carrying the F-vector and prev-pointer lists (all 5
+    * series advance together), a second recursion for the backtrack,
+    * and the segment table from the prefix lists. Every f-value is a
+    * sum of correctly-rounded doubles of exact decimal differences —
+    * bit-identical to the engine's executor-side DP; argmin ties break
+    * to the SMALLEST s on both sides (list_position = first occurrence
+    * ↔ the engine's ascending first-wins sweep). */
+  private def peltSql: String = {
+    def costExpr(jIdx: String, sIdx: String, nSeg: String) =
+      s"(CAST(arr.s2l[$jIdx] - arr.s2l[$sIdx] AS DOUBLE)" +
+        s" - CAST(arr.s1l[$jIdx] - arr.s1l[$sIdx] AS DOUBLE)" +
+        s" * CAST(arr.s1l[$jIdx] - arr.s1l[$sIdx] AS DOUBLE) / ($nSeg))"
+    barsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |b2 AS (
+         |  SELECT event_type AS et, bucket, px,
+         |    sum(CAST(px AS DECIMAL(18,6))) OVER w AS c1,
+         |    sum(CAST(CAST(px AS DECIMAL(18,6)) * CAST(px AS DECIMAL(18,6))
+         |        AS DECIMAL(30,12))) OVER w AS c2
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING)),
+         |arr AS MATERIALIZED (
+         |  SELECT et, count(*)::BIGINT AS n,
+         |    list(bucket ORDER BY bucket) AS bksl,
+         |    list(px ORDER BY bucket) AS pxl,
+         |    list_prepend(CAST(0 AS DECIMAL(38,6)), list(c1 ORDER BY bucket)) AS s1l,
+         |    list_prepend(CAST(0 AS DECIMAL(38,12)), list(c2 ORDER BY bucket)) AS s2l
+         |  FROM b2 GROUP BY et),
+         |pen AS MATERIALIZED (
+         |  SELECT et, n, 2.0 * sg * sg * ln(CAST(n AS DOUBLE)) AS penalty
+         |  FROM (
+         |    SELECT et, n,
+         |      greatest(1.4826 * dsl[(n - 1) // 2 + 1] / sqrt(2.0), 1e-9) AS sg
+         |    FROM (
+         |      SELECT et, n,
+         |        list_sort(list_transform(generate_series(2, CAST(n AS INT)),
+         |          i -> abs(pxl[i] - pxl[i - 1]))) AS dsl
+         |      FROM arr))),
+         |pelt(et, t, fl, pv) AS (
+         |  SELECT pen.et, CAST(0 AS BIGINT), [-pen.penalty],
+         |    CAST([] AS BIGINT[]) FROM pen
+         |  UNION ALL
+         |  SELECT et, t + 1, list_append(fl, lv), list_append(pv, lp)
+         |  FROM (
+         |    SELECT q.et, q.t, q.fl, q.pv, list_min(q.vs) AS lv,
+         |      CAST(list_position(q.vs, list_min(q.vs)) - 1 AS BIGINT) AS lp
+         |    FROM (
+         |      SELECT p0.et, p0.t, p0.fl, p0.pv,
+         |        list_transform(generate_series(0, CAST(p0.t AS INT)),
+         |          s -> p0.fl[s + 1]
+         |            + ${costExpr("CAST(p0.t AS INT) + 2", "s + 1", "p0.t + 1 - s")}
+         |            + pen.penalty) AS vs
+         |      FROM pelt p0
+         |      JOIN arr ON arr.et = p0.et
+         |      JOIN pen ON pen.et = p0.et
+         |      WHERE p0.t < arr.n) q) q2),
+         |fin AS MATERIALIZED (
+         |  SELECT p.et, p.pv FROM pelt p JOIN arr ON arr.et = p.et
+         |  WHERE p.t = arr.n),
+         |bt(et, cur, cps) AS (
+         |  SELECT arr.et, arr.n, CAST([] AS BIGINT[]) FROM arr
+         |  UNION ALL
+         |  SELECT b0.et, f.pv[CAST(b0.cur AS INT)],
+         |    CASE WHEN f.pv[CAST(b0.cur AS INT)] > 0
+         |      THEN list_prepend(f.pv[CAST(b0.cur AS INT)], b0.cps)
+         |      ELSE b0.cps END
+         |  FROM bt b0 JOIN fin f ON f.et = b0.et
+         |  WHERE b0.cur > 0),
+         |segb AS MATERIALIZED (
+         |  SELECT bt.et,
+         |    list_append(list_prepend(CAST(0 AS BIGINT), bt.cps), arr.n) AS bounds
+         |  FROM bt JOIN arr ON arr.et = bt.et
+         |  WHERE bt.cur = 0)
+         |SELECT sb.et AS event_type,
+         |  CAST(i - 1 AS BIGINT) AS seg_idx,
+         |  arr.bksl[CAST(sb.bounds[i] AS INT) + 1] AS start_bucket,
+         |  arr.bksl[CAST(sb.bounds[i + 1] AS INT)] AS end_bucket,
+         |  sb.bounds[i + 1] - sb.bounds[i] AS n_bars,
+         |  round(CAST(arr.s1l[CAST(sb.bounds[i + 1] AS INT) + 1]
+         |      - arr.s1l[CAST(sb.bounds[i] AS INT) + 1] AS DOUBLE)
+         |    / (sb.bounds[i + 1] - sb.bounds[i]), 6) + 0.0 AS seg_mean
+         |FROM segb sb
+         |JOIN arr ON arr.et = sb.et
+         |CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(sb.bounds) - 1)) AS i) g
+         |ORDER BY event_type, seg_idx""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "ml_changepoint_pelt" -> peltSql,
 
     "ts_drawdown" -> (barsSql +
       """, dd AS (
