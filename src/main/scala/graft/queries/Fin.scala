@@ -586,23 +586,29 @@ object Fin {
         .flatMap { case (tpe, bks, pxs) =>
           val x = pxs.toArray
           val n = x.length
-          // exact decimal prefixes (px is grid-6, px² exact 12dp):
-          // costs become correctly-rounded doubles of exact differences
-          // — identical across engines regardless of association
-          val s1 = new Array[java.math.BigDecimal](n + 1)
-          val s2 = new Array[java.math.BigDecimal](n + 1)
-          s1(0) = java.math.BigDecimal.ZERO
-          s2(0) = java.math.BigDecimal.ZERO
+          // exact decimal prefixes (px is grid-6, px² exact 12dp), with
+          // the SQUARE prefix re-gridded to 6dp — both prefixes then fit
+          // SCALED LONGS (≤ ~5e14 ≪ 2^53), so every cost below is pure
+          // primitive arithmetic: an exact long difference, one exact
+          // toDouble, one correctly-rounded division by the
+          // exactly-representable 1e6 — identical across engines and
+          // ~400× cheaper than BigDecimal churn in the O(n²) loop
+          val s1 = new Array[Long](n + 1)
+          val s2 = new Array[Long](n + 1)
+          var acc2 = java.math.BigDecimal.ZERO
           var i0 = 0
           while (i0 < n) {
             val b = java.math.BigDecimal.valueOf(x(i0))
-            s1(i0 + 1) = s1(i0).add(b)
-            s2(i0 + 1) = s2(i0).add(b.multiply(b))
+            s1(i0 + 1) = s1(i0) + b.movePointRight(6).longValueExact()
+            acc2 = acc2.add(b.multiply(b))
+            s2(i0 + 1) = acc2
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
             i0 += 1
           }
           def cost(i: Int, j: Int): Double = {
-            val sd = s1(j).subtract(s1(i)).doubleValue
-            val qd = s2(j).subtract(s2(i)).doubleValue
+            val sd = (s1(j) - s1(i)).toDouble / 1e6
+            val qd = (s2(j) - s2(i)).toDouble / 1e6
             qd - sd * sd / (j - i)
           }
           val diffs = x.sliding(2).collect { case Array(a, b) => math.abs(b - a) }
@@ -636,7 +642,7 @@ object Fin {
               .toDouble + 0.0
           bounds.sliding(2).zipWithIndex.collect {
             case (Seq(a, b), i) =>
-              val mean = s1(b).subtract(s1(a)).doubleValue / (b - a)
+              val mean = (s1(b) - s1(a)).toDouble / 1e6 / (b - a)
               (tpe, i.toLong, bks(a), bks(b - 1), (b - a).toLong, r6z(mean))
           }
         }
@@ -969,7 +975,8 @@ object Fin {
          |    list(bucket ORDER BY bucket) AS bksl,
          |    list(px ORDER BY bucket) AS pxl,
          |    list_prepend(CAST(0 AS DECIMAL(38,6)), list(c1 ORDER BY bucket)) AS s1l,
-         |    list_prepend(CAST(0 AS DECIMAL(38,12)), list(c2 ORDER BY bucket)) AS s2l
+         |    list_prepend(CAST(0 AS DECIMAL(18,6)),
+         |      list(CAST(round(c2, 6) AS DECIMAL(18,6)) ORDER BY bucket)) AS s2l
          |  FROM b2 GROUP BY et),
          |pen AS MATERIALIZED (
          |  SELECT et, n, 2.0 * sg * sg * ln(CAST(n AS DOUBLE)) AS penalty

@@ -189,12 +189,22 @@ object Ml {
       * actually reads. MlSpec keeps the planted-outlier law. */
     "ml_huber" -> ((s, d) => {
       import s.implicits._
+      import java.math.{BigDecimal => JBD, RoundingMode => RM}
       val feats = ModelingFrame.EventTypes
-      val df0 = ModelingFrame.buildFine(s, d)
+      // ONE collect of the calendar-bounded frame (the ml_pacf bound),
+      // then a DRIVER REPLAY of the whole chain — the `ml_huber_irls`
+      // discipline: every Spark-side decimal CAST replays as
+      // shortest-string BigDecimal HALF_UP (Spark's own Cast/Round
+      // semantics; never `new BigDecimal(double)`), percentile replays
+      // Spark's interpolation, and the folds are order-free exact sums —
+      // so the hash matches the committed oracle while the 7-job plan
+      // (OLS + median + 4 IRLS + mae aggregates) collapses to one job
+      val rows = ModelingFrame.buildFine(s, d)
         .select(col(ModelingFrame.Target).as("y") +: feats.map(col): _*)
-        .localCheckpoint(eager = true) // 1 OLS + 1 median + 4 IRLS + 1 mae pass
-      val xcols = lit(1.0) +: feats.map(col)
-      val p = xcols.size
+        .collect()
+        .map(r => (r.getDouble(0), Array.tabulate(feats.size + 1)(i =>
+          if (i == 0) 1.0 else r.getDouble(i))))
+      val p = feats.size + 1
       // shared-order no-pivot Cholesky solve of A β = g (the
       // influence/minVariance fold contract, generated identically in
       // huberSql's chain CTEs)
@@ -224,51 +234,84 @@ object Ml {
         }
         beta
       }
-      def readMat(row: org.apache.spark.sql.Row, pre: String): Array[Array[Double]] =
-        Array.tabulate(p, p) { (i, j) =>
-          val (a, b) = (math.min(i, j), math.max(i, j))
-          row.getAs[java.math.BigDecimal](s"${pre}_${a}_$b").doubleValue()
+      // cast(x AS DECIMAL(38,10)) replayed: Spark's Cast goes through
+      // BigDecimal.decimal(double) = valueOf = shortest string, then
+      // HALF_UP changePrecision
+      def d10(x: Double): JBD =
+        new JBD(java.lang.Double.toString(x)).setScale(10, RM.HALF_UP)
+      // round(x, 9) then cast DECIMAL(22,9) replayed the same way
+      def d9(x: Double): JBD =
+        new JBD(java.lang.Double.toString(x)).setScale(9, RM.HALF_UP)
+      // Spark Percentile.getPercentile at p = 0.5 over the sorted multiset
+      def median50(sorted: Array[Double]): Double = {
+        val pos = 0.5 * (sorted.length - 1)
+        val lower = math.floor(pos).toInt
+        val higher = math.ceil(pos).toInt
+        val lk = sorted(lower); val hk = sorted(higher)
+        if (lower == higher || hk == lk) lk
+        else (higher - pos) * lk + (pos - lower) * hk
+      }
+      def pred(b: Array[Double], x: Array[Double]): Double = {
+        var acc = b(0) * x(0); var i = 1
+        while (i < p) { acc += b(i) * x(i); i += 1 }
+        acc
+      }
+      def moments(wOf: (Double, Array[Double]) => Double)
+      : (Array[Array[Double]], Array[Double]) = {
+        val hs = Array.fill(p, p)(JBD.ZERO)
+        val gs = Array.fill(p)(JBD.ZERO)
+        rows.foreach { case (y, x) =>
+          val w = wOf(y, x)
+          for (i <- 0 until p; j <- i until p)
+            hs(i)(j) = hs(i)(j).add(d10(x(i) * x(j) * w))
+          for (i <- 0 until p)
+            gs(i) = gs(i).add(d10(x(i) * y * w))
         }
-      def readVec(row: org.apache.spark.sql.Row, pre: String): Array[Double] =
-        Array.tabulate(p)(i => row.getAs[java.math.BigDecimal](s"${pre}_$i").doubleValue())
-      def pred(b: Array[Double]): Column =
-        (0 until p).map(i => lit(b(i)) * xcols(i)).reduce(_ + _)
-      // OLS start — the influence-oracle moment forms
-      val olsAggs = (for (i <- 0 until p; j <- i until p) yield
-          sum((xcols(i) * xcols(j)).cast("decimal(38,10)")).as(s"xx_${i}_$j")) ++
-        (0 until p).map(i =>
-          sum((xcols(i) * col("y")).cast("decimal(38,10)")).as(s"xy_$i"))
-      val r0 = df0.agg(olsAggs.head, olsAggs.tail: _*).head()
-      val bOls = solve(readMat(r0, "xx"), readVec(r0, "xy"))
+        (Array.tabulate(p, p)((i, j) =>
+          hs(math.min(i, j))(math.max(i, j)).doubleValue),
+          gs.map(_.doubleValue))
+      }
+      // OLS start — folded WITHOUT the ×w factor (the oracle's
+      // `xi * xj` text, not `xi * xj * w`)
+      val bOls = {
+        val hs = Array.fill(p, p)(JBD.ZERO)
+        val gs = Array.fill(p)(JBD.ZERO)
+        rows.foreach { case (y, x) =>
+          for (i <- 0 until p; j <- i until p)
+            hs(i)(j) = hs(i)(j).add(d10(x(i) * x(j)))
+          for (i <- 0 until p) gs(i) = gs(i).add(d10(x(i) * y))
+        }
+        solve(Array.tabulate(p, p)((i, j) =>
+          hs(math.min(i, j))(math.max(i, j)).doubleValue),
+          gs.map(_.doubleValue))
+      }
       // robust scale from the OLS residuals (MAD-consistent)
-      val s0 = df0.select(abs(col("y") - pred(bOls)).as("ar"))
-        .agg(expr("percentile(ar, 0.5)")).head().getDouble(0)
+      val s0 = median50(rows.map { case (y, x) =>
+        math.abs(y - pred(bOls, x)) }.sorted)
       val c = 1.35 * (s0 / 0.6745)
       var b = bOls
       for (_ <- 1 to 4) {
-        val rr = col("y") - pred(b)
-        val w = when(abs(rr) <= lit(c), lit(1.0)).otherwise(lit(c) / abs(rr))
-        val aggs = (for (i <- 0 until p; j <- i until p) yield
-            sum((xcols(i) * xcols(j) * w).cast("decimal(38,10)")).as(s"a_${i}_$j")) ++
-          (0 until p).map(i =>
-            sum((xcols(i) * col("y") * w).cast("decimal(38,10)")).as(s"g_$i"))
-        val rw = df0.agg(aggs.head, aggs.tail: _*).head()
-        b = solve(readMat(rw, "a"), readVec(rw, "g"))
+        val bc = b
+        val (h, g) = moments { (y, x) =>
+          val ar = math.abs(y - pred(bc, x))
+          if (ar <= c) 1.0 else c / ar
+        }
+        b = solve(h, g)
       }
-      val mAgg = df0.agg(count(lit(1)).as("n"),
-        sum(round(abs(col("y") - pred(b)), 9).cast("decimal(22,9)")).as("sah"),
-        sum(round(abs(col("y") - pred(bOls)), 9).cast("decimal(22,9)")).as("sao"))
-        .head()
-      val n = mAgg.getAs[Long]("n").toDouble
+      // MAE of both fits: exact-decimal sums of 1e-9-gridded |resid|
+      var sah = JBD.ZERO; var sao = JBD.ZERO
+      rows.foreach { case (y, x) =>
+        sah = sah.add(d9(math.abs(y - pred(b, x))))
+        sao = sao.add(d9(math.abs(y - pred(bOls, x))))
+      }
+      val n = rows.length.toDouble
       def r6(v: Double) =
         BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
       val names = "__intercept" +: feats
-      val rows = names.zipWithIndex.map { case (nm, i) =>
+      val out = names.zipWithIndex.map { case (nm, i) =>
         (nm, r6(b(i)), r6(bOls(i)))
-      } :+ (("__mae",
-        r6(mAgg.getAs[java.math.BigDecimal]("sah").doubleValue / n),
-        r6(mAgg.getAs[java.math.BigDecimal]("sao").doubleValue / n)))
-      rows.toDF("feature", "huber", "ols").orderBy("feature")
+      } :+ (("__mae", r6(sah.doubleValue / n), r6(sao.doubleValue / n)))
+      out.toDF("feature", "huber", "ols").orderBy("feature")
     }),
 
     "ml_lasso" -> ((s, d) => {
