@@ -50,7 +50,13 @@ object SparkEntry {
     * over hash-canonicalized rows), so repartitioning or reordering the
     * training frame cannot move a bit — ForestSpec pins 1-vs-7-partition
     * and shuffled-row bit-equality end to end, and GoldenParitySpec pins
-    * the quality band on the reference CSV. Verify stamps these
+    * the quality band on the reference CSV. `ml_ensemble_weighted`'s
+    * r2/mae rows are additionally pinned to the DRIVER-REPLAY path
+    * regardless of intra-session query order: `Ensemble.report` matches
+    * the fit's semantic key (dir, label, grain, numTrees) stamped by
+    * `fittedCached`, so a cache hit from an earlier query can never
+    * demote the metrics to the partition-order-dependent distributed
+    * fold (ADVICE r15). Verify stamps these
     * `"determinism": "cross-layout"` so the guarantee is visible in the
     * gate artifacts. */
   def crossLayoutDeterministic(name: String): Boolean =

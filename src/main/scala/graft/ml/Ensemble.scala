@@ -89,7 +89,8 @@ object Ensemble {
   private[ml] final case class DriverEval(y: Array[Double],
                                           preds: Map[String, Array[Double]],
                                           source: DataFrame,
-                                          label: String)
+                                          label: String,
+                                          fitKey: Option[(String, String, String, Int)] = None)
 
   final case class Fitted(members: Seq[Member],
                           private[ml] val driverEval: Option[DriverEval] = None) {
@@ -273,12 +274,20 @@ object Ensemble {
 
   /** Per-model + ensemble report frame: (model, weight, r2, mae) rows
     * followed by the ensemble row — the `app.py:517-519` perf table. */
-  def report(f: Fitted, train: DataFrame, label: String): Seq[(String, Double, Double, Double)] = {
+  def report(f: Fitted, train: DataFrame, label: String,
+             fitKey: Option[(String, String, String, Int)] = None)
+  : Seq[(String, Double, Double, Double)] = {
     val (r2, mae) = f.driverEval match {
-      // replay is only valid for the EXACT frame/label the fit collected
-      // (reference identity, not equality — a recomputed or held-out
-      // frame takes the Spark aggregate below; ADVICE r14)
-      case Some(ev) if (ev.source eq train) && ev.label == label =>
+      // replay is valid for the EXACT frame/label the fit collected —
+      // reference identity, OR the SEMANTIC key (dir, label, grain,
+      // numTrees) stamped by fittedCached (ADVICE r15: cache sharing
+      // hands later callers a fresh DataFrame instance for the same
+      // deterministic frame, and the distributed fallback's double sums
+      // are partition-order dependent — the key restores the replay). A
+      // recomputed/held-out frame with no matching key still takes the
+      // Spark aggregate below (ADVICE r14).
+      case Some(ev) if ((ev.source eq train) ||
+          (fitKey.isDefined && ev.fitKey == fitKey)) && ev.label == label =>
         // driver replay: ensemble yhat folds members in the SAME order
         // as the predict column (lr + ridge + rf) — no Spark job
         val ys = ev.y; val n = ys.length
@@ -328,7 +337,13 @@ object Ensemble {
       if (m == null) { m = new ConcurrentHashMap(); cache.put(sessionKey, m) }
       m
     }
-    perSession.computeIfAbsent((dir, label, grain, numTrees),
-      _ => fitWeighted(train, label, numTrees, rfMaxDepth))
+    perSession.computeIfAbsent((dir, label, grain, numTrees), _ => {
+      val f = fitWeighted(train, label, numTrees, rfMaxDepth)
+      // stamp the semantic key so report() can replay for ANY caller
+      // that asks about this (dir, label, grain, numTrees) frame — not
+      // just the DataFrame instance the first caller happened to pass
+      f.copy(driverEval = f.driverEval.map(
+        _.copy(fitKey = Some((dir, label, grain, numTrees)))))
+    })
   }
 }

@@ -96,7 +96,8 @@ object Ml {
       withFineFrame(s, d) { train =>
         val f = Ensemble.fittedCached(s, d, ModelingFrame.Target, train,
           grain = "fine30m", rfMaxDepth = ModelingFrame.FineRfMaxDepth)
-        round6(Ensemble.report(f, train, ModelingFrame.Target)
+        round6(Ensemble.report(f, train, ModelingFrame.Target,
+            fitKey = Some((d, ModelingFrame.Target, "fine30m", 100)))
             .toDF("model", "weight", "r2", "mae"),
           Seq("weight", "r2", "mae")).orderBy("model")
       }

@@ -953,16 +953,28 @@ class StreamingSpec extends SparkSpec {
     assert(bidDirs.length >= 3, s"expected >=3 bid= dirs, got ${bidDirs.length}")
 
     // RETRY IDEMPOTENCE: a retried micro-batch re-executes its foreachBatch
-    // body — the batch output is deterministic (band join over the same
-    // corpus and the same input file), so the retry writes the SAME frame
-    // with OVERWRITE into the batch's own bid= dir. Replay one batch and
-    // assert the hash-checked final read does not move (under the old
-    // append sink this exact replay duplicated every admission row).
+    // body. Re-invoke the body for REAL (ADVICE r15 — rewriting the dir
+    // with its own committed contents would pass vacuously): rebuild the
+    // batch's input from the doc_ids its bid= dir owns, recompute
+    // admitAgainst against the same corpus, OVERWRITE the bid= dir with
+    // that recomputed frame, and assert the hash-checked final read does
+    // not move (under the old append sink this replay duplicated rows;
+    // a non-deterministic batch body would move the values).
     val bid0 = bidDirs.minBy(_.getName)
-    val replayFrame = spark.read.parquet(bid0.getPath)
-      .select("doc_id", "is_duplicate", "dup_of", "jaccard")
-      .localCheckpoint() // materialize before overwriting the source path
-    replayFrame.write.mode("overwrite").parquet(bid0.getPath)
+    val bid0Ids = spark.read.parquet(bid0.getPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val nf = graft.operators.Dedup.nightlyNewFlag("doc_id")
+    val batchInput = Tables.documents(spark, src)
+      .filter(nf && col("doc_id").isin(bid0Ids: _*))
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.bandExplode(
+        graft.operators.Dedup.lshSignatures(df, "doc_id", "text", 16),
+        "doc_id", 16, 4)
+    graft.operators.Dedup.admitAgainst(
+        banded(batchInput),
+        banded(Tables.documents(spark, src).filter(!nf)),
+        batchInput.select(col("doc_id")), "doc_id", 0.5)
+      .write.mode("overwrite").parquet(bid0.getPath)
     val after = spark.read.parquet(s"$scratch/admissions")
       .select("doc_id", "is_duplicate", "dup_of", "jaccard")
       .orderBy("doc_id").collect().map(_.toSeq)
