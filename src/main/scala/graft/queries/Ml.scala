@@ -190,120 +190,41 @@ object Ml {
       * actually reads. MlSpec keeps the planted-outlier law. */
     "ml_huber" -> ((s, d) => {
       import s.implicits._
-      import java.math.{BigDecimal => JBD, RoundingMode => RM}
+      import java.math.{BigDecimal => JBD}
       val feats = ModelingFrame.EventTypes
       // ONE collect of the calendar-bounded frame (the ml_pacf bound),
-      // then a DRIVER REPLAY of the whole chain — the `ml_huber_irls`
-      // discipline: every Spark-side decimal CAST replays as
-      // shortest-string BigDecimal HALF_UP (Spark's own Cast/Round
-      // semantics; never `new BigDecimal(double)`), percentile replays
-      // Spark's interpolation, and the folds are order-free exact sums —
-      // so the hash matches the committed oracle while the 7-job plan
-      // (OLS + median + 4 IRLS + mae aggregates) collapses to one job
+      // then a DRIVER REPLAY of the whole chain — every replay
+      // primitive (decimal casts, median interpolation, shared-order
+      // Cholesky, the weight formula, the step count) lives in
+      // [[IrlsCore]], the SAME object [[huberSql]] generates the DuckDB
+      // twin from (VERDICT r15 #5: one source of truth, an edit moves
+      // both sides or neither)
       val rows = ModelingFrame.buildFine(s, d)
         .select(col(ModelingFrame.Target).as("y") +: feats.map(col): _*)
         .collect()
         .map(r => (r.getDouble(0), Array.tabulate(feats.size + 1)(i =>
           if (i == 0) 1.0 else r.getDouble(i))))
       val p = feats.size + 1
-      // shared-order no-pivot Cholesky solve of A β = g (the
-      // influence/minVariance fold contract, generated identically in
-      // huberSql's chain CTEs)
-      def solve(a: Array[Array[Double]], g: Array[Double]): Array[Double] = {
-        val lm = Array.ofDim[Double](p, p)
-        for (j <- 0 until p) {
-          var dAcc = a(j)(j)
-          for (m <- 0 until j) dAcc -= lm(j)(m) * lm(j)(m)
-          lm(j)(j) = math.sqrt(dAcc)
-          for (i <- j + 1 until p) {
-            var acc = a(i)(j)
-            for (m <- 0 until j) acc -= lm(i)(m) * lm(j)(m)
-            lm(i)(j) = acc / lm(j)(j)
-          }
-        }
-        val zv = Array.ofDim[Double](p)
-        for (i <- 0 until p) {
-          var acc = g(i)
-          for (m <- 0 until i) acc -= lm(i)(m) * zv(m)
-          zv(i) = acc / lm(i)(i)
-        }
-        val beta = Array.ofDim[Double](p)
-        for (i <- p - 1 to 0 by -1) {
-          var acc = zv(i)
-          for (m <- i + 1 until p) acc -= lm(m)(i) * beta(m)
-          beta(i) = acc / lm(i)(i)
-        }
-        beta
-      }
-      // cast(x AS DECIMAL(38,10)) replayed: Spark's Cast goes through
-      // BigDecimal.decimal(double) = valueOf = shortest string, then
-      // HALF_UP changePrecision
-      def d10(x: Double): JBD =
-        new JBD(java.lang.Double.toString(x)).setScale(10, RM.HALF_UP)
-      // round(x, 9) then cast DECIMAL(22,9) replayed the same way
-      def d9(x: Double): JBD =
-        new JBD(java.lang.Double.toString(x)).setScale(9, RM.HALF_UP)
-      // Spark Percentile.getPercentile at p = 0.5 over the sorted multiset
-      def median50(sorted: Array[Double]): Double = {
-        val pos = 0.5 * (sorted.length - 1)
-        val lower = math.floor(pos).toInt
-        val higher = math.ceil(pos).toInt
-        val lk = sorted(lower); val hk = sorted(higher)
-        if (lower == higher || hk == lk) lk
-        else (higher - pos) * lk + (pos - lower) * hk
-      }
-      def pred(b: Array[Double], x: Array[Double]): Double = {
-        var acc = b(0) * x(0); var i = 1
-        while (i < p) { acc += b(i) * x(i); i += 1 }
-        acc
-      }
-      def moments(wOf: (Double, Array[Double]) => Double)
-      : (Array[Array[Double]], Array[Double]) = {
-        val hs = Array.fill(p, p)(JBD.ZERO)
-        val gs = Array.fill(p)(JBD.ZERO)
-        rows.foreach { case (y, x) =>
-          val w = wOf(y, x)
-          for (i <- 0 until p; j <- i until p)
-            hs(i)(j) = hs(i)(j).add(d10(x(i) * x(j) * w))
-          for (i <- 0 until p)
-            gs(i) = gs(i).add(d10(x(i) * y * w))
-        }
-        (Array.tabulate(p, p)((i, j) =>
-          hs(math.min(i, j))(math.max(i, j)).doubleValue),
-          gs.map(_.doubleValue))
-      }
       // OLS start — folded WITHOUT the ×w factor (the oracle's
       // `xi * xj` text, not `xi * xj * w`)
-      val bOls = {
-        val hs = Array.fill(p, p)(JBD.ZERO)
-        val gs = Array.fill(p)(JBD.ZERO)
-        rows.foreach { case (y, x) =>
-          for (i <- 0 until p; j <- i until p)
-            hs(i)(j) = hs(i)(j).add(d10(x(i) * x(j)))
-          for (i <- 0 until p) gs(i) = gs(i).add(d10(x(i) * y))
-        }
-        solve(Array.tabulate(p, p)((i, j) =>
-          hs(math.min(i, j))(math.max(i, j)).doubleValue),
-          gs.map(_.doubleValue))
-      }
+      val bOls = { val (h, g) = IrlsCore.olsMoments(rows, p); IrlsCore.solve(h, g) }
       // robust scale from the OLS residuals (MAD-consistent)
-      val s0 = median50(rows.map { case (y, x) =>
-        math.abs(y - pred(bOls, x)) }.sorted)
-      val c = 1.35 * (s0 / 0.6745)
+      val s0 = IrlsCore.median50(rows.map { case (y, x) =>
+        math.abs(y - IrlsCore.pred(bOls, x)) }.sorted)
+      val c = IrlsCore.HuberTuning * (s0 / IrlsCore.MadConsistency)
       var b = bOls
-      for (_ <- 1 to 4) {
+      for (_ <- 1 to IrlsCore.HuberSteps) {
         val bc = b
-        val (h, g) = moments { (y, x) =>
-          val ar = math.abs(y - pred(bc, x))
-          if (ar <= c) 1.0 else c / ar
+        val (h, g) = IrlsCore.moments(rows, p) { (y, x) =>
+          IrlsCore.huberWeight(c)(math.abs(y - IrlsCore.pred(bc, x)))
         }
-        b = solve(h, g)
+        b = IrlsCore.solve(h, g)
       }
       // MAE of both fits: exact-decimal sums of 1e-9-gridded |resid|
       var sah = JBD.ZERO; var sao = JBD.ZERO
       rows.foreach { case (y, x) =>
-        sah = sah.add(d9(math.abs(y - pred(b, x))))
-        sao = sao.add(d9(math.abs(y - pred(bOls, x))))
+        sah = sah.add(IrlsCore.d9(math.abs(y - IrlsCore.pred(b, x))))
+        sao = sao.add(IrlsCore.d9(math.abs(y - IrlsCore.pred(bOls, x))))
       }
       val n = rows.length.toDouble
       def r6(v: Double) =
@@ -1504,32 +1425,58 @@ object Ml {
     /** `ml_quantile_regression`: linear τ-quantile regression (Koenker &
       * Bassett) at τ ∈ {0.1, 0.5, 0.9} on the 30-minute frame — the
       * covariate-DEPENDENT risk band next to `ml_conformal_interval`'s
-      * constant-width one. One distributed pinball aggregation per
-      * L-BFGS evaluation (`ml/Quantile.scala`); the three fits run on
-      * parallel driver threads. Output per τ: raw-space intercept, the
-      * empirical coverage P(y ≤ ŷ_τ) — the calibration law a quantile
-      * fit must satisfy (≈ τ) — and the mean exact pinball loss.
-      * Rows-only: no SQL engine fits a quantile regression; MlSpec pins
-      * planted-data recovery, coverage and non-crossing. */
+      * constant-width one. FULL ORACLE (r16): EXPECTILE-IRLS with
+      * exact empirical τ-recalibration. The smoothed-pinball IRLS the
+      * `ml_huber` precedent suggested was measured CHAOTIC (a 1e-9
+      * start perturbation grows to an O(0.1) parameter gap — the
+      * 1/max(|r|, ε) weight amplifies near-pinned rows at every
+      * tested (ε, damping, ridge) point), so the convertible ladder
+      * is the asymmetric-least-squares one (Newey & Powell 1987):
+      * w ∈ {τ, 1−τ} by residual sign — BOUNDED weights and a FINITE
+      * sign-pattern state space, so the ladder converges
+      * IDEMPOTENTLY in ≤3 steps here and cross-engine term-cast
+      * drift is memoryless ([[IrlsCore.QuantileSteps]] = 12 for
+      * margin). The intercept is then RECALIBRATED by the exact
+      * Spark-percentile_τ of the expectile residuals
+      * ([[IrlsCore.pctAt]]) — in-sample coverage ≈ τ to within one
+      * order statistic BY CONSTRUCTION (measured 0.100/0.500/0.900;
+      * mean pinball within 0.5 % of the true L-BFGS quantile fit's).
+      * ONE collect of the calendar-bounded frame, driver replay of
+      * the whole ladder ([[IrlsCore.expectileQuantileLadder]] — also
+      * law-pinned on planted data in MlSpec); the oracle rides all
+      * three τ and all 12 steps through ONE recursive CTE with the
+      * Cholesky as chained LATERALs ([[quantileSql]], generated from
+      * the same [[IrlsCore]]). Output per τ: calibrated intercept,
+      * coverage, mean exact pinball loss. The L-BFGS
+      * `ml/Quantile.scala` path stays the library's distributed
+      * large-frame surface. */
     "ml_quantile_regression" -> ((s, d) => {
       import s.implicits._
-      withFineFrame(s, d) { train =>
-        val taus = Seq(0.1, 0.5, 0.9)
-        val fits = Models.inParallel(taus.map(t => () =>
-          Quantile.fit(train, ModelingFrame.EventTypes, ModelingFrame.Target, t)))
-        def r6(v: Double) = math.rint(v * 1e6) / 1e6
-        val rows = fits.map { m =>
-          val pred = m.predictExpr(ModelingFrame.EventTypes)
-          val y = col(ModelingFrame.Target)
-          val e = train.agg(
-            avg((round(y, 6) <= round(pred, 6)).cast("double")).as("cov"),
-            avg(when(y >= pred, lit(m.tau) * (y - pred))
-              .otherwise(lit(1.0 - m.tau) * (pred - y))).as("pinball")).head()
-          (m.tau, r6(m.intercept), r6(e.getAs[Double]("cov")),
-            r6(e.getAs[Double]("pinball")))
+      import java.math.{BigDecimal => JBD}
+      val feats = ModelingFrame.EventTypes
+      val rows = ModelingFrame.buildFine(s, d)
+        .select(col(ModelingFrame.Target).as("y") +: feats.map(col): _*)
+        .collect()
+        .map(r => (r.getDouble(0), Array.tabulate(feats.size + 1)(i =>
+          if (i == 0) 1.0 else r.getDouble(i))))
+      val p = feats.size + 1
+      val out = IrlsCore.QuantileTaus.map { tau =>
+        val (b, delta) = IrlsCore.expectileQuantileLadder(rows, p, tau)
+        // coverage: exact-integer indicator mean on RAW doubles (both
+        // engines compute the predictor bit-identically — no rounding,
+        // no ties); pinball: exact-decimal sum of 1e-9-gridded terms
+        var nCov = 0L; var spb = JBD.ZERO
+        rows.foreach { case (y, x) =>
+          val pr = IrlsCore.pred(b, x) + delta
+          if (y <= pr) nCov += 1
+          spb = spb.add(IrlsCore.d9(
+            if (y >= pr) tau * (y - pr) else (1.0 - tau) * (pr - y)))
         }
-        rows.toDF("tau", "intercept", "coverage", "pinball").orderBy("tau")
+        val n = rows.length
+        (tau, Grid.r6z(b(0) + delta), Grid.r6z(nCov.toDouble / n),
+          Grid.r6z(spb.doubleValue / n))
       }
+      out.toDF("tau", "intercept", "coverage", "pinball").orderBy("tau")
     }),
 
     /** `ml_pca`: principal components of the 30-minute feature frame —
@@ -2169,81 +2116,32 @@ object Ml {
     * MAD-consistent scale as one quantile, then FOUR weighted-solve
     * chains — every fold left-associated ascending-index, the Huber
     * weight a CASE whose two branches are continuous at the switch. */
+  /** DuckDB twin of `ml_huber` — every piece (fine-frame prelude,
+    * DECIMAL moments, shared-order Cholesky chain, the Huber weight,
+    * the tuning constants, the step count) is GENERATED from
+    * [[IrlsCore]], the same object the engine's driver replay reads
+    * (VERDICT r15 #5). */
   private def huberSql: String = {
     val types = ModelingFrame.EventTypes
     val p = types.length + 1
-    def xRef(i: Int) = if (i == 0) "1.0" else types(i - 1)
-    val px = types.map(t => s"max(CASE WHEN event_type = '$t' THEN m END) AS $t")
-    val fill = types.map(t =>
-      s"coalesce(last_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
-        s"first_value($t IGNORE NULLS) OVER (ORDER BY bucket_id " +
-        s"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS $t")
-    // Cholesky chain generator: from src (a_i_j upper-tri + r_i), emit
-    // diag/below/forward/backward CTEs; the solution lands in <pfx>w0
-    // as b_0..b_{p-1}
-    def chol(pfx: String, src: String): String = {
-      def aRef(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
-      val chain = (0 until p).flatMap { j =>
-        val dT = (0 until j).map(m => s" - l_${j}_$m * l_${j}_$m").mkString
-        val s0 = if (j == 0) src else s"${pfx}o${j - 1}"
-        val diag = s"${pfx}d$j AS MATERIALIZED (SELECT *, " +
-          s"sqrt(${aRef(j, j)}$dT) AS l_${j}_$j FROM $s0)"
-        if (j == p - 1) Seq(diag)
-        else {
-          val below = (j + 1 until p).map { i =>
-            val t = (0 until j).map(m => s" - l_${i}_$m * l_${j}_$m").mkString
-            s"(${aRef(i, j)}$t) / l_${j}_$j AS l_${i}_$j"
-          }.mkString(",\n    ")
-          Seq(diag, s"${pfx}o$j AS MATERIALIZED (SELECT *,\n    $below FROM ${pfx}d$j)")
-        }
-      }
-      val fwd = (0 until p).map { i =>
-        val t = (0 until i).map(m => s" - l_${i}_$m * z_$m").mkString
-        val s0 = if (i == 0) s"${pfx}d${p - 1}" else s"${pfx}f${i - 1}"
-        s"${pfx}f$i AS MATERIALIZED (SELECT *, (r_$i$t) / l_${i}_$i AS z_$i FROM $s0)"
-      }
-      val bwd = (p - 1 to 0 by -1).map { i =>
-        val t = (i + 1 until p).map(m => s" - l_${m}_$i * b_$m").mkString
-        val s0 = if (i == p - 1) s"${pfx}f${p - 1}" else s"${pfx}w${i + 1}"
-        s"${pfx}w$i AS MATERIALIZED (SELECT *, (z_$i$t) / l_${i}_$i AS b_$i FROM $s0)"
-      }
-      (chain ++ fwd ++ bwd).mkString(",\n")
-    }
-    def predExpr(alias: String) =
-      (0 until p).map(i => s"$alias.b_$i * ${xRef(i)}").mkString(" + ")
-    val olsXX = (for (i <- 0 until p; j <- i until p) yield
-      s"sum(CAST(${xRef(i)} * ${xRef(j)} AS DECIMAL(38,10))) AS xx_${i}_$j")
-      .mkString(",\n    ")
-    val olsXY = (0 until p).map(i =>
-      s"sum(CAST(${xRef(i)} * y AS DECIMAL(38,10))) AS xy_$i").mkString(",\n    ")
-    val olsA = ((for (i <- 0 until p; j <- i until p) yield
-      s"CAST(xx_${i}_$j AS DOUBLE) AS a_${i}_$j") ++
-      (0 until p).map(i => s"CAST(xy_$i AS DOUBLE) AS r_$i")).mkString(",\n    ")
+    def predExpr(alias: String) = IrlsCore.predExprCols(types, alias)
+    val (olsXX, olsXY) = IrlsCore.olsMomentsSql(types)
+    val olsA = IrlsCore.momentsToDoubleSql(p)
     def iterMoments(t: Int, prev: String): String = {
-      val aa = (for (i <- 0 until p; j <- i until p) yield
-        s"sum(CAST(${xRef(i)} * ${xRef(j)} * w AS DECIMAL(38,10))) AS a_${i}_$j")
-        .mkString(",\n    ")
-      val gg = (0 until p).map(i =>
-        s"sum(CAST(${xRef(i)} * y * w AS DECIMAL(38,10))) AS g_$i")
-        .mkString(",\n    ")
-      val aCast = ((for (i <- 0 until p; j <- i until p) yield
-        s"CAST(a_${i}_$j AS DOUBLE) AS a_${i}_$j") ++
-        (0 until p).map(i => s"CAST(g_$i AS DOUBLE) AS r_$i")).mkString(",\n    ")
+      val (aa, gg) = IrlsCore.weightedMomentsSql(types)
       s"""hm$t AS (
          |  SELECT
          |    $aa,
          |    $gg
          |  FROM (
          |    SELECT fr.*,
-         |      CASE WHEN abs(y - (${predExpr("sp")})) <= cc.c THEN 1.0
-         |        ELSE cc.c / abs(y - (${predExpr("sp")})) END AS w
+         |      ${IrlsCore.huberWeightSql(predExpr("sp"), "cc.c")} AS w
          |    FROM fr, $prev sp, cc) q),
          |ha$t AS MATERIALIZED (
          |  SELECT
-         |    $aCast
+         |    $olsA
          |  FROM hm$t),
-         |${chol(s"h$t", s"ha$t")},
+         |${IrlsCore.cholCtes(s"h$t", s"ha$t", p)},
          |hs$t AS MATERIALIZED (
          |  SELECT ${(0 until p).map(i => s"b_$i").mkString(", ")} FROM h${t}w0)""".stripMargin
     }
@@ -2252,21 +2150,7 @@ object Ml {
       s"SELECT '$nm' AS feature, round(hb.b_$i, 6) + 0.0 AS huber, " +
         s"round(ob.b_$i, 6) + 0.0 AS ols FROM solH hb, sol0 ob"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH f0 AS MATERIALIZED (
-       |  SELECT event_type, epoch_ns(ts) // 1800000000000 AS bucket_id,
-       |    ${graft.queries.Grid.mean6Sql("value")} AS m
-       |  FROM events GROUP BY 1, 2),
-       |fp AS MATERIALIZED (
-       |  SELECT bucket_id, ${px.mkString(",\n    ")}
-       |  FROM f0 GROUP BY bucket_id),
-       |ff AS MATERIALIZED (
-       |  SELECT bucket_id, ${fill.mkString(",\n    ")}
-       |  FROM fp),
-       |fr AS MATERIALIZED (
-       |  SELECT * FROM (
-       |    SELECT *, lead(click) OVER (ORDER BY bucket_id) AS y FROM ff) t
-       |  WHERE y IS NOT NULL
-       |    AND ${types.map(t => s"$t IS NOT NULL").mkString(" AND ")}),
+    s"""WITH ${IrlsCore.finePrelude(types)},
        |m0 AS (
        |  SELECT
        |    $olsXX,
@@ -2276,14 +2160,15 @@ object Ml {
        |  SELECT
        |    $olsA
        |  FROM m0),
-       |${chol("s0", "a0")},
+       |${IrlsCore.cholCtes("s0", "a0", p)},
        |sol0 AS MATERIALIZED (SELECT ${(0 until p).map(i => s"b_$i").mkString(", ")} FROM s0w0),
        |cc AS MATERIALIZED (
-       |  SELECT 1.35 * (quantile_cont(abs(y - (${predExpr("sp")})), 0.5) / 0.6745) AS c
+       |  SELECT ${IrlsCore.HuberTuning} * (quantile_cont(abs(y - (${predExpr("sp")})), 0.5) / ${IrlsCore.MadConsistency}) AS c
        |  FROM fr, sol0 sp),
-       |${(1 to 4).map(t => iterMoments(t, if (t == 1) "sol0" else s"hs${t - 1}"))
+       |${(1 to IrlsCore.HuberSteps).map(t =>
+            iterMoments(t, if (t == 1) "sol0" else s"hs${t - 1}"))
           .mkString(",\n")},
-       |solH AS MATERIALIZED (SELECT * FROM hs4),
+       |solH AS MATERIALIZED (SELECT * FROM hs${IrlsCore.HuberSteps}),
        |mm AS (
        |  SELECT count(*)::BIGINT AS n,
        |    CAST(sum(CAST(round(abs(y - (${predExpr("hb")})), 9) AS DECIMAL(22,9))) AS DOUBLE) AS sah,
@@ -2296,11 +2181,94 @@ object Ml {
        |ORDER BY feature""".stripMargin
   }
 
+  /** DuckDB twin of `ml_quantile_regression` (r16) — the huber chain
+    * with the EXPECTILE weight, but the iteration ladder rides ONE
+    * recursive CTE instead of unrolled per-step chains: all three τ
+    * advance together as rows (the `ml_holt_winters` grid-dimension
+    * precedent), the β vector rides a LIST column, each step's moments
+    * are ONE exact-DECIMAL aggregate over `fr` (a LATERAL with GROUP
+    * BY — order-free), and the 6×6 Cholesky solve is the SAME fold
+    * order as [[IrlsCore.solve]], generated once as chained LATERALs
+    * ([[IrlsCore.cholLaterals]]) — so 12 steps × 3 τ cost one chain of
+    * text and 36 scans of the 1.4k-row frame. The recalibration CTE
+    * replays Spark's percentile interpolation EXPRESSION
+    * ([[IrlsCore.pctAtSql]]) over the sorted residual list; coverage
+    * compares RAW doubles (bit-identical predictors ⇒ no rounding
+    * ties); pinball replays the huber MAE decimal-sum discipline. */
+  private def quantileSql: String = {
+    val types = ModelingFrame.EventTypes
+    val p = types.length + 1
+    val (olsXX, olsXY) = IrlsCore.olsMomentsSql(types)
+    val olsA = IrlsCore.momentsToDoubleSql(p)
+    val (mmXX, mmXY) = IrlsCore.weightedMomentsSql(types)
+    val predQ = IrlsCore.predExprList(types, "q")
+    val predF = IrlsCore.predExprList(types, "s")
+    val predCal = s"($predF) + d.delta"
+    val tauList = IrlsCore.QuantileTaus
+      .map(t => s"CAST(${java.lang.Double.toString(t)} AS DOUBLE)")
+      .mkString(", ")
+    s"""WITH RECURSIVE ${IrlsCore.finePrelude(types)},
+       |m0 AS (
+       |  SELECT
+       |    $olsXX,
+       |    $olsXY
+       |  FROM fr),
+       |a0 AS MATERIALIZED (
+       |  SELECT
+       |    $olsA
+       |  FROM m0),
+       |${IrlsCore.cholCtes("s0", "a0", p)},
+       |sol0 AS MATERIALIZED (
+       |  SELECT [${(0 until p).map(i => s"b_$i").mkString(", ")}] AS bl FROM s0w0),
+       |taus AS (SELECT unnest([$tauList]) AS tau),
+       |qreg(tau, it, bl) AS (
+       |  SELECT taus.tau, 0, sol0.bl FROM taus, sol0
+       |  UNION ALL
+       |  SELECT q.tau, q.it + 1, [${(0 until p).map(i => s"cw$i.b_$i").mkString(", ")}]
+       |  FROM (SELECT * FROM qreg WHERE it < ${IrlsCore.QuantileSteps}) q,
+       |    LATERAL (
+       |      SELECT
+       |        $olsA
+       |      FROM (
+       |        SELECT
+       |          $mmXX,
+       |          $mmXY
+       |        FROM (SELECT fr.*,
+       |          ${IrlsCore.expectileWeightSql(predQ, "q.tau")} AS w
+       |          FROM fr) wf) m1) mm,
+       |    ${IrlsCore.cholLaterals(p)}
+       |),
+       |fin AS MATERIALIZED (
+       |  SELECT tau, bl FROM qreg WHERE it = ${IrlsCore.QuantileSteps}),
+       |ecal AS MATERIALIZED (
+       |  SELECT s.tau, list_sort(list(y - ($predF))) AS el, count(*)::BIGINT AS n
+       |  FROM fr, fin s GROUP BY s.tau),
+       |dcal AS MATERIALIZED (
+       |  SELECT tau, ${IrlsCore.pctAtSql} AS delta FROM (
+       |    SELECT tau, el, n, tau * (n - 1) AS pos,
+       |      CAST(floor(tau * (n - 1)) AS INT) AS lo,
+       |      CAST(ceil(tau * (n - 1)) AS INT) AS hi
+       |    FROM ecal) t),
+       |met AS (
+       |  SELECT s.tau,
+       |    avg(CASE WHEN y <= ($predCal) THEN 1.0 ELSE 0.0 END) AS cov,
+       |    count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(round(CASE WHEN y >= ($predCal) THEN s.tau * (y - ($predCal))
+       |      ELSE (1.0 - s.tau) * (($predCal) - y) END, 9) AS DECIMAL(22,9))) AS DOUBLE) AS spb
+       |  FROM fr, fin s, dcal d WHERE d.tau = s.tau GROUP BY s.tau)
+       |SELECT m.tau AS tau, round(s.bl[1] + d.delta, 6) + 0.0 AS intercept,
+       |  round(m.cov, 6) + 0.0 AS coverage, round(m.spb / m.n, 6) + 0.0 AS pinball
+       |FROM met m JOIN fin s ON s.tau = m.tau JOIN dcal d ON d.tau = m.tau
+       |ORDER BY tau""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "ml_isotonic" -> isotonicSql,
 
     "ml_huber" -> huberSql,
+
+    "ml_quantile_regression" -> quantileSql,
 
     "ml_poisson_glm" -> poissonSql,
 

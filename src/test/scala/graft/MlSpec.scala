@@ -532,6 +532,43 @@ class MlSpec extends SparkSpec {
     assert(preds == preds.sorted, s"quantile crossing: $preds")
   }
 
+  test("expectile-IRLS quantile ladder (the ml_quantile_regression replay) recovers planted quantiles") {
+    // Same planted model as the L-BFGS test: y = 1 + 2x + centered
+    // exp(1). Location-shift family ⇒ every quantile line has slope 2;
+    // the recalibrated intercept must approach 1 + q_τ(e); in-sample
+    // coverage equals τ BY CONSTRUCTION (exact order statistic) —
+    // these pin the exact replay arithmetic IrlsCore ships to both the
+    // engine and the DuckDB twin.
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      val x = (i % 100).toDouble / 10.0
+      val e = -math.log(1.0 - rng.nextDouble()) - 1.0
+      (1.0 + 2.0 * x + e, Array(1.0, x))
+    }.toArray
+    val fits = graft.queries.IrlsCore.QuantileTaus.map { tau =>
+      val (b, delta) = graft.queries.IrlsCore.expectileQuantileLadder(rows, 2, tau)
+      val cov = rows.count { case (y, x) =>
+        y <= graft.queries.IrlsCore.pred(b, x) + delta }.toDouble / rows.length
+      (tau, b, delta, cov)
+    }
+    fits.foreach { case (tau, b, delta, cov) =>
+      assert(math.abs(b(1) - 2.0) < 0.1, s"tau=$tau: slope ${b(1)} != 2")
+      val qTau = -math.log(1.0 - tau) - 1.0
+      assert(math.abs(b(0) + delta - (1.0 + qTau)) < 0.15,
+        s"tau=$tau: intercept ${b(0) + delta} != ${1.0 + qTau}")
+      assert(math.abs(cov - tau) < 0.002, s"tau=$tau: coverage $cov (exact-recal law)")
+    }
+    // non-crossing at the feature mean
+    val preds = fits.map { case (_, b, delta, _) => b(0) + delta + b(1) * 5.0 }
+    assert(preds == preds.sorted, s"quantile crossing: $preds")
+    // idempotence at the fixed point: DOUBLING the step budget cannot
+    // move a bit (the discrete sign pattern has converged, and β is
+    // re-derived from the pattern each step — drift is memoryless)
+    val (b24, d24) = graft.queries.IrlsCore.expectileQuantileLadder(rows, 2, 0.1, steps = 24)
+    assert(b24.toSeq == fits.head._2.toSeq && d24 == fits.head._3,
+      "expectile ladder not idempotent past convergence")
+  }
+
   test("PCA recovers a planted dominant direction, orthonormal loadings, variance accounting") {
     // x3 = x1 + x2 + tiny noise: top component must align with the
     // (1,1,2)/sqrt(6)-ish direction of maximal variance; all components
