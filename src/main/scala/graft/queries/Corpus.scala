@@ -470,7 +470,89 @@ object Corpus {
       |                   toks[least(i + 4, len(toks))]))) AS shl FROM t)
       |""".stripMargin
 
+  /** The BPE merge recursion shared by both BPE twins (r16 — the
+    * `ml_changepoint_pelt` list-carrying recursive-CTE precedent, with
+    * NO numeric grid: every quantity is an integer count or a string):
+    * the whole working vocabulary rides ONE row as a LIST of
+    * {w, s: symbol LIST, c} structs; each step (a) flattens the
+    * weighted adjacent-pair multiset with lambdas and picks the argmax
+    * by (count DESC, pair ASC) via a LATERAL GROUP BY — exactly
+    * `Bpe.train`'s tie-break, (b) applies the merge to every word as a
+    * left fold (`list_reduce`) that is provably the greedy
+    * non-overlapping scan: the fold merges acc's top with the incoming
+    * symbol iff top = left ∧ incoming = right, and a just-merged top
+    * can never re-trigger (left+right ≠ left since right is nonempty).
+    * The recursion stops when no pairs remain (empty LATERAL) or at
+    * [[BPE_MERGES]] — the same two exits as the engine loop. The final
+    * vocab row IS the encoding of every distinct word (train applies
+    * each merge to all words as it goes — exactly `Bpe.encodeWord`'s
+    * rank-order fold), which is what the encode twin reads. */
+  private def bpeRecursionSql(withWord: Boolean): String = {
+    val w0Field = if (withWord) "'w': w, " else ""
+    val wStepField = if (withWord) "'w': w.w, " else ""
+    s"""t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |wc AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(toks) AS w FROM t) WHERE length(w) > 0 GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT list({$w0Field's': list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, i, 1)), 'c': c}) AS vocab
+       |  FROM wc),
+       |bpe(rank, l, r, n, vocab) AS (
+       |  SELECT 0, '', '', 0::BIGINT, vocab FROM v0
+       |  UNION ALL
+       |  SELECT q.rank + 1, b.l, b.r, b.n,
+       |    list_transform(q.vocab, w -> {$wStepField's':
+       |      list_reduce(list_transform(w.s, x -> [x]),
+       |        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+       |          THEN list_append(acc[:len(acc)-1], b.l || b.r)
+       |          ELSE list_append(acc, x[1]) END),
+       |      'c': w.c})
+       |  FROM (SELECT * FROM bpe WHERE rank < $BPE_MERGES) q,
+       |  LATERAL (
+       |    SELECT l, r, sum(c)::BIGINT AS n
+       |    FROM (SELECT unnest(flatten(list_transform(q.vocab, w ->
+       |          list_transform(generate_series(1, len(w.s) - 1),
+       |            i -> {'l': w.s[i], 'r': w.s[i+1], 'c': w.c}))), recursive:=true))
+       |    GROUP BY l, r
+       |    ORDER BY n DESC, l, r
+       |    LIMIT 1) b
+       |)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    /** Twin of `corpus_bpe_train` — the merge table straight off the
+      * recursion. All-integer/string state: nothing to grid. */
+    "corpus_bpe_train" -> {
+      s"""WITH RECURSIVE ${bpeRecursionSql(withWord = false)}
+         |SELECT rank, l AS left, r AS right, l || r AS merged, n AS pair_count
+         |FROM bpe WHERE rank >= 1 ORDER BY rank""".stripMargin
+    },
+
+    /** Twin of `corpus_bpe_encode` — the FINAL vocab row of the same
+      * recursion is the encode of every distinct word (rank-order fold
+      * ≡ `Bpe.encodeWord`); join it back to the per-(source, word)
+      * counts and replay the engine's exact-integer ratio arithmetic. */
+    "corpus_bpe_encode" -> {
+      s"""WITH RECURSIVE ${bpeRecursionSql(withWord = true)},
+         |fin AS MATERIALIZED (
+         |  SELECT u.w AS w, length(u.w)::BIGINT AS n_chars, len(u.s)::BIGINT AS n_syms
+         |  FROM (SELECT unnest(vocab) AS u FROM bpe
+         |        WHERE rank = (SELECT max(rank) FROM bpe))),
+         |bysw AS MATERIALIZED (
+         |  SELECT source, w, count(*)::BIGINT AS c
+         |  FROM (SELECT source, unnest(toks) AS w
+         |        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+         |  WHERE length(w) > 0 GROUP BY source, w)
+         |SELECT source, sum(c)::BIGINT AS n_words,
+         |  round(sum(c * n_chars) / sum(c), 6) AS chars_per_word,
+         |  round(sum(c * n_syms) / sum(c), 6) AS syms_per_word,
+         |  round(1.0 - CAST(sum(c * n_syms) AS DOUBLE) / sum(c * n_chars), 6) AS compression
+         |FROM bysw JOIN fin USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "corpus_drift_js" ->
       """WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
         |c AS (
