@@ -1482,26 +1482,80 @@ object Ml {
     /** `ml_pca`: principal components of the 30-minute feature frame —
       * the dimensionality-reduction staple of every feature pipeline
       * (the reference's correlated multi-market columns are the classic
-      * PCA input). Distributed shape is the only one PCA has: one
-      * second-moment aggregation (data scanned once, k×k driver
-      * eigen-solve — `ml/Pca.scala`). Long-format output (component ×
-      * feature × loading + eigenvalue + explained ratio), sklearn sign
-      * convention. Rows-only: eigendecomposition has no SQL closed form;
-      * MlSpec pins planted-direction recovery, orthonormality and
-      * variance accounting. */
+      * PCA input). FULL ORACLE (r16): the `ml_pca_power` fixed-
+      * iteration discipline extended to the GENERAL-k ladder — exact
+      * DECIMAL covariance moments (the 1e-6-grid features make every
+      * product exactly representable at 1e-12: NOTHING is rounded
+      * before the grid), the k×k covariance re-gridded 1e-9, then k
+      * power recursions of 150 steps each (per-step 1e-9 re-round,
+      * index-ordered folds) with rank-1 deflation on the grid between
+      * components; sklearn's svd_flip sign (largest-|loading|
+      * coordinate positive — decided on grid values, first-index tie
+      * break on both engines). Eigenvalue = Rayleigh quotient on the
+      * CURRENT deflated matrix (= the component's variance share);
+      * explained ratio over the trace. ONE collect of the calendar-
+      * bounded frame, driver replay of the ladder; the twin
+      * ([[pcaSql]]) chains five single-row-state recursions. The
+      * breeze eigen-solve `ml/Pca.scala` stays the library's
+      * general-purpose surface (MlSpec pins the two agree on planted
+      * structure: recovery, orthonormality, variance accounting). */
     "ml_pca" -> ((s, d) => {
       import s.implicits._
-      withFineFrame(s, d) { train =>
-        val m = Pca.fit(train, ModelingFrame.EventTypes)
-        def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
-        val rows = for {
-          (c, ci) <- m.components.zipWithIndex
-          (f, fi) <- m.features.zipWithIndex
-        } yield (ci + 1, f, r6(c(fi)), r6(m.eigenvalues(ci)),
-          r6(m.explainedRatio(ci)))
-        rows.toDF("component", "feature", "loading", "eigenvalue",
-          "explained_ratio").orderBy("component", "feature")
+      import java.math.{BigDecimal => JBD}
+      val feats = ModelingFrame.EventTypes
+      val k = feats.size
+      val rows = ModelingFrame.buildFine(s, d)
+        .select(feats.map(col): _*)
+        .collect()
+        .map(r => Array.tabulate(k)(r.getDouble))
+      val n = rows.length
+      // exact DECIMAL moments: features are 1e-6-grid, products exact
+      // at 1e-12 — replay as setScale(6) BigDecimals, never doubles
+      def d6(x: Double) = new JBD(java.lang.Double.toString(x)).setScale(6)
+      val sD = Array.fill(k)(JBD.ZERO)
+      val pD = Array.fill(k, k)(JBD.ZERO)
+      rows.foreach { x =>
+        val xd = x.map(d6)
+        for (i <- 0 until k) {
+          sD(i) = sD(i).add(xd(i))
+          for (j <- i until k) pD(i)(j) = pD(i)(j).add(xd(i).multiply(xd(j)))
+        }
       }
+      val sV = sD.map(_.doubleValue)
+      def pV(i: Int, j: Int) = pD(math.min(i, j))(math.max(i, j)).doubleValue
+      // covariance with the n−1 denominator (sklearn), re-gridded 1e-9
+      val m1 = Array.tabulate(k, k)((i, j) =>
+        Grid.r9((pV(i, j) - sV(i) * sV(j) / n) / (n - 1)) + 0.0)
+      def mv(m: Array[Array[Double]], v: Array[Double], g: Int): Double =
+        (0 until k).map(j => m(g)(j) * v(j)).reduceLeft(_ + _)
+      def power(m: Array[Array[Double]]): Array[Double] = {
+        val v0 = Grid.r9(1.0 / math.sqrt(k.toDouble))
+        var v = Array.fill(k)(v0)
+        for (_ <- 1 to 150) {
+          val w = Array.tabulate(k)(g => mv(m, v, g))
+          val nrm = math.sqrt((0 until k).map(g => w(g) * w(g)).reduceLeft(_ + _))
+          v = Array.tabulate(k)(g => Grid.r9(w(g) / nrm) + 0.0)
+        }
+        // sklearn svd_flip: the largest-|loading| coordinate positive
+        // (first index wins ties — list_position ↔ maxBy, both first)
+        if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0)
+          v.map(x => -x + 0.0) else v
+      }
+      def rayleigh(m: Array[Array[Double]], v: Array[Double]): Double =
+        Grid.r9((0 until k).map(g => v(g) * mv(m, v, g)).reduceLeft(_ + _))
+      val tr = Grid.r9((0 until k).map(i => m1(i)(i)).reduceLeft(_ + _))
+      var cur = m1
+      val out = (1 to k).flatMap { c =>
+        val v = power(cur)
+        val lam = rayleigh(cur, v)
+        if (c < k)
+          cur = Array.tabulate(k, k)((i, j) =>
+            Grid.r9(cur(i)(j) - lam * v(i) * v(j)) + 0.0)
+        feats.indices.map(i =>
+          (c, feats(i), Grid.r6z(v(i)), Grid.r6z(lam), Grid.r6z(lam / tr)))
+      }
+      out.toDF("component", "feature", "loading", "eigenvalue",
+        "explained_ratio").orderBy("component", "feature")
     }),
 
     "ml_gridsearch" -> ((s, d) => {
@@ -2262,6 +2316,96 @@ object Ml {
        |ORDER BY tau""".stripMargin
   }
 
+  /** DuckDB twin of `ml_pca` (r16) — exact DECIMAL covariance moments
+    * over the fine frame, the 1e-9-grid covariance as a list-of-lists,
+    * then FIVE chained 150-step single-row-state power recursions with
+    * rank-1 grid deflation between them (the `pcaPowerSql` machinery
+    * at general k), sklearn largest-|loading| sign decided on grid
+    * values (list_position ↔ maxBy: both first-index on ties). */
+  private def pcaSql: String = {
+    val types = ModelingFrame.EventTypes
+    val k = types.length
+    val sums = types.zipWithIndex.map { case (v, i) =>
+      s"CAST(sum(CAST($v AS DECIMAL(18,6))) AS DOUBLE) AS s_$i" }.mkString(",\n    ")
+    val prods = (for (i <- types.indices; j <- i until k) yield
+      s"CAST(sum(CAST(CAST(${types(i)} AS DECIMAL(18,6)) * CAST(${types(j)} AS DECIMAL(18,6)) AS DECIMAL(30,12))) AS DOUBLE) AS p_${i}_$j")
+      .mkString(",\n    ")
+    def pRef(i: Int, j: Int) = s"p_${math.min(i, j)}_${math.max(i, j)}"
+    val cvRows = (0 until k).map { i =>
+      (0 until k).map(j =>
+        s"round((${pRef(i, j)} - s_$i * s_$j / n) / (n - 1), 9) + 0.0")
+        .mkString("[", ", ", "]")
+    }.mkString("[\n      ", ",\n      ", "]")
+    def pw(name: String, mat: String) =
+      s"""$name(i, v) AS (
+         |  SELECT 0, [${Seq.fill(k)("v0").mkString(", ")}] FROM r0
+         |  UNION ALL
+         |  SELECT i + 1, list_transform(generate_series(1, $k), g ->
+         |    round(w[g] / nrm, 9) + 0.0)
+         |  FROM (
+         |    SELECT i, w,
+         |      sqrt(list_reduce(list_transform(generate_series(1, $k), g ->
+         |        w[g] * w[g]), (a, b) -> a + b)) AS nrm
+         |    FROM (
+         |      SELECT rec.i AS i,
+         |        list_transform(generate_series(1, $k), g ->
+         |          list_reduce(list_transform(generate_series(1, $k), j ->
+         |            m.rm[g][j] * rec.v[j]), (a, b) -> a + b)) AS w
+         |      FROM $name rec, $mat m) t0) t1
+         |  WHERE i < 150)""".stripMargin
+    def signFix(src: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT CASE WHEN v[list_position(
+         |    list_transform(v, x -> abs(x)),
+         |    list_max(list_transform(v, x -> abs(x))))] < 0
+         |  THEN list_transform(v, x -> -x + 0.0) ELSE v END AS v FROM $src)""".stripMargin
+    def rayleigh(vsrc: String, mat: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT round(list_reduce(list_transform(generate_series(1, $k), g ->
+         |    s.v[g] * list_reduce(list_transform(generate_series(1, $k), j ->
+         |      m.rm[g][j] * s.v[j]), (a, b) -> a + b)), (a, b) -> a + b), 9) AS lam
+         |  FROM $vsrc s, $mat m)""".stripMargin
+    def deflate(matIn: String, lsrc: String, vsrc: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT list_transform(generate_series(1, $k), i ->
+         |    list_transform(generate_series(1, $k), j ->
+         |      round(m.rm[i][j] - l.lam * s.v[i] * s.v[j], 9) + 0.0)) AS rm
+         |  FROM $matIn m, $lsrc l, $vsrc s)""".stripMargin
+    val nmVals = types.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+    def outArm(c: Int) =
+      s"""SELECT $c AS component, nm.f AS feature,
+         |    round(s.v[nm.i], 6) + 0.0 AS loading,
+         |    round(l.lam, 6) + 0.0 AS eigenvalue,
+         |    round(l.lam / t.tr, 6) + 0.0 AS explained_ratio
+         |  FROM sv$c s, l$c l, trc t, (VALUES $nmVals) nm(i, f)""".stripMargin
+    val comps = (1 to k).map { c =>
+      val mat = if (c == 1) "cv" else s"dm$c"
+      val defl = if (c < k)
+        ",\n" + deflate(mat, s"l$c", s"sv$c", s"dm${c + 1}") else ""
+      s"""${pw(s"pw$c", mat)},
+         |vf$c AS MATERIALIZED (SELECT v FROM pw$c WHERE i = 150),
+         |${signFix(s"vf$c", s"sv$c")},
+         |${rayleigh(s"sv$c", mat, s"l$c")}$defl""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE ${IrlsCore.finePrelude(types)},
+       |mo AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    $sums,
+       |    $prods
+       |  FROM fr),
+       |cv AS MATERIALIZED (
+       |  SELECT
+       |    $cvRows AS rm
+       |  FROM mo),
+       |r0 AS MATERIALIZED (SELECT round(1.0 / sqrt(${k.toDouble}), 9) AS v0 FROM cv),
+       |$comps,
+       |trc AS MATERIALIZED (SELECT round(list_reduce(list_transform(generate_series(1, $k), g ->
+       |    m.rm[g][g]), (a, b) -> a + b), 9) AS tr FROM cv m)
+       |SELECT component, feature, loading, eigenvalue, explained_ratio
+       |FROM (
+       |  ${(1 to k).map(outArm).mkString("\n  UNION ALL\n  ")})
+       |ORDER BY component, feature""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "ml_isotonic" -> isotonicSql,
@@ -2269,6 +2413,8 @@ object Ml {
     "ml_huber" -> huberSql,
 
     "ml_quantile_regression" -> quantileSql,
+
+    "ml_pca" -> pcaSql,
 
     "ml_poisson_glm" -> poissonSql,
 

@@ -569,6 +569,28 @@ class MlSpec extends SparkSpec {
       "expectile ladder not idempotent past convergence")
   }
 
+  test("ml_pca ladder: orthonormal components, descending spectrum, variance accounting") {
+    // the r16 general-k power+deflation replay (the hash-gated query
+    // path) must satisfy the eigen laws the breeze path satisfies
+    val rows = SparkEntry.queries("ml_pca")(spark, "/root/testdata/sf0.001")
+      .orderBy("component", "feature").collect()
+    assert(rows.length == 25)
+    val comps = rows.grouped(5).map(_.map(_.getAs[Double]("loading"))).toSeq
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    comps.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(dot(v, v) - 1.0) < 1e-3, s"PC${i + 1} norm ${dot(v, v)}")
+    }
+    for (i <- comps.indices; j <- (i + 1) until comps.length)
+      assert(math.abs(dot(comps(i), comps(j))) < 1e-2,
+        s"PC${i + 1}·PC${j + 1} = ${dot(comps(i), comps(j))}")
+    val eigs = rows.grouped(5).map(_.head.getAs[Double]("eigenvalue")).toSeq
+    assert(eigs == eigs.sorted.reverse, s"spectrum not descending: $eigs")
+    assert(eigs.forall(_ > 0.0))
+    val explained = rows.grouped(5).map(_.head.getAs[Double]("explained_ratio")).toSeq
+    assert(math.abs(explained.sum - 1.0) < 1e-3, s"explained sums to ${explained.sum}")
+  }
+
   test("PCA recovers a planted dominant direction, orthonormal loadings, variance accounting") {
     // x3 = x1 + x2 + tiny noise: top component must align with the
     // (1,1,2)/sqrt(6)-ish direction of maximal variance; all components
