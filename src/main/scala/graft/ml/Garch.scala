@@ -77,6 +77,84 @@ object Garch {
     (ss - s * s / n) / n
   }
 
+  /** ORACLE-GRADE fit (r16, the `ml_garch` conversion): the same
+    * Nelder–Mead, but every vertex coordinate is re-gridded to 1e-9
+    * and every objective value to 1e-6 before ANY comparison — so the
+    * simplex path is a sequence of DISCRETE states both engines replay
+    * exactly (the cross-engine libm differences in exp/ln perturb
+    * objective values at ~1e-12, absorbed by the 1e-6 grid; branch
+    * decisions, the stable (value, index) sort and the stopping rule
+    * all ride gridded values — the `ml_changepoint_pelt` argmin
+    * discipline applied to a simplex). Infeasible/overflowing points
+    * take the grid-safe sentinel 1e18 instead of Double.MaxValue. The
+    * full-precision [[fit]] stays the library surface. */
+  def fitGridded(r: Array[Double]): Fit = {
+    require(r.length >= 20, s"series too short for a GARCH fit: ${r.length}")
+    // the house re-grid (shortest-string HALF_UP == both engines' round)
+    def r9(x: Double) = graft.queries.Grid.r9(x)
+    def r6(x: Double) = graft.queries.Grid.r6(x)
+    val v = sampleVar(r)
+    val (a0, b0) = (0.05, 0.90)
+    val start = Array(r9(math.log((1 - a0 - b0) * v)), r9(math.log(a0)),
+      r9(math.log(b0)))
+    def obj(th: Array[Double]): Double = {
+      val nll = negLogLik(r, math.exp(th(0)), math.exp(th(1)), math.exp(th(2)))
+      if (nll >= 1e18 || !java.lang.Double.isFinite(nll)) 1e18 else r6(nll)
+    }
+    val best = nelderMeadGridded(obj, start, step = 0.5, maxIter = 600)
+    val (w, a, b) = (math.exp(best(0)), math.exp(best(1)), math.exp(best(2)))
+    Fit(w, a, b, -negLogLik(r, w, a, b), r.length)
+  }
+
+  /** [[nelderMead]] with every candidate coordinate re-gridded 1e-9
+    * (the objective is expected to be pre-gridded by the caller) and
+    * the vertex sort made EXPLICITLY stable on (value, index) — the
+    * exact order a SQL `list_sort` over (f, pos) structs replays. */
+  def nelderMeadGridded(f: Array[Double] => Double, x0: Array[Double],
+                        step: Double, maxIter: Int): Array[Double] = {
+    def r9(x: Double) = graft.queries.Grid.r9(x)
+    val dim = x0.length
+    var simplex = (x0 +: Array.tabulate(dim) { i =>
+      val p = x0.clone(); p(i) = r9(p(i) + step); p
+    }.toSeq).map(p => (p, f(p))).toArray
+    var it = 0
+    while (it < maxIter && {
+      val vals = simplex.map(_._2)
+      vals.max - vals.min > 0.0
+    }) {
+      simplex = simplex.zipWithIndex
+        .sortBy { case ((_, fv), idx) => (fv, idx) }.map(_._1)
+      val worst = simplex(dim)._1
+      val centroid = Array.tabulate(dim) { j =>
+        r9(simplex.take(dim).map(_._1(j)).sum / dim) }
+      def at(c: Double) = Array.tabulate(dim)(j =>
+        r9(centroid(j) + c * (centroid(j) - worst(j))))
+      val xr = at(1.0); val fr = f(xr)
+      if (fr < simplex(0)._2) {
+        val xe = at(2.0); val fe = f(xe)
+        simplex(dim) = if (fe < fr) (xe, fe) else (xr, fr)
+      } else if (fr < simplex(dim - 1)._2) {
+        simplex(dim) = (xr, fr)
+      } else {
+        val xc = at(-0.5); val fc = f(xc)
+        if (fc < simplex(dim)._2) simplex(dim) = (xc, fc)
+        else {
+          val bestP = simplex(0)._1
+          var i = 1
+          while (i <= dim) {
+            val p = Array.tabulate(dim)(j =>
+              r9(bestP(j) + 0.5 * (simplex(i)._1(j) - bestP(j))))
+            simplex(i) = (p, f(p))
+            i += 1
+          }
+        }
+      }
+      it += 1
+    }
+    simplex.zipWithIndex
+      .sortBy { case ((_, fv), idx) => (fv, idx) }.map(_._1).head._1
+  }
+
   /** MLE via deterministic Nelder–Mead in (ln ω, ln α, ln β) space.
     * `r` must already be demeaned. */
   def fit(r: Array[Double]): Fit = {

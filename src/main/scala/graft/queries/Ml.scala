@@ -662,11 +662,21 @@ object Ml {
       * the bucket collapse + log-return window; the recursion σ²_t =
       * ω + α·r²_{t−1} + β·σ²_{t−1} is inherently sequential and fits on
       * the aggregate-sized driver series (the Kalman-SARIMAX posture).
-      * Deterministic Nelder–Mead from a variance-targeting start; output
-      * includes the persistence α+β and the annualization-free long-run
-      * variance ω/(1−α−β). Rows-only: an MLE over a nonlinear recursion
-      * has no SQL form; GarchSpec pins planted-parameter recovery and
-      * the likelihood law. */
+      * FULL ORACLE (r16): the Nelder–Mead runs GRIDDED
+      * (`Garch.fitGridded` — every vertex coordinate re-gridded 1e-9,
+      * every objective value 1e-6 before ANY comparison, the vertex
+      * sort explicitly stable on (value, index), infeasibility as the
+      * grid-safe 1e18 sentinel), so the simplex path is a sequence of
+      * DISCRETE states the DuckDB twin replays exactly — a
+      * simplex-carrying recursive CTE whose per-candidate likelihood
+      * is an index-ordered `list_reduce` fold of the σ² recursion
+      * ([[garchSql]]). Log-returns are re-gridded 1e-9 at the source
+      * (the one per-point libm seam); every later decision rides
+      * gridded values, and the residual cross-engine exp/ln
+      * divergence (~1e-13 on the 1437-term likelihood) is absorbed by
+      * the 1e-6 objective grid. Output includes the persistence α+β
+      * and the long-run variance ω/(1−α−β); GarchSpec pins
+      * planted-parameter recovery on BOTH fit paths. */
     "ml_garch" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -674,14 +684,15 @@ object Ml {
       val rets = Tables.events(s, d).filter(col("event_type") === "click")
         .withColumn("bucket", expr("ts_ns div 1800000000000L"))
         .groupBy("bucket").agg(Grid.mean6(col("value")).as("px"))
-        .withColumn("lr", log(col("px") / lag(col("px"), 1).over(w)))
+        .withColumn("lr", round(log(col("px") / lag(col("px"), 1).over(w)), 9))
         .filter(col("lr").isNotNull)
         .orderBy("bucket").select("lr")
         .collect().map(_.getDouble(0))
       val mu = rets.sum / rets.length
       val r = rets.map(_ - mu)
-      val f = Garch.fit(r)
-      def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+      val f = Garch.fitGridded(r)
+      // house HALF_UP output rounding (== the twin's round(x, 6) + 0.0)
+      def r6(v: Double) = Grid.r6z(v)
       Seq((f.n.toLong, r6(f.omega * 1e6), r6(f.alpha), r6(f.beta),
           r6(f.persistence), r6(f.uncondVar * 1e6), r6(f.logLik), r6(f.aic)))
         .toDF("n", "omega_x1e6", "alpha", "beta", "persistence",
@@ -2406,6 +2417,133 @@ object Ml {
        |ORDER BY component, feature""".stripMargin
   }
 
+  /** DuckDB twin of `ml_garch` (r16) — the gridded Nelder–Mead as a
+    * simplex-carrying recursive CTE. Every piece replays
+    * `Garch.fitGridded` exactly: the 1e-9-gridded log-returns, the
+    * t-ordered sum/sumsq folds, the σ² recursion as an index-ordered
+    * `list_reduce` whose state CARRIES the (ω, α, β) params (DuckDB 1.0
+    * lambda bodies inside a LATERAL cannot capture correlated columns —
+    * params ride the fold's initial element instead), the 1e-6-gridded
+    * objective with the 1e18 infeasibility sentinel, the stable
+    * (value, index) vertex sort via `list_sort` over (f, pos, th)
+    * structs, the reflect/expand/contract/shrink CASE in the engine's
+    * exact branch order, and the spread-0 stop. Fractional literals
+    * that are NOT exactly representable are written in e-notation so
+    * DuckDB parses them as DOUBLE (its plain `0.05` is DECIMAL, and
+    * `1 - 0.05 - 0.90` evaluated in decimal is 0.05 exactly — NOT the
+    * engine's 0.04999999999999993 double chain). */
+  private def garchSql: String = {
+    // capture-free likelihood fold: state [s2, acc, r_prev, w, a, b]
+    def foldExpr(w: String, a: String, b: String): String = {
+      val s2p = "(acc[4] + acc[5] * acc[3] * acc[3] + acc[6] * acc[1])"
+      "list_reduce(list_prepend(" +
+        s"[sv.v, ln(sv.v) + sv.rl[1] * sv.rl[1] / sv.v, sv.rl[1], $w, $a, $b], " +
+        "list_transform(sv.rl[2:], x -> [x])), " +
+        s"(acc, x) -> [$s2p, acc[2] + ln$s2p + x[1] * x[1] / $s2p, x[1], acc[4], acc[5], acc[6]])"
+    }
+    def evalLats(cand: String, tag: String): String = {
+      val (w, a, b) = (s"exp($cand[1])", s"exp($cand[2])", s"exp($cand[3])")
+      s"LATERAL (SELECT ${foldExpr(w, a, b)} AS st) fs$tag,\n" +
+        s"    LATERAL (SELECT CASE WHEN NOT ($w > 0) OR $a + $b >= 1.0 THEN 1e18 " +
+        s"WHEN NOT isfinite(0.5 * fs$tag.st[2] + 0.5 * sv.n * ln(2 * pi())) THEN 1e18 " +
+        s"ELSE round(0.5 * fs$tag.st[2] + 0.5 * sv.n * ln(2 * pi()), 6) END AS f) e$tag"
+    }
+    val cen = "list_transform(list_zip(srt.sl[1].th, srt.sl[2].th, srt.sl[3].th), " +
+      "p -> round((p[1] + p[2] + p[3]) / 3, 9))"
+    def at(c: String) =
+      s"list_transform(list_zip(cc.cl, srt.sl[4].th), p -> round(p[1] + $c * (p[1] - p[2]), 9))"
+    def shr(i: Int) =
+      s"list_transform(list_zip(srt.sl[1].th, srt.sl[$i].th), p -> round(p[1] + 0.5 * (p[2] - p[1]), 9))"
+    def keep(i: Int) = s"{'f': srt.sl[$i].f, 'th': srt.sl[$i].th}"
+    def objOf(th: String) =
+      s"CASE WHEN NOT (exp($th[1]) > 0) OR exp($th[2]) + exp($th[3]) >= 1.0 THEN 1e18 " +
+        s"WHEN NOT isfinite(0.5 * ${foldExpr(s"exp($th[1])", s"exp($th[2])", s"exp($th[3])")}[2] + 0.5 * sv.n * ln(2 * pi())) THEN 1e18 " +
+        s"ELSE round(0.5 * ${foldExpr(s"exp($th[1])", s"exp($th[2])", s"exp($th[3])")}[2] + 0.5 * sv.n * ln(2 * pi()), 6) END"
+    s"""WITH RECURSIVE b AS MATERIALIZED (
+       |  SELECT epoch_ns(ts) // 1800000000000 AS bucket, ${Grid.mean6Sql("value")} AS px
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |l1 AS MATERIALIZED (
+       |  SELECT bucket, lr FROM (
+       |    SELECT bucket, round(ln(px / lag(px) OVER (ORDER BY bucket)), 9) AS lr FROM b)
+       |  WHERE lr IS NOT NULL),
+       |rv AS MATERIALIZED (
+       |  SELECT n, list_transform(rl0, x -> x - mu) AS rl FROM (
+       |    SELECT rl0, n, list_reduce(rl0, (a, x) -> a + x) / n AS mu FROM (
+       |      SELECT list(lr ORDER BY bucket) AS rl0, count(*)::BIGINT AS n FROM l1))),
+       |sv AS MATERIALIZED (
+       |  SELECT rl, n,
+       |    (list_reduce(list_transform(rl, x -> x * x), (a, x) -> a + x)
+       |      - list_reduce(rl, (a, x) -> a + x) * list_reduce(rl, (a, x) -> a + x) / n) / n AS v
+       |  FROM rv),
+       |st0 AS MATERIALIZED (
+       |  SELECT [round(ln((1.0 - 5e-2 - 9e-1) * v), 9), round(ln(5e-2), 9), round(ln(9e-1), 9)] AS th
+       |  FROM sv),
+       |sx0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(0, 3), i ->
+       |    CASE WHEN i = 0 THEN st0.th
+       |         ELSE list_transform(list_zip(st0.th, [1, 2, 3]), p ->
+       |           CASE WHEN p[2] = i THEN round(p[1] + 0.5, 9) ELSE p[1] END) END) AS ths
+       |  FROM st0),
+       |sx1 AS MATERIALIZED (
+       |  SELECT list_transform(sx0.ths, th ->
+       |    {'f': ${objOf("th")},
+       |     'th': th}) AS sx
+       |  FROM sx0, sv),
+       |nm(it, sx) AS (
+       |  SELECT 0, sx FROM sx1
+       |  UNION ALL
+       |  SELECT q.it + 1,
+       |    CASE
+       |      WHEN er.f < srt.sl[1].f THEN
+       |        CASE WHEN ee.f < er.f
+       |          THEN [${keep(1)}, ${keep(2)}, ${keep(3)}, {'f': ee.f, 'th': pts.xe}]
+       |          ELSE [${keep(1)}, ${keep(2)}, ${keep(3)}, {'f': er.f, 'th': pts.xr}] END
+       |      WHEN er.f < srt.sl[3].f
+       |        THEN [${keep(1)}, ${keep(2)}, ${keep(3)}, {'f': er.f, 'th': pts.xr}]
+       |      WHEN ec.f < srt.sl[4].f
+       |        THEN [${keep(1)}, ${keep(2)}, ${keep(3)}, {'f': ec.f, 'th': pts.xc}]
+       |      ELSE [${keep(1)},
+       |        {'f': es2.f, 'th': pts.p2}, {'f': es3.f, 'th': pts.p3}, {'f': es4.f, 'th': pts.p4}]
+       |    END
+       |  FROM (SELECT * FROM nm
+       |        WHERE it < 600
+       |          AND list_max(list_transform(sx, s -> s.f))
+       |            - list_min(list_transform(sx, s -> s.f)) > 0.0) q,
+       |    sv,
+       |    LATERAL (SELECT list_sort(list_transform(list_zip(q.sx, [1, 2, 3, 4]), p ->
+       |      {'f': p[1].f, 'pos': p[2], 'th': p[1].th})) AS sl) srt,
+       |    LATERAL (SELECT $cen AS cl) cc,
+       |    LATERAL (SELECT ${at("1.0")} AS xr, ${at("2.0")} AS xe, ${at("(-0.5)")} AS xc,
+       |      ${shr(2)} AS p2, ${shr(3)} AS p3, ${shr(4)} AS p4) pts,
+       |    ${evalLats("pts.xr", "r")},
+       |    ${evalLats("pts.xe", "e")},
+       |    ${evalLats("pts.xc", "c")},
+       |    ${evalLats("pts.p2", "s2")},
+       |    ${evalLats("pts.p3", "s3")},
+       |    ${evalLats("pts.p4", "s4")}
+       |),
+       |fin AS MATERIALIZED (SELECT sx FROM nm ORDER BY it DESC LIMIT 1),
+       |bst AS MATERIALIZED (
+       |  SELECT list_sort(list_transform(list_zip(fin.sx, [1, 2, 3, 4]), p ->
+       |    {'f': p[1].f, 'pos': p[2], 'th': p[1].th}))[1].th AS th
+       |  FROM fin),
+       |prm AS MATERIALIZED (
+       |  SELECT exp(th[1]) AS w, exp(th[2]) AS a, exp(th[3]) AS b, th FROM bst),
+       |llv AS MATERIALIZED (
+       |  SELECT -(0.5 * ${foldExpr("prm.w", "prm.a", "prm.b")}[2] + 0.5 * sv.n * ln(2 * pi())) AS ll,
+       |    prm.w, prm.a, prm.b
+       |  FROM prm, sv)
+       |SELECT sv.n AS n,
+       |  round(llv.w * 1e6, 6) + 0.0 AS omega_x1e6,
+       |  round(llv.a, 6) + 0.0 AS alpha,
+       |  round(llv.b, 6) + 0.0 AS beta,
+       |  round(llv.a + llv.b, 6) + 0.0 AS persistence,
+       |  round(llv.w / (1.0 - llv.a - llv.b) * 1e6, 6) + 0.0 AS uncond_var_x1e6,
+       |  round(llv.ll, 6) + 0.0 AS loglik,
+       |  round(-2.0 * llv.ll + 2.0 * 3, 6) + 0.0 AS aic
+       |FROM llv, sv""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "ml_isotonic" -> isotonicSql,
@@ -2415,6 +2553,8 @@ object Ml {
     "ml_quantile_regression" -> quantileSql,
 
     "ml_pca" -> pcaSql,
+
+    "ml_garch" -> garchSql,
 
     "ml_poisson_glm" -> poissonSql,
 

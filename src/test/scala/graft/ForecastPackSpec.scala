@@ -42,6 +42,27 @@ class ForecastPackSpec extends SparkSpec {
     assert(f.uncondVar > 0)
   }
 
+  test("garch: the GRIDDED fit (the ml_garch oracle path) recovers planted params too") {
+    // the r16 conversion ladder: 1e-9-gridded vertices, 1e-6-gridded
+    // objective, stable (value, index) sort — same recovery law as the
+    // full-precision fit, slightly looser (the objective grid stops the
+    // simplex one grid-cell earlier)
+    val r = simulate(6000, omega = 0.1, alpha = 0.10, beta = 0.80, seed = 42)
+    val f = Garch.fitGridded(r)
+    assert(math.abs(f.alpha - 0.10) < 0.06, s"alpha=${f.alpha}")
+    assert(math.abs(f.beta - 0.80) < 0.12, s"beta=${f.beta}")
+    assert(f.persistence < 1.0)
+    assert(f.uncondVar > 0)
+    // determinism: a second run reproduces bit-identically
+    val f2 = Garch.fitGridded(r)
+    assert(f.omega == f2.omega && f.alpha == f2.alpha && f.beta == f2.beta
+      && f.logLik == f2.logLik)
+    // and the gridded optimum is close to the full-precision one in loglik
+    val full = Garch.fit(r)
+    assert(math.abs(f.logLik - full.logLik) < 1.0,
+      s"gridded ${f.logLik} vs full ${full.logLik}")
+  }
+
   test("garch: the MLE dominates the true parameters on the sample") {
     val r = simulate(3000, omega = 0.2, alpha = 0.15, beta = 0.70, seed = 7)
     val f = Garch.fit(r)
