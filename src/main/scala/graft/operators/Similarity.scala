@@ -128,10 +128,19 @@ object Similarity {
     * at 100 TB. Candidate pairs per LSH bucket scale as (n/2^planes)², so
     * holding the expected bucket size at `targetBucket` keeps candidate
     * generation linear in n: planes = ceil(log2(n / targetBucket)), floored
-    * at 8 (= today's test-scale constant — sf0.01/sf0.1 both resolve to 8,
-    * which is what the static SQL oracle unrolls). */
-  def planesForCorpus(n: Long, targetBucket: Int = 64): Int =
-    math.max(8, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    * at 8 (sf0.01/sf0.1 both resolve to 8). Computed in PURE INTEGER
+    * arithmetic (r16): ceil(log2(x)) ≡ ceil(log2(ceil(x))) for x > 1, and
+    * the smallest k with 2^k ≥ ceil(n/targetBucket) has no libm in it —
+    * so the DuckDB twin computes the IDENTICAL count from count(*) with
+    * integer shifts and the 10×-probe corpus can never disagree with the
+    * oracle by a ulp of ln (the old double formula had a knife-edge at
+    * exact powers of two). */
+  def planesForCorpus(n: Long, targetBucket: Int = 64): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    var k = 0
+    while ((1L << k) < m) k += 1
+    math.max(8, k)
+  }
 
   /** IVF coarse-list count: the classic nlist ≈ √n balance point between
     * quantizer cost (∝ nlist) and list length (∝ n/nlist), floored at 16.

@@ -1427,15 +1427,14 @@ object Docs {
     }),
 
     "similarity_ann_lsh" -> ((s, d) => {
-      // plane count derived from the corpus (Similarity.planesForCorpus):
-      // resolves to ANN_PLANES=8 at sf0.01/sf0.1 — which the static SQL
-      // oracle unrolls — and grows as log2(n) beyond test scale. The
-      // require makes any drift LOUD: a corpus big enough to need more
-      // planes must ship a regenerated oracle, not a silent mismatch.
+      // plane count derived from the corpus (Similarity.planesForCorpus,
+      // integer-exact): 8 at sf0.01/sf0.1, grows as log2(n) beyond. The
+      // oracle computes the SAME count dynamically from count(*)
+      // ([[annPlanesPreludeSql]]), so any corpus size runs — the r16 10×
+      // full-suite probe caught the old static-unroll require firing at
+      // planes=9 and the whole seam went dynamic on both sides.
       val e = Tables.embeddings(s, d)
       val planes = Similarity.planesForCorpus(e.count())
-      require(planes == ANN_PLANES,
-        s"corpus outgrew the static oracle: planesForCorpus=$planes != ANN_PLANES=$ANN_PLANES — regenerate the oracle plane unroll")
       Similarity.lshNearDupPairs(e, "vec_id", "embedding",
           numPlanes = planes, dim = ANN_DIM, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -1451,8 +1450,6 @@ object Docs {
     "similarity_ann_lsh_multiprobe" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val planes = Similarity.planesForCorpus(e.count())
-      require(planes == ANN_PLANES,
-        s"corpus outgrew the static oracle: planesForCorpus=$planes != ANN_PLANES=$ANN_PLANES — regenerate the oracle plane unroll")
       Similarity.lshNearDupPairsMultiprobe(e, "vec_id", "embedding",
           numPlanes = planes, dim = ANN_DIM, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -1561,12 +1558,18 @@ object Docs {
       * with the (count desc, label asc) tiebreak. Output is the
       * label-confusion matrix. Full oracle: the twin replays the
       * identical plane literals, rank, and vote. */
-    "ml_knn_classify" -> ((s, d) =>
-      Similarity.knnClassify(Tables.embeddings(s, d), "vec_id", "embedding",
-          "label", Similarity.hyperplanes(ANN_PLANES, ANN_DIM))
+    "ml_knn_classify" -> ((s, d) => {
+      // corpus-derived plane count (r16): same dynamic blocking seam as
+      // the two ann_lsh keys — the bucket population must not grow
+      // unboundedly past test scale
+      val e = Tables.embeddings(s, d)
+      Similarity.knnClassify(e, "vec_id", "embedding",
+          "label", Similarity.hyperplanes(
+            Similarity.planesForCorpus(e.count()), ANN_DIM))
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("true_label", "pred_label")),
+        .orderBy("true_label", "pred_label")
+    }),
 
     "text_token_count_bpe" -> ((s, d) =>
       // BPE-ish sub-word counting: letter runs, digit runs, and single
@@ -2602,15 +2605,37 @@ object Docs {
       |        (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) >= 0.5)
       |""".stripMargin
 
-  /** The ANN hyperplane literals — SAME generator as the engine. */
+  /** The STATIC 8-plane hyperplane literals — still the right tool for
+    * `embedding_random_projection`, whose 8 projection DIRECTIONS are a
+    * semantic constant (output dimensionality), not a selectivity knob.
+    * The ANN blocking keys use the dynamic prelude below instead. */
   private def planesSqlLiterals: Seq[String] =
     Similarity.hyperplanes(ANN_PLANES, ANN_DIM).map(p =>
       p.map(w => s"$w.0").mkString("[", ", ", "]::DOUBLE[]"))
 
+  /** Dynamic ANN bucket prelude (r16): the plane COUNT is computed from
+    * count(*) with the same pure-integer arithmetic as
+    * `Similarity.planesForCorpus` (smallest k with 2^k ≥ ceil(n/64),
+    * floored at 8 — integer shifts, no libm knife-edge), and plane j,
+    * component i regenerates the engine's integer-exact hyperplane
+    * formula inside a nested lambda — so the twin follows the corpus to
+    * ANY size instead of unrolling a test-scale constant (the r16 10×
+    * probe finding). */
+  private def annPlanesPreludeSql: String =
+    s"""pl AS MATERIALIZED (
+       |  SELECT greatest(8, (SELECT min(k)::INT
+       |    FROM (SELECT unnest(generate_series(0, 62)) AS k)
+       |    WHERE (1::BIGINT << k) >= (SELECT (count(*) + 63) // 64 FROM embeddings))) AS np)"""
+      .stripMargin
+
+  /** Bucket key over the dynamic plane count — `Similarity.bucketKey`'s
+    * twin (bit j = [dot(v, plane_j) > 0], packed; integer sum is
+    * order-free). Expects the `pl` CTE in scope. */
   private def duckBucket(vecExpr: String): String =
-    planesSqlLiterals.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN list_dot_product($vecExpr, $p) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    s"CAST(list_sum(list_transform(generate_series(0, pl.np - 1), j -> " +
+      s"CASE WHEN list_dot_product($vecExpr, list_transform(generate_series(0, ${ANN_DIM - 1}), i -> " +
+      "CAST(((j * " + ANN_DIM + " + i) * 2654435761) % 1000000007 - 500000003 AS DOUBLE))) > 0 " +
+      "THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
 
   /** The DuckDB twin of `ml_calibration_bins` (the r15 VERDICT ask-#2
     * conversion): the SAME fixed 4-step Newton/IRLS — per step, score
@@ -3334,10 +3359,11 @@ object Docs {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ml_knn_classify" -> {
-      s"""WITH k AS (
+      s"""WITH ${annPlanesPreludeSql},
+         |k AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS v, label,
          |         ${duckBucket("embedding::DOUBLE[]")} AS bucket
-         |  FROM embeddings),
+         |  FROM embeddings, pl),
          |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label, bucket
          |      FROM k WHERE vec_id % 10 = 0),
          |c AS (SELECT vec_id AS cid, v AS cv, label AS cl, bucket
@@ -3367,10 +3393,11 @@ object Docs {
     },
 
     "similarity_ann_lsh" -> {
-      s"""WITH k AS (
+      s"""WITH ${annPlanesPreludeSql},
+         |k AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |         ${duckBucket("embedding::DOUBLE[]")} AS bucket
-         |  FROM embeddings)
+         |  FROM embeddings, pl)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_dot_product(a.v, b.v) /
          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
@@ -3383,16 +3410,17 @@ object Docs {
     // Same bucket prelude; the join admits signature hamming <= 1 —
     // xor(bucket_a, bucket_b) is 0 or a single set bit.
     "similarity_ann_lsh_multiprobe" -> {
-      val hamming1 = (0L +: (0 until ANN_PLANES).map(j => 1L << j)).mkString(", ")
-      s"""WITH k AS (
+      s"""WITH ${annPlanesPreludeSql},
+         |k AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |         ${duckBucket("embedding::DOUBLE[]")} AS bucket
-         |  FROM embeddings)
+         |  FROM embeddings, pl)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_dot_product(a.v, b.v) /
          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
          |FROM k a JOIN k b ON a.vec_id < b.vec_id
-         |  AND xor(a.bucket, b.bucket) IN ($hamming1)
+         |  AND (xor(a.bucket, b.bucket) = 0
+         |       OR (xor(a.bucket, b.bucket) & (xor(a.bucket, b.bucket) - 1)) = 0)
          |WHERE list_dot_product(a.v, b.v) /
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
