@@ -794,12 +794,29 @@ object Feat {
         .withColumn("sig", sqrt(greatest(
           col("sv2").cast("double") / lit(24.0) - col("mu") * col("mu"), lit(0.0))))
         .filter(col("sig") > 1e-9)
+        // Block size 64 (was 256) and an EXPLICIT-N repartition on the
+        // block key (r16, guide §2.2/§2.5): the pair stage's shuffle input
+        // is only ~1 MB of window rows, so AQE's size-based coalescing
+        // folded it to ONE partition — and then the stage exploded to
+        // n²/2 pair-rows, each paying the 24-term decimal fold, single-
+        // threaded (profiled: an 11.5 s one-task stage, the query's whole
+        // cost). The explicit partition count pins the fan-out stage at
+        // the session's shuffle width (scale-adaptive: a deploy sizes
+        // spark.sql.shuffle.partitions), and the finer block grid gives
+        // it 2·n/64 distinct keys to spread — per-task pair work stays
+        // O(B·n·m), shuffle stays O(n²m/B) rows, and the enumerated pair
+        // SET is block-size-independent (each (a,b) appears exactly once:
+        // a rides to target block tb, matches when tb = b.blk). Measured
+        // 12.7 → 2.4 s at sf0.1 with bit-identical output at all SFs.
         .select(col("event_type").as("g"), col("idx"), col("arr"),
-          col("mu"), col("sig"), (col("idx") / 256).cast("long").as("blk"))
+          col("mu"), col("sig"), (col("idx") / 64).cast("long").as("blk"))
       val nBlk = win.groupBy("g").agg(max("blk").as("max_blk"))
+      val shuffleP = s.sessionState.conf.numShufflePartitions
       val left = win.join(broadcast(nBlk), "g")
         .withColumn("tb", explode(expr("sequence(0L, max_blk)")))
-      val pairs = left.as("a").join(win.as("b"),
+        .repartition(shuffleP, col("g"), col("tb"))
+      val pairs = left.as("a")
+        .join(win.repartition(shuffleP, col("g"), col("blk")).as("b"),
           col("a.g") === col("b.g") && col("a.tb") === col("b.blk") &&
             abs(col("a.idx") - col("b.idx")) >= m / 2)
       // dot as an IN-ROW decimal fold — no positional explode, no 24×

@@ -2227,13 +2227,19 @@ object R10 {
       * with NO numeric grid at all. Output: the forest edge list.
       * R10Spec cross-checks against a driver Kruskal. */
     "graph_mst_boruvka" -> ((s, d) => {
+      // the 600k-row weight aggregation groups by LONG keys and builds
+      // the endpoint strings once per GROUP (r16, guide §2.3) — the key
+      // pair is in bijection with the string pair, so the groups, the
+      // DECIMAL weight sums, and everything downstream (including the
+      // (w, a, b) string tie-break) are unchanged
       val we = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .groupBy(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         // exact integer cents: distinct real-valued weights, no grid
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
           .cast("long").as("w"))
+        .select(concat(lit("c"), col("ck")).as("a"),
+          concat(lit("s"), col("sk")).as("b"), col("w"))
         .localCheckpoint()
       // The MST output needs only ORIGINAL endpoints, so no node→component
       // map is ever maintained: current component labels ride the edge
@@ -2517,11 +2523,19 @@ object R10 {
       * actually monitors). */
     "graph_label_propagation" -> ((s, d) => {
       val iters = 4
+      // the 600k-row distinct shuffles LONG key pairs and the display
+      // string is built once per DISTINCT pair (r16, guide §2.3) — the
+      // (custkey, suppkey) pair is in bijection with the (cn, sn) string
+      // pair, so the pair set is unchanged; labels STAY strings
+      // downstream because the per-round argmax tie-break
+      // (`cnt desc, label asc`) compares label strings and must keep
+      // doing so bit-for-bit
       val pairs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cn"),
-          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("cn"),
+          concat(lit("s"), col("sk")).as("sn"))
       val nodes = pairs.select(col("cn").as("node"))
         .unionAll(pairs.select(col("sn").as("node"))).distinct()
         .localCheckpoint()
@@ -2574,11 +2588,15 @@ object R10 {
       * propagation discipline as LPA: cached pre-partitioned edges,
       * per-round checkpoint. */
     "graph_modularity" -> ((s, d) => {
+      // distinct on LONG key pairs, strings built once per distinct pair
+      // (r16, guide §2.3 — the `graph_label_propagation` rewrite; labels
+      // stay strings for the argmax tie-break)
       val pairs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cn"),
-          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("cn"),
+          concat(lit("s"), col("sk")).as("sn"))
         .localCheckpoint() // read by m, degrees, and the two-sided label join
       val nodes = pairs.select(col("cn").as("node"))
         .unionAll(pairs.select(col("sn").as("node"))).distinct()

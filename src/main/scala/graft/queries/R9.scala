@@ -711,10 +711,16 @@ object R9 {
       * Output: top-10 hubs and top-10 authorities. */
     "graph_hits" -> ((s, d) => {
       val iters = 4
+      // Tagged-long node ids (the `graph_pagerank` r16 rewrite, guide
+      // §2.3): every half-round join and keyed DECIMAL aggregation keys
+      // on a long instead of a ~10-char string — a bijection, so groups,
+      // sums and normalizations are unchanged; the display string is
+      // derived just before the top-10 selects, which keep their
+      // tie-break order on the string form exactly as before.
       val edges = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
         .repartition(col("src"))
         .cache()
@@ -745,9 +751,14 @@ object R9 {
             round(col("hraw").cast("double") / hTot, 9).as("h"))
             .localCheckpoint()
         }
-        val topH = hubs.orderBy(col("h").desc, col("node")).limit(10)
+        def asName(c: Column): Column =
+          when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+        val topH = hubs.select(asName(col("node")).as("node"), col("h"))
+          .orderBy(col("h").desc, col("node")).limit(10)
           .select(lit("hub").as("role"), col("node"), col("h").as("score"))
-        val topA = auths.orderBy(col("a").desc, col("node")).limit(10)
+        val topA = auths.select(asName(col("node")).as("node"), col("a"))
+          .orderBy(col("a").desc, col("node")).limit(10)
           .select(lit("authority").as("role"), col("node"),
             col("a").as("score"))
         topH.unionAll(topA).orderBy("role", "node")
@@ -919,11 +930,15 @@ object R9 {
       * shuffled-hash join like pagerank's rank vector. */
     "graph_random_walks" -> ((s, d) => {
       val steps = 6
+      // distinct on LONG key pairs, strings built once per distinct pair
+      // (r16, guide §2.3); everything downstream keeps the STRING ids —
+      // they are md5-RNG inputs (`pick`) and must stay bit-identical
       val pairs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cn"),
-          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("cn"),
+          concat(lit("s"), col("sk")).as("sn"))
       val edges0 = pairs.select(col("cn").as("src"), col("sn").as("dst"))
         .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
       val iw = Window.partitionBy("src").orderBy("dst")
