@@ -689,7 +689,7 @@ object Feat {
     "graph_degree_distribution" -> ((s, d) => {
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = b.as("b1").join(b.as("b2"),
+      val edges = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
@@ -715,7 +715,7 @@ object Feat {
     "graph_common_neighbors" -> ((s, d) => {
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = b.as("b1").join(b.as("b2"),
+      val edges = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
@@ -727,7 +727,7 @@ object Feat {
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val nNodes = deg.count()
-      val cand = und.as("e1").join(und.as("e2"),
+      val cand = und.as("e1").join(und.hint("shuffle_hash").as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .groupBy(col("e1.dst").as("u"), col("e2.dst").as("v"))
         .agg(count(lit(1)).as("common"))
@@ -873,7 +873,7 @@ object Feat {
         .filter(col("df") <= 50).select("sh")
       val cap = sh0.join(rare, "sh")
       val sz = cap.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      cap.as("a").join(cap.as("b"),
+      cap.as("a").join(cap.hint("shuffle_hash").as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("inter"))
@@ -1016,7 +1016,7 @@ object Feat {
     "graph_k_core" -> ((s, d) => {
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = b.as("b1").join(b.as("b2"),
+      val edges = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
@@ -1284,7 +1284,7 @@ object Feat {
     "graph_assortativity" -> ((s, d) => {
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = b.as("b1").join(b.as("b2"),
+      val edges = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)

@@ -2314,7 +2314,7 @@ object R10 {
     "graph_local_clustering" -> ((s, d) => {
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = b.as("b1").join(b.as("b2"),
+      val edges = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
@@ -2341,7 +2341,7 @@ object R10 {
         when(aFirst, col("db")).otherwise(col("da")).as("dv"))
       val vFirst = col("w1.dv") < col("w2.dv") ||
         (col("w1.dv") === col("w2.dv") && col("w1.v") < col("w2.v"))
-      val wedges = oriented.as("w1").join(oriented.as("w2"),
+      val wedges = oriented.as("w1").join(oriented.hint("shuffle_hash").as("w2"),
           col("w1.u") === col("w2.u") && vFirst)
         .select(col("w1.u").as("c"), col("w1.v").as("a"), col("w2.v").as("b"))
       val perNode = wedges

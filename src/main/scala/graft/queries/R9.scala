@@ -737,9 +737,14 @@ object R9 {
             .agg(sum(col("h").cast("decimal(28,9)")).as("araw"))
             .localCheckpoint()
           val aTot = aRaw.agg(sum("araw")).head().getDecimal(0).doubleValue
+          // normalization is a NARROW projection over the just-
+          // checkpointed raw frame — leave it lazy (r16): its consumers
+          // (the next half-round's join, the final top-10) recompute a
+          // per-row divide off the checkpoint for free, and dropping the
+          // two per-iteration materialization jobs removes 8 of the
+          // query's 24 driver round-trips
           auths = aRaw.select(col("dst").as("node"),
             round(col("araw").cast("double") / aTot, 9).as("a"))
-            .localCheckpoint()
           val hRaw = edges
             .join(graft.operators.GraphLayout.nodeSide(auths, nNodes),
               edges("dst") === auths("node"))
@@ -749,7 +754,6 @@ object R9 {
           val hTot = hRaw.agg(sum("hraw")).head().getDecimal(0).doubleValue
           hubs = hRaw.select(col("src").as("node"),
             round(col("hraw").cast("double") / hTot, 9).as("h"))
-            .localCheckpoint()
         }
         def asName(c: Column): Column =
           when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))

@@ -691,7 +691,7 @@ object Rel {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val n = b.agg(countDistinct("o").as("n"))
       val item = b.groupBy("p").agg(count(lit(1)).as("c"))
-      val pair = b.as("b1").join(b.as("b2"),
+      val pair = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("cab"))
@@ -721,7 +721,7 @@ object Rel {
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val item = b.groupBy("p").agg(count(lit(1)).as("c"))
-      val pair = b.as("b1").join(b.as("b2"),
+      val pair = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("cab"))
@@ -850,7 +850,7 @@ object Rel {
       import s.implicits._
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = b.as("b1").join(b.as("b2"),
+      val edges = b.as("b1").join(b.hint("shuffle_hash").as("b2"),
           col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
         .groupBy(col("b1.p").as("pa"), col("b2.p").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
@@ -871,7 +871,7 @@ object Rel {
         when(aFirst, col("db")).otherwise(col("da")).as("dv"))
       val vFirst = col("w1.dv") < col("w2.dv") ||
         (col("w1.dv") === col("w2.dv") && col("w1.v") < col("w2.v"))
-      val wedges = oriented.as("w1").join(oriented.as("w2"),
+      val wedges = oriented.as("w1").join(oriented.hint("shuffle_hash").as("w2"),
           col("w1.u") === col("w2.u") && vFirst)
         .select(col("w1.v").as("u"), col("w2.v").as("v"))
       val tri = wedges.join(oriented.select("u", "v"), Seq("u", "v"))
