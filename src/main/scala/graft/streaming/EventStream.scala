@@ -18,6 +18,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Harness checkpoints are DISPOSABLE (AvailableNow → sink → the temp
+    * checkpoint dir is deleted on stop), so Spark 4.1's checkpoint-file
+    * checksums buy nothing here and cost a lot: every state-store commit
+    * closes its delta file through `ChecksumCancellableFSDataOutputStream`,
+    * which blocks on an async checksum future — profiled at ~2.5 s of
+    * uniform per-task wait on the stream-stream join (32 tasks parked in
+    * `ChecksumCheckpointFileManager.awaitResult` mid-commit), ~2 s of the
+    * key's wall. Off for every run-to-completion entry; a production
+    * deployment with durable checkpoints re-enables it at its own
+    * session. Results are unaffected either way — the checksum only
+    * guards checkpoint files against corruption. */
+  private def tuneCheckpointIo(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "false")
+
   /** `events.parquet` physical schema with `ts` at its historical
     * nanos-as-long encoding (see graft.Tables — the harness has shipped
     * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) generations). */
@@ -72,6 +87,7 @@ object EventStream {
     * differs only in source plan and output mode. */
   private def runToMemory(df: DataFrame, queryName: String,
                           mode: OutputMode): DataFrame = {
+    tuneCheckpointIo(df.sparkSession)
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
@@ -118,6 +134,7 @@ object EventStream {
   def runObservedAuditOnce(spark: SparkSession, dir: String,
                            queryName: String): DataFrame = {
     val df = windowedAggObserved(readEvents(spark, dir))
+    tuneCheckpointIo(spark)
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
@@ -672,6 +689,7 @@ object EventStream {
     val events = readEvents(spark, dir, maxFilesPerTrigger)
       .select("user_id", "event_id", "ts_ns", "event_type", "value")
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+    tuneCheckpointIo(spark)
     val q = events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
@@ -739,6 +757,7 @@ object EventStream {
       "doc_id", numHashes, numBands).localCheckpoint()
     val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
+      tuneCheckpointIo(spark)
       val q = readDocuments(spark, dir, maxFilesPerTrigger)
         .filter(newFlag)
         .writeStream
@@ -841,6 +860,7 @@ object EventStream {
       val assign = mkView("assign",
         spark.sql(graft.queries.Docs.ivfAssignSql(corpus, samp, ix)))
       val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
+      tuneCheckpointIo(spark)
       val q = readEmbeddings(spark, dir, maxFilesPerTrigger)
         .filter(col("vec_id") % 50 === 0)
         .writeStream
@@ -920,6 +940,7 @@ object EventStream {
       val samp = mkView("samp",
         spark.sql(graft.queries.Docs.pqSampSql(corpus)))
       val wroteAny = new java.util.concurrent.atomic.AtomicBoolean(false)
+      tuneCheckpointIo(spark)
       val q = readEmbeddings(spark, dir, maxFilesPerTrigger)
         .writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
