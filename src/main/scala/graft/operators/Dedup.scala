@@ -341,10 +341,29 @@ object Dedup {
       val nbrMin = adj
         .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
         .groupBy("src").agg(min("ncomp").as("nmin"))
-      val next = labels
+      val half = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      // Pointer-jump from round 3 on (r16): follow each label to ITS
+      // current label — label(v) ← min(label(v), label(label(v))).
+      // Labels stay node ids and monotonically non-increasing, so the
+      // fixpoint (min id per component) is UNCHANGED; what changes is
+      // the round count — propagation doubles its reach per round,
+      // O(log diameter) rounds instead of O(diameter). Long-chain
+      // components (the DBSCAN spatial clusters: profiled ~60+ rounds,
+      // 147 driver round-trips on ml_dbscan_grid) converge in a
+      // handful. The first two rounds skip the jump: near-dup dedup
+      // components are stars/short chains that are DONE by then, and
+      // paying the extra node-sized join per round there was a measured
+      // regression (dedup_clusters_cc 2.7 → 4.3 s before this gate).
+      val next = if (it < 2) half else half.as("l")
+        .join(half.select(col("id").as("cid"), col("component").as("cc")).as("r"),
+          col("l.component") === col("cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.component"), coalesce(col("cc"), col("l.component")))
+            .as("component"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum

@@ -16,24 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Parallelism floor for a heavy computation fed by an UNSPLITTABLE
-    * scan (r16, guide §2.5 "input skew … one huge unsplittable file …
-    * repartition immediately after the read"): the harness tables are
-    * single-row-group parquet files, so every scan is one task no matter
-    * what `maxPartitionBytes` says, and an expensive aggregation placed
-    * directly on it (exact `percentile`, shingling, per-row vector math)
-    * runs SERIAL on a 32-core box. This round-robins the frame up to the
-    * session's shuffle width — but ONLY when the scan is narrower than
-    * it, so at production scale (where the input already has ≥ width
-    * splits) it is a no-op and costs no shuffle. Result-neutral by
-    * construction: callers put it under aggregations/joins whose result
-    * is partitioning-independent. */
-  def parallelize(df: DataFrame): DataFrame = {
-    val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    val scanParts = df.queryExecution.toRdd.getNumPartitions
-    if (scanParts < width) df.repartition(width) else df
-  }
-
   /** Cluster-by-write: range-repartition on `orderCol` (one shuffle whose
     * boundaries come from a driver-side sample sketch) + an in-partition
     * sort, so each of the `nFiles` output files owns a compact, disjoint

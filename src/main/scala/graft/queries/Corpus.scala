@@ -387,15 +387,12 @@ object Corpus {
       * narrow codegen'd comparison ladder — the scale-safe alternative
       * to an `ntile` window (which would single-partition the table). */
     "bin_deciles" -> ((s, d) => {
-      // project to the ONE needed column, then lift the unsplittable
-      // single-row-group scan to the session's shuffle width (r16, guide
-      // §2.3 + §2.5 via Layout.parallelize): the exact-percentile
-      // partial aggregation buffers every value, and on the 1-task scan
-      // it ran serial (profiled 1.8 s single task); repartitioned, the
-      // partials run at full width and only the final merge is one task.
-      // Exact percentile over a multiset is partitioning-independent.
-      val li = graft.operators.Layout.parallelize(
-        Tables.lineitem(s, d).select("l_extendedprice"))
+      // r16 note: a repartition-before-percentile variant was A/B'd and
+      // REVERTED — the exact-percentile buffer is value-count-sized, so
+      // spreading the partials only moves the whole multiset through
+      // serialization into a single merge task (measured 3.9 → 5.7 s).
+      // The one needed column IS projected (reader pruning).
+      val li = Tables.lineitem(s, d).select("l_extendedprice")
       val cuts = C.quantileCuts(li, "l_extendedprice", 10)
       li.withColumn("bin", C.binByCuts(col("l_extendedprice"), cuts))
         .groupBy("bin")
