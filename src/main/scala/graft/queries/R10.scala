@@ -534,6 +534,167 @@ object R10 {
        |ORDER BY iter""".stripMargin
   }
 
+  /** Spark-side executor of the SAME Newton arithmetic as
+    * [[logisticPrefix]], run as a per-step MATERIALIZED loop instead of
+    * the one unrolled text (r16; the `gbtStumpsSpark` pattern): the
+    * monolith's ~25-CTE chain cost ~5 s of FIXED Catalyst analysis +
+    * optimization per consumer query (tracker phases: optimization
+    * 3.6 s, analysis 1.3 s, execution 0.5 s of task time), ×3 consumers
+    * (`ml_logistic_newton`, `ml_threshold_sweep`, `ml_auc_roc`).
+    * Stepwise, Catalyst plans ONE small step at a time; the moment (m)
+    * and coefficient (c) frames are 1-row localCheckpoints and the
+    * scored pass stays lazy inside each step's plan. Every expression
+    * below is textually the template's (modulo view-name references),
+    * so the hash gate is unchanged.
+    *
+    * Returns the view names (bl, c0..c4, m1..m5) and registers them in
+    * `views` for the caller's `finally` cleanup; the final scored pass
+    * `p5` is the lazy [[lgScoreSql]] over (bl, c4) — callers that need
+    * it materialize it themselves. */
+  private def lgScoreSql(blV: String, cV: String): String =
+    s"""SELECT y, x1, x2, p, round(p * (1.0 - p), 9) AS w
+       |FROM (
+       |  SELECT bl.y, bl.x1, bl.x2,
+       |    round(1.0 / (1.0 + exp(-round(c.a + c.b1 * bl.x1 + c.b2 * bl.x2, 6))), 9) AS p
+       |  FROM $blV bl, $cV c) pp""".stripMargin
+
+  private[graft] def logisticChainSpark(
+      s: SparkSession, events: String, bucket: String, median: String,
+      tag: String,
+      views: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    def dsum(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 9) AS DECIMAL(28,9))) AS DOUBLE) AS $name"
+    def mc(t: String) =
+      s"""round(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+        .stripMargin
+    def det3(m: Seq[String]): String = {
+      val Seq(a, b, c, d, e, f, g, h, i) = m
+      s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+    }
+    val hDet = det3(Seq("sw", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22"))
+    val d0 = det3(Seq("g0", "s1", "s2", "g1", "s11", "s12", "g2", "s12", "s22"))
+    val d1 = det3(Seq("sw", "g0", "s2", "s1", "g1", "s12", "s2", "g2", "s22"))
+    val d2 = det3(Seq("sw", "s1", "g0", "s1", "s11", "g1", "s2", "s12", "g2"))
+    def mkView(n: String, sql: String): String = {
+      val v = s"${tag}_$n"
+      s.sql(sql).localCheckpoint().createOrReplaceTempView(v)
+      views += v
+      v
+    }
+    val bV = mkView("b",
+      s"""SELECT bucket, x1, x2, p_raw FROM (
+         |  SELECT $bucket AS bucket,
+         |    ${mc("click")} AS x1,
+         |    ${mc("view")} AS x2,
+         |    ${mc("purchase")} AS p_raw
+         |  FROM $events
+         |  WHERE event_type IN ('click', 'view', 'purchase')
+         |  GROUP BY 1) t
+         |WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND p_raw IS NOT NULL""".stripMargin)
+    mkView("bl",
+      s"""WITH med AS (SELECT round($median, 6) AS m FROM $bV)
+         |SELECT b.bucket, b.x1, b.x2,
+         |  CASE WHEN b.p_raw > med.m THEN 1 ELSE 0 END AS y
+         |FROM $bV b, med""".stripMargin)
+    mkView("c0",
+      """SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b1,
+        |  CAST(0.0 AS DOUBLE) AS b2""".stripMargin)
+    for (k <- 1 to 5) {
+      val p = k - 1
+      val mV = mkView(s"m$k",
+        s"""SELECT det, dd0, dd1, dd2, n_correct, ll, nn FROM (
+           |  SELECT $hDet AS det, $d0 AS dd0, $d1 AS dd1, $d2 AS dd2,
+           |    n_correct, ll, nn
+           |  FROM (
+           |    SELECT
+           |      ${dsum("w", "sw")}, ${dsum("w * x1", "s1")},
+           |      ${dsum("w * x2", "s2")}, ${dsum("w * x1 * x1", "s11")},
+           |      ${dsum("w * x1 * x2", "s12")}, ${dsum("w * x2 * x2", "s22")},
+           |      ${dsum("y - p", "g0")}, ${dsum("(y - p) * x1", "g1")},
+           |      ${dsum("(y - p) * x2", "g2")},
+           |      CAST(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+           |        AS BIGINT) AS n_correct,
+           |      ${dsum(
+                "-(y * ln(least(greatest(p, 0.000000001), 0.999999999)) " +
+                  "+ (1 - y) * ln(least(greatest(1.0 - p, 0.000000001), 0.999999999)))",
+                "ll")},
+           |      count(*) AS nn
+           |    FROM (${lgScoreSql(s"${tag}_bl", s"${tag}_c$p")}) pk) mm) md"""
+          .stripMargin)
+      if (k < 5) mkView(s"c$k",
+        s"""SELECT
+           |  CASE WHEN m.det = 0.0 THEN c.a
+           |       ELSE round(c.a + m.dd0 / m.det, 9) END AS a,
+           |  CASE WHEN m.det = 0.0 THEN c.b1
+           |       ELSE round(c.b1 + m.dd1 / m.det, 9) END AS b1,
+           |  CASE WHEN m.det = 0.0 THEN c.b2
+           |       ELSE round(c.b2 + m.dd2 / m.det, 9) END AS b2
+           |FROM $mV m, ${tag}_c$p c""".stripMargin)
+    }
+  }
+
+  /** `ml_logistic_newton` through the stepwise chain — same arms text as
+    * [[logisticNewtonSql]] over the materialized step views; the
+    * aggregate-sized result is collected eagerly so the views can drop. */
+  def logisticNewtonSpark(s: SparkSession, events: String, bucket: String,
+                          median: String, tag: String): DataFrame = {
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      logisticChainSpark(s, events, bucket, median, tag, views)
+      val arms = (0 to 4).map { i =>
+        s"""SELECT $i AS iter, c.a + 0.0 AS alpha, c.b1 + 0.0 AS beta1,
+           |    c.b2 + 0.0 AS beta2, m.n_correct AS n_correct,
+           |    round(m.ll / m.nn, 6) AS log_loss
+           |  FROM ${tag}_c$i c, ${tag}_m${i + 1} m""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val out = s.sql(
+        s"""SELECT iter, alpha, beta1, beta2, n_correct, log_loss
+           |FROM (
+           |  $arms) u
+           |ORDER BY iter""".stripMargin)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally { views.foreach(v => { s.catalog.dropTempView(v); () }) }
+  }
+
+  /** `ml_auc_roc` through the stepwise chain — the [[aucRocSql]] tail
+    * over one materialized scored pass. */
+  def aucRocSpark(s: SparkSession, events: String, bucket: String,
+                  median: String, tag: String): DataFrame = {
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      logisticChainSpark(s, events, bucket, median, tag, views)
+      val p5 = s"${tag}_p5"
+      s.sql(lgScoreSql(s"${tag}_bl", s"${tag}_c4")).localCheckpoint()
+        .createOrReplaceTempView(p5)
+      views += p5
+      val out = s.sql(
+        s"""WITH ranked AS (
+           |  SELECT y,
+           |    rank() OVER (ORDER BY p ASC) AS rmin,
+           |    count(*) OVER (PARTITION BY p) AS tie_n
+           |  FROM $p5),
+           |ag AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN y = 1 THEN 2 * rmin + tie_n - 1 ELSE 0 END)
+           |      AS BIGINT) AS r2,
+           |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+           |  FROM ranked)
+           |SELECT n_pos, n_neg,
+           |  r2 - n_pos * (n_pos + 1) AS u2,
+           |  round((r2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg), 6) AS auc,
+           |  round((r2 - n_pos * (n_pos + 1)) / (n_pos * n_neg) - 1, 6) AS gini
+           |FROM ag""".stripMargin)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally { views.foreach(v => { s.catalog.dropTempView(v); () }) }
+  }
+
   /** CLASSIFICATION THRESHOLD OPERATING SWEEP (`ml_threshold_sweep`,
     * r11 — the deployment decision the trajectory row leaves open): a
     * fitted classifier ships with a THRESHOLD, and the τ choice is an
@@ -811,19 +972,22 @@ object R10 {
     * license to leak). */
   def thresholdSweepSpark(s: SparkSession, events: String, bucket: String,
                           median: String, view: String): DataFrame = {
-    val scored = s.sql(
-        logisticPrefix(events, bucket, median, "") + "\nSELECT y, p FROM p5")
-      .localCheckpoint()
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      // stepwise chain (r16) instead of the one unrolled prefix text —
+      // same arithmetic, ~5 s less Catalyst per invocation
+      logisticChainSpark(s, events, bucket, median, view, views)
+      val scored = s.sql(
+          s"SELECT y, p FROM (${lgScoreSql(s"${view}_bl", s"${view}_c4")}) sc")
+        .localCheckpoint()
       scored.createOrReplaceTempView(view)
+      views += view
       val out = s.sql(s"WITH ${sweepBody(view, "percentile")}")
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       out.collect().foreach(rows.add)
       s.createDataFrame(rows, out.schema)
     } finally {
-      s.catalog.dropTempView(view)
-      scored.unpersist()
-      ()
+      views.foreach(v => { s.catalog.dropTempView(v); () })
     }
   }
 
@@ -2128,8 +2292,8 @@ object R10 {
     }),
 
     "ml_logistic_newton" -> ((s, d) => withEventsView(s, d) { v =>
-      s.sql(logisticNewtonSql(v, "ts_ns div 1800000000000",
-        "percentile(p_raw, 0.5)", ""))
+      logisticNewtonSpark(s, v, "ts_ns div 1800000000000",
+        "percentile(p_raw, 0.5)", s"lognt_v${sqlRuns.incrementAndGet()}")
     }),
 
     /** The τ OPERATING SWEEP over the same converged logistic model —
@@ -2144,8 +2308,8 @@ object R10 {
       * see `aucRocSql`: 2·R₁ integer rank carry, ties averaged,
       * AUC/Gini output-only. */
     "ml_auc_roc" -> ((s, d) => withEventsView(s, d) { v =>
-      s.sql(aucRocSql(v, "ts_ns div 1800000000000",
-        "percentile(p_raw, 0.5)", ""))
+      aucRocSpark(s, v, "ts_ns div 1800000000000",
+        "percentile(p_raw, 0.5)", s"aucroc_v${sqlRuns.incrementAndGet()}")
     }),
 
     /** Held-out error vs training-set size — see `learningCurveSql`:
