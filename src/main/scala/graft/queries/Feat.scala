@@ -163,8 +163,17 @@ object Feat {
     * re-gridded at 1e-9 before the cross-period sum so aggregation
     * order cannot drift. Dialect params: events ref, bucket expr,
     * period-grid explode clause. */
+  /** `gridHint` (r16, engine-only): the (series × 95-period) DFT grid
+    * inherits the window stage's per-series partitioning (≤ 5 tasks at
+    * any width — the ts_matrix_profile AQE-coalescing class), so the
+    * trig-term evaluation ran near-serial. The engine passes a
+    * `REPARTITION(g, p)` hint so the per-(series, period) cos/sin terms
+    * spread across the session's shuffle width; the DECIMAL term sums
+    * are order-free, so the hint cannot move a bit. The oracle text
+    * keeps the default empty hint. */
   private def spectralEntropySql(events: String, bucket: String,
-                                 periodExplode: String): String =
+                                 periodExplode: String,
+                                 gridHint: String = ""): String =
     s"""WITH b AS (
        |  SELECT event_type AS g, $bucket AS bucket, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS px
        |  FROM $events GROUP BY 1, 2),
@@ -180,7 +189,7 @@ object Feat {
        |    CAST(round(CAST(pxd AS DOUBLE) - mu, 6) AS DECIMAL(18,6)) AS c
        |  FROM st JOIN mu ON st.g = mu.g),
        |grid AS (
-       |  SELECT g, t, c, p
+       |  SELECT $gridHint g, t, c, p
        |  $periodExplode),
        |trig AS (
        |  SELECT g, p,
@@ -1325,7 +1334,8 @@ object Feat {
     "ts_spectral_entropy" -> ((s, d) => withEventsView(s, d) { v =>
       s.sql(spectralEntropySql(v,
         "((unix_micros(CAST(ts AS TIMESTAMP)) * 1000) div 1800000000000)",
-        "FROM cent LATERAL VIEW explode(sequence(2, 96)) pe AS p"))
+        "FROM cent LATERAL VIEW explode(sequence(2, 96)) pe AS p",
+        "/*+ REPARTITION(g, p) */"))
     }),
 
     /** Hierarchical forecast reconciliation — see [[reconcileSql]]. */
